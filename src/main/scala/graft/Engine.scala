@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's scale-oriented defaults.
+  *
+  * Design stance (SURVEY.md §7.0): one SparkSession-centric engine where
+  * batch and streaming share the same DataFrame operator definitions. The
+  * conf below is what we would ship to a 1000-executor cluster, minus the
+  * cluster-manager specifics:
+  *   - AQE on: runtime partition coalescing + skew-join splitting mean the
+  *     static `shuffle.partitions` only needs to be an upper bound.
+  *   - UTC session time zone: deterministic window/date semantics across
+  *     engines (matches the DuckDB oracle).
+  *   - Broadcast threshold left at default (10 MB) — dims like region/
+  *     nation/supplier broadcast automatically; we additionally hint
+  *     `broadcast()` where we know the dimension is small at any SF.
+  */
+object Engine {
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply the engine defaults to an externally created session (the
+    * driver's Verify/Bench mains create their own). Safe to call on a
+    * running session: all of these are runtime-mutable SQL confs. */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

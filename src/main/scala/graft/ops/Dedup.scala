@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Hash choice: `md5` — identical output in every engine, so even the
+  * MinHash path is differentially testable against the DuckDB oracle.
+  * MinHash permutation i is simulated as `md5(i || ":" || token)`; the
+  * minimum over a document's token set is a valid min-wise signature.
+  *
+  * Scale posture (100 TB): everything here is groupBy/join on derived
+  * keys — no all-pairs comparison anywhere. LSH banding turns near-dup
+  * detection into an equi-join on (band, bucket), which AQE skew-split
+  * handles when a bucket is hot (e.g. boilerplate documents).
+  */
+object Dedup {
+  val NumHashes = 8
+  val BandSize = 2 // 4 bands of 2 hashes → catches jaccard ≳ 0.5 pairs
+
+  /** Distinct (doc_id, token) pairs: lowercase, whitespace-split. */
+  private[ops] def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+
+  /** Exact dedup on whitespace-normalized lowercase text: keep min doc_id
+    * per normalized text, report group size. One shuffle on the norm key;
+    * at scale, hash the norm key first (md5) so the shuffle key is fixed
+    * width instead of full document text. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select("doc_id", "dup_cnt")
+
+  /** Per-document MinHash signature: NumHashes columns h0..h7. */
+  private[ops] def signatures(tok: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("token")))).as(s"h$i"))
+    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
+    * Pipeline: tokens → 8-hash signature → 4 LSH bands → bucket equi-join
+    * for candidates → exact Jaccard on candidates only → threshold.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val tok = tokens(Tables.documents(spark, dir)).cache()
+    val sig = signatures(tok)
+    val nBands = NumHashes / BandSize
+    val bands = (0 until nBands).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize).map(i => col(s"h$i"))
+      sig.select(col("doc_id"), lit(b).as("band"), concat(cols: _*).as("bucket"))
+    }.reduce(_ unionAll _)
+
+    val a = bands.as("a")
+    val b = bands.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+
+    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val ta = tok.select(col("doc_id").as("doc_a"), col("token"))
+    val tb = tok.select(col("doc_id").as("doc_b"), col("token"))
+    val common = cand.join(ta, "doc_a").join(tb, Seq("doc_b", "token"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Document fingerprint: min-of-shingle-hashes (winnowing-style) over
+    * 5-token shingles; short docs fall back to the whole token list.
+    * Pure array expressions — stays inside whole-stage codegen. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val shingle = 5
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        array_min(transform(
+          sequence(lit(0), greatest(size(col("toks")) - shingle, lit(0))),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(shingle))))
+        )).as("fp"))
+  }
+}

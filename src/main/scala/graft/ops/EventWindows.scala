@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Batch forms of the two reference streaming jobs (SURVEY.md §2.1 rows
+  * 10, 11, 14). The streaming forms share these exact groupBy(window(...))
+  * definitions via Structured Streaming — see [[graft.streaming]].
+  * Window boundaries are epoch-aligned and end-exclusive in both Flink
+  * (TimeWindow.getEnd, HotMediaTrack.java:142) and Spark's `window()`;
+  * we emit the window end as epoch seconds (BIGINT) so the DuckDB oracle
+  * compares integers, not timestamp encodings.
+  */
+object EventWindows {
+
+  /** Job-A replica (HotMediaTrack.java:88-90), batch form: count per
+    * (30 s tumbling window, key). Key = event_type stands in for the
+    * reference's (appid, type) composite; window end exclusive, ms→s. */
+  def tumbleCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "30 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_timestamp(col("window.end")).as("win_end"),
+        col("event_type"), col("cnt"))
+
+  /** Job-B replica (HotItemAnalysis.java:103-108), batch form:
+    * filter(pv-analog) → 1 h sliding window, 5 min slide → count per
+    * (window, user) → top-3 per window end with the declared deterministic
+    * tie-break (count desc, user_id asc — SURVEY §7.3-3). */
+  def slideTopN(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(window(col("ts"), "1 hour", "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.end")).as("win_end"), col("user_id"), col("cnt"))
+    val w = Window.partitionBy(col("win_end"))
+      .orderBy(col("cnt").desc, col("user_id").asc)
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= n)
+  }
+}

@@ -1,0 +1,231 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational operator surface (SURVEY.md §2.4: projection/filter, joins,
+  * aggregation, grouping sets, window functions, sort/limit, set ops,
+  * scalar functions). Each public method is one declared query of
+  * FIXTURES.md §3, written DataFrame-first so Catalyst plans pushdown /
+  * pruning / join selection; the DuckDB-equivalent SQL lives in
+  * [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes are attached per query — the small-SF run verifies
+  * correctness; the plan shape (broadcasts, partial aggs, pushed filters)
+  * is what must survive 100 TB.
+  */
+object Relational {
+
+  /** Scan + projection + column arithmetic + cast. Catalyst prunes the
+    * parquet scan to the 6 referenced columns (ReadSchema). */
+  def scanProject(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      floor(col("l_quantity")).cast("long").as("qty_int"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("charged")
+    )
+
+  /** Predicates: range on timestamp, equality, LIKE. All three push down
+    * to the parquet reader (PushedFilters). */
+  def filterQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-01-01").cast("timestamp")
+        && col("l_returnflag") === "R"
+        && col("l_linestatus").like("F%"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate", "l_returnflag")
+
+  /** TPC-H Q1 shape: multi-key hash aggregate with sum/avg/min/max/count.
+    * Spark plans partial (map-side) + final HashAggregate — the built-in
+    * equivalent of the reference's incremental CountAgg
+    * (HotItemAnalysis.java:116-136 add/merge shape). */
+  def aggGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        // Money sums go through DECIMAL(20,6): double summation is
+        // order-dependent (≈1e-6 abs error at 1e8 magnitude), so a plain
+        // double sum is not reproducible across partitionings — the
+        // decimal intermediate is exact and associative, then cast back.
+        sum(col("l_extendedprice").cast("decimal(20,6)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(20,6)"))
+          .cast("double").as("sum_disc_price"),
+        avg("l_quantity").as("avg_qty"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        count(lit(1)).as("count_order")
+      )
+
+  /** Exact distinct aggregation (two-phase: partial distinct then count). */
+  def aggDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** HLL sketch count. Not hash-checkable against an exact oracle —
+    * registered without oracleSql (rows-only gate); SimilaritySpec bounds
+    * the relative error against the exact count instead. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")
+      )
+
+  /** ROLLUP over (nation, order year): revenue at (n,y), (n), () levels.
+    * Grouping-set nulls are coalesced to sentinel values so the oracle
+    * hash is insensitive to NULL-encoding differences. nation (25 rows)
+    * broadcasts; customer⋈orders shuffles on the join key. */
+  def rollupQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).as("o_year"), col("o_totalprice"))
+      .rollup(col("n_name"), col("o_year"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("grp_nation"),
+        coalesce(col("o_year"), lit(-1)).cast("long").as("grp_year"),
+        col("revenue"), col("n_orders"))
+  }
+
+  /** Multi-way equi-join: customer ⋈ orders ⋈ lineitem, revenue per market
+    * segment. customer is the small side at any SF ratio (150:1500:6000)
+    * but grows with SF, so no forced broadcast — AQE picks broadcast when
+    * the runtime size allows, sort-merge otherwise. */
+  def joinInner(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(20,6)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Left outer join: order count per customer including zero-order
+    * customers (count of a null o_orderkey is 0 in both engines). */
+  def joinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum("o_totalprice"), lit(0.0)).as("total_spent"))
+  }
+
+  /** Left-semi (EXISTS) and left-anti (NOT EXISTS), tagged and unioned so
+    * one result exercises both join types. */
+  def joinSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select("o_custkey")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(lit("has_order").as("tag"), col("c_custkey"))
+    val noOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(lit("no_order").as("tag"), col("c_custkey"))
+    withOrders.unionAll(noOrders)
+  }
+
+  /** Theta join: equi key + range predicate (l_quantity < p_size). Planned
+    * as an equi-join with the range as a post-join filter — NOT a nested-
+    * loop join; survives scale because the equi key carries the shuffle. */
+  def joinTheta(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    l.join(p, l("l_partkey") === p("p_partkey") && l("l_quantity") < p("p_size"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_matches"), sum("l_quantity").as("sum_qty"))
+  }
+
+  /** UNION (distinct) / INTERSECT / EXCEPT, each tagged into one result. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val orderCust = Tables.orders(spark, dir).select(col("o_custkey").as("custkey"))
+    val richCust = Tables.customer(spark, dir)
+      .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+    val u = orderCust.union(richCust).distinct().select(lit("u").as("op"), col("custkey"))
+    val i = orderCust.intersect(richCust).select(lit("i").as("op"), col("custkey"))
+    val e = richCust.except(orderCust).select(lit("e").as("op"), col("custkey"))
+    u.unionAll(i).unionAll(e)
+  }
+
+  /** Window functions: per-customer top-3 orders by totalprice
+    * (row_number with deterministic tie-break) + running sum over an
+    * explicit rows frame. One shuffle on o_custkey serves both windows. */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val byPrice = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val byDate = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(byPrice).cast("long").as("rn"),
+        sum(col("o_totalprice")).over(byDate).as("running_spent"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Global sort + limit (TakeOrderedAndProject — per-partition top-K then
+    * merge on the driver, no full global sort materialization). */
+  def sortLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(10)
+
+  /** Scalar function surface: string (upper/substring/length/replace/
+    * concat), date (year/month/dayofmonth), math (abs/floor/pmod). */
+  def scalarQ(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    p.filter(col("p_type").like("%BRASS%") || col("p_size") < 15)
+      .select(
+        col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "a", "_").as("name_sub"),
+        abs(col("p_retailprice") - 1000.0).as("price_dist"),
+        floor(col("p_retailprice") / 100.0).cast("long").as("price_bucket"),
+        pmod(col("p_partkey"), lit(7L)).as("key_mod"))
+  }
+
+  /** JSON column parse: extract a typed field from events.props. Uses
+    * get_json_object (codegen'd Jackson path eval); at scale prefer
+    * from_json once per row into a struct when >1 field is read. */
+  def jsonQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+
+  /** Date/time scalar surface on orders (kept separate from scalarQ so a
+    * dialect mismatch in one family can't sink both). */
+  def dateQ(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .groupBy(col("y"), col("m"), col("month_start"))
+      .agg(count(lit(1)).as("n_orders"), min("d").as("first_day"), max("d").as("last_day"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data pipelines: token counting
+  * (whitespace + BPE-ish regex), quality scoring, language-ID heuristic,
+  * corpus stats. All pure column expressions (codegen'd, no UDFs), all
+  * embarrassingly parallel — per-row work then one partial+final agg.
+  */
+object TextOps {
+  /** Stopwords for the crude lang-ID / quality heuristics. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
+
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Whitespace token count. */
+  def nTokensWs(c: Column): Column = size(toks(c))
+
+  /** BPE-ish token count: runs of letters, runs of digits, or single
+    * non-alphanumeric non-space chars — a crude proxy for subword
+    * tokenizer output length. */
+  def nTokensBpe(c: Column): Column =
+    regexp_count(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+  /** Fraction of tokens that are English stopwords. */
+  def stopwordRatio(c: Column): Column =
+    size(filter(toks(c), t => t.isin(EnStopwords: _*))).cast("double") / nTokensWs(c)
+
+  /** Corpus stats per language: doc count, whitespace/BPE token totals,
+    * char stats. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        nTokensWs(col("text")).cast("long").as("n_tok"),
+        nTokensBpe(col("text")).cast("long").as("n_bpe"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("total_tokens"),
+        sum("n_bpe").as("total_bpe_tokens"),
+        avg("n_chars").as("avg_chars"),
+        max("n_tok").as("max_tokens"))
+
+  /** Per-document quality score features: length, token stats, punct
+    * density, stopword ratio, plus a composite keep/drop flag of the kind
+    * a pretraining filter would apply. */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nTok = nTokensWs(col("text"))
+    val punct = regexp_count(lower(col("text")), lit("[^a-z0-9\\s]"))
+    val stopHits = size(filter(toks(col("text")), t => t.isin(EnStopwords: _*)))
+    d.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTok.cast("long").as("n_tokens"),
+        (length(col("text")).cast("double") / nTok).as("avg_tok_len"),
+        (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+        (stopHits.cast("double") / nTok).as("stopword_ratio"))
+      .withColumn("keep",
+        (col("n_tokens") >= 10 && col("punct_ratio") < 0.3 && col("stopword_ratio") > 0.01).cast("long"))
+  }
+
+  /** Language-ID heuristic: stopword-ratio vote for English; documents
+    * below the threshold are 'unknown'. (A real impl uses char n-gram
+    * profiles per language — this declares the operator surface with a
+    * deterministic, oracle-checkable rule.) Compares against the table's
+    * labeled lang column. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val stopHits = size(filter(toks(col("text")), t => t.isin(EnStopwords: _*)))
+    val ratio = stopHits.cast("double") / nTokensWs(col("text"))
+    d.select(col("doc_id"), col("lang"),
+        when(ratio >= 0.05, lit("en")).otherwise(lit("unknown")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+  }
+}
