@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+
+/** Job-A replica: HotMediaTrack (reference HotMediaTrack.java:45-96).
+  *
+  * Pipeline: Kafka topic-pattern source → JSON parse to the 5-field
+  * LogTrack projection (HotMediaTrack.java:174-207, with the epoch-unit
+  * normalizations at :184/:187-190/:193) → event time = receiveTime →
+  * ascending watermark → 30 s tumbling window count per (appid, type)
+  * (HotMediaTrack.java:88-90) → batched JDBC-shaped sink (the reference's
+  * per-row MySqlSink at :98-131 is a deliberate scale divergence — we
+  * write per micro-batch, idempotent on batchId, see SURVEY §7.3-6).
+  *
+  * Every stage is a pure DataFrame→DataFrame function so the identical
+  * logic runs in batch (oracle-checked via q_win_tumble) and streaming.
+  */
+object HotMediaTrackJob {
+
+  /** Input JSON schema — only the fields the job projects; unknown fields
+    * in the wire record are ignored by from_json (permissive mode). */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("appid", StringType),
+    StructField("event_type", IntegerType),
+    StructField("timestamp", LongType),   // epoch seconds
+    StructField("event_time", LongType),  // epoch seconds, nullable
+    StructField("log_time", LongType)     // epoch millis
+  ))
+
+  /** Kafka topic-pattern source (reference HotMediaTrack.java:67-74:
+    * Pattern "log_track_\S+", start from latest). */
+  def kafkaSource(spark: SparkSession, bootstrap: String,
+      pattern: String = "log_track_.+"): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribePattern", pattern)
+      .option("startingOffsets", "latest")
+      .load()
+      .selectExpr("CAST(value AS STRING) AS value", "topic")
+
+  /** JSON line → LogTrack columns. Unit normalization per the reference:
+    * sendTime = timestamp*1000 (:184), eventTime = event_time*1000 when
+    * present (:187-190), receiveTime = log_time already ms (:193). */
+  def parse(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value"), wireSchema).as("j"))
+      .filter(col("j").isNotNull && col("j.appid").isNotNull)
+      .select(
+        col("j.appid").as("appid"),
+        col("j.event_type").as("type"),
+        (col("j.timestamp") * 1000).as("sendTime"),
+        (col("j.event_time") * 1000).as("eventTime"), // stays null when absent
+        col("j.log_time").as("receiveTime"))
+
+  /** Event time = receiveTime (HotMediaTrack.java:79-84's ascending
+    * extractor); delay 0 ≙ Flink's maxTs−1ms ascending watermark —
+    * emission timing differs (SURVEY §7.3-1) but final append-mode
+    * contents match. 30 s tumbling count per (appid, type). */
+  def windowCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .withColumn("eventTs", timestamp_millis(col("receiveTime")))
+      .withWatermark("eventTs", "0 seconds")
+      .groupBy(window(col("eventTs"), "30 seconds"), col("appid"), col("type"))
+      .agg(count(lit(1)).as("count"))
+      // Sink row shape per HotMediaTrack.java:116-122: time = window END
+      // (exclusive, ms) as a timestamp — exactly window.end, not end-1.
+      .select(col("window.end").as("time"), col("appid"), col("type"), col("count"))
+
+  /** Full pipeline on an arbitrary string-valued source. */
+  def pipeline(raw: DataFrame): DataFrame = windowCounts(parse(raw))
+
+  /** JDBC-shaped sink: per micro-batch INSERT batch (capability parity
+    * with MySqlSink, minus the per-row round trip). Exposed as a
+    * DataStreamWriter so callers pick trigger/checkpoint. */
+  def jdbcSink(out: DataFrame, url: String, table: String,
+      props: java.util.Properties): DataStreamWriter[Row] =
+    out.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        // idempotence on retry: tag rows with the batch id so a replayed
+        // micro-batch can be de-duplicated downstream
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").jdbc(url, table, props)
+        ()
+    }
+
+  /** Console sink for smoke runs (reference Job B uses print(); Job A's
+    * MySQL target isn't present in this environment). */
+  def run(spark: SparkSession, bootstrap: String): StreamingQuery =
+    pipeline(kafkaSource(spark, bootstrap))
+      .writeStream.outputMode("append").format("console").start()
+}

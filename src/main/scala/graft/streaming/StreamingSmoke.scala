@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+
+/** Runnable end-to-end smoke for the streaming layer:
+  * `sbt "runMain graft.streaming.StreamingSmoke <inDir>"`.
+  *
+  * Feeds CSV files from <inDir> (one file per micro-batch — a real file
+  * streaming source) through the Job-B pipeline and prints the ranked
+  * hot items; then exercises the Job-A JSON parser on a mixed
+  * valid/garbage batch. Used for manual verification where the MySQL /
+  * Kafka endpoints of the reference don't exist.
+  */
+object StreamingSmoke {
+  def main(args: Array[String]): Unit = {
+    val inDir = args.headOption.getOrElse("/tmp/drive/jobB_in")
+    val spark = graft.Engine.session("local[4]", shufflePartitions = 4)
+    import spark.implicits._
+
+    val lines = spark.readStream.option("maxFilesPerTrigger", "1").text(inDir)
+    val q = HotItemAnalysisJob.pipeline(lines, 3)
+      .writeStream.outputMode("append").format("memory").queryName("smokeB").start()
+    q.processAllAvailable()
+    println("=== JobB ranked items (window end 3600000 ms) ===")
+    spark.sql("select * from smokeB where windowEnd = 3600000 order by rank").show(false)
+    println("=== JobB distinct emitted windows: " +
+      spark.sql("select count(distinct windowEnd) n from smokeB").first.getLong(0))
+    q.stop()
+
+    println("=== JobA parse incl. malformed line ===")
+    val jsons = Seq(
+      """{"appid":"a1","event_type":2,"timestamp":10,"log_time":10000,"brand":"Honor"}""",
+      """{"appid":"a1","event_type":2,"timestamp":20,"log_time":20000}""",
+      """not json at all""",
+      """{"appid":"a2","event_type":3,"timestamp":29,"log_time":29999}""").toDF("value")
+    HotMediaTrackJob.parse(jsons).show(false)
+    println("SMOKE_DONE")
+    spark.stop()
+  }
+}

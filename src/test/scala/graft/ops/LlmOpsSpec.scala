@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** LLM-pipeline operator invariants on sf0.001. */
+class LlmOpsSpec extends SparkSuite {
+
+  test("exact dedup partitions the corpus: dup counts sum to total docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val deduped = Dedup.exactDedup(spark, sf).cache()
+    assert(deduped.agg(sum("dup_cnt")).head.getLong(0) == docs.count())
+    assert(deduped.select("doc_id").distinct().count() == deduped.count())
+  }
+
+  test("minhash signatures: identical token sets → identical signatures") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "the  QUICK brown   fox"), // same tokens after normalization
+      (3L, "something else entirely")).toDF("doc_id", "text")
+    val sig = Dedup.signatures(Dedup.tokens(docs)).collect()
+      .map(r => r.getLong(0) -> (1 until 9).map(r.getString).mkString).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+  }
+
+  test("near-dup pairs: ordered, thresholded, jaccard ≤ 1") {
+    val pairs = Dedup.nearDupPairs(spark, sf).cache()
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).isEmpty)
+    assert(pairs.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).isEmpty)
+  }
+
+  test("fingerprints: deterministic, one per doc") {
+    val fp = Dedup.fingerprints(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(fp.count() == docs.count())
+    assert(fp.filter(col("fp").isNull).isEmpty)
+  }
+
+  test("cosine top-k: k rows per probe, sims in [-1,1], no self-match") {
+    val got = SimSearch.cosineTopK(spark, sf, nProbes = 5, k = 5).cache()
+    assert(got.count() == 25)
+    assert(got.filter(col("probe_id") === col("neighbor_id")).isEmpty)
+    assert(got.filter(abs(col("cos_sim")) > 1.0 + 1e-9).isEmpty)
+    val perProbe = got.groupBy("probe_id").count().collect()
+    assert(perProbe.forall(_.getLong(1) == 5))
+  }
+
+  test("sign-bucket LSH: subset semantics and bounded k") {
+    val got = SimSearch.signBucketTopK(spark, sf, nProbes = 5, k = 5, bits = 2).cache()
+    assert(got.count() > 0, "coarse buckets must yield candidates")
+    assert(got.groupBy("probe_id").count().filter(col("count") > 5).isEmpty)
+  }
+
+  test("quality scores: ratios bounded, token counts positive") {
+    val q = TextOps.qualityScores(spark, sf).cache()
+    assert(q.filter(col("n_tokens") <= 0).isEmpty)
+    assert(q.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).isEmpty)
+    assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).isEmpty)
+  }
+
+  test("text stats cover every language present") {
+    val stats = TextOps.textStats(spark, sf)
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang").distinct().count()
+    assert(stats.count() == langs)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Invariants + plan-shape checks on sf0.001. Value-level correctness is
+  * the DuckDB oracle gate (tools/check_oracle.py); these specs guard the
+  * properties the oracle can't see: pushdown, pruning, rank bounds. */
+class RelationalSpec extends SparkSuite {
+
+  test("every declared query runs and every oracle key has a query") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracleSql key $k has no query")
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("filter pushes predicates into the parquet scan") {
+    val plan = Relational.filterQ(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("IsNotNull(l_returnflag)") || plan.contains("EqualTo(l_returnflag,R)"),
+      "returnflag predicate not pushed")
+  }
+
+  test("scan_project prunes unreferenced columns from the read schema") {
+    val plan = Relational.scanProject(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("l_returnflag") && !plan.contains("l_shipdate"),
+      "read schema not pruned")
+  }
+
+  test("window rank bounded and per-group sized") {
+    val got = Relational.windowRank(spark, sf)
+    assert(got.filter(col("rn") > 3).isEmpty)
+    val oversize = got.groupBy("o_custkey").count().filter(col("count") > 3)
+    assert(oversize.isEmpty)
+  }
+
+  test("sort_limit returns exactly 10 rows in descending price order") {
+    val prices = Relational.sortLimit(spark, sf)
+      .select("l_extendedprice").collect().map(_.getDouble(0))
+    assert(prices.length == 10)
+    assert(prices.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("set ops: intersect ⊆ union, except disjoint from orders") {
+    val df = Relational.setOps(spark, sf).cache()
+    val u = df.filter(col("op") === "u").select("custkey")
+    val i = df.filter(col("op") === "i").select("custkey")
+    val e = df.filter(col("op") === "e").select("custkey")
+    assert(i.except(u).isEmpty, "intersect must be subset of union")
+    val orderCust = spark.read.parquet(s"$sf/orders.parquet").select(col("o_custkey").as("custkey"))
+    assert(e.intersect(orderCust).isEmpty, "except must exclude order custkeys")
+  }
+
+  test("semi + anti partition the customer table") {
+    val df = Relational.joinSemiAnti(spark, sf)
+    val total = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(df.count() == total)
+    assert(df.select("c_custkey").distinct().count() == total)
+  }
+
+  test("approx_count_distinct within 15% of exact") {
+    val rows = Relational.aggApproxDistinct(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.15, s"approx=$approx exact=$exact")
+    }
+  }
+}
