@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, EventWindows, Relational, SimSearch, TextOps}
+import graft.ops.{Dedup, EventWindows, MultiModal, Relational, SimSearch, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §3.
   *
@@ -31,10 +31,12 @@ object SparkEntry {
     "q_agg_distinct" -> ((s, d) => Relational.aggDistinct(s, d)),
     "q_agg_approx_distinct" -> ((s, d) => Relational.aggApproxDistinct(s, d)),
     "q_rollup" -> ((s, d) => Relational.rollupQ(s, d)),
+    "q_cube" -> ((s, d) => Relational.cubeQ(s, d)),
     "q_join_inner" -> ((s, d) => Relational.joinInner(s, d)),
     "q_join_outer" -> ((s, d) => Relational.joinOuter(s, d)),
     "q_join_semi_anti" -> ((s, d) => Relational.joinSemiAnti(s, d)),
     "q_join_theta" -> ((s, d) => Relational.joinTheta(s, d)),
+    "q_join_asof" -> ((s, d) => Relational.asofJoin(s, d)),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "q_sort_limit" -> ((s, d) => Relational.sortLimit(s, d)),
@@ -44,15 +46,20 @@ object SparkEntry {
     // reference-job replicas (batch form; streaming forms in graft.streaming)
     "q_win_tumble" -> ((s, d) => EventWindows.tumbleCounts(s, d)),
     "q_win_slide_topn" -> ((s, d) => EventWindows.slideTopN(s, d)),
+    "q_win_session" -> ((s, d) => EventWindows.sessionCounts(s, d)),
     // LLM-pipeline operators
     "q_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
     "q_dedup_near" -> ((s, d) => Dedup.nearDupPairs(s, d)),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
     "q_fingerprint" -> ((s, d) => Dedup.fingerprints(s, d)),
+    "q_multimodal" -> ((s, d) => MultiModal.payloadFeatures(s, d)),
     "q_text_stats" -> ((s, d) => TextOps.textStats(s, d)),
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(s, d)),
     "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(s, d)),
-    "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(s, d))
+    "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(s, d)),
+    "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(s, d))
   )
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on
@@ -83,6 +90,17 @@ object SparkEntry {
         |FROM (SELECT n_name, year(o_orderdate) AS y, o_totalprice FROM orders
         |JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey) t
         |GROUP BY ROLLUP(n_name, y)""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS grp_rf, coalesce(l_linestatus, 'ALL') AS grp_ls,
+        |sum(l_quantity) AS sum_qty,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price,
+        |count(*) AS n_rows FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, max(o.o_orderdate) AS asof_orderdate,
+        |count(o.o_orderkey) AS n_prior_orders
+        |FROM events e LEFT JOIN orders o
+        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
     "q_join_inner" ->
       """SELECT c_mktsegment,
         |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,
@@ -151,6 +169,13 @@ object SparkEntry {
         |SELECT * FROM (SELECT win_end, user_id, cnt,
         |CAST(row_number() OVER (PARTITION BY win_end ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rnk
         |FROM counts) t WHERE rnk <= 3""".stripMargin,
+    "q_win_session" ->
+      """WITH l AS (SELECT user_id, epoch_us(ts) AS tus,
+        |lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS pus FROM events),
+        |g AS (SELECT user_id, tus, sum(CASE WHEN pus IS NULL OR tus - pus >= 43200000000 THEN 1 ELSE 0 END)
+        |OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS sid FROM l)
+        |SELECT user_id, min(tus) AS session_start_us, max(tus) + 43200000000 AS session_end_us,
+        |count(*) AS n_events FROM g GROUP BY user_id, sid""".stripMargin,
     "q_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS dup_cnt
         |FROM (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash
@@ -180,11 +205,49 @@ object SparkEntry {
         |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
         |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
         |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |bits AS (SELECT doc_id, j,
+        |sum(CASE WHEN (CAST(('0x'||substr(md5(token),1,8)) AS BIGINT) >> j) & 1 = 1
+        |THEN 1 ELSE -1 END) AS s
+        |FROM tok CROSS JOIN (SELECT unnest(range(0,32)) AS j) js GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+        |FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH sh AS (SELECT DISTINCT doc_id,
+        |unnest(list_transform(range(0, greatest(len(toks)-2, 0)),
+        |i -> md5(array_to_string(toks[i+1:i+3], ' ')))) AS shingle
+        |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |FROM documents) t WHERE len(toks) >= 3),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+        |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |CAST(c.n_common AS DOUBLE)/(sa.n_sh + sb.n_sh - c.n_common) AS jaccard
+        |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+        |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_sh + sb.n_sh - c.n_common) >= 0.3""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, list_aggregate(list_transform(range(0, greatest(len(toks)-5, 0)+1),
         |i -> md5(array_to_string(toks[i+1:i+5], ' '))), 'min') AS fp
         |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
         |FROM documents) t""".stripMargin,
+    "q_multimodal" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |md5(text) AS payload_md5,
+        |CAST(doc_id % 640 + 64 AS BIGINT) AS width,
+        |CAST(doc_id % 480 + 48 AS BIGINT) AS height,
+        |substr(hex(encode(text)), 1, 16) AS frame_0,
+        |substr(hex(encode(text)), 17, 16) AS frame_1,
+        |substr(hex(encode(text)), 33, 16) AS frame_2
+        |FROM documents""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens, avg(n_chars) AS avg_chars,
@@ -222,6 +285,16 @@ object SparkEntry {
         |FROM n c JOIN n p ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
         |SELECT * FROM (SELECT probe_id, neighbor_id, cos_sim,
         |CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
-        |FROM sims) t WHERE rnk <= 5""".stripMargin
+        |FROM sims) t WHERE rnk <= 5""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |array_to_string(list_transform(v[1:8], x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+        |FROM n)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cos_sim
+        |FROM nn a JOIN nn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.25""".stripMargin
   )
 }

@@ -96,4 +96,83 @@ object Dedup {
           i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(shingle))))
         )).as("fp"))
   }
+
+  val SimhashBits = 32
+  val SimhashBands = 4 // 4 bands × 8 bits: pigeonhole-catches every hamming ≤ 3 pair
+
+  /** Per-document 32-bit SimHash fingerprint. Token hash = first 8 hex
+    * chars of md5 (engine-portable, unlike murmur variants); each bit
+    * position accumulates +1/−1 over the token set; sign → fingerprint
+    * bit. One groupBy over (doc, token) pairs — the 32 bit-sums are 32
+    * partial-aggregatable sum() columns, so map-side combine applies. */
+  private[ops] def simhashFingerprints(tok: DataFrame): DataFrame = {
+    val v = conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+    val bitSums = (0 until SimhashBits).map(j =>
+      sum(when(shiftright(v, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
+    val fpExpr = (0 until SimhashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpExpr.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: fingerprints → 4 LSH bands of 8 bits →
+    * bucket equi-join for candidates → exact hamming ≤ 3 filter. The band
+    * split makes candidate generation an equi-join (shuffle on band value,
+    * never all-pairs), and 4 bands over a hamming-3 budget is exact by
+    * pigeonhole: any pair differing in ≤ 3 bits agrees on ≥ 1 whole band,
+    * so the result equals the full pairwise scan the oracle runs. */
+  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val fp = simhashFingerprints(tokens(Tables.documents(spark, dir)))
+    val bandBits = SimhashBits / SimhashBands
+    val bands = (0 until SimhashBands).map { b =>
+      fp.select(col("doc_id"),
+        lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("bandval"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
+      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** N-gram (3-token shingle) Jaccard near-dup pairs. Candidates = pairs
+    * sharing ≥ 1 rare shingle; shingles seen in > maxDf docs are dropped
+    * first (boilerplate control — at 100 TB this document-frequency cap is
+    * what keeps the shingle self-join from exploding on template text;
+    * the cap is part of the declared semantics and mirrored in the oracle). */
+  def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
+      maxDf: Int = 50, threshold: Double = 0.3): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sh = docs
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("shingle"))
+      .distinct()
+    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxDf).select("shingle")
+    val shf = sh.join(rare, "shingle").cache()
+
+    val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = shf.as("a").join(shf.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 }

@@ -27,6 +27,24 @@ object EventWindows {
         unix_timestamp(col("window.end")).as("win_end"),
         col("event_type"), col("cnt"))
 
+  /** Session windows (gap-based, the third window kind after tumbling and
+    * sliding — absent from the reference, declared in SURVEY §2.4
+    * "Streaming"): per-user sessions close after `gap` of inactivity;
+    * window = [first event, last event + gap). Spark's `session_window`
+    * plans a per-key sort + merge inside one aggregate (no self-join /
+    * no window-function pass); the identical expression runs incrementally
+    * under Structured Streaming with a watermark (StreamingExtrasSpec).
+    * Gap of 12h matches the synthetic events cadence (~11h mean per-user
+    * inter-arrival) so sessions actually merge. */
+  def sessionCounts(spark: SparkSession, dir: String, gap: String = "12 hours"): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+
   /** Job-B replica (HotItemAnalysis.java:103-108), batch form:
     * filter(pv-analog) → 1 h sliding window, 5 min slide → count per
     * (window, user) → top-3 per window end with the declared deterministic

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column operators: image/audio/video treated as opaque
+  * `BinaryType` payloads with typed metadata structs, per the north-star
+  * mandate (SURVEY.md §2.4 "LLM-pipeline" row).
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic STUB (see [[decodeFeatures]]); everything
+  * around it — schema (binary + metadata struct), partition-parallel
+  * iterator processing, frame sampling, hashing — is real Spark plumbing
+  * and is what carries over unchanged when a real codec is dropped in.
+  *
+  * Scale posture: payloads never leave their partition (no shuffle in
+  * decode/feature paths — pure map-side), and metadata-only queries prune
+  * the binary column out of the parquet scan entirely (columnar format =
+  * free skip of multi-KB payload bytes; verified via ReadSchema in
+  * MultiModalSpec).
+  */
+object MultiModal {
+
+  /** Deterministic fake payload: the document's UTF-8 bytes stand in for
+    * an encoded image. Real pipelines read the bytes from parquet/blob
+    * storage; the column type and everything downstream are identical. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (pmod(col("doc_id"), lit(640L)) + 64L).cast("int").as("width"),
+        (pmod(col("doc_id"), lit(480L)) + 48L).cast("int").as("height"),
+        lit(3).as("channels"),
+        lit("raw").as("format")
+      ).as("meta"))
+
+  /** Declared query q_multimodal: byte-length, content hash, and 3
+    * frame samples (8-byte slices at fixed offsets, hex-encoded — the
+    * frame-sampling access pattern of video pipelines) plus metadata
+    * fields. Pure codegen'd expressions over the binary column. */
+  def payloadFeatures(spark: SparkSession, dir: String, frames: Int = 3): DataFrame = {
+    val df = withPayload(Tables.documents(spark, dir))
+    val hexed = hex(col("payload"))
+    val frameCols = (0 until frames).map(i =>
+      substring(hexed, i * 16 + 1, 16).as(s"frame_$i"))
+    df.select(Seq(
+      col("doc_id"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      md5(col("payload")).as("payload_md5"),
+      col("meta.width").cast("long").as("width"),
+      col("meta.height").cast("long").as("height")
+    ) ++ frameCols: _*)
+  }
+
+  /** Output row of the decode/feature-extract stage. */
+  case class MMFeature(doc_id: Long, n_bytes: Int, mean_byte: Double,
+      hist: Array[Long])
+
+  /** Decode + feature-extract over the binary column, one partition at a
+    * time (`mapPartitions` — the iterator shape a real batched codec call
+    * wants: amortize codec init per partition, stream rows through).
+    *
+    * STUB: a real implementation would decode `payload` with an image
+    * library here; absent codecs in this container, the "features" are a
+    * deterministic 16-bucket byte histogram + mean byte value computed
+    * from the raw bytes. The Dataset schema, encoder, partitioning and
+    * batch shape are the real contract, tested in MultiModalSpec. */
+  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MMFeature] = {
+    import spark.implicits._
+    withPayload(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init of the (stubbed) codec would go here
+        rows.map { case (id, bytes) =>
+          val hist = new Array[Long](16)
+          var sum = 0L
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            hist(b >> 4) += 1
+            sum += b
+            i += 1
+          }
+          val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
+          MMFeature(id, bytes.length, mean, hist)
+        }
+      }
+  }
+}

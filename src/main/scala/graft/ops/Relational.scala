@@ -215,6 +215,38 @@ object Relational {
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
 
+  /** CUBE over (returnflag, linestatus): all four grouping levels in one
+    * pass. Same sentinel-coalesce trick as rollupQ; Spark plans one
+    * Expand + partial/final HashAggregate — no per-level rescan. */
+  def cubeQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(20,6)")).cast("double").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("grp_rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("grp_ls"),
+        col("sum_qty"), col("sum_price"), col("n_rows"))
+
+  /** As-of join: for each event, the latest order at-or-before the event
+    * time for that user. Planned as an equi-join on the key (user_id =
+    * o_custkey) with the temporal predicate as a post-join filter, then
+    * an argmax aggregate — the shuffle rides the equi key, so the plan
+    * survives scale (per-key order history is the only fan-out; at 100 TB
+    * pre-bucket both sides on the key and the join is shuffle-free).
+    * Left semantics: events whose user has no prior order keep a null
+    * asof_orderdate and n_prior_orders = 0. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    e.join(o, col("user_id") === col("o_custkey") && col("ts") >= col("o_orderdate"), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(col("o_orderdate")).as("asof_orderdate"),
+        count(col("o_orderkey")).as("n_prior_orders"))
+  }
+
   /** Date/time scalar surface on orders (kept separate from scalarQ so a
     * dialect mismatch in one family can't sink both). */
   def dateQ(spark: SparkSession, dir: String): DataFrame = {

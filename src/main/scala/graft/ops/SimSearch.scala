@@ -50,6 +50,33 @@ object SimSearch {
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs (the vector analog of the text
+    * dedup family): deterministic sign-bucket blocking (first `bits` dims)
+    * → per-bucket self-join → cosine ≥ threshold. The bucketing is part of
+    * the declared semantics (both engines compute the identical buckets),
+    * so the result is exact-per-definition and oracle-checkable, while the
+    * self-join stays per-bucket — at 100 TB the shuffle key is the bucket,
+    * never all-pairs. Hot buckets split under AQE skew handling; for
+    * higher recall run again with rotated sign projections and union. */
+  def embedNearDup(spark: SparkSession, dir: String, bits: Int = 8,
+      threshold: Double = 0.25): DataFrame = {
+    val bucketExpr = concat((0 until bits).map(i =>
+      when(element_at(col("v"), i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("bucket", bucketExpr)
+    val a = emb.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = emb.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Sign-bucket LSH variant (the scale path): bucket = sign bits of the
     * first `bits` coordinates; probes only scan candidates sharing their
     * bucket. Approximate — recall measured against cosineTopK in

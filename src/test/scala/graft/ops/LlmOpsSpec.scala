@@ -54,6 +54,35 @@ class LlmOpsSpec extends SparkSuite {
     assert(got.groupBy("probe_id").count().filter(col("count") > 5).isEmpty)
   }
 
+  test("simhash: identical token sets → hamming 0; pairs ordered and thresholded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "THE  quick brown fox   JUMPS"), // same token set normalized
+      (3L, "completely different words here altogether")).toDF("doc_id", "text")
+    val fp = Dedup.simhashFingerprints(Dedup.tokens(docs)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+
+    val pairs = Dedup.simhashPairs(spark, sf).cache()
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).isEmpty)
+    assert(pairs.filter(col("hamming") > 3 || col("hamming") < 0).isEmpty)
+  }
+
+  test("ngram jaccard: bounded scores, ordered pairs, self-similarity = 1") {
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccardPairs(spark, sf).cache()
+    assert(pairs.filter(col("doc_a") >= col("doc_b")).isEmpty)
+    assert(pairs.filter(col("jaccard") < 0.3 || col("jaccard") > 1.0).isEmpty)
+  }
+
+  test("embedding near-dup: ordered pairs, cosine within [threshold, 1]") {
+    val pairs = SimSearch.embedNearDup(spark, sf, bits = 2, threshold = 0.2).cache()
+    assert(pairs.filter(col("vec_a") >= col("vec_b")).isEmpty)
+    assert(pairs.filter(col("cos_sim") < 0.2 || col("cos_sim") > 1.0 + 1e-9).isEmpty)
+  }
+
   test("quality scores: ratios bounded, token counts positive") {
     val q = TextOps.qualityScores(spark, sf).cache()
     assert(q.filter(col("n_tokens") <= 0).isEmpty)

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Multimodal-column plumbing: schema, feature extraction, and the
+  * column-pruning property that makes opaque payloads cheap at scale. */
+class MultiModalSpec extends SparkSuite {
+
+  test("payload schema: binary column + typed metadata struct") {
+    val df = MultiModal.withPayload(spark.read.parquet(s"$sf/documents.parquet"))
+    assert(df.schema("payload").dataType.typeName == "binary")
+    val meta = df.schema("meta").dataType.typeName
+    assert(meta == "struct")
+    val fields = df.select("meta.*").schema.fieldNames.toSet
+    assert(fields == Set("width", "height", "channels", "format"))
+  }
+
+  test("decode stub: histogram sums to byte count, mean bounded") {
+    val feats = MultiModal.decodeFeatures(spark, sf).cache()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(feats.count() == docs.count())
+    val bad = feats.filter { f =>
+      f.hist.sum != f.n_bytes || f.mean_byte < 0.0 || f.mean_byte > 255.0
+    }
+    assert(bad.isEmpty, "histogram mass must equal byte count")
+  }
+
+  test("payload features: frames are hex slices of the payload") {
+    val row = MultiModal.payloadFeatures(spark, sf).filter(col("n_bytes") >= 24).head()
+    val f0 = row.getAs[String]("frame_0")
+    assert(f0.length == 16 && f0.matches("[0-9A-F]+"))
+  }
+
+  test("metadata-only projection prunes text out of the parquet scan") {
+    val df = MultiModal.withPayload(spark.read.parquet(s"$sf/documents.parquet"))
+      .select("doc_id", "meta")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(!scan.contains("text"), s"text column must be pruned:\n$scan")
+  }
+}

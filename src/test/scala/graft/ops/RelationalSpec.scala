@@ -67,6 +67,33 @@ class RelationalSpec extends SparkSuite {
     assert(df.select("c_custkey").distinct().count() == total)
   }
 
+  test("cube emits all four grouping levels consistently") {
+    val df = Relational.cubeQ(spark, sf).cache()
+    val grand = df.filter(col("grp_rf") === "ALL" && col("grp_ls") === "ALL")
+    assert(grand.count() == 1)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(grand.head.getAs[Long]("n_rows") == total)
+    // per-level row counts must each sum to the grand total
+    val rfOnly = df.filter(col("grp_rf") =!= "ALL" && col("grp_ls") === "ALL")
+    assert(rfOnly.agg(sum("n_rows")).head.getLong(0) == total)
+  }
+
+  test("as-of join: date at-or-before event, count consistent with null date") {
+    val df = Relational.asofJoin(spark, sf).cache()
+    val events = graft.sources.Tables.events(spark, sf).count()
+    assert(df.count() == events, "one output row per event")
+    assert(df.filter(col("n_prior_orders") === 0 && col("asof_orderdate").isNotNull).isEmpty)
+    assert(df.filter(col("n_prior_orders") > 0 && col("asof_orderdate").isNull).isEmpty)
+  }
+
+  test("session windows: counts sum to events, end - start ≥ gap") {
+    val df = EventWindows.sessionCounts(spark, sf).cache()
+    val events = graft.sources.Tables.events(spark, sf).count()
+    assert(df.agg(sum("n_events")).head.getLong(0) == events)
+    assert(df.filter(col("session_end_us") - col("session_start_us") < 43200000000L).isEmpty,
+      "every session spans at least the gap")
+  }
+
   test("approx_count_distinct within 15% of exact") {
     val rows = Relational.aggApproxDistinct(spark, sf).collect()
     rows.foreach { r =>
