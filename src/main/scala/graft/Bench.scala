@@ -19,11 +19,18 @@ object Bench {
       .getOrCreate()
     Engine.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => () }
+    // JVM/codegen warmup: a few representative queries untimed, so the
+    // first timed query doesn't absorb JIT + classloader + codegen-cache
+    // costs (~5 s once per JVM, irrelevant at cluster scale).
+    Seq("q_scalar", "q_agg_group", "q_win_tumble")
+      .foreach(n => SparkEntry.queries.get(n).foreach(runOne))
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      runOne(fn)
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

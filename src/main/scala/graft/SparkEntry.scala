@@ -38,6 +38,7 @@ object SparkEntry {
     "q_join_theta" -> ((s, d) => Relational.joinTheta(s, d)),
     "q_join_asof" -> ((s, d) => Relational.asofJoin(s, d)),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
+    "q_sql" -> ((s, d) => Relational.sqlQ(s, d)),
     "q_window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "q_sort_limit" -> ((s, d) => Relational.sortLimit(s, d)),
     "q_scalar" -> ((s, d) => Relational.scalarQ(s, d)),
@@ -131,6 +132,7 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'e' AS op, custkey FROM (SELECT c_custkey AS custkey FROM customer
         |WHERE c_acctbal > 5000 EXCEPT SELECT o_custkey FROM orders) t3""".stripMargin,
+    "q_sql" -> graft.ops.Relational.SqlQText,
     "q_window_rank" ->
       """SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn,
@@ -185,21 +187,28 @@ object SparkEntry {
         |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
         |FROM documents) u WHERE t <> ''),
         |sig AS (SELECT doc_id,
-        |min(md5('0:' || token)) AS h0, min(md5('1:' || token)) AS h1,
-        |min(md5('2:' || token)) AS h2, min(md5('3:' || token)) AS h3,
-        |min(md5('4:' || token)) AS h4, min(md5('5:' || token)) AS h5,
-        |min(md5('6:' || token)) AS h6, min(md5('7:' || token)) AS h7
+        |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
+        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h1,
+        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h2,
+        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h3,
+        |min(CAST(('0x'||substr(md5('4:' || token),1,15)) AS BIGINT)) AS h4,
+        |min(CAST(('0x'||substr(md5('5:' || token),1,15)) AS BIGINT)) AS h5,
+        |min(CAST(('0x'||substr(md5('6:' || token),1,15)) AS BIGINT)) AS h6,
+        |min(CAST(('0x'||substr(md5('7:' || token),1,15)) AS BIGINT)) AS h7
         |FROM tok GROUP BY doc_id),
-        |bands AS (SELECT doc_id, 0 AS band, h0||h1 AS bucket FROM sig
-        |UNION ALL SELECT doc_id, 1, h2||h3 FROM sig
-        |UNION ALL SELECT doc_id, 2, h4||h5 FROM sig
-        |UNION ALL SELECT doc_id, 3, h6||h7 FROM sig),
+        |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
+        |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+        |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+        |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
-        |JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+        |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+        |AND a.doc_id < b.doc_id),
+        |tokh AS (SELECT DISTINCT doc_id,
+        |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),
         |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
-        |JOIN tok ta ON ta.doc_id = c.doc_a
-        |JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+        |JOIN tokh ta ON ta.doc_id = c.doc_a
+        |JOIN tokh tb ON tb.doc_id = c.doc_b AND tb.th = ta.th
         |GROUP BY c.doc_a, c.doc_b)
         |SELECT c.doc_a, c.doc_b,
         |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
@@ -222,7 +231,7 @@ object SparkEntry {
     "q_dedup_ngram" ->
       """WITH sh AS (SELECT DISTINCT doc_id,
         |unnest(list_transform(range(0, greatest(len(toks)-2, 0)),
-        |i -> md5(array_to_string(toks[i+1:i+3], ' ')))) AS shingle
+        |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+3], ' ')),1,15)) AS BIGINT))) AS shingle
         |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
         |FROM documents) t WHERE len(toks) >= 3),
         |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),

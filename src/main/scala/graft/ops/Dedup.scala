@@ -40,44 +40,73 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
       .select("doc_id", "dup_cnt")
 
-  /** Per-document MinHash signature: NumHashes columns h0..h7. */
+  /** Per-document MinHash signature: NumHashes columns h0..h7, as LONGs
+    * (the first 15 hex chars of the md5 — 60 bits, sign-safe). Longs
+    * matter for the plan: min(long) aggregates in the Tungsten hash map
+    * (HashAggregate) while min(string) falls back to sort-based
+    * aggregation (SortAggregate = sort per group-by). Fixed-width hex is
+    * lexicographically = numerically ordered, so the min picks the same
+    * token as the string form. */
   private[ops] def signatures(tok: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("token")))).as(s"h$i"))
+      min(conv(substring(md5(concat(lit(s"$i:"), col("token"))), 1, 15), 16, 10)
+        .cast("long")).as(s"h$i"))
     tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
     * Pipeline: tokens → 8-hash signature → 4 LSH bands → bucket equi-join
     * for candidates → exact Jaccard on candidates only → threshold.
-    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b. */
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    *
+    * Plan shape (verified with graft.Explain): the signature aggregate
+    * runs ONCE (cached), bands come from a single explode projection —
+    * a naive per-band select-union re-runs the whole signature aggregate
+    * once per band. */
   def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val tok = tokens(Tables.documents(spark, dir)).cache()
-    val sig = signatures(tok)
+    val sig = signatures(tok).cache()
     val nBands = NumHashes / BandSize
-    val bands = (0 until nBands).map { b =>
-      val cols = (b * BandSize until (b + 1) * BandSize).map(i => col(s"h$i"))
-      sig.select(col("doc_id"), lit(b).as("band"), concat(cols: _*).as("bucket"))
-    }.reduce(_ unionAll _)
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"), col(s"h${BandSize * b}").as("b0"),
+        col(s"h${BandSize * b + 1}").as("b1"))
+    }: _*)
+    val bands = sig.select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.b0").as("b0"), col("bb.b1").as("b1"))
 
-    val a = bands.as("a")
-    val b = bands.as("b")
-    val cand = a.join(b,
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val left = bands.withColumnRenamed("doc_id", "doc_a")
+    val right = bands.withColumnRenamed("doc_id", "doc_b")
+    val cand = left.join(right, Seq("band", "b0", "b1"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
 
-    val sizes = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
-    val ta = tok.select(col("doc_id").as("doc_a"), col("token"))
-    val tb = tok.select(col("doc_id").as("doc_b"), col("token"))
-    val common = cand.join(ta, "doc_a").join(tb, Seq("doc_b", "token"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_tok", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_tok", "nb"), "doc_b")
+    // Exact-Jaccard verification over per-doc HASHED token sets:
+    //  - candidate volume is quadratic in dup-cluster size (8.7M pairs at
+    //    sf0.1), so the verify stage must not shuffle per-pair payloads.
+    //    Joining pair×token lists re-explodes |cand| × avg_tokens rows
+    //    (measured 55 s); carrying token-string arrays through a sort-
+    //    merge join shuffles ~30 GB (measured 92 s).
+    //  - Instead: tokens → 60-bit hashes → one sorted long-array per doc.
+    //    The whole dictionary is |docs| × avg_tokens × 8 B (≈ 8 MB at
+    //    sf0.1) — broadcast it, and the candidate stream never leaves its
+    //    partition: map-side array_intersect, then the threshold filter.
+    //  - Jaccard is over hashed sets in BOTH engines (oracle mirrors the
+    //    hash), so a 2^-60 collision cannot cause divergence.
+    // At larger corpora where the dictionary outgrows a broadcast, swap
+    // the hint for a bucketed join on doc id — plan shape is the seam.
+    val tokSets = tok
+      .select(col("doc_id"),
+        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("th"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("th"))).as("toks"))
+    cand
+      .join(broadcast(tokSets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))), "doc_a")
+      .join(broadcast(tokSets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_common"),
+        size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -106,13 +135,17 @@ object Dedup {
     * bit. One groupBy over (doc, token) pairs — the 32 bit-sums are 32
     * partial-aggregatable sum() columns, so map-side combine applies. */
   private[ops] def simhashFingerprints(tok: DataFrame): DataFrame = {
-    val v = conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long")
+    // Materialize the token hash ONCE before aggregating: referencing the
+    // md5 expression inside all 32 sum()s would recompute the hash 32×
+    // per row (measured 8× slowdown at sf0.1).
+    val hashed = tok.select(col("doc_id"),
+      conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("v"))
     val bitSums = (0 until SimhashBits).map(j =>
-      sum(when(shiftright(v, j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
+      sum(when(shiftright(col("v"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
     val fpExpr = (0 until SimhashBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
-    tok.groupBy(col("doc_id"))
+    hashed.groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), fpExpr.as("simhash"))
   }
@@ -124,17 +157,22 @@ object Dedup {
     * pigeonhole: any pair differing in ≤ 3 bits agrees on ≥ 1 whole band,
     * so the result equals the full pairwise scan the oracle runs. */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val fp = simhashFingerprints(tokens(Tables.documents(spark, dir)))
+    // cached: consumed by the two band sides + the two fingerprint joins
+    // below — uncached, Spark would re-run the 32-sum aggregate for each
+    val fp = simhashFingerprints(tokens(Tables.documents(spark, dir))).cache()
     val bandBits = SimhashBits / SimhashBands
-    val bands = (0 until SimhashBands).map { b =>
-      fp.select(col("doc_id"),
-        lit(b).as("band"),
-        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit((1L << bandBits) - 1)).as("bandval"))
-    }.reduce(_ unionAll _)
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val bandArr = array((0 until SimhashBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bandval"))
+    }: _*)
+    val bands = fp.select(col("doc_id"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bandval").as("bandval"))
+    val left = bands.withColumnRenamed("doc_id", "doc_a")
+    val right = bands.withColumnRenamed("doc_id", "doc_b")
+    val cand = left.join(right, Seq("band", "bandval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
       .distinct()
     cand
       .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
@@ -152,16 +190,25 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
       maxDf: Int = 50, threshold: Double = 0.3): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // shingles as 60-bit longs (md5 prefix, mirrored in the oracle):
+    // long keys keep the distinct + df-count + self-join in the Tungsten
+    // hash paths and shrink the shuffle vs 32-char hex strings
     val sh = docs
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("toks")) - n),
-          i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n)))))).as("shingle"))
+          i => conv(substring(md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n)))), 1, 15), 16, 10)
+            .cast("long"))).as("shingle"))
       .distinct()
-    val rare = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
-      .filter(col("df_cnt") <= maxDf).select("shingle")
-    val shf = sh.join(rare, "shingle").cache()
+    // df-cap as a broadcast ANTI-join: almost every shingle is rare, so
+    // joining against the rare set shuffles the whole shingle table —
+    // the frequent (boilerplate) set is the tiny one; broadcast it and
+    // the cap becomes a map-side filter.
+    val cached = sh.cache()
+    val frequent = cached.groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") > maxDf).select("shingle")
+    val shf = cached.join(broadcast(frequent), Seq("shingle"), "left_anti").cache()
 
     val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = shf.as("a").join(shf.as("b"),
