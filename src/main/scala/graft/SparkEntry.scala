@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{Dedup, EventWindows, MultiModal, Relational, SimSearch, TextOps}
+import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §3.
   *
@@ -19,7 +20,7 @@ object SparkEntry {
     * Job-B replica, batch form: sliding-window counts + per-window top-3. */
   def entry(spark: SparkSession): DataFrame = {
     Engine.tune(spark)
-    EventWindows.slideTopN(spark, "/root/testdata/sf0.001")
+    EventWindows.slideTopN(Tables.events(spark, "/root/testdata/sf0.001"))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
@@ -45,22 +46,23 @@ object SparkEntry {
     "q_json" -> ((s, d) => Relational.jsonQ(s, d)),
     "q_date" -> ((s, d) => Relational.dateQ(s, d)),
     // reference-job replicas (batch form; streaming forms in graft.streaming)
-    "q_win_tumble" -> ((s, d) => EventWindows.tumbleCounts(s, d)),
-    "q_win_slide_topn" -> ((s, d) => EventWindows.slideTopN(s, d)),
-    "q_win_session" -> ((s, d) => EventWindows.sessionCounts(s, d)),
-    // LLM-pipeline operators
-    "q_dedup" -> ((s, d) => Dedup.exactDedup(s, d)),
-    "q_dedup_near" -> ((s, d) => Dedup.nearDupPairs(s, d)),
-    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
-    "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(s, d)),
-    "q_fingerprint" -> ((s, d) => Dedup.fingerprints(s, d)),
-    "q_multimodal" -> ((s, d) => MultiModal.payloadFeatures(s, d)),
-    "q_text_stats" -> ((s, d) => TextOps.textStats(s, d)),
-    "q_text_quality" -> ((s, d) => TextOps.qualityScores(s, d)),
-    "q_lang_id" -> ((s, d) => TextOps.langId(s, d)),
-    "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(s, d)),
-    "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(s, d)),
-    "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(s, d))
+    "q_win_tumble" -> ((s, d) => EventWindows.tumbleCounts(Tables.events(s, d))),
+    "q_win_slide_topn" -> ((s, d) => EventWindows.slideTopN(Tables.events(s, d))),
+    "q_win_session" -> ((s, d) => EventWindows.sessionCounts(Tables.events(s, d))),
+    // LLM-pipeline operators (DataFrame-first: any (doc_id, text) /
+    // (vec_id, embedding) frame works — the test tables are one wiring)
+    "q_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "q_dedup_near" -> ((s, d) => Dedup.nearDupPairs(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => Dedup.fingerprints(Tables.documents(s, d))),
+    "q_multimodal" -> ((s, d) => MultiModal.payloadFeatures(Tables.documents(s, d))),
+    "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
+    "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
+    "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
+    "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d)))
   )
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on

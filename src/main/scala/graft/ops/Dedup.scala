@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.sources.Tables
+import graft.functions.SortedLongIntersectCount
 
 /** Deduplication operators for training-data pipelines.
   *
@@ -21,8 +21,19 @@ object Dedup {
   val NumHashes = 8
   val BandSize = 2 // 4 bands of 2 hashes → catches jaccard ≳ 0.5 pairs
 
+  /** Fan a narrow input out to the session's parallelism before heavy
+    * per-row compute (tokenize + hashing). A small parquet file arrives
+    * as ONE partition (files.maxPartitionBytes), which serializes the
+    * whole map phase on a single core — measured 3-4× on the dedup
+    * pipelines at sf0.1. No-op when the input is already parallel, so at
+    * production scale (many splits) this never adds a shuffle. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Distinct (doc_id, token) pairs: lowercase, whitespace-split. */
-  private[ops] def tokens(docs: DataFrame): DataFrame =
+  def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
       .filter(col("token") =!= "")
@@ -32,8 +43,8 @@ object Dedup {
     * per normalized text, report group size. One shuffle on the norm key;
     * at scale, hash the norm key first (md5) so the shuffle key is fixed
     * width instead of full document text. */
-  def exactDedup(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("norm_hash"))
       .groupBy(col("norm_hash"))
@@ -47,7 +58,7 @@ object Dedup {
     * aggregation (SortAggregate = sort per group-by). Fixed-width hex is
     * lexicographically = numerically ordered, so the min picks the same
     * token as the string form. */
-  private[ops] def signatures(tok: DataFrame): DataFrame = {
+  def signatures(tok: DataFrame): DataFrame = {
     val aggs = (0 until NumHashes).map(i =>
       min(conv(substring(md5(concat(lit(s"$i:"), col("token"))), 1, 15), 16, 10)
         .cast("long")).as(s"h$i"))
@@ -63,8 +74,8 @@ object Dedup {
     * runs ONCE (cached), bands come from a single explode projection —
     * a naive per-band select-union re-runs the whole signature aggregate
     * once per band. */
-  def nearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val tok = tokens(Tables.documents(spark, dir)).cache()
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val tok = tokens(spread(docs)).cache()
     val sig = signatures(tok).cache()
     val nBands = NumHashes / BandSize
     val bandArr = array((0 until nBands).map { b =>
@@ -101,11 +112,14 @@ object Dedup {
         conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("th"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("th"))).as("toks"))
+    SortedLongIntersectCount.register(docs.sparkSession)
     cand
       .join(broadcast(tokSets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))), "doc_a")
       .join(broadcast(tokSets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_common"),
+        // native merge-count over the sorted arrays — see the Scaladoc on
+        // SortedLongIntersectCount for why array_intersect loses here
+        expr("sorted_intersect_count(toks_a, toks_b)").as("n_common"),
         size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
@@ -115,9 +129,9 @@ object Dedup {
   /** Document fingerprint: min-of-shingle-hashes (winnowing-style) over
     * 5-token shingles; short docs fall back to the whole token list.
     * Pure array expressions — stays inside whole-stage codegen. */
-  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+  def fingerprints(docs: DataFrame): DataFrame = {
     val shingle = 5
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"),
         array_min(transform(
@@ -156,10 +170,10 @@ object Dedup {
     * never all-pairs), and 4 bands over a hamming-3 budget is exact by
     * pigeonhole: any pair differing in ≤ 3 bits agrees on ≥ 1 whole band,
     * so the result equals the full pairwise scan the oracle runs. */
-  def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // cached: consumed by the two band sides + the two fingerprint joins
     // below — uncached, Spark would re-run the 32-sum aggregate for each
-    val fp = simhashFingerprints(tokens(Tables.documents(spark, dir))).cache()
+    val fp = simhashFingerprints(tokens(spread(docs))).cache()
     val bandBits = SimhashBits / SimhashBands
     val bandArr = array((0 until SimhashBands).map { b =>
       struct(lit(b).as("band"),
@@ -187,37 +201,47 @@ object Dedup {
     * first (boilerplate control — at 100 TB this document-frequency cap is
     * what keeps the shingle self-join from exploding on template text;
     * the cap is part of the declared semantics and mirrored in the oracle). */
-  def ngramJaccardPairs(spark: SparkSession, dir: String, n: Int = 3,
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       maxDf: Int = 50, threshold: Double = 0.3): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    // shingles as 60-bit longs (md5 prefix, mirrored in the oracle):
-    // long keys keep the distinct + df-count + self-join in the Tungsten
-    // hash paths and shrink the shuffle vs 32-char hex strings
-    val sh = docs
+    // Per-doc DISTINCT shingle arrays in ONE map-side pass (shingles are
+    // 60-bit md5-prefix longs, mirrored in the oracle): shingle sets are
+    // per-document, so deduplication is array_distinct inside the row —
+    // an explode→distinct→collect_set round trip would shuffle the whole
+    // shingle table twice to rebuild what the row already had.
+    val docSets = spread(docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("toks")) - n),
+        array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
           i => conv(substring(md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n)))), 1, 15), 16, 10)
-            .cast("long"))).as("shingle"))
-      .distinct()
+            .cast("long"))).as("shs"))
+      .cache()
+    val sh = docSets.select(col("doc_id"), explode(col("shs")).as("shingle"))
     // df-cap as a broadcast ANTI-join: almost every shingle is rare, so
     // joining against the rare set shuffles the whole shingle table —
     // the frequent (boilerplate) set is the tiny one; broadcast it and
     // the cap becomes a map-side filter.
-    val cached = sh.cache()
-    val frequent = cached.groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
+    val frequent = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") > maxDf).select("shingle")
-    val shf = cached.join(broadcast(frequent), Seq("shingle"), "left_anti").cache()
+    val shf = sh.join(broadcast(frequent), Seq("shingle"), "left_anti")
 
-    val sizes = shf.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = shf.as("a").join(shf.as("b"),
+    // candidates = pairs sharing ≥ 1 rare shingle; verification = map-side
+    // array_intersect against a broadcast of per-doc shingle-set arrays —
+    // same shape as nearDupPairs' verify stage (see the rationale there):
+    // grouping the shingle self-join by pair would shuffle Σ df² rows.
+    val cand = shf.as("a").join(shf.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shSets = shf.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("shs"))
+    SortedLongIntersectCount.register(docs.sparkSession)
+    cand
+      .join(broadcast(shSets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))), "doc_a")
+      .join(broadcast(shSets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_intersect_count(shs_a, shs_b)").as("n_common"),
+        size(col("shs_a")).as("na"), size(col("shs_b")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)

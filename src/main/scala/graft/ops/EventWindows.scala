@@ -1,10 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import graft.sources.Tables
 
 /** Batch forms of the two reference streaming jobs (SURVEY.md §2.1 rows
   * 10, 11, 14). The streaming forms share these exact groupBy(window(...))
@@ -19,8 +17,8 @@ object EventWindows {
   /** Job-A replica (HotMediaTrack.java:88-90), batch form: count per
     * (30 s tumbling window, key). Key = event_type stands in for the
     * reference's (appid, type) composite; window end exclusive, ms→s. */
-  def tumbleCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+  def tumbleCounts(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "30 seconds"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
       .select(
@@ -36,8 +34,8 @@ object EventWindows {
     * under Structured Streaming with a watermark (StreamingExtrasSpec).
     * Gap of 12h matches the synthetic events cadence (~11h mean per-user
     * inter-arrival) so sessions actually merge. */
-  def sessionCounts(spark: SparkSession, dir: String, gap: String = "12 hours"): DataFrame =
-    Tables.events(spark, dir)
+  def sessionCounts(events: DataFrame, gap: String = "12 hours"): DataFrame =
+    events
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"),
@@ -49,8 +47,8 @@ object EventWindows {
     * filter(pv-analog) → 1 h sliding window, 5 min slide → count per
     * (window, user) → top-3 per window end with the declared deterministic
     * tie-break (count desc, user_id asc — SURVEY §7.3-3). */
-  def slideTopN(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
-    val counts = Tables.events(spark, dir)
+  def slideTopN(events: DataFrame, n: Int = 3): DataFrame = {
+    val counts = events
       .filter(col("event_type") === "purchase")
       .groupBy(window(col("ts"), "1 hour", "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))

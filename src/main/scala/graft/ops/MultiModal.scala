@@ -1,9 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-
-import graft.sources.Tables
 
 /** Multimodal-column operators: image/audio/video treated as opaque
   * `BinaryType` payloads with typed metadata structs, per the north-star
@@ -41,8 +39,8 @@ object MultiModal {
     * frame samples (8-byte slices at fixed offsets, hex-encoded — the
     * frame-sampling access pattern of video pipelines) plus metadata
     * fields. Pure codegen'd expressions over the binary column. */
-  def payloadFeatures(spark: SparkSession, dir: String, frames: Int = 3): DataFrame = {
-    val df = withPayload(Tables.documents(spark, dir))
+  def payloadFeatures(docs: DataFrame, frames: Int = 3): DataFrame = {
+    val df = withPayload(docs)
     val hexed = hex(col("payload"))
     val frameCols = (0 until frames).map(i =>
       substring(hexed, i * 16 + 1, 16).as(s"frame_$i"))
@@ -68,11 +66,10 @@ object MultiModal {
     * deterministic 16-bucket byte histogram + mean byte value computed
     * from the raw bytes. The Dataset schema, encoder, partitioning and
     * batch shape are the real contract, tested in MultiModalSpec. */
-  def decodeFeatures(spark: SparkSession, dir: String): Dataset[MMFeature] = {
-    import spark.implicits._
-    withPayload(Tables.documents(spark, dir))
+  def decodeFeatures(docs: DataFrame): Dataset[MMFeature] = {
+    withPayload(docs)
       .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+      .as[(Long, Array[Byte])](Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
       .mapPartitions { rows =>
         // per-partition init of the (stubbed) codec would go here
         rows.map { case (id, bytes) =>
@@ -88,6 +85,6 @@ object MultiModal {
           val mean = if (bytes.length == 0) 0.0 else sum.toDouble / bytes.length
           MMFeature(id, bytes.length, mean, hist)
         }
-      }
+      }(Encoders.product[MMFeature])
   }
 }

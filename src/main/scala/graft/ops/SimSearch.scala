@@ -1,10 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-
-import graft.sources.Tables
 
 /** Similarity search over embedding columns (ArrayType(FloatType)).
   *
@@ -35,8 +33,8 @@ object SimSearch {
 
   /** Brute-force cosine top-k: probes = vec_id < nProbes, candidates =
     * whole corpus minus self. Deterministic tie-break (sim desc, id asc). */
-  def cosineTopK(spark: SparkSession, dir: String, nProbes: Int = 5, k: Int = 5): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
+  def cosineTopK(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val emb = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
     val probes = emb.filter(col("vec_id") < nProbes)
@@ -58,11 +56,11 @@ object SimSearch {
     * self-join stays per-bucket — at 100 TB the shuffle key is the bucket,
     * never all-pairs. Hot buckets split under AQE skew handling; for
     * higher recall run again with rotated sign projections and union. */
-  def embedNearDup(spark: SparkSession, dir: String, bits: Int = 8,
+  def embedNearDup(embeddings: DataFrame, bits: Int = 8,
       threshold: Double = 0.25): DataFrame = {
     val bucketExpr = concat((0 until bits).map(i =>
       when(element_at(col("v"), i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
-    val emb = Tables.embeddings(spark, dir)
+    val emb = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .withColumn("bucket", bucketExpr)
@@ -77,15 +75,66 @@ object SimSearch {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** IVF (inverted-file) approximate top-k — the standard ANN scale path:
+    * partition the corpus into Voronoi cells around centroid vectors,
+    * then search only the `nProbeCells` cells nearest each probe.
+    *
+    * Centroid training is pluggable (k-means at scale, run offline);
+    * here centroids are a deterministic sample of the corpus so the
+    * whole operator is reproducible. The two phases map to Spark
+    * cleanly: cell assignment is one corpus scan against broadcast
+    * centroids (the build side of the inverted file — persisted in a
+    * real deployment, recomputed here); the query phase joins probes to
+    * their cells and scans only those cells' vectors. At 100 TB the
+    * assigned corpus is written bucketed by cell id, so a probe reads
+    * |corpus| × nProbeCells / nCells bytes instead of everything. */
+  def ivfTopK(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5,
+      nCells: Int = 16, nProbeCells: Int = 2): DataFrame = {
+    val emb = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+    // deterministic centroid sample, disjoint from the probe id range
+    val centroids = emb.filter(col("vec_id") >= nProbes && col("vec_id") < nProbes + nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val simToCell = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    val cellRank = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+
+    // build: nearest centroid per corpus vector
+    val assigned = emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), simToCell.as("cell_sim"))
+      .withColumn("cr", row_number().over(cellRank))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+
+    // query: nProbeCells nearest cells per probe
+    val probeCells = emb.filter(col("vec_id") < nProbes)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
+        col("cell"), simToCell.as("cell_sim"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cell_sim").desc, col("cell").asc)))
+      .filter(col("cr") <= nProbeCells)
+      .select(col("probe_id"), col("pv"), col("pn"), col("cell"))
+
+    val sims = assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
   /** Sign-bucket LSH variant (the scale path): bucket = sign bits of the
     * first `bits` coordinates; probes only scan candidates sharing their
     * bucket. Approximate — recall measured against cosineTopK in
     * SimilaritySpec, not against an oracle. */
-  def signBucketTopK(spark: SparkSession, dir: String, nProbes: Int = 5, k: Int = 5,
+  def signBucketTopK(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5,
       bits: Int = 8): DataFrame = {
     val bucketExpr = concat((0 until bits).map(i =>
       when(element_at(col("v"), i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
-    val emb = Tables.embeddings(spark, dir)
+    val emb = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
       .withColumn("bucket", bucketExpr)

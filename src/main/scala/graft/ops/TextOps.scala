@@ -1,9 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-
-import graft.sources.Tables
 
 /** Text-analysis operators for training-data pipelines: token counting
   * (whitespace + BPE-ish regex), quality scoring, language-ID heuristic,
@@ -31,8 +29,8 @@ object TextOps {
 
   /** Corpus stats per language: doc count, whitespace/BPE token totals,
     * char stats. */
-  def textStats(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+  def textStats(docs: DataFrame): DataFrame =
+    docs
       .select(col("lang"),
         nTokensWs(col("text")).cast("long").as("n_tok"),
         nTokensBpe(col("text")).cast("long").as("n_bpe"),
@@ -48,8 +46,8 @@ object TextOps {
   /** Per-document quality score features: length, token stats, punct
     * density, stopword ratio, plus a composite keep/drop flag of the kind
     * a pretraining filter would apply. */
-  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def qualityScores(docs: DataFrame): DataFrame = {
+    val d = docs
     val nTok = nTokensWs(col("text"))
     val punct = regexp_count(lower(col("text")), lit("[^a-z0-9\\s]"))
     val stopHits = size(filter(toks(col("text")), t => t.isin(EnStopwords: _*)))
@@ -69,8 +67,8 @@ object TextOps {
     * profiles per language — this declares the operator surface with a
     * deterministic, oracle-checkable rule.) Compares against the table's
     * labeled lang column. */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  def langId(docs: DataFrame): DataFrame = {
+    val d = docs
     val stopHits = size(filter(toks(col("text")), t => t.isin(EnStopwords: _*)))
     val ratio = stopHits.cast("double") / nTokensWs(col("text"))
     d.select(col("doc_id"), col("lang"),

@@ -22,6 +22,26 @@ class FunctionsSpec extends SparkSuite {
     }
   }
 
+  test("sorted_intersect_count matches array_intersect on random sorted arrays") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    SortedLongIntersectCount.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200) {
+      def arr() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong).distinct.sorted
+      (arr(), arr())
+    }
+    val df = rows.toDF("a", "b").select(
+      expr("sorted_intersect_count(a, b)").as("fast"),
+      size(array_intersect(col("a"), col("b"))).as("reference"))
+    assert(df.filter(col("fast") =!= col("reference")).isEmpty)
+    // empty-array and disjoint edges
+    val edge = Seq((Seq.empty[Long], Seq(1L, 2L)), (Seq(1L), Seq(2L)))
+      .toDF("a", "b")
+      .select(expr("sorted_intersect_count(a, b)").as("c")).as[Int].collect()
+    assert(edge.toSeq == Seq(0, 0))
+  }
+
   test("sql catalog exposes every table") {
     Catalog.registerAll(spark, sf)
     Catalog.tables.foreach { t =>

@@ -7,9 +7,12 @@ import graft.SparkSuite
 /** LLM-pipeline operator invariants on sf0.001. */
 class LlmOpsSpec extends SparkSuite {
 
+  private def docsDf = spark.read.parquet(s"$sf/documents.parquet")
+  private def embDf = spark.read.parquet(s"$sf/embeddings.parquet")
+
   test("exact dedup partitions the corpus: dup counts sum to total docs") {
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val deduped = Dedup.exactDedup(spark, sf).cache()
+    val docs = docsDf
+    val deduped = Dedup.exactDedup(docs).cache()
     assert(deduped.agg(sum("dup_cnt")).head.getLong(0) == docs.count())
     assert(deduped.select("doc_id").distinct().count() == deduped.count())
   }
@@ -27,20 +30,20 @@ class LlmOpsSpec extends SparkSuite {
   }
 
   test("near-dup pairs: ordered, thresholded, jaccard ≤ 1") {
-    val pairs = Dedup.nearDupPairs(spark, sf).cache()
+    val pairs = Dedup.nearDupPairs(docsDf).cache()
     assert(pairs.filter(col("doc_a") >= col("doc_b")).isEmpty)
     assert(pairs.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).isEmpty)
   }
 
   test("fingerprints: deterministic, one per doc") {
-    val fp = Dedup.fingerprints(spark, sf).cache()
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val fp = Dedup.fingerprints(docsDf).cache()
+    val docs = docsDf
     assert(fp.count() == docs.count())
     assert(fp.filter(col("fp").isNull).isEmpty)
   }
 
   test("cosine top-k: k rows per probe, sims in [-1,1], no self-match") {
-    val got = SimSearch.cosineTopK(spark, sf, nProbes = 5, k = 5).cache()
+    val got = SimSearch.cosineTopK(embDf, nProbes = 5, k = 5).cache()
     assert(got.count() == 25)
     assert(got.filter(col("probe_id") === col("neighbor_id")).isEmpty)
     assert(got.filter(abs(col("cos_sim")) > 1.0 + 1e-9).isEmpty)
@@ -49,7 +52,7 @@ class LlmOpsSpec extends SparkSuite {
   }
 
   test("sign-bucket LSH: subset semantics and bounded k") {
-    val got = SimSearch.signBucketTopK(spark, sf, nProbes = 5, k = 5, bits = 2).cache()
+    val got = SimSearch.signBucketTopK(embDf, nProbes = 5, k = 5, bits = 2).cache()
     assert(got.count() > 0, "coarse buckets must yield candidates")
     assert(got.groupBy("probe_id").count().filter(col("count") > 5).isEmpty)
   }
@@ -65,34 +68,34 @@ class LlmOpsSpec extends SparkSuite {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(3L))
 
-    val pairs = Dedup.simhashPairs(spark, sf).cache()
+    val pairs = Dedup.simhashPairs(docsDf).cache()
     assert(pairs.filter(col("doc_a") >= col("doc_b")).isEmpty)
     assert(pairs.filter(col("hamming") > 3 || col("hamming") < 0).isEmpty)
   }
 
   test("ngram jaccard: bounded scores, ordered pairs, self-similarity = 1") {
     import spark.implicits._
-    val pairs = Dedup.ngramJaccardPairs(spark, sf).cache()
+    val pairs = Dedup.ngramJaccardPairs(docsDf).cache()
     assert(pairs.filter(col("doc_a") >= col("doc_b")).isEmpty)
     assert(pairs.filter(col("jaccard") < 0.3 || col("jaccard") > 1.0).isEmpty)
   }
 
   test("embedding near-dup: ordered pairs, cosine within [threshold, 1]") {
-    val pairs = SimSearch.embedNearDup(spark, sf, bits = 2, threshold = 0.2).cache()
+    val pairs = SimSearch.embedNearDup(embDf, bits = 2, threshold = 0.2).cache()
     assert(pairs.filter(col("vec_a") >= col("vec_b")).isEmpty)
     assert(pairs.filter(col("cos_sim") < 0.2 || col("cos_sim") > 1.0 + 1e-9).isEmpty)
   }
 
   test("quality scores: ratios bounded, token counts positive") {
-    val q = TextOps.qualityScores(spark, sf).cache()
+    val q = TextOps.qualityScores(docsDf).cache()
     assert(q.filter(col("n_tokens") <= 0).isEmpty)
     assert(q.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).isEmpty)
     assert(q.filter(col("stopword_ratio") < 0 || col("stopword_ratio") > 1).isEmpty)
   }
 
   test("text stats cover every language present") {
-    val stats = TextOps.textStats(spark, sf)
-    val langs = spark.read.parquet(s"$sf/documents.parquet")
+    val stats = TextOps.textStats(docsDf)
+    val langs = docsDf
       .select("lang").distinct().count()
     assert(stats.count() == langs)
   }

@@ -18,7 +18,7 @@ class MultiModalSpec extends SparkSuite {
   }
 
   test("decode stub: histogram sums to byte count, mean bounded") {
-    val feats = MultiModal.decodeFeatures(spark, sf).cache()
+    val feats = MultiModal.decodeFeatures(spark.read.parquet(s"$sf/documents.parquet")).cache()
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     assert(feats.count() == docs.count())
     val bad = feats.filter { f =>
@@ -28,7 +28,7 @@ class MultiModalSpec extends SparkSuite {
   }
 
   test("payload features: frames are hex slices of the payload") {
-    val row = MultiModal.payloadFeatures(spark, sf).filter(col("n_bytes") >= 24).head()
+    val row = MultiModal.payloadFeatures(spark.read.parquet(s"$sf/documents.parquet")).filter(col("n_bytes") >= 24).head()
     val f0 = row.getAs[String]("frame_0")
     assert(f0.length == 16 && f0.matches("[0-9A-F]+"))
   }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.Tables
+
+/** Property-style invariants (SURVEY §5.2-4) over seeded random inputs
+  * and the sf0.001 tables — semantic laws the DuckDB oracle can't state:
+  * window-pane additivity, dedup laws on constructed duplicates, session
+  * islanding vs a reference reimplementation. */
+class PropertySpec extends SparkSuite {
+
+  private val rnd = new Random(42)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lambda", "mu")
+
+  private def randText(): String =
+    Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("law: identical documents always surface as near-dup pairs with jaccard 1") {
+    import spark.implicits._
+    // 10 base docs, each duplicated once with whitespace/case noise
+    val base = (0 until 10).map(i => (i.toLong, randText()))
+    val dups = base.map { case (i, t) => (i + 100L, "  " + t.toUpperCase + "  ") }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+
+    val exact = Dedup.nearDupPairs(docs, threshold = 0.99).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.foreach { case (i, _) =>
+      assert(exact.contains((i, i + 100L)), s"dup pair for doc $i missing")
+    }
+    val sim = Dedup.simhashPairs(docs, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.foreach { case (i, _) =>
+      assert(sim.contains((i, i + 100L)), s"simhash pair for doc $i missing")
+    }
+  }
+
+  test("law: exact dedup is idempotent and partitions any corpus") {
+    import spark.implicits._
+    val texts = (0 until 30).map(_ => randText())
+    val docs = texts.zipWithIndex
+      .flatMap { case (t, i) => Seq((i.toLong, t), (i + 1000L, t)) } // every doc twice
+      .toDF("doc_id", "text")
+    val d1 = Dedup.exactDedup(docs)
+    assert(d1.agg(sum("dup_cnt")).head.getLong(0) == 60L)
+    assert(d1.filter(col("dup_cnt") < 2).isEmpty, "every text occurs at least twice")
+  }
+
+  test("law: sliding-window counts equal the sum of their tumbling panes") {
+    val events = Tables.events(spark, sf).filter(col("event_type") === "purchase")
+    val slide = events
+      .groupBy(window(col("ts"), "1 hour", "5 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_timestamp(col("window.end")).as("win_end"), col("cnt"))
+    val pane = events
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("pane_cnt"))
+      .select(unix_timestamp(col("window.end")).as("pane_end"), col("pane_cnt"))
+    // pane belongs to sliding window w iff pane_end in (win_end - 1h, win_end]
+    val recomposed = slide.join(pane,
+        col("pane_end") > col("win_end") - 3600 && col("pane_end") <= col("win_end"))
+      .groupBy(col("win_end"), col("cnt"))
+      .agg(sum("pane_cnt").as("recomposed"))
+    assert(recomposed.filter(col("cnt") =!= col("recomposed")).isEmpty,
+      "every sliding window must equal the sum of its 12 panes")
+  }
+
+  test("law: session windows match reference islanding implementation") {
+    val got = EventWindows.sessionCounts(Tables.events(spark, sf))
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val gapUs = 43200000000L
+    val raw = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = raw.groupBy(_._1).flatMap { case (uid, rows) =>
+      val ts = rows.map(_._2).sorted
+      val sessions = ts.foldLeft(List.empty[List[Long]]) {
+        case (Nil, t) => List(List(t))
+        case (cur :: done, t) =>
+          if (t - cur.head < gapUs) (t :: cur) :: done else List(t) :: cur :: done
+      }
+      sessions.map(s => (uid, s.last, s.head + gapUs, s.size.toLong))
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("ivf: bounded k, deterministic, no self-match") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val a = SimSearch.ivfTopK(emb, nProbes = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(x => (x._1, x._3))
+    val b = SimSearch.ivfTopK(emb, nProbes = 5, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(x => (x._1, x._3))
+    assert(a.sameElements(b), "ivf must be deterministic")
+    assert(a.nonEmpty && a.forall { case (p, n, _) => p != n })
+    assert(a.groupBy(_._1).forall(_._2.length <= 5))
+  }
+}

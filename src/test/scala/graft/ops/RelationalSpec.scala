@@ -87,7 +87,7 @@ class RelationalSpec extends SparkSuite {
   }
 
   test("session windows: counts sum to events, end - start ≥ gap") {
-    val df = EventWindows.sessionCounts(spark, sf).cache()
+    val df = EventWindows.sessionCounts(graft.sources.Tables.events(spark, sf)).cache()
     val events = graft.sources.Tables.events(spark, sf).count()
     assert(df.agg(sum("n_events")).head.getLong(0) == events)
     assert(df.filter(col("session_end_us") - col("session_start_us") < 43200000000L).isEmpty,

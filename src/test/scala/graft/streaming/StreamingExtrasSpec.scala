@@ -46,6 +46,59 @@ class StreamingExtrasSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events against a broadcast dimension") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Timestamp)]
+    val joined = input.toDF().toDF("user_id", "ts")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try {
+      input.addData((1L, ts(1)), (2L, ts(2)), (3L, ts(3)))
+      q.processAllAvailable()
+      val got = spark.table("enriched").select("user_id", "tier")
+        .as[(Long, Option[String])].collect().toSet
+      assert(got == Set((1L, Some("gold")), (2L, Some("silver")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("update mode re-emits growing counts; complete mode emits full result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val counts = input.toDF().toDF("k").groupBy("k").count()
+    val q = counts.writeStream.outputMode("update")
+      .format("memory").queryName("upd").start()
+    try {
+      input.addData("a", "b")
+      q.processAllAvailable()
+      input.addData("a")
+      q.processAllAvailable()
+      // update mode: (a,1),(b,1) from batch 1, then only (a,2) from batch 2
+      val got = spark.table("upd").as[(String, Long)].collect().toSeq
+      assert(got.count(_ == ("a", 1L)) == 1 && got.count(_ == ("a", 2L)) == 1)
+      assert(got.count(_._1 == "b") == 1, "unchanged key must not re-emit in update mode")
+    } finally q.stop()
+
+    // separate stream: a MemoryStream purges batches committed by the
+    // first query, so a second query must not share its history
+    val input2 = MemoryStream[String]
+    val q2 = input2.toDF().toDF("k").groupBy("k").count()
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cmp").start()
+    try {
+      input2.addData("x", "y")
+      q2.processAllAvailable()
+      input2.addData("x")
+      q2.processAllAvailable()
+      // complete mode: the sink holds the ENTIRE result table each batch
+      val got = spark.table("cmp").as[(String, Long)].collect().toMap
+      assert(got == Map("x" -> 2L, "y" -> 1L))
+    } finally q2.stop()
+  }
+
   test("streaming dropDuplicates within watermark suppresses replays") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
