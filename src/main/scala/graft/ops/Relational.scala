@@ -93,9 +93,14 @@ object Relational {
     o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .select(col("n_name"), year(col("o_orderdate")).as("o_year"), col("o_totalprice"))
+      // two-level: base agg to the (nation, year) grid, rollup re-combines
+      // sums of sums — keeps Expand's ×3 off the joined fact rows (see
+      // cubeQ for the rationale)
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,6)")).as("r"),
+        count(lit(1)).as("c"))
       .rollup(col("n_name"), col("o_year"))
-      .agg(sum(col("o_totalprice").cast("decimal(20,6)")).cast("double").as("revenue"),
-        count(lit(1)).as("n_orders"))
+      .agg(sum("r").cast("double").as("revenue"), sum("c").as("n_orders"))
       .select(
         coalesce(col("n_name"), lit("ALL")).as("grp_nation"),
         coalesce(col("o_year"), lit(-1)).cast("long").as("grp_year"),
@@ -216,15 +221,24 @@ object Relational {
       .groupBy(col("k"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
 
-  /** CUBE over (returnflag, linestatus): all four grouping levels in one
-    * pass. Same sentinel-coalesce trick as rollupQ; Spark plans one
-    * Expand + partial/final HashAggregate — no per-level rescan. */
+  /** CUBE over (returnflag, linestatus): all four grouping levels.
+    * Two-level plan: aggregate to the base (rf, ls) grid FIRST (6 rows),
+    * then CUBE over the aggregated frame re-combining with sum-of-sums.
+    * All the aggregates here are algebraic, so this is exact — and it
+    * keeps Expand's ×4 row multiplication off the fact table (Catalyst
+    * expands BEFORE the partial aggregate, so a naive cube reads and
+    * shuffles every lineitem row four times; at 100 TB that's the
+    * difference between a cheap rollup report and 4× the scan cost). */
   def cubeQ(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("q"),
+        sum(col("l_extendedprice").cast("decimal(20,6)")).as("p"),
+        count(lit(1)).as("c"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum("l_quantity").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(20,6)")).cast("double").as("sum_price"),
-        count(lit(1)).as("n_rows"))
+      .agg(sum("q").as("sum_qty"),
+        sum("p").cast("double").as("sum_price"),
+        sum("c").as("n_rows"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("grp_rf"),
         coalesce(col("l_linestatus"), lit("ALL")).as("grp_ls"),
