@@ -44,6 +44,9 @@ object SparkEntry {
     "q_sort_limit" -> ((s, d) => Relational.sortLimit(s, d)),
     "q_scalar" -> ((s, d) => Relational.scalarQ(s, d)),
     "q_json" -> ((s, d) => Relational.jsonQ(s, d)),
+    "q_map" -> ((s, d) => Relational.mapQ(s, d)),
+    "q_quantile" -> ((s, d) => Relational.quantileQ(s, d)),
+    "q_grouping_sets" -> ((s, d) => Relational.groupingSetsQ(s, d)),
     "q_date" -> ((s, d) => Relational.dateQ(s, d)),
     // reference-job replicas (batch form; streaming forms in graft.streaming)
     "q_win_tumble" -> ((s, d) => EventWindows.tumbleCounts(Tables.events(s, d))),
@@ -135,6 +138,17 @@ object SparkEntry {
         |SELECT 'e' AS op, custkey FROM (SELECT c_custkey AS custkey FROM customer
         |WHERE c_acctbal > 5000 EXCEPT SELECT o_custkey FROM orders) t3""".stripMargin,
     "q_sql" -> graft.ops.Relational.SqlQText,
+    "q_grouping_sets" -> graft.ops.Relational.GroupingSetsQText,
+    "q_quantile" ->
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
+        |quantile_cont(l_quantity, 0.95) AS p95_qty,
+        |quantile_cont(l_extendedprice, 0.5) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_map" ->
+      """SELECT key, count(*) AS n,
+        |CAST(sum(CAST(json_extract_string(props, '$.' || key) AS INT)) AS BIGINT) AS sum_val
+        |FROM (SELECT unnest(json_keys(props)) AS key, props FROM events) t
+        |GROUP BY key""".stripMargin,
     "q_window_rank" ->
       """SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice,
         |CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
 
 import graft.sources.Tables
 
@@ -260,6 +261,45 @@ object Relational {
       .groupBy(col("event_id"), col("user_id"))
       .agg(max(col("o_orderdate")).as("asof_orderdate"),
         count(col("o_orderkey")).as("n_prior_orders"))
+  }
+
+  /** Exact percentiles (median + p95) per group. Spark's `percentile`
+    * and DuckDB's `quantile_cont` both use linear interpolation over the
+    * sorted values, so the result is oracle-checkable (unlike
+    * approx_percentile sketches). At scale swap for approx_percentile
+    * with a declared error bound. */
+  def quantileQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+
+  /** MapType surface: parse the JSON props column into map<string,int>,
+    * explode to (key, value) pairs, aggregate per key. Complements
+    * q_json's path-extract: this is the shape for genuinely dynamic
+    * key sets (one parse, all keys). */
+  def mapQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(from_json(col("props"), MapType(StringType, IntegerType))))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_val"))
+
+  /** Explicit GROUPING SETS (the third grouping-set form after rollup
+    * and cube): per-returnflag, per-linestatus, and grand-total levels —
+    * a set rollup/cube cannot express. Shared ANSI text runs through
+    * BOTH parsers (see SqlQText pattern). */
+  val GroupingSetsQText: String =
+    """SELECT coalesce(l_returnflag, 'ALL_RF') AS grp_rf,
+      |coalesce(l_linestatus, 'ALL_LS') AS grp_ls,
+      |sum(l_quantity) AS sum_qty, count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin
+
+  def groupingSetsQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, dir)
+    spark.sql(GroupingSetsQText)
   }
 
   /** ANSI SQL text accepted verbatim by both Spark and DuckDB — the

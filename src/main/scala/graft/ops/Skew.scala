@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation: salted two-phase aggregation (SURVEY §7.3-7).
+  *
+  * A hot grouping key concentrates its whole partition on one reducer;
+  * AQE splits skewed JOIN partitions but a skewed AGGREGATE key still
+  * lands on one task in the final stage. Salting splits each key into
+  * `salt` sub-keys for the first (wide) aggregation, then re-combines
+  * per real key — the second shuffle carries ≤ |keys| × salt rows, so
+  * the hot key's work is spread across `salt` tasks.
+  *
+  * The salt is `hash(entire row) % salt` — deterministic (re-runnable,
+  * testable) yet uniform across a key's rows; a random salt would work
+  * too but breaks retry idempotence inside a stage.
+  *
+  * Only algebraic aggregates re-combine losslessly (sum/count/min/max);
+  * that's enforced by construction here (count → sum, sum → sum).
+  */
+object Skew {
+
+  private def saltCol(df: DataFrame, salt: Int): Column =
+    pmod(hash(df.columns.map(col).toSeq: _*), lit(salt))
+
+  /** count(*) per key, skew-safe. Result: (key..., cnt). */
+  def saltedCount(df: DataFrame, keys: Seq[String], salt: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("_salt", saltCol(df, salt))
+      .groupBy(keyCols :+ col("_salt"): _*)
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keyCols: _*)
+      .agg(sum("_partial").as("cnt"))
+  }
+
+  /** sum(valueCol) + count(*) per key, skew-safe.
+    * Result: (key..., total, cnt). */
+  def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      salt: Int = 16): DataFrame = {
+    val keyCols = keys.map(col)
+    df.withColumn("_salt", saltCol(df, salt))
+      .groupBy(keyCols :+ col("_salt"): _*)
+      .agg(sum(valueCol).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(keyCols: _*)
+      .agg(sum("_psum").as("total"), sum("_pcnt").as("cnt"))
+  }
+}

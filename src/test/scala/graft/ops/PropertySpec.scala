@@ -91,6 +91,27 @@ class PropertySpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("law: salted aggregation equals plain aggregation (incl. skewed keys)") {
+    import spark.implicits._
+    // 90% of rows share one hot key — the shape salting exists for
+    val rows = (0 until 5000).map { i =>
+      val k = if (rnd.nextInt(10) < 9) "hot" else s"k${rnd.nextInt(20)}"
+      (k, rnd.nextInt(100).toLong)
+    }
+    val df = rows.toDF("k", "v")
+    val plain = df.groupBy("k")
+      .agg(sum("v").as("total"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedSum(df, Seq("k"), "v", salt = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+    val plainCnt = df.groupBy("k").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val saltedCnt = Skew.saltedCount(df, Seq("k"), salt = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(saltedCnt == plainCnt)
+  }
+
   test("ivf: bounded k, deterministic, no self-match") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = SimSearch.ivfTopK(emb, nProbes = 5, k = 5).collect()
