@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.types._
@@ -54,6 +54,15 @@ object HotMediaTrackJob {
         (col("j.timestamp") * 1000).as("sendTime"),
         (col("j.event_time") * 1000).as("eventTime"), // stays null when absent
         col("j.log_time").as("receiveTime"))
+
+  /** Typed view of [[parse]]: Dataset[LogTrack] with the case-class
+    * encoder — the reference bean's shape (LogTrack.java:15-21) where
+    * compile-time field safety is wanted downstream. */
+  def parseTyped(raw: DataFrame): Dataset[graft.model.LogTrack] = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    parse(raw).as[graft.model.LogTrack]
+  }
 
   /** Event time = receiveTime (HotMediaTrack.java:79-84's ascending
     * extractor); delay 0 ≙ Flink's maxTs−1ms ascending watermark —

@@ -94,6 +94,22 @@ class RelationalSpec extends SparkSuite {
       "every session spans at least the gap")
   }
 
+  test("partition pruning: date-partitioned write is read selectively") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val events = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+    events.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val oneDay = spark.read.parquet(dir)
+      .filter(col("day") === lit("2024-01-05").cast("date"))
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(400))
+    assert(plan.contains("day"), "day must appear as a partition filter")
+    // pruned scan must not read every partition
+    val total = events.count()
+    val one = oneDay.count()
+    assert(one > 0 && one < total)
+  }
+
   test("approx_count_distinct within 15% of exact") {
     val rows = Relational.aggApproxDistinct(spark, sf).collect()
     rows.foreach { r =>

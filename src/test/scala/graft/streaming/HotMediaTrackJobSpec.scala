@@ -61,4 +61,15 @@ class HotMediaTrackJobSpec extends SparkSuite {
     val r2 = got.find(_.getString(0) == "app2").get
     assert(r2.isNullAt(3), "absent event_time must stay null")
   }
+
+  test("typed parse: Dataset[LogTrack] with Option-typed nullable field") {
+    import spark.implicits._
+    val raw = Seq(
+      js("app", 7, 1579337998710L, eventTime = Some(1579337996L)),
+      js("app2", 1, 1000)).toDF("value")
+    val got = HotMediaTrackJob.parseTyped(raw).collect().sortBy(_.appid)
+    assert(got.head == graft.model.LogTrack("app", 7, 1579337998000L,
+      Some(1579337996000L), 1579337998710L))
+    assert(got(1).eventTime.isEmpty)
+  }
 }
