@@ -17,8 +17,9 @@ import org.apache.spark.sql.SparkSession
   *     `broadcast()` where we know the dimension is small at any SF.
   */
 object Engine {
-  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession = {
-    val spark = SparkSession.builder()
+  def session(master: String = "local[*]", shufflePartitions: Int = 32,
+      rocksDbState: Boolean = false): SparkSession = {
+    val builder = SparkSession.builder()
       .master(master)
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -27,7 +28,14 @@ object Engine {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Large streaming state (big windows, wide Top-N key spaces) should
+    // live off-heap: the RocksDB provider spills to local disk instead of
+    // holding every version in executor memory. transformWithState
+    // requires it; flatMapGroupsWithState benefits from it.
+    if (rocksDbState) builder.config(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -110,6 +110,36 @@ class RelationalSpec extends SparkSuite {
     assert(one > 0 && one < total)
   }
 
+  test("dynamic partition pruning fires on a filtered-dim join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    val events = graft.sources.Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+    events.write.mode("overwrite").partitionBy("day").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    import spark.implicits._
+    // dim: a few days of interest, filtered — the DPP trigger shape.
+    // Must be a file-backed relation: a LocalRelation's filter constant-
+    // folds away and the pruning rule sees no selective predicate.
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    (1 to 28).map(d => (java.sql.Date.valueOf(f"2024-01-$d%02d"), d % 3))
+      .toDF("day", "tag").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("tag") === 0), Seq("day"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "expected a dynamic partition pruning subquery in:\n" + plan.take(600))
+    assert(joined.count() > 0)
+  }
+
+  test("plan pins: nation broadcasts in rollup, semi join stays broadcast") {
+    val rollupPlan = Relational.rollupQ(spark, sf).queryExecution.executedPlan.toString
+    assert(rollupPlan.contains("BroadcastHashJoin") || rollupPlan.contains("BroadcastExchange"),
+      "nation dim must broadcast")
+    val semiPlan = Relational.joinSemiAnti(spark, sf).queryExecution.executedPlan.toString
+    assert(semiPlan.contains("LeftSemi") && semiPlan.contains("LeftAnti"),
+      "semi/anti join types must survive planning")
+  }
+
   test("approx_count_distinct within 15% of exact") {
     val rows = Relational.aggApproxDistinct(spark, sf).collect()
     rows.foreach { r =>
