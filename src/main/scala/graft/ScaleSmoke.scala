@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Dedup
+
+/** Scale-stress smoke: run the LSH dedup pipelines over the documents
+  * table amplified k× and report wall-clock, to demonstrate the
+  * pipelines scale ~linearly in corpus size.
+  *
+  * Amplification prefixes every token with the copy id, so copies have
+  * DISJOINT vocabularies: dup-cluster sizes (and therefore output size
+  * per unit input) stay constant — a fair linear-scaling probe. A naive
+  * self-union of identical copies would multiply every duplicate
+  * cluster by k and grow the true pair count k², measuring output
+  * explosion instead of engine scaling.
+  *
+  * Usage: sbt "runMain graft.ScaleSmoke [sfDir] [k1,k2,...]"
+  */
+object ScaleSmoke {
+  def amplify(docs: DataFrame, k: Int): DataFrame =
+    (0 until k).map { c =>
+      docs.select(
+        (col("doc_id") + lit(c.toLong * 10_000_000L)).as("doc_id"),
+        regexp_replace(lower(col("text")), "(\\S+)", s"c${c}q$$1").as("text"))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ks = args.drop(1).headOption.getOrElse("1,4,16").split(",").map(_.toInt)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    Engine.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    val base = graft.sources.Tables.documents(spark, dir)
+    base.count() // warm
+
+    for (k <- ks) {
+      val docs = amplify(base, k)
+      def run(label: String, df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] k=$k%-3d $label%-14s ${dt}%7.1f s   rows=$n")
+      }
+      run("near_dup", Dedup.nearDupPairs(docs))
+      run("simhash", Dedup.simhashPairs(docs))
+      run("ngram", Dedup.ngramJaccardPairs(docs))
+      spark.sharedState.cacheManager.clearCache()
+    }
+    spark.stop()
+  }
+}
