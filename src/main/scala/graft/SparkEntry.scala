@@ -46,6 +46,7 @@ object SparkEntry {
     "q_json" -> ((s, d) => Relational.jsonQ(s, d)),
     "q_map" -> ((s, d) => Relational.mapQ(s, d)),
     "q_quantile" -> ((s, d) => Relational.quantileQ(s, d)),
+    "q_quantile_approx" -> ((s, d) => Relational.quantileApproxQ(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsQ(s, d)),
     "q_date" -> ((s, d) => Relational.dateQ(s, d)),
     // reference-job replicas (batch form; streaming forms in graft.streaming)

@@ -276,6 +276,19 @@ object Relational {
         expr("percentile(l_quantity, 0.95)").as("p95_qty"),
         expr("percentile(l_extendedprice, 0.5)").as("median_price"))
 
+  /** Sketched quantiles (approx_percentile / GK): the scale path for
+    * q_quantile — bounded-memory mergeable sketch instead of buffering
+    * every value per group. Not exactly reproducible across engines →
+    * registered without oracleSql (rows-only gate); RelationalSpec
+    * bounds the error against the exact percentiles. */
+  def quantileApproxQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
+        expr("approx_percentile(l_quantity, 0.95, 1000)").as("p95_qty"),
+        expr("percentile(l_quantity, 0.5)").as("exact_median_qty"))
+
   /** MapType surface: parse the JSON props column into map<string,int>,
     * explode to (key, value) pairs, aggregate per key. Complements
     * q_json's path-extract: this is the shape for genuinely dynamic

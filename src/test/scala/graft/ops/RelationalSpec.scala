@@ -140,6 +140,15 @@ class RelationalSpec extends SparkSuite {
       "semi/anti join types must survive planning")
   }
 
+  test("approx_percentile within 5% of exact median") {
+    Relational.quantileApproxQ(spark, sf).collect().foreach { r =>
+      val approx = r.getDouble(1)
+      val exact = r.getDouble(3)
+      assert(math.abs(approx - exact) <= math.max(1.0, exact * 0.05),
+        s"approx=$approx exact=$exact")
+    }
+  }
+
   test("approx_count_distinct within 15% of exact") {
     val rows = Relational.aggApproxDistinct(spark, sf).collect()
     rows.foreach { r =>
