@@ -34,6 +34,25 @@ object StreamingSmoke {
       """not json at all""",
       """{"appid":"a2","event_type":3,"timestamp":29,"log_time":29999}""").toDF("value")
     HotMediaTrackJob.parse(jsons).show(false)
+
+    // Job A full pipeline over a real file stream: JSON lines → parse →
+    // 30 s tumbling counts → console-style dump (the MySQL sink shape
+    // minus the absent database)
+    val aDir = java.nio.file.Files.createTempDirectory("smoke_jobA").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(aDir, "b1.json"),
+      (Seq(10000L, 20000L, 29999L).map(t =>
+        s"""{"appid":"a1","event_type":2,"timestamp":${t / 1000},"log_time":$t}""") :+
+        s"""{"appid":"a2","event_type":3,"timestamp":15,"log_time":15000}""" :+
+        s"""{"appid":"a9","event_type":1,"timestamp":95,"log_time":95000}""") // wm pusher
+        .mkString("\n").getBytes)
+    val qa = HotMediaTrackJob.pipeline(
+        spark.readStream.option("maxFilesPerTrigger", "1").text(aDir)
+          .withColumnRenamed("value", "value"))
+      .writeStream.outputMode("append").format("memory").queryName("smokeA").start()
+    qa.processAllAvailable()
+    println("=== JobA windowed counts (full pipeline over file source) ===")
+    spark.sql("select unix_millis(time) end_ms, appid, type, count from smokeA order by end_ms, appid").show(false)
+    qa.stop()
     println("SMOKE_DONE")
     spark.stop()
   }
