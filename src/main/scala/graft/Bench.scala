@@ -19,29 +19,44 @@ object Bench {
       .getOrCreate()
     Engine.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
-    def runOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case _: Throwable => () }
+    def runOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Boolean = {
+      val ok =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
+      // ops that cache intermediates (the dedup family) would otherwise
+      // serve the second timed run from the CacheManager and leak blocks
+      // into later queries' memory/timings
+      spark.sharedState.cacheManager.clearCache()
+      ok
+    }
     // JVM/codegen warmup: a few representative queries untimed, so the
     // first timed query doesn't absorb JIT + classloader + codegen-cache
     // costs (~5 s once per JVM, irrelevant at cluster scale).
     Seq("q_scalar", "q_agg_group", "q_win_tumble")
-      .foreach(n => SparkEntry.queries.get(n).foreach(runOne))
+      .foreach(n => SparkEntry.queries.get(n).foreach(fn => runOne(n, fn)))
     // two timed runs per query, report the min: the queries are
-    // deterministic, so the spread between runs is GC/scheduler noise —
-    // min is the steady-state cost (standard warm benchmarking practice)
+    // deterministic and caches are cleared between runs, so the spread
+    // is GC/scheduler noise — min is the steady-state cost. A failed
+    // query is reported as -1, never as a fast-fail "success" time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        runOne(fn)
-        (System.nanoTime() - t0) / 1e9
+        val ok = runOne(name, fn)
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      val t = if (runs.forall(_._1)) runs.map(_._2).min else -1.0
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -27,6 +27,11 @@ object Engine {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // ANSI on is the Spark 4 default; pinned so the engine's declared
+      // error semantics (fail loudly on bad casts/overflow; operators
+      // that must be total guard explicitly — see TextOps/SimSearch/
+      // parseCsv) don't drift with deployment defaults.
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.ui.enabled", "false")
     // Large streaming state (big windows, wide Top-N key spaces) should
     // live off-heap: the RocksDB provider spills to local disk instead of
@@ -44,6 +49,7 @@ object Engine {
     * driver's Verify/Bench mains create their own). Safe to call on a
     * running session: all of these are runtime-mutable SQL confs. */
   def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -45,11 +45,14 @@ object ProfileNgram {
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("th"))).as("toks"))
     time("tokSets")(tokSets.count())
+    graft.functions.SortedLongIntersectCount.register(spark)
     val out = cand
       .join(broadcast(tokSets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))), "doc_a")
       .join(broadcast(tokSets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("n_common"),
+        // keep in sync with Dedup.nearDupPairs: the shipped pipeline uses
+        // the native expression, so the profile must too
+        expr("sorted_intersect_count(toks_a, toks_b)").as("n_common"),
         size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))

@@ -285,9 +285,9 @@ object SparkEntry {
     "q_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
         |CAST(length(text) AS DOUBLE)/n_tok AS avg_tok_len,
-        |CAST(punct AS DOUBLE)/length(text) AS punct_ratio,
+        |CAST(punct AS DOUBLE)/nullif(length(text), 0) AS punct_ratio,
         |CAST(stop_hits AS DOUBLE)/n_tok AS stopword_ratio,
-        |CAST((n_tok >= 10 AND CAST(punct AS DOUBLE)/length(text) < 0.3
+        |CAST((n_tok >= 10 AND CAST(punct AS DOUBLE)/nullif(length(text), 0) < 0.3
         |AND CAST(stop_hits AS DOUBLE)/n_tok > 0.01) AS BIGINT) AS keep
         |FROM (SELECT doc_id, text,
         |len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok,
@@ -305,7 +305,7 @@ object SparkEntry {
     "q_sim_topk" ->
       """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |FROM embeddings) e),
+        |FROM embeddings) e WHERE list_dot_product(v, v) > 0),
         |sims AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
         |list_dot_product(c.v, p.v)/(c.nrm*p.nrm) AS cos_sim
         |FROM n c JOIN n p ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
@@ -314,7 +314,8 @@ object SparkEntry {
         |FROM sims) t WHERE rnk <= 5""".stripMargin,
     "q_embed_neardup" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |FROM embeddings),
+        |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
         |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
         |array_to_string(list_transform(v[1:8], x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
         |FROM n)

@@ -31,12 +31,20 @@ object SimSearch {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Drop zero-norm vectors: cosine is undefined for them, and under
+    * Spark 4's default ANSI mode the division would throw rather than
+    * yield null — every consumer filters them up front (mirrored in the
+    * oracle SQL). */
+  private def normed(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .filter(col("nrm") > 0)
+
   /** Brute-force cosine top-k: probes = vec_id < nProbes, candidates =
     * whole corpus minus self. Deterministic tie-break (sim desc, id asc). */
   def cosineTopK(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5): DataFrame = {
-    val emb = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
+    val emb = normed(embeddings)
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val sims = emb.crossJoin(broadcast(probes))
@@ -60,10 +68,7 @@ object SimSearch {
       threshold: Double = 0.25): DataFrame = {
     val bucketExpr = concat((0 until bits).map(i =>
       when(element_at(col("v"), i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
-    val emb = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-      .withColumn("bucket", bucketExpr)
+    val emb = normed(embeddings).withColumn("bucket", bucketExpr)
     val a = emb.select(col("bucket"), col("vec_id").as("vec_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = emb.select(col("bucket"), col("vec_id").as("vec_b"),
@@ -90,9 +95,7 @@ object SimSearch {
     * |corpus| × nProbeCells / nCells bytes instead of everything. */
   def ivfTopK(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5,
       nCells: Int = 16, nProbeCells: Int = 2): DataFrame = {
-    val emb = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
+    val emb = normed(embeddings)
     // deterministic centroid sample, disjoint from the probe id range
     val centroids = emb.filter(col("vec_id") >= nProbes && col("vec_id") < nProbes + nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
@@ -134,10 +137,7 @@ object SimSearch {
       bits: Int = 8): DataFrame = {
     val bucketExpr = concat((0 until bits).map(i =>
       when(element_at(col("v"), i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
-    val emb = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
-      .withColumn("bucket", bucketExpr)
+    val emb = normed(embeddings).withColumn("bucket", bucketExpr)
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pn"), col("bucket"))

@@ -21,8 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Row-content hash alone degenerates when a hot key's rows are
+    * byte-identical (the classic skew case: billions of copies of one
+    * constant event) — every copy would land in ONE sub-key and the
+    * mitigation would do nothing. Mixing in the partition id and the
+    * intra-partition row position spreads identical rows too; the final
+    * aggregate is invariant to WHICH sub-key a row lands in, so this
+    * stays correct under any partitioning and re-execution. */
   private def saltCol(df: DataFrame, salt: Int): Column =
-    pmod(hash(df.columns.map(col).toSeq: _*), lit(salt))
+    pmod(hash(df.columns.map(col) :+ spark_partition_id()
+      :+ monotonically_increasing_id(): _*), lit(salt))
 
   /** count(*) per key, skew-safe. Result: (key..., cnt). */
   def saltedCount(df: DataFrame, keys: Seq[String], salt: Int = 16): DataFrame = {

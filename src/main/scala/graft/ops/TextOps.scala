@@ -51,12 +51,16 @@ object TextOps {
     val nTok = nTokensWs(col("text"))
     val punct = regexp_count(lower(col("text")), lit("[^a-z0-9\\s]"))
     val stopHits = size(filter(toks(col("text")), t => t.isin(EnStopwords: _*)))
+    // nTok ≥ 1 always (split of "" is [""]) so /nTok is total, but an
+    // empty document has length 0 — under Spark 4's default ANSI mode a
+    // bare /0 throws, so punct_ratio goes through nullif (null ratio for
+    // empty docs; the oracle mirrors the nullif)
     d.select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         nTok.cast("long").as("n_tokens"),
         (length(col("text")).cast("double") / nTok).as("avg_tok_len"),
-        (punct.cast("double") / length(col("text"))).as("punct_ratio"),
+        (punct.cast("double") / nullif(length(col("text")), lit(0))).as("punct_ratio"),
         (stopHits.cast("double") / nTok).as("stopword_ratio"))
       .withColumn("keep",
         (col("n_tokens") >= 10 && col("punct_ratio") < 0.3 && col("stopword_ratio") > 0.01).cast("long"))

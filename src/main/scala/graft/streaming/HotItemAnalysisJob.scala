@@ -21,15 +21,24 @@ import graft.model.RankedItem
 object HotItemAnalysisJob {
 
   /** CSV line "userId,itemId,categoryId,behavior,timestamp(epoch-s)" with
-    * per-field trim (HotItemAnalysis.java:84-91); ts normalized s→ms. */
+    * per-field trim (HotItemAnalysis.java:84-91); ts normalized s→ms.
+    * Malformed lines (wrong arity, non-numeric fields) are DROPPED —
+    * declared divergence from the reference, which throws
+    * NumberFormatException and kills the job (HotItemAnalysis.java:87-90);
+    * under Spark 4's default ANSI mode a bare element_at/cast would do
+    * the same to the streaming query, hence try_element_at + try_cast. */
   def parseCsv(lines: DataFrame): DataFrame = {
     val f = split(col("value"), ",")
-    lines.select(
-      trim(element_at(f, 1)).cast("long").as("userId"),
-      trim(element_at(f, 2)).cast("long").as("itemId"),
-      trim(element_at(f, 3)).cast("long").as("categoryId"),
-      trim(element_at(f, 4)).as("behavior"),
-      (trim(element_at(f, 5)).cast("long") * 1000).as("tsMillis"))
+    def fld(i: Int) = trim(expr(s"try_element_at(f, $i)"))
+    lines.select(f.as("f"))
+      .select(
+        expr("try_cast(trim(try_element_at(f, 1)) AS LONG)").as("userId"),
+        expr("try_cast(trim(try_element_at(f, 2)) AS LONG)").as("itemId"),
+        expr("try_cast(trim(try_element_at(f, 3)) AS LONG)").as("categoryId"),
+        fld(4).as("behavior"),
+        (expr("try_cast(trim(try_element_at(f, 5)) AS LONG)") * 1000).as("tsMillis"))
+      .filter(col("userId").isNotNull && col("itemId").isNotNull
+        && col("behavior").isNotNull && col("tsMillis").isNotNull)
   }
 
   /** filter(pv) → sliding-window count per item. Returns columns

@@ -47,7 +47,14 @@ object HotMediaTrackJob {
     * present (:187-190), receiveTime = log_time already ms (:193). */
   def parse(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value"), wireSchema).as("j"))
-      .filter(col("j").isNotNull && col("j.appid").isNotNull)
+      // all fields the pipeline depends on must be present — a record
+      // missing log_time/event_type would otherwise surface as a null
+      // event-time column downstream (the reference NPEs there,
+      // HotMediaTrack.java:79-84; declared fix: drop the record).
+      // event_time alone stays optional (HotMediaTrack.java:187-190).
+      .filter(col("j").isNotNull && col("j.appid").isNotNull
+        && col("j.event_type").isNotNull && col("j.timestamp").isNotNull
+        && col("j.log_time").isNotNull)
       .select(
         col("j.appid").as("appid"),
         col("j.event_type").as("type"),

@@ -49,6 +49,44 @@ class EdgeCaseSpec extends SparkSuite {
     assert(q.forall(r => r.getLong(2) >= 1))          // n_tokens
   }
 
+  test("quality scores of an EMPTY doc: null punct_ratio, no ANSI crash") {
+    val q = TextOps.qualityScores(docs((1L, ""), (2L, "the quick fox"))).cache()
+    val empty = q.filter(col("doc_id") === 1).head()
+    assert(empty.getAs[Long]("n_chars") == 0L)
+    assert(empty.isNullAt(empty.fieldIndex("punct_ratio")),
+      "empty doc must yield null punct_ratio, not throw")
+    assert(q.filter(col("doc_id") === 2).head().getAs[Long]("keep") == 0L)
+  }
+
+  test("zero-norm embeddings are dropped, not divided by") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)), // zero vector: must be filtered
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val topk = SimSearch.cosineTopK(emb, nProbes = 2, k = 3).collect()
+    assert(topk.nonEmpty)
+    assert(!topk.exists(r => r.getLong(0) == 0L || r.getLong(1) == 0L),
+      "zero-norm vector must appear neither as probe nor neighbor")
+    val pairs = SimSearch.embedNearDup(emb, bits = 2, threshold = 0.5).collect()
+    assert(!pairs.exists(r => r.getLong(0) == 0L || r.getLong(1) == 0L))
+  }
+
+  test("malformed CSV lines are dropped, not fatal (Job B parser)") {
+    import spark.implicits._
+    val lines = Seq(
+      "1, 100, 5, pv, 1511658000", // good
+      "",                          // blank
+      "not,a,number,pv,xyz",       // bad casts
+      "1,2,3",                     // wrong arity
+      "2, 200, 5, buy, 1511658001" // good
+    ).toDF("value")
+    val parsed = graft.streaming.HotItemAnalysisJob.parseCsv(lines).collect()
+    assert(parsed.length == 2)
+    assert(parsed.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("multimodal payload of empty text: zero bytes, empty frames") {
     val row = MultiModal.payloadFeatures(docs((1L, ""))).head()
     assert(row.getAs[Long]("n_bytes") == 0L)
