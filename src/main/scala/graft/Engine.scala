@@ -32,6 +32,7 @@ object Engine {
       // that must be total guard explicitly — see TextOps/SimSearch/
       // parseCsv) don't drift with deployment defaults.
       .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     // Large streaming state (big windows, wide Top-N key spaces) should
     // live off-heap: the RocksDB provider spills to local disk instead of
@@ -50,6 +51,10 @@ object Engine {
     * running session: all of these are runtime-mutable SQL confs. */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "true")
+    // TIMESTAMP(NANOS) parquet columns (events table) read as raw longs
+    // engine-wide; Tables.events owns the ns→µs conversion. Declared here
+    // rather than mutated as a side effect of the first events() call.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -27,7 +27,9 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects. Read nanos as long and floor-divide to microseconds
     * (`div`, integer division — a double roundtrip would lose precision
-    * at 1e18 ns). DuckDB performs the identical ns→us truncation. */
+    * at 1e18 ns). DuckDB performs the identical ns→us truncation.
+    * The nanosAsLong conf is declared in Engine.session/tune; the set
+    * here only covers externally created sessions that skipped both. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")

@@ -1,0 +1,31 @@
+package graft.ops
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Plan guard-rails over EVERY declared query: physical-plan shapes that
+  * must never regress, checked at planning time (no execution).
+  *
+  *  - No CartesianProduct anywhere: every join must ride a key or an
+  *    explicit broadcast — an accidental cross product is the classic
+  *    silent 100 TB killer.
+  *  - BroadcastNestedLoopJoin only where DECLARED: the brute-force
+  *    similarity scans intentionally broadcast a tiny probe set against
+  *    the corpus (crossJoin(broadcast(probes))); anywhere else a BNLJ
+  *    means a join lost its equi-condition.
+  */
+class PlanGuardSpec extends SparkSuite {
+
+  private val bnljAllowed = Set("q_sim_topk") // crossJoin(broadcast(probes)) by design
+
+  test("no declared query plans a cartesian product; BNLJ only where declared") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(500)}")
+      if (!bnljAllowed(name)) {
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an undeclared BroadcastNestedLoopJoin:\n${plan.take(500)}")
+      }
+    }
+  }
+}
