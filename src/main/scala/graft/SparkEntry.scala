@@ -45,6 +45,7 @@ object SparkEntry {
     "q_scalar" -> ((s, d) => Relational.scalarQ(s, d)),
     "q_json" -> ((s, d) => Relational.jsonQ(s, d)),
     "q_map" -> ((s, d) => Relational.mapQ(s, d)),
+    "q_array" -> ((s, d) => Relational.arrayQ(s, d)),
     "q_quantile" -> ((s, d) => Relational.quantileQ(s, d)),
     "q_quantile_approx" -> ((s, d) => Relational.quantileApproxQ(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsQ(s, d)),
@@ -140,6 +141,11 @@ object SparkEntry {
         |WHERE c_acctbal > 5000 EXCEPT SELECT o_custkey FROM orders) t3""".stripMargin,
     "q_sql" -> graft.ops.Relational.SqlQText,
     "q_grouping_sets" -> graft.ops.Relational.GroupingSetsQText,
+    "q_array" ->
+      """SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS first_dim,
+        |CAST(len(embedding) AS BIGINT) AS dim,
+        |CAST(list_max(embedding) AS DOUBLE) AS max_dim,
+        |CAST(list_min(embedding) AS DOUBLE) AS min_dim FROM embeddings""".stripMargin,
     "q_quantile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |quantile_cont(l_quantity, 0.95) AS p95_qty,

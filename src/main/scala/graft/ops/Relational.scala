@@ -276,6 +276,18 @@ object Relational {
         expr("percentile(l_quantity, 0.95)").as("p95_qty"),
         expr("percentile(l_extendedprice, 0.5)").as("median_price"))
 
+  /** Array scalar surface on the embeddings column: element access,
+    * size, elementwise extrema (exact under float→double widening in
+    * both engines, unlike order-dependent float sums). */
+  def arrayQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(
+        col("vec_id"),
+        element_at(col("embedding"), 1).cast("double").as("first_dim"),
+        size(col("embedding")).cast("long").as("dim"),
+        array_max(col("embedding")).cast("double").as("max_dim"),
+        array_min(col("embedding")).cast("double").as("min_dim"))
+
   /** Sketched quantiles (approx_percentile / GK): the scale path for
     * q_quantile — bounded-memory mergeable sketch instead of buffering
     * every value per group. Not exactly reproducible across engines →
