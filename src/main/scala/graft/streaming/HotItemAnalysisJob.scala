@@ -41,6 +41,14 @@ object HotItemAnalysisJob {
         && col("behavior").isNotNull && col("tsMillis").isNotNull)
   }
 
+  /** Typed view of [[parseCsv]]: Dataset[UserBehavior], the reference
+    * bean's shape (UserBehavior.java:15-21). */
+  def parseTyped(lines: DataFrame): Dataset[graft.model.UserBehavior] = {
+    val spark = lines.sparkSession
+    import spark.implicits._
+    parseCsv(lines).as[graft.model.UserBehavior]
+  }
+
   /** filter(pv) → sliding-window count per item. Returns columns
     * (itemId, windowEnd: timestamp, count) with windowEnd exclusive —
     * the ItemViewCount shape (HotItemAnalysis.java:165-169). */

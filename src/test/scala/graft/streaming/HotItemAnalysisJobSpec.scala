@@ -103,5 +103,8 @@ class HotItemAnalysisJobSpec extends SparkSuite {
     val got = HotItemAnalysisJob.parseCsv(Seq(" 543462 ,1715, 1464116 , pv ,1511658000").toDF("value"))
       .as[(Long, Long, Long, String, Long)].collect().head
     assert(got == ((543462L, 1715L, 1464116L, "pv", 1511658000000L)))
+    val typed = HotItemAnalysisJob.parseTyped(
+      Seq("543462,1715,1464116,pv,1511658000").toDF("value")).collect().head
+    assert(typed == graft.model.UserBehavior(543462L, 1715L, 1464116L, "pv", 1511658000000L))
   }
 }
