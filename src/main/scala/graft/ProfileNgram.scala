@@ -20,7 +20,7 @@ object ProfileNgram {
     time("warmup count")(docs.count())
 
     import graft.ops.Dedup
-    val tok = Dedup.tokens(Dedup.spread(docs)).cache()
+    val tok = Dedup.tokens(graft.sources.Tables.fanout(docs)).cache()
     time("tokens materialize")(println("  tok=" + tok.count()))
     val sig = Dedup.signatures(tok).cache()
     time("signatures")(println("  sig=" + sig.count()))

@@ -49,6 +49,16 @@ object ScaleSmoke {
       run("simhash", Dedup.simhashPairs(docs))
       run("ngram", Dedup.ngramJaccardPairs(docs))
       spark.sharedState.cacheManager.clearCache()
+      // the 100 TB verify path: dictionary too big to broadcast → the
+      // bucketed (sort-merge) mode must survive with broadcasts disabled
+      // entirely. Keep this in the same loop so its scaling is measured
+      // against the broadcast mode's at every k.
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        run("near_dup_smj", Dedup.nearDupPairs(docs, verifyMode = Dedup.VerifyBucketed))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -67,6 +67,9 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
+    // IVF is approximate (cell pruning) → rows-only gate; recall vs the
+    // brute-force top-k is bounded in LlmOpsSpec
+    "q_sim_topk_ivf" -> ((s, d) => SimSearch.ivfTopK(Tables.embeddings(s, d))),
     "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d)))
   )
 

@@ -21,15 +21,53 @@ object Dedup {
   val NumHashes = 8
   val BandSize = 2 // 4 bands of 2 hashes → catches jaccard ≳ 0.5 pairs
 
-  /** Fan a narrow input out to the session's parallelism before heavy
-    * per-row compute (tokenize + hashing). A small parquet file arrives
-    * as ONE partition (files.maxPartitionBytes), which serializes the
-    * whole map phase on a single core — measured 3-4× on the dedup
-    * pipelines at sf0.1. No-op when the input is already parallel, so at
-    * production scale (many splits) this never adds a shuffle. */
-  def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  private def spread(df: DataFrame): DataFrame = graft.sources.Tables.fanout(df)
+
+  /** Verify-stage join strategies for the near-dup pipelines.
+    *
+    * `broadcast`: ship the per-doc hashed-set dictionary to every task —
+    * the candidate stream never shuffles (|docs| × avg_set × 8 B, ≈ 8 MB
+    * at sf0.1). The right default while the dictionary fits the
+    * broadcast budget.
+    *
+    * `bucketed`: sort-merge join candidates against the dictionary on
+    * doc id — the 100 TB path, where the dictionary is far beyond any
+    * broadcast. The shuffle carries each candidate pair twice (once per
+    * side) plus the dictionary once; with the corpus written bucketed by
+    * doc_id (the catalog-table deployment in Tables' scaladoc) the
+    * dictionary side needs no shuffle at all. Both modes compute the
+    * identical result — DedupVerifyModeSpec pins the equality and that
+    * the bucketed plan stays sort-merge with broadcasts disabled. */
+  val VerifyBroadcast = "broadcast"
+  val VerifyBucketed = "bucketed"
+
+  private def attachSet(cand: DataFrame, sets: DataFrame, side: String,
+      setCol: String, outCol: String, mode: String): DataFrame = {
+    val s = sets.select(col("doc_id").as(side), col(setCol).as(outCol))
+    mode match {
+      case VerifyBroadcast => cand.join(broadcast(s), side)
+      case VerifyBucketed => cand.join(s.hint("merge"), side)
+      case other => throw new IllegalArgumentException(
+        s"verifyMode must be '$VerifyBroadcast' or '$VerifyBucketed', got '$other'")
+    }
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against per-doc sorted
+    * hashed-set arrays: map-side (or sort-merge, per `mode`) set
+    * attachment, native merge-intersect count, threshold filter. */
+  private def jaccardVerify(cand: DataFrame, sets: DataFrame, setCol: String,
+      threshold: Double, mode: String): DataFrame = {
+    SortedLongIntersectCount.register(cand.sparkSession)
+    attachSet(attachSet(cand, sets, "doc_a", setCol, "set_a", mode),
+        sets, "doc_b", setCol, "set_b", mode)
+      .select(col("doc_a"), col("doc_b"),
+        // native merge-count over the sorted arrays — see the Scaladoc on
+        // SortedLongIntersectCount for why array_intersect loses here
+        expr("sorted_intersect_count(set_a, set_b)").as("n_common"),
+        size(col("set_a")).as("na"), size(col("set_b")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Distinct (doc_id, token) pairs: lowercase, whitespace-split. */
@@ -74,7 +112,8 @@ object Dedup {
     * runs ONCE (cached), bands come from a single explode projection —
     * a naive per-band select-union re-runs the whole signature aggregate
     * once per band. */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
+      verifyMode: String = VerifyBroadcast): DataFrame = {
     val tok = tokens(spread(docs)).cache()
     val sig = signatures(tok).cache()
     val nBands = NumHashes / BandSize
@@ -105,25 +144,14 @@ object Dedup {
     //    partition: map-side array_intersect, then the threshold filter.
     //  - Jaccard is over hashed sets in BOTH engines (oracle mirrors the
     //    hash), so a 2^-60 collision cannot cause divergence.
-    // At larger corpora where the dictionary outgrows a broadcast, swap
-    // the hint for a bucketed join on doc id — plan shape is the seam.
+    // At larger corpora where the dictionary outgrows a broadcast, pass
+    // verifyMode = VerifyBucketed for sort-merge joins on doc id.
     val tokSets = tok
       .select(col("doc_id"),
         conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("th"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("th"))).as("toks"))
-    SortedLongIntersectCount.register(docs.sparkSession)
-    cand
-      .join(broadcast(tokSets.select(col("doc_id").as("doc_a"), col("toks").as("toks_a"))), "doc_a")
-      .join(broadcast(tokSets.select(col("doc_id").as("doc_b"), col("toks").as("toks_b"))), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        // native merge-count over the sorted arrays — see the Scaladoc on
-        // SortedLongIntersectCount for why array_intersect loses here
-        expr("sorted_intersect_count(toks_a, toks_b)").as("n_common"),
-        size(col("toks_a")).as("na"), size(col("toks_b")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    jaccardVerify(cand, tokSets, "toks", threshold, verifyMode)
   }
 
   /** Document fingerprint: min-of-shingle-hashes (winnowing-style) over
@@ -202,7 +230,8 @@ object Dedup {
     * what keeps the shingle self-join from exploding on template text;
     * the cap is part of the declared semantics and mirrored in the oracle). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
-      maxDf: Int = 50, threshold: Double = 0.3): DataFrame = {
+      maxDf: Int = 50, threshold: Double = 0.3,
+      verifyMode: String = VerifyBroadcast): DataFrame = {
     // Per-doc DISTINCT shingle arrays in ONE map-side pass (shingles are
     // 60-bit md5-prefix longs, mirrored in the oracle): shingle sets are
     // per-document, so deduplication is array_distinct inside the row —
@@ -235,15 +264,6 @@ object Dedup {
       .distinct()
     val shSets = shf.groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("shingle"))).as("shs"))
-    SortedLongIntersectCount.register(docs.sparkSession)
-    cand
-      .join(broadcast(shSets.select(col("doc_id").as("doc_a"), col("shs").as("shs_a"))), "doc_a")
-      .join(broadcast(shSets.select(col("doc_id").as("doc_b"), col("shs").as("shs_b"))), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        expr("sorted_intersect_count(shs_a, shs_b)").as("n_common"),
-        size(col("shs_a")).as("na"), size(col("shs_b")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    jaccardVerify(cand, shSets, "shs", threshold, verifyMode)
   }
 }

@@ -56,28 +56,76 @@ object SimSearch {
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  /** Sign-projection bucket column for rotation `rot`: bit i is the sign
+    * of dimension (rot·bits + i) mod d. Rotation 0 reads the first `bits`
+    * dims (the declared, oracle-mirrored default); further rotations read
+    * disjoint dim windows, giving independent blocking views. */
+  private def bucketCol(bits: Int, rot: Int): Column =
+    concat((0 until bits).map { i =>
+      val idx: Column =
+        if (rot == 0) lit(i + 1)
+        else pmod(lit(rot * bits + i), size(col("v"))) + 1
+      when(element_at(col("v"), idx) > 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** (vec_id, bucket) under the rotation-`rot` sign projection — the
+    * blocking embedNearDup/signBucketTopK use; exposed for bucket-
+    * occupancy diagnostics (PropertySpec pins that the max bucket
+    * shrinks as `bits` grows). */
+  def signBuckets(embeddings: DataFrame, bits: Int, rot: Int = 0): DataFrame =
+    normed(embeddings).select(col("vec_id"), bucketCol(bits, rot).as("bucket"))
+
+  /** Bits so that expected bucket occupancy ≈ `targetPerBucket` under a
+    * balanced sign distribution (2^bits ≈ corpus / target), clamped to
+    * [4, 24]. The blocking self-join is quadratic PER BUCKET, so bits
+    * must grow with the corpus: at 100 TB pass the row count from table
+    * stats — a fixed width (e.g. 8 bits = 256 buckets forever) would
+    * let per-bucket membership, and thus join cost, grow linearly with
+    * corpus size. */
+  def autoBits(corpusRows: Long, targetPerBucket: Long = 1024L): Int = {
+    val cells = math.max(1L, corpusRows / math.max(1L, targetPerBucket))
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, cells - 1))
+    math.min(24, math.max(4, ceilLog2))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the vector analog of the text
-    * dedup family): deterministic sign-bucket blocking (first `bits` dims)
-    * → per-bucket self-join → cosine ≥ threshold. The bucketing is part of
-    * the declared semantics (both engines compute the identical buckets),
-    * so the result is exact-per-definition and oracle-checkable, while the
-    * self-join stays per-bucket — at 100 TB the shuffle key is the bucket,
-    * never all-pairs. Hot buckets split under AQE skew handling; for
-    * higher recall run again with rotated sign projections and union. */
+    * dedup family): deterministic sign-bucket blocking → per-bucket
+    * self-join → cosine ≥ threshold. The bucketing is part of the
+    * declared semantics (both engines compute the identical buckets), so
+    * the result is exact-per-definition and oracle-checkable, while the
+    * self-join stays per-bucket — at 100 TB the shuffle key is the
+    * bucket, never all-pairs. Hot buckets split under AQE skew handling.
+    *
+    * Scale levers (both spec-pinned in PropertySpec):
+    *  - `bits` grows with the corpus (use [[autoBits]]) so per-bucket
+    *    membership — and the quadratic per-bucket join — stays bounded;
+    *  - `rotations` > 1 unions candidates from R disjoint sign
+    *    projections (recall lever: a near-dup pair missed by one
+    *    projection is caught by another), deduplicated per pair. The
+    *    declared query keeps (bits=8, rotations=1), whose result the
+    *    oracle mirrors exactly. */
   def embedNearDup(embeddings: DataFrame, bits: Int = 8,
-      threshold: Double = 0.25): DataFrame = {
-    val bucketExpr = concat((0 until bits).map(i =>
-      when(element_at(col("v"), i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
-    val emb = normed(embeddings).withColumn("bucket", bucketExpr)
-    val a = emb.select(col("bucket"), col("vec_id").as("vec_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = emb.select(col("bucket"), col("vec_id").as("vec_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+      threshold: Double = 0.25, rotations: Int = 1): DataFrame = {
+    val emb0 = normed(embeddings)
+    // multi-rotation re-reads the normed corpus once per rotation
+    val emb = if (rotations > 1) emb0.cache() else emb0
+    def pairsFor(rot: Int): DataFrame = {
+      val e = emb.withColumn("bucket", bucketCol(bits, rot))
+      val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("bucket"), col("vec_id").as("vec_b"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+        .filter(col("cos_sim") >= threshold)
+    }
+    if (rotations <= 1) pairsFor(0)
+    else (0 until rotations).map(pairsFor).reduce(_ unionAll _)
+      // cos_sim is identical wherever a pair recurs — first() is exact
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(first(col("cos_sim")).as("cos_sim"))
   }
 
   /** IVF (inverted-file) approximate top-k — the standard ANN scale path:
@@ -132,12 +180,10 @@ object SimSearch {
   /** Sign-bucket LSH variant (the scale path): bucket = sign bits of the
     * first `bits` coordinates; probes only scan candidates sharing their
     * bucket. Approximate — recall measured against cosineTopK in
-    * SimilaritySpec, not against an oracle. */
+    * LlmOpsSpec, not against an oracle. */
   def signBucketTopK(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5,
       bits: Int = 8): DataFrame = {
-    val bucketExpr = concat((0 until bits).map(i =>
-      when(element_at(col("v"), i + 1) > 0, lit("1")).otherwise(lit("0"))): _*)
-    val emb = normed(embeddings).withColumn("bucket", bucketExpr)
+    val emb = normed(embeddings).withColumn("bucket", bucketCol(bits, 0))
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("pv"),
         col("nrm").as("pn"), col("bucket"))

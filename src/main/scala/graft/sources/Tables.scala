@@ -17,6 +17,25 @@ object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a narrow scan out to the session's parallelism before heavy
+    * per-row compute (JSON parse, tokenize + hashing, percentile
+    * buffering). The test tables are ONE parquet file with ONE row
+    * group each, and Spark's parquet splits are row-group-granular —
+    * `files.maxPartitionBytes` can slice the byte range but every slice
+    * except the one holding the row-group midpoint produces zero rows,
+    * so the whole map phase serializes on a single core (measured 3-10×
+    * on the parse/dedup pipelines at sf0.1). A round-robin repartition
+    * of the (small) input un-starves it.
+    *
+    * The probe is metadata-only: `inputFiles` comes from the file index
+    * (no RDD materialization, no job). At production scale a table has
+    * ≥ cores files/row-groups, the probe sees that, and this never adds
+    * a shuffle. */
+  def fanout(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.inputFiles.length < target) df.repartition(target) else df
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")

@@ -57,6 +57,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(got.groupBy("probe_id").count().filter(col("count") > 5).isEmpty)
   }
 
+  test("ivf top-k: recall vs brute force is monotone in probe cells and above floor") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimSearch.cosineTopK(embDf, nProbes = 5, k = 5))
+    def recall(nProbeCells: Int): Double = {
+      val got = pairs(SimSearch.ivfTopK(embDf, nProbes = 5, k = 5,
+        nCells = 16, nProbeCells = nProbeCells))
+      (got & brute).size.toDouble / brute.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    // superset of scanned cells ⇒ per-probe top-k can only move toward
+    // the true top-k — the defining IVF accuracy/cost dial
+    assert(r4 >= r1, s"recall must be monotone in nProbeCells: $r1 vs $r4")
+    assert(r4 >= 0.2, s"recall@4-of-16-cells too low: $r4")
+  }
+
   test("simhash: identical token sets → hamming 0; pairs ordered and thresholded") {
     import spark.implicits._
     val docs = Seq(

@@ -15,7 +15,10 @@ import graft.{SparkEntry, SparkSuite}
   */
 class PlanGuardSpec extends SparkSuite {
 
-  private val bnljAllowed = Set("q_sim_topk") // crossJoin(broadcast(probes)) by design
+  // crossJoin(broadcast(tiny side)) by design: q_sim_topk broadcasts the
+  // probe set; q_sim_topk_ivf broadcasts the centroid table (both O(k)
+  // rows against one corpus scan)
+  private val bnljAllowed = Set("q_sim_topk", "q_sim_topk_ivf")
 
   test("no declared query plans a cartesian product; BNLJ only where declared") {
     SparkEntry.queries.foreach { case (name, fn) =>

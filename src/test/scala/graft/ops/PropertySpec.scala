@@ -112,6 +112,38 @@ class PropertySpec extends SparkSuite {
     assert(saltedCnt == plainCnt)
   }
 
+  test("embed blocking: max bucket occupancy shrinks as bits grow") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def maxBucket(bits: Int): Long =
+      SimSearch.signBuckets(emb, bits).groupBy("bucket").count()
+        .agg(max("count")).head.getLong(0)
+    val occ = Seq(2, 4, 8, 12).map(maxBucket)
+    assert(occ == occ.sorted.reverse, s"occupancy must be non-increasing in bits: $occ")
+    assert(occ.last < occ.head, s"more bits must actually split the hot bucket: $occ")
+  }
+
+  test("autoBits grows with corpus size and clamps to [4, 24]") {
+    assert(SimSearch.autoBits(1L) == 4)
+    assert(SimSearch.autoBits(1000L * 1024) == 10)
+    val seq = Seq(1L << 10, 1L << 20, 1L << 30, 1L << 40).map(SimSearch.autoBits(_))
+    assert(seq == seq.sorted, s"bits must be monotone in corpus size: $seq")
+    assert(SimSearch.autoBits(Long.MaxValue / 2) == 24)
+  }
+
+  test("embed near-dup rotations: rotations=1 pairs ⊆ rotations=3 pairs") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def pairs(rot: Int): Set[(Long, Long)] =
+      SimSearch.embedNearDup(emb, bits = 8, threshold = 0.1, rotations = rot)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val r1 = pairs(1)
+    val r3 = pairs(3)
+    assert(r1.nonEmpty)
+    assert(r1.subsetOf(r3), "union-of-rotations must never lose a pair")
+    assert(r3.size > r1.size,
+      "extra rotations must surface pairs the first projection misses " +
+        s"(r1=${r1.size}, r3=${r3.size})")
+  }
+
   test("ivf: bounded k, deterministic, no self-match") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val a = SimSearch.ivfTopK(emb, nProbes = 5, k = 5).collect()

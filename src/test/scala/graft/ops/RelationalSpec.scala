@@ -141,9 +141,15 @@ class RelationalSpec extends SparkSuite {
   }
 
   test("approx_percentile within 5% of exact median") {
-    Relational.quantileApproxQ(spark, sf).collect().foreach { r =>
-      val approx = r.getDouble(1)
-      val exact = r.getDouble(3)
+    // exact medians from the declared exact-percentile query — the
+    // comparison lives here so the declared sketch query stays O(sketch)
+    val exactByFlag = Relational.quantileQ(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = Relational.quantileApproxQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Double]("median_qty")
+      val exact = exactByFlag(r.getString(0))
       assert(math.abs(approx - exact) <= math.max(1.0, exact * 0.05),
         s"approx=$approx exact=$exact")
     }

@@ -40,6 +40,51 @@ class DurabilitySpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("jdbc sink against embedded Derby: real store, replayed batch stays exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // embedded Derby = a real JDBC database without a server process —
+    // the closest in-sandbox stand-in for the reference's MySQL target
+    // (HotMediaTrack.java:98-131); driver jar ships with /opt/spark/jars
+    val dbDir = Files.createTempDirectory("graft_derby").toString
+    val url = s"jdbc:derby:$dbDir/db;create=true"
+    val table = "media_counts"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+
+    val in = MemoryStream[String]
+    def wire(appid: String, typ: Int, t: Long): String =
+      s"""{"appid":"$appid","event_type":$typ,"timestamp":$t,"log_time":${t * 1000}}"""
+    val q = HotMediaTrackJob.jdbcSink(
+      HotMediaTrackJob.pipeline(in.toDF().toDF("value")), url, table, props)
+      .option("checkpointLocation", Files.createTempDirectory("graft_jdbc_chk").toString)
+      .start()
+    try {
+      in.addData(wire("app1", 1, 100), wire("app1", 1, 101), wire("app2", 2, 100))
+      q.processAllAvailable()
+      in.addData(wire("app1", 1, 160)) // second micro-batch, next window
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def stored() = spark.read.jdbc(url, table, props)
+    val afterRun = stored().select("time", "appid", "type", "count", "batch_id")
+      .as[(Timestamp, String, Int, Long, Long)].collect().toSet
+    assert(afterRun.map(t => (t._2, t._3, t._4)).contains(("app1", 1, 2L)),
+      s"windowed count missing from the JDBC store: $afterRun")
+    assert(afterRun.map(_._5).size >= 1, "batch ids must be recorded")
+
+    // replay: re-deliver one committed micro-batch verbatim (what the
+    // engine does after a sink failure) — table contents must not change
+    val replayId = afterRun.map(_._5).max
+    val replayRows = afterRun.filter(_._5 == replayId).toSeq
+      .map(t => (t._1, t._2, t._3, t._4)).toDF("time", "appid", "type", "count")
+    HotMediaTrackJob.writeBatch(replayRows, replayId, url, table, props)
+    val afterReplay = stored().select("time", "appid", "type", "count", "batch_id")
+      .as[(Timestamp, String, Int, Long, Long)].collect().toSet
+    assert(afterReplay == afterRun,
+      s"replay must be idempotent:\nbefore=$afterRun\nafter=$afterReplay")
+  }
+
   test("checkpoint recovery: restart resumes exactly-once from a file source") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft_src").toString
