@@ -41,16 +41,20 @@ object Bench {
     // costs (~5 s once per JVM, irrelevant at cluster scale).
     Seq("q_scalar", "q_agg_group", "q_win_tumble")
       .foreach(n => SparkEntry.queries.get(n).foreach(fn => runOne(n, fn)))
-    // two timed runs per query, report the min: the queries are
+    // two timed runs per query (three when the min exceeds 1 s — the
+    // expensive queries are exactly where a transient load spike or GC
+    // pause distorts a 2-sample min), report the min: the queries are
     // deterministic and caches are cleared between runs, so the spread
-    // is GC/scheduler noise — min is the steady-state cost. A failed
+    // is scheduler noise — min is the steady-state cost. A failed
     // query is reported as -1, never as a fast-fail "success" time.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      def timed() = {
         val t0 = System.nanoTime()
         val ok = runOne(name, fn)
         (ok, (System.nanoTime() - t0) / 1e9)
       }
+      var runs = (1 to 2).map(_ => timed())
+      if (runs.forall(_._1) && runs.map(_._2).min > 1.0) runs = runs :+ timed()
       val t = if (runs.forall(_._1)) runs.map(_._2).min else -1.0
       name -> t
     }

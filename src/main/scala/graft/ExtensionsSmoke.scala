@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standalone smoke for the cluster-deployment registration path:
+  * `sbt "runMain graft.ExtensionsSmoke"` builds a session WITH
+  * GraftExtensions and resolves sorted_intersect_count through the
+  * analyzer with no register() call — what a user gets from
+  * `--conf spark.sql.extensions=graft.GraftExtensions`. Must run in
+  * its own JVM (the test suite's shared session predates any
+  * extension injection). */
+object ExtensionsSmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-extensions-smoke")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val got = Seq((Array(1L, 2L, 5L), Array(2L, 5L, 9L)))
+      .toDF("a", "b")
+      .selectExpr("sorted_intersect_count(a, b) AS c")
+      .as[Int].head()
+    require(got == 2, s"expected 2, got $got")
+    println(s"[extensions-smoke] OK sorted_intersect_count resolved natively, result=$got")
+    spark.stop()
+  }
+}

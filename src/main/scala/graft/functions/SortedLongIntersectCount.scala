@@ -80,6 +80,17 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 object SortedLongIntersectCount {
   val FnName = "sorted_intersect_count"
 
+  /** (identifier, info, builder) triple for
+    * SparkSessionExtensions.injectFunction — the cluster-deployment
+    * registration path (see [[graft.GraftExtensions]]). */
+  def descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    org.apache.spark.sql.catalyst.FunctionIdentifier(FnName),
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[SortedLongIntersectCount].getCanonicalName, FnName),
+    (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs.head, exprs(1)))
+
   /** Register as a temp SQL function on the session (idempotent), so ops
     * reach it via expr("sorted_intersect_count(a, b)") without a
     * session-construction-time SparkSessionExtensions hook. Skips when

@@ -182,8 +182,10 @@ object Dedup {
     // per row (measured 8× slowdown at sf0.1).
     val hashed = tok.select(col("doc_id"),
       conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("v"))
+    // ±1 per bit as branch-free arithmetic (2·bit − 1): 32 sum columns
+    // codegen to straight-line shifts/adds in the partial aggregate
     val bitSums = (0 until SimhashBits).map(j =>
-      sum(when(shiftright(col("v"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"s$j"))
+      sum(shiftright(col("v"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$j"))
     val fpExpr = (0 until SimhashBits)
       .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)

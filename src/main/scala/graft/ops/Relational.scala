@@ -115,6 +115,9 @@ object Relational {
   def joinInner(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
+    // no fanout on the probe side: broadcast-hash probes are ~free per
+    // row, so a pre-repartition costs a full-table shuffle to win
+    // nothing (measured net-negative at sf0.1)
     val l = Tables.lineitem(spark, dir)
     c.join(o, c("c_custkey") === o("o_custkey"))
       .join(l, o("o_orderkey") === l("l_orderkey"))

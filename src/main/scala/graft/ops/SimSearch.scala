@@ -177,6 +177,65 @@ object SimSearch {
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  /** Persist the inverted file for IVF search: every corpus vector
+    * assigned to its nearest centroid, written PARTITIONED BY cell id
+    * (plus the centroid table under `<dir>/centroids`). This is the
+    * "written bucketed by cell id" deployment [[ivfTopK]]'s scaladoc
+    * promises: a probe then reads |corpus| × nProbeCells / nCells
+    * bytes — partition pruning, not a full scan (IvfIndexSpec pins
+    * PartitionFilters in the probe plan and parity with the in-memory
+    * operator). Centroid selection mirrors [[ivfTopK]] (deterministic
+    * corpus sample at [centroidFrom, centroidFrom+nCells)). */
+  def writeIvfIndex(embeddings: DataFrame, dir: String,
+      nCells: Int = 16, centroidFrom: Int = 5): Unit = {
+    val emb = normed(embeddings)
+    val centroids = emb
+      .filter(col("vec_id") >= centroidFrom && col("vec_id") < centroidFrom + nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    val simToCell = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    val cellRank = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cell_sim").desc, col("cell").asc)
+    emb.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), simToCell.as("cell_sim"))
+      .withColumn("cr", row_number().over(cellRank))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Query a persisted IVF index: rank cells per probe against the
+    * stored centroids, then scan ONLY the probed cells' partitions.
+    * The probed-cell set is metadata-sized (|probes| × nProbeCells
+    * ids), so collecting it to drive static partition pruning is a
+    * bounded driver round-trip, not a data collect — the alternative
+    * (joining on cell and relying on dynamic partition pruning) keeps
+    * the same I/O but hides the pruning decision in runtime planning.
+    * `probes`: (probe_id, embedding) frame. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes: DataFrame, k: Int = 5, nProbeCells: Int = 2): DataFrame = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val p = normed(probes.select(col("probe_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val probeCells = p.crossJoin(broadcast(centroids))
+      .select(col("probe_id"), col("pv"), col("pn"), col("cell"),
+        (dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cell_sim"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("probe_id")).orderBy(col("cell_sim").desc, col("cell").asc)))
+      .filter(col("cr") <= nProbeCells)
+      .select(col("probe_id"), col("pv"), col("pn"), col("cell"))
+    val cells = probeCells.select("cell").distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(s"$dir/cells")
+      .filter(col("cell").isin(cells: _*))
+    val sims = idx.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
+  }
+
   /** Sign-bucket LSH variant (the scale path): bucket = sign bits of the
     * first `bits` coordinates; probes only scan candidates sharing their
     * bucket. Approximate — recall measured against cosineTopK in

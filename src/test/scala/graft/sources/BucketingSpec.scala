@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Bucketed-table co-located join: with both sides bucketed (and
+  * sorted) on the join key, the sort-merge join must plan WITHOUT an
+  * Exchange on either side — the shuffle-free fact⋈fact path that
+  * carries the engine's 100 TB join posture. */
+class BucketingSpec extends SparkSuite {
+
+  test("co-bucketed sort-merge join plans with no Exchange and right results") {
+    // isolated session: broadcasts off so the join is SMJ, without
+    // racing other suites' plan assertions on the shared conf
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    val o = Tables.orders(s, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val l = Tables.lineitem(s, sf)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Bucketing.writeBucketed(o, "bkt_orders", "o_orderkey", 4)
+    Bucketing.writeBucketed(l, "bkt_lineitem", "o_orderkey", 4)
+    try {
+      val joined = Bucketing.colocatedJoin(s, "bkt_orders", "bkt_lineitem", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      assert(!plan.contains("Exchange"),
+        "co-bucketed join must not shuffle either side:\n" + plan.take(900))
+
+      // parity with the plain (shuffled) join on raw parquet
+      val expected = o.join(l, "o_orderkey").count()
+      assert(joined.count() == expected)
+      assert(expected > 0)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS bkt_orders")
+      s.sql("DROP TABLE IF EXISTS bkt_lineitem")
+    }
+  }
+}
