@@ -70,7 +70,11 @@ object SparkEntry {
     // IVF is approximate (cell pruning) → rows-only gate; recall vs the
     // brute-force top-k is bounded in LlmOpsSpec
     "q_sim_topk_ivf" -> ((s, d) => SimSearch.ivfTopK(Tables.embeddings(s, d))),
-    "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d)))
+    "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d))),
+    // the scale form (corpus-sized bucket width + 2 sign projections) —
+    // blocking differs from the oracle-mirrored fixed form → rows-only;
+    // recall properties pinned in LlmOpsSpec/PropertySpec
+    "q_embed_neardup_auto" -> ((s, d) => SimSearch.embedNearDupAuto(Tables.embeddings(s, d)))
   )
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on

@@ -128,6 +128,27 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** q_join_inner's semantics on the opt-in BUCKETED fact tables
+    * ([[graft.sources.Bucketing.registerFactTables]] must have run):
+    * the orders⋈lineitem edge — the shuffle that dominates the raw-
+    * parquet plan at scale — is joined FIRST so both bucket-sorted
+    * scans feed an exchange-free sort-merge join; the (small) customer
+    * side then attaches by broadcast or a probe-side-only shuffle.
+    * Identical result to [[joinInner]] (BucketingSpec pins parity and
+    * the no-Exchange-under-the-fact-SMJ plan shape). */
+  def joinInnerBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val o = spark.table(graft.sources.Bucketing.OrdersBkt)
+    val l = spark.table(graft.sources.Bucketing.LineitemBkt)
+    val c = Tables.customer(spark, dir)
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(20,6)"))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Left outer join: order count per customer including zero-order
     * customers (count of a null o_orderkey is 0 in both engines). */
   def joinOuter(spark: SparkSession, dir: String): DataFrame = {

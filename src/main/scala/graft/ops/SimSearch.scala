@@ -106,9 +106,23 @@ object SimSearch {
     *    oracle mirrors exactly. */
   def embedNearDup(embeddings: DataFrame, bits: Int = 8,
       threshold: Double = 0.25, rotations: Int = 1): DataFrame = {
+    // Rotation r reads dim window [r·bits, (r+1)·bits) mod d, so any
+    // rotation ≥ ⌈d/bits⌉ wraps back onto rotation 0's exact window —
+    // a full self-join pass for zero recall gain. Cap at the number of
+    // genuinely distinct windows (one 1-row probe of the embedding dim;
+    // at deployment pass the dim from the table schema/stats).
+    val effRotations =
+      if (rotations <= 1) 1
+      else embeddings.select(size(col("embedding")).as("d")).take(1) match {
+        case Array(row) => math.max(1, math.min(rotations, (row.getInt(0) + bits - 1) / bits))
+        case _ => 1 // empty corpus: any rotation count yields zero pairs
+      }
     val emb0 = normed(embeddings)
-    // multi-rotation re-reads the normed corpus once per rotation
-    val emb = if (rotations > 1) emb0.cache() else emb0
+    // multi-rotation re-reads the normed corpus once per rotation.
+    // Cache lifetime: owned by this invocation's consumer — the block
+    // lives until the session's cache is cleared (Bench/Verify clear per
+    // query; long-lived sessions should clearCache() between corpora).
+    val emb = if (effRotations > 1) emb0.cache() else emb0
     def pairsFor(rot: Int): DataFrame = {
       val e = emb.withColumn("bucket", bucketCol(bits, rot))
       val a = e.select(col("bucket"), col("vec_id").as("vec_a"),
@@ -121,12 +135,24 @@ object SimSearch {
           (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
         .filter(col("cos_sim") >= threshold)
     }
-    if (rotations <= 1) pairsFor(0)
-    else (0 until rotations).map(pairsFor).reduce(_ unionAll _)
+    if (effRotations <= 1) pairsFor(0)
+    else (0 until effRotations).map(pairsFor).reduce(_ unionAll _)
       // cos_sim is identical wherever a pair recurs — first() is exact
       .groupBy(col("vec_a"), col("vec_b"))
       .agg(first(col("cos_sim")).as("cos_sim"))
   }
+
+  /** The 100 TB form of [[embedNearDup]], declared as the rows-only query
+    * q_embed_neardup_auto: bucket width grows with the corpus
+    * ([[autoBits]]) so per-bucket membership — and the quadratic
+    * per-bucket self-join — stays bounded, and a second sign projection
+    * recovers pairs the first one splits. The corpus row count is one
+    * stats-sized driver round-trip (the same class as the IVF probed-cell
+    * list); at deployment pass it from table statistics instead. */
+  def embedNearDupAuto(embeddings: DataFrame, threshold: Double = 0.25,
+      rotations: Int = 2, targetPerBucket: Long = 1024L): DataFrame =
+    embedNearDup(embeddings, autoBits(embeddings.count(), targetPerBucket),
+      threshold, rotations)
 
   /** IVF (inverted-file) approximate top-k — the standard ANN scale path:
     * partition the corpus into Voronoi cells around centroid vectors,
@@ -141,24 +167,76 @@ object SimSearch {
     * their cells and scans only those cells' vectors. At 100 TB the
     * assigned corpus is written bucketed by cell id, so a probe reads
     * |corpus| × nProbeCells / nCells bytes instead of everything. */
-  def ivfTopK(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5,
-      nCells: Int = 16, nProbeCells: Int = 2): DataFrame = {
-    val emb = normed(embeddings)
-    // deterministic centroid sample, disjoint from the probe id range
-    val centroids = emb.filter(col("vec_id") >= nProbes && col("vec_id") < nProbes + nCells)
+  /** Deterministic centroid sample: corpus vectors with vec_id in
+    * [from, from+nCells) as (cell, cv, cn). The reproducible default the
+    * declared q_sim_topk_ivf keeps; [[trainIvfCentroids]] refines it. */
+  def sampledCentroids(embeddings: DataFrame, nCells: Int, from: Int): DataFrame =
+    normed(embeddings)
+      .filter(col("vec_id") >= from && col("vec_id") < from + nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+
+  /** Nearest-centroid assignment per corpus vector: one scan against the
+    * broadcast centroid table, argmax folded MAP-SIDE via max_by partial
+    * aggregation — the exchange carries |corpus| rows, not
+    * |corpus|·nCells (a window-rank form shuffles the full cross
+    * product). Tie-break: highest sim, then lowest cell id. */
+  private def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
     val simToCell = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
-    val cellRank = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_sim").desc, col("cell").asc)
-
-    // build: nearest centroid per corpus vector
-    val assigned = emb.crossJoin(broadcast(centroids))
+    emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"), simToCell.as("cell_sim"))
-      .withColumn("cr", row_number().over(cellRank))
-      .filter(col("cr") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell"), struct(col("cell_sim"), (-col("cell")).as("nc"))).as("cell"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+  }
 
-    // query: nProbeCells nearest cells per probe
+  /** Lloyd's k-means over the embedding corpus, as pure DataFrame ops —
+    * the offline training path [[ivfTopK]]'s scaladoc names: start from
+    * the deterministic sample, then `iters` rounds of assign-to-nearest
+    * (broadcast centroids, map-side argmax) → per-cell elementwise mean
+    * (posexplode + partial-aggregated avg, shuffle key (cell, pos)).
+    * Cells that lose every member drop out. Means are distributed double
+    * avgs (order-dependent in the last ulp) — fine for a trained model,
+    * which is why the ORACLE-facing declared query keeps the sampled
+    * form. Per-iteration results are cached and the previous iteration
+    * unpersisted; the caller owns the returned frame's lifetime. */
+  def trainIvfCentroids(embeddings: DataFrame, nCells: Int = 16,
+      iters: Int = 5, seedFrom: Int = 5): DataFrame = {
+    val emb = normed(embeddings).cache()
+    var cents = sampledCentroids(embeddings, nCells, seedFrom).cache()
+    cents.count() // materialize before the loop re-reads it per round
+    for (_ <- 1 to iters) {
+      val means = assignCells(emb, cents)
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col")).as("mv"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), x => x.getField("mv")).as("cv"))
+        .withColumn("cn", l2Norm(col("cv")))
+        .filter(col("cn") > 0)
+      val next = means.cache()
+      next.count() // cut lineage growth: each round reads a materialized table
+      cents.unpersist()
+      cents = next
+    }
+    emb.unpersist()
+    cents
+  }
+
+  /** IVF top-k with an explicit centroid table (cell, cv, cn) — from
+    * [[sampledCentroids]] or [[trainIvfCentroids]]. */
+  def ivfTopKWith(embeddings: DataFrame, centroids: DataFrame,
+      nProbes: Int = 5, k: Int = 5, nProbeCells: Int = 2): DataFrame = {
+    val emb = normed(embeddings)
+    val simToCell = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+
+    // build: nearest centroid per corpus vector (map-side argmax)
+    val assigned = assignCells(emb, centroids)
+
+    // query: nProbeCells nearest cells per probe (top-N needs the rank,
+    // but only over |probes|·nCells rows — window is fine here)
     val probeCells = emb.filter(col("vec_id") < nProbes)
       .crossJoin(broadcast(centroids))
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"),
@@ -177,6 +255,11 @@ object SimSearch {
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  def ivfTopK(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5,
+      nCells: Int = 16, nProbeCells: Int = 2): DataFrame =
+    ivfTopKWith(embeddings, sampledCentroids(embeddings, nCells, nProbes),
+      nProbes, k, nProbeCells)
+
   /** Persist the inverted file for IVF search: every corpus vector
     * assigned to its nearest centroid, written PARTITIONED BY cell id
     * (plus the centroid table under `<dir>/centroids`). This is the
@@ -188,19 +271,9 @@ object SimSearch {
     * corpus sample at [centroidFrom, centroidFrom+nCells)). */
   def writeIvfIndex(embeddings: DataFrame, dir: String,
       nCells: Int = 16, centroidFrom: Int = 5): Unit = {
-    val emb = normed(embeddings)
-    val centroids = emb
-      .filter(col("vec_id") >= centroidFrom && col("vec_id") < centroidFrom + nCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    val centroids = sampledCentroids(embeddings, nCells, centroidFrom)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    val simToCell = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
-    val cellRank = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cell_sim").desc, col("cell").asc)
-    emb.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), simToCell.as("cell_sim"))
-      .withColumn("cr", row_number().over(cellRank))
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    assignCells(normed(embeddings), centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 

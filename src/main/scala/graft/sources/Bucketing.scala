@@ -34,4 +34,20 @@ object Bucketing {
   def colocatedJoin(spark: SparkSession, leftTable: String,
       rightTable: String, key: String): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  val OrdersBkt = "graft_orders_bkt"
+  val LineitemBkt = "graft_lineitem_bkt"
+
+  /** Opt-in deployment mode: register bucket-sorted copies of the two
+    * fact tables on the order key (the engine's hottest fact⋈fact
+    * edge). A one-time write; afterwards
+    * [[graft.ops.Relational.joinInnerBucketed]] — and any other join on
+    * the order key — plans the fact edge exchange-free. Bucket count:
+    * match ≈ total-size / target-partition-size at the deployed scale
+    * (the default suits the sandbox SFs). */
+  def registerFactTables(spark: SparkSession, dir: String,
+      buckets: Int = 8): Unit = {
+    writeBucketed(Tables.orders(spark, dir), OrdersBkt, "o_orderkey", buckets)
+    writeBucketed(Tables.lineitem(spark, dir), LineitemBkt, "l_orderkey", buckets)
+  }
 }

@@ -27,13 +27,30 @@ object Tables {
     * on the parse/dedup pipelines at sf0.1). A round-robin repartition
     * of the (small) input un-starves it.
     *
-    * The probe is metadata-only: `inputFiles` comes from the file index
-    * (no RDD materialization, no job). At production scale a table has
-    * ≥ cores files/row-groups, the probe sees that, and this never adds
-    * a shuffle. */
+    * The probe is metadata-only: `inputFiles` from the file index, plus
+    * one FileSystem stat per file (only when the file COUNT alone is
+    * inconclusive). File count alone under-estimates splits for big
+    * files — a production table of a few multi-GB parquet files still
+    * splits into many `maxPartitionBytes` scan partitions — so the probe
+    * estimates planned splits as max(files, ceil(bytes/maxPartitionBytes))
+    * and only repartitions when even that is below the session's
+    * parallelism. At production scale (many files, or few huge ones)
+    * this never adds a shuffle. */
   def fanout(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.inputFiles.length < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.length >= target) return df
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      try p.getFileSystem(hconf).getFileStatus(p).getLen
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val maxPB = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estSplits = math.max(files.length, (totalBytes + maxPB - 1) / maxPB)
+    if (estSplits < target) df.repartition(target) else df
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")

@@ -98,21 +98,22 @@ object HotMediaTrackJob {
       props: java.util.Properties): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      // unquoted identifiers are case-normalized by the store (Derby/
-      // MySQL fold up/down) — probe both casings via metadata
-      val meta = conn.getMetaData
-      val exists = Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
-        val rs = meta.getTables(null, null, t, null)
-        try rs.next() finally rs.close()
-      }
-      if (exists) {
-        val st = conn.createStatement()
-        // ANSI-quoted column: Spark's JDBC writer creates columns with
-        // quoted (case-preserved) names, so an unquoted reference would
-        // case-fold past them in stores like Derby
-        try st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
-        finally st.close()
-      }
+      // Always attempt the purge, swallowing only missing-table errors
+      // (SQLState class 42: Derby 42X05, MySQL 42S02). A getTables
+      // metadata probe treats the name as a PATTERN and misses schema-
+      // qualified targets ("app.media_counts") — it would skip the
+      // DELETE while the append still lands, duplicating a replayed
+      // batch. Any other failure (lock, permission) must propagate:
+      // appending without the purge breaks idempotence silently.
+      val st = conn.createStatement()
+      // ANSI-quoted column: Spark's JDBC writer creates columns with
+      // quoted (case-preserved) names, so an unquoted reference would
+      // case-fold past them in stores like Derby
+      try st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
+      catch {
+        case e: java.sql.SQLException
+            if Option(e.getSQLState).exists(_.startsWith("42")) => () // first batch: no table yet
+      } finally st.close()
     } finally conn.close()
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("append").jdbc(url, table, props)

@@ -75,6 +75,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(r4 >= 0.2, s"recall@4-of-16-cells too low: $r4")
   }
 
+  test("ivf k-means training: trained centroids' recall ≥ sampled centroids'") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(SimSearch.cosineTopK(embDf, nProbes = 5, k = 5))
+    def recall(cents: org.apache.spark.sql.DataFrame): Double = {
+      val got = pairs(SimSearch.ivfTopKWith(embDf, cents,
+        nProbes = 5, k = 5, nProbeCells = 2))
+      (got & brute).size.toDouble / brute.size
+    }
+    val sampled = recall(SimSearch.sampledCentroids(embDf, nCells = 16, from = 5))
+    val trained = recall(SimSearch.trainIvfCentroids(embDf, nCells = 16, iters = 5))
+    // Lloyd's moves centroids toward cluster means: cells get rounder,
+    // so the fixed probe budget covers more of each probe's true
+    // neighborhood — on this fixture training must not lose recall
+    assert(trained >= sampled,
+      s"k-means-trained centroids regressed recall: $trained < $sampled")
+  }
+
   test("simhash: identical token sets → hamming 0; pairs ordered and thresholded") {
     import spark.implicits._
     val docs = Seq(
@@ -102,6 +121,30 @@ class LlmOpsSpec extends SparkSuite {
     val pairs = SimSearch.embedNearDup(embDf, bits = 2, threshold = 0.2).cache()
     assert(pairs.filter(col("vec_a") >= col("vec_b")).isEmpty)
     assert(pairs.filter(col("cos_sim") < 0.2 || col("cos_sim") > 1.0 + 1e-9).isEmpty)
+  }
+
+  test("embed near-dup auto: prefix-bucket recall ⊇ fixed 8-bit form; caps wrapped rotations") {
+    // autoBits on this corpus gives < 8 bits, and a b-bit bucket is a
+    // PREFIX of the 8-bit bucket — any pair agreeing on 8 sign bits
+    // agrees on the first b, so the auto blocking can only ADD pairs
+    // relative to the declared fixed form (and rotation 2 adds more).
+    val n = embDf.count()
+    val bitsAuto = SimSearch.autoBits(n)
+    assert(bitsAuto < 8, s"fixture corpus ($n rows) should yield coarse buckets")
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = keys(SimSearch.embedNearDup(embDf, bits = 8, threshold = 0.25))
+    val auto = keys(SimSearch.embedNearDupAuto(embDf, threshold = 0.25))
+    assert(fixed.subsetOf(auto),
+      "auto (coarser prefix buckets + extra rotation) must never lose a fixed-form pair")
+    // rotation cap: d=16-dim embeddings with bits=8 have exactly 2
+    // distinct windows; asking for 4 rotations must equal asking for 2
+    // (rotations 2,3 would wrap onto 0,1 — pure waste, same result)
+    val dim = embDf.select(size(col("embedding"))).head.getInt(0)
+    val maxRot = (dim + 7) / 8
+    val r2 = keys(SimSearch.embedNearDup(embDf, bits = 8, threshold = 0.1, rotations = maxRot))
+    val r4 = keys(SimSearch.embedNearDup(embDf, bits = 8, threshold = 0.1, rotations = maxRot + 2))
+    assert(r2 == r4, "rotations past ceil(d/bits) must be capped, not re-run")
   }
 
   test("quality scores: ratios bounded, token counts positive") {

@@ -37,4 +37,34 @@ class BucketingSpec extends SparkSuite {
       s.sql("DROP TABLE IF EXISTS bkt_lineitem")
     }
   }
+
+  test("joinInnerBucketed: fact-edge SMJ has no Exchange beneath it; parity with joinInner") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val s = spark.newSession()
+    // plain plan for subtree assertions (no AQE wrapper) and no
+    // broadcast on the fact edge so the SMJ path is what's pinned
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    Bucketing.registerFactTables(s, sf, buckets = 4)
+    try {
+      val q = graft.ops.Relational.joinInnerBucketed(s, sf)
+      val plan = q.queryExecution.executedPlan
+      val factSmj = plan.collect {
+        case j: SortMergeJoinExec if j.leftKeys.mkString.contains("o_orderkey") => j
+      }
+      assert(factSmj.nonEmpty, s"fact edge must plan as SMJ:\n${plan.toString.take(900)}")
+      assert(factSmj.head.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "bucket-sorted scans must feed the fact SMJ with no Exchange:\n" +
+          factSmj.head.toString.take(900))
+
+      val got = q.collect().map(r => (r.getString(0), math.round(r.getDouble(1)), r.getLong(2))).toSet
+      val exp = graft.ops.Relational.joinInner(s, sf).collect()
+        .map(r => (r.getString(0), math.round(r.getDouble(1)), r.getLong(2))).toSet
+      assert(got == exp, "bucketed and raw-parquet q_join_inner must agree")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${Bucketing.OrdersBkt}")
+      s.sql(s"DROP TABLE IF EXISTS ${Bucketing.LineitemBkt}")
+    }
+  }
 }
