@@ -218,13 +218,13 @@ object SparkEntry {
         |FROM documents) u WHERE t <> ''),
         |sig AS (SELECT doc_id,
         |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
-        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h1,
-        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h2,
-        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h3,
-        |min(CAST(('0x'||substr(md5('4:' || token),1,15)) AS BIGINT)) AS h4,
-        |min(CAST(('0x'||substr(md5('5:' || token),1,15)) AS BIGINT)) AS h5,
-        |min(CAST(('0x'||substr(md5('6:' || token),1,15)) AS BIGINT)) AS h6,
-        |min(CAST(('0x'||substr(md5('7:' || token),1,15)) AS BIGINT)) AS h7
+        |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
+        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
+        |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
+        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
+        |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
+        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
+        |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
         |FROM tok GROUP BY doc_id),
         |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
         |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig

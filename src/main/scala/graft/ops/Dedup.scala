@@ -54,11 +54,18 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs against per-doc sorted
     * hashed-set arrays: map-side (or sort-merge, per `mode`) set
-    * attachment, native merge-intersect count, threshold filter. */
+    * attachment, native merge-intersect count, threshold filter.
+    *
+    * `dedupAfter`: when the candidate stream may repeat a pair (LSH
+    * pipelines skip the pre-verify `distinct()` — see the rationale in
+    * [[nearDupPairs]]), dedup AFTER the threshold filter: jaccard is
+    * identical wherever a pair recurs, so a first() per pair is exact,
+    * and the shuffle carries only the (tiny) surviving result instead of
+    * the full candidate stream. */
   private def jaccardVerify(cand: DataFrame, sets: DataFrame, setCol: String,
-      threshold: Double, mode: String): DataFrame = {
+      threshold: Double, mode: String, dedupAfter: Boolean = false): DataFrame = {
     SortedLongIntersectCount.register(cand.sparkSession)
-    attachSet(attachSet(cand, sets, "doc_a", setCol, "set_a", mode),
+    val verified = attachSet(attachSet(cand, sets, "doc_a", setCol, "set_a", mode),
         sets, "doc_b", setCol, "set_b", mode)
       .select(col("doc_a"), col("doc_b"),
         // native merge-count over the sorted arrays — see the Scaladoc on
@@ -68,6 +75,9 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (dedupAfter)
+      verified.groupBy(col("doc_a"), col("doc_b")).agg(first(col("jaccard")).as("jaccard"))
+    else verified
   }
 
   /** Distinct (doc_id, token) pairs: lowercase, whitespace-split. */
@@ -90,17 +100,28 @@ object Dedup {
       .select("doc_id", "dup_cnt")
 
   /** Per-document MinHash signature: NumHashes columns h0..h7, as LONGs
-    * (the first 15 hex chars of the md5 — 60 bits, sign-safe). Longs
-    * matter for the plan: min(long) aggregates in the Tungsten hash map
-    * (HashAggregate) while min(string) falls back to sort-based
-    * aggregation (SortAggregate = sort per group-by). Fixed-width hex is
-    * lexicographically = numerically ordered, so the min picks the same
-    * token as the string form. */
+    * (15 hex chars of an md5 — 60 bits, sign-safe). Longs matter for the
+    * plan: min(long) aggregates in the Tungsten hash map (HashAggregate)
+    * while min(string) falls back to sort-based aggregation.
+    *
+    * One md5 yields 128 independent bits — enough for TWO 60-bit lanes
+    * (hex chars [1,15] and [17,31]) — so the 8 signature lanes cost 4
+    * md5 calls per (doc, token) row, not 8 (md5 dominates the signature
+    * stage: each call allocates a MessageDigest and hashes the full
+    * string). The md5 strings are materialized in a projection BEFORE
+    * the per-lane slicing so each is computed once (referencing the md5
+    * expression from both lanes would recompute it — same trap as the
+    * simhash bit-sums). Both halves are mirrored in the oracle SQL. */
   def signatures(tok: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
-      min(conv(substring(md5(concat(lit(s"$i:"), col("token"))), 1, 15), 16, 10)
-        .cast("long")).as(s"h$i"))
-    tok.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val nMd5 = NumHashes / 2
+    val withMd5 = tok.select(col("doc_id") +: (0 until nMd5).map(i =>
+      md5(concat(lit(s"$i:"), col("token"))).as(s"m$i")): _*)
+    val withLanes = withMd5.select(col("doc_id") +: (0 until NumHashes).map { i =>
+      val off = if (i % 2 == 0) 1 else 17
+      conv(substring(col(s"m${i / 2}"), off, 15), 16, 10).cast("long").as(s"h$i")
+    }: _*)
+    val aggs = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i"))
+    withLanes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
@@ -127,10 +148,16 @@ object Dedup {
 
     val left = bands.withColumnRenamed("doc_id", "doc_a")
     val right = bands.withColumnRenamed("doc_id", "doc_b")
+    // NO distinct() on the candidate stream: a pair recurs at most once
+    // per band (multiplicity ≤ nBands = 4, bounded), and deduplicating
+    // 10M+ candidate pairs is the pipeline's single biggest shuffle
+    // (measured: removing it halves the mean wall-clock at sf0.1 and
+    // removes its memory-pressure variance). The ≤4× extra verify work
+    // is map-side and parallel; jaccardVerify(dedupAfter) dedups the
+    // SURVIVING pairs — a shuffle of the result, not the candidates.
     val cand = left.join(right, Seq("band", "b0", "b1"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .distinct()
 
     // Exact-Jaccard verification over per-doc HASHED token sets:
     //  - candidate volume is quadratic in dup-cluster size (8.7M pairs at
@@ -151,7 +178,7 @@ object Dedup {
         conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("th"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("th"))).as("toks"))
-    jaccardVerify(cand, tokSets, "toks", threshold, verifyMode)
+    jaccardVerify(cand, tokSets, "toks", threshold, verifyMode, dedupAfter = true)
   }
 
   /** Document fingerprint: min-of-shingle-hashes (winnowing-style) over
@@ -214,16 +241,20 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bandval").as("bandval"))
     val left = bands.withColumnRenamed("doc_id", "doc_a")
     val right = bands.withColumnRenamed("doc_id", "doc_b")
+    // no distinct() on candidates (multiplicity ≤ 4 bands, bounded) —
+    // verify map-side, dedup only the surviving pairs; see the same
+    // rationale in nearDupPairs
     val cand = left.join(right, Seq("band", "bandval"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
-      .distinct()
     cand
       .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
       .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("hamming")).as("hamming"))
   }
 
   /** N-gram (3-token shingle) Jaccard near-dup pairs. Candidates = pairs
