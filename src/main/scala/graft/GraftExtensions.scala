@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.SortedLongIntersectCount
+import graft.functions.{DotProductDouble, SortedLongIntersectCount}
 
 /** Session-extension entry point: the standard way a cluster deploys
   * this library's custom Catalyst surface without code changes —
@@ -23,5 +23,6 @@ import graft.functions.SortedLongIntersectCount
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(SortedLongIntersectCount.descriptor)
+    ext.injectFunction(DotProductDouble.descriptor)
   }
 }

@@ -186,7 +186,8 @@ object Dedup {
     * Pure array expressions — stays inside whole-stage codegen. */
   def fingerprints(docs: DataFrame): DataFrame = {
     val shingle = 5
-    docs
+    // ~|tokens| md5 calls per doc — spread the (single-row-group) scan
+    spread(docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"),
         array_min(transform(

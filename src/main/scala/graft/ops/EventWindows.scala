@@ -48,7 +48,9 @@ object EventWindows {
     * (window, user) → top-3 per window end with the declared deterministic
     * tie-break (count desc, user_id asc — SURVEY §7.3-3). */
   def slideTopN(events: DataFrame, n: Int = 3): DataFrame = {
-    val counts = events
+    // the sliding window replicates every row into 12 panes before the
+    // partial aggregate — spread the single-row-group scan first
+    val counts = graft.sources.Tables.fanout(events)
       .filter(col("event_type") === "purchase")
       .groupBy(window(col("ts"), "1 hour", "5 minutes"), col("user_id"))
       .agg(count(lit(1)).as("cnt"))

@@ -74,14 +74,14 @@ object Relational {
 
   /** HLL sketch count. Not hash-checkable against an exact oracle —
     * registered without oracleSql (rows-only gate); RelationalSpec bounds
-    * the relative error against the exact count instead. */
+    * the relative error against an exact count it computes SEPARATELY
+    * (carrying the exact countDistinct inside the declared query would
+    * pay the full expand/two-phase distinct the sketch exists to avoid —
+    * same slimming as quantileApproxQ). */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts")
-      )
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
 
   /** ROLLUP over (nation, order year): revenue at (n,y), (n), () levels.
     * Grouping-set nulls are coalesced to sentinel values so the oracle
@@ -389,7 +389,11 @@ object Relational {
   /** Explicit GROUPING SETS (the third grouping-set form after rollup
     * and cube): per-returnflag, per-linestatus, and grand-total levels —
     * a set rollup/cube cannot express. Shared ANSI text runs through
-    * BOTH parsers (see SqlQText pattern). */
+    * BOTH parsers (see SqlQText pattern). Single-level on purpose: with
+    * a plain DOUBLE sum the ×3 Expand collapses in the map-side partial
+    * aggregate for one shuffle total — the two-level re-combination that
+    * pays off for cube/rollup's DECIMAL sums measured ~0.2 s SLOWER here
+    * (the extra stage outweighs the cheap expand). */
   val GroupingSetsQText: String =
     """SELECT coalesce(l_returnflag, 'ALL_RF') AS grp_rf,
       |coalesce(l_linestatus, 'ALL_LS') AS grp_ls,

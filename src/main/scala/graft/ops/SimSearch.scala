@@ -23,7 +23,17 @@ object SimSearch {
   private def arrSum(a: Column): Column =
     aggregate(a, lit(0.0), (acc, x) => acc + x)
 
+  /** Session-free HOF dot product — kept for composition outside a
+    * registered session; the engine's internal paths use the native
+    * codegen [[graft.functions.DotProductDouble]] (registered by
+    * [[normed]]), which is bitwise-identical (same left-to-right fold)
+    * and allocation-free. */
   def dot(a: Column, b: Column): Column = arrSum(zip_with(a, b, (x, y) => x * y))
+
+  /** Native dot product (requires DotProductDouble registered on the
+    * session — every internal path goes through [[normed]], which does). */
+  private def ndot(a: Column, b: Column): Column =
+    call_function(graft.functions.DotProductDouble.FnName, a, b)
 
   def l2Norm(a: Column): Column = sqrt(arrSum(transform(a, x => x * x)))
 
@@ -35,11 +45,13 @@ object SimSearch {
     * Spark 4's default ANSI mode the division would throw rather than
     * yield null — every consumer filters them up front (mirrored in the
     * oracle SQL). */
-  private def normed(embeddings: DataFrame): DataFrame =
+  private def normed(embeddings: DataFrame): DataFrame = {
+    graft.functions.DotProductDouble.register(embeddings.sparkSession)
     embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2Norm(col("v")))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
+  }
 
   /** Brute-force cosine top-k: probes = vec_id < nProbes, candidates =
     * whole corpus minus self. Deterministic tie-break (sim desc, id asc). */
@@ -50,7 +62,7 @@ object SimSearch {
     val sims = emb.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
+        (ndot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
@@ -132,7 +144,7 @@ object SimSearch {
       a.join(b, Seq("bucket"))
         .filter(col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),
-          (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
+          (ndot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos_sim"))
         .filter(col("cos_sim") >= threshold)
     }
     if (effRotations <= 1) pairsFor(0)
@@ -181,7 +193,7 @@ object SimSearch {
     * |corpus|·nCells (a window-rank form shuffles the full cross
     * product). Tie-break: highest sim, then lowest cell id. */
   private def assignCells(emb: DataFrame, centroids: DataFrame): DataFrame = {
-    val simToCell = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    val simToCell = ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))
     emb.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"), simToCell.as("cell_sim"))
       .groupBy(col("vec_id"))
@@ -214,7 +226,7 @@ object SimSearch {
         .groupBy(col("cell"))
         .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
         .select(col("cell"), transform(col("pm"), x => x.getField("mv")).as("cv"))
-        .withColumn("cn", l2Norm(col("cv")))
+        .withColumn("cn", sqrt(ndot(col("cv"), col("cv"))))
         .filter(col("cn") > 0)
       val next = means.cache()
       next.count() // cut lineage growth: each round reads a materialized table
@@ -230,7 +242,7 @@ object SimSearch {
   def ivfTopKWith(embeddings: DataFrame, centroids: DataFrame,
       nProbes: Int = 5, k: Int = 5, nProbeCells: Int = 2): DataFrame = {
     val emb = normed(embeddings)
-    val simToCell = dot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    val simToCell = ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))
 
     // build: nearest centroid per corpus vector (map-side argmax)
     val assigned = assignCells(emb, centroids)
@@ -249,7 +261,7 @@ object SimSearch {
     val sims = assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
+        (ndot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
@@ -292,7 +304,7 @@ object SimSearch {
       .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
     val probeCells = p.crossJoin(broadcast(centroids))
       .select(col("probe_id"), col("pv"), col("pn"), col("cell"),
-        (dot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cell_sim"))
+        (ndot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cell_sim"))
       .withColumn("cr", row_number().over(
         Window.partitionBy(col("probe_id")).orderBy(col("cell_sim").desc, col("cell").asc)))
       .filter(col("cr") <= nProbeCells)
@@ -303,7 +315,7 @@ object SimSearch {
     val sims = idx.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
+        (ndot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
@@ -322,7 +334,7 @@ object SimSearch {
     val sims = emb.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-        (dot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
+        (ndot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)

@@ -30,7 +30,7 @@ object TextOps {
   /** Corpus stats per language: doc count, whitespace/BPE token totals,
     * char stats. */
   def textStats(docs: DataFrame): DataFrame =
-    docs
+    graft.sources.Tables.fanout(docs)
       .select(col("lang"),
         nTokensWs(col("text")).cast("long").as("n_tok"),
         nTokensBpe(col("text")).cast("long").as("n_bpe"),
@@ -47,7 +47,8 @@ object TextOps {
     * density, stopword ratio, plus a composite keep/drop flag of the kind
     * a pretraining filter would apply. */
   def qualityScores(docs: DataFrame): DataFrame = {
-    val d = docs
+    // regex-heavy per-row work — spread the single-row-group scan
+    val d = graft.sources.Tables.fanout(docs)
     val nTok = nTokensWs(col("text"))
     val punct = regexp_count(lower(col("text")), lit("[^a-z0-9\\s]"))
     val stopHits = size(filter(toks(col("text")), t => t.isin(EnStopwords: _*)))
@@ -72,7 +73,7 @@ object TextOps {
     * deterministic, oracle-checkable rule.) Compares against the table's
     * labeled lang column. */
   def langId(docs: DataFrame): DataFrame = {
-    val d = docs
+    val d = graft.sources.Tables.fanout(docs)
     val stopHits = size(filter(toks(col("text")), t => t.isin(EnStopwords: _*)))
     val ratio = stopHits.cast("double") / nTokensWs(col("text"))
     d.select(col("doc_id"), col("lang"),

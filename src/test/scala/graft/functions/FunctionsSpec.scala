@@ -42,6 +42,30 @@ class FunctionsSpec extends SparkSuite {
     assert(edge.toSeq == Seq(0, 0))
   }
 
+  test("dot_double is bitwise-identical to the HOF fold it replaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    DotProductDouble.register(spark)
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(200) {
+      val d = 16
+      (Seq.fill(d)(rnd.nextDouble() * 2 - 1), Seq.fill(d)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("a", "b").select(
+      expr("dot_double(a, b)").as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("reference"))
+    // exact equality on purpose: both fold left-to-right, so not a
+    // single ulp may differ — that exactness is what keeps the
+    // similarity queries oracle-stable
+    assert(df.filter(col("fast") =!= col("reference")).isEmpty)
+    // null argument and empty-array edges
+    val edge = Seq((Some(Seq(1.0, 2.0)), None), (Some(Seq.empty[Double]), Some(Seq.empty[Double])))
+      .toDF("a", "b")
+      .select(expr("dot_double(a, b)").as("c")).collect()
+    assert(edge(0).isNullAt(0) && edge(1).getDouble(0) == 0.0)
+  }
+
   test("GraftExtensions descriptor: name, builder, and injection wiring") {
     val (ident, info, builder) = SortedLongIntersectCount.descriptor
     assert(ident.funcName == SortedLongIntersectCount.FnName)
