@@ -148,16 +148,22 @@ object Dedup {
 
     val left = bands.withColumnRenamed("doc_id", "doc_a")
     val right = bands.withColumnRenamed("doc_id", "doc_b")
-    // NO distinct() on the candidate stream: a pair recurs at most once
-    // per band (multiplicity ≤ nBands = 4, bounded), and deduplicating
-    // 10M+ candidate pairs is the pipeline's single biggest shuffle
-    // (measured: removing it halves the mean wall-clock at sf0.1 and
-    // removes its memory-pressure variance). The ≤4× extra verify work
-    // is map-side and parallel; jaccardVerify(dedupAfter) dedups the
-    // SURVIVING pairs — a shuffle of the result, not the candidates.
-    val cand = left.join(right, Seq("band", "b0", "b1"))
+    val candRaw = left.join(right, Seq("band", "b0", "b1"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
+    // Candidate dedup placement depends on the verify mode. BROADCAST
+    // verify is map-side, so carrying the raw stream (a pair recurs at
+    // most once per band, multiplicity ≤ nBands = 4, bounded) only
+    // costs parallel CPU — and dropping the 10M+-pair distinct removes
+    // the pipeline's single biggest shuffle (measured: halves the mean
+    // wall-clock at sf0.1); the surviving pairs dedup post-filter
+    // (dedupAfter), a shuffle of the RESULT. BUCKETED verify sort-merge
+    // joins the candidates twice — there the ≤4× volume multiplies two
+    // sorts (measured OOM at ScaleSmoke k=16), so dedup FIRST: the
+    // distinct shares the shuffle budget the SMJ pays anyway.
+    val (cand, dedupAfter) =
+      if (verifyMode == VerifyBucketed) (candRaw.distinct(), false)
+      else (candRaw, true)
 
     // Exact-Jaccard verification over per-doc HASHED token sets:
     //  - candidate volume is quadratic in dup-cluster size (8.7M pairs at
@@ -178,7 +184,7 @@ object Dedup {
         conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("th"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("th"))).as("toks"))
-    jaccardVerify(cand, tokSets, "toks", threshold, verifyMode, dedupAfter = true)
+    jaccardVerify(cand, tokSets, "toks", threshold, verifyMode, dedupAfter)
   }
 
   /** Document fingerprint: min-of-shingle-hashes (winnowing-style) over
