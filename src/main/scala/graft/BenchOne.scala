@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only: time a subset of SparkEntry.queries at sf0.1 with the same
-  * protocol as [[Bench]] (noop sink, cache clear between runs, min of 2).
+  * protocol as [[Bench]] (noop sink, cache clear between runs), taking
+  * the min of 3 runs (one more than Bench's min-of-2 — dev runs favor a
+  * steadier floor over wall time).
   * Usage: runMain graft.BenchOne q_dedup_ngram q_quantile [...]. */
 object BenchOne {
   def main(args: Array[String]): Unit = {

@@ -235,8 +235,8 @@ object Dedup {
     * pigeonhole: any pair differing in ≤ 3 bits agrees on ≥ 1 whole band,
     * so the result equals the full pairwise scan the oracle runs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // cached: consumed by the two band sides + the two fingerprint joins
-    // below — uncached, Spark would re-run the 32-sum aggregate for each
+    // cached: consumed by both sides of the band self-join — uncached,
+    // Spark would re-run the 32-sum fingerprint aggregate for each
     val fp = simhashFingerprints(tokens(spread(docs))).cache()
     val bandBits = SimhashBits / SimhashBands
     val bandArr = array((0 until SimhashBands).map { b =>
@@ -244,19 +244,24 @@ object Dedup {
         shiftright(col("simhash"), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("bandval"))
     }: _*)
-    val bands = fp.select(col("doc_id"), explode(bandArr).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bandval").as("bandval"))
-    val left = bands.withColumnRenamed("doc_id", "doc_a")
-    val right = bands.withColumnRenamed("doc_id", "doc_b")
+    // The 64-bit fingerprint rides the band rows (8 extra bytes/row), so
+    // hamming verification is computed INLINE on the band join's output —
+    // zero post-candidate joins. The earlier shape (candidates, then two
+    // joins back to fp for fp_a/fp_b) silently degraded at scale: once fp
+    // outgrows autoBroadcastJoinThreshold those become sort-merge joins
+    // that shuffle+sort the ≤4×-duplicated candidate stream twice.
+    val bands = fp.select(col("doc_id"), col("simhash"), explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bandval").as("bandval"))
+    val left = bands.select(col("band"), col("bandval"),
+      col("doc_id").as("doc_a"), col("simhash").as("fp_a"))
+    val right = bands.select(col("band"), col("bandval"),
+      col("doc_id").as("doc_b"), col("simhash").as("fp_b"))
     // no distinct() on candidates (multiplicity ≤ 4 bands, bounded) —
-    // verify map-side, dedup only the surviving pairs; see the same
+    // filter map-side, dedup only the surviving pairs; see the same
     // rationale in nearDupPairs
-    val cand = left.join(right, Seq("band", "bandval"))
+    left.join(right, Seq("band", "bandval"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    cand
-      .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fp_a")), "doc_a")
-      .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fp_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

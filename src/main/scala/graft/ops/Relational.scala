@@ -308,21 +308,34 @@ object Relational {
       specs.zipWithIndex.map { case ((vc, _), i) => col(vc).cast("double").as(s"v$i") }: _*)
     // one ranking column per value column, all inside one shuffle: the
     // Window operators share the partition key, so Catalyst plans a
-    // single Exchange followed by per-column in-place sorts. The group
-    // size rides the same exchange as an order-free count window (no
-    // extra sort, no extra stage — a groupBy+rejoin form measured ~0.3 s
-    // slower at sf0.1 purely in stage overhead).
+    // single Exchange followed by per-column in-place sorts. The counts
+    // ride the same exchange as order-free windows (no extra sort, no
+    // extra stage — a groupBy+rejoin form measured ~0.3 s slower at
+    // sf0.1 purely in stage overhead).
+    //
+    // Nulls: Spark's ascending sort places them FIRST, so subtracting
+    // the group's per-column null count gives non-null values idx
+    // 0..cnt-1 and null rows a negative idx that matches no branch
+    // below — the same skip-nulls-per-column semantics as the builtin
+    // percentile and DuckDB's quantile_cont.
+    val grp = Window.partitionBy(col(groupCol))
     val ranked = specs.indices.foldLeft(vals) { (acc, i) =>
-      val w = Window.partitionBy(col(groupCol)).orderBy(col(s"v$i"))
-      acc.withColumn(s"idx$i", row_number().over(w).cast("double") - 1)
-    }.withColumn("m", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      val w = grp.orderBy(col(s"v$i"))
+      acc.withColumn(s"cnt$i", count(col(s"v$i")).over(grp).cast("double"))
+        .withColumn(s"idx$i", row_number().over(w).cast("double") - 1
+          - (count(lit(1)).over(grp).cast("double") - col(s"cnt$i")))
+    }
     val aggs = specs.zipWithIndex.flatMap { case ((_, ps), i) =>
       ps.map { case (p, name) =>
-        val pos = lit(p) * (col("m") - 1).cast("double")
+        val pos = lit(p) * (col(s"cnt$i") - 1)
         val lo = floor(pos)
         val hi = ceil(pos)
         sum(
-          when(col(s"idx$i") === lo && lo === hi, col(s"v$i"))
+          // all-null column in a group: every term null → sum() = null,
+          // matching the builtin (sum ignores the 0.0 of other branches
+          // only when at least one non-null term exists — here none do)
+          when(col(s"cnt$i") === 0, lit(null).cast("double"))
+            .when(col(s"idx$i") === lo && lo === hi, col(s"v$i"))
             .when(col(s"idx$i") === lo, col(s"v$i") * (hi - pos))
             .when(col(s"idx$i") === hi, col(s"v$i") * (pos - lo))
             .otherwise(lit(0.0))
@@ -336,9 +349,8 @@ object Relational {
     * [[exactPercentiles]]) so no plan node buffers a whole group in one
     * task's memory. Matches DuckDB's `quantile_cont` bit-for-bit. Both
     * value columns ride one scan + one shuffle; each gets its own
-    * in-partition sort. (The fused form assumes non-null value columns,
-    * which holds for every generator table; per-column null semantics
-    * would need one branch per column.) At scale prefer
+    * in-partition sort, with per-column skip-nulls semantics matching
+    * the builtin (null-count-adjusted ranks). At scale prefer
     * [[quantileApproxQ]] — sketches beat any exact form — but when exact
     * is required, this is the shape that survives. */
   def quantileQ(spark: SparkSession, dir: String): DataFrame =

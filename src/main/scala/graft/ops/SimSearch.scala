@@ -70,13 +70,15 @@ object SimSearch {
 
   /** Sign-projection bucket column for rotation `rot`: bit i is the sign
     * of dimension (rot·bits + i) mod d. Rotation 0 reads the first `bits`
-    * dims (the declared, oracle-mirrored default); further rotations read
-    * disjoint dim windows, giving independent blocking views. */
+    * dims (the declared, oracle-mirrored default — pmod(i, d) = i there);
+    * further rotations read shifted dim windows, giving independent
+    * blocking views. Every index is pmod'd against the row's own dim, so
+    * bits > d (possible when [[autoBits]] outgrows a narrow embedding)
+    * wraps into duplicate bucket chars instead of an ANSI
+    * ArrayIndexOutOfBounds on element_at. */
   private def bucketCol(bits: Int, rot: Int): Column =
     concat((0 until bits).map { i =>
-      val idx: Column =
-        if (rot == 0) lit(i + 1)
-        else pmod(lit(rot * bits + i), size(col("v"))) + 1
+      val idx = pmod(lit(rot * bits + i), size(col("v"))) + 1
       when(element_at(col("v"), idx) > 0, lit("1")).otherwise(lit("0"))
     }: _*)
 
@@ -118,18 +120,25 @@ object SimSearch {
     *    oracle mirrors exactly. */
   def embedNearDup(embeddings: DataFrame, bits: Int = 8,
       threshold: Double = 0.25, rotations: Int = 1): DataFrame = {
-    // Rotation r reads dim window [r·bits, (r+1)·bits) mod d, so any
-    // rotation ≥ ⌈d/bits⌉ wraps back onto rotation 0's exact window —
-    // a full self-join pass for zero recall gain. Cap at the number of
-    // genuinely distinct windows (one 1-row probe of the embedding dim;
-    // at deployment pass the dim from the table schema/stats).
+    val emb0 = normed(embeddings)
+    // Rotation r reads dim window starting at r·bits mod d, so window
+    // starts repeat with period d/gcd(d, bits) — rotations beyond that
+    // re-run rotation 0's exact window for zero recall gain (when
+    // bits ∤ d the period exceeds ⌈d/bits⌉: d=20, bits=8 gives 5
+    // distinct windows, not 3). Cap there. The dim probe is one
+    // stats-sized aggregate over the NORMED frame (null / zero-norm
+    // vectors already dropped) and min() makes it deterministic under
+    // mixed dims; at deployment pass the dim from the table schema.
     val effRotations =
       if (rotations <= 1) 1
-      else embeddings.select(size(col("embedding")).as("d")).take(1) match {
-        case Array(row) => math.max(1, math.min(rotations, (row.getInt(0) + bits - 1) / bits))
-        case _ => 1 // empty corpus: any rotation count yields zero pairs
+      else {
+        val d = emb0.agg(min(size(col("v")))).first() match {
+          case r if r.isNullAt(0) => 0 // empty corpus: one no-op pass
+          case r => r.getInt(0)
+        }
+        if (d <= 0) 1
+        else math.max(1, math.min(rotations, d / BigInt(d).gcd(BigInt(bits)).toInt))
       }
-    val emb0 = normed(embeddings)
     // multi-rotation re-reads the normed corpus once per rotation.
     // Cache lifetime: owned by this invocation's consumer — the block
     // lives until the session's cache is cleared (Bench/Verify clear per
@@ -216,7 +225,14 @@ object SimSearch {
   def trainIvfCentroids(embeddings: DataFrame, nCells: Int = 16,
       iters: Int = 5, seedFrom: Int = 5): DataFrame = {
     val emb = normed(embeddings).cache()
-    var cents = sampledCentroids(embeddings, nCells, seedFrom).cache()
+    // seed = the same deterministic sample sampledCentroids picks, but
+    // filtered out of the already-normed (cached) frame — deriving it
+    // via sampledCentroids(embeddings, ...) would re-scan and re-norm
+    // the raw corpus once per training call for nCells rows
+    var cents = emb
+      .filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+      .cache()
     cents.count() // materialize before the loop re-reads it per round
     for (_ <- 1 to iters) {
       val means = assignCells(emb, cents)

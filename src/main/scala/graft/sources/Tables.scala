@@ -27,29 +27,40 @@ object Tables {
     * on the parse/dedup pipelines at sf0.1). A round-robin repartition
     * of the (small) input un-starves it.
     *
-    * The probe is metadata-only: `inputFiles` from the file index, plus
-    * one FileSystem stat per file (only when the file COUNT alone is
-    * inconclusive). File count alone under-estimates splits for big
-    * files — a production table of a few multi-GB parquet files still
-    * splits into many `maxPartitionBytes` scan partitions — so the probe
-    * estimates planned splits as max(files, ceil(bytes/maxPartitionBytes))
-    * and only repartitions when even that is below the session's
-    * parallelism. At production scale (many files, or few huge ones)
-    * this never adds a shuffle. */
+    * The probe is metadata-only: `inputFiles` from the file index; when
+    * the file COUNT alone is inconclusive (fewer files than cores), one
+    * FileSystem stat + one parquet footer read per file. Per file the
+    * number of scan tasks that actually CARRY rows is
+    * min(rowGroups, byteSplits): byte splits alone over-estimate (a
+    * multi-GB single-row-group file yields many `maxPartitionBytes`
+    * slices, but every slice except the one holding a row-group midpoint
+    * reads zero rows — the exact starvation fanout exists to fix), and
+    * row groups alone over-estimate too (one split packs many small row
+    * groups). Non-parquet files fall back to byte splits, which do carry
+    * rows there (line-splittable formats). At production file counts the
+    * probe exits on `files.length` and never reads a footer nor adds a
+    * shuffle. */
   def fanout(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
     if (files.length >= target) return df
     val hconf = spark.sparkContext.hadoopConfiguration
-    val totalBytes = files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      try p.getFileSystem(hconf).getFileStatus(p).getLen
-      catch { case _: java.io.IOException => 0L }
-    }.sum
     val maxPB = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    val estSplits = math.max(files.length, (totalBytes + maxPB - 1) / maxPB)
+    val estSplits = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val byteSplits =
+        try math.max(1L, (p.getFileSystem(hconf).getFileStatus(p).getLen + maxPB - 1) / maxPB)
+        catch { case _: java.io.IOException => 1L }
+      val rowGroups =
+        try {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+          try r.getRowGroups.size().toLong finally r.close()
+        } catch { case _: Exception => byteSplits }
+      math.min(rowGroups, byteSplits)
+    }.sum
     if (estSplits < target) df.repartition(target) else df
   }
 

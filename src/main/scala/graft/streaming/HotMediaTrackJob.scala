@@ -98,21 +98,24 @@ object HotMediaTrackJob {
       props: java.util.Properties): Unit = {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      // Always attempt the purge, swallowing only missing-table errors
-      // (SQLState class 42: Derby 42X05, MySQL 42S02). A getTables
-      // metadata probe treats the name as a PATTERN and misses schema-
-      // qualified targets ("app.media_counts") — it would skip the
-      // DELETE while the append still lands, duplicating a replayed
-      // batch. Any other failure (lock, permission) must propagate:
-      // appending without the purge breaks idempotence silently.
+      // Always attempt the purge, swallowing ONLY missing-table errors
+      // (Derby 42X05, MySQL/SQL-Server 42S02, Postgres 42P01). A
+      // getTables metadata probe treats the name as a PATTERN and
+      // misses schema-qualified targets ("app.media_counts") — it would
+      // skip the DELETE while the append still lands, duplicating a
+      // replayed batch. Any other failure — including OTHER class-42
+      // states like missing column (42X04/42S22) or revoked DELETE
+      // privilege (42000/42500) — must propagate: appending without
+      // the purge breaks idempotence silently.
       val st = conn.createStatement()
+      val missingTableStates = Set("42X05", "42S02", "42P01")
       // ANSI-quoted column: Spark's JDBC writer creates columns with
       // quoted (case-preserved) names, so an unquoted reference would
       // case-fold past them in stores like Derby
       try st.executeUpdate(s"""DELETE FROM $table WHERE "batch_id" = $batchId""")
       catch {
         case e: java.sql.SQLException
-            if Option(e.getSQLState).exists(_.startsWith("42")) => () // first batch: no table yet
+            if missingTableStates(Option(e.getSQLState).getOrElse("")) => () // first batch: no table yet
       } finally st.close()
     } finally conn.close()
     batch.withColumn("batch_id", lit(batchId))

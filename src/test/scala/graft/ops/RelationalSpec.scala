@@ -140,6 +140,31 @@ class RelationalSpec extends SparkSuite {
       "semi/anti join types must survive planning")
   }
 
+  test("exact quantile plans sort-based: window ranks, no percentile buffer aggregate") {
+    val q = Relational.quantileQ(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the builtin `percentile` funnels each group's full distribution
+    // into one task's in-memory value→count map — the first thing to
+    // OOM on a skewed group at 100× scale. The sort-based form's heavy
+    // operator is Window over a spillable external sort.
+    assert(!plan.contains("percentile"),
+      s"exact quantile must not use the buffering percentile aggregate:\n${plan.take(600)}")
+    assert(plan.contains("Window"), s"expected window-rank plan:\n${plan.take(600)}")
+    // and it must still agree with the buffering builtin to the last ulp
+    import org.apache.spark.sql.functions.{col, expr}
+    val builtin = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    q.collect().foreach { r =>
+      val (m, p95, mp) = builtin(r.getString(0))
+      assert(r.getDouble(1) == m && r.getDouble(2) == p95 && r.getDouble(3) == mp,
+        s"sort-based percentiles must equal the builtin bitwise for ${r.getString(0)}")
+    }
+  }
+
   test("approx_percentile within 5% of exact median") {
     // exact medians from the declared exact-percentile query — the
     // comparison lives here so the declared sketch query stays O(sketch)
