@@ -315,10 +315,22 @@ object Dedup {
     // produce no explode rows, so they never enter cand — same result as
     // filtering them out, without a filter.
     val shf = shSets.select(col("doc_id"), explode(col("shs")).as("shingle"))
-    val cand = shf.as("a").join(shf.as("b"),
+    val candRaw = shf.as("a").join(shf.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    jaccardVerify(cand, shSets, "shs", threshold, verifyMode)
+    // Same candidate-dedup placement rule as nearDupPairs, different
+    // multiplicity bound: here a pair recurs once per SHARED RARE
+    // SHINGLE (measured 1.27M raw vs 1.13M distinct at sf0.1, ≈1.1×;
+    // adversarially it reaches the smaller doc's set size — a corpus
+    // dominated by true near-dup clusters pushes broadcast mode toward
+    // redundant verifies, but those pairs are exactly the ones the df
+    // cap and the tiny survivor dedup keep cheap). Broadcast verify:
+    // keep the raw stream map-side, skip the 1M+-row distinct shuffle,
+    // dedup survivors. Bucketed verify: dedup FIRST so the two SMJ
+    // sorts don't pay the duplicated volume.
+    val (cand, dedupAfter) =
+      if (verifyMode == VerifyBucketed) (candRaw.distinct(), false)
+      else (candRaw, true)
+    jaccardVerify(cand, shSets, "shs", threshold, verifyMode, dedupAfter)
   }
 }

@@ -325,6 +325,20 @@ object Relational {
         .withColumn(s"idx$i", row_number().over(w).cast("double") - 1
           - (count(lit(1)).over(grp).cast("double") - col(s"cnt$i")))
     }
+    // Only straddling rows (idx = ⌊pos⌋ or ⌈pos⌉ for some percentile)
+    // carry non-zero terms — ≤ 2·percentiles rows per group — so filter
+    // the rest out BEFORE the aggregate: the hash-agg then updates 6
+    // sum buffers on a handful of rows instead of every input row, and
+    // the agg exchange carries only those survivors. The all-null-column
+    // disjunct (cnt = 0) keeps such groups alive so their sum still
+    // yields the builtin's null.
+    val contributes = specs.zipWithIndex.flatMap { case ((_, ps), i) =>
+      val nullCol = col(s"cnt$i") === 0
+      ps.flatMap { case (p, _) =>
+        val pos = lit(p) * (col(s"cnt$i") - 1)
+        Seq(col(s"idx$i") === floor(pos), col(s"idx$i") === ceil(pos))
+      } :+ nullCol
+    }.reduce(_ || _)
     val aggs = specs.zipWithIndex.flatMap { case ((_, ps), i) =>
       ps.map { case (p, name) =>
         val pos = lit(p) * (col(s"cnt$i") - 1)
@@ -342,7 +356,7 @@ object Relational {
         ).as(name)
       }
     }
-    ranked.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    ranked.filter(contributes).groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact percentiles (median + p95) per group, computed sort-based (see

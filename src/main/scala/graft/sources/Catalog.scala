@@ -11,9 +11,20 @@ object Catalog {
   val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Idempotence guard: registration reads every table's parquet footer
+  // (~0.7 s for 10 tables), so repeated calls against the SAME dir — the
+  // common case: every SQL-surface query calls registerAll — skip it.
+  // A dir change (tests hop between scale factors) re-registers, since
+  // the existing views point at the previous dir's files. Keyed weakly
+  // per session so stopped sessions don't pin the map.
+  private val lastDir =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String])
+
   def registerAll(spark: SparkSession, dir: String): Unit =
-    tables.foreach {
-      case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
-      case t => Tables.read(spark, dir, t).createOrReplaceTempView(t)
-    }
+    if (lastDir.put(spark, dir) != dir)
+      tables.foreach {
+        case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
+        case t => Tables.read(spark, dir, t).createOrReplaceTempView(t)
+      }
 }
