@@ -302,7 +302,7 @@ object Relational {
     * group key, then Spark's spillable external sort — instead of the
     * builtin percentile's per-group in-memory value→count map, which is
     * the first thing to OOM on a 100×-scale high-cardinality group. */
-  private def exactPercentiles(df: DataFrame, groupCol: String,
+  private[ops] def exactPercentiles(df: DataFrame, groupCol: String,
       specs: Seq[(String, Seq[(Double, String)])]): DataFrame = {
     val vals = df.select(col(groupCol) +:
       specs.zipWithIndex.map { case ((vc, _), i) => col(vc).cast("double").as(s"v$i") }: _*)

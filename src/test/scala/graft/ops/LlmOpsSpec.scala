@@ -147,6 +147,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(r2 == r4, "rotations past ceil(d/bits) must be capped, not re-run")
   }
 
+  test("rotation cap is d/gcd(d,bits): bits ∤ d windows are kept, bits > d is safe") {
+    import spark.implicits._
+    // d=20, bits=8: windows start at 0,8,16,4,12 — five DISTINCT windows
+    // (period d/gcd = 20/4 = 5), where a ceil(d/bits)=3 cap would stop
+    // at rotation 2. This pair differs in sign only at dims 0 and 12,
+    // which land in the windows of rotations 0 (0..7), 1 (8..15),
+    // 2 (16..19,0..3) and 4 (12..19) — rotation 3 (4..11) is the ONLY
+    // projection that buckets them together.
+    val base = Array.fill(20)(1.0f)
+    val flipped = base.clone(); flipped(0) = -0.1f; flipped(12) = -0.1f
+    val emb20 = Seq((1L, base.toSeq), (2L, flipped.toSeq)).toDF("vec_id", "embedding")
+    def found(rotations: Int): Boolean =
+      SimSearch.embedNearDup(emb20, bits = 8, threshold = 0.25, rotations = rotations)
+        .count() > 0
+    assert(!found(3), "rotations 0-2 must all miss the pair (fixture sanity)")
+    assert(found(5),
+      "rotation 3 is a genuinely distinct window when bits does not divide d — " +
+        "a ceil(d/bits) cap would silently discard it")
+    // bits wider than the embedding dim must wrap (duplicate chars), not
+    // throw ANSI ArrayIndexOutOfBounds — the autoBits-outgrows-narrow-
+    // embedding case at large corpus sizes
+    val wide = SimSearch.signBuckets(embDf, bits = 40).cache()
+    assert(wide.count() > 0 && wide.select(length(col("bucket"))).head.getInt(0) == 40)
+  }
+
   test("quality scores: ratios bounded, token counts positive") {
     val q = TextOps.qualityScores(docsDf).cache()
     assert(q.filter(col("n_tokens") <= 0).isEmpty)

@@ -165,6 +165,30 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("exact percentiles skip nulls per column like the builtin") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    // g=a: x has a null mid-distribution, y is clean; g=b: y entirely
+    // null. The sort-based form must agree with the builtin percentile
+    // on every cell, including the all-null → null case.
+    val df = Seq[(String, java.lang.Double, java.lang.Double)](
+      ("a", 1.0, 10.0), ("a", null, 20.0), ("a", 2.0, 30.0), ("a", 100.0, 40.0),
+      ("b", 5.0, null), ("b", 7.0, null), ("b", 6.0, null)
+    ).toDF("g", "x", "y")
+    val got = Relational.exactPercentiles(df, "g",
+        Seq("x" -> Seq(0.5 -> "med_x", 0.95 -> "p95_x"), "y" -> Seq(0.5 -> "med_y")))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    val want = df.groupBy(col("g"))
+      .agg(expr("percentile(x, 0.5)").as("med_x"),
+        expr("percentile(x, 0.95)").as("p95_x"),
+        expr("percentile(y, 0.5)").as("med_y"))
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got == want,
+      s"null-bearing percentiles must match the builtin exactly: got=$got want=$want")
+  }
+
   test("approx_percentile within 5% of exact median") {
     // exact medians from the declared exact-percentile query — the
     // comparison lives here so the declared sketch query stays O(sketch)
