@@ -53,6 +53,45 @@ object MultiModal {
     ) ++ frameCols: _*)
   }
 
+  /** Output row of the resize stage: payload re-encoded at the target
+    * geometry, metadata updated to match. */
+  case class MMResized(doc_id: Long, payload: Array[Byte],
+      width: Int, height: Int, channels: Int, format: String)
+
+  /** Resize over the binary column — the remaining step of the
+    * decode/feature-extract/resize/frame-sample quartet. Same
+    * `mapPartitions` contract as [[decodeFeatures]] (per-partition codec
+    * init, payloads never leave their partition).
+    *
+    * STUB: a real implementation decodes, rescales, and re-encodes;
+    * absent codecs, the fake "resample" keeps every stride-th byte so
+    * the output length tracks the target/source area ratio
+    * deterministically. The schema (binary out + updated metadata) and
+    * the map-side-only plan are the real contract. */
+  def resize(docs: DataFrame, width: Int, height: Int): Dataset[MMResized] = {
+    withPayload(docs)
+      .select(col("doc_id"), col("payload"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        col("meta.channels").as("c"))
+      .as[(Long, Array[Byte], Int, Int, Int)](Encoders.tuple(
+        Encoders.scalaLong, Encoders.BINARY,
+        Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaInt))
+      .mapPartitions { rows =>
+        // per-partition init of the (stubbed) codec would go here
+        rows.map { case (id, bytes, w, h, c) =>
+          val srcArea = math.max(1L, w.toLong * h)
+          val stride = math.max(1L, srcArea / math.max(1L, width.toLong * height))
+          val out = new Array[Byte](((bytes.length + stride - 1) / stride).toInt)
+          var i = 0
+          while (i < out.length) {
+            out(i) = bytes((i * stride).toInt)
+            i += 1
+          }
+          MMResized(id, out, width, height, c, "raw")
+        }
+      }(Encoders.product[MMResized])
+  }
+
   /** Output row of the decode/feature-extract stage. */
   case class MMFeature(doc_id: Long, n_bytes: Int, mean_byte: Double,
       hist: Array[Long])

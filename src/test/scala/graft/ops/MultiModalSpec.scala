@@ -33,6 +33,19 @@ class MultiModalSpec extends SparkSuite {
     assert(f0.length == 16 && f0.matches("[0-9A-F]+"))
   }
 
+  test("resize stub: output length tracks area ratio, metadata updated, map-side only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val resized = MultiModal.resize(docs, 64, 48).cache()
+    assert(resized.count() == docs.count())
+    val r = resized.head()
+    assert(r.width == 64 && r.height == 48 && r.format == "raw")
+    assert(r.payload.nonEmpty, "resampled payload must be non-empty for non-empty input")
+    // payloads must never shuffle: the plan is scan → project → map,
+    // with no Exchange anywhere
+    val plan = resized.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"resize must be map-side only:\n$plan")
+  }
+
   test("metadata-only projection prunes text out of the parquet scan") {
     val df = MultiModal.withPayload(spark.read.parquet(s"$sf/documents.parquet"))
       .select("doc_id", "meta")
