@@ -318,19 +318,16 @@ object Dedup {
     val candRaw = shf.as("a").join(shf.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    // Same candidate-dedup placement rule as nearDupPairs, different
-    // multiplicity bound: here a pair recurs once per SHARED RARE
-    // SHINGLE (measured 1.27M raw vs 1.13M distinct at sf0.1, ≈1.1×;
-    // adversarially it reaches the smaller doc's set size — a corpus
-    // dominated by true near-dup clusters pushes broadcast mode toward
-    // redundant verifies, but those pairs are exactly the ones the df
-    // cap and the tiny survivor dedup keep cheap). Broadcast verify:
-    // keep the raw stream map-side, skip the 1M+-row distinct shuffle,
-    // dedup survivors. Bucketed verify: dedup FIRST so the two SMJ
-    // sorts don't pay the duplicated volume.
-    val (cand, dedupAfter) =
-      if (verifyMode == VerifyBucketed) (candRaw.distinct(), false)
-      else (candRaw, true)
-    jaccardVerify(cand, shSets, "shs", threshold, verifyMode, dedupAfter)
+    // UNLIKE nearDupPairs, the candidate distinct stays in BOTH verify
+    // modes: minhash's multiplicity is bounded by the band count (≤ 4,
+    // so redundant map-side verifies are a constant factor), but here a
+    // pair recurs once per SHARED RARE SHINGLE — two near-identical
+    // 10k-shingle documents would be verified 10k times at O(set size)
+    // each, turning O(s) per pair into O(s²) exactly on the near-dup-
+    // heavy corpora this operator exists for. The distinct's shuffle is
+    // partial-aggregated map-side (measured ≈1.1× amplification at
+    // sf0.1, but unbounded adversarially), so dedup-first is the shape
+    // that survives 100 TB.
+    jaccardVerify(candRaw.distinct(), shSets, "shs", threshold, verifyMode)
   }
 }

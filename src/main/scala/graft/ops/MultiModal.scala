@@ -64,10 +64,11 @@ object MultiModal {
     * init, payloads never leave their partition).
     *
     * STUB: a real implementation decodes, rescales, and re-encodes;
-    * absent codecs, the fake "resample" keeps every stride-th byte so
-    * the output length tracks the target/source area ratio
-    * deterministically. The schema (binary out + updated metadata) and
-    * the map-side-only plan are the real contract. */
+    * absent codecs, the fake "resample" is nearest-neighbor over the
+    * raw bytes, so the output length is round(len · targetArea/srcArea)
+    * for BOTH down- and up-scaling (fractional ratios included). The
+    * schema (binary out + updated metadata) and the map-side-only plan
+    * are the real contract. */
   def resize(docs: DataFrame, width: Int, height: Int): Dataset[MMResized] = {
     withPayload(docs)
       .select(col("doc_id"), col("payload"),
@@ -79,12 +80,13 @@ object MultiModal {
       .mapPartitions { rows =>
         // per-partition init of the (stubbed) codec would go here
         rows.map { case (id, bytes, w, h, c) =>
-          val srcArea = math.max(1L, w.toLong * h)
-          val stride = math.max(1L, srcArea / math.max(1L, width.toLong * height))
-          val out = new Array[Byte](((bytes.length + stride - 1) / stride).toInt)
+          val ratio = (width.toDouble * height) / math.max(1L, w.toLong * h)
+          val outLen =
+            if (bytes.length == 0) 0 else math.max(1, math.round(bytes.length * ratio).toInt)
+          val out = new Array[Byte](outLen)
           var i = 0
-          while (i < out.length) {
-            out(i) = bytes((i * stride).toInt)
+          while (i < outLen) {
+            out(i) = bytes(math.min(bytes.length - 1, (i / ratio).toInt))
             i += 1
           }
           MMResized(id, out, width, height, c, "raw")

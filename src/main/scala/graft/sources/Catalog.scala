@@ -16,15 +16,22 @@ object Catalog {
   // common case: every SQL-surface query calls registerAll — skip it.
   // A dir change (tests hop between scale factors) re-registers, since
   // the existing views point at the previous dir's files. Keyed weakly
-  // per session so stopped sessions don't pin the map.
-  private val lastDir =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, String])
+  // per session so stopped sessions don't pin the map. The memo is
+  // written only AFTER all 10 views registered (a mid-loop failure — a
+  // missing/corrupt file — must leave the memo unset so a retry
+  // re-registers instead of silently serving half-switched views), and
+  // the whole check+register runs under one lock so a concurrent caller
+  // can't observe the memo before the views exist. Registration is rare
+  // and driver-side; the coarse lock costs nothing.
+  private val lastDir = new java.util.WeakHashMap[SparkSession, String]
 
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    if (lastDir.put(spark, dir) != dir)
+  def registerAll(spark: SparkSession, dir: String): Unit = lastDir.synchronized {
+    if (lastDir.get(spark) != dir) {
       tables.foreach {
         case "events" => Tables.events(spark, dir).createOrReplaceTempView("events")
         case t => Tables.read(spark, dir, t).createOrReplaceTempView(t)
       }
+      lastDir.put(spark, dir)
+    }
+  }
 }

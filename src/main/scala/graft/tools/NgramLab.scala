@@ -1,17 +1,16 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev-only stage profiler for ngramJaccardPairs. */
+/** Dev-only stage profiler for ngramJaccardPairs. The staged frames
+  * below copy the pipeline's plans verbatim, so their cached results
+  * WOULD be picked up by the end-to-end runs through the CacheManager's
+  * canonicalized-plan matching — the cache is cleared before each
+  * end-to-end measurement so "fresh" means fresh. */
 object NgramLab {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    graft.Engine.tune(spark)
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Lab.session()
+    val dir = Lab.sfDir
     import graft.ops.Dedup
     val docs = graft.sources.Tables.documents(spark, dir)
     def time[A](label: String)(f: => A): A = {
@@ -45,12 +44,12 @@ object NgramLab {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     time("cand")(println("  cand=" + cand.count()))
-    time("full end-to-end (fresh)")(
-      Dedup.ngramJaccardPairs(graft.sources.Tables.documents(spark, dir))
-        .write.format("noop").mode("overwrite").save())
-    time("full again")(
-      Dedup.ngramJaccardPairs(graft.sources.Tables.documents(spark, dir))
-        .write.format("noop").mode("overwrite").save())
+    spark.sharedState.cacheManager.clearCache()
+    time("full end-to-end (fresh)")(Lab.noop(
+      Dedup.ngramJaccardPairs(graft.sources.Tables.documents(spark, dir))))
+    spark.sharedState.cacheManager.clearCache()
+    time("full again (fresh)")(Lab.noop(
+      Dedup.ngramJaccardPairs(graft.sources.Tables.documents(spark, dir))))
     spark.stop()
   }
 }

@@ -1,27 +1,20 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev-only microscope for the per-query fixed floor: splits each named
-  * query's wall time into plan (analysis+optimization+physical planning)
-  * vs execute (noop write), min of 3 each, on the Bench session config.
+  * query's wall time into build (DataFrame construction + analysis),
+  * plan (optimization + physical planning), and exec (noop write), min
+  * of 3 each, on the Bench session config.
   * Usage: runMain graft.tools.Probe q_agg_group q_quantile [...] */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    graft.Engine.tune(spark)
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Lab.session()
+    val sfDir = Lab.sfDir
     def ms[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e6)
     }
     // warmup
     Seq("q_scalar", "q_agg_group").foreach { n =>
-      graft.SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      Lab.noop(graft.SparkEntry.queries(n)(spark, sfDir))
       spark.sharedState.cacheManager.clearCache()
     }
     args.foreach { name =>
@@ -29,7 +22,7 @@ object Probe {
       val runs = (1 to 3).map { _ =>
         val (df, tBuild) = ms(fn(spark, sfDir))
         val (_, tPlan) = ms(df.queryExecution.executedPlan)
-        val (_, tExec) = ms(df.write.format("noop").mode("overwrite").save())
+        val (_, tExec) = ms(Lab.noop(df))
         spark.sharedState.cacheManager.clearCache()
         (tBuild, tPlan, tExec)
       }

@@ -33,13 +33,28 @@ class MultiModalSpec extends SparkSuite {
     assert(f0.length == 16 && f0.matches("[0-9A-F]+"))
   }
 
-  test("resize stub: output length tracks area ratio, metadata updated, map-side only") {
+  test("resize stub: output length tracks area ratio both ways, map-side only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val resized = MultiModal.resize(docs, 64, 48).cache()
     assert(resized.count() == docs.count())
     val r = resized.head()
     assert(r.width == 64 && r.height == 48 && r.format == "raw")
     assert(r.payload.nonEmpty, "resampled payload must be non-empty for non-empty input")
+    // the stub's contract: |out| = round(|in| · targetArea/srcArea),
+    // for fractional DOWN-scale and for UP-scale alike
+    val src = MultiModal.withPayload(docs)
+      .select(col("doc_id"), length(col("payload")).as("len"),
+        (col("meta.width").cast("long") * col("meta.height")).as("area"))
+      .collect().map(row => row.getLong(0) -> (row.getInt(1), row.getLong(2))).toMap
+    def checkRatio(tw: Int, th: Int): Unit =
+      MultiModal.resize(docs, tw, th).collect().foreach { rr =>
+        val (len, area) = src(rr.doc_id)
+        val want = math.max(1, math.round(len * (tw.toDouble * th) / area).toInt)
+        assert(rr.payload.length == want,
+          s"doc ${rr.doc_id}: |out|=${rr.payload.length}, want $want (len=$len area=$area)")
+      }
+    checkRatio(64, 48)    // downscale
+    checkRatio(1024, 768) // upscale past every fixture geometry
     // payloads must never shuffle: the plan is scan → project → map,
     // with no Exchange anywhere
     val plan = resized.queryExecution.executedPlan.toString
