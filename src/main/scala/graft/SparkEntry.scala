@@ -65,6 +65,7 @@ object SparkEntry {
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
     // IVF is approximate (cell pruning) → rows-only gate; recall vs the
@@ -315,6 +316,12 @@ object SparkEntry {
         |/ len(regexp_split_to_array(lower(trim(text)), '\s+')) >= 0.05
         |THEN 'en' ELSE 'unknown' END AS pred_lang FROM documents) t
         |GROUP BY lang, pred_lang""".stripMargin,
+    "q_top_tokens" ->
+      """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df_docs
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |FROM documents) t
+        |WHERE token <> '' GROUP BY token
+        |ORDER BY df_docs DESC, token ASC LIMIT 20""".stripMargin,
     "q_sim_topk" ->
       """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -43,6 +43,24 @@ object TextOps {
         avg("n_chars").as("avg_chars"),
         max("n_tok").as("max_tokens"))
 
+  /** Corpus-wide heavy hitters: document frequency per token, top k —
+    * the boilerplate/template detector that feeds dedup's df caps and
+    * stopword lists. Scale shape: explode → two-phase distinct count
+    * (map-side partial dedup, the shuffle carries (token, doc) partials,
+    * never raw occurrences) → TakeOrderedAndProject for the top k (heap
+    * per partition + merge of k·partitions rows — no full sort
+    * anywhere). Deterministic tie-break (df desc, token asc) keeps the
+    * cut line oracle-stable. */
+  def topTokens(docs: DataFrame, k: Int = 20): DataFrame =
+    graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df_docs"))
+      .orderBy(col("df_docs").desc, col("token").asc)
+      .limit(k)
+
   /** Per-document quality score features: length, token stats, punct
     * density, stopword ratio, plus a composite keep/drop flag of the kind
     * a pretraining filter would apply. */

@@ -172,6 +172,19 @@ class LlmOpsSpec extends SparkSuite {
     assert(wide.count() > 0 && wide.select(length(col("bucket"))).head.getInt(0) == 40)
   }
 
+  test("top tokens: k heavy hitters by doc frequency, top-k plan, df sane") {
+    val top = TextOps.topTokens(docsDf, k = 20)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject, not a global sort:\n${plan.take(400)}")
+    val rows = top.collect()
+    assert(rows.length == 20)
+    val nDocs = docsDf.count()
+    val dfs = rows.map(_.getLong(1))
+    assert(dfs.forall(d => d >= 1 && d <= nDocs), "df must be within [1, nDocs]")
+    assert(dfs.sameElements(dfs.sorted(Ordering[Long].reverse)), "rows ordered by df desc")
+  }
+
   test("quality scores: ratios bounded, token counts positive") {
     val q = TextOps.qualityScores(docsDf).cache()
     assert(q.filter(col("n_tokens") <= 0).isEmpty)
