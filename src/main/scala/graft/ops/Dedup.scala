@@ -133,18 +133,32 @@ object Dedup {
     * runs ONCE (cached), bands come from a single explode projection —
     * a naive per-band select-union re-runs the whole signature aggregate
     * once per band. */
-  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
-      verifyMode: String = VerifyBroadcast): DataFrame = {
-    val tok = tokens(spread(docs)).cache()
-    val sig = signatures(tok).cache()
+  /** (doc_id, band, b0, b1) LSH band rows from a signature frame — ONE
+    * explode projection (a per-band select-union would re-run the whole
+    * signature aggregate once per band). */
+  private def bandsOf(sig: DataFrame): DataFrame = {
     val nBands = NumHashes / BandSize
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"), col(s"h${BandSize * b}").as("b0"),
         col(s"h${BandSize * b + 1}").as("b1"))
     }: _*)
-    val bands = sig.select(col("doc_id"), explode(bandArr).as("bb"))
+    sig.select(col("doc_id"), explode(bandArr).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"),
         col("bb.b0").as("b0"), col("bb.b1").as("b1"))
+  }
+
+  /** Per-doc sorted 60-bit token-hash arrays — the verify dictionary. */
+  private def tokSetsOf(tok: DataFrame): DataFrame = tok
+    .select(col("doc_id"),
+      conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("th"))
+    .groupBy(col("doc_id"))
+    .agg(sort_array(collect_set(col("th"))).as("toks"))
+
+  def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
+      verifyMode: String = VerifyBroadcast): DataFrame = {
+    val tok = tokens(spread(docs)).cache()
+    val sig = signatures(tok).cache()
+    val bands = bandsOf(sig)
 
     val left = bands.withColumnRenamed("doc_id", "doc_a")
     val right = bands.withColumnRenamed("doc_id", "doc_b")
@@ -179,12 +193,62 @@ object Dedup {
     //    hash), so a 2^-60 collision cannot cause divergence.
     // At larger corpora where the dictionary outgrows a broadcast, pass
     // verifyMode = VerifyBucketed for sort-merge joins on doc id.
-    val tokSets = tok
-      .select(col("doc_id"),
-        conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("th"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_set(col("th"))).as("toks"))
-    jaccardVerify(cand, tokSets, "toks", threshold, verifyMode, dedupAfter)
+    jaccardVerify(cand, tokSetsOf(tok), "toks", threshold, verifyMode, dedupAfter)
+  }
+
+  /** Persist the minhash inverted file for INCREMENTAL near-dup lookup —
+    * the production dedup workflow at 100 TB is not all-pairs over the
+    * whole corpus per run, it is "dedup today's crawl AGAINST the
+    * corpus". Layout: `<dir>/bands` = (doc_id, band, b0, b1) LSH band
+    * rows; `<dir>/toksets` = (doc_id, sorted 60-bit token-hash array),
+    * both derived exactly as [[nearDupPairs]] derives them, so
+    * index-vs-delta results match the batch operator on the union. */
+  def writeNearDupIndex(docs: DataFrame, dir: String): Unit = {
+    val tok = tokens(spread(docs)).cache()
+    try {
+      bandsOf(signatures(tok)).write.mode("overwrite").parquet(s"$dir/bands")
+      tokSetsOf(tok).write.mode("overwrite").parquet(s"$dir/toksets")
+    } finally tok.unpersist()
+  }
+
+  /** Near-duplicate pairs between a (small) delta of NEW documents and a
+    * persisted [[writeNearDupIndex]] corpus: (doc_a = new id, doc_b =
+    * indexed id, jaccard ≥ threshold). Ids must be disjoint between the
+    * delta and the index (the natural crawl-delta shape); equal ids are
+    * excluded, not verified.
+    *
+    * Scale shape: the delta's band table and token dictionary are
+    * delta-sized → BROADCAST both. The index is read ONCE, streamed
+    * through a broadcast-hash join (no index shuffle, no index-side
+    * sort), and only candidate rows — index docs sharing a band with
+    * some new doc — survive to the verify join, which AQE plans as
+    * broadcast-hash too while the candidate set is small and as a
+    * sort-merge join when a hot delta explodes it. Multiplicity is ≤ 4
+    * bands, so survivors dedup post-filter like the batch operator. */
+  def nearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    SortedLongIntersectCount.register(spark)
+    val tok = tokens(spread(newDocs)).cache()
+    val newBands = bandsOf(signatures(tok))
+      .withColumnRenamed("doc_id", "doc_a")
+    val candRaw = spark.read.parquet(s"$dir/bands")
+      .join(broadcast(newBands), Seq("band", "b0", "b1"))
+      .filter(col("doc_a") =!= col("doc_id"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    val verified = candRaw
+      .join(broadcast(tokSetsOf(tok).select(col("doc_id").as("doc_a"),
+        col("toks").as("set_a"))), "doc_a")
+      .join(spark.read.parquet(s"$dir/toksets").select(col("doc_id").as("doc_b"),
+        col("toks").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_intersect_count(set_a, set_b)").as("n_common"),
+        size(col("set_a")).as("na"), size(col("set_b")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    verified.groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("jaccard")).as("jaccard"))
   }
 
   /** Document fingerprint: min-of-shingle-hashes (winnowing-style) over
