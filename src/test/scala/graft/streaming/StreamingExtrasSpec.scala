@@ -118,4 +118,43 @@ class StreamingExtrasSpec extends SparkSuite {
       assert(got.toSeq == Seq("e1", "e2", "e3"), s"got ${got.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming ingestion dedup: micro-batches checked against the persisted minhash index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // corpus on disk, indexed once; a stream of incoming documents is
+    // near-dup-checked per micro-batch via foreachBatch — the ingestion
+    // shape a training-data pipeline runs continuously. foreachBatch is
+    // the right seam: the batch operator (broadcast delta vs streamed
+    // index) is reused verbatim, exactly-once per micro-batch.
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_stream_idx").toString
+    graft.ops.Dedup.writeNearDupIndex(corpus, dir)
+    val known = corpus.limit(3).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.Set[(Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged.synchronized {
+          flagged ++= graft.ops.Dedup.nearDupsAgainstIndex(spark, batch, dir)
+            .select("doc_a", "doc_b").as[(Long, Long)].collect()
+        }
+        ()
+      }
+      .start()
+    try {
+      // batch 1: two replays of known docs + one novel doc;
+      // batch 2: one more replay — must be flagged independently
+      input.addData((20000L, known(0)._2), (20001L, known(1)._2),
+        (20002L, "zxqv wbnm plkj entirely novel tokens qqq"))
+      q.processAllAvailable()
+      input.addData((20003L, known(2)._2))
+      q.processAllAvailable()
+      val hits = flagged.synchronized(flagged.toSet)
+      assert(hits.contains((20000L, known(0)._1)) && hits.contains((20001L, known(1)._1))
+        && hits.contains((20003L, known(2)._1)),
+        s"replayed docs must be flagged against their sources, got $hits")
+      assert(!hits.exists(_._1 == 20002L), "the novel doc must not be flagged")
+    } finally q.stop()
+  }
 }
