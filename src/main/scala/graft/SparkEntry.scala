@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, EventWindows, MultiModal, Relational, SimSearch, TextOps}
+import graft.ops.{Dedup, EventWindows, MultiModal, Relational, Sampling, SimSearch, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §3.
@@ -66,6 +66,7 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
+    "q_split" -> ((s, d) => Sampling.splitQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
     // IVF is approximate (cell pruning) → rows-only gate; recall vs the
@@ -322,6 +323,17 @@ object SparkEntry {
         |FROM documents) t
         |WHERE token <> '' GROUP BY token
         |ORDER BY df_docs DESC, token ASC LIMIT 20""".stripMargin,
+    "q_split" ->
+      """WITH hashed AS (SELECT doc_id,
+        |md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash FROM documents),
+        |reps AS (SELECT norm_hash, min(doc_id) AS rep_id FROM hashed GROUP BY norm_hash),
+        |asg AS (SELECT h.doc_id, h.norm_hash,
+        |CAST(('0x'||substr(md5('split:' || CAST(r.rep_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
+        |FROM hashed h JOIN reps r USING (norm_hash))
+        |SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid'
+        |ELSE 'test' END AS split, count(*) AS n_docs,
+        |CAST(count(DISTINCT norm_hash) AS BIGINT) AS n_clusters
+        |FROM asg GROUP BY 1""".stripMargin,
     "q_sim_topk" ->
       """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset-split operators for training pipelines: deterministic,
+  * engine-portable hash splits, and the leakage-free variant where an
+  * exact-duplicate cluster never straddles splits.
+  *
+  * Both are pure column expressions over a 60-bit md5 hash (the same
+  * portable hash idiom as the dedup family, mirrored in the oracle), so
+  * a split is a property of the DATA, not of a run: any engine, any
+  * partitioning, any day reproduces the identical assignment — the
+  * invariant that makes held-out sets trustworthy across pipeline
+  * versions. Scale shape: hashSplit is map-side only; leakFreeSplit
+  * adds one co-partitioned groupBy+join on the normalized-text hash
+  * (both sides shuffle on the same key — no broadcast needed at any
+  * corpus size, AQE broadcasts the cluster side when it fits).
+  */
+object Sampling {
+
+  /** Portable 60-bit hash of an id, salted to decouple from other md5
+    * uses of the same value. */
+  private def idHash(c: Column): Column =
+    conv(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+
+  private def bucketToSplit(bucket: Column, trainPct: Int, validPct: Int): Column =
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + validPct, lit("valid"))
+      .otherwise(lit("test"))
+
+  /** (doc_id, bucket, split): deterministic hash assignment into
+    * train/valid/test with the declared percentage cut lines. */
+  def hashSplit(docs: DataFrame, trainPct: Int = 90, validPct: Int = 5): DataFrame =
+    docs.select(col("doc_id"), pmod(idHash(col("doc_id")), lit(100)).as("bucket"))
+      .withColumn("split", bucketToSplit(col("bucket"), trainPct, validPct))
+
+  /** (doc_id, norm_hash, bucket, split), where the assignment is keyed
+    * on the exact-dup CLUSTER representative (min doc_id of the
+    * whitespace-normalized text group, the same normalization as
+    * [[Dedup.exactDedup]]): every duplicate of a document lands in the
+    * same split. Splitting by raw doc id leaks duplicated text across
+    * the train/valid boundary — the classic evaluation contamination. */
+  def leakFreeSplit(docs: DataFrame, trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("norm_hash"))
+    val reps = hashed.groupBy(col("norm_hash")).agg(min(col("doc_id")).as("rep_id"))
+    hashed.join(reps, "norm_hash")
+      .select(col("doc_id"), col("norm_hash"),
+        pmod(idHash(col("rep_id")), lit(100)).as("bucket"))
+      .withColumn("split", bucketToSplit(col("bucket"), trainPct, validPct))
+  }
+
+  /** Declared query q_split: per-split doc and cluster counts under the
+    * leak-free assignment — the summary a pipeline logs when cutting a
+    * dataset. */
+  def splitQ(docs: DataFrame): DataFrame =
+    leakFreeSplit(docs)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("norm_hash")).as("n_clusters"))
+}

@@ -185,6 +185,29 @@ class LlmOpsSpec extends SparkSuite {
     assert(dfs.sameElements(dfs.sorted(Ordering[Long].reverse)), "rows ordered by df desc")
   }
 
+  test("splits: deterministic, partition every doc, never straddle a dup cluster") {
+    val split1 = Sampling.leakFreeSplit(docsDf).cache()
+    assert(split1.count() == docsDf.count(), "every doc gets exactly one assignment")
+    // leak-free: a normalized-text cluster maps to exactly one split
+    val straddled = split1.groupBy(col("norm_hash"))
+      .agg(count_distinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1)
+    assert(straddled.isEmpty, "no dup cluster may straddle splits")
+    // deterministic: a permuted re-read produces the identical assignment
+    val split2 = Sampling.leakFreeSplit(docsDf.orderBy(col("doc_id").desc)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    split1.collect().foreach { r =>
+      assert(split2(r.getAs[Long]("doc_id")) == r.getAs[String]("split"),
+        "assignment must be a property of the data, not the run")
+    }
+    // the plain hash split covers the same corpus with sane ratios
+    val buckets = Sampling.hashSplit(docsDf).groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(buckets.values.sum == docsDf.count())
+    assert(buckets("train") > buckets.getOrElse("valid", 0L),
+      s"train must dominate the 90/5/5 cut: $buckets")
+  }
+
   test("quality scores: ratios bounded, token counts positive") {
     val q = TextOps.qualityScores(docsDf).cache()
     assert(q.filter(col("n_tokens") <= 0).isEmpty)
