@@ -325,11 +325,11 @@ object SparkEntry {
         |ORDER BY df_docs DESC, token ASC LIMIT 20""".stripMargin,
     "q_split" ->
       """WITH hashed AS (SELECT doc_id,
-        |md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm_hash FROM documents),
-        |reps AS (SELECT norm_hash, min(doc_id) AS rep_id FROM hashed GROUP BY norm_hash),
-        |asg AS (SELECT h.doc_id, h.norm_hash,
-        |CAST(('0x'||substr(md5('split:' || CAST(r.rep_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
-        |FROM hashed h JOIN reps r USING (norm_hash))
+        |md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS norm_hash
+        |FROM documents),
+        |asg AS (SELECT doc_id, norm_hash,
+        |CAST(('0x'||substr(md5('split:' || CAST(min(doc_id) OVER (PARTITION BY norm_hash) AS VARCHAR)),1,15)) AS BIGINT) % 100 AS bucket
+        |FROM hashed)
         |SELECT CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'valid'
         |ELSE 'test' END AS split, count(*) AS n_docs,
         |CAST(count(DISTINCT norm_hash) AS BIGINT) AS n_clusters

@@ -124,15 +124,6 @@ object Dedup {
     withLanes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
-    * Pipeline: tokens → 8-hash signature → 4 LSH bands → bucket equi-join
-    * for candidates → exact Jaccard on candidates only → threshold.
-    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
-    *
-    * Plan shape (verified with graft.Explain): the signature aggregate
-    * runs ONCE (cached), bands come from a single explode projection —
-    * a naive per-band select-union re-runs the whole signature aggregate
-    * once per band. */
   /** (doc_id, band, b0, b1) LSH band rows from a signature frame — ONE
     * explode projection (a per-band select-union would re-run the whole
     * signature aggregate once per band). */
@@ -154,6 +145,12 @@ object Dedup {
     .groupBy(col("doc_id"))
     .agg(sort_array(collect_set(col("th"))).as("toks"))
 
+  /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
+    * Pipeline: tokens → 8-hash signature → 4 LSH bands ([[bandsOf]]) →
+    * bucket equi-join for candidates → exact Jaccard on candidates only
+    * → threshold. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    * The signature aggregate runs ONCE (cached; verified with
+    * graft.Explain). */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
       verifyMode: String = VerifyBroadcast): DataFrame = {
     val tok = tokens(spread(docs)).cache()
@@ -229,7 +226,12 @@ object Dedup {
       newDocs: DataFrame, dir: String,
       threshold: Double = 0.5): DataFrame = {
     SortedLongIntersectCount.register(spark)
-    val tok = tokens(spread(newDocs)).cache()
+    // deliberately NOT cached: tok is read twice (bands + dictionary),
+    // but both reads are DELTA-sized, and this method runs once per
+    // micro-batch on the streaming ingestion path — a cache here would
+    // accumulate unreleased blocks every batch (method-local frame, no
+    // caller can unpersist; the lazy result outlives any finally block)
+    val tok = tokens(spread(newDocs))
     val newBands = bandsOf(signatures(tok))
       .withColumnRenamed("doc_id", "doc_a")
     val candRaw = spark.read.parquet(s"$dir/bands")

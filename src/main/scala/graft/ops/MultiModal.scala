@@ -81,8 +81,12 @@ object MultiModal {
         // per-partition init of the (stubbed) codec would go here
         rows.map { case (id, bytes, w, h, c) =>
           val ratio = (width.toDouble * height) / math.max(1L, w.toLong * h)
+          // long math then clamp: a huge upscale ratio would overflow
+          // .toInt (wrapping to a silent 1-byte payload); the clamp to
+          // the JVM array ceiling is the documented stub limit
           val outLen =
-            if (bytes.length == 0) 0 else math.max(1, math.round(bytes.length * ratio).toInt)
+            if (bytes.length == 0) 0
+            else math.max(1L, math.min(math.round(bytes.length * ratio), (Int.MaxValue - 8).toLong)).toInt
           val out = new Array[Byte](outLen)
           var i = 0
           while (i < outLen) {

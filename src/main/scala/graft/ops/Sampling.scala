@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Dataset-split operators for training pipelines: deterministic,
@@ -13,9 +14,9 @@ import org.apache.spark.sql.functions._
   * partitioning, any day reproduces the identical assignment — the
   * invariant that makes held-out sets trustworthy across pipeline
   * versions. Scale shape: hashSplit is map-side only; leakFreeSplit
-  * adds one co-partitioned groupBy+join on the normalized-text hash
-  * (both sides shuffle on the same key — no broadcast needed at any
-  * corpus size, AQE broadcasts the cluster side when it fits).
+  * adds one shuffle on the normalized-text hash (window-min for the
+  * cluster representative — no join, no second corpus scan, no
+  * broadcast needed at any corpus size).
   */
 object Sampling {
 
@@ -43,10 +44,18 @@ object Sampling {
     * same split. Splitting by raw doc id leaks duplicated text across
     * the train/valid boundary — the classic evaluation contamination. */
   def leakFreeSplit(docs: DataFrame, trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    // null text coalesces to '' BEFORE hashing: assignment must be total
+    // (a null norm_hash would silently drop the doc from an equi-join,
+    // and the null-text "cluster" belongs in one split like any other).
+    // Cluster representative via window-min rather than groupBy+rejoin:
+    // one corpus scan and one shuffle instead of two of each — at 100 TB
+    // the normalization md5 over every row is the dominant map cost and
+    // must not run twice.
     val hashed = docs.select(col("doc_id"),
-      md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("norm_hash"))
-    val reps = hashed.groupBy(col("norm_hash")).agg(min(col("doc_id")).as("rep_id"))
-    hashed.join(reps, "norm_hash")
+      md5(lower(trim(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " "))))
+        .as("norm_hash"))
+    hashed
+      .withColumn("rep_id", min(col("doc_id")).over(Window.partitionBy(col("norm_hash"))))
       .select(col("doc_id"), col("norm_hash"),
         pmod(idHash(col("rep_id")), lit(100)).as("bucket"))
       .withColumn("split", bucketToSplit(col("bucket"), trainPct, validPct))

@@ -206,6 +206,16 @@ class LlmOpsSpec extends SparkSuite {
     assert(buckets.values.sum == docsDf.count())
     assert(buckets("train") > buckets.getOrElse("valid", 0L),
       s"train must dominate the 90/5/5 cut: $buckets")
+    // totality under nulls: a null-text doc still gets an assignment,
+    // clustered with empty-text docs (not silently dropped)
+    import spark.implicits._
+    val withNulls = Seq((1L, "same text"), (2L, "same text"),
+      (3L, null.asInstanceOf[String]), (4L, "")).toDF("doc_id", "text")
+    val asg = Sampling.leakFreeSplit(withNulls).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(asg.size == 4, s"null/empty texts must still be assigned: $asg")
+    assert(asg(3L) == asg(4L), "null text clusters with empty text")
+    assert(asg(1L) == asg(2L), "exact dups share a split")
   }
 
   test("quality scores: ratios bounded, token counts positive") {
