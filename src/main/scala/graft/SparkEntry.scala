@@ -67,6 +67,12 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
     "q_split" -> ((s, d) => Sampling.splitQ(Tables.documents(s, d))),
+    "q_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{count, length, lit, sum, col}
+      Sampling.sampleByHash(Tables.documents(s, d), 0.5)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("total_chars"))
+    }),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
     // IVF is approximate (cell pruning) → rows-only gate; recall vs the
@@ -334,6 +340,11 @@ object SparkEntry {
         |ELSE 'test' END AS split, count(*) AS n_docs,
         |CAST(count(DISTINCT norm_hash) AS BIGINT) AS n_clusters
         |FROM asg GROUP BY 1""".stripMargin,
+    "q_sample" ->
+      """SELECT count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE CAST(('0x'||substr(md5('mix:0:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |% 1000000 < 500000""".stripMargin,
     "q_sim_topk" ->
       """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -22,9 +22,11 @@ object Sampling {
 
   /** Portable 60-bit hash of an id, salted to decouple from other md5
     * uses of the same value. */
-  private def idHash(c: Column): Column =
-    conv(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 15), 16, 10)
+  private def saltedHash(c: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), c.cast("string"))), 1, 15), 16, 10)
       .cast("long")
+
+  private def idHash(c: Column): Column = saltedHash(c, "split:")
 
   private def bucketToSplit(bucket: Column, trainPct: Int, validPct: Int): Column =
     when(bucket < trainPct, lit("train"))
@@ -69,4 +71,23 @@ object Sampling {
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("norm_hash")).as("n_clusters"))
+
+  /** Deterministic subsample at `fraction`: keep rows whose salted id
+    * hash falls under the threshold. Map-side only, reproducible across
+    * engines/partitionings, and MONOTONE in the fraction (a 25% sample
+    * is a subset of the 50% sample under the same salt) — the property
+    * that lets a pipeline grow a data mix without reshuffling what it
+    * already trained on. */
+  def sampleByHash(df: DataFrame, fraction: Double, idCol: String = "doc_id",
+      salt: String = "mix:0:"): DataFrame =
+    df.filter(pmod(saltedHash(col(idCol), salt), lit(1000000L))
+      < math.round(fraction * 1e6))
+
+  /** Deterministic weighted mixture: each source sampled at its weight
+    * under a per-source salt, then unioned — the data-mixing step of a
+    * pretraining pipeline. Entirely map-side (no shuffle anywhere). */
+  def mixture(sources: Seq[(DataFrame, Double)], idCol: String = "doc_id"): DataFrame =
+    sources.zipWithIndex.map { case ((df, frac), i) =>
+      sampleByHash(df, frac, idCol, s"mix:$i:")
+    }.reduce(_ unionByName _)
 }

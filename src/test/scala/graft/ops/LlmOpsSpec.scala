@@ -218,6 +218,23 @@ class LlmOpsSpec extends SparkSuite {
     assert(asg(1L) == asg(2L), "exact dups share a split")
   }
 
+  test("hash sampling: monotone in fraction, deterministic, mixture unions per-source samples") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s25 = ids(Sampling.sampleByHash(docsDf, 0.25))
+    val s50 = ids(Sampling.sampleByHash(docsDf, 0.50))
+    assert(s25.subsetOf(s50),
+      "threshold sampling must be monotone: growing the fraction only adds rows")
+    assert(ids(Sampling.sampleByHash(docsDf, 0.50)) == s50, "deterministic across runs")
+    val n = docsDf.count().toDouble
+    assert(math.abs(s50.size / n - 0.5) < 0.1, s"~half the corpus expected, got ${s50.size}/$n")
+    assert(ids(Sampling.sampleByHash(docsDf, 1.0)).size == n.toLong, "fraction 1.0 keeps everything")
+    // mixture: same table twice under different salts → independent draws
+    val mixed = Sampling.mixture(Seq((docsDf.select("doc_id", "text"), 0.5),
+      (docsDf.select("doc_id", "text"), 0.5)))
+    assert(mixed.count() > s50.size, "two independent 50% draws overlap but union-count exceeds one draw")
+  }
+
   test("quality scores: ratios bounded, token counts positive") {
     val q = TextOps.qualityScores(docsDf).cache()
     assert(q.filter(col("n_tokens") <= 0).isEmpty)
