@@ -67,12 +67,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
     "q_split" -> ((s, d) => Sampling.splitQ(Tables.documents(s, d))),
-    "q_sample" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{count, length, lit, sum, col}
-      Sampling.sampleByHash(Tables.documents(s, d), 0.5)
-        .agg(count(lit(1)).as("n_docs"),
-          sum(length(col("text"))).cast("long").as("total_chars"))
-    }),
+    "q_sample" -> ((s, d) => Sampling.sampleQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
     // IVF is approximate (cell pruning) → rows-only gate; recall vs the

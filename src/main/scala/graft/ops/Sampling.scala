@@ -72,22 +72,46 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         count_distinct(col("norm_hash")).as("n_clusters"))
 
-  /** Deterministic subsample at `fraction`: keep rows whose salted id
-    * hash falls under the threshold. Map-side only, reproducible across
-    * engines/partitionings, and MONOTONE in the fraction (a 25% sample
-    * is a subset of the 50% sample under the same salt) — the property
-    * that lets a pipeline grow a data mix without reshuffling what it
-    * already trained on. */
+  /** Deterministic subsample at `fraction` ∈ [0, 1]: keep rows whose
+    * salted id hash falls under the threshold. Map-side only,
+    * reproducible across engines/partitionings, and MONOTONE in the
+    * fraction (a 25% sample is a subset of the 50% sample under the
+    * same salt) — the property that lets a pipeline grow a data mix
+    * without reshuffling what it already trained on. */
   def sampleByHash(df: DataFrame, fraction: Double, idCol: String = "doc_id",
-      salt: String = "mix:0:"): DataFrame =
+      salt: String = "mix:0:"): DataFrame = {
+    // NaN fails both comparisons → caught here instead of silently
+    // sampling zero rows (a NaN weight upstream would otherwise drop an
+    // entire source from a training mix without a trace)
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0, 1], got $fraction")
     df.filter(pmod(saltedHash(col(idCol), salt), lit(1000000L))
       < math.round(fraction * 1e6))
+  }
 
-  /** Deterministic weighted mixture: each source sampled at its weight
-    * under a per-source salt, then unioned — the data-mixing step of a
-    * pretraining pipeline. Entirely map-side (no shuffle anywhere). */
-  def mixture(sources: Seq[(DataFrame, Double)], idCol: String = "doc_id"): DataFrame =
-    sources.zipWithIndex.map { case ((df, frac), i) =>
-      sampleByHash(df, frac, idCol, s"mix:$i:")
+  /** Deterministic weighted mixture — the data-mixing step of a
+    * pretraining pipeline. A weight w contributes ⌊w⌋ full copies of
+    * the source (epoch multipliers: w = 2.0 means every row twice)
+    * plus a deterministic fractional draw of the remainder under a
+    * per-source salt; w = 0 contributes nothing. Entirely map-side
+    * (no shuffle anywhere). */
+  def mixture(sources: Seq[(DataFrame, Double)], idCol: String = "doc_id"): DataFrame = {
+    require(sources.nonEmpty, "mixture needs at least one source")
+    sources.zipWithIndex.map { case ((df, weight), i) =>
+      require(weight >= 0.0 && !weight.isNaN && !weight.isInfinite,
+        s"source $i: weight must be finite and >= 0, got $weight")
+      val whole = weight.toInt
+      val fracPart = weight - whole
+      val parts = Seq.fill(whole)(df) ++
+        (if (fracPart > 0) Seq(sampleByHash(df, fracPart, idCol, s"mix:$i:")) else Nil)
+      if (parts.isEmpty) df.limit(0) else parts.reduce(_ unionByName _)
     }.reduce(_ unionByName _)
+  }
+
+  /** Declared query q_sample: size summary of the deterministic 50%
+    * draw (the cross-engine-reproducible subsample a pipeline logs). */
+  def sampleQ(docs: DataFrame): DataFrame =
+    sampleByHash(docs, 0.5)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
 }

@@ -233,6 +233,16 @@ class LlmOpsSpec extends SparkSuite {
     val mixed = Sampling.mixture(Seq((docsDf.select("doc_id", "text"), 0.5),
       (docsDf.select("doc_id", "text"), 0.5)))
     assert(mixed.count() > s50.size, "two independent 50% draws overlap but union-count exceeds one draw")
+    // epoch multipliers: weight 2.5 = two full copies + a fractional draw
+    val epochs = Sampling.mixture(Seq((docsDf.select("doc_id", "text"), 2.5))).count()
+    assert(epochs > 2 * n.toLong && epochs < 3 * n.toLong,
+      s"weight 2.5 must repeat the corpus twice plus ~half, got $epochs of $n")
+    assert(Sampling.mixture(Seq((docsDf.select("doc_id", "text"), 0.0))).count() == 0,
+      "weight 0 contributes nothing")
+    intercept[IllegalArgumentException](Sampling.mixture(Seq.empty))
+    intercept[IllegalArgumentException](Sampling.sampleByHash(docsDf, Double.NaN))
+    intercept[IllegalArgumentException](Sampling.mixture(
+      Seq((docsDf.select("doc_id", "text"), -1.0))))
   }
 
   test("quality scores: ratios bounded, token counts positive") {
