@@ -92,4 +92,24 @@ class EdgeCaseSpec extends SparkSuite {
     assert(row.getAs[Long]("n_bytes") == 0L)
     assert(row.getAs[String]("frame_0") == "")
   }
+
+  test("round-3 operators degrade gracefully on an EMPTY corpus") {
+    val empty = docs()
+    assert(TextOps.topTokens(empty).isEmpty)
+    assert(Sampling.hashSplit(empty).isEmpty)
+    assert(Sampling.leakFreeSplit(empty).isEmpty)
+    assert(Sampling.sampleByHash(empty, 0.5).isEmpty)
+    assert(Sampling.splitQ(empty).isEmpty)
+    assert(MultiModal.resize(empty, 64, 48).isEmpty)
+    // index round-trip over an empty corpus: write succeeds, querying a
+    // non-empty delta against it yields zero pairs (not a read error)
+    val dir = java.nio.file.Files.createTempDirectory("empty_idx").toString
+    Dedup.writeNearDupIndex(empty, dir)
+    assert(Dedup.nearDupsAgainstIndex(spark, docs((1L, "some words")), dir).isEmpty)
+  }
+
+  test("resize of an empty payload yields an empty payload, not a crash") {
+    val r = MultiModal.resize(docs((1L, "")), 64, 48).head()
+    assert(r.payload.length == 0 && r.width == 64)
+  }
 }
