@@ -23,7 +23,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // the dedup/similarity pipelines cache intermediates scoped to one
-      // invocation — don't let 42 queries' blocks stack up in one session
+      // invocation — release them via the documented lifetime API, with
+      // the clearCache sweep guarding anything cached outside it
+      graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

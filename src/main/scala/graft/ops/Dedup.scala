@@ -153,8 +153,8 @@ object Dedup {
     * graft.Explain). */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
       verifyMode: String = VerifyBroadcast): DataFrame = {
-    val tok = tokens(spread(docs)).cache()
-    val sig = signatures(tok).cache()
+    val tok = PipelineCaches.track(tokens(spread(docs)))
+    val sig = PipelineCaches.track(signatures(tok))
     val bands = bandsOf(sig)
 
     val left = bands.withColumnRenamed("doc_id", "doc_a")
@@ -302,8 +302,9 @@ object Dedup {
     * so the result equals the full pairwise scan the oracle runs. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     // cached: consumed by both sides of the band self-join — uncached,
-    // Spark would re-run the 32-sum fingerprint aggregate for each
-    val fp = simhashFingerprints(tokens(spread(docs))).cache()
+    // Spark would re-run the 32-sum fingerprint aggregate for each.
+    // Lifetime: caller releases via PipelineCaches.release (see there)
+    val fp = PipelineCaches.track(simhashFingerprints(tokens(spread(docs))))
     val bandBits = SimhashBits / SimhashBands
     val bandArr = array((0 until SimhashBands).map { b =>
       struct(lit(b).as("band"),
@@ -342,36 +343,62 @@ object Dedup {
     * the cap is part of the declared semantics and mirrored in the oracle). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       maxDf: Int = 50, threshold: Double = 0.3,
-      verifyMode: String = VerifyBroadcast): DataFrame = {
+      verifyMode: String = VerifyBroadcast,
+      maxFrequentBroadcast: Long = 4096L): DataFrame = {
     // Per-doc DISTINCT shingle arrays in ONE map-side pass (shingles are
     // 60-bit md5-prefix longs, mirrored in the oracle): shingle sets are
     // per-document, so deduplication is array_distinct inside the row —
     // an explode→distinct→collect_set round trip would shuffle the whole
     // shingle table twice to rebuild what the row already had.
-    val docSets = spread(docs)
+    val docSets = PipelineCaches.track(spread(docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
           i => conv(substring(md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n)))), 1, 15), 16, 10)
-            .cast("long"))).as("shs"))
-      .cache()
+            .cast("long"))).as("shs")))
     // df-cap via the FREQUENT set: almost every shingle is rare, so the
-    // frequent (boilerplate) set is the tiny one — aggregate it once,
-    // collapse it to a single array row, and the cap becomes map-side
-    // array_except against a broadcast. One aggregate over the exploded
-    // shingles is the only full-table shuffle in the cap; the df-capped
-    // per-doc sets are then rebuilt IN THE ROW from the cached docSets
-    // (round 2 re-exploded and re-aggregated the whole shingle table a
-    // second time to build the same sets — 2 extra shuffles, 3.3× DuckDB).
-    val frequent = docSets.select(explode(col("shs")).as("shingle"))
-      .groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
-      .filter(col("df_cnt") > maxDf)
-      .agg(collect_set(col("shingle")).as("freq")) // 1 row, bounded by Σsh/maxDf
-    val shSets = docSets.crossJoin(broadcast(frequent))
-      .select(col("doc_id"),
-        array_sort(array_except(col("shs"), coalesce(col("freq"), array()))).as("shs"))
-      .cache()
+    // frequent (boilerplate) set is the small one — one aggregate over
+    // the exploded shingles is the only full-table shuffle in the cap.
+    // HOW the cap is applied is size-gated, because |frequent| is only
+    // bounded by Σ shingle-instances / maxDf — it GROWS with the corpus,
+    // and on a boilerplate-heavy corpus it is not broadcast material:
+    //  - |frequent| ≤ maxFrequentBroadcast: collapse to a one-row array,
+    //    broadcast it, and rebuild the capped set IN THE ROW with
+    //    array_except (map-side, no second shuffle). array_except
+    //    rebuilds a hash set of the frequent array PER ROW — O(|freq|)
+    //    per document (the allocation trap SortedLongIntersectCount's
+    //    scaladoc documents) — which is exactly why this form is gated
+    //    to small frequent sets rather than trusted unconditionally.
+    //  - above the gate: explode → left_anti against the frequent TABLE
+    //    → collect back per doc. Two extra shuffles of the rare-shingle
+    //    stream, but no driver-sized array, no broadcast of a
+    //    corpus-growing set, no per-row set rebuild — the 100 TB form
+    //    (NgramDfCapSpec pins the plan and result parity of both forms).
+    // The gate reads one long (the cached frequent table's count) — a
+    // stats-sized driver round-trip, same class as IVF's probed cells.
+    val freqTable = PipelineCaches.track(
+      docSets.select(explode(col("shs")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df_cnt"))
+        .filter(col("df_cnt") > maxDf)
+        .select("shingle"))
+    val nFrequent = freqTable.count()
+    val capped =
+      if (nFrequent <= maxFrequentBroadcast) {
+        val frequent = freqTable.agg(collect_set(col("shingle")).as("freq"))
+        docSets.crossJoin(broadcast(frequent))
+          .select(col("doc_id"),
+            array_sort(array_except(col("shs"), coalesce(col("freq"), array()))).as("shs"))
+      } else {
+        // docs whose shingles are ALL frequent vanish here instead of
+        // keeping an empty array — same result, they can never reach
+        // cand (no rare shingles) and verify joins are inner
+        docSets.select(col("doc_id"), explode(col("shs")).as("shingle"))
+          .join(freqTable, Seq("shingle"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(array_sort(collect_set(col("shingle"))).as("shs"))
+      }
+    val shSets = PipelineCaches.track(capped)
 
     // candidates = pairs sharing ≥ 1 rare shingle; verification = map-side
     // array_intersect against a broadcast of per-doc shingle-set arrays —

@@ -1,0 +1,44 @@
+package graft.ops
+
+import java.util.concurrent.{ConcurrentHashMap, ConcurrentLinkedQueue}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session-scoped registry for the cache blocks the dedup/LSH pipelines
+  * create.
+  *
+  * The pipelines ([[Dedup.nearDupPairs]], [[Dedup.simhashPairs]],
+  * [[Dedup.ngramJaccardPairs]]) cache intermediates that BOTH sides of a
+  * self-join consume — the cache is load-bearing for the plan (uncached,
+  * the signature aggregate would run once per join side). But the
+  * returned frame is lazy: the blocks must outlive the method call and
+  * stay alive until the CALLER's action completes, so the operator
+  * cannot unpersist them itself. Without a lifetime API every invocation
+  * leaked blocks into the session until eviction pressure.
+  *
+  * Contract: after consuming a pipeline's result (an action — write,
+  * collect, count), call [[release]] to unpersist every block the
+  * pipelines registered on that session. Releasing before the action
+  * is safe (the plan recomputes) but forfeits the self-join sharing.
+  * Sessions that never release hold their registry entries — release is
+  * part of the documented caller contract, like closing a resource.
+  * CacheLifetimeSpec pins that release leaves the CacheManager empty.
+  */
+object PipelineCaches {
+  private val live =
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+
+  /** Cache `df` and register it for the session-wide [[release]]. */
+  private[ops] def track(df: DataFrame): DataFrame = {
+    df.cache()
+    live.computeIfAbsent(df.sparkSession,
+      _ => new ConcurrentLinkedQueue[DataFrame]).add(df)
+    df
+  }
+
+  /** Unpersist every block the pipelines registered on `spark`. */
+  def release(spark: SparkSession): Unit = {
+    val q = live.remove(spark)
+    if (q != null) q.forEach(df => { df.unpersist(blocking = false); () })
+  }
+}

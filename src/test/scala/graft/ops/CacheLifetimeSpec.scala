@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSuite
+
+/** The LSH pipelines' cache blocks must be releasable by the caller:
+  * repeated invocation in one long-lived session must not accumulate
+  * stale storage blocks (round-3 finding — Bench's clearCache masked
+  * the leak in the official numbers). [[PipelineCaches.release]] is the
+  * documented lifetime API; this spec pins that after consuming each
+  * pipeline's result, release leaves the CacheManager empty.
+  */
+class CacheLifetimeSpec extends SparkSuite {
+
+  test("release drops every block the dedup pipelines cached") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    spark.sharedState.cacheManager.clearCache()
+
+    Dedup.nearDupPairs(docs).write.format("noop").mode("overwrite").save()
+    Dedup.simhashPairs(docs).write.format("noop").mode("overwrite").save()
+    Dedup.ngramJaccardPairs(docs).write.format("noop").mode("overwrite").save()
+
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "the pipelines are expected to cache self-join intermediates")
+    PipelineCaches.release(spark)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "release must unpersist every pipeline-registered block")
+  }
+
+  test("release is idempotent and safe on a session with no tracked caches") {
+    PipelineCaches.release(spark.newSession())
+    PipelineCaches.release(spark)
+    PipelineCaches.release(spark)
+  }
+}
