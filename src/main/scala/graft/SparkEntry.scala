@@ -68,11 +68,21 @@ object SparkEntry {
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
     "q_split" -> ((s, d) => Sampling.splitQ(Tables.documents(s, d))),
     "q_sample" -> ((s, d) => Sampling.sampleQ(Tables.documents(s, d))),
+    "q_mixture" -> ((s, d) => Sampling.mixtureQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
     // IVF is approximate (cell pruning) → rows-only gate; recall vs the
     // brute-force top-k is bounded in LlmOpsSpec
     "q_sim_topk_ivf" -> ((s, d) => SimSearch.ivfTopK(Tables.embeddings(s, d))),
+    // the k-means-trained centroid path, driver-checked every round —
+    // rows-only (distributed double means are order-dependent in the
+    // last ulp, so the oracle keeps the sampled form); trained recall
+    // ≥ sampled recall is pinned in LlmOpsSpec. 2 Lloyd iterations:
+    // the declared query pins the training WIRING, not convergence
+    "q_sim_topk_ivf_trained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimSearch.ivfTopKWith(emb, SimSearch.trainIvfCentroids(emb, iters = 2))
+    }),
     "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d))),
     // the scale form (corpus-sized bucket width + 2 sign projections) —
     // blocking differs from the oracle-mirrored fixed form → rows-only;
@@ -340,6 +350,21 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST(('0x'||substr(md5('mix:0:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
         |% 1000000 < 500000""".stripMargin,
+    "q_mixture" ->
+      """WITH src0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+        |src1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        |mixed AS (
+        |SELECT doc_id, text FROM src0
+        |UNION ALL SELECT doc_id, text FROM src0
+        |UNION ALL SELECT doc_id, text FROM src0
+        |WHERE CAST(('0x'||substr(md5('mix:0:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |% 1000000 < 500000
+        |UNION ALL SELECT doc_id, text FROM src1
+        |WHERE CAST(('0x'||substr(md5('mix:1:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |% 1000000 < 250000)
+        |SELECT doc_id % 2 AS src, count(*) AS n_docs,
+        |CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM mixed GROUP BY 1""".stripMargin,
     "q_sim_topk" ->
       """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

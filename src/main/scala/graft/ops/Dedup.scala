@@ -197,14 +197,33 @@ object Dedup {
     * the production dedup workflow at 100 TB is not all-pairs over the
     * whole corpus per run, it is "dedup today's crawl AGAINST the
     * corpus". Layout: `<dir>/bands` = (doc_id, band, b0, b1) LSH band
-    * rows; `<dir>/toksets` = (doc_id, sorted 60-bit token-hash array),
-    * both derived exactly as [[nearDupPairs]] derives them, so
-    * index-vs-delta results match the batch operator on the union. */
-  def writeNearDupIndex(docs: DataFrame, dir: String): Unit = {
+    * rows, PARTITIONED BY a bucket of the band value (`bkt =
+    * pmod(b0, bandBuckets)`) so a delta lookup prunes to the buckets its
+    * own bands hash into — the inverted-file read pattern, mirroring
+    * what [[SimSearch.writeIvfIndex]] does with `cell` (without it, the
+    * streaming ingestion path full-scanned a corpus-sized file every
+    * micro-batch); `<dir>/toksets` = (doc_id, sorted 60-bit token-hash
+    * array); `<dir>/meta` = the bucket count, so a reader always derives
+    * the identical bucket function the writer partitioned with. Band
+    * rows are derived exactly as [[nearDupPairs]] derives them, so
+    * index-vs-delta results match the batch operator on the union.
+    *
+    * Size `bandBuckets` to the expected delta: a micro-batch of D docs
+    * touches ≤ 4·D buckets, so pruning is effective while
+    * bandBuckets ≫ 4·D-distinct. b0 is a min of 60-bit hashes —
+    * uniform, so buckets are balanced. */
+  def writeNearDupIndex(docs: DataFrame, dir: String,
+      bandBuckets: Int = 256): Unit = {
+    require(bandBuckets > 0, s"bandBuckets must be positive, got $bandBuckets")
     val tok = tokens(spread(docs)).cache()
     try {
-      bandsOf(signatures(tok)).write.mode("overwrite").parquet(s"$dir/bands")
+      bandsOf(signatures(tok))
+        .withColumn("bkt", pmod(col("b0"), lit(bandBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
       tokSetsOf(tok).write.mode("overwrite").parquet(s"$dir/toksets")
+      docs.sparkSession.range(1)
+        .select(lit(bandBuckets).as("band_buckets"))
+        .write.mode("overwrite").parquet(s"$dir/meta")
     } finally tok.unpersist()
   }
 
@@ -215,13 +234,21 @@ object Dedup {
     * excluded, not verified.
     *
     * Scale shape: the delta's band table and token dictionary are
-    * delta-sized → BROADCAST both. The index is read ONCE, streamed
-    * through a broadcast-hash join (no index shuffle, no index-side
-    * sort), and only candidate rows — index docs sharing a band with
-    * some new doc — survive to the verify join, which AQE plans as
-    * broadcast-hash too while the candidate set is small and as a
-    * sort-merge join when a hot delta explodes it. Multiplicity is ≤ 4
-    * bands, so survivors dedup post-filter like the batch operator. */
+    * delta-sized → BROADCAST both. The bands read is PARTITION-PRUNED
+    * to the buckets the delta's own bands hash into (the delta's bucket
+    * set is metadata-sized — ≤ min(4·|delta|, bandBuckets) longs — so
+    * collecting it to drive static pruning is a bounded driver
+    * round-trip, same class as the IVF probed-cell list); pruned
+    * partitions stream through a broadcast-hash join (no index shuffle,
+    * no index-side sort), and only candidate rows — index docs sharing
+    * a band with some new doc — survive to the verify join, which AQE
+    * plans as broadcast-hash too while the candidate set is small and
+    * as a sort-merge join when a hot delta explodes it. Multiplicity is
+    * ≤ 4 bands, so survivors dedup post-filter like the batch operator.
+    * The toksets side has no such prune: its join key (candidate doc
+    * ids) is data-dependent, not metadata-sized — at deployment, write
+    * toksets bucketed by doc_id (see Bucketing) so that join is at
+    * least exchange-free on the index side. */
   def nearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, dir: String,
       threshold: Double = 0.5): DataFrame = {
@@ -234,7 +261,15 @@ object Dedup {
     val tok = tokens(spread(newDocs))
     val newBands = bandsOf(signatures(tok))
       .withColumnRenamed("doc_id", "doc_a")
+    val bandBuckets = spark.read.parquet(s"$dir/meta")
+      .first().getAs[Int]("band_buckets")
+    // one extra delta-sized pass to learn which buckets the delta can
+    // touch; its distinct is ≤ bandBuckets values
+    val touched = newBands
+      .select(pmod(col("b0"), lit(bandBuckets.toLong)).as("bkt"))
+      .distinct().collect().map(_.getLong(0))
     val candRaw = spark.read.parquet(s"$dir/bands")
+      .filter(col("bkt").isin(touched: _*))
       .join(broadcast(newBands), Seq("band", "b0", "b1"))
       .filter(col("doc_a") =!= col("doc_id"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))

@@ -114,4 +114,19 @@ object Sampling {
     sampleByHash(docs, 0.5)
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).cast("long").as("total_chars"))
+
+  /** Declared query q_mixture: per-source size summary of a weighted
+    * [[mixture]] over two disjoint document sources (even ids at weight
+    * 2.5 = two epochs + a deterministic half-draw; odd ids at 0.25).
+    * The mixture is fully deterministic (salted hash thresholds + whole
+    * epoch copies), so the oracle reproduces it exactly — the declared
+    * check the weighted-mixing step of a pretraining pipeline needs. */
+  def mixtureQ(docs: DataFrame): DataFrame = {
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    mixture(Seq(even -> 2.5, odd -> 0.25))
+      .groupBy((col("doc_id") % 2).as("src"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+  }
 }
