@@ -212,15 +212,29 @@ object Dedup {
     * touches ≤ 4·D buckets, so pruning is effective while
     * bandBuckets ≫ 4·D-distinct. b0 is a min of 60-bit hashes —
     * uniform, so buckets are balanced. */
+  /** On-disk schemas of the index tables — readers pass them explicitly:
+    * an EMPTY corpus's partitioned bands write leaves no parquet footer
+    * to infer from (the write must still succeed — EdgeCaseSpec), and
+    * explicit schemas skip footer-inference I/O on every micro-batch. */
+  private val BandsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id LONG, band INT, b0 LONG, b1 LONG, bkt LONG")
+  private val TokSetsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id LONG, toks ARRAY<LONG>")
+
   def writeNearDupIndex(docs: DataFrame, dir: String,
       bandBuckets: Int = 256): Unit = {
     require(bandBuckets > 0, s"bandBuckets must be positive, got $bandBuckets")
     val tok = tokens(spread(docs)).cache()
     try {
+      // doc_id normalized to long so the fixed reader schema holds for
+      // any integral id column
       bandsOf(signatures(tok))
+        .withColumn("doc_id", col("doc_id").cast("long"))
         .withColumn("bkt", pmod(col("b0"), lit(bandBuckets.toLong)))
         .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
-      tokSetsOf(tok).write.mode("overwrite").parquet(s"$dir/toksets")
+      tokSetsOf(tok)
+        .withColumn("doc_id", col("doc_id").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/toksets")
       docs.sparkSession.range(1)
         .select(lit(bandBuckets).as("band_buckets"))
         .write.mode("overwrite").parquet(s"$dir/meta")
@@ -268,7 +282,7 @@ object Dedup {
     val touched = newBands
       .select(pmod(col("b0"), lit(bandBuckets.toLong)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
-    val candRaw = spark.read.parquet(s"$dir/bands")
+    val candRaw = spark.read.schema(BandsSchema).parquet(s"$dir/bands")
       .filter(col("bkt").isin(touched: _*))
       .join(broadcast(newBands), Seq("band", "b0", "b1"))
       .filter(col("doc_a") =!= col("doc_id"))
@@ -276,8 +290,8 @@ object Dedup {
     val verified = candRaw
       .join(broadcast(tokSetsOf(tok).select(col("doc_id").as("doc_a"),
         col("toks").as("set_a"))), "doc_a")
-      .join(spark.read.parquet(s"$dir/toksets").select(col("doc_id").as("doc_b"),
-        col("toks").as("set_b")), "doc_b")
+      .join(spark.read.schema(TokSetsSchema).parquet(s"$dir/toksets")
+        .select(col("doc_id").as("doc_b"), col("toks").as("set_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("sorted_intersect_count(set_a, set_b)").as("n_common"),
         size(col("set_a")).as("na"), size(col("set_b")).as("nb"))

@@ -287,76 +287,133 @@ object Relational {
         count(col("o_orderkey")).as("n_prior_orders"))
   }
 
-  /** Sort-based exact percentiles for one value column: rank rows within
-    * each group (any tie order — interpolation reads the sorted multiset,
-    * where ties are interchangeable), attach the group size, and fold the
-    * one-or-two straddling rows per requested percentile with linear
-    * interpolation. The interpolation is bit-identical to Spark's builtin
-    * `percentile` AND DuckDB's `quantile_cont`: for 0-indexed position
-    * pos = p·(m−1), result = v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋)
+  /** Sort-based exact percentiles with INTRA-group parallelism: global
+    * per-group ranks are assembled from range-partitioned local ranks
+    * plus per-partition offset prefix sums, then the one-or-two
+    * straddling rows per requested percentile fold with linear
+    * interpolation. The interpolation is bit-identical to Spark's
+    * builtin `percentile` AND DuckDB's `quantile_cont`: for 0-indexed
+    * position pos = p·(m−1), result = v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋)
     * (= v_lo exactly when pos is integral). Every non-straddling row
     * contributes +0.0, which is exact in IEEE double, so the distributed
     * sum is order-insensitive and oracle-stable.
     *
-    * Scale shape: the heavy operator is the window sort — shuffle on the
-    * group key, then Spark's spillable external sort — instead of the
-    * builtin percentile's per-group in-memory value→count map, which is
-    * the first thing to OOM on a 100×-scale high-cardinality group. */
+    * Scale shape — why not one Window per group key: a window
+    * partitioned by the group caps parallelism at the NUMBER OF GROUPS
+    * (3 tasks on the lineitem fixture), and one hot group's entire sort
+    * serializes on a single task at 100 TB (spillable, but serial).
+    * Here instead:
+    *  1. melt the value columns to long format (group, ci, v) — one
+    *     projection, all columns ride one pass;
+    *  2. `repartitionByRange` on (group, ci, v): partition p holds only
+    *     values ≤ partition p+1's within every (group, ci) slice, and a
+    *     hot group spreads over MANY partitions;
+    *  3. local ranks: window over (pid, group, ci) — parallelism is the
+    *     partition count, not the group count;
+    *  4. per-(pid, group, ci) counts are a METADATA-sized aggregate
+    *     (≤ partitions × columns × groups rows); their prefix sum over
+    *     pid (a window over that tiny frame) is each partition's global
+    *     rank offset, broadcast-joined back;
+    *  5. global idx = offset + local rank; the straddle filter and the
+    *     interpolating sum run exactly as before.
+    * Ties across a partition boundary are safe: equal values are
+    * interchangeable under interpolation, whatever side of the boundary
+    * each lands on. Nulls are dropped from the long frame (idx then
+    * counts non-null values directly — the builtin's skip-nulls
+    * semantics); groups whose every value column is entirely null are
+    * reattached by the final left join so they still yield null rows. */
   private[ops] def exactPercentiles(df: DataFrame, groupCol: String,
       specs: Seq[(String, Seq[(Double, String)])]): DataFrame = {
     val vals = df.select(col(groupCol) +:
       specs.zipWithIndex.map { case ((vc, _), i) => col(vc).cast("double").as(s"v$i") }: _*)
-    // one ranking column per value column, all inside one shuffle: the
-    // Window operators share the partition key, so Catalyst plans a
-    // single Exchange followed by per-column in-place sorts. The counts
-    // ride the same exchange as order-free windows (no extra sort, no
-    // extra stage — a groupBy+rejoin form measured ~0.3 s slower at
-    // sf0.1 purely in stage overhead).
-    //
-    // Nulls: Spark's ascending sort places them FIRST, so subtracting
-    // the group's per-column null count gives non-null values idx
-    // 0..cnt-1 and null rows a negative idx that matches no branch
-    // below — the same skip-nulls-per-column semantics as the builtin
-    // percentile and DuckDB's quantile_cont.
-    val grp = Window.partitionBy(col(groupCol))
-    val ranked = specs.indices.foldLeft(vals) { (acc, i) =>
-      val w = grp.orderBy(col(s"v$i"))
-      acc.withColumn(s"cnt$i", count(col(s"v$i")).over(grp).cast("double"))
-        .withColumn(s"idx$i", row_number().over(w).cast("double") - 1
-          - (count(lit(1)).over(grp).cast("double") - col(s"cnt$i")))
-    }
-    // Only straddling rows (idx = ⌊pos⌋ or ⌈pos⌉ for some percentile)
-    // carry non-zero terms — ≤ 2·percentiles rows per group — so filter
-    // the rest out BEFORE the aggregate: the hash-agg then updates 6
-    // sum buffers on a handful of rows instead of every input row, and
-    // the agg exchange carries only those survivors. The all-null-column
-    // disjunct (cnt = 0) keeps such groups alive so their sum still
-    // yields the builtin's null.
+    val n = specs.size
+    val stackExpr = s"stack($n, ${specs.indices.map(i => s"$i, v$i").mkString(", ")}) as (ci, v)"
+    val long = vals.select(col(groupCol), expr(stackExpr))
+      .filter(col("v").isNotNull)
+    // EXPLICIT partition count: the range exchange is consumed by two
+    // branches (counts + ranks); a user-specified N marks the shuffle
+    // REPARTITION_BY_NUM so AQE cannot coalesce the two consumers'
+    // reads differently — pid must mean the same partition in both.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val tagged = long
+      .repartitionByRange(nPart, col(groupCol), col("ci"), col("v"))
+      .withColumn("pid", spark_partition_id())
+    // per-partition slice counts: ≤ nPart × n × |groups| rows —
+    // metadata-sized, computed exchange→hash-agg (NO sort on this
+    // branch; the reused exchange is the only big operator it touches),
+    // so all three rank ingredients are windows over a tiny frame:
+    //  off  = the slice's global start   (prefix over pid within slice)
+    //  base = the slice's start in pid   (prefix over slice within pid,
+    //         same (group, ci) asc-nulls-first order the sort uses)
+    //  cnt  = the slice's total size
+    val counts = tagged.groupBy(col("pid"), col(groupCol), col("ci"))
+      .agg(count(lit(1)).as("cnt_p"))
+    val slice = Window.partitionBy(col(groupCol), col("ci"))
+    val inPid = Window.partitionBy(col("pid"))
+    val offsets = counts
+      .withColumn("off",
+        sum(col("cnt_p")).over(slice.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("cnt_p"))
+      .withColumn("base",
+        sum(col("cnt_p")).over(inPid.orderBy(col(groupCol), col("ci"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("cnt_p"))
+      .withColumn("cnt", sum(col("cnt_p")).over(slice).cast("double"))
+      .drop("cnt_p")
+    // local ranks WITHOUT a second big shuffle or window: sort each
+    // range partition once, then monotonically_increasing_id's low bits
+    // are the 0-based position within the sorted partition (the
+    // nondeterministic id is never reordered past the sort by the
+    // optimizer). A slice occupies a contiguous index range there, so
+    // its global rank is off + (pos − base) — tie order within equal
+    // values is partition-local and interchangeable under interpolation.
+    val ranked = tagged
+      .sortWithinPartitions(col(groupCol), col("ci"), col("v"))
+      .withColumn("lrn0",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .join(broadcast(offsets), Seq("pid", groupCol, "ci"))
+      .withColumn("idx", (col("off") + col("lrn0") - col("base")).cast("double"))
+    // Only straddling rows (idx = ⌊pos⌋ or ⌈pos⌉ for some percentile of
+    // their own column) carry non-zero terms — ≤ 2·percentiles rows per
+    // (group, column) — so filter the rest out BEFORE the aggregate:
+    // the hash-agg then updates its sum buffers on a handful of rows
+    // and the agg exchange carries only those survivors.
     val contributes = specs.zipWithIndex.flatMap { case ((_, ps), i) =>
-      val nullCol = col(s"cnt$i") === 0
       ps.flatMap { case (p, _) =>
-        val pos = lit(p) * (col(s"cnt$i") - 1)
-        Seq(col(s"idx$i") === floor(pos), col(s"idx$i") === ceil(pos))
-      } :+ nullCol
+        val pos = lit(p) * (col("cnt") - 1)
+        Seq(col("ci") === i && col("idx") === floor(pos),
+          col("ci") === i && col("idx") === ceil(pos))
+      }
     }.reduce(_ || _)
     val aggs = specs.zipWithIndex.flatMap { case ((_, ps), i) =>
       ps.map { case (p, name) =>
-        val pos = lit(p) * (col(s"cnt$i") - 1)
+        val pos = lit(p) * (col("cnt") - 1)
         val lo = floor(pos)
         val hi = ceil(pos)
         sum(
-          // all-null column in a group: every term null → sum() = null,
-          // matching the builtin (sum ignores the 0.0 of other branches
-          // only when at least one non-null term exists — here none do)
-          when(col(s"cnt$i") === 0, lit(null).cast("double"))
-            .when(col(s"idx$i") === lo && lo === hi, col(s"v$i"))
-            .when(col(s"idx$i") === lo, col(s"v$i") * (hi - pos))
-            .when(col(s"idx$i") === hi, col(s"v$i") * (pos - lo))
-            .otherwise(lit(0.0))
+          // rows of OTHER columns contribute null → ignored; a column
+          // with no surviving rows in a group sums to null, matching
+          // the builtin's all-null → null
+          when(col("ci") === i,
+            when(col("idx") === lo && lo === hi, col("v"))
+              .when(col("idx") === lo, col("v") * (hi - pos))
+              .when(col("idx") === hi, col("v") * (pos - lo))
+              .otherwise(lit(0.0)))
+            .otherwise(lit(null).cast("double"))
         ).as(name)
       }
     }
-    ranked.filter(contributes).groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    val perGroup = ranked.filter(contributes)
+      .groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    // keep groups whose every value column is entirely null (they have
+    // no long-format rows at all): distinct groups is a map-side
+    // partial-aggregated shuffle of |groups| rows. Null-SAFE equality:
+    // a null group key is a group like any other and must keep its
+    // computed row rather than be dropped by an equi-join.
+    val names = specs.flatMap(_._2.map(_._2))
+    df.select(col(groupCol)).distinct()
+      .join(perGroup.withColumnRenamed(groupCol, "__g"),
+        col(groupCol) <=> col("__g"), "left")
+      .select(col(groupCol) +: names.map(col): _*)
   }
 
   /** Exact percentiles (median + p95) per group, computed sort-based (see

@@ -1,9 +1,9 @@
 package graft.tools
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Dev-only: decompose the exact-quantile pipeline's exec cost. */
+/** Dev-only: decompose the exact-quantile pipeline's exec cost (the
+  * range-partitioned intra-group-parallel form). */
 object QuantLab {
   def main(args: Array[String]): Unit = {
     val spark = Lab.session()
@@ -12,21 +12,22 @@ object QuantLab {
       .select(col("l_returnflag").as("g"),
         col("l_quantity").cast("double").as("v0"),
         col("l_extendedprice").cast("double").as("v1"))
+    def long = li.select(col("g"),
+        expr("stack(2, 0, v0, 1, v1) as (ci, v)"))
+      .filter(col("v").isNotNull)
+    def tagged = long.repartitionByRange(32, col("g"), col("ci"), col("v"))
+      .withColumn("pid", spark_partition_id())
     def bench(name: String)(f: => Unit): Unit = Lab.bench("quantlab", name)(f)
-    val grp = Window.partitionBy(col("g"))
 
-    bench("scan3")(Lab.noop(li))
-    bench("exchange_only")(Lab.noop(li.repartition(col("g"))))
-    bench("exchange_sort1")(Lab.noop(li.repartition(col("g")).sortWithinPartitions(col("v1"))))
-    bench("one_ranked_window")(Lab.noop(
-      li.withColumn("i1", row_number().over(grp.orderBy(col("v1"))))))
-    bench("two_ranked_windows")(Lab.noop(
-      li.withColumn("i0", row_number().over(grp.orderBy(col("v0"))))
-        .withColumn("i1", row_number().over(grp.orderBy(col("v1"))))))
-    bench("count_window_only")(Lab.noop(
-      li.withColumn("c0", count(col("v0")).over(grp))
-        .withColumn("c1", count(col("v1")).over(grp))
-        .withColumn("m", count(lit(1)).over(grp))))
+    bench("scan_stack")(Lab.noop(long))
+    bench("range_exchange")(Lab.noop(tagged))
+    bench("counts_branch")(Lab.noop(
+      tagged.groupBy(col("pid"), col("g"), col("ci")).agg(count(lit(1)).as("c"))))
+    bench("sorted_lrn_branch")(Lab.noop(
+      tagged.sortWithinPartitions(col("g"), col("ci"), col("v"))
+        .withColumn("lrn0",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))))
+    bench("distinct_groups")(Lab.noop(li.select(col("g")).distinct()))
     bench("full_current")(Lab.noop(graft.ops.Relational.quantileQ(spark, sfDir)))
     spark.stop()
   }

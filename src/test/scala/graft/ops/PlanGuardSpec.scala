@@ -16,10 +16,12 @@ import graft.{SparkEntry, SparkSuite}
 class PlanGuardSpec extends SparkSuite {
 
   // crossJoin(broadcast(tiny side)) by design: q_sim_topk broadcasts the
-  // probe set; q_sim_topk_ivf broadcasts the centroid table (both O(k)
-  // rows against one corpus scan); q_dedup_ngram broadcasts the ONE-row
-  // frequent-shingle array for the map-side df-cap (Dedup.ngramJaccardPairs)
-  private val bnljAllowed = Set("q_sim_topk", "q_sim_topk_ivf", "q_dedup_ngram")
+  // probe set; q_sim_topk_ivf (sampled or trained centroids) broadcasts
+  // the centroid table (both O(k) rows against one corpus scan);
+  // q_dedup_ngram broadcasts the ONE-row frequent-shingle array for the
+  // map-side df-cap (Dedup.ngramJaccardPairs)
+  private val bnljAllowed =
+    Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained", "q_dedup_ngram")
 
   test("no declared query plans a cartesian product; BNLJ only where declared") {
     SparkEntry.queries.foreach { case (name, fn) =>

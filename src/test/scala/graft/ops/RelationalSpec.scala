@@ -149,7 +149,14 @@ class RelationalSpec extends SparkSuite {
     // operator is Window over a spillable external sort.
     assert(!plan.contains("percentile"),
       s"exact quantile must not use the buffering percentile aggregate:\n${plan.take(600)}")
-    assert(plan.contains("Window"), s"expected window-rank plan:\n${plan.take(600)}")
+    // intra-group parallelism: ranks come from a RANGE exchange over
+    // (group, ci, v) — parallelism is the partition count — never from
+    // a window partitioned by the group key alone, whose parallelism is
+    // the number of groups (one serial task per hot group at scale)
+    assert(plan.toLowerCase.contains("rangepartitioning"),
+      s"expected range-partitioned rank plan:\n${plan.take(600)}")
+    assert(!plan.contains("Window [row_number"),
+      s"no per-group row_number window over the full data:\n${plan.take(600)}")
     // and it must still agree with the buffering builtin to the last ulp
     import org.apache.spark.sql.functions.{col, expr}
     val builtin = graft.sources.Tables.lineitem(spark, sf)
