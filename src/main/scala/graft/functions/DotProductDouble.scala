@@ -22,12 +22,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * HOF form it replaces (((0 + a₀b₀) + a₁b₁) + …), so results are
   * bitwise identical to it — and to the DuckDB oracle's
   * `list_dot_product`, which the declared queries mirror
-  * (FunctionsSpec pins the bitwise parity). Summation stops at the
-  * shorter array (inputs are fixed-dimension embeddings in practice);
-  * null arguments yield null, arrays must not contain nulls.
+  * (FunctionsSpec pins the bitwise parity). Degenerate inputs ALSO
+  * match the HOF form: null arguments, length-mismatched arrays
+  * (zip_with pads the shorter with null → the whole fold goes null),
+  * and null elements all yield NULL — enforced at runtime, so a
+  * malformed or mixed-dimension corpus diverges loudly (null) instead
+  * of silently truncating to the shorter array.
   */
 case class DotProductDouble(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // the guards can return null even for non-null array inputs
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -45,10 +51,15 @@ case class DotProductDouble(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var i = 0
     var s = 0.0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -58,12 +69,17 @@ case class DotProductDouble(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0d;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0d;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

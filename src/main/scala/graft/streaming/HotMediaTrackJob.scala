@@ -116,6 +116,21 @@ object HotMediaTrackJob {
       catch {
         case e: java.sql.SQLException
             if missingTableStates(Option(e.getSQLState).getOrElse("")) => () // first batch: no table yet
+        case e: java.sql.SQLException =>
+          // Unrecognized state — stores outside the allowlist signal a
+          // missing table differently (Oracle ORA-00942 → 42000, H2
+          // 42102) and some drivers return a null state. Probe with a
+          // zero-row SELECT before deciding: if the table IS reachable
+          // the DELETE failure is real (revoked privilege, missing
+          // column) and must propagate — appending without the purge
+          // breaks idempotence silently; if the probe fails too, this
+          // is the first batch against such a store.
+          val probe = conn.createStatement()
+          val missing =
+            try { probe.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); false }
+            catch { case _: java.sql.SQLException => true }
+            finally probe.close()
+          if (!missing) throw e
       } finally st.close()
     } finally conn.close()
     batch.withColumn("batch_id", lit(batchId))

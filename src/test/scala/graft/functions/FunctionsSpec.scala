@@ -64,6 +64,18 @@ class FunctionsSpec extends SparkSuite {
       .toDF("a", "b")
       .select(expr("dot_double(a, b)").as("c")).collect()
     assert(edge(0).isNullAt(0) && edge(1).getDouble(0) == 0.0)
+    // degenerate inputs must match the HOF (zip_with pads with null →
+    // whole fold null): mismatched lengths and null elements both yield
+    // NULL, never a silent truncation to the shorter array
+    val deg = Seq(
+      (Seq[java.lang.Double](1.0, 2.0, 3.0), Seq[java.lang.Double](1.0, 2.0)),
+      (Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](1.0, 2.0, 3.0)))
+      .toDF("a", "b")
+      .select(expr("dot_double(a, b)").as("fast"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("reference")).collect()
+    deg.foreach(r => assert(r.isNullAt(0) && r.isNullAt(1),
+      s"degenerate input must be null in both forms: $r"))
   }
 
   test("GraftExtensions descriptor: name, builder, and injection wiring") {
