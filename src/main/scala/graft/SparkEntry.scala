@@ -380,7 +380,7 @@ object SparkEntry {
         |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
         |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-        |array_to_string(list_transform(v[1:8], x -> CASE WHEN x > 0 THEN '1' ELSE '0' END), '') AS bucket
+        |array_to_string(list_transform(range(8), i -> CASE WHEN v[(i % len(v)) + 1] > 0 THEN '1' ELSE '0' END), '') AS bucket
         |FROM n)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cos_sim

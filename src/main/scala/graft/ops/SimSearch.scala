@@ -119,23 +119,30 @@ object SimSearch {
     *    declared query keeps (bits=8, rotations=1), whose result the
     *    oracle mirrors exactly. */
   def embedNearDup(embeddings: DataFrame, bits: Int = 8,
-      threshold: Double = 0.25, rotations: Int = 1): DataFrame = {
+      threshold: Double = 0.25, rotations: Int = 1, dim: Int = 0): DataFrame = {
     val emb0 = normed(embeddings)
     // Rotation r reads dim window starting at r·bits mod d, so window
     // starts repeat with period d/gcd(d, bits) — rotations beyond that
     // re-run rotation 0's exact window for zero recall gain (when
     // bits ∤ d the period exceeds ⌈d/bits⌉: d=20, bits=8 gives 5
-    // distinct windows, not 3). Cap there. The dim probe is one
-    // stats-sized aggregate over the NORMED frame (null / zero-norm
-    // vectors already dropped) and min() makes it deterministic under
-    // mixed dims; at deployment pass the dim from the table schema.
+    // distinct windows, not 3). Cap there. Pass `dim` (from the table
+    // schema / embedding-model contract) to skip the data probe; when
+    // unset, the probe is one stats-sized aggregate over the NORMED
+    // frame (null / zero-norm vectors already dropped) — an eager
+    // corpus scan per call, which is why deployments should pass dim.
+    // min() under mixed dims is deterministic but conservative: the
+    // narrowest vector's period caps everyone, discarding distinct
+    // windows wider vectors still have. Fixed-dim corpora (the
+    // embedding-model norm) are unaffected.
     val effRotations =
       if (rotations <= 1) 1
       else {
-        val d = emb0.agg(min(size(col("v")))).first() match {
-          case r if r.isNullAt(0) => 0 // empty corpus: one no-op pass
-          case r => r.getInt(0)
-        }
+        val d =
+          if (dim > 0) dim
+          else emb0.agg(min(size(col("v")))).first() match {
+            case r if r.isNullAt(0) => 0 // empty corpus: one no-op pass
+            case r => r.getInt(0)
+          }
         if (d <= 0) 1
         else math.max(1, math.min(rotations, d / BigInt(d).gcd(BigInt(bits)).toInt))
       }
