@@ -16,6 +16,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // STATIC conf (builder-only): the generated-class cache defaults
+      // to 100 entries, but one interleaved pass over all ~46 declared
+      // queries compiles several codegen units each — by the time pass
+      // 2 reaches a query, pass 1's classes are evicted and EVERY timed
+      // sample re-pays Janino compilation (~40% uniform inflation,
+      // round-4 finding). A deployment reuses compiled plans;
+      // steady-state query cost is what this harness reports.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     Engine.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

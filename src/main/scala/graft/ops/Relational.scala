@@ -308,14 +308,16 @@ object Relational {
     *  2. `repartitionByRange` on (group, ci, v): partition p holds only
     *     values ≤ partition p+1's within every (group, ci) slice, and a
     *     hot group spreads over MANY partitions;
-    *  3. local ranks: window over (pid, group, ci) — parallelism is the
-    *     partition count, not the group count;
-    *  4. per-(pid, group, ci) counts are a METADATA-sized aggregate
-    *     (≤ partitions × columns × groups rows); their prefix sum over
-    *     pid (a window over that tiny frame) is each partition's global
-    *     rank offset, broadcast-joined back;
+    *  3. local ranks from ONE in-partition sort (position ids, no
+    *     window) — parallelism is the partition count, not the group
+    *     count;
+    *  4. per-(pid, group, ci) stats (count + first position) are a
+    *     METADATA-sized aggregate (≤ partitions × columns × groups
+    *     rows); their prefix sum over pid (a window over that tiny
+    *     frame) is each partition's global rank offset,
+    *     broadcast-joined back;
     *  5. global idx = offset + local rank; the straddle filter and the
-    *     interpolating sum run exactly as before.
+    *     interpolating sum run over the (cached) sorted frame.
     * Ties across a partition boundary are safe: equal values are
     * interchangeable under interpolation, whatever side of the boundary
     * each lands on. Nulls are dropped from the long frame (idx then
@@ -330,46 +332,50 @@ object Relational {
     val stackExpr = s"stack($n, ${specs.indices.map(i => s"$i, v$i").mkString(", ")}) as (ci, v)"
     val long = vals.select(col(groupCol), expr(stackExpr))
       .filter(col("v").isNotNull)
-    // EXPLICIT partition count: the range exchange is consumed by two
-    // branches (counts + ranks); a user-specified N marks the shuffle
-    // REPARTITION_BY_NUM so AQE cannot coalesce the two consumers'
-    // reads differently — pid must mean the same partition in both.
+    // EXPLICIT partition count: pid must mean the same partition in
+    // every consumer of the exchange; a user-specified N marks the
+    // shuffle REPARTITION_BY_NUM so AQE cannot re-coalesce it.
     val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val tagged = long
+    // ONE range exchange + ONE in-partition sort, CACHED (caller
+    // releases via PipelineCaches): the frame is consumed twice (the
+    // counts aggregate and the rank join below), and Spark does not
+    // dedup subtrees containing the nondeterministic
+    // spark_partition_id/monotonically_increasing_id — uncached, the
+    // executed plan materializes the whole 2·|rows| exchange TWICE
+    // (measured: +0.6 s at sf0.1). Eviction is safe: the cached RDD's
+    // lineage starts at the shuffle read, so recompute re-fetches
+    // shuffle blocks, not the source scan. Local ranks without a second
+    // shuffle or big window: after the in-partition sort,
+    // monotonically_increasing_id's low bits are the 0-based position
+    // within the sorted partition (the nondeterministic id is never
+    // reordered past the sort by the optimizer). A (group, ci) slice
+    // occupies a contiguous position range there, so its local rank is
+    // lrn0 − min(lrn0 over the slice's rows in this partition).
+    val sorted = PipelineCaches.track(long
       .repartitionByRange(nPart, col(groupCol), col("ci"), col("v"))
       .withColumn("pid", spark_partition_id())
-    // per-partition slice counts: ≤ nPart × n × |groups| rows —
-    // metadata-sized, computed exchange→hash-agg (NO sort on this
-    // branch; the reused exchange is the only big operator it touches),
-    // so all three rank ingredients are windows over a tiny frame:
-    //  off  = the slice's global start   (prefix over pid within slice)
-    //  base = the slice's start in pid   (prefix over slice within pid,
-    //         same (group, ci) asc-nulls-first order the sort uses)
-    //  cnt  = the slice's total size
-    val counts = tagged.groupBy(col("pid"), col(groupCol), col("ci"))
-      .agg(count(lit(1)).as("cnt_p"))
+      .sortWithinPartitions(col(groupCol), col("ci"), col("v"))
+      .withColumn("lrn0",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))))
+    // per-partition slice stats: ≤ nPart × n × |groups| rows —
+    // metadata-sized. base (the slice's first position in its
+    // partition) falls out of the same aggregate as min(lrn0); the only
+    // window work left runs over this tiny frame:
+    //  off = the slice's global start (prefix over pid within slice)
+    //  cnt = the slice's total size
+    val counts = sorted.groupBy(col("pid"), col(groupCol), col("ci"))
+      .agg(count(lit(1)).as("cnt_p"), min(col("lrn0")).as("base"))
     val slice = Window.partitionBy(col(groupCol), col("ci"))
-    val inPid = Window.partitionBy(col("pid"))
     val offsets = counts
       .withColumn("off",
         sum(col("cnt_p")).over(slice.orderBy(col("pid"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("cnt_p"))
-      .withColumn("base",
-        sum(col("cnt_p")).over(inPid.orderBy(col(groupCol), col("ci"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("cnt_p"))
       .withColumn("cnt", sum(col("cnt_p")).over(slice).cast("double"))
       .drop("cnt_p")
-    // local ranks WITHOUT a second big shuffle or window: sort each
-    // range partition once, then monotonically_increasing_id's low bits
-    // are the 0-based position within the sorted partition (the
-    // nondeterministic id is never reordered past the sort by the
-    // optimizer). A slice occupies a contiguous index range there, so
-    // its global rank is off + (pos − base) — tie order within equal
-    // values is partition-local and interchangeable under interpolation.
-    val ranked = tagged
-      .sortWithinPartitions(col(groupCol), col("ci"), col("v"))
-      .withColumn("lrn0",
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    // Global idx = off + (lrn0 − base). Ties across a partition
+    // boundary are safe: equal values are interchangeable under
+    // interpolation, whatever side of the boundary each lands on.
+    val ranked = sorted
       .join(broadcast(offsets), Seq("pid", groupCol, "ci"))
       .withColumn("idx", (col("off") + col("lrn0") - col("base")).cast("double"))
     // Only straddling rows (idx = ⌊pos⌋ or ⌈pos⌉ for some percentile of

@@ -11,6 +11,9 @@ object Lab {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      // match Bench: codegen class cache big enough that interleaved
+      // runs measure steady-state cost, not Janino recompilation
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     graft.Engine.tune(spark)
     spark.sparkContext.setLogLevel("WARN")

@@ -28,7 +28,12 @@ object QuantLab {
         .withColumn("lrn0",
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))))
     bench("distinct_groups")(Lab.noop(li.select(col("g")).distinct()))
-    bench("full_current")(Lab.noop(graft.ops.Relational.quantileQ(spark, sfDir)))
+    // release tracked caches per run, as Bench does — the cold-run cost
+    // is what the driver's bench records
+    bench("full_current") {
+      Lab.noop(graft.ops.Relational.quantileQ(spark, sfDir))
+      graft.ops.PipelineCaches.release(spark)
+    }
     spark.stop()
   }
 }
