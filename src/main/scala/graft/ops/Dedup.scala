@@ -138,8 +138,10 @@ object Dedup {
         col("bb.b0").as("b0"), col("bb.b1").as("b1"))
   }
 
-  /** Per-doc sorted 60-bit token-hash arrays — the verify dictionary. */
-  private def tokSetsOf(tok: DataFrame): DataFrame = tok
+  /** Per-doc sorted 60-bit token-hash arrays — the verify dictionary.
+    * private[ops]: NearDupIndexSpec pins the deployment shape where
+    * this frame is registered doc_id-bucketed (see [[writeNearDupIndex]]). */
+  private[ops] def tokSetsOf(tok: DataFrame): DataFrame = tok
     .select(col("doc_id"),
       conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("th"))
     .groupBy(col("doc_id"))

@@ -67,4 +67,45 @@ class NearDupIndexSpec extends SparkSuite {
     val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got.contains((10000L, 0L, 1.0)))
   }
+
+  test("deployment: doc_id-bucketed toksets feeds the verify join with no index-side exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // The index-verify join probes the toksets dictionary with
+    // candidate doc ids. Its key is data-dependent, so the bands-style
+    // static partition prune cannot apply — the deployment answer
+    // (nearDupsAgainstIndex scaladoc) is registering toksets BUCKETED
+    // on doc_id: the corpus-sized side then feeds the sort-merge join
+    // straight off storage, and only the candidate side shuffles to the
+    // bucket partitioning. This pins that claim. Same applies to every
+    // dedup/split shuffle keyed on doc_id or a stored hash column
+    // (exactDedup's norm hash, leakFreeSplit's cluster key): bucket the
+    // corpus on the key once, and the per-run exchange disappears.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false") // plain plan for subtree asserts
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // SMJ: the mode where the exchange matters
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+    val tokSets = Dedup.tokSetsOf(Dedup.tokens(docs))
+      .withColumn("doc_id", col("doc_id").cast("long"))
+    graft.sources.Bucketing.writeBucketed(tokSets, "bkt_toksets", "doc_id", 4)
+    try {
+      val cands = docs.select(col("doc_id").cast("long").as("doc_id"))
+        .filter(col("doc_id") % 7 === 0)
+      val joined = s.table("bkt_toksets").join(cands, "doc_id")
+      val plan = joined.queryExecution.executedPlan
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"verify-shaped join must plan as SMJ:\n${plan.toString.take(900)}")
+      val indexSide = smj.head.left
+      assert(indexSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "bucketed toksets must reach the SMJ with no Exchange:\n" + indexSide.toString.take(900))
+      // sortBy(doc_id) in the bucketed write also serves the SMJ's sort
+      assert(indexSide.toString.contains("Scan"),
+        "index side must be the bucketed table scan subtree")
+      // parity with the unbucketed join
+      val expected = tokSets.join(cands, "doc_id").count()
+      assert(joined.count() == expected && expected > 0)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS bkt_toksets")
+    }
+  }
 }
