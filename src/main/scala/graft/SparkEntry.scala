@@ -58,6 +58,7 @@ object SparkEntry {
     // (vec_id, embedding) frame works — the test tables are one wiring)
     "q_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_dedup_near" -> ((s, d) => Dedup.nearDupPairs(Tables.documents(s, d))),
+    "q_dedup_incr" -> ((s, d) => Dedup.incrementalNearDupQ(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => Dedup.fingerprints(Tables.documents(s, d))),
@@ -246,6 +247,44 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
         |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
         |AND a.doc_id < b.doc_id),
+        |tokh AS (SELECT DISTINCT doc_id,
+        |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),
+        |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
+        |JOIN tokh ta ON ta.doc_id = c.doc_a
+        |JOIN tokh tb ON tb.doc_id = c.doc_b AND tb.th = ta.th
+        |GROUP BY c.doc_a, c.doc_b)
+        |SELECT c.doc_a, c.doc_b,
+        |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
+        |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+        |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin,
+    // Incremental shape: same banded minhash + exact-Jaccard as
+    // q_dedup_near, over the corpus (doc_id % 20 <> 0) ∪ re-keyed delta
+    // (doc_id % 20 = 0, +100000), restricted to (delta, corpus) cross
+    // pairs — exactly what the persisted-index path must return.
+    "q_dedup_incr" ->
+      """WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+        |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |tok AS (SELECT DISTINCT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM docs2) u WHERE t <> ''),
+        |sig AS (SELECT doc_id,
+        |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
+        |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
+        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
+        |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
+        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
+        |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
+        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
+        |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
+        |FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
+        |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+        |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+        |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
+        |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+        |WHERE a.doc_id >= 100000 AND b.doc_id < 100000),
         |tokh AS (SELECT DISTINCT doc_id,
         |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
         |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),

@@ -269,14 +269,16 @@ object Dedup {
       newDocs: DataFrame, dir: String,
       threshold: Double = 0.5): DataFrame = {
     SortedLongIntersectCount.register(spark)
-    // deliberately NOT cached: tok is read twice (bands + dictionary),
-    // but both reads are DELTA-sized, and this method runs once per
-    // micro-batch on the streaming ingestion path — a cache here would
-    // accumulate unreleased blocks every batch (method-local frame, no
-    // caller can unpersist; the lazy result outlives any finally block)
-    val tok = tokens(spread(newDocs))
-    val newBands = bandsOf(signatures(tok))
-      .withColumnRenamed("doc_id", "doc_a")
+    // tracked caches (caller releases via PipelineCaches.release after
+    // each consuming action — the documented lifetime contract, so the
+    // per-micro-batch streaming path does NOT accumulate blocks): the
+    // delta's tokens feed three evaluations (the touched-bucket
+    // round-trip, the band broadcast, the verify dictionary), and the
+    // token distinct + signature aggregate are the delta's whole
+    // compute — uncached they ran three times end-to-end.
+    val tok = PipelineCaches.track(tokens(spread(newDocs)))
+    val newBands = PipelineCaches.track(bandsOf(signatures(tok))
+      .withColumnRenamed("doc_id", "doc_a"))
     val bandBuckets = spark.read.parquet(s"$dir/meta")
       .first().getAs[Int]("band_buckets")
     // one extra delta-sized pass to learn which buckets the delta can
@@ -302,6 +304,48 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
     verified.groupBy(col("doc_a"), col("doc_b"))
       .agg(first(col("jaccard")).as("jaccard"))
+  }
+
+  // q_dedup_incr builds its corpus index ONCE per (session, sf dir) —
+  // Catalog.registerAll's memo pattern: set only after a successful
+  // build, under a lock, weakly keyed so stopped sessions don't pin.
+  private val incrIdx =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Set[String]]
+
+  /** Declared incremental-dedup workload (q_dedup_incr): a 5% "delta"
+    * (doc_id % 20 = 0, re-keyed +100000 — the disjoint-id crawl shape)
+    * deduped against the persisted inverted file of the other 95%.
+    * Drives [[writeNearDupIndex]] + [[nearDupsAgainstIndex]] — the
+    * partition-pruned bands read and the delta-broadcast verify — under
+    * the driver's per-round oracle gate (the oracle computes the same
+    * banded minhash + exact-Jaccard cross pairs over the re-keyed
+    * union). The index build is memoized per (session, sf dir) and the
+    * write is mode=overwrite under a deterministic temp path: the FIRST
+    * call pays the build (as Verify does), repeat calls measure the
+    * steady-state cost — delta vs existing index — which is what the
+    * production ingestion loop pays per micro-batch; the build path
+    * itself stays pinned by NearDupIndexSpec/EdgeCaseSpec. */
+  def incrementalNearDupQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val idxDir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_neardup_idx_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+    incrIdx.synchronized {
+      val built = Option(incrIdx.get(spark))
+        .getOrElse { val s = scala.collection.mutable.Set.empty[String]
+          incrIdx.put(spark, s); s }
+      if (!built.contains(idxDir)) {
+        writeNearDupIndex(corpus, idxDir)
+        built.add(idxDir)
+      }
+    }
+    nearDupsAgainstIndex(spark, delta, idxDir)
   }
 
   /** Document fingerprint: min-of-shingle-hashes (winnowing-style) over

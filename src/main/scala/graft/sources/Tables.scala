@@ -40,6 +40,14 @@ object Tables {
     * rows there (line-splittable formats). At production file counts the
     * probe exits on `files.length` and never reads a footer nor adds a
     * shuffle. */
+  /** Per-file split estimates memoized on (path, mtime, length) — the
+    * sub-core-count branch is hit by most operator builds in the
+    * sandbox, and re-opening every parquet footer per query build adds
+    * driver latency that scales with file count (a stat per file is
+    * still paid: it is the memo key's freshness check). */
+  private val splitMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+
   def fanout(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
@@ -50,16 +58,24 @@ object Tables {
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     val estSplits = files.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
-      val byteSplits =
-        try math.max(1L, (p.getFileSystem(hconf).getFileStatus(p).getLen + maxPB - 1) / maxPB)
-        catch { case _: java.io.IOException => 1L }
-      val rowGroups =
-        try {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
-          try r.getRowGroups.size().toLong finally r.close()
-        } catch { case _: Exception => byteSplits }
-      math.min(rowGroups, byteSplits)
+      val status =
+        try Some(p.getFileSystem(hconf).getFileStatus(p))
+        catch { case _: java.io.IOException => None }
+      status match {
+        case None => 1L
+        case Some(st) =>
+          // byteSplits depends on the session's maxPartitionBytes, so
+          // only the pure file property (row-group count) is memoized
+          val byteSplits = math.max(1L, (st.getLen + maxPB - 1) / maxPB)
+          val rowGroups =
+            splitMemo.computeIfAbsent((f, st.getModificationTime, st.getLen), _ =>
+              try {
+                val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+                  org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
+                try r.getRowGroups.size().toLong finally r.close()
+              } catch { case _: Exception => Long.MaxValue })
+          math.min(rowGroups, byteSplits)
+      }
     }.sum
     if (estSplits < target) df.repartition(target) else df
   }

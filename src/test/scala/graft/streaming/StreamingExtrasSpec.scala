@@ -139,6 +139,10 @@ class StreamingExtrasSpec extends SparkSuite {
           flagged ++= graft.ops.Dedup.nearDupsAgainstIndex(spark, batch, dir)
             .select("doc_a", "doc_b").as[(Long, Long)].collect()
         }
+        // the documented cache-lifetime contract: release the delta's
+        // tracked blocks once the batch's action has consumed them, so
+        // a long-running ingestion stream holds no stale storage
+        graft.ops.PipelineCaches.release(spark)
         ()
       }
       .start()
