@@ -282,9 +282,11 @@ object SparkEntry {
         |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
         |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
         |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+        |delta_ids AS (SELECT doc_id + 100000 AS doc_id FROM documents WHERE doc_id % 20 = 0),
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
         |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
-        |WHERE a.doc_id >= 100000 AND b.doc_id < 100000),
+        |WHERE a.doc_id IN (SELECT doc_id FROM delta_ids)
+        |AND b.doc_id NOT IN (SELECT doc_id FROM delta_ids)),
         |tokh AS (SELECT DISTINCT doc_id,
         |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
         |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),

@@ -325,7 +325,11 @@ object Dedup {
     * call pays the build (as Verify does), repeat calls measure the
     * steady-state cost — delta vs existing index — which is what the
     * production ingestion loop pays per micro-batch; the build path
-    * itself stays pinned by NearDupIndexSpec/EdgeCaseSpec. */
+    * itself stays pinned by NearDupIndexSpec/EdgeCaseSpec. Precondition
+    * (from [[nearDupsAgainstIndex]]'s id-disjointness contract): the
+    * fixture's doc_ids stay below the +100000 re-key offset — true for
+    * every provided sf dir; a corpus with larger ids needs a larger
+    * offset on BOTH the query and its oracle. */
   def incrementalNearDupQ(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
@@ -333,9 +337,16 @@ object Dedup {
     val corpus = docs.filter(col("doc_id") % 20 =!= 0)
     val delta = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    // readable sanitized prefix + hash of the RAW dir string: two dirs
+    // differing only in sanitized-away characters must not collide on
+    // one index path (the memo would then serve corpus A's index to
+    // corpus B's query — silently wrong pairs)
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     val idxDir = new java.io.File(
       sys.props("java.io.tmpdir"),
-      "graft_neardup_idx_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getPath
+      "graft_neardup_idx_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+        + "_" + dirHash).getPath
     incrIdx.synchronized {
       val built = Option(incrIdx.get(spark))
         .getOrElse { val s = scala.collection.mutable.Set.empty[String]

@@ -28,8 +28,21 @@ object PipelineCaches {
   private val live =
     new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
 
+  // A weak map cannot work here: the tracked DataFrames strongly
+  // reference their session, so weakly-keyed entries would never
+  // collect (value → key self-pin). Instead, every track/release
+  // sweeps entries whose session is already stopped — their cache
+  // blocks died with the executors, so dropping the registry entry is
+  // the whole cleanup — bounding a no-release caller's leak to the
+  // stopped sessions accumulated since the last pipeline call.
+  private def purgeStopped(): Unit =
+    live.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) { live.remove(s); () }
+    }
+
   /** Cache `df` and register it for the session-wide [[release]]. */
   private[ops] def track(df: DataFrame): DataFrame = {
+    purgeStopped()
     df.cache()
     live.computeIfAbsent(df.sparkSession,
       _ => new ConcurrentLinkedQueue[DataFrame]).add(df)
@@ -38,6 +51,7 @@ object PipelineCaches {
 
   /** Unpersist every block the pipelines registered on `spark`. */
   def release(spark: SparkSession): Unit = {
+    purgeStopped()
     val q = live.remove(spark)
     if (q != null) q.forEach(df => { df.unpersist(blocking = false); () })
   }

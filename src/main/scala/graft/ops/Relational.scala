@@ -375,8 +375,19 @@ object Relational {
     // Global idx = off + (lrn0 − base). Ties across a partition
     // boundary are safe: equal values are interchangeable under
     // interpolation, whatever side of the boundary each lands on.
+    // NULL-SAFE on the group column: a null group key is a group like
+    // any other here (only its VALUES are skip-null), and a plain
+    // USING join would silently drop every null-group row before the
+    // aggregate — the final reattachment join would then hand the null
+    // group null percentiles where the builtin computes real ones.
+    val offs = offsets.select(col("pid").as("__pid"),
+      col(groupCol).as("__og"), col("ci").as("__ci"),
+      col("off"), col("base"), col("cnt"))
     val ranked = sorted
-      .join(broadcast(offsets), Seq("pid", groupCol, "ci"))
+      .join(broadcast(offs),
+        col("pid") === col("__pid") && col(groupCol) <=> col("__og") &&
+          col("ci") === col("__ci"))
+      .drop("__pid", "__og", "__ci")
       .withColumn("idx", (col("off") + col("lrn0") - col("base")).cast("double"))
     // Only straddling rows (idx = ⌊pos⌋ or ⌈pos⌉ for some percentile of
     // their own column) carry non-zero terms — ≤ 2·percentiles rows per

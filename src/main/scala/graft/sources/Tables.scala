@@ -46,7 +46,7 @@ object Tables {
     * driver latency that scales with file count (a stat per file is
     * still paid: it is the memo key's freshness check). */
   private val splitMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Long]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), java.lang.Long]()
 
   def fanout(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -65,15 +65,25 @@ object Tables {
         case None => 1L
         case Some(st) =>
           // byteSplits depends on the session's maxPartitionBytes, so
-          // only the pure file property (row-group count) is memoized
+          // only the pure file property (row-group count) is memoized —
+          // and only on SUCCESS: a transient footer-read failure falls
+          // back to byteSplits for THIS call and retries next time
+          // (memoizing the failure would silently freeze the fallback
+          // until the file's mtime changes)
           val byteSplits = math.max(1L, (st.getLen + maxPB - 1) / maxPB)
+          val key = (f, st.getModificationTime, st.getLen)
+          val memod = splitMemo.get(key)
           val rowGroups =
-            splitMemo.computeIfAbsent((f, st.getModificationTime, st.getLen), _ =>
+            if (memod != null) memod.longValue()
+            else
               try {
                 val r = org.apache.parquet.hadoop.ParquetFileReader.open(
                   org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf))
-                try r.getRowGroups.size().toLong finally r.close()
-              } catch { case _: Exception => Long.MaxValue })
+                val n = try r.getRowGroups.size().toLong finally r.close()
+                if (splitMemo.size() > 65536) splitMemo.clear() // bound: rotated files
+                splitMemo.put(key, n)
+                n
+              } catch { case _: Exception => byteSplits }
           math.min(rowGroups, byteSplits)
       }
     }.sum

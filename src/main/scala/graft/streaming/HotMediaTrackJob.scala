@@ -123,12 +123,20 @@ object HotMediaTrackJob {
           // zero-row SELECT before deciding: if the table IS reachable
           // the DELETE failure is real (revoked privilege, missing
           // column) and must propagate — appending without the purge
-          // breaks idempotence silently; if the probe fails too, this
-          // is the first batch against such a store.
+          // breaks idempotence silently. The probe concludes "missing
+          // table" ONLY on a class-42 syntax/access probe failure: a
+          // connection-class (08xxx) or aborted-transaction (25xxx /
+          // Postgres 25P02) probe failure says nothing about the table
+          // — the append would open FRESH executor connections and
+          // land without the purge, duplicating a replayed batch — so
+          // those (and any other class) propagate the original error.
           val probe = conn.createStatement()
           val missing =
             try { probe.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); false }
-            catch { case _: java.sql.SQLException => true }
+            catch {
+              case pe: java.sql.SQLException =>
+                Option(pe.getSQLState).getOrElse("").startsWith("42")
+            }
             finally probe.close()
           if (!missing) throw e
       } finally st.close()

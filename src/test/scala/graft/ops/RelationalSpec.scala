@@ -178,9 +178,14 @@ class RelationalSpec extends SparkSuite {
     // g=a: x has a null mid-distribution, y is clean; g=b: y entirely
     // null. The sort-based form must agree with the builtin percentile
     // on every cell, including the all-null → null case.
+    // the NULL GROUP KEY is a group like any other (only VALUES are
+    // skip-null): a plain equi-join anywhere in the rank pipeline
+    // would silently drop its rows and return null percentiles where
+    // the builtin computes 5.5 / 60.0 (round-5 review finding)
     val df = Seq[(String, java.lang.Double, java.lang.Double)](
       ("a", 1.0, 10.0), ("a", null, 20.0), ("a", 2.0, 30.0), ("a", 100.0, 40.0),
-      ("b", 5.0, null), ("b", 7.0, null), ("b", 6.0, null)
+      ("b", 5.0, null), ("b", 7.0, null), ("b", 6.0, null),
+      (null, 5.0, 50.0), (null, 6.0, 70.0)
     ).toDF("g", "x", "y")
     val got = Relational.exactPercentiles(df, "g",
         Seq("x" -> Seq(0.5 -> "med_x", 0.95 -> "p95_x"), "y" -> Seq(0.5 -> "med_y")))
