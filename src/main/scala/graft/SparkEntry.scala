@@ -39,6 +39,8 @@ object SparkEntry {
     "q_join_theta" -> ((s, d) => Relational.joinTheta(s, d)),
     "q_join_asof" -> ((s, d) => Relational.asofJoin(s, d)),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
+    "q_pivot" -> ((s, d) => Relational.pivotQ(s, d)),
+    "q_unpivot" -> ((s, d) => Relational.unpivotQ(s, d)),
     "q_sql" -> ((s, d) => Relational.sqlQ(s, d)),
     "q_window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "q_sort_limit" -> ((s, d) => Relational.sortLimit(s, d)),
@@ -160,6 +162,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'e' AS op, custkey FROM (SELECT c_custkey AS custkey FROM customer
         |WHERE c_acctbal > 5000 EXCEPT SELECT o_custkey FROM orders) t3""".stripMargin,
+    "q_pivot" ->
+      """SELECT l_linestatus,
+        |sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_a,
+        |sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_n,
+        |sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin,
     "q_sql" -> graft.ops.Relational.SqlQText,
     "q_grouping_sets" -> graft.ops.Relational.GroupingSetsQText,
     "q_array" ->

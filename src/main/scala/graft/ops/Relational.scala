@@ -194,6 +194,45 @@ object Relational {
     u.unionAll(i).unionAll(e)
   }
 
+  /** Pivot (long → wide): per-linestatus quantity sums pivoted on the
+    * return flag. The pivot VALUES are declared, not discovered —
+    * value discovery is an extra distinct scan and a driver round-trip,
+    * and at 100 TB the output schema must be a design decision anyway.
+    * Deliberately compiled as CASE-gated sums rather than
+    * `Dataset.pivot`: the builtin (even with declared values) plans a
+    * pre-aggregate on (row key, pivot key) plus a second `pivotfirst`
+    * aggregate — TWO exchanges; the gated form is ONE partial+final
+    * HashAggregate, identical semantics (parity with the builtin is
+    * spec-pinned). l_quantity is integral-valued, so the double sums
+    * are order-exact and oracle-stable. */
+  def pivotQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "A", col("l_quantity"))).as("qty_a"),
+        sum(when(col("l_returnflag") === "N", col("l_quantity"))).as("qty_n"),
+        sum(when(col("l_returnflag") === "R", col("l_quantity"))).as("qty_r"))
+
+  /** Unpivot / melt (wide → long): the four lineitem measures as
+    * (metric, value) rows — the inverse reshape, used by the
+    * exact-percentile pipeline internally ([[exactPercentiles]]'s
+    * stack) and declared here as a first-class operator. Map-side only:
+    * the melt is a Generate (no shuffle, no driver involvement), 4×
+    * row multiplication bounded by the projected column count. */
+  def unpivotQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"),
+        col("l_tax").cast("double").as("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "metric", "value")
+
   /** Window functions: per-customer top-3 orders by totalprice
     * (row_number with deterministic tie-break) + running sum over an
     * explicit rows frame. One shuffle on o_custkey serves both windows. */

@@ -201,6 +201,27 @@ class RelationalSpec extends SparkSuite {
       s"null-bearing percentiles must match the builtin exactly: got=$got want=$want")
   }
 
+  test("pivot: parity with Dataset.pivot, one exchange; unpivot: no shuffle") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // semantics pinned against Spark's own pivot operator...
+    val got = Relational.pivotQ(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    val builtin = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_linestatus")).pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(col("l_quantity"))).collect()
+      .map(r => r.getString(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    assert(got == builtin, s"CASE-gated pivot must equal Dataset.pivot: $got vs $builtin")
+    // ...while planning HALF the builtin's exchanges (one partial+final
+    // agg; the builtin inserts a pre-agg + a pivotfirst agg)
+    val plan = Relational.pivotQ(spark, sf).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"gated pivot must shuffle exactly once:\n${plan.take(900)}")
+    // unpivot is a Generate/Expand — map-side only, zero exchanges
+    val uplan = Relational.unpivotQ(spark, sf).queryExecution.executedPlan.toString
+    assert(!uplan.contains("Exchange"),
+      s"unpivot must not shuffle:\n${uplan.take(900)}")
+  }
+
   test("approx_percentile within 5% of exact median") {
     // exact medians from the declared exact-percentile query — the
     // comparison lives here so the declared sketch query stays O(sketch)
