@@ -77,15 +77,13 @@ object SparkEntry {
     // IVF is approximate (cell pruning) → rows-only gate; recall vs the
     // brute-force top-k is bounded in LlmOpsSpec
     "q_sim_topk_ivf" -> ((s, d) => SimSearch.ivfTopK(Tables.embeddings(s, d))),
-    // the k-means-trained centroid path, driver-checked every round —
-    // rows-only (distributed double means are order-dependent in the
-    // last ulp, so the oracle keeps the sampled form); trained recall
-    // ≥ sampled recall is pinned in LlmOpsSpec. 2 Lloyd iterations:
-    // the declared query pins the training WIRING, not convergence
-    "q_sim_topk_ivf_trained" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      SimSearch.ivfTopKWith(emb, SimSearch.trainIvfCentroids(emb, iters = 2))
-    }),
+    // the k-means-trained centroid path, driver-checked every round:
+    // train -> persisted inverted file -> partition-pruned probe (build
+    // memoized per session+dir; see SimSearch.trainedIvfQ). Rows-only:
+    // distributed double means are order-dependent in the last ulp, so
+    // the oracle keeps the sampled form; trained recall ≥ sampled
+    // recall is pinned in LlmOpsSpec
+    "q_sim_topk_ivf_trained" -> ((s, d) => SimSearch.trainedIvfQ(s, d)),
     "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d))),
     // the scale form (corpus-sized bucket width + 2 sign projections) —
     // blocking differs from the oracle-mirrored fixed form → rows-only;

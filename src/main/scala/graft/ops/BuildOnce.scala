@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Run a named build step once per (session, key) — the
+  * Catalog.registerAll memo pattern shared by the declared queries that
+  * build a persisted artifact (near-dup inverted file, trained IVF
+  * index) before querying it: the FIRST call pays the build, repeat
+  * calls measure the steady-state probe cost the production loop pays.
+  * The memo is set only AFTER the build succeeds (a failure leaves it
+  * unset so a retry rebuilds), the whole check+build runs under one
+  * lock, and the map is weakly keyed so stopped sessions don't pin.
+  */
+private[ops] object BuildOnce {
+  private val done =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]
+
+  def apply(spark: SparkSession, key: String)(build: => Unit): Unit =
+    done.synchronized {
+      val built = Option(done.get(spark)).getOrElse {
+        val s = scala.collection.mutable.Set.empty[String]
+        done.put(spark, s); s
+      }
+      if (!built.contains(key)) {
+        build
+        built.add(key)
+      }
+    }
+
+  /** Deterministic per-data-dir temp path: readable sanitized prefix +
+    * hash of the RAW dir string, so dirs differing only in
+    * sanitized-away characters cannot collide on one artifact path
+    * (the memo would then serve dir A's artifact to dir B's query). */
+  def tempDirFor(prefix: String, dir: String): String = {
+    val dirHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    new java.io.File(sys.props("java.io.tmpdir"),
+      prefix + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + dirHash).getPath
+  }
+}

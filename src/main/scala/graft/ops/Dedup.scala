@@ -306,13 +306,6 @@ object Dedup {
       .agg(first(col("jaccard")).as("jaccard"))
   }
 
-  // q_dedup_incr builds its corpus index ONCE per (session, sf dir) —
-  // Catalog.registerAll's memo pattern: set only after a successful
-  // build, under a lock, weakly keyed so stopped sessions don't pin.
-  private val incrIdx =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Set[String]]
-
   /** Declared incremental-dedup workload (q_dedup_incr): a 5% "delta"
     * (doc_id % 20 = 0, re-keyed +100000 — the disjoint-id crawl shape)
     * deduped against the persisted inverted file of the other 95%.
@@ -337,25 +330,8 @@ object Dedup {
     val corpus = docs.filter(col("doc_id") % 20 =!= 0)
     val delta = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
-    // readable sanitized prefix + hash of the RAW dir string: two dirs
-    // differing only in sanitized-away characters must not collide on
-    // one index path (the memo would then serve corpus A's index to
-    // corpus B's query — silently wrong pairs)
-    val dirHash = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
-    val idxDir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_neardup_idx_" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
-        + "_" + dirHash).getPath
-    incrIdx.synchronized {
-      val built = Option(incrIdx.get(spark))
-        .getOrElse { val s = scala.collection.mutable.Set.empty[String]
-          incrIdx.put(spark, s); s }
-      if (!built.contains(idxDir)) {
-        writeNearDupIndex(corpus, idxDir)
-        built.add(idxDir)
-      }
-    }
+    val idxDir = BuildOnce.tempDirFor("graft_neardup_idx", dir)
+    BuildOnce(spark, idxDir)(writeNearDupIndex(corpus, idxDir))
     nearDupsAgainstIndex(spark, delta, idxDir)
   }
 
