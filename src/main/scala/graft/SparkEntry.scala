@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, EventWindows, MultiModal, Relational, Sampling, SimSearch, TextOps}
+import graft.ops.{Dedup, EventWindows, MultiModal, Relational, Sampling, SimSearch, Skew, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §3.
@@ -69,6 +69,8 @@ object SparkEntry {
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
+    "q_tfidf" -> ((s, d) => TextOps.tfidfQ(Tables.documents(s, d))),
+    "q_skew_agg" -> ((s, d) => Skew.skewAggQ(s, d)),
     "q_split" -> ((s, d) => Sampling.splitQ(Tables.documents(s, d))),
     "q_sample" -> ((s, d) => Sampling.sampleQ(Tables.documents(s, d))),
     "q_mixture" -> ((s, d) => Sampling.mixtureQ(Tables.documents(s, d))),
@@ -390,6 +392,20 @@ object SparkEntry {
         |FROM documents) t
         |WHERE token <> '' GROUP BY token
         |ORDER BY df_docs DESC, token ASC LIMIT 20""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |WHERE doc_id < 20 GROUP BY doc_id, token),
+        |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token)
+        |SELECT tf.doc_id, tf.token, tf.tf, dfx.df,
+        |tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfx.df) AS tfidf
+        |FROM tf JOIN dfx ON tf.token = dfx.token CROSS JOIN n""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_split" ->
       """WITH hashed AS (SELECT doc_id,
         |md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS norm_hash

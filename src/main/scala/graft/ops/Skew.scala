@@ -42,6 +42,19 @@ object Skew {
       .agg(sum("_partial").as("cnt"))
   }
 
+  /** Declared skew-mitigation query (q_skew_agg): salted sum+count of
+    * lineitem quantity by return flag — 3 keys over 600 k rows at
+    * sf0.1, exactly the hot-key shape where a plain final aggregate
+    * serializes on one task per key. The oracle is the PLAIN group
+    * aggregate: salting must be semantically invisible. l_quantity is
+    * integral-valued, so the re-associated double sums are order-exact
+    * and oracle-stable (a money-typed column would ride DECIMAL here,
+    * as q_agg_group's sums do). */
+  def skewAggQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    saltedSum(
+      graft.sources.Tables.lineitem(spark, dir).select("l_returnflag", "l_quantity"),
+      Seq("l_returnflag"), "l_quantity")
+
   /** sum(valueCol) + count(*) per key, skew-safe.
     * Result: (key..., total, cnt). */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,

@@ -61,6 +61,38 @@ object TextOps {
       .orderBy(col("df_docs").desc, col("token").asc)
       .limit(k)
 
+  /** TF-IDF term scores for a document subset against the WHOLE
+    * corpus's document frequencies — the classic relevance/keyword
+    * feature a text pipeline derives per document.
+    *
+    * Scale shape: term frequencies aggregate only the scored subset's
+    * occurrences (map-side combine); document frequencies are the same
+    * two-phase distinct count [[topTokens]] uses over the full corpus
+    * — the shuffle carries (token, doc) partials, never raw
+    * occurrences. The subset side of the scoring join is the SMALL
+    * side, so it broadcasts and the corpus-wide df table streams
+    * through map-side; the corpus count rides a one-row cross join (no
+    * driver round-trip). Output is the full per-(doc, token) score
+    * frame — ranking on a double score across engines is a last-ulp
+    * hazard (libm ln differs), so top-k-per-doc is left to the caller
+    * (and the oracle compares the rounded scores themselves). */
+  def tfidfQ(docs: DataFrame, maxDocId: Long = 20): DataFrame = {
+    val tok = graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.filter(col("doc_id") < maxDocId)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfTab = tok.groupBy(col("token"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    broadcast(tf).join(dfTab, "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+  }
+
   /** Per-document quality score features: length, token stats, punct
     * density, stopword ratio, plus a composite keep/drop flag of the kind
     * a pretraining filter would apply. */

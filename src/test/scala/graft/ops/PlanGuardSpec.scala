@@ -19,9 +19,11 @@ class PlanGuardSpec extends SparkSuite {
   // probe set; q_sim_topk_ivf (sampled or trained centroids) broadcasts
   // the centroid table (both O(k) rows against one corpus scan);
   // q_dedup_ngram broadcasts the ONE-row frequent-shingle array for the
-  // map-side df-cap (Dedup.ngramJaccardPairs)
+  // map-side df-cap (Dedup.ngramJaccardPairs); q_tfidf broadcasts the
+  // ONE-row corpus count onto the scored frame (TextOps.tfidfQ)
   private val bnljAllowed =
-    Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained", "q_dedup_ngram")
+    Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
+      "q_dedup_ngram", "q_tfidf")
 
   test("no declared query plans a cartesian product; BNLJ only where declared") {
     SparkEntry.queries.foreach { case (name, fn) =>
