@@ -86,6 +86,10 @@ object SparkEntry {
     // the oracle keeps the sampled form; trained recall ≥ sampled
     // recall is pinned in LlmOpsSpec
     "q_sim_topk_ivf_trained" -> ((s, d) => SimSearch.trainedIvfQ(s, d)),
+    // the assignment math (broadcast centroids, map-side argmax,
+    // sim-then-lowest-cell tie-break) under the hash gate — the piece
+    // of IVF/k-means the rows-only queries cannot oracle-check
+    "q_cluster" -> ((s, d) => SimSearch.clusterProfileQ(s, d)),
     "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d))),
     // the scale form (corpus-sized bucket width + 2 sign projections) —
     // blocking differs from the oracle-mirrored fixed form → rows-only;
@@ -457,6 +461,19 @@ object SparkEntry {
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cos_sim
         |FROM nn a JOIN nn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.25""".stripMargin
+        |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.25""".stripMargin,
+    "q_cluster" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+        |WHERE vec_id >= 5 AND vec_id < 21),
+        |sims AS (SELECT a.vec_id, c.cell,
+        |list_dot_product(a.v, c.cv)/(a.nrm*c.cn) AS s FROM nn a CROSS JOIN cents c),
+        |best AS (SELECT vec_id, cell, s FROM
+        |(SELECT vec_id, cell, s, row_number() OVER
+        |(PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn FROM sims) t WHERE rn = 1)
+        |SELECT cell, count(*) AS n_vecs, avg(s) AS avg_sim FROM best GROUP BY cell""".stripMargin
   )
 }

@@ -225,6 +225,31 @@ object SimSearch {
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
   }
 
+  /** Declared clustering workload (q_cluster): every corpus vector
+    * assigned to its nearest (deterministic sampled) centroid, profiled
+    * per cell — size + mean best-cosine. This puts the ASSIGNMENT math
+    * (the core of IVF build and of k-means' E-step: broadcast
+    * centroids, map-side argmax with the highest-sim-then-lowest-cell
+    * tie-break) under the DuckDB hash gate, which the rows-only IVF
+    * queries cannot. Same shape as [[assignCells]] but keeping the best
+    * similarity: the exchange carries |corpus| rows, never
+    * |corpus|·nCells. */
+  def clusterProfileQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val raw = graft.sources.Tables.embeddings(spark, dir)
+    val emb = normed(raw)
+    val cents = sampledCentroids(raw, 16, 5)
+    val simToCell = ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"), simToCell.as("cell_sim"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell"), struct(col("cell_sim"), (-col("cell")).as("nc"))).as("cell"),
+        max(col("cell_sim")).as("best_sim"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), avg(col("best_sim")).as("avg_sim"))
+  }
+
   /** Lloyd's k-means over the embedding corpus, as pure DataFrame ops —
     * the offline training path [[ivfTopK]]'s scaladoc names: start from
     * the deterministic sample, then `iters` rounds of assign-to-nearest

@@ -23,7 +23,7 @@ class PlanGuardSpec extends SparkSuite {
   // ONE-row corpus count onto the scored frame (TextOps.tfidfQ)
   private val bnljAllowed =
     Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
-      "q_dedup_ngram", "q_tfidf")
+      "q_dedup_ngram", "q_tfidf", "q_cluster")
 
   test("no declared query plans a cartesian product; BNLJ only where declared") {
     SparkEntry.queries.foreach { case (name, fn) =>
