@@ -235,8 +235,11 @@ object SimSearch {
     * similarity: the exchange carries |corpus| rows, never
     * |corpus|·nCells. */
   def clusterProfileQ(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
-    val raw = graft.sources.Tables.embeddings(spark, dir)
+      dir: String): DataFrame =
+    clusterProfile(graft.sources.Tables.embeddings(spark, dir))
+
+  /** [[clusterProfileQ]] over an explicit embeddings frame. */
+  def clusterProfile(raw: DataFrame): DataFrame = {
     val emb = normed(raw)
     val cents = sampledCentroids(raw, 16, 5)
     val simToCell = ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))

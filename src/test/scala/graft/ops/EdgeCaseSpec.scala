@@ -112,4 +112,17 @@ class EdgeCaseSpec extends SparkSuite {
     val r = MultiModal.resize(docs((1L, "")), 64, 48).head()
     assert(r.payload.length == 0 && r.width == 64)
   }
+
+  test("round-5 operators degrade gracefully on an EMPTY corpus") {
+    val empty = docs()
+    // tf side empty → scoring join empty (the one-row corpus count
+    // never meets a tf row, so log(0/df) is never evaluated)
+    assert(TextOps.tfidfQ(empty).isEmpty)
+    // no centroids can be sampled → no assignments, empty profile
+    import org.apache.spark.sql.functions.{col, lit}
+    val emptyEmb = spark.range(0)
+      .select(col("id").as("vec_id"),
+        lit(null).cast("array<float>").as("embedding"))
+    assert(SimSearch.clusterProfile(emptyEmb).isEmpty)
+  }
 }
