@@ -70,6 +70,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextOps.tfidfQ(Tables.documents(s, d))),
+    "q_ngram_counts" -> ((s, d) => TextOps.ngramCountsQ(Tables.documents(s, d))),
     "q_skew_agg" -> ((s, d) => Skew.skewAggQ(s, d)),
     "q_split" -> ((s, d) => Sampling.splitQ(Tables.documents(s, d))),
     "q_sample" -> ((s, d) => Sampling.sampleQ(Tables.documents(s, d))),
@@ -410,6 +411,13 @@ object SparkEntry {
     "q_skew_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_ngram_counts" ->
+      """WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |FROM documents),
+        |big AS (SELECT unnest(list_transform(range(1, len(t)),
+        |i -> t[i] || ' ' || t[i+1])) AS bigram FROM toks WHERE len(t) >= 2)
+        |SELECT bigram, count(*) AS n FROM big GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC LIMIT 20""".stripMargin,
     "q_split" ->
       """WITH hashed AS (SELECT doc_id,
         |md5(lower(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')))) AS norm_hash

@@ -61,6 +61,24 @@ object TextOps {
       .orderBy(col("df_docs").desc, col("token").asc)
       .limit(k)
 
+  /** Corpus-wide top-k token bigrams — n-gram extraction, the language-
+    * modeling staple next to [[topTokens]]'s unigram df. Same scale
+    * shape: one Generate per doc (the bigram list is built by a
+    * codegen'd array transform, no self-join of token positions), a
+    * partial+final count, TakeOrderedAndProject for the top k.
+    * Deterministic tie-break (n desc, bigram asc) keeps the cut line
+    * oracle-stable. */
+  def ngramCountsQ(docs: DataFrame, k: Int = 20): DataFrame =
+    graft.sources.Tables.fanout(docs)
+      .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("toks")) - 2),
+        i => concat_ws(" ", col("toks")(i), col("toks")(i + 1)))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+
   /** TF-IDF term scores for a document subset against the WHOLE
     * corpus's document frequencies — the classic relevance/keyword
     * feature a text pipeline derives per document.
