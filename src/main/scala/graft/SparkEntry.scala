@@ -72,6 +72,7 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextOps.tfidfQ(Tables.documents(s, d))),
     "q_ngram_counts" -> ((s, d) => TextOps.ngramCountsQ(Tables.documents(s, d))),
     "q_skew_agg" -> ((s, d) => Skew.skewAggQ(s, d)),
+    "q_skew_join" -> ((s, d) => Skew.skewJoinQ(s, d)),
     "q_split" -> ((s, d) => Sampling.splitQ(Tables.documents(s, d))),
     "q_sample" -> ((s, d) => Sampling.sampleQ(Tables.documents(s, d))),
     "q_mixture" -> ((s, d) => Sampling.mixtureQ(Tables.documents(s, d))),
@@ -411,6 +412,10 @@ object SparkEntry {
     "q_skew_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderpriority, sum(l_quantity) AS total_qty, count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_ngram_counts" ->
       """WITH toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
         |FROM documents),

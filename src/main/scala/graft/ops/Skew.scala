@@ -66,4 +66,36 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum("_psum").as("total"), sum("_pcnt").as("cnt"))
   }
+
+  /** Skew-safe equi-join: the fact side salts its join key into `salt`
+    * sub-keys; the dimension side is replicated once per salt value
+    * (explode of a `salt`-element array — dimension rows × salt, bounded
+    * and predictable), and the join runs on (key, salt). A hot fact key
+    * then spreads over `salt` reducers instead of serializing on one.
+    * Semantically invisible: every fact row still meets every matching
+    * dimension row exactly once. Prefer AQE's runtime skew-join split
+    * (enabled engine-wide) when it applies; the salted form is the
+    * declarative fallback for shapes AQE cannot split (e.g. a
+    * skew-joined stream, or when the skewed partition is one key). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      salt: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("_salt", saltCol(fact, salt))
+    val replicatedDim = dim
+      .withColumn("_salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Declared skew-join query (q_skew_join): lineitem ⋈ orders on the
+    * order key through [[saltedJoin]], aggregated per priority so the
+    * oracle is the PLAIN join+group — salting must be invisible.
+    * l_quantity integral → order-exact double sums. */
+  def skewJoinQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    saltedJoin(
+      graft.sources.Tables.lineitem(spark, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      graft.sources.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+      "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_quantity")).as("total_qty"), count(lit(1)).as("n_items"))
 }

@@ -112,6 +112,23 @@ class PropertySpec extends SparkSuite {
     assert(saltedCnt == plainCnt)
   }
 
+  test("law: salted join equals plain join (incl. skewed and unmatched keys)") {
+    import spark.implicits._
+    // hot fact key + fact keys with no dim row + dim rows never probed —
+    // replication must not invent or lose matches on any of them
+    val fact = ((0 until 4000).map(i => ("hot", i.toLong)) ++
+      (0 until 500).map(i => (s"k${i % 25}", i.toLong)) ++
+      Seq(("orphan", -1L))).toDF("k", "v")
+    val dim = ((0 until 25).map(i => (s"k$i", s"d$i")) :+ ("hot", "dh")
+      :+ ("unprobed", "du")).toDF("k", "tag")
+    val plain = fact.join(dim, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", salt = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(plain.size == 4000 + 500) // sanity: hot fan-in + dims, no orphan/unprobed
+  }
+
   test("embed blocking: max bucket occupancy shrinks as bits grow") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     def maxBucket(bits: Int): Long =
