@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // The default ~240 MB JIT code cache thrashes when the bench's
+  // interleaved passes keep 50+ queries' generated classes hot at
+  // once: flushed hot loops re-JIT every pass and the md5-heavy
+  // pipelines re-pay C2 compilation on every timed sample.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -48,11 +48,17 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       ok
     }
-    // JVM/codegen warmup: a few representative queries untimed, so the
-    // first timed query doesn't absorb JIT + classloader + codegen-cache
-    // costs (~5 s once per JVM, irrelevant at cluster scale).
-    Seq("q_scalar", "q_agg_group", "q_win_tumble")
-      .foreach(n => SparkEntry.queries.get(n).foreach(fn => runOne(n, fn)))
+    // JVM/codegen warmup: one FULL untimed pass, so every timed sample
+    // measures steady state. Three light warmup queries were not
+    // enough: the md5-heavy dedup pipelines take ~2 executions before
+    // C2 finishes tiering their generated loops (measured: q_dedup_near
+    // runs 8 s, 5 s, then 2.8 s converged on a fresh JVM — the first
+    // protocol's min-of-3 landed entirely on that ramp and recorded 2×
+    // the reproducible cost). A deployment reuses the JVM across
+    // thousands of queries; the ramp is a per-JVM constant, not query
+    // cost.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    for ((name, fn) <- ordered) runOne(name, fn)
     // INTERLEAVED passes: run the FULL query list twice (a third pass
     // only for queries whose 2-pass min exceeds 1 s — exactly where a GC
     // pause or load spike distorts a 2-sample min), report the per-query
@@ -66,7 +72,6 @@ object Bench {
     // and caches are cleared between runs, so the spread is scheduler
     // noise — min is the steady-state cost. A failed query is reported
     // as -1, never as a fast-fail "success" time.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     def timedRun(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Boolean, Double) = {
       val t0 = System.nanoTime()
