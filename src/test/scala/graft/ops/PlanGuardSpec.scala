@@ -25,6 +25,26 @@ class PlanGuardSpec extends SparkSuite {
     Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
       "q_dedup_ngram", "q_tfidf", "q_cluster")
 
+  test("skew split join: hot path broadcasts by construction, cold path shuffles") {
+    // isolated session (suites may run in parallel; see DedupVerifyModeSpec)
+    // with auto-broadcast OFF: any BroadcastHashJoin left in the plan is
+    // there because skewSplitJoin HINTED it — the guarantee that the hot
+    // fact slice never shuffles cannot silently decay into a sort-merge
+    // join once the dim outgrows the auto threshold
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    val fact = ((0 until 5000).map(_ => ("hot", 1L)) ++
+      (0 until 200).map(i => (s"k${i % 50}", 2L))).toDF("k", "v")
+    val dim = ((0 until 50).map(i => (s"k$i", i)) :+ (("hot", -1))).toDF("k", "d")
+    val plan = Skew.skewSplitJoin(fact, dim, "k", hotThreshold = 1000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "hot slice must ride hinted broadcasts:\n" + plan.take(800))
+    assert(plan.contains("SortMergeJoin"),
+      "cold slice must remain an ordinary shuffle join:\n" + plan.take(800))
+  }
+
   test("no declared query plans a cartesian product; BNLJ only where declared") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -127,6 +127,16 @@ class PropertySpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     assert(salted == plain)
     assert(plain.size == 4000 + 500) // sanity: hot fan-in + dims, no orphan/unprobed
+
+    // split join: same law, and for EVERY hot-set choice — thresholds
+    // putting all keys cold, only "hot" hot, and everything hot must all
+    // equal the plain join (the result is hot-set-invariant, which is
+    // what makes sample-based detection safe at scale)
+    for (threshold <- Seq(100000L, 1000L, 1L)) {
+      val split = Skew.skewSplitJoin(fact, dim, "k", threshold)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(split == plain, s"hotThreshold=$threshold")
+    }
   }
 
   test("embed blocking: max bucket occupancy shrinks as bits grow") {
