@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Dedup, EventWindows, MultiModal, Relational, Sampling, SimSearch, Skew, TextOps}
+import graft.ops.{Components, Dedup, EventWindows, MultiModal, Relational, Sampling, SimSearch, Skew, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §3.
@@ -61,6 +61,7 @@ object SparkEntry {
     "q_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_dedup_near" -> ((s, d) => Dedup.nearDupPairs(Tables.documents(s, d))),
     "q_dedup_incr" -> ((s, d) => Dedup.incrementalNearDupQ(s, d)),
+    "q_dup_clusters" -> ((s, d) => Components.dupClustersQ(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => Dedup.fingerprints(Tables.documents(s, d))),
@@ -281,6 +282,73 @@ object SparkEntry {
         |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
         |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
         |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin,
+    // Cluster resolution over the SAME pair pipeline as q_dedup_near.
+    // Shape matters for DuckDB feasibility: a naive recursive
+    // reachability walk does Σ|component|²·degree join work — cubic in
+    // clique size, and the sf0.1 corpus contains a ~4000-doc template
+    // clique (7.8M pairs). So the oracle mirrors the Spark algorithm:
+    // two STAR-CONTRACTION levels in plain SQL (each node merges into
+    // the min of its closed neighborhood; a clique collapses in one
+    // level — measured 7.8M → 3276 → 58 edges at sf0.1) and only the
+    // residual sparse graph enters the recursive min-label walk, whose
+    // per-row prune (label < receiving node) keeps it linear-ish. The
+    // component minimum survives contraction (the min's own
+    // neighborhood-min is itself), so labels are exact. The walk sits
+    // in a NESTED subquery because DuckDB 1.0 stops honoring
+    // MATERIALIZED once the top-level WITH is RECURSIVE — inlining it
+    // re-evaluates the md5 pair pipeline per reference (measured 3×).
+    "q_dup_clusters" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |sig AS (SELECT doc_id,
+        |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
+        |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
+        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
+        |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
+        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
+        |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
+        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
+        |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
+        |FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
+        |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+        |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+        |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
+        |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+        |AND a.doc_id < b.doc_id),
+        |tokh AS (SELECT DISTINCT doc_id,
+        |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),
+        |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
+        |JOIN tokh ta ON ta.doc_id = c.doc_a
+        |JOIN tokh tb ON tb.doc_id = c.doc_b AND tb.th = ta.th
+        |GROUP BY c.doc_a, c.doc_b),
+        |pairs AS MATERIALIZED (SELECT c.doc_a, c.doc_b
+        |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+        |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5),
+        |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |m1 AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM e0 GROUP BY u),
+        |e1 AS MATERIALIZED (SELECT DISTINCT ma.m AS u, mb.m AS v FROM e0
+        |JOIN m1 ma ON ma.u = e0.u JOIN m1 mb ON mb.u = e0.v WHERE ma.m <> mb.m),
+        |e1s AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+        |m2 AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM e1s GROUP BY u),
+        |e2 AS MATERIALIZED (SELECT DISTINCT ma.m AS u, mb.m AS v FROM e1s
+        |JOIN m2 ma ON ma.u = e1s.u JOIN m2 mb ON mb.u = e1s.v WHERE ma.m <> mb.m),
+        |e2s AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+        |wl AS MATERIALIZED (SELECT u, min(label) AS label FROM (
+        |WITH RECURSIVE walk(u, label) AS (
+        |SELECT DISTINCT u, u FROM e2s
+        |UNION
+        |SELECT e.v, w.label FROM walk w JOIN e2s e ON e.u = w.u
+        |WHERE w.label < e.v)
+        |SELECT u, label FROM walk) GROUP BY u),
+        |lvl AS (SELECT m1.u AS doc_id, coalesce(m2.m, m1.m) AS s2
+        |FROM m1 LEFT JOIN m2 ON m2.u = m1.m)
+        |SELECT lvl.doc_id, coalesce(wl.label, lvl.s2) AS cluster
+        |FROM lvl LEFT JOIN wl ON wl.u = lvl.s2""".stripMargin,
     // Incremental shape: same banded minhash + exact-Jaccard as
     // q_dedup_near, over the corpus (doc_id % 20 <> 0) ∪ re-keyed delta
     // (doc_id % 20 = 0, +100000), restricted to (delta, corpus) cross

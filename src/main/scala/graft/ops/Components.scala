@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the final stage
+  * of the dedup story: near-dup PAIRS (any of the [[Dedup]] pipelines)
+  * become CLUSTER labels, so "keep one document per duplicate cluster"
+  * is a groupBy away. The reference has no counterpart ([EXT], like the
+  * rest of the LLM-pipeline family).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — each
+  * round is two groupBy+join passes over the edge list, and the edge
+  * set converges to a star forest (every node pointing at its
+  * component minimum) in O(log²) rounds REGARDLESS of component
+  * diameter. Plain min-label propagation would need diameter rounds —
+  * fine for clique-ish dup clusters, adversarially linear on chained
+  * near-dups (A~B~C~… drifting text), which is exactly the shape
+  * boilerplate corpora produce; the star algorithm is the form that
+  * survives 100 TB.
+  *
+  * Scale shape per round: two aggregate+join passes on (long, long)
+  * edges — partial-aggregated min, equi-joins, no all-pairs anywhere.
+  * Each round's edge set is materialized with `localCheckpoint`, NOT
+  * `cache`: both star steps reference the previous frame several times,
+  * so without lineage TRUNCATION the logical plan quadruples per round
+  * and Catalyst analysis alone goes exponential (measured: unusable
+  * past ~8 rounds) — the checkpoint pins each round to a constant-size
+  * plan. Local (executor-storage) checkpointing trades away
+  * lost-executor recompute for speed; on a cluster where rounds are
+  * expensive enough to protect, swap in reliable `checkpoint` — the
+  * algorithm is indifferent. The convergence check is an exact set
+  * comparison (count + except), never a fingerprint that could
+  * terminate early on a collision.
+  */
+object Components {
+
+  /** (doc_id, cluster) for every node of `pairs`, where cluster = the
+    * smallest doc id in the node's connected component. Self-loops are
+    * dropped; `maxRounds` is a defensive bound (the algorithm needs
+    * O(log²) — a non-converging input indicates corrupt edges) and
+    * exceeding it throws rather than returning a wrong answer. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxRounds: Int = 30): DataFrame = {
+    // canonical directed form: big → small. NOT deduplicated: both star
+    // steps tolerate duplicate edges (min-aggregates are idempotent and
+    // each round's output is distinct'd), so a dup-laden input costs at
+    // most one extra round before the convergence test can fire —
+    // cheaper than an up-front shuffle of the full edge list. The
+    // Dedup pipelines emit distinct pairs anyway.
+    val init = pairs
+      .select(col(aCol).cast("long").as("x"), col(bCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+
+    // large-star: m(u) = min(u, min Γ(u)) over BOTH directions; every
+    // neighbor v > u re-points to m. Output stays canonical: v > u ≥ m.
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(
+        e.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(m, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: per node u, all smaller neighbors (exactly the rows
+    // (u, v) of the canonical form) plus u itself re-point to their
+    // minimum. No symmetrize needed — canonical orientation already
+    // groups every smaller neighbor under u.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy("u").agg(min("v").as("m"))
+      val moved = e.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      m.select(col("u"), col("m").as("v"))
+        .unionByName(moved)
+        .distinct()
+    }
+
+    var edges = init.localCheckpoint()
+    var n = edges.count()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val nNext = next.count()
+      // exact fixpoint: equal counts + empty one-way difference (both
+      // sides are distinct sets, so that implies set equality)
+      converged = nNext == n && next.except(edges).isEmpty
+      edges = next
+      n = nNext
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
+    // fixpoint is a star forest: u → component min; roots label themselves
+    edges.select(col("u").as("doc_id"), col("v").as("cluster"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster")))
+      .distinct()
+  }
+
+  /** Declared query (q_dup_clusters): cluster labels over the minhash
+    * near-dup pairs of the documents table — the [[Dedup.nearDupPairs]]
+    * flagship pipeline composed with [[connectedComponents]]. The
+    * oracle recomputes the identical pairs in SQL and resolves
+    * components with a recursive min-label CTE, so the label for every
+    * document is hash-checked, not just counted. */
+  def dupClustersQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      Dedup.nearDupPairs(graft.sources.Tables.documents(spark, dir)))
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import scala.util.Random
+
+import graft.SparkSuite
+
+/** Connected-components laws: exact agreement with a driver-side
+  * union-find reference on random graphs, and the adversarial CHAIN
+  * topology (maximal diameter — where naive min-propagation needs
+  * linear rounds) must converge within the star algorithm's budget. */
+class ComponentsSpec extends SparkSuite {
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Components.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("law: labels equal union-find on random graphs (three seeds)") {
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new Random(seed)
+      // mixed topology: random sparse edges + a clique + a chain
+      val sparse = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+        .filter { case (a, b) => a != b }
+      val clique = for (i <- 300 to 310; j <- (i + 1) to 310) yield (i.toLong, j.toLong)
+      val chain = (400 until 430).map(i => (i.toLong, (i + 1).toLong))
+      val edges = sparse ++ clique ++ chain
+      assert(labelsOf(edges) == unionFind(500, edges), s"seed=$seed")
+    }
+  }
+
+  test("chain of 200 nodes: converges and labels collapse to the minimum") {
+    val chain = (0 until 200).map(i => (i.toLong, (i + 1).toLong))
+    val got = labelsOf(chain)
+    assert(got.size == 201)
+    assert(got.values.toSet == Set(0L), s"all labels must be 0, got ${got.values.toSet}")
+  }
+
+  test("self-loops and duplicate edges are ignored; empty input is empty") {
+    import spark.implicits._
+    val got = labelsOf(Seq((1L, 2L), (2L, 1L), (3L, 3L), (1L, 2L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+    val empty = Components.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("doc_id", "cluster"))
+  }
+}
