@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{Components, Dedup, EventWindows, MultiModal, Relational, Sampling, SimSearch, Skew, TextOps}
+import graft.ops.{BloomJoin, Components, Dedup, EventWindows, MultiModal, Relational, Sampling, SimSearch, Skew, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §3.
@@ -72,6 +72,8 @@ object SparkEntry {
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextOps.tfidfQ(Tables.documents(s, d))),
     "q_ngram_counts" -> ((s, d) => TextOps.ngramCountsQ(Tables.documents(s, d))),
+    "q_redact" -> ((s, d) => TextOps.redactQ(Tables.documents(s, d))),
+    "q_bloom_join" -> ((s, d) => BloomJoin.bloomJoinQ(s, d)),
     "q_skew_agg" -> ((s, d) => Skew.skewAggQ(s, d)),
     "q_skew_join" -> ((s, d) => Skew.skewJoinQ(s, d)),
     "q_split" -> ((s, d) => Sampling.splitQ(Tables.documents(s, d))),
@@ -480,6 +482,32 @@ object SparkEntry {
     "q_skew_agg" ->
       """SELECT l_returnflag, sum(l_quantity) AS total, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // The bloom prune must be invisible: plain filtered join.
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, sum(l_quantity) AS total_qty, count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // Same deterministic PII synthesis (pure functions of doc_id), same
+    // patterns in the same order; 'g' flag = Spark's replace-all default.
+    "q_redact" ->
+      """WITH aug AS (SELECT doc_id,
+        |text || ' contact user' || CAST(doc_id AS VARCHAR)
+        ||| '@mail.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        ||| '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        ||| ' id ' || CAST(doc_id + 100000000 AS VARCHAR)
+        ||| ' phone 555-867-5309' AS t FROM documents)
+        |SELECT doc_id,
+        |regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |'\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |'\b\d{9,}\b', '<ID>', 'g') AS text,
+        |len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+        |len(regexp_extract_all(t, '\b\d{9,}\b')) AS n_id
+        |FROM aug""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderpriority, sum(l_quantity) AS total_qty, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

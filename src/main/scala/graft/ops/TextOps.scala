@@ -149,4 +149,48 @@ object TextOps {
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** PII patterns for [[redactPii]], applied IN ORDER (order is part of
+    * the declared semantics and mirrored in the oracle: emails first —
+    * they contain digit runs a later pattern would mangle — then dotted
+    * IPs before bare digit runs). Portable across Java regex and RE2. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>",
+    "\\b\\d{9,}\\b" -> "<ID>")
+
+  /** PII redaction — the scrubbing pass every training-data pipeline
+    * runs before anything else sees the text. Typed placeholders per
+    * category plus per-category match counts (counted on the input, so
+    * the counts survive the replacement). Pure codegen'd column
+    * expressions; embarrassingly parallel, no shuffle. */
+  def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    df.withColumn("n_email", regexp_count(col(textCol), lit(PiiPatterns(0)._1)).cast("long"))
+      .withColumn("n_ip", regexp_count(col(textCol), lit(PiiPatterns(1)._1)).cast("long"))
+      .withColumn("n_phone", regexp_count(col(textCol), lit(PiiPatterns(2)._1)).cast("long"))
+      .withColumn("n_id", regexp_count(col(textCol), lit(PiiPatterns(3)._1)).cast("long"))
+      .withColumn(textCol, redacted)
+  }
+
+  /** Declared query (q_redact): the fixture corpus is digit-free word
+    * soup, so the query first synthesizes deterministic PII per row
+    * (email, dotted IP, long id, dashed phone — all pure functions of
+    * doc_id, identically constructed in the oracle) and then redacts
+    * it — every row exercises all four patterns and the full redacted
+    * text is hash-checked, not just counted. */
+  def redactQ(docs: DataFrame): DataFrame = {
+    val withPii = graft.sources.Tables.fanout(docs).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com ip 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+        lit(" id "), (col("doc_id") + 100000000L).cast("string"),
+        lit(" phone 555-867-5309")).as("text"))
+    redactPii(withPii)
+      .select("doc_id", "text", "n_email", "n_ip", "n_phone", "n_id")
+  }
 }
