@@ -38,6 +38,7 @@ object SparkEntry {
     "q_join_semi_anti" -> ((s, d) => Relational.joinSemiAnti(s, d)),
     "q_join_theta" -> ((s, d) => Relational.joinTheta(s, d)),
     "q_join_asof" -> ((s, d) => Relational.asofJoin(s, d)),
+    "q_join_range" -> ((s, d) => Relational.rangeJoinQ(s, d)),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_pivot" -> ((s, d) => Relational.pivotQ(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotQ(s, d)),
@@ -141,6 +142,12 @@ object SparkEntry {
         |FROM events e LEFT JOIN orders o
         |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |GROUP BY e.event_id, e.user_id""".stripMargin,
+    "q_join_range" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS band_id, count(*) AS n_orders,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total
+        |FROM orders JOIN nation
+        |ON o_totalprice BETWEEN n_nationkey * 20000.0 AND n_nationkey * 20000.0 + 39999.99
+        |GROUP BY n_nationkey""".stripMargin,
     "q_join_inner" ->
       """SELECT c_mktsegment,
         |CAST(sum(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,6))) AS DOUBLE) AS revenue,

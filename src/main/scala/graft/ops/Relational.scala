@@ -326,6 +326,47 @@ object Relational {
         count(col("o_orderkey")).as("n_prior_orders"))
   }
 
+  /** Binned range join — point-in-interval with NO equi key, the shape
+    * Spark can only plan as a broadcast-nested-loop (or cartesian) join.
+    * Discretize instead: each point maps to bucket ⌊p/W⌋; each interval
+    * explodes into the ⌈len/W⌉+1 buckets it overlaps; the join becomes
+    * an EQUI-join on the bucket with the exact range predicate as a
+    * post-join filter. The shuffle rides the bucket key — points move
+    * once, intervals replicate only by their length-to-W ratio (pick W
+    * near the typical interval length: replication ≲ 2×). Buckets
+    * inherit the points' value distribution, so a hot value range is a
+    * hot bucket — AQE skew-split applies; a plain BNLJ has no such
+    * escape. Intervals with lo > hi produce an empty `sequence` and
+    * drop out, matching BETWEEN's empty semantics. */
+  def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val pb = points.withColumn("_bin", floor(col(pointCol) / binWidth))
+    val ib = intervals.withColumn("_bin",
+      explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
+    pb.join(ib, Seq("_bin"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
+  /** Declared range-join query (q_join_range): orders binned into 25
+    * overlapping price bands derived from nation (stride 20k, width
+    * 40k — each order lands in 1-2 bands), counted and summed per
+    * band. The oracle is the plain BETWEEN join; the decimal
+    * intermediate keeps the double sum order-exact. */
+  def rangeJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val bands = Tables.nation(spark, dir).select(
+      col("n_nationkey").cast("long").as("band_id"),
+      (col("n_nationkey") * 20000.0).as("lo"),
+      (col("n_nationkey") * 20000.0 + 39999.99).as("hi"))
+    val pts = Tables.orders(spark, dir).select(col("o_totalprice"))
+    rangeJoinBinned(pts, bands, "o_totalprice", "lo", "hi", 20000.0)
+      .groupBy(col("band_id"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,6)")).cast("double").as("total"))
+  }
+
   /** Sort-based exact percentiles with INTRA-group parallelism: global
     * per-group ranks are assembled from range-partitioned local ranks
     * plus per-partition offset prefix sums, then the one-or-two
