@@ -43,6 +43,25 @@ class EdgeCaseSpec extends SparkSuite {
     assert(out == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("round-5 ops degrade gracefully on empty/degenerate input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // redaction on empty input: empty out, schema intact
+    val r = TextOps.redactPii(empty)
+    assert(r.isEmpty && r.columns.toSeq ==
+      Seq("doc_id", "text", "n_email", "n_ip", "n_phone", "n_id"))
+    // range join: empty points or empty intervals → empty, not an error
+    val pts = Seq((1L, 5.0)).toDF("pid", "p")
+    val iv = Seq((1L, 0.0, 10.0)).toDF("iid", "lo", "hi")
+    assert(Relational.rangeJoinBinned(pts.limit(0), iv, "p", "lo", "hi", 1.0).isEmpty)
+    assert(Relational.rangeJoinBinned(pts, iv.limit(0), "p", "lo", "hi", 1.0).isEmpty)
+    // split join: empty fact and empty dim
+    assert(Skew.skewSplitJoin(pts.limit(0).toDF("k", "v"),
+      iv.limit(0).select(col("iid").as("k"), col("lo").as("d")), "k").isEmpty)
+    assert(Skew.skewSplitJoin(pts.toDF("k", "v"),
+      iv.limit(0).select(col("iid").as("k"), col("lo").as("d")), "k").isEmpty)
+  }
+
   test("quality scores handle short docs without division blowups") {
     val q = TextOps.qualityScores(docs((1L, "x"), (2L, "the fox"))).collect()
     assert(q.forall(r => !r.getDouble(3).isInfinite)) // avg_tok_len
