@@ -36,6 +36,15 @@ import org.apache.spark.sql.functions._
   */
 object Components {
 
+  /** The persisted RDD behind a localCheckpoint'd frame — the handle
+    * deterministic release needs (Spark exposes no public unpersist for
+    * checkpoint blocks; absent a match, cleanup degrades to the
+    * GC-driven ContextCleaner). */
+  private def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.headOption
+
   /** (doc_id, cluster) for every node of `pairs`, where cluster = the
     * smallest doc id in the node's connected component. Self-loops are
     * dropped; `maxRounds` is a defensive bound (the algorithm needs
@@ -92,13 +101,24 @@ object Components {
       // exact fixpoint: equal counts + empty one-way difference (both
       // sides are distinct sets, so that implies set equality)
       converged = nNext == n && next.except(edges).isEmpty
+      // the superseded round's checkpoint blocks are dead the moment
+      // `next` is materialized and compared — free them NOW, not at
+      // driver-GC time (they are RDD persists, invisible to both
+      // Dataset.unpersist and CacheManager.clearCache)
+      checkpointRdd(edges).foreach(_.unpersist(blocking = false))
       edges = next
       n = nNext
       round += 1
     }
-    if (!converged)
+    if (!converged) {
+      checkpointRdd(edges).foreach(_.unpersist(blocking = false))
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds")
+    }
+    // the CONVERGED round's blocks back the returned frame — they stay
+    // until the caller's PipelineCaches.release (after which the frame
+    // cannot recompute: the checkpoint truncated its lineage)
+    checkpointRdd(edges).foreach(PipelineCaches.trackRdd(pairs.sparkSession, _))
     // fixpoint is a star forest: u → component min; roots label themselves
     edges.select(col("u").as("doc_id"), col("v").as("cluster"))
       .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster")))

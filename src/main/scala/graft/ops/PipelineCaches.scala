@@ -27,6 +27,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object PipelineCaches {
   private val live =
     new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[DataFrame]]()
+  // persisted RDDs behind localCheckpoint'd frames (Components): these
+  // are block-manager persists, NOT CacheManager entries, so neither
+  // Dataset.unpersist nor clearCache can free them — release() must
+  // unpersist the RDD itself. NOTE a released checkpoint CANNOT
+  // recompute (the checkpoint truncated its lineage): release only
+  // after the consuming action, per the contract above.
+  private val liveRdds =
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]]()
 
   // A weak map cannot work here: the tracked DataFrames strongly
   // reference their session, so weakly-keyed entries would never
@@ -35,10 +43,14 @@ object PipelineCaches {
   // blocks died with the executors, so dropping the registry entry is
   // the whole cleanup — bounding a no-release caller's leak to the
   // stopped sessions accumulated since the last pipeline call.
-  private def purgeStopped(): Unit =
+  private def purgeStopped(): Unit = {
     live.keySet.forEach { s =>
       if (s.sparkContext.isStopped) { live.remove(s); () }
     }
+    liveRdds.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) { liveRdds.remove(s); () }
+    }
+  }
 
   /** Cache `df` and register it for the session-wide [[release]]. */
   private[ops] def track(df: DataFrame): DataFrame = {
@@ -49,10 +61,20 @@ object PipelineCaches {
     df
   }
 
+  /** Register a persisted RDD (a localCheckpoint's backing blocks) for
+    * the session-wide [[release]]. */
+  private[ops] def trackRdd(spark: SparkSession, rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    purgeStopped()
+    liveRdds.computeIfAbsent(spark,
+      _ => new ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]).add(rdd)
+  }
+
   /** Unpersist every block the pipelines registered on `spark`. */
   def release(spark: SparkSession): Unit = {
     purgeStopped()
     val q = live.remove(spark)
     if (q != null) q.forEach(df => { df.unpersist(blocking = false); () })
+    val r = liveRdds.remove(spark)
+    if (r != null) r.forEach(rdd => { rdd.unpersist(blocking = false); () })
   }
 }

@@ -336,14 +336,18 @@ object Relational {
     * near the typical interval length: replication ≲ 2×). Buckets
     * inherit the points' value distribution, so a hot value range is a
     * hot bucket — AQE skew-split applies; a plain BNLJ has no such
-    * escape. Intervals with lo > hi produce an empty `sequence` and
-    * drop out, matching BETWEEN's empty semantics. */
+    * escape. Inverted intervals (lo > hi) are filtered out before the
+    * explode, matching BETWEEN's empty semantics — they must NOT reach
+    * `sequence`, which generates a DESCENDING range for start > stop:
+    * one wildly inverted row would replicate into |⌊lo/W⌋−⌊hi/W⌋|+1
+    * bins (millions of rows, or the sequence length cap) that only the
+    * post-filter would discard. */
   def rangeJoinBinned(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     val pb = points.withColumn("_bin", floor(col(pointCol) / binWidth))
-    val ib = intervals.withColumn("_bin",
+    val ib = intervals.filter(col(loCol) <= col(hiCol)).withColumn("_bin",
       explode(sequence(floor(col(loCol) / binWidth), floor(col(hiCol) / binWidth))))
     pb.join(ib, Seq("_bin"))
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))

@@ -137,7 +137,7 @@ object Skew {
     * exactly one detection pass over the plain plan — the operator
     * adapts to OBSERVED skew rather than taxing uniform data with a
     * 16× dim replication; the hot path is exercised and pinned on a
-    * synthetically skewed corpus in PropertySpec and SkewPlanSpec.
+    * synthetically skewed corpus in PropertySpec and PlanGuardSpec.
     * l_quantity integral → order-exact double sums. */
   def skewJoinQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     skewSplitJoin(

@@ -150,30 +150,31 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** PII patterns for [[redactPii]], applied IN ORDER (order is part of
-    * the declared semantics and mirrored in the oracle: emails first —
-    * they contain digit runs a later pattern would mangle — then dotted
-    * IPs before bare digit runs). Portable across Java regex and RE2. */
-  val PiiPatterns: Seq[(String, String)] = Seq(
-    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
-    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
-    "\\b\\d{3}-\\d{3}-\\d{4}\\b" -> "<PHONE>",
-    "\\b\\d{9,}\\b" -> "<ID>")
+  /** PII patterns for [[redactPii]] as (regex, placeholder, count
+    * column), applied IN ORDER (order is part of the declared semantics
+    * and mirrored in the oracle: emails first — they contain digit runs
+    * a later pattern would mangle — then dotted IPs before bare digit
+    * runs). Portable across Java regex and RE2. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>", "n_email"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>", "n_ip"),
+    ("\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>", "n_phone"),
+    ("\\b\\d{9,}\\b", "<ID>", "n_id"))
 
   /** PII redaction — the scrubbing pass every training-data pipeline
     * runs before anything else sees the text. Typed placeholders per
     * category plus per-category match counts (counted on the input, so
-    * the counts survive the replacement). Pure codegen'd column
-    * expressions; embarrassingly parallel, no shuffle. */
+    * the counts survive the replacement); both derive from the one
+    * [[PiiPatterns]] list, so adding a category cannot desync them.
+    * Pure codegen'd column expressions; embarrassingly parallel, no
+    * shuffle. */
   def redactPii(df: DataFrame, textCol: String = "text"): DataFrame = {
     val redacted = PiiPatterns.foldLeft(col(textCol)) {
-      case (c, (pat, tag)) => regexp_replace(c, pat, tag)
+      case (c, (pat, tag, _)) => regexp_replace(c, pat, tag)
     }
-    df.withColumn("n_email", regexp_count(col(textCol), lit(PiiPatterns(0)._1)).cast("long"))
-      .withColumn("n_ip", regexp_count(col(textCol), lit(PiiPatterns(1)._1)).cast("long"))
-      .withColumn("n_phone", regexp_count(col(textCol), lit(PiiPatterns(2)._1)).cast("long"))
-      .withColumn("n_id", regexp_count(col(textCol), lit(PiiPatterns(3)._1)).cast("long"))
-      .withColumn(textCol, redacted)
+    PiiPatterns.foldLeft(df) { case (d, (pat, _, cnt)) =>
+      d.withColumn(cnt, regexp_count(col(textCol), lit(pat)).cast("long"))
+    }.withColumn(textCol, redacted)
   }
 
   /** Declared query (q_redact): the fixture corpus is digit-free word

@@ -19,11 +19,14 @@ object CcLab {
 
     val pairs = graft.ops.Dedup.nearDupPairs(
       graft.sources.Tables.documents(spark, dir))
+    // mirrors connectedComponents' init exactly (NO distinct — the
+    // operator deliberately skips it; measuring a different pipeline
+    // here would misattribute the init-vs-rounds split)
     val init = t("init pairs+checkpoint") {
       pairs.select(col("doc_a").cast("long").as("x"), col("doc_b").cast("long").as("y"))
         .filter(col("x") =!= col("y"))
         .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
-        .distinct().localCheckpoint()
+        .localCheckpoint()
     }
     println(s"[cclab] edges=${init.count()}")
     val labels = t("full connectedComponents") {

@@ -26,6 +26,22 @@ class CacheLifetimeSpec extends SparkSuite {
       "release must unpersist every pipeline-registered block")
   }
 
+  test("connected-components checkpoint blocks release deterministically") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val labels = Components.connectedComponents(pairs)
+    assert(labels.count() == 5)
+    // superseded rounds were unpersisted in-loop; the converged round's
+    // blocks back the result and are registered for release
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty, "expected live checkpoint blocks backing the result")
+    PipelineCaches.release(spark)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet intersect mine
+    assert(leftover.isEmpty,
+      s"release must unpersist checkpoint blocks, leaked rdd ids: $leftover")
+  }
+
   test("release is idempotent and safe on a session with no tracked caches") {
     PipelineCaches.release(spark.newSession())
     PipelineCaches.release(spark)

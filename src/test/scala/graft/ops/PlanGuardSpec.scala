@@ -41,8 +41,15 @@ class PlanGuardSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       "hot slice must ride hinted broadcasts:\n" + plan.take(800))
-    assert(plan.contains("SortMergeJoin"),
-      "cold slice must remain an ordinary shuffle join:\n" + plan.take(800))
+    // EXACTLY one shuffle join — the cold slice. The hot-side splits
+    // and the hot dim join are all hinted broadcasts; a second
+    // SortMergeJoin means one of those hints was lost and a hot slice
+    // decayed to a shuffle (the regression this guard exists for — a
+    // bare contains() check stays green through that decay because the
+    // cold join supplies its SMJ and the semi-joins their BHJ).
+    val smjCount = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smjCount == 1,
+      s"expected exactly the cold-slice SortMergeJoin, found $smjCount:\n" + plan.take(800))
   }
 
   test("no declared query plans a cartesian product; BNLJ only where declared") {
