@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{DotProductDouble, SortedLongIntersectCount}
+import graft.functions.{DotProductDouble, Md5Bits, SortedLongIntersectCount}
 
 /** Session-extension entry point: the standard way a cluster deploys
   * this library's custom Catalyst surface without code changes —
@@ -24,5 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(SortedLongIntersectCount.descriptor)
     ext.injectFunction(DotProductDouble.descriptor)
+    ext.injectFunction(Md5Bits.descriptor)
   }
 }

@@ -138,12 +138,23 @@ object Dedup {
         col("bb.b0").as("b0"), col("bb.b1").as("b1"))
   }
 
+  /** 60-bit (15 hex chars) md5 prefix as a long, via the native
+    * [[graft.functions.Md5Bits]] — bit-identical to
+    * `conv(substring(md5(c), 1, 15), 16, 10)::long` (the spelling the
+    * oracles keep) but one digest with no hex-encode / substring /
+    * base-16 parse per value. Registers the function on the column's
+    * session on the way. */
+  private def md5Prefix60(c: org.apache.spark.sql.Column, spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Column = {
+    graft.functions.Md5Bits.register(spark)
+    call_function(graft.functions.Md5Bits.FnName, c, lit(0), lit(15))
+  }
+
   /** Per-doc sorted 60-bit token-hash arrays — the verify dictionary.
     * private[ops]: NearDupIndexSpec pins the deployment shape where
     * this frame is registered doc_id-bucketed (see [[writeNearDupIndex]]). */
   private[ops] def tokSetsOf(tok: DataFrame): DataFrame = tok
     .select(col("doc_id"),
-      conv(substring(md5(col("token")), 1, 15), 16, 10).cast("long").as("th"))
+      md5Prefix60(col("token"), tok.sparkSession).as("th"))
     .groupBy(col("doc_id"))
     .agg(sort_array(collect_set(col("th"))).as("toks"))
 
@@ -362,8 +373,10 @@ object Dedup {
     // Materialize the token hash ONCE before aggregating: referencing the
     // md5 expression inside all 32 sum()s would recompute the hash 32×
     // per row (measured 8× slowdown at sf0.1).
+    graft.functions.Md5Bits.register(tok.sparkSession)
     val hashed = tok.select(col("doc_id"),
-      conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long").as("v"))
+      call_function(graft.functions.Md5Bits.FnName,
+        col("token"), lit(0), lit(8)).as("v"))
     // ±1 per bit as branch-free arithmetic (2·bit − 1): 32 sum columns
     // codegen to straight-line shifts/adds in the partial aggregate
     val bitSums = (0 until SimhashBits).map(j =>
@@ -432,13 +445,15 @@ object Dedup {
     // per-document, so deduplication is array_distinct inside the row —
     // an explode→distinct→collect_set round trip would shuffle the whole
     // shingle table twice to rebuild what the row already had.
+    graft.functions.Md5Bits.register(docs.sparkSession)
     val docSets = PipelineCaches.track(spread(docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
-          i => conv(substring(md5(concat_ws(" ", slice(col("toks"), i + 1, lit(n)))), 1, 15), 16, 10)
-            .cast("long"))).as("shs")))
+          i => call_function(graft.functions.Md5Bits.FnName,
+            concat_ws(" ", slice(col("toks"), i + 1, lit(n))), lit(0), lit(15))))
+          .as("shs")))
     // df-cap via the FREQUENT set: almost every shingle is rare, so the
     // frequent (boilerplate) set is the small one — one aggregate over
     // the exploded shingles is the only full-table shuffle in the cap.

@@ -97,6 +97,24 @@ class FunctionsSpec extends SparkSuite {
     new graft.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("md5_bits codegen path matches conv(substring(md5)) on real corpus tokens") {
+    Md5Bits.register(spark)
+    import org.apache.spark.sql.functions._
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(lower(col("text")), "\\s+")).as("t")).limit(5000)
+    for ((off, n) <- Seq((0, 15), (16, 15), (0, 8))) {
+      val bad = toks.select(
+          expr(s"md5_bits(t, $off, $n)").as("fast"),
+          expr(s"cast(conv(substring(md5(t), ${off + 1}, $n), 16, 10) as bigint)").as("ref"))
+        .filter(col("fast") =!= col("ref"))
+      assert(bad.isEmpty, s"window ($off, $n) diverged")
+    }
+    // null in, null out — matches the builtin chain
+    import spark.implicits._
+    assert(Seq[String](null).toDF("t")
+      .select(expr("md5_bits(t, 0, 15)")).head.isNullAt(0))
+  }
+
   test("sql catalog exposes every table") {
     Catalog.registerAll(spark, sf)
     Catalog.tables.foreach { t =>
