@@ -58,6 +58,14 @@ object ScaleSmoke {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         run("near_dup_smj", Dedup.nearDupPairs(docs, verifyMode = Dedup.VerifyBucketed))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // pairs → clusters: the iterative star algorithm must keep its
+      // round count flat as the edge list grows (amplified replicas
+      // never cross-match, so components scale in count, not diameter)
+      run("components", graft.ops.Components.connectedComponents(
+        Dedup.nearDupPairs(docs)))
+      graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
