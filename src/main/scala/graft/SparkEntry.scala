@@ -43,6 +43,7 @@ object SparkEntry {
     "q_pivot" -> ((s, d) => Relational.pivotQ(s, d)),
     "q_unpivot" -> ((s, d) => Relational.unpivotQ(s, d)),
     "q_sql" -> ((s, d) => Relational.sqlQ(s, d)),
+    "q_subquery" -> ((s, d) => Relational.subqueryQ(s, d)),
     "q_window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "q_sort_limit" -> ((s, d) => Relational.sortLimit(s, d)),
     "q_scalar" -> ((s, d) => Relational.scalarQ(s, d)),
@@ -142,6 +143,8 @@ object SparkEntry {
         |FROM events e LEFT JOIN orders o
         |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |GROUP BY e.event_id, e.user_id""".stripMargin,
+    "q_subquery" -> graft.ops.Relational.SubqueryQText,
+    "q_subquery" -> graft.ops.Relational.SubqueryQText,
     "q_join_range" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS band_id, count(*) AS n_orders,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total

@@ -601,6 +601,30 @@ object Relational {
       |WHERE o_orderdate < TIMESTAMP '1996-01-01'
       |GROUP BY n_name, o_orderpriority""".stripMargin
 
+  /** Correlated-subquery text shared by the declared query and its
+    * oracle (both engines accept it verbatim). Two correlation shapes
+    * in one query: a correlated SCALAR subquery (per-order max line
+    * quantity — Catalyst decorrelates it into a left outer join over a
+    * pre-aggregated lineitem, so the "per-row query" never executes
+    * per row) and a correlated EXISTS (orders with any returned line →
+    * planned as a semi-join). The filter keeps the output compact; the
+    * decorrelated plan shape is pinned in RelationalSpec. */
+  val SubqueryQText: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |(SELECT max(l_quantity) FROM lineitem WHERE l_orderkey = o_orderkey) AS max_qty,
+      |(SELECT count(*) FROM lineitem WHERE l_orderkey = o_orderkey) AS n_lines
+      |FROM orders
+      |WHERE o_orderkey % 20 = 0 AND EXISTS
+      |(SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')""".stripMargin
+
+  /** Correlated scalar + EXISTS subqueries through the SQL entry —
+    * the decorrelation surface (RewriteCorrelatedScalarSubquery,
+    * rewrite-to-semi-join) the other declared queries never touch. */
+  def subqueryQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, dir)
+    spark.sql(SubqueryQText)
+  }
+
   /** SQL entry point: same relational engine through spark.sql over the
     * registered catalog views (Catalog.registerAll) instead of the
     * DataFrame API — both build the identical Catalyst logical plan. */

@@ -237,6 +237,24 @@ class RelationalSpec extends SparkSuite {
     }
   }
 
+  test("correlated subqueries decorrelate: no per-row subquery survives the optimizer") {
+    val q = Relational.subqueryQ(spark, sf)
+    val opt = q.queryExecution.optimizedPlan.toString
+    // the scalar subqueries must be rewritten into joins over
+    // pre-aggregated lineitem and the EXISTS into a semi-join — a
+    // surviving correlated subquery expression would execute per row
+    assert(!opt.contains("scalar-subquery"), opt.take(800))
+    assert(!opt.toLowerCase.contains("exists"), opt.take(800))
+    assert(opt.contains("Join"), opt.take(800))
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // spot-check one order against directly computed aggregates
+    val k = rows.head.getLong(0)
+    val lines = graft.sources.Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_orderkey") === k)
+    assert(rows.head.getLong(3) == lines.count())
+  }
+
   test("approx_count_distinct within 15% of exact") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val exactByRf = graft.sources.Tables.lineitem(spark, sf)
