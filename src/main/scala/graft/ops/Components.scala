@@ -125,6 +125,33 @@ object Components {
       .distinct()
   }
 
+  /** Incremental cluster maintenance — the companion to
+    * [[Dedup.nearDupsAgainstIndex]]'s delta-vs-corpus workflow: fold a
+    * delta's near-dup pairs into EXISTING labels without re-clustering
+    * the corpus. Existing labels are already a star forest (node →
+    * root), so the union of that forest with the delta pairs is a
+    * graph whose components are exactly the merged components, and the
+    * star algorithm re-converges in O(log²) of the DELTA's merge depth
+    * — in the common case (new docs attach to one cluster each) a
+    * round or two over |labels| + |deltaPairs| edges.
+    * Equality with batch re-clustering over the pair union is pinned
+    * in ComponentsSpec. */
+  def mergeClusters(labels: DataFrame, deltaPairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    connectedComponents(
+      labels.select(col("doc_id").as("doc_a"), col("cluster").as("doc_b"))
+        .unionByName(deltaPairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b"))))
+
+  /** The user-facing "apply dedup" step: keep one document per
+    * near-dup cluster (the cluster minimum), pass singletons through
+    * untouched. A left-anti join against the non-representative
+    * members — labels are cluster-minimum labels, so the survivors are
+    * exactly docs with doc_id = cluster plus docs in no pair at all. */
+  def keepClusterRepresentatives(docs: DataFrame, labels: DataFrame): DataFrame =
+    docs.join(
+      labels.filter(col("doc_id") =!= col("cluster")).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
   /** Declared query (q_dup_clusters): cluster labels over the minhash
     * near-dup pairs of the documents table — the [[Dedup.nearDupPairs]]
     * flagship pipeline composed with [[connectedComponents]]. The

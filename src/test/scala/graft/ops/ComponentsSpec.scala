@@ -50,6 +50,34 @@ class ComponentsSpec extends SparkSuite {
     assert(got.values.toSet == Set(0L), s"all labels must be 0, got ${got.values.toSet}")
   }
 
+  test("incremental merge equals batch re-clustering over the pair union") {
+    import spark.implicits._
+    val rnd = new Random(11)
+    val oldPairs = Seq.fill(150)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    // delta: new nodes joining old clusters, bridges MERGING two old
+    // clusters, and a brand-new disjoint cluster
+    val delta = Seq((200L, 5L), (200L, 201L), (1L, 70L), (300L, 301L))
+    val batch = labelsOf(oldPairs ++ delta)
+    val incremental = {
+      val labels = Components.connectedComponents(oldPairs.toDF("doc_a", "doc_b"))
+      Components.mergeClusters(labels, delta.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    assert(incremental == batch)
+  }
+
+  test("keepClusterRepresentatives keeps cluster minima and singletons") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val labels = Components.connectedComponents(
+      Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b"))
+    val kept = Components.keepClusterRepresentatives(docs, labels)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 represents {1,2,3}, 5 represents {5,6}, 4 was never paired
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("self-loops and duplicate edges are ignored; empty input is empty") {
     import spark.implicits._
     val got = labelsOf(Seq((1L, 2L), (2L, 1L), (3L, 3L), (1L, 2L)))
