@@ -161,4 +161,56 @@ class StreamingExtrasSpec extends SparkSuite {
       assert(!hits.exists(_._1 == 20002L), "the novel doc must not be flagged")
     } finally q.stop()
   }
+
+  test("streaming ingestion with cluster maintenance: labels fold in per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the FULL incremental loop a production pipeline runs: per
+    // micro-batch, delta-vs-index dedup produces pairs, and
+    // mergeClusters folds them into the running label state — after
+    // any number of batches the labels must equal batch re-clustering
+    // over every pair seen (the mergeClusters law, here driven through
+    // the streaming seam with label state carried across batches).
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_cluster_idx").toString
+    graft.ops.Dedup.writeNearDupIndex(corpus, dir)
+    val known = corpus.limit(3).as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val allPairs = scala.collection.mutable.Set[(Long, Long)]()
+    var labels: org.apache.spark.sql.DataFrame = null
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        this.synchronized {
+          val pairs = graft.ops.Dedup.nearDupsAgainstIndex(spark, batch, dir)
+            .select("doc_a", "doc_b")
+          labels =
+            if (labels == null) graft.ops.Components.connectedComponents(pairs)
+            else graft.ops.Components.mergeClusters(labels,
+              pairs.select(col("doc_a"), col("doc_b")))
+          // materialize labels BEFORE releasing: mergeClusters' result
+          // rides checkpoint blocks the release would drop
+          allPairs ++= pairs.as[(Long, Long)].collect()
+          labels = labels.as[(Long, Long)].collect().toSeq.toDF("doc_id", "cluster")
+          graft.ops.PipelineCaches.release(spark)
+        }
+        ()
+      }
+      .start()
+    try {
+      input.addData((30000L, known(0)._2), (30001L, known(1)._2))
+      q.processAllAvailable()
+      // second batch replays doc 0 again under ANOTHER id: its cluster
+      // must merge with 30000's through the shared corpus doc
+      input.addData((30002L, known(0)._2), (30003L, known(2)._2))
+      q.processAllAvailable()
+      val got = this.synchronized {
+        labels.as[(Long, Long)].collect().toMap
+      }
+      val expected = graft.ops.Components.connectedComponents(
+        this.synchronized(allPairs.toSeq).toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"incremental labels diverged: $got vs $expected")
+      assert(got(30000L) == got(30002L), "replays of the same doc must share a cluster")
+    } finally q.stop()
+  }
 }
