@@ -254,6 +254,31 @@ object Dedup {
     } finally tok.unpersist()
   }
 
+  /** Fold newly ingested documents INTO a persisted index — the write
+    * half of the production ingestion loop ([[nearDupsAgainstIndex]] is
+    * the read half): after a micro-batch is deduped against the index,
+    * appending it makes every LATER delta dedup against this one too.
+    * Bucket function read from `<dir>/meta`, so appended band rows land
+    * in the same partition layout the pruned reads rely on; appends are
+    * new files in existing (or new) bkt= partitions — no rewrite of
+    * prior data, safe to run per micro-batch. Ids must stay disjoint
+    * from what the index already holds (same contract as the lookup). */
+  def appendToNearDupIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val bandBuckets = spark.read.parquet(s"$dir/meta")
+      .first().getAs[Int]("band_buckets")
+    val tok = tokens(spread(newDocs)).cache()
+    try {
+      bandsOf(signatures(tok))
+        .withColumn("doc_id", col("doc_id").cast("long"))
+        .withColumn("bkt", pmod(col("b0"), lit(bandBuckets.toLong)))
+        .write.mode("append").partitionBy("bkt").parquet(s"$dir/bands")
+      tokSetsOf(tok)
+        .withColumn("doc_id", col("doc_id").cast("long"))
+        .write.mode("append").parquet(s"$dir/toksets")
+    } finally tok.unpersist()
+  }
+
   /** Near-duplicate pairs between a (small) delta of NEW documents and a
     * persisted [[writeNearDupIndex]] corpus: (doc_a = new id, doc_b =
     * indexed id, jaccard ≥ threshold). Ids must be disjoint between the

@@ -41,6 +41,32 @@ class NearDupIndexSpec extends SparkSuite {
       s"index query must equal batch cross pairs (got=${got.size} batch=${batch.size})")
   }
 
+  test("append folds a delta into the index: equals a fresh index over the union") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val probe = docs.limit(40)
+      .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+
+    val appended = java.nio.file.Files.createTempDirectory("neardup_app").toString
+    Dedup.writeNearDupIndex(half1, appended, bandBuckets = 32)
+    Dedup.appendToNearDupIndex(half2, appended)
+    val fresh = java.nio.file.Files.createTempDirectory("neardup_fresh").toString
+    Dedup.writeNearDupIndex(half1.unionByName(half2), fresh, bandBuckets = 32)
+
+    def pairs(dir: String) = {
+      val got = Dedup.nearDupsAgainstIndex(spark, probe, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      PipelineCaches.release(spark)
+      got
+    }
+    val a = pairs(appended)
+    assert(a == pairs(fresh), "appended index must answer like a fresh rebuild")
+    // the probe must hit docs from BOTH the original and appended halves
+    assert(a.exists(_._2 < 10000L) && a.exists(_._2 >= 10000L), a.take(5).toString)
+  }
+
   test("bands are bucket-partitioned and a small delta reads few buckets") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("neardup_idx2").toString
