@@ -114,9 +114,6 @@ object Md5Bits {
 
   /** Register as a temp SQL function (idempotent), so ops reach it via
     * expr("md5_bits(s, off, n)"). */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)))
-      reg.createOrReplaceTempFunction(FnName, fromExprs, "scala_udf")
-  }
+  def register(spark: SparkSession): Unit =
+    Registration.ensure(spark, FnName, fromExprs)
 }

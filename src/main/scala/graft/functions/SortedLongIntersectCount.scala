@@ -93,15 +93,8 @@ object SortedLongIntersectCount {
 
   /** Register as a temp SQL function on the session (idempotent), so ops
     * reach it via expr("sorted_intersect_count(a, b)") without a
-    * session-construction-time SparkSessionExtensions hook. Skips when
-    * already present — re-registering per query is harmless but logs a
-    * "replaced a previously registered function" warning each time. */
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(FnName)))
-      reg.createOrReplaceTempFunction(
-        FnName,
-        (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs.head, exprs(1)),
-        "scala_udf")
-  }
+    * session-construction-time SparkSessionExtensions hook. */
+  def register(spark: SparkSession): Unit =
+    Registration.ensure(spark, FnName,
+      (exprs: Seq[Expression]) => SortedLongIntersectCount(exprs.head, exprs(1)))
 }

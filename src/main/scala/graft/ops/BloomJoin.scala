@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
@@ -32,17 +31,14 @@ object BloomJoin {
   val ContainsFn = "graft_might_contain"
 
   def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier(AggFn)))
-      reg.createOrReplaceTempFunction(AggFn,
-        (exprs: Seq[Expression]) =>
-          new BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
-        "built-in")
-    if (!reg.functionExists(FunctionIdentifier(ContainsFn)))
-      reg.createOrReplaceTempFunction(ContainsFn,
-        (exprs: Seq[Expression]) =>
-          BloomFilterMightContain(exprs.head, exprs(1)),
-        "built-in")
+    graft.functions.Registration.ensure(spark, AggFn,
+      (exprs: Seq[Expression]) =>
+        new BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
+      source = "built-in")
+    graft.functions.Registration.ensure(spark, ContainsFn,
+      (exprs: Seq[Expression]) =>
+        BloomFilterMightContain(exprs.head, exprs(1)),
+      source = "built-in")
   }
 
   /** Declared query (q_bloom_join): lineitem ⋈ urgent orders, with the

@@ -138,15 +138,15 @@ object Dedup {
         col("bb.b0").as("b0"), col("bb.b1").as("b1"))
   }
 
-  /** 60-bit (15 hex chars) md5 prefix as a long, via the native
+  /** n-hex-char md5 prefix as a long, via the native
     * [[graft.functions.Md5Bits]] — bit-identical to
-    * `conv(substring(md5(c), 1, 15), 16, 10)::long` (the spelling the
+    * `conv(substring(md5(c), 1, n), 16, 10)::long` (the spelling the
     * oracles keep) but one digest with no hex-encode / substring /
-    * base-16 parse per value. Registers the function on the column's
-    * session on the way. */
-  private def md5Prefix60(c: org.apache.spark.sql.Column, spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Column = {
+    * base-16 parse per value. Registers the function on the way. */
+  private def md5Prefix(c: org.apache.spark.sql.Column,
+      spark: org.apache.spark.sql.SparkSession, nNibbles: Int): org.apache.spark.sql.Column = {
     graft.functions.Md5Bits.register(spark)
-    call_function(graft.functions.Md5Bits.FnName, c, lit(0), lit(15))
+    call_function(graft.functions.Md5Bits.FnName, c, lit(0), lit(nNibbles))
   }
 
   /** Per-doc sorted 60-bit token-hash arrays — the verify dictionary.
@@ -154,7 +154,7 @@ object Dedup {
     * this frame is registered doc_id-bucketed (see [[writeNearDupIndex]]). */
   private[ops] def tokSetsOf(tok: DataFrame): DataFrame = tok
     .select(col("doc_id"),
-      md5Prefix60(col("token"), tok.sparkSession).as("th"))
+      md5Prefix(col("token"), tok.sparkSession, 15).as("th"))
     .groupBy(col("doc_id"))
     .agg(sort_array(collect_set(col("th"))).as("toks"))
 
@@ -398,10 +398,8 @@ object Dedup {
     // Materialize the token hash ONCE before aggregating: referencing the
     // md5 expression inside all 32 sum()s would recompute the hash 32×
     // per row (measured 8× slowdown at sf0.1).
-    graft.functions.Md5Bits.register(tok.sparkSession)
     val hashed = tok.select(col("doc_id"),
-      call_function(graft.functions.Md5Bits.FnName,
-        col("token"), lit(0), lit(8)).as("v"))
+      md5Prefix(col("token"), tok.sparkSession, 8).as("v"))
     // ±1 per bit as branch-free arithmetic (2·bit − 1): 32 sum columns
     // codegen to straight-line shifts/adds in the partial aggregate
     val bitSums = (0 until SimhashBits).map(j =>
@@ -470,14 +468,13 @@ object Dedup {
     // per-document, so deduplication is array_distinct inside the row —
     // an explode→distinct→collect_set round trip would shuffle the whole
     // shingle table twice to rebuild what the row already had.
-    graft.functions.Md5Bits.register(docs.sparkSession)
     val docSets = PipelineCaches.track(spread(docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
-          i => call_function(graft.functions.Md5Bits.FnName,
-            concat_ws(" ", slice(col("toks"), i + 1, lit(n))), lit(0), lit(15))))
+          i => md5Prefix(concat_ws(" ", slice(col("toks"), i + 1, lit(n))),
+            docs.sparkSession, 15)))
           .as("shs")))
     // df-cap via the FREQUENT set: almost every shingle is rare, so the
     // frequent (boilerplate) set is the small one — one aggregate over
