@@ -25,6 +25,12 @@ object ExtensionsSmoke {
       .as[Int].head()
     require(got == 2, s"expected 2, got $got")
     println(s"[extensions-smoke] OK sorted_intersect_count resolved natively, result=$got")
+    val h = Seq("hello").toDF("s")
+      .selectExpr("md5_bits(s, 0, 15)",
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)")
+      .head()
+    require(h.getLong(0) == h.getLong(1), s"md5_bits mismatch: $h")
+    println(s"[extensions-smoke] OK md5_bits resolved natively, value=${h.getLong(0)}")
     spark.stop()
   }
 }
