@@ -45,6 +45,9 @@ object SparkEntry {
     "q_sql" -> ((s, d) => Relational.sqlQ(s, d)),
     "q_subquery" -> ((s, d) => Relational.subqueryQ(s, d)),
     "q_window_rank" -> ((s, d) => Relational.windowRank(s, d)),
+    "q_window_analytic" -> ((s, d) => Relational.windowAnalytic(s, d)),
+    "q_profile" -> ((s, d) => Relational.profileQ(s, d)),
+    "q_stats_agg" -> ((s, d) => Relational.statsAggQ(s, d)),
     "q_sort_limit" -> ((s, d) => Relational.sortLimit(s, d)),
     "q_scalar" -> ((s, d) => Relational.scalarQ(s, d)),
     "q_json" -> ((s, d) => Relational.jsonQ(s, d)),
@@ -81,6 +84,9 @@ object SparkEntry {
     "q_split" -> ((s, d) => Sampling.splitQ(Tables.documents(s, d))),
     "q_sample" -> ((s, d) => Sampling.sampleQ(Tables.documents(s, d))),
     "q_mixture" -> ((s, d) => Sampling.mixtureQ(Tables.documents(s, d))),
+    "q_sample_stratified" -> ((s, d) => Sampling.stratifiedQ(Tables.documents(s, d))),
+    "q_shard" -> ((s, d) => Sampling.shardQ(Tables.documents(s, d))),
+    "q_dedup_fuzzy" -> ((s, d) => Dedup.fuzzyMatchQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
     // IVF is approximate (cell pruning) → rows-only gate; recall vs the
@@ -219,6 +225,42 @@ object SparkEntry {
         |sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spent
         |FROM orders) t WHERE rn <= 3""".stripMargin,
+    "q_window_analytic" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+        |lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS next_price,
+        |avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3_price,
+        |CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS BIGINT) AS quartile,
+        |first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
+        |FROM orders""".stripMargin,
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+        |count(*) - count(l_orderkey) AS n_nulls, count(DISTINCT l_orderkey) AS n_distinct,
+        |CAST(min(l_orderkey) AS DOUBLE) AS min_num, CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+        |CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+        |UNION ALL SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |count(DISTINCT l_quantity), CAST(min(l_quantity) AS DOUBLE),
+        |CAST(max(l_quantity) AS DOUBLE), NULL, NULL FROM lineitem
+        |UNION ALL SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+        |count(DISTINCT l_extendedprice), CAST(min(l_extendedprice) AS DOUBLE),
+        |CAST(max(l_extendedprice) AS DOUBLE), NULL, NULL FROM lineitem
+        |UNION ALL SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+        |count(DISTINCT l_shipdate), epoch(min(l_shipdate)), epoch(max(l_shipdate)),
+        |NULL, NULL FROM lineitem
+        |UNION ALL SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |count(DISTINCT l_returnflag), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |min(l_returnflag), max(l_returnflag) FROM lineitem
+        |UNION ALL SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+        |count(DISTINCT l_linestatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |min(l_linestatus), max(l_linestatus) FROM lineitem""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag, corr(l_quantity, l_extendedprice) AS corr_qty_price,
+        |covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
+        |stddev_samp(l_quantity) AS sd_qty, stddev_samp(l_extendedprice) AS sd_price,
+        |var_samp(l_quantity) AS var_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_sort_limit" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""".stripMargin,
@@ -560,6 +602,54 @@ object SparkEntry {
         |SELECT doc_id % 2 AS src, count(*) AS n_docs,
         |CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM mixed GROUP BY 1""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE CAST(('0x'||substr(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |% 1000000 < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END
+        |GROUP BY lang""".stripMargin,
+    "q_shard" ->
+      """SELECT CAST(('0x'||substr(md5('shard:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS shard,
+        |count(*) AS n_docs,
+        |min(CAST(('0x'||substr(md5('order:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)) AS first_key,
+        |max(CAST(('0x'||substr(md5('order:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)) AS last_key,
+        |CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
+    // Same banded-minhash blocking as q_dedup_near, restricted to the
+    // probe set, then byte==char Levenshtein on the ASCII fixture (the
+    // engine's code-point semantics vs DuckDB's byte semantics only
+    // diverge on non-ASCII text — pinned spec-side instead).
+    "q_dedup_fuzzy" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |sig AS (SELECT doc_id,
+        |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
+        |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
+        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
+        |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
+        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
+        |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
+        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
+        |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
+        |FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
+        |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+        |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+        |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS match_id FROM bands a
+        |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+        |AND a.doc_id <> b.doc_id WHERE a.doc_id < 100),
+        |norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |FROM documents),
+        |v AS (SELECT probe_id, match_id,
+        |CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_dist,
+        |greatest(length(na.t), length(nb.t)) AS max_len
+        |FROM cand JOIN norm na ON na.doc_id = probe_id JOIN norm nb ON nb.doc_id = match_id)
+        |SELECT probe_id, match_id, edit_dist,
+        |CASE WHEN max_len = 0 THEN 1.0 ELSE 1.0 - CAST(edit_dist AS DOUBLE)/max_len END AS edit_sim
+        |FROM v
+        |WHERE CASE WHEN max_len = 0 THEN 1.0 ELSE 1.0 - CAST(edit_dist AS DOUBLE)/max_len END >= 0.8""".stripMargin,
     "q_sim_topk" ->
       """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
         |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

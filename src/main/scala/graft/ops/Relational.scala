@@ -249,6 +249,93 @@ object Relational {
       .filter(col("rn") <= 3)
   }
 
+  /** Analytic window functions beyond ranking: lag/lead offsets, a 3-row
+    * moving-average frame, ntile quartiles, and the partition's first
+    * value — the offset/frame half of the §2.4 window-function surface
+    * (q_window_rank covers ranking + running sums). All five share ONE
+    * window ordering (o_orderdate, o_orderkey per customer), so Catalyst
+    * plans a single Exchange + Sort + Window operator — adding analytic
+    * columns over an existing ordering is free of extra shuffles, which
+    * is exactly how a 100 TB feature-engineering pass should stack them.
+    * Ordering is total (orderkey is unique per customer), so lag/lead/
+    * ntile are deterministic; the frame aggregates evaluate in frame
+    * order, so the double arithmetic is reproducible. */
+  def windowAnalytic(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val ma3 = w.rowsBetween(-2, Window.currentRow)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      avg(col("o_totalprice")).over(ma3).as("ma3_price"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      first(col("o_orderkey")).over(run).as("first_order"))
+  }
+
+  /** Column profiling — the data-quality summary a pipeline computes
+    * before training: per column, row/null/distinct counts and
+    * type-appropriate min/max, as one row per column. Shape: MELT each
+    * column group to (column_name, value) rows, hash-aggregate to
+    * distinct values with counts (map-side partials collapse low-
+    * cardinality columns before the shuffle), then fold the per-value
+    * rows into per-column stats — every aggregate is hash-based and the
+    * min/max runs over DISTINCT values only. The naive alternative (one
+    * wide agg with multi-column count_distinct) plans an Expand feeding
+    * a SORT-based aggregate — string min/max has no fixed-size hash
+    * buffer — which sorts |rows|×|cols| wide tuples (measured 6× slower
+    * at sf0.1 and strictly worse at scale). Timestamps profile through
+    * their epoch seconds (via TIMESTAMP under the engine's pinned UTC
+    * session zone = DuckDB's epoch() of the same NTZ value). */
+  def profileQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.fanout(Tables.lineitem(spark, dir))
+    def meltProfile(cols: Seq[(String, Column)], asString: Boolean): DataFrame = {
+      val vType = if (asString) "string" else "double"
+      val melted = li.select(explode(array(cols.map { case (n, c) =>
+        struct(lit(n).as("cn"), c.cast(vType).as("v"))
+      }: _*)).as("m")).select(col("m.cn").as("cn"), col("m.v").as("v"))
+      val perValue = melted.groupBy(col("cn"), col("v")).agg(count(lit(1)).as("cnt"))
+      perValue.groupBy(col("cn")).agg(
+        sum(col("cnt")).as("n_rows"),
+        coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L)).as("n_nulls"),
+        count(col("v")).as("n_distinct"),
+        (if (asString) min(lit(null).cast("double")) else min(col("v"))).as("min_num"),
+        (if (asString) max(lit(null).cast("double")) else max(col("v"))).as("max_num"),
+        (if (asString) min(col("v")) else min(lit(null).cast("string"))).as("min_str"),
+        (if (asString) max(col("v")) else max(lit(null).cast("string"))).as("max_str"))
+        .select(col("cn").as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+    }
+    meltProfile(Seq(
+      ("l_orderkey", col("l_orderkey")),
+      ("l_quantity", col("l_quantity")),
+      ("l_extendedprice", col("l_extendedprice")),
+      ("l_shipdate", col("l_shipdate").cast("timestamp"))), asString = false)
+      .unionByName(meltProfile(Seq(
+        ("l_returnflag", col("l_returnflag")),
+        ("l_linestatus", col("l_linestatus"))), asString = true))
+  }
+
+  /** Statistical aggregates — correlation, covariance, stddev/variance —
+    * the feature-statistics pass a pipeline runs over numeric columns.
+    * All four are co-moment aggregates: partials merge associatively, so
+    * Catalyst plans the same partial+final HashAggregate as a plain sum
+    * (one scan, one shuffle of constant-size moment states). Outputs are
+    * kept at magnitudes ≤ ~1e5 (stddev rather than variance for the
+    * large-valued price column) so the engines' different partial-merge
+    * orders stay far inside the oracle's 1e-6 comparison granularity. */
+  def statsAggQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+        covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_qty_price"),
+        stddev_samp(col("l_quantity")).as("sd_qty"),
+        stddev_samp(col("l_extendedprice")).as("sd_price"),
+        var_samp(col("l_quantity")).as("var_qty"),
+        count(lit(1)).as("n"))
+
   /** Global sort + limit (TakeOrderedAndProject — per-partition top-K then
     * merge on the driver, no full global sort materialization). */
   def sortLimit(spark: SparkSession, dir: String): DataFrame =

@@ -108,6 +108,75 @@ object Sampling {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-stratum deterministic hash sampling — downsample over-represented
+    * strata (languages, sources, quality tiers) at different rates in ONE
+    * map-side pass. The hash is salted with the stratum value, so each
+    * stratum's draw is an independent sequence and, like [[sampleByHash]],
+    * MONOTONE per stratum: raising one stratum's fraction only adds rows,
+    * never reshuffles another stratum's draw — a training mix can be
+    * re-balanced incrementally. Thresholds are integers in millionths
+    * (computed once on the driver), so assignment is exact integer
+    * comparison in every engine. No shuffle anywhere. */
+  def stratifiedSampleByHash(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      idCol: String = "doc_id"): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fractions must be in [0, 1], got $f"))
+    val thr = fractions.foldLeft(lit(math.round(defaultFraction * 1e6)): Column) {
+      case (e, (k, v)) => when(col(strataCol) === k, lit(math.round(v * 1e6))).otherwise(e)
+    }
+    df.filter(
+      pmod(saltedHash(concat(col(strataCol), lit(":"), col(idCol).cast("string")), "strat:"),
+        lit(1000000L)) < thr)
+  }
+
+  /** Declared query q_sample_stratified: per-language size summary of a
+    * stratified draw (en half, de quarter, everything else 10%) — the
+    * language-rebalancing step of a multilingual pretraining mix. */
+  def stratifiedQ(docs: DataFrame): DataFrame =
+    stratifiedSampleByHash(docs, "lang", Map("en" -> 0.5, "de" -> 0.25), 0.1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+
+  /** Deterministic training-shard assignment: `shard` = salted id hash
+    * mod nShards (balanced, reproducible), `order_key` = an independent
+    * salted hash giving each shard a deterministic SHUFFLED read order —
+    * training wants documents randomized, not in crawl order, and a
+    * hash order is the same "random" permutation on every engine and
+    * every rerun. Map-side only. */
+  def assignShards(docs: DataFrame, nShards: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    docs
+      .withColumn("shard", pmod(saltedHash(col(idCol), "shard:"), lit(nShards.toLong)))
+      .withColumn("order_key", saltedHash(col(idCol), "order:"))
+  }
+
+  /** Materialize [[assignShards]] as `shard=K/` parquet directories with
+    * rows stored in order_key order — the shard-writing step of a
+    * training-data export. One shuffle (repartition on the shard value co-
+    * locates each shard) + an in-partition sort; the partitioned write then
+    * splits directories without further movement. Shards far exceed
+    * executor memory at 100 TB only per-partition-sort-wise, which spills;
+    * raise nShards so a shard fits a task's spill budget. */
+  def writeShards(docs: DataFrame, dir: String, nShards: Int = 16,
+      idCol: String = "doc_id"): Unit =
+    assignShards(docs, nShards, idCol)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("order_key"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Declared query q_shard: per-shard summary (size, boundary order
+    * keys, bytes) of the deterministic assignment — what an export job
+    * logs per shard, and exactly the frame [[writeShards]] materializes. */
+  def shardQ(docs: DataFrame): DataFrame =
+    assignShards(docs)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("order_key")).as("first_key"),
+        max(col("order_key")).as("last_key"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+
   /** Declared query q_sample: size summary of the deterministic 50%
     * draw (the cross-engine-reproducible subsample a pipeline logs). */
   def sampleQ(docs: DataFrame): DataFrame =

@@ -127,6 +127,22 @@ class EdgeCaseSpec extends SparkSuite {
     assert(Dedup.nearDupsAgainstIndex(spark, docs((1L, "some words")), dir).isEmpty)
   }
 
+  test("round-6 operators degrade gracefully on EMPTY or null-text input") {
+    import org.apache.spark.sql.functions.lit
+    val empty = docs()
+    assert(Dedup.fuzzyMatch(empty, empty).isEmpty)
+    assert(Dedup.fuzzyMatch(empty, docs((1L, "a b"))).isEmpty)
+    // probe == its only corpus twin: self-match excluded, result empty
+    assert(Dedup.fuzzyMatch(docs((1L, "a b")), docs((1L, "a b"))).isEmpty)
+    // null text never reaches the DP (no tokens → no bands → no candidate)
+    val withNull = docs((1L, null), (2L, "real words here"))
+    assert(Dedup.fuzzyMatch(withNull, withNull).isEmpty)
+    assert(Sampling.stratifiedSampleByHash(
+      empty.withColumn("lang", lit("en")), "lang", Map("en" -> 0.5)).isEmpty)
+    assert(Sampling.assignShards(empty).isEmpty)
+    assert(Sampling.shardQ(empty).isEmpty)
+  }
+
   test("resize of an empty payload yields an empty payload, not a crash") {
     val r = MultiModal.resize(docs((1L, "")), 64, 48).head()
     assert(r.payload.length == 0 && r.width == 64)

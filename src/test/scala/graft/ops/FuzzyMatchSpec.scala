@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Edit-distance fuzzy match ([[Dedup.fuzzyMatch]]): verify exactness
+  * (cap fallback, length filter), asymmetric probe→match semantics, and
+  * the unicode contract the ASCII-only oracle cannot check. */
+class FuzzyMatchSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def docsDf = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("fuzzy match: no self-matches, sims bounded, verbatim copy found at distance 0") {
+    val m = Dedup.fuzzyMatch(docsDf.filter(col("doc_id") < 50), docsDf).cache()
+    assert(m.filter(col("probe_id") === col("match_id")).isEmpty)
+    assert(m.filter(col("edit_sim") < 0.8 || col("edit_sim") > 1.0).isEmpty)
+
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha  beta gamma delta epsilon zeta"), // whitespace-normalized dup
+      (3L, "alpha beta gamma delta epsilon zetb"), // one substitution
+      (4L, "totally different words with no shared vocabulary at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyMatch(base.filter($"doc_id" === 1), base)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got(2L) == 0L, "normalized verbatim copy must score edit_dist 0")
+    assert(got(3L) == 1L, "single substitution must score edit_dist 1")
+    assert(!got.contains(4L))
+  }
+
+  test("cap fallback is exact: capped misses re-arbitrate with the full DP") {
+    // Two long docs with IDENTICAL token sets (guaranteed banded
+    // candidates: identical sets → identical signatures) whose texts are
+    // a rotation — edit distance far above a tiny cap. With capChars = 5
+    // and a low threshold, certainLen = 5/(1-0.05) ≈ 5 < maxLen, so the
+    // capped -1 cannot reject and the full DP must produce the exact
+    // distance.
+    val toks = (0 until 80).map(i => s"w$i")
+    val a = toks.mkString(" ")
+    val b = (toks.drop(40) ++ toks.take(40)).mkString(" ")
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val got = Dedup.fuzzyMatch(docs.filter($"doc_id" === 1), docs,
+      simThreshold = 0.05, capChars = 5)
+      .filter($"match_id" === 2).collect()
+    assert(got.length == 1, "rotated twin must survive the low threshold")
+    val expected = docs.as("x").filter($"doc_id" === 1)
+      .crossJoin(docs.as("y").filter(col("y.doc_id") === 2))
+      .select(levenshtein(lower(trim(col("x.text"))), lower(trim(col("y.text")))))
+      .head.getInt(0).toLong
+    assert(got.head.getAs[Long]("edit_dist") == expected,
+      s"fallback DP must match the uncapped distance $expected")
+    assert(expected > 5L, "fixture must actually exceed the cap")
+  }
+
+  test("unicode contract: the verify is code-point Levenshtein (á→a is ONE edit)") {
+    // DuckDB's levenshtein counts BYTES (á→a = 2 there); the declared
+    // oracle is therefore restricted to the ASCII fixture and the
+    // engine-side semantics — one edit per code point — is pinned here,
+    // on the exact builtin fuzzyMatch's verify stage calls.
+    val d = spark.range(1)
+      .select(levenshtein(lit("más"), lit("mas")).as("d")).head.getInt(0)
+    assert(d == 1)
+    val capped = spark.range(1)
+      .select(levenshtein(lit("más"), lit("mas"), 3).as("d")).head.getInt(0)
+    assert(capped == 1, "capped form must agree on code-point semantics")
+  }
+
+  test("probe-sized plan: probe bands and texts broadcast, corpus never builds a hash side") {
+    val plan = Dedup.fuzzyMatch(docsDf.filter(col("doc_id") < 10), docsDf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"probe band + probe text joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}

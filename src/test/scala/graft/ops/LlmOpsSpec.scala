@@ -245,6 +245,43 @@ class LlmOpsSpec extends SparkSuite {
       Seq((docsDf.select("doc_id", "text"), -1.0))))
   }
 
+  test("stratified sampling: per-stratum monotone, raising one stratum leaves others untouched") {
+    import spark.implicits._
+    val docs = docsDf
+    val lo = Sampling.stratifiedSampleByHash(docs, "lang", Map("en" -> 0.3), 0.1)
+    val hi = Sampling.stratifiedSampleByHash(docs, "lang", Map("en" -> 0.6), 0.1)
+    def ids(df: org.apache.spark.sql.DataFrame, lang: String): Set[Long] =
+      df.filter($"lang" === lang).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(lo, "en").subsetOf(ids(hi, "en")),
+      "a stratum's draw must grow monotonically with its fraction")
+    val otherLo = lo.filter($"lang" =!= "en").select("doc_id")
+    val otherHi = hi.filter($"lang" =!= "en").select("doc_id")
+    assert(otherLo.exceptAll(otherHi).isEmpty && otherHi.exceptAll(otherLo).isEmpty,
+      "changing one stratum's fraction must not move any other stratum's draw")
+    // default fraction 0 excludes unlisted strata; fraction 1 keeps a stratum whole
+    val only = Sampling.stratifiedSampleByHash(docs, "lang", Map("en" -> 1.0))
+    assert(only.filter($"lang" =!= "en").isEmpty)
+    assert(only.count() == docs.filter($"lang" === "en").count())
+  }
+
+  test("shards: complete deterministic partition; writeShards round-trips in order_key order") {
+    val docs = docsDf
+    val a = Sampling.assignShards(docs, 8).cache()
+    assert(a.count() == docs.count())
+    assert(a.filter(col("shard") < 0 || col("shard") >= 8).isEmpty)
+    assert(a.exceptAll(Sampling.assignShards(docs, 8)).isEmpty, "assignment must be deterministic")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Sampling.writeShards(docs.select("doc_id", "text"), dir, 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    // every shard's rows all hash to one task, so each shard=K directory
+    // is one file whose row order IS the deterministic shuffled order
+    val keys = spark.read.parquet(s"$dir/shard=0")
+      .select("order_key").collect().map(_.getLong(0)).toSeq
+    assert(keys.nonEmpty && keys == keys.sorted,
+      "a shard must read back in ascending order_key order")
+  }
+
   test("quality scores: ratios bounded, token counts positive") {
     val q = TextOps.qualityScores(docsDf).cache()
     assert(q.filter(col("n_tokens") <= 0).isEmpty)

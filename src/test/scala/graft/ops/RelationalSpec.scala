@@ -43,6 +43,66 @@ class RelationalSpec extends SparkSuite {
     assert(oversize.isEmpty)
   }
 
+  test("window analytic: edge offsets null once per partition, ntile bounded, one Window node") {
+    // plan pin BEFORE caching: a cached twin would satisfy the fresh
+    // query via InMemoryRelation, whose stored plan double-counts nodes
+    val plan = Relational.windowAnalytic(spark, sf).queryExecution.executedPlan.toString
+    assert("Window \\[".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+    val w = Relational.windowAnalytic(spark, sf).cache()
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    assert(w.count() == orders.count())
+    // exactly one null lag (first row) and one null lead (last row) per customer
+    val edges = w.groupBy("o_custkey").agg(
+      sum(when(col("prev_price").isNull, 1).otherwise(0)).as("np"),
+      sum(when(col("next_price").isNull, 1).otherwise(0)).as("nn"))
+    assert(edges.filter(col("np") =!= 1 || col("nn") =!= 1).isEmpty)
+    assert(w.filter(col("quartile") < 1 || col("quartile") > 4).isEmpty)
+    assert(w.filter(col("ma3_price").isNull).isEmpty)
+    w.unpersist()
+  }
+
+  test("profile: one row per column, exact counts, type-appropriate min/max") {
+    val rows = Relational.profileQ(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val n = li.count()
+    assert(rows.size == 6)
+    assert(rows.values.forall(_.getLong(1) == n), "n_rows must be the table size on every row")
+    val rf = rows("l_returnflag")
+    assert(rf.isNullAt(4) && rf.isNullAt(5), "string column has no numeric min/max")
+    assert(rf.getString(6) == li.agg(min("l_returnflag")).head.getString(0))
+    assert(rf.getLong(3) == li.select("l_returnflag").distinct().count())
+    val qt = rows("l_quantity")
+    assert(qt.isNullAt(6) && qt.isNullAt(7), "numeric column has no string min/max")
+    assert(qt.getDouble(4) == li.agg(min("l_quantity")).head.getDouble(0))
+    assert(qt.getLong(2) == 0, "fixture has no null quantities")
+    // melt shape: one pruned scan per type branch, hash aggregation all
+    // the way — no Expand-feeding-SortAggregate over |rows|×|cols| tuples
+    val plan = Relational.profileQ(spark, sf).queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("Expand"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"per-value and per-column aggregates must be hash-based:\n$plan")
+  }
+
+  test("stats aggregates: corr bounded, variance = stddev², plain partial+final plan") {
+    // plan pin BEFORE caching (a cached twin inflates node counts)
+    val plan = Relational.statsAggQ(spark, sf).queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size == 2,
+      s"co-moment aggregates must plan partial+final hash aggregation:\n$plan")
+    val s = Relational.statsAggQ(spark, sf).cache()
+    assert(s.filter(abs(col("corr_qty_price")) > 1.0 + 1e-9).isEmpty)
+    assert(s.filter(col("var_qty") < 0 || col("sd_qty") < 0).isEmpty)
+    val rows = s.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sd = r.getAs[Double]("sd_qty")
+      assert(math.abs(r.getAs[Double]("var_qty") - sd * sd) < 1e-6 * (1 + sd * sd))
+    }
+    s.unpersist()
+  }
+
   test("sort_limit returns exactly 10 rows in descending price order") {
     val prices = Relational.sortLimit(spark, sf)
       .select("l_extendedprice").collect().map(_.getDouble(0))
