@@ -48,6 +48,10 @@ object ScaleSmoke {
       run("near_dup", Dedup.nearDupPairs(docs))
       run("simhash", Dedup.simhashPairs(docs))
       run("ngram", Dedup.ngramJaccardPairs(docs))
+      // fuzzy lookup: probes grow with the corpus (100 per amplified
+      // copy), so candidate volume and the DP verify scale linearly
+      run("fuzzy", Dedup.fuzzyMatch(
+        docs.filter(col("doc_id") % 10_000_000L < 100), docs))
       spark.sharedState.cacheManager.clearCache()
       // the 100 TB verify path: dictionary too big to broadcast → the
       // bucketed (sort-merge) mode must survive with broadcasts disabled
@@ -57,6 +61,11 @@ object ScaleSmoke {
       try {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         run("near_dup_smj", Dedup.nearDupPairs(docs, verifyMode = Dedup.VerifyBucketed))
+        // fuzzy's corpus-text join must degrade to sort-merge when the
+        // corpus outgrows broadcasts (probe sides stay broadcast by
+        // contract — they are delta-sized)
+        run("fuzzy_smj", Dedup.fuzzyMatch(
+          docs.filter(col("doc_id") % 10_000_000L < 100), docs))
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
