@@ -104,6 +104,7 @@ object SparkEntry {
     // of IVF/k-means the rows-only queries cannot oracle-check
     "q_cluster" -> ((s, d) => SimSearch.clusterProfileQ(s, d)),
     "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d))),
+    "q_embed_quant" -> ((s, d) => SimSearch.quantizeQ(Tables.embeddings(s, d))),
     // the scale form (corpus-sized bucket width + 2 sign projections) —
     // blocking differs from the oracle-mirrored fixed form → rows-only;
     // recall properties pinned in LlmOpsSpec/PropertySpec
@@ -671,6 +672,19 @@ object SparkEntry {
         |list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cos_sim
         |FROM nn a JOIN nn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.25""".stripMargin,
+    "q_embed_quant" ->
+      """WITH q AS (SELECT vec_id,
+        |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |coalesce(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 0.0) AS ma
+        |FROM embeddings),
+        |c AS (SELECT vec_id, ma,
+        |list_transform(v, x -> CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
+        |ELSE CAST(round(x * 127 / ma) AS BIGINT) END) AS codes FROM q)
+        |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+        |CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |CAST(list_min(codes) AS BIGINT) AS code_min,
+        |CAST(list_max(codes) AS BIGINT) AS code_max,
+        |ma / 127 AS scale FROM c""".stripMargin,
     "q_cluster" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),

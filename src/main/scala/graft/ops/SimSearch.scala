@@ -37,6 +37,42 @@ object SimSearch {
 
   def l2Norm(a: Column): Column = sqrt(arrSum(transform(a, x => x * x)))
 
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth op
+    * of a 100 TB vector corpus (float32 → int8 is a 4× shrink; ANN
+    * candidate generation runs on codes, full precision only touches
+    * survivors). scale = max|xᵢ|/127, codeᵢ = round(xᵢ·127/max|x|) ∈
+    * [−127, 127]; reconstruction xᵢ ≈ codeᵢ·scale with error ≤ scale/2
+    * per element (pinned in LlmOpsSpec). Zero vectors quantize to
+    * all-zero codes with scale 0 (exact). Pure array expressions —
+    * map-side, codegen'd, no shuffle, deterministic across engines
+    * (left-to-right element order, identical `x·127/max` spelling in
+    * the oracle). Output: (vec_id, codes array<int>, scale double). */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    // materialize max|x| once per row; referencing the fold from every
+    // element's lambda would recompute it per element
+    embeddings
+      .select(col("vec_id"), v.as("v"),
+        aggregate(transform(v, x => abs(x)), lit(0.0), (a, x) => greatest(a, x)).as("ma"))
+      .select(col("vec_id"),
+        transform(col("v"), x =>
+          when(col("ma") === 0.0, lit(0.0)).otherwise(round(x * 127 / col("ma"))))
+          .cast("array<int>").as("codes"),
+        (col("ma") / 127).as("scale"))
+  }
+
+  /** Declared query q_embed_quant: per-vector code summary (dims, code
+    * sum/min/max, scale) of the int8 quantization — every code and the
+    * scale participate in the oracle hash through the sum. */
+  def quantizeQ(embeddings: DataFrame): DataFrame =
+    quantizeInt8(embeddings)
+      .select(col("vec_id"),
+        size(col("codes")).cast("long").as("n_dims"),
+        aggregate(col("codes"), lit(0L), (a, x) => a + x).as("code_sum"),
+        array_min(col("codes")).cast("long").as("code_min"),
+        array_max(col("codes")).cast("long").as("code_max"),
+        col("scale"))
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")

@@ -282,6 +282,29 @@ class LlmOpsSpec extends SparkSuite {
       "a shard must read back in ascending order_key order")
   }
 
+  test("int8 quantization: codes bounded, reconstruction within scale/2, zero vector exact") {
+    import spark.implicits._
+    val q = SimSearch.quantizeInt8(embDf).cache()
+    assert(q.count() == embDf.count())
+    assert(q.filter(exists(col("codes"), c => abs(c) > 127)).isEmpty,
+      "codes must stay within the int8 symmetric range")
+    // per-element reconstruction error ≤ scale/2 (the defining bound)
+    val bad = q.filter(col("scale") > 0)
+      .join(embDf, "vec_id")
+      .filter(exists(
+        zip_with(col("embedding").cast("array<double>"),
+          zip_with(col("codes"), array_repeat(col("scale"), size(col("codes"))),
+            (c, s) => c * s),
+          (x, r) => abs(x - r) > col("scale") / 2 + lit(1e-12)),
+        b => b))
+    assert(bad.isEmpty, "every element must reconstruct within half a quantization step")
+    q.unpersist()
+    val zero = SimSearch.quantizeInt8(
+      Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")).head()
+    assert(zero.getAs[Double]("scale") == 0.0)
+    assert(zero.getAs[Seq[Int]]("codes").forall(_ == 0))
+  }
+
   test("quality scores: ratios bounded, token counts positive") {
     val q = TextOps.qualityScores(docsDf).cache()
     assert(q.filter(col("n_tokens") <= 0).isEmpty)
