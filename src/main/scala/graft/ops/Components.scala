@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   * plan. Local (executor-storage) checkpointing trades away
   * lost-executor recompute for speed; on a cluster where rounds are
   * expensive enough to protect, swap in reliable `checkpoint` — the
-  * algorithm is indifferent. The convergence check is an exact set
-  * comparison (count + except), never a fingerprint that could
-  * terminate early on a collision.
+  * algorithm is indifferent. Convergence is decided by an exact set
+  * comparison (count + except) — never by a fingerprint that could
+  * terminate early on a collision; cheap order-independent checksums
+  * only GATE that comparison (unequal checksums prove non-convergence,
+  * so the except anti-join runs solely on candidate-fixpoint rounds).
   */
 object Components {
 
@@ -91,23 +93,45 @@ object Components {
         .distinct()
     }
 
+    // per-round materialization stats: count plus two order-independent
+    // edge checksums, from the SAME aggregate pass that forces the
+    // checkpoint. The checksums gate the EXACT set comparison below —
+    // unequal stats prove non-convergence for free, so the except()
+    // anti-join (as expensive as a star round) runs only on rounds that
+    // might actually have converged, and conversion is still decided by
+    // the exact comparison, never by the checksum (a collision cannot
+    // terminate early — it only costs one redundant except).
+    def stats(e: DataFrame): (Long, Long, Long) = {
+      // terms are reduced mod ~2^20 BEFORE any multiply/sum, so nothing
+      // can overflow a long under ANSI mode for any id range: terms stay
+      // < 2^26 and the sums stay exact past 10^11 edges per frame
+      val m = lit(1048573L)
+      val um = pmod(col("u"), m)
+      val vm = pmod(col("v"), m)
+      val r = e.agg(count(lit(1)),
+        sum(um * 31 + vm), sum(pmod(um * vm, lit(1000003L)))).head()
+      (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
     var edges = init.localCheckpoint()
-    var n = edges.count()
+    var st = stats(edges)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      val nNext = next.count()
-      // exact fixpoint: equal counts + empty one-way difference (both
-      // sides are distinct sets, so that implies set equality)
-      converged = nNext == n && next.except(edges).isEmpty
+      val stNext = stats(next)
+      // exact fixpoint: equal stats (necessary) + empty one-way
+      // difference (sufficient: both sides are distinct sets of equal
+      // cardinality, so an empty difference implies set equality)
+      converged = stNext == st && next.except(edges).isEmpty
       // the superseded round's checkpoint blocks are dead the moment
       // `next` is materialized and compared — free them NOW, not at
       // driver-GC time (they are RDD persists, invisible to both
       // Dataset.unpersist and CacheManager.clearCache)
       checkpointRdd(edges).foreach(_.unpersist(blocking = false))
       edges = next
-      n = nNext
+      st = stNext
       round += 1
     }
     if (!converged) {
