@@ -402,12 +402,6 @@ object Dedup {
     * sf dir) and the unicode contract is pinned spec-side instead. */
   def fuzzyMatch(probes: DataFrame, corpus: DataFrame,
       simThreshold: Double = 0.8, capChars: Int = 127): DataFrame = {
-    require(simThreshold > 0.0 && simThreshold <= 1.0,
-      s"simThreshold must be in (0, 1], got $simThreshold")
-    require(capChars > 0, s"capChars must be positive, got $capChars")
-    def norm(df: DataFrame, idOut: String, textOut: String): DataFrame =
-      df.select(col("doc_id").as(idOut),
-        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as(textOut))
     val corpusBands = bandsOf(signatures(tokens(spread(corpus))))
     val probeBands = bandsOf(signatures(tokens(probes)))
       .withColumnRenamed("doc_id", "probe_id")
@@ -415,6 +409,48 @@ object Dedup {
       .filter(col("probe_id") =!= col("doc_id"))
       .select(col("probe_id"), col("doc_id").as("match_id"))
       .distinct()
+    editVerify(cand, probes, corpus, simThreshold, capChars)
+  }
+
+  /** Fuzzy lookup against a persisted [[writeNearDupIndex]] corpus — the
+    * incremental form of [[fuzzyMatch]], mirroring what
+    * [[nearDupsAgainstIndex]] is to [[nearDupPairs]]: candidates come
+    * from the index's PARTITION-PRUNED band files (no corpus signature
+    * recompute — the dominant cost of the batch form), then the same
+    * edit-distance verify runs against `corpusTexts` (the index stores
+    * hashed token sets, not text, so the caller supplies the (doc_id,
+    * text) table — at deployment, bucketed by doc_id so the text join is
+    * exchange-free on the corpus side). Ids must be disjoint between
+    * probes and the index (equal ids are excluded, not verified). */
+  def fuzzyMatchAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      probes: DataFrame, dir: String, corpusTexts: DataFrame,
+      simThreshold: Double = 0.8, capChars: Int = 127): DataFrame = {
+    val probeBands = PipelineCaches.track(bandsOf(signatures(tokens(probes)))
+      .withColumnRenamed("doc_id", "probe_id"))
+    val bandBuckets = spark.read.parquet(s"$dir/meta")
+      .first().getAs[Int]("band_buckets")
+    val touched = probeBands
+      .select(pmod(col("b0"), lit(bandBuckets.toLong)).as("bkt"))
+      .distinct().collect().map(_.getLong(0))
+    val cand = spark.read.schema(BandsSchema).parquet(s"$dir/bands")
+      .filter(col("bkt").isin(touched.toIndexedSeq: _*))
+      .join(broadcast(probeBands), Seq("band", "b0", "b1"))
+      .filter(col("probe_id") =!= col("doc_id"))
+      .select(col("probe_id"), col("doc_id").as("match_id"))
+      .distinct()
+    editVerify(cand, probes, corpusTexts, simThreshold, capChars)
+  }
+
+  /** Shared edit-distance verify of (probe_id, match_id) candidates —
+    * the second half of [[fuzzyMatch]]/[[fuzzyMatchAgainstIndex]]. */
+  private def editVerify(cand: DataFrame, probes: DataFrame, corpus: DataFrame,
+      simThreshold: Double, capChars: Int): DataFrame = {
+    require(simThreshold > 0.0 && simThreshold <= 1.0,
+      s"simThreshold must be in (0, 1], got $simThreshold")
+    require(capChars > 0, s"capChars must be positive, got $capChars")
+    def norm(df: DataFrame, idOut: String, textOut: String): DataFrame =
+      df.select(col("doc_id").as(idOut),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as(textOut))
     val maxLen = greatest(length(col("text_a")), length(col("text_b")))
     // LENGTH pre-filter (exact): levenshtein ≥ |len_a − len_b|, so a pair
     // whose length gap already exceeds the edit budget (1−t)·maxLen can

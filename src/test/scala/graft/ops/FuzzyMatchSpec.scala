@@ -68,6 +68,27 @@ class FuzzyMatchSpec extends SparkSuite {
     assert(capped == 1, "capped form must agree on code-point semantics")
   }
 
+  test("index-backed fuzzy lookup equals the batch form on a re-keyed delta") {
+    val docs = docsDf.select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy_idx").toString
+    Dedup.writeNearDupIndex(corpus, dir)
+    val batch = Dedup.fuzzyMatch(delta, corpus, simThreshold = 0.5).cache()
+    val incr = Dedup.fuzzyMatchAgainstIndex(spark, delta, dir, corpus,
+      simThreshold = 0.5).cache()
+    assert(batch.count() > 0, "fixture must produce at least one fuzzy match")
+    assert(batch.exceptAll(incr).isEmpty && incr.exceptAll(batch).isEmpty,
+      "index lookup and batch pipeline must return identical matches")
+    // the pruned read must actually prune: PartitionFilters on bkt
+    val plan = Dedup.fuzzyMatchAgainstIndex(spark, delta, dir, corpus)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bkt"), plan)
+    batch.unpersist(); incr.unpersist()
+    PipelineCaches.release(spark)
+  }
+
   test("probe-sized plan: probe bands and texts broadcast, corpus never builds a hash side") {
     val plan = Dedup.fuzzyMatch(docsDf.filter(col("doc_id") < 10), docsDf)
       .queryExecution.executedPlan.toString
