@@ -66,6 +66,7 @@ object SparkEntry {
     "q_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_dedup_near" -> ((s, d) => Dedup.nearDupPairs(Tables.documents(s, d))),
     "q_dedup_incr" -> ((s, d) => Dedup.incrementalNearDupQ(s, d)),
+    "q_dedup_fuzzy_incr" -> ((s, d) => Dedup.incrementalFuzzyQ(s, d)),
     "q_dup_clusters" -> ((s, d) => Components.dupClustersQ(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
@@ -444,6 +445,44 @@ object SparkEntry {
         |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
         |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
         |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin,
+    // The incremental fuzzy shape: q_dedup_incr's banded blocking over
+    // corpus ∪ re-keyed delta, restricted to (delta, corpus) pairs, with
+    // the edit-distance verify of q_dedup_fuzzy.
+    "q_dedup_fuzzy_incr" ->
+      """WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+        |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |tok AS (SELECT DISTINCT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM docs2) u WHERE t <> ''),
+        |sig AS (SELECT doc_id,
+        |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
+        |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
+        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
+        |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
+        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
+        |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
+        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
+        |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
+        |FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
+        |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+        |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+        |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+        |delta_ids AS (SELECT doc_id + 100000 AS doc_id FROM documents WHERE doc_id % 20 = 0),
+        |cand AS (SELECT DISTINCT a.doc_id AS probe_id, b.doc_id AS match_id FROM bands a
+        |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+        |WHERE a.doc_id IN (SELECT doc_id FROM delta_ids)
+        |AND b.doc_id NOT IN (SELECT doc_id FROM delta_ids)),
+        |norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |FROM docs2),
+        |v AS (SELECT probe_id, match_id,
+        |CAST(levenshtein(na.t, nb.t) AS BIGINT) AS edit_dist,
+        |greatest(length(na.t), length(nb.t)) AS max_len
+        |FROM cand JOIN norm na ON na.doc_id = probe_id JOIN norm nb ON nb.doc_id = match_id)
+        |SELECT probe_id, match_id, edit_dist,
+        |CASE WHEN max_len = 0 THEN 1.0 ELSE 1.0 - CAST(edit_dist AS DOUBLE)/max_len END AS edit_sim
+        |FROM v
+        |WHERE CASE WHEN max_len = 0 THEN 1.0 ELSE 1.0 - CAST(edit_dist AS DOUBLE)/max_len END >= 0.8""".stripMargin,
     "q_dedup_simhash" ->
       """WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM
         |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t

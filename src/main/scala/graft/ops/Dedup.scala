@@ -519,6 +519,24 @@ object Dedup {
   def fuzzyMatchQ(docs: DataFrame): DataFrame =
     fuzzyMatch(docs.filter(col("doc_id") < 100), docs)
 
+  /** Declared incremental-fuzzy workload (q_dedup_fuzzy_incr): the same
+    * re-keyed 5% delta as [[incrementalNearDupQ]], fuzzy-matched against
+    * the SAME memoized persisted index (BuildOnce keys on the directory,
+    * so whichever of the two incremental queries runs first pays the one
+    * build) — one inverted file serving both the Jaccard and the
+    * edit-distance lookup is exactly the production ingestion story. */
+  def incrementalFuzzyQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val idxDir = BuildOnce.tempDirFor("graft_neardup_idx", dir)
+    BuildOnce(spark, idxDir)(writeNearDupIndex(corpus, idxDir))
+    fuzzyMatchAgainstIndex(spark, delta, idxDir, corpus)
+  }
+
   /** Document fingerprint: min-of-shingle-hashes (winnowing-style) over
     * 5-token shingles; short docs fall back to the whole token list.
     * Pure array expressions — stays inside whole-stage codegen. */
