@@ -39,6 +39,37 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("law: fuzzy-match distances equal the uncapped Levenshtein at every cap") {
+    import spark.implicits._
+    // corpora of mutated near-copies: shared token sets (so LSH bands
+    // collide) with char-level edits layered on — exercises every
+    // adaptive-cap bucket boundary via varying text lengths and caps
+    val base = (0 until 12).map(i => (i.toLong, randText()))
+    val mutated = base.map { case (i, t) =>
+      val chars = t.toCharArray
+      val nEdits = rnd.nextInt(5)
+      (0 until nEdits).foreach { _ =>
+        chars(rnd.nextInt(chars.length)) = ('a' + rnd.nextInt(26)).toChar
+      }
+      (i + 100L, new String(chars))
+    }
+    val docs = (base ++ mutated).toDF("doc_id", "text")
+    for (cap <- Seq(3, 8, 127)) {
+      val got = Dedup.fuzzyMatch(docs, docs, simThreshold = 0.05, capChars = cap)
+        .withColumnRenamed("edit_dist", "got_dist")
+      // reference: the plain uncapped builtin over the same normalization
+      val norm = docs.select(col("doc_id"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      val bad = got
+        .join(norm.select(col("doc_id").as("probe_id"), col("t").as("ta")), "probe_id")
+        .join(norm.select(col("doc_id").as("match_id"), col("t").as("tb")), "match_id")
+        .filter(col("got_dist") =!= levenshtein(col("ta"), col("tb")))
+      assert(bad.isEmpty,
+        s"cap=$cap must report exact distances for every kept pair: ${bad.collect().toSeq}")
+      assert(got.count() > 0, "mutated twins must be found")
+    }
+  }
+
   test("law: exact dedup is idempotent and partitions any corpus") {
     import spark.implicits._
     val texts = (0 until 30).map(_ => randText())

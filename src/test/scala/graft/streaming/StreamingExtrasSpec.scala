@@ -162,6 +162,44 @@ class StreamingExtrasSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ingestion fuzzy lookup: near-verbatim replays flagged per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // same ingestion seam as the jaccard loop above, with the
+    // edit-distance verify: catches near-VERBATIM replays (small char
+    // edits) that token-set jaccard would also catch, but scores them by
+    // edit similarity — and shares the SAME persisted index layout.
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("fuzzy_stream_idx").toString
+    graft.ops.Dedup.writeNearDupIndex(corpus, dir)
+    val known = corpus.limit(2).as[(Long, String)].collect()
+    def mutate(t: String): String = t.updated(t.length / 2, 'Q')
+    val input = MemoryStream[(Long, String)]
+    val flagged = scala.collection.mutable.Set[(Long, Long)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        flagged.synchronized {
+          flagged ++= graft.ops.Dedup
+            .fuzzyMatchAgainstIndex(spark, batch, dir, corpus)
+            .select("probe_id", "match_id").as[(Long, Long)].collect()
+        }
+        graft.ops.PipelineCaches.release(spark)
+        ()
+      }
+      .start()
+    try {
+      input.addData((30000L, mutate(known(0)._2)),
+        (30001L, "zxqv wbnm plkj entirely novel tokens qqq"))
+      q.processAllAvailable()
+      input.addData((30002L, mutate(known(1)._2)))
+      q.processAllAvailable()
+      val hits = flagged.synchronized(flagged.toSet)
+      assert(hits.contains((30000L, known(0)._1)) && hits.contains((30002L, known(1)._1)),
+        s"mutated replays must be flagged against their sources, got $hits")
+      assert(!hits.exists(_._1 == 30001L), "the novel doc must not be flagged")
+    } finally q.stop()
+  }
+
   test("streaming ingestion with cluster maintenance: labels fold in per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
