@@ -87,6 +87,7 @@ object SparkEntry {
     "q_mixture" -> ((s, d) => Sampling.mixtureQ(Tables.documents(s, d))),
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedQ(Tables.documents(s, d))),
     "q_shard" -> ((s, d) => Sampling.shardQ(Tables.documents(s, d))),
+    "q_pack" -> ((s, d) => Sampling.packQ(Tables.documents(s, d))),
     "q_dedup_fuzzy" -> ((s, d) => Dedup.fuzzyMatchQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
@@ -655,6 +656,22 @@ object SparkEntry {
         |max(CAST(('0x'||substr(md5('order:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)) AS last_key,
         |CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // Deterministic GPT-style packing: per-shard hash order, prefix-sum
+    // token offsets, bin = floor(start / budget). Same md5 shard/order
+    // spelling as q_shard.
+    "q_pack" ->
+      """WITH sh AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5('shard:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS shard,
+        |CAST(('0x'||substr(md5('order:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS ok,
+        |CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok
+        |FROM documents),
+        |c AS (SELECT shard, doc_id, n_tok,
+        |sum(n_tok) OVER (PARTITION BY shard ORDER BY ok ASC, doc_id ASC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |CAST(count(DISTINCT CAST(floor((cum - n_tok) / 512.0) AS BIGINT)) AS BIGINT) AS n_seqs,
+        |CAST(max(CAST(floor((cum - n_tok) / 512.0) AS BIGINT)) AS BIGINT) AS last_seq
+        |FROM c GROUP BY shard""".stripMargin,
     // Same banded-minhash blocking as q_dedup_near, restricted to the
     // probe set, then byte==char Levenshtein on the ASCII fixture (the
     // engine's code-point semantics vs DuckDB's byte semantics only

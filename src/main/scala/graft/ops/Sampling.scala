@@ -177,6 +177,46 @@ object Sampling {
         max(col("order_key")).as("last_key"),
         sum(length(col("text"))).cast("long").as("total_chars"))
 
+  /** Sequence packing — the concat-and-chunk step of a pretraining
+    * pipeline: documents are laid out in the deterministic shard order
+    * of [[assignShards]] and cut into fixed `tokenBudget` training
+    * sequences; each document is assigned to the sequence (`bin`)
+    * containing its START offset (GPT-style packing, where a document
+    * may straddle two sequences). Per-shard prefix sums over the hash
+    * order make the layout a pure property of the data — any engine
+    * reproduces byte-identical packing, so sequence ids are stable
+    * across reruns and engines. Scale shape: the window partitions by
+    * shard (parallelism = shard count; raise nShards with the corpus)
+    * and the shuffle carries (id, tokens) pairs, never text. */
+  def packSequences(docs: DataFrame, tokenBudget: Int = 512,
+      nShards: Int = 16, idCol: String = "doc_id"): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val sharded = assignShards(docs, nShards, idCol)
+      .withColumn("n_tok",
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("order_key").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("cum", sum(col("n_tok")).over(w))
+      .withColumn("start", col("cum") - col("n_tok"))
+      .select(col(idCol), col("shard"), col("n_tok"),
+        floor(col("start") / tokenBudget.toDouble).as("bin"),
+        (col("start") % tokenBudget).as("offset"))
+  }
+
+  /** Declared query q_pack: per-shard packing summary (docs, tokens,
+    * sequence count, last sequence id) — what a packing job logs per
+    * output shard, with every bin assignment participating in the hash
+    * through the distinct-bin count. */
+  def packQ(docs: DataFrame): DataFrame =
+    packSequences(docs)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        count_distinct(col("bin")).as("n_seqs"),
+        max(col("bin")).as("last_seq"))
+
   /** Declared query q_sample: size summary of the deterministic 50%
     * draw (the cross-engine-reproducible subsample a pipeline logs). */
   def sampleQ(docs: DataFrame): DataFrame =

@@ -282,6 +282,25 @@ class LlmOpsSpec extends SparkSuite {
       "a shard must read back in ascending order_key order")
   }
 
+  test("sequence packing: offsets inside the budget, sequences contiguous, deterministic") {
+    val budget = 128
+    val packed = Sampling.packSequences(docsDf, tokenBudget = budget, nShards = 4).cache()
+    assert(packed.count() == docsDf.count())
+    assert(packed.filter(col("offset") < 0 || col("offset") >= budget).isEmpty,
+      "every document's start offset must fall inside its sequence")
+    assert(packed.filter(col("bin") < 0).isEmpty)
+    // offsets are a contiguous token layout → sequence ids per shard are
+    // dense 0..last (a gap would mean tokens vanished)
+    val dense = packed.groupBy("shard")
+      .agg(count_distinct(col("bin")).as("n"), max(col("bin")).as("m"))
+      .filter(col("n") =!= col("m") + 1)
+    assert(dense.isEmpty, "sequence ids must be dense per shard")
+    assert(packed.exceptAll(
+      Sampling.packSequences(docsDf, tokenBudget = budget, nShards = 4)).isEmpty,
+      "packing must be a pure property of the data")
+    packed.unpersist()
+  }
+
   test("int8 quantization: codes bounded, reconstruction within scale/2, zero vector exact") {
     import spark.implicits._
     val q = SimSearch.quantizeInt8(embDf).cache()
