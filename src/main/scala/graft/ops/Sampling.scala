@@ -122,11 +122,16 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame = {
     (fractions.values.toSeq :+ defaultFraction).foreach(f =>
       require(f >= 0.0 && f <= 1.0, s"fractions must be in [0, 1], got $f"))
+    // null strata coalesce to '' for BOTH the threshold lookup and the
+    // hash: a null would otherwise null-propagate through the hash and
+    // silently drop the row regardless of defaultFraction — assignment
+    // must be total (the same rule as leakFreeSplit's null text)
+    val stratum = coalesce(col(strataCol).cast("string"), lit(""))
     val thr = fractions.foldLeft(lit(math.round(defaultFraction * 1e6)): Column) {
-      case (e, (k, v)) => when(col(strataCol) === k, lit(math.round(v * 1e6))).otherwise(e)
+      case (e, (k, v)) => when(stratum === k, lit(math.round(v * 1e6))).otherwise(e)
     }
     df.filter(
-      pmod(saltedHash(concat(col(strataCol), lit(":"), col(idCol).cast("string")), "strat:"),
+      pmod(saltedHash(concat(stratum, lit(":"), col(idCol).cast("string")), "strat:"),
         lit(1000000L)) < thr)
   }
 

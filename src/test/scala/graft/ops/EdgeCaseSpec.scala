@@ -141,6 +141,12 @@ class EdgeCaseSpec extends SparkSuite {
       empty.withColumn("lang", lit("en")), "lang", Map("en" -> 0.5)).isEmpty)
     assert(Sampling.assignShards(empty).isEmpty)
     assert(Sampling.shardQ(empty).isEmpty)
+    // a NULL stratum is a stratum like any other: it draws at the
+    // default fraction instead of null-propagating out of the sample
+    val withNullLang = docs((1L, "a"), (2L, "b"), (3L, "c"))
+      .withColumn("lang", lit(null).cast("string"))
+    assert(Sampling.stratifiedSampleByHash(
+      withNullLang, "lang", Map("en" -> 0.0), defaultFraction = 1.0).count() == 3)
   }
 
   test("resize of an empty payload yields an empty payload, not a crash") {

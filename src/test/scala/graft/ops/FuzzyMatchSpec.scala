@@ -86,6 +86,18 @@ class FuzzyMatchSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [bkt"), plan)
     batch.unpersist(); incr.unpersist()
+    // ingestion write half: after appending new docs, a later probe
+    // finds them through the same index (text table grows in step)
+    import spark.implicits._
+    val appended = Seq((200001L, "entirely fresh appended document text"))
+      .toDF("doc_id", "text")
+    Dedup.appendToNearDupIndex(appended, dir)
+    val probe = Seq((300001L, "entirely fresh appended document text"))
+      .toDF("doc_id", "text")
+    val found = Dedup.fuzzyMatchAgainstIndex(spark, probe, dir,
+      corpus.unionByName(appended)).collect()
+    assert(found.exists(r => r.getLong(0) == 300001L && r.getLong(1) == 200001L),
+      s"appended doc must be probe-visible, got ${found.toSeq}")
     PipelineCaches.release(spark)
   }
 
