@@ -495,7 +495,10 @@ object Dedup {
           .otherwise(lit(cap + 1)))
         .otherwise(rest)
     }
-    val lv = lvBucketed
+    // equality fast path: exact normalized duplicates are the COMMON
+    // case on the corpora this lookup exists for, and a string equality
+    // is a codegen memcmp vs an O(len·cap) DP
+    val lv = when(col("text_a") === col("text_b"), lit(0)).otherwise(lvBucketed)
     // materialize the DP result in its own projection: deriving edit_sim
     // from the same expression would run the Levenshtein twice per pair
     // (the md5-lane recompute trap)
