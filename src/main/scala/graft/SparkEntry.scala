@@ -89,6 +89,7 @@ object SparkEntry {
     "q_shard" -> ((s, d) => Sampling.shardQ(Tables.documents(s, d))),
     "q_pack" -> ((s, d) => Sampling.packQ(Tables.documents(s, d))),
     "q_dedup_fuzzy" -> ((s, d) => Dedup.fuzzyMatchQ(Tables.documents(s, d))),
+    "q_decontaminate" -> ((s, d) => Dedup.contaminationQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
     // IVF is approximate (cell pruning) → rows-only gate; recall vs the
@@ -656,6 +657,24 @@ object SparkEntry {
         |max(CAST(('0x'||substr(md5('order:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)) AS last_key,
         |CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1""".stripMargin,
+    // Containment semantics: fraction of the TRAINING doc's own distinct
+    // 8-gram hashes that occur anywhere in the eval set (docs 0-49).
+    "q_decontaminate" ->
+      """WITH ev AS (SELECT DISTINCT
+        |unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+        |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+8], ' ')),1,15)) AS BIGINT))) AS shingle
+        |FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |FROM documents WHERE doc_id < 50) t WHERE len(toks) >= 8),
+        |corp AS (SELECT DISTINCT doc_id,
+        |unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+        |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+8], ' ')),1,15)) AS BIGINT))) AS shingle
+        |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |FROM documents WHERE doc_id >= 50) t WHERE len(toks) >= 8)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS contamination
+        |FROM corp GROUP BY doc_id
+        |HAVING sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) > 0""".stripMargin,
     // Deterministic GPT-style packing: per-shard hash order, prefix-sum
     // token offsets, bin = floor(start / budget). Same md5 shard/order
     // spelling as q_shard.

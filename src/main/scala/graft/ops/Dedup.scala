@@ -555,6 +555,51 @@ object Dedup {
         )).as("fp"))
   }
 
+  /** Benchmark decontamination — flag training documents that share
+    * n-grams with an evaluation set (the pretraining hygiene step that
+    * keeps test data out of the training corpus). Semantics are
+    * CONTAINMENT, not symmetric Jaccard: a doc is contaminated by the
+    * fraction of ITS OWN distinct n-grams that appear anywhere in the
+    * eval set — a short eval prompt embedded in a long document must
+    * flag it even though their Jaccard is tiny. Output: one row per
+    * training doc with ≥ 1 shared n-gram (doc_id, n_shingles, n_shared,
+    * contamination), eval docs excluded from the scored side.
+    *
+    * Scale shape: the eval set is benchmark-sized → its distinct
+    * shingle hashes broadcast; the corpus-side check is then a map-side
+    * semi-join inside one pass over exploded corpus shingles, followed
+    * by one per-doc aggregate — no all-pairs, no corpus self-join, and
+    * the corpus never shuffles text (60-bit shingle hashes only). For
+    * an eval set beyond broadcast size, drop the hint: the same plan
+    * degrades to a shuffled semi-join on the shingle hash. */
+  def contamination(docs: DataFrame, evalDocs: DataFrame, n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    def shingles(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
+          i => md5Prefix(concat_ws(" ", slice(col("toks"), i + 1, lit(n))),
+            df.sparkSession, 15)))).as("shingle"))
+    val evalSh = evalDocs.select(col("doc_id"), col("text"))
+    val evalSet = shingles(evalSh).select("shingle").distinct()
+    val corpusSh = shingles(spread(docs))
+    corpusSh
+      .join(broadcast(evalSet.withColumn("hit", lit(1L))), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
+  /** Declared query q_decontaminate: docs 0–49 stand in for an eval
+    * benchmark; every OTHER document sharing an 8-gram with them is
+    * flagged with its containment fraction. */
+  def contaminationQ(docs: DataFrame): DataFrame =
+    contamination(docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+
   val SimhashBits = 32
   val SimhashBands = 4 // 4 bands × 8 bits: pigeonhole-catches every hamming ≤ 3 pair
 

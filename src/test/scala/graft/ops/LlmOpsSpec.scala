@@ -282,6 +282,25 @@ class LlmOpsSpec extends SparkSuite {
       "a shard must read back in ascending order_key order")
   }
 
+  test("decontamination: embedded eval text flags the host doc by containment") {
+    import spark.implicits._
+    val evalDoc = (1L, (1 to 10).map(i => s"e$i").mkString(" ")) // 10 tokens → 3 8-grams
+    val host = (100L,
+      ((1 to 10).map(i => s"e$i") ++ (1 to 30).map(i => s"h$i")).mkString(" "))
+    val clean = (101L, (1 to 40).map(i => s"c$i").mkString(" "))
+    val docs = Seq(evalDoc, host, clean).toDF("doc_id", "text")
+    val got = Dedup.contamination(
+      docs.filter($"doc_id" >= 100), docs.filter($"doc_id" < 100)).collect()
+    assert(got.map(_.getLong(0)).toSet == Set(100L),
+      "only the host doc carries eval n-grams")
+    val r = got.head
+    assert(r.getAs[Long]("n_shared") == 3,
+      "all three eval 8-grams occur verbatim in the host")
+    assert(r.getAs[Long]("n_shingles") == 33)
+    val c = r.getAs[Double]("contamination")
+    assert(c > 0 && c <= 1.0 && math.abs(c - 3.0 / 33) < 1e-12)
+  }
+
   test("sequence packing: offsets inside the budget, sequences contiguous, deterministic") {
     val budget = 128
     val packed = Sampling.packSequences(docsDf, tokenBudget = budget, nShards = 4).cache()
