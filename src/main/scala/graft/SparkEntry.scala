@@ -74,6 +74,7 @@ object SparkEntry {
     "q_multimodal" -> ((s, d) => MultiModal.payloadFeatures(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) => TextOps.repetitionScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => TextOps.tfidfQ(Tables.documents(s, d))),
@@ -549,6 +550,23 @@ object SparkEntry {
         |len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
         |x -> x IN ('the','a','an','and','of','to','in','is','on','for'))) AS stop_hits
         |FROM documents) t""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |FROM documents),
+        |m AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |CASE WHEN len(toks) >= 2 THEN 1.0 -
+        |CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+        |/ (len(toks) - 1) ELSE 0.0 END AS dup_2gram_frac,
+        |CASE WHEN len(toks) >= 3 THEN 1.0 -
+        |CAST(len(list_distinct(list_transform(range(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS DOUBLE)
+        |/ (len(toks) - 2) ELSE 0.0 END AS dup_3gram_frac FROM t),
+        |tc AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_nonempty FROM (
+        |SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u
+        |WHERE tok <> '' GROUP BY doc_id, tok) g GROUP BY doc_id)
+        |SELECT m.doc_id, n_tokens, CAST(top_c AS DOUBLE)/n_nonempty AS top_token_frac,
+        |dup_2gram_frac, dup_3gram_frac,
+        |CAST((CAST(top_c AS DOUBLE)/n_nonempty < 0.2 AND dup_2gram_frac < 0.2) AS BIGINT) AS keep
+        |FROM m JOIN tc ON tc.doc_id = m.doc_id""".stripMargin,
     "q_lang_id" ->
       """SELECT lang, pred_lang, count(*) AS n FROM (SELECT lang,
         |CASE WHEN CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),

@@ -79,6 +79,47 @@ object TextOps {
       .orderBy(col("n").desc, col("bigram").asc)
       .limit(k)
 
+  /** Intra-document repetition scores — the Gopher-style quality
+    * filters that catch degenerate/boilerplate text: fraction of the
+    * most common token, and duplicate-instance fractions of 2-gram and
+    * 3-gram occurrences (1 − distinct/total, 0 for docs too short to
+    * form a gram). The n-gram fractions are pure per-row array
+    * expressions (map-side); the token mode needs a real aggregate, so
+    * one (doc, token) hash count feeds a per-doc max — the shuffle
+    * carries per-token partial counts, never text — and joins back on
+    * doc_id (co-partitioned with the aggregate's own exchange). `keep`
+    * applies the filter thresholds (top token < 20 %, duplicate 2-gram
+    * instances < 20 %). Docs with no non-empty tokens produce no row —
+    * there is nothing to score (mirrored by the oracle's inner join). */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val base = graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    def grams(n: Int) = transform(sequence(lit(0), size(col("toks")) - n),
+      i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))
+    def dupFrac(n: Int) =
+      // the gram array only materializes when ≥ n tokens exist — a
+      // shorter doc would build a DESCENDING sequence (the round-5
+      // inverted-interval trap) and has no meaningful fraction anyway
+      when(size(col("toks")) >= n,
+        lit(1.0) - size(array_distinct(grams(n))).cast("double") / size(grams(n)))
+        .otherwise(lit(0.0))
+    val mapSide = base.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      dupFrac(2).as("dup_2gram_frac"), dupFrac(3).as("dup_3gram_frac"))
+    val topTok = base
+      .select(col("doc_id"), explode(col("toks")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_nonempty"))
+    mapSide.join(topTok, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("top_c").cast("double") / col("n_nonempty")).as("top_token_frac"),
+        col("dup_2gram_frac"), col("dup_3gram_frac"))
+      .withColumn("keep",
+        (col("top_token_frac") < 0.2 && col("dup_2gram_frac") < 0.2).cast("long"))
+  }
+
   /** TF-IDF term scores for a document subset against the WHOLE
     * corpus's document frequencies — the classic relevance/keyword
     * feature a text pipeline derives per document.

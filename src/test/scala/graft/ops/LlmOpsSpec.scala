@@ -282,6 +282,30 @@ class LlmOpsSpec extends SparkSuite {
       "a shard must read back in ascending order_key order")
   }
 
+  test("repetition scores: degenerate text flagged, diverse text kept, short docs total") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(40)("spam").mkString(" ")), // one token repeated
+      (2L, (1 to 40).map(i => s"w$i").mkString(" ")), // fully diverse
+      (3L, "single"), // too short for any gram
+      (4L, "   ")) // no non-empty tokens → no row
+      .toDF("doc_id", "text")
+    val got = TextOps.repetitionScores(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(4L))
+    val spam = got(1L)
+    assert(spam.getAs[Double]("top_token_frac") == 1.0)
+    assert(spam.getAs[Double]("dup_2gram_frac") > 0.9)
+    assert(spam.getAs[Long]("keep") == 0L)
+    val diverse = got(2L)
+    assert(diverse.getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(diverse.getAs[Long]("keep") == 1L)
+    val short = got(3L)
+    assert(short.getAs[Double]("dup_2gram_frac") == 0.0
+      && short.getAs[Double]("dup_3gram_frac") == 0.0,
+      "sub-gram docs must score zero, not build a descending sequence")
+  }
+
   test("decontamination: embedded eval text flags the host doc by containment") {
     import spark.implicits._
     val evalDoc = (1L, (1 to 10).map(i => s"e$i").mkString(" ")) // 10 tokens → 3 8-grams
