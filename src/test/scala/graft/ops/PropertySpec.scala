@@ -70,6 +70,23 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("law: sequence packing is per-shard independent (other shards never move)") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i => (i.toLong, randText())).toDF("doc_id", "text")
+    val before = Sampling.packSequences(docs, tokenBudget = 64, nShards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // append one doc; find which shard it landed in
+    val extra = Seq((999L, randText())).toDF("doc_id", "text")
+    val after = Sampling.packSequences(docs.unionByName(extra), tokenBudget = 64, nShards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val hitShard = after(999L)._1
+    before.foreach { case (id, v @ (shard, _, _)) =>
+      if (shard != hitShard)
+        assert(after(id) == v,
+          s"doc $id in untouched shard $shard must keep its (sequence, offset)")
+    }
+  }
+
   test("law: exact dedup is idempotent and partitions any corpus") {
     import spark.implicits._
     val texts = (0 until 30).map(_ => randText())
