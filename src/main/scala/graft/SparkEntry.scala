@@ -112,7 +112,11 @@ object SparkEntry {
     // the scale form (corpus-sized bucket width + 2 sign projections) —
     // blocking differs from the oracle-mirrored fixed form → rows-only;
     // recall properties pinned in LlmOpsSpec/PropertySpec
-    "q_embed_neardup_auto" -> ((s, d) => SimSearch.embedNearDupAuto(Tables.embeddings(s, d)))
+    "q_embed_neardup_auto" -> ((s, d) => SimSearch.embedNearDupAuto(Tables.embeddings(s, d))),
+    // SemDeDup-style semantic dedup closed end-to-end: embedding
+    // near-dup pairs -> connected components -> representative filter,
+    // every keep/drop decision and cluster size under the hash gate
+    "q_semantic_dedup" -> ((s, d) => Components.semanticDedupQ(s, d))
   )
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on
@@ -662,11 +666,14 @@ object SparkEntry {
         |SELECT doc_id % 2 AS src, count(*) AS n_docs,
         |CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM mixed GROUP BY 1""".stripMargin,
+    // coalesce(lang, '') mirrors the engine's total assignment rule: a
+    // null stratum hashes as '' and draws at the default fraction
+    // instead of null-propagating out of the sample entirely
     "q_sample_stratified" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents
-        |WHERE CAST(('0x'||substr(md5('strat:' || lang || ':' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
-        |% 1000000 < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END
+        |WHERE CAST(('0x'||substr(md5('strat:' || coalesce(lang, '') || ':' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |% 1000000 < CASE coalesce(lang, '') WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END
         |GROUP BY lang""".stripMargin,
     "q_shard" ->
       """SELECT CAST(('0x'||substr(md5('shard:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS shard,
@@ -774,10 +781,53 @@ object SparkEntry {
         |list_transform(v, x -> CASE WHEN ma = 0 THEN CAST(0 AS BIGINT)
         |ELSE CAST(round(x * 127 / ma) AS BIGINT) END) AS codes FROM q)
         |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
-        |CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |CAST(coalesce(list_sum(codes), 0) AS BIGINT) AS code_sum,
         |CAST(list_min(codes) AS BIGINT) AS code_min,
         |CAST(list_max(codes) AS BIGINT) AS code_max,
         |ma / 127 AS scale FROM c""".stripMargin,
+    // q_embed_neardup's pair pipeline composed with q_dup_clusters'
+    // component resolution (two star-contraction levels + the pruned
+    // recursive min-label walk on the residual), then the survivor
+    // filter: keep vectors in no pair or labeled by themselves, with
+    // the represented cluster's size (1 for singletons).
+    "q_semantic_dedup" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |array_to_string(list_transform(range(8), i -> CASE WHEN v[(i % len(v)) + 1] > 0 THEN '1' ELSE '0' END), '') AS bucket
+        |FROM n),
+        |pairs AS MATERIALIZED (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |FROM nn a JOIN nn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.25),
+        |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |m1 AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM e0 GROUP BY u),
+        |e1 AS MATERIALIZED (SELECT DISTINCT ma.m AS u, mb.m AS v FROM e0
+        |JOIN m1 ma ON ma.u = e0.u JOIN m1 mb ON mb.u = e0.v WHERE ma.m <> mb.m),
+        |e1s AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+        |m2 AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM e1s GROUP BY u),
+        |e2 AS MATERIALIZED (SELECT DISTINCT ma.m AS u, mb.m AS v FROM e1s
+        |JOIN m2 ma ON ma.u = e1s.u JOIN m2 mb ON mb.u = e1s.v WHERE ma.m <> mb.m),
+        |e2s AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+        |wl AS MATERIALIZED (SELECT u, min(label) AS label FROM (
+        |WITH RECURSIVE walk(u, label) AS (
+        |SELECT DISTINCT u, u FROM e2s
+        |UNION
+        |SELECT e.v, w.label FROM walk w JOIN e2s e ON e.u = w.u
+        |WHERE w.label < e.v)
+        |SELECT u, label FROM walk) GROUP BY u),
+        |lvl AS (SELECT m1.u AS vid, coalesce(m2.m, m1.m) AS s2
+        |FROM m1 LEFT JOIN m2 ON m2.u = m1.m),
+        |lbl AS (SELECT lvl.vid, coalesce(wl.label, lvl.s2) AS cluster
+        |FROM lvl LEFT JOIN wl ON wl.u = lvl.s2),
+        |sizes AS (SELECT cluster, count(*) AS n_members FROM lbl GROUP BY cluster)
+        |SELECT e.vec_id, CAST(len(e.embedding) AS BIGINT) AS n_dims,
+        |coalesce(s.n_members, 1) AS n_members
+        |FROM embeddings e
+        |LEFT JOIN lbl ON lbl.vid = e.vec_id
+        |LEFT JOIN sizes s ON s.cluster = e.vec_id
+        |WHERE lbl.vid IS NULL OR lbl.cluster = e.vec_id""".stripMargin,
     "q_cluster" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),

@@ -176,6 +176,41 @@ object Components {
       labels.filter(col("doc_id") =!= col("cluster")).select("doc_id"),
       Seq("doc_id"), "left_anti")
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023) — the embedding
+    * analog of the text-side pipeline that q_dup_clusters + q_dedup_incr
+    * already close: embedding-cosine near-dup pairs
+    * ([[SimSearch.embedNearDup]]) → [[connectedComponents]] →
+    * [[keepClusterRepresentatives]], in one composition. Output: one row
+    * per SURVIVING vector — the cluster minimum of every semantic-dup
+    * cluster plus every singleton — with its dimensionality and the size
+    * of the cluster it represents (1 for singletons), so every
+    * keep/drop decision and every cluster size participates in the
+    * oracle hash.
+    *
+    * Scale shape: pair generation is the banded per-bucket self-join of
+    * embedNearDup (never all-pairs); the label frame is pair-node-sized
+    * (≪ corpus — only members of some near-dup pair), so the
+    * representative anti-join and the cluster-size join both broadcast
+    * the small side against the one corpus scan. Zero-norm vectors
+    * cannot pair (cosine undefined) and pass through as singletons. */
+  def semanticDedup(embeddings: DataFrame): DataFrame = {
+    val pairs = SimSearch.embedNearDup(embeddings)
+    val labels = connectedComponents(pairs, "vec_a", "vec_b")
+    val survivors = keepClusterRepresentatives(
+      embeddings.select(col("vec_id").as("doc_id"), col("embedding")), labels)
+    val sizes = labels.groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+    survivors
+      .join(sizes.select(col("cluster").as("doc_id"), col("n_members")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id").as("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        coalesce(col("n_members"), lit(1L)).as("n_members"))
+  }
+
+  /** Declared query q_semantic_dedup over the embeddings table. */
+  def semanticDedupQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    semanticDedup(graft.sources.Tables.embeddings(spark, dir))
+
   /** Declared query (q_dup_clusters): cluster labels over the minhash
     * near-dup pairs of the documents table — the [[Dedup.nearDupPairs]]
     * flagship pipeline composed with [[connectedComponents]]. The

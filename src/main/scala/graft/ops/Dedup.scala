@@ -483,28 +483,41 @@ object Dedup {
     def bucketCap(cap: Int): Long =
       math.floor(cap / (1.0 - simThreshold + 1e-12)).toLong
     val caps = Seq(capChars / 4, capChars / 2, capChars).filter(_ > 0).distinct
+    // each bucket's capped DP is spelled ONCE — pmod maps the capped miss
+    // sentinel to cap+1 in the same evaluation (pmod(-1, cap+2) = cap+1;
+    // pmod(d, cap+2) = d for d ∈ [0, cap]), where a predicate-and-value
+    // spelling would pay the O(len·cap) DP twice per pair under
+    // interpreted/fallback evaluation (subexpression elimination only
+    // saves codegen paths). A cap+1 stand-in stays exact within its
+    // bucket: the true distance exceeds the cap ≥ the pair's edit
+    // budget, so the similarity filter rejects the pair; the one
+    // undecidable case — a largest-cap miss beyond certainLen — is
+    // arbitrated by the full-DP fallback projected below.
     val lvBucketed = caps.init.foldRight(
-      // largest cap: miss is a certain reject only up to certainLen
-      when(levenshtein(col("text_a"), col("text_b"), caps.last) >= 0,
-        levenshtein(col("text_a"), col("text_b"), caps.last))
-        .when(maxLen <= certainLen, lit(caps.last + 1))
-        .otherwise(levenshtein(col("text_a"), col("text_b")))) { (cap, rest) =>
+      pmod(levenshtein(col("text_a"), col("text_b"), caps.last),
+        lit(caps.last + 2))) { (cap, rest) =>
       when(maxLen <= bucketCap(cap),
-        when(levenshtein(col("text_a"), col("text_b"), cap) >= 0,
-          levenshtein(col("text_a"), col("text_b"), cap))
-          .otherwise(lit(cap + 1)))
+        pmod(levenshtein(col("text_a"), col("text_b"), cap), lit(cap + 2)))
         .otherwise(rest)
     }
     // equality fast path: exact normalized duplicates are the COMMON
     // case on the corpora this lookup exists for, and a string equality
     // is a codegen memcmp vs an O(len·cap) DP
     val lv = when(col("text_a") === col("text_b"), lit(0)).otherwise(lvBucketed)
-    // materialize the DP result in its own projection: deriving edit_sim
-    // from the same expression would run the Levenshtein twice per pair
-    // (the md5-lane recompute trap)
+    // materialize the capped result in its own projection (the aliases
+    // below cannot re-inline it: CollapseProject refuses to duplicate
+    // non-cheap expressions), then settle the largest-cap miss beyond
+    // certainLen with a single full DP — the only case the caps cannot
+    // decide (smaller buckets only fire under their own bucketCap, so
+    // caps.last+1 uniquely identifies a largest-cap miss)
     attached
+      .select(col("probe_id"), col("match_id"), col("text_a"), col("text_b"),
+        lv.cast("long").as("lv_capped"), maxLen.cast("long").as("max_len"))
       .select(col("probe_id"), col("match_id"),
-        lv.cast("long").as("edit_dist"), maxLen.cast("long").as("max_len"))
+        when(col("lv_capped") === caps.last + 1 && col("max_len") > certainLen,
+          levenshtein(col("text_a"), col("text_b")).cast("long"))
+          .otherwise(col("lv_capped")).as("edit_dist"),
+        col("max_len"))
       .select(col("probe_id"), col("match_id"), col("edit_dist"),
         when(col("max_len") === 0, lit(1.0))
           .otherwise(lit(1.0) - col("edit_dist").cast("double") / col("max_len"))

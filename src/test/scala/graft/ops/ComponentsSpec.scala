@@ -78,6 +78,38 @@ class ComponentsSpec extends SparkSuite {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("semanticDedup: sizes partition the corpus; no near-dup pair survives") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = Components.semanticDedup(emb).cache()
+    // every vector is counted exactly once — in its representative's
+    // cluster size or as its own singleton — so the sizes tile the corpus
+    assert(out.agg(org.apache.spark.sql.functions.sum("n_members"))
+      .head.getLong(0) == emb.count())
+    // defining property: re-running pair generation over the survivors
+    // finds nothing (buckets are per-vector, so a surviving pair would
+    // have been a pair in the full corpus → same component → one of the
+    // two could not be a representative)
+    val surv = emb.join(out.select("vec_id"), "vec_id")
+    assert(SimSearch.embedNearDup(surv).isEmpty,
+      "representatives must not near-dup each other")
+    out.unpersist()
+    PipelineCaches.release(spark)
+  }
+
+  test("semanticDedup: duplicate cluster collapses to min, zero vector passes through") {
+    import spark.implicits._
+    val v = Array(1.0f, 2.0f)
+    val emb = Seq(
+      (1L, v), (2L, v), (3L, v),            // identical triple -> one cluster
+      (4L, Array(0.0f, 0.0f)),              // zero-norm: cannot pair, singleton
+      (5L, Array(1.0f, -2.0f))              // different sign bucket, singleton
+    ).toDF("vec_id", "embedding")
+    val got = Components.semanticDedup(emb)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(1L -> 3L, 4L -> 1L, 5L -> 1L))
+    PipelineCaches.release(spark)
+  }
+
   test("self-loops and duplicate edges are ignored; empty input is empty") {
     import spark.implicits._
     val got = labelsOf(Seq((1L, 2L), (2L, 1L), (3L, 3L), (1L, 2L)))

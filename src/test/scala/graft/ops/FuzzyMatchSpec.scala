@@ -46,9 +46,14 @@ class FuzzyMatchSpec extends SparkSuite {
       simThreshold = 0.05, capChars = 5)
       .filter($"match_id" === 2).collect()
     assert(got.length == 1, "rotated twin must survive the low threshold")
+    // same FULL normalization as editVerify (incl. the whitespace
+    // collapse) so the reference distance stays valid if the fixture
+    // ever gains repeated whitespace
+    def normed(c: org.apache.spark.sql.Column) =
+      lower(trim(regexp_replace(c, "\\s+", " ")))
     val expected = docs.as("x").filter($"doc_id" === 1)
       .crossJoin(docs.as("y").filter(col("y.doc_id") === 2))
-      .select(levenshtein(lower(trim(col("x.text"))), lower(trim(col("y.text")))))
+      .select(levenshtein(normed(col("x.text")), normed(col("y.text"))))
       .head.getInt(0).toLong
     assert(got.head.getAs[Long]("edit_dist") == expected,
       s"fallback DP must match the uncapped distance $expected")
