@@ -47,6 +47,10 @@ object SparkEntry {
     "q_window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "q_window_analytic" -> ((s, d) => Relational.windowAnalytic(s, d)),
     "q_profile" -> ((s, d) => Relational.profileQ(s, d)),
+    // the sketch form a 100 TB corpus profiles with FIRST: one wide
+    // pass, HLL cardinalities -> rows-only gate; error bounded in
+    // RelationalSpec against the exact melt
+    "q_profile_approx" -> ((s, d) => Relational.profileApproxQ(s, d)),
     "q_stats_agg" -> ((s, d) => Relational.statsAggQ(s, d)),
     "q_sort_limit" -> ((s, d) => Relational.sortLimit(s, d)),
     "q_scalar" -> ((s, d) => Relational.scalarQ(s, d)),

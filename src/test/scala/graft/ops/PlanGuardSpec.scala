@@ -20,10 +20,12 @@ class PlanGuardSpec extends SparkSuite {
   // the centroid table (both O(k) rows against one corpus scan);
   // q_dedup_ngram broadcasts the ONE-row frequent-shingle array for the
   // map-side df-cap (Dedup.ngramJaccardPairs); q_tfidf broadcasts the
-  // ONE-row corpus count onto the scored frame (TextOps.tfidfQ)
+  // ONE-row corpus count onto the scored frame (TextOps.tfidfQ);
+  // q_profile_approx cross-joins its four ONE-row aggregate subtrees
+  // (Relational.profileApproxQ)
   private val bnljAllowed =
     Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
-      "q_dedup_ngram", "q_tfidf", "q_cluster")
+      "q_dedup_ngram", "q_tfidf", "q_cluster", "q_profile_approx")
 
   test("skew split join: hot path broadcasts by construction, cold path shuffles") {
     // isolated session (suites may run in parallel; see DedupVerifyModeSpec)

@@ -86,6 +86,33 @@ class RelationalSpec extends SparkSuite {
       s"per-value and per-column aggregates must be hash-based:\n$plan")
   }
 
+  test("approx profile: non-distinct stats exact, HLL within 3·rsd, no data-row shuffle") {
+    val approx = Relational.profileApproxQ(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = Relational.profileQ(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (n, e) =>
+      val a = approx(n)
+      assert(a.getLong(1) == e.getLong(1), s"$n: n_rows must be exact")
+      assert(a.getLong(2) == e.getLong(2), s"$n: n_nulls must be exact")
+      // min/max are exact aggregates in both forms — value equality, not ≈
+      Seq(4, 5).foreach(i => assert(a.isNullAt(i) == e.isNullAt(i) &&
+        (a.isNullAt(i) || a.getDouble(i) == e.getDouble(i)), s"$n: min/max_num"))
+      Seq(6, 7).foreach(i => assert(a.isNullAt(i) == e.isNullAt(i) &&
+        (a.isNullAt(i) || a.getString(i) == e.getString(i)), s"$n: min/max_str"))
+      val rel = math.abs(a.getLong(3) - e.getLong(3)).toDouble / math.max(1L, e.getLong(3))
+      assert(rel <= 0.15, s"$n: HLL cardinality off by $rel (exact ${e.getLong(3)})")
+    }
+    // scale shape: no Expand, and no exchange that repartitions data
+    // rows — the only exchanges are the single-row partial-agg merges
+    // (and broadcast for the 1-row cross joins)
+    val plan = Relational.profileApproxQ(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan)
+    assert(!plan.toLowerCase.contains("hashpartitioning")
+      && !plan.toLowerCase.contains("roundrobin"), s"data-row shuffle found:\n$plan")
+  }
+
   test("stats aggregates: corr bounded, variance = stddev², plain partial+final plan") {
     // plan pin BEFORE caching (a cached twin inflates node counts)
     val plan = Relational.statsAggQ(spark, sf).queryExecution.executedPlan.toString
