@@ -279,6 +279,48 @@ object Dedup {
     } finally tok.unpersist()
   }
 
+  /** Compact a persisted near-dup index in place — the maintenance half
+    * of the ingestion loop: [[appendToNearDupIndex]] adds one file-set
+    * per micro-batch per touched bkt partition, so a long-running loop
+    * degrades lookup latency by FILE COUNT (a footer open + task per
+    * file), unbounded by data size. Compaction rewrites each bkt
+    * partition's accumulated files into one (hash-repartition on bkt:
+    * every bucket lands in exactly one task, so the partitioned write
+    * emits exactly one file per bucket) and the toksets table into
+    * ~targetFileBytes-sized files, preserving the exact layout both
+    * readers prune/join against. Content parity and the file-count
+    * collapse are pinned in NearDupIndexSpec. The final swap is
+    * delete+rename, NOT atomic: run it from the loop's single writer
+    * between batches (the read path holds no open snapshot across
+    * calls), the same discipline the mode=append writes already need. */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/$sub.compact")
+      val fs = live.getFileSystem(hconf)
+      fs.delete(tmp, true)
+      write(tmp.toString) // reads live, writes tmp — live untouched until here
+      fs.delete(live, true)
+      require(fs.rename(tmp, live), s"compaction swap failed for $live")
+    }
+    swap("bands") { out =>
+      spark.read.schema(BandsSchema).parquet(s"$dir/bands")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(out)
+    }
+    swap("toksets") { out =>
+      val live = new org.apache.hadoop.fs.Path(s"$dir/toksets")
+      val bytes = live.getFileSystem(hconf).getContentSummary(live).getLength
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      spark.read.schema(TokSetsSchema).parquet(s"$dir/toksets")
+        .repartition(nFiles)
+        .write.parquet(out)
+    }
+  }
+
   /** Near-duplicate pairs between a (small) delta of NEW documents and a
     * persisted [[writeNearDupIndex]] corpus: (doc_a = new id, doc_b =
     * indexed id, jaccard ≥ threshold). Ids must be disjoint between the

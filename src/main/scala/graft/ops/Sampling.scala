@@ -190,21 +190,57 @@ object Sampling {
     * may straddle two sequences). Per-shard prefix sums over the hash
     * order make the layout a pure property of the data — any engine
     * reproduces byte-identical packing, so sequence ids are stable
-    * across reruns and engines. Scale shape: the window partitions by
-    * shard (parallelism = shard count; raise nShards with the corpus)
-    * and the shuffle carries (id, tokens) pairs, never text. */
+    * across reruns and engines.
+    *
+    * Scale shape — prefix-sum parallelism is INDEPENDENT of the shard
+    * count (a per-shard window would serialize each shard's entire
+    * token stream on one task): order_key is uniform on [0, 2^60) by
+    * construction, so each shard's stream splits into `subSplits`
+    * order-aligned slices by PURE ARITHMETIC on the key — the range
+    * exchange that normally needs a sampling pass is a map-side floor
+    * division here. Local prefix sums run per (shard, sub) slice
+    * (parallelism = nShards × subSplits); per-slice token totals are a
+    * METADATA-sized aggregate (≤ nShards·subSplits rows) whose
+    * prefix-over-sub gives each slice's global start offset,
+    * broadcast-joined back — the two-phase distributed prefix-sum
+    * shape q_quantile uses, minus the sampling. Equal order keys land
+    * in the same slice (sub is a function of the key), so the
+    * (order_key, id) tie-break stays inside one window. The one
+    * shuffle carries (id, shard, sub, key, tokens) — never text. */
   def packSequences(docs: DataFrame, tokenBudget: Int = 512,
-      nShards: Int = 16, idCol: String = "doc_id"): DataFrame = {
+      nShards: Int = 16, idCol: String = "doc_id", subSplits: Int = 0): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val spark = docs.sparkSession
+    // default: ~2 slices per core across all shards, floor 1 per shard
+    val k = math.max(1, if (subSplits > 0) subSplits
+      else 2 * spark.sparkContext.defaultParallelism / nShards)
+    val chunk = math.max(1L, (1L << 60) / k)
     val sharded = assignShards(docs, nShards, idCol)
       .withColumn("n_tok",
         size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
-    val w = Window.partitionBy(col("shard"))
+      .withColumn("sub", floor(col("order_key") / chunk).cast("long"))
+    val w = Window.partitionBy(col("shard"), col("sub"))
       .orderBy(col("order_key").asc, col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sharded
-      .withColumn("cum", sum(col("n_tok")).over(w))
-      .withColumn("start", col("cum") - col("n_tok"))
+    // cached because both the offsets aggregate and the final join
+    // consume it — uncached, the window (and the md5 shard assignment
+    // below it) would execute twice; released by the caller via
+    // PipelineCaches (the same lifetime contract as exactPercentiles)
+    val local = PipelineCaches.track(
+      sharded.withColumn("lcum", sum(col("n_tok")).over(w)))
+    // per-slice totals + prefix over sub within shard: tiny frame, so
+    // the window here is metadata work; exclusive prefix (sum over
+    // PRECEDING slices) is each slice's global token start
+    val offs = local.groupBy(col("shard"), col("sub"))
+      .agg(sum(col("n_tok")).as("stot"))
+      .withColumn("soff", coalesce(sum(col("stot")).over(
+        Window.partitionBy(col("shard")).orderBy(col("sub").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard").as("__sh"), col("sub").as("__sb"), col("soff"))
+    local
+      .join(broadcast(offs),
+        col("shard") === col("__sh") && col("sub") === col("__sb"))
+      .withColumn("start", col("soff") + col("lcum") - col("n_tok"))
       .select(col(idCol), col("shard"), col("n_tok"),
         floor(col("start") / tokenBudget.toDouble).as("bin"),
         (col("start") % tokenBudget).as("offset"))

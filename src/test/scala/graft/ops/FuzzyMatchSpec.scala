@@ -106,6 +106,45 @@ class FuzzyMatchSpec extends SparkSuite {
     PipelineCaches.release(spark)
   }
 
+  test("deployment: doc_id-bucketed corpus text feeds the verify join with no corpus-side exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // editVerify's scaladoc prescribes bucketing the corpus (doc_id,
+    // text) table at deployment so the verify's text join is
+    // exchange-free on the corpus side — the same claim NearDupIndexSpec
+    // pins for the toksets dictionary. Broadcasts off: SMJ is the mode
+    // where the exchange matters (the probe side keeps its explicit
+    // broadcast hint regardless).
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val docs = s.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    graft.sources.Bucketing.writeBucketed(docs, "bkt_fuzzy_text", "doc_id", 4)
+    try {
+      val corpus = s.table("bkt_fuzzy_text")
+      val probes = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      val q = Dedup.fuzzyMatch(probes, corpus, simThreshold = 0.5)
+      val plan = q.queryExecution.executedPlan
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty,
+        s"text verify must plan as SMJ with broadcasts off:\n${plan.toString.take(900)}")
+      val corpusSide = smj.head.right
+      assert(corpusSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        "bucketed corpus text must reach the verify SMJ with no Exchange:\n" +
+          corpusSide.toString.take(900))
+      // and the plan is still correct: identical matches to the
+      // unbucketed batch run
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val plain = Dedup.fuzzyMatch(probes, docs, simThreshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == plain && got.nonEmpty)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS bkt_fuzzy_text")
+    }
+  }
+
   test("probe-sized plan: probe bands and texts broadcast, corpus never builds a hash side") {
     val plan = Dedup.fuzzyMatch(docsDf.filter(col("doc_id") < 10), docsDf)
       .queryExecution.executedPlan.toString

@@ -94,6 +94,50 @@ class NearDupIndexSpec extends SparkSuite {
     assert(got.contains((10000L, 0L, 1.0)))
   }
 
+  test("compaction collapses accumulated append files; lookups answer identically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_cmp").toString
+    val base = docs.filter(col("doc_id") % 4 === 0)
+    Dedup.writeNearDupIndex(base, dir, bandBuckets = 32)
+    // 3 micro-batch appends → each touched bkt partition accumulates
+    // one file-set per batch
+    (1 to 3).foreach { i =>
+      Dedup.appendToNearDupIndex(
+        docs.filter(col("doc_id") % 4 === i)
+          .select((col("doc_id") + i * 100000L).as("doc_id"), col("text")), dir)
+    }
+    def parquetFiles(sub: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/$sub")).count(_.getName.endsWith(".parquet"))
+    }
+    val probe = docs.limit(40)
+      .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
+    def lookup() = {
+      val got = Dedup.nearDupsAgainstIndex(spark, probe, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      PipelineCaches.release(spark)
+      got
+    }
+    val filesBefore = parquetFiles("bands") + parquetFiles("toksets")
+    val before = lookup()
+    assert(before.nonEmpty, "probe must find matches in the appended index")
+    Dedup.compactNearDupIndex(spark, dir)
+    val filesAfter = parquetFiles("bands") + parquetFiles("toksets")
+    assert(filesAfter < filesBefore,
+      s"compaction must reduce file count ($filesBefore -> $filesAfter)")
+    // one file per surviving bkt partition, toksets to one small file
+    val bktDirs = new java.io.File(s"$dir/bands").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+    assert(bktDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "each bkt partition must hold exactly one file after compaction")
+    assert(lookup() == before, "compaction must not change lookup results")
+    // appends keep working after a compaction cycle
+    Dedup.appendToNearDupIndex(
+      docs.limit(5).select((col("doc_id") + 800000L).as("doc_id"), col("text")), dir)
+    assert(lookup().size >= before.size)
+  }
+
   test("deployment: doc_id-bucketed toksets feeds the verify join with no index-side exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec

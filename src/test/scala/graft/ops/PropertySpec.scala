@@ -87,6 +87,27 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("law: packing is invariant under the sub-slice split; prefix stage is slice-parallel") {
+    import spark.implicits._
+    val docs = (0 until 80).map(i => (i.toLong, randText())).toDF("doc_id", "text")
+    def packed(k: Int) = Sampling.packSequences(docs, tokenBudget = 64,
+      nShards = 2, subSplits = k).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    // the split is pure bookkeeping: any slice count reproduces the
+    // exact per-shard layout (offsets stitch across slice boundaries)
+    val serial = packed(1)
+    assert(packed(8) == serial && packed(3) == serial,
+      "sub-slice count must never change the packing")
+    // and the prefix window actually runs per (shard, sub) slice — the
+    // exchange key carries BOTH columns, so parallelism is nShards×k,
+    // not nShards
+    val plan = Sampling.packSequences(docs, tokenBudget = 64,
+      nShards = 2, subSplits = 8).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(shard") && plan.contains("sub#"),
+      s"prefix stage must partition by (shard, sub):\n${plan.take(800)}")
+    PipelineCaches.release(spark)
+  }
+
   test("law: exact dedup is idempotent and partitions any corpus") {
     import spark.implicits._
     val texts = (0 until 30).map(_ => randText())
