@@ -1,12 +1,26 @@
 #!/usr/bin/env python3
-"""Local replica of the driver's DuckDB-oracle correctness gate.
+"""Local replica of the driver's DuckDB-oracle correctness gate, plus the
+per-query DuckDB baseline timer that makes the Spark-vs-DuckDB ratio
+table reproducible per round instead of a prose claim.
 
 Dev tool only (not part of the shipped library). Usage:
   sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
   python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.01
+
+Timing mode (skips the correctness compare):
+  python3 tools/check_oracle.py /tmp/verify_out /root/testdata/sf0.1 \
+      --time 2 [--bench BENCH_r07.json]
+  --time N   run each oracle SQL N times in DuckDB, record the min
+             seconds per query; writes <outdir>/duck_times.json
+  --bench F  also read a graft.Bench record and print a markdown
+             Spark/DuckDB ratio table (sorted by DuckDB time desc)
+             ready to paste into BENCH_NOTES.md
+DuckDB timings on these VMs swing with page-cache warmth and thread
+detection (see BENCH_NOTES): record mins, read them as a range.
 """
 import json
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -31,13 +45,58 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
+def time_queries(con, oracle, outdir, runs, bench_path):
+    times = {}
+    for name in sorted(oracle):
+        try:
+            best = min(
+                _timed(lambda: con.sql(oracle[name]).df()) for _ in range(runs))
+            times[name] = round(best, 3)
+            print(f"TIME {name:28s} {best:8.3f} s")
+        except Exception as ex:
+            print(f"ERROR {name}: {type(ex).__name__}: {ex}")
+            times[name] = None
+    ok = {k: v for k, v in times.items() if v is not None}
+    with open(f"{outdir}/duck_times.json", "w") as f:
+        json.dump({"runs": runs, "total_sec": round(sum(ok.values()), 3),
+                   "queries": times}, f, indent=1, sort_keys=True)
+    print(f"== duckdb total {sum(ok.values()):.1f} s over {len(ok)} queries "
+          f"(min of {runs}) -> {outdir}/duck_times.json ==")
+    if bench_path:
+        spark = json.load(open(bench_path)).get("queries", {})
+        both = [(n, spark[n], ok[n]) for n in ok if n in spark]
+        both.sort(key=lambda t: -t[2])
+        print("\n| query | spark s | duckdb s | spark/duck |")
+        print("|---|---|---|---|")
+        for n, s, d in both:
+            ratio = "inf" if d == 0 else f"{s / d:.2f}"
+            print(f"| {n} | {s:.2f} | {d:.2f} | {ratio} |")
+        ts, td = sum(s for _, s, _ in both), sum(d for _, _, d in both)
+        print(f"| TOTAL ({len(both)} matched) | {ts:.1f} | {td:.1f} | {ts / td:.2f} |")
+
+
+def _timed(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
+
+
 def main():
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
-    sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    outdir = args[0] if len(args) > 0 else "/tmp/verify_out"
+    sfdir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
+    flags = sys.argv[1:]
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    if "--time" in flags:
+        runs = int(flags[flags.index("--time") + 1]) \
+            if flags.index("--time") + 1 < len(flags) \
+            and flags[flags.index("--time") + 1].isdigit() else 2
+        bench = flags[flags.index("--bench") + 1] if "--bench" in flags else None
+        time_queries(con, oracle, outdir, runs, bench)
+        return
     n_ok = n_fail = 0
     for name in sorted(oracle):
         try:
