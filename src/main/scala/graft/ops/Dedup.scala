@@ -552,7 +552,7 @@ object Dedup {
     // certainLen with a single full DP — the only case the caps cannot
     // decide (smaller buckets only fire under their own bucketCap, so
     // caps.last+1 uniquely identifies a largest-cap miss)
-    attached
+    val scored = attached
       .select(col("probe_id"), col("match_id"), col("text_a"), col("text_b"),
         lv.cast("long").as("lv_capped"), maxLen.cast("long").as("max_len"))
       .select(col("probe_id"), col("match_id"),
@@ -564,7 +564,17 @@ object Dedup {
         when(col("max_len") === 0, lit(1.0))
           .otherwise(lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
           .as("edit_sim"))
-      .filter(col("edit_sim") >= simThreshold)
+    // CACHE BARRIER before the similarity filter: a deterministic
+    // predicate over an aliased expensive expression gets pushed all
+    // the way INTO THE VERIFY JOIN CONDITION by alias substitution,
+    // re-spelling the whole capped-DP chain inside the condition — the
+    // condition then pays the DP per candidate and the projection above
+    // pays it again for survivors (measured 2× wall on q_dedup_fuzzy at
+    // sf0.1). The cached frame is candidate-sized (two ids + two
+    // numbers, no text), the DP runs exactly ONCE per pair at fill
+    // time, and the filter evaluates against stored rows. Released by
+    // the caller via PipelineCaches, like every pipeline intermediate.
+    PipelineCaches.track(scored).filter(col("edit_sim") >= simThreshold)
   }
 
   /** Declared query q_dedup_fuzzy: the first 100 doc ids as the probe

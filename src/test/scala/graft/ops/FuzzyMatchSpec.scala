@@ -126,10 +126,19 @@ class FuzzyMatchSpec extends SparkSuite {
       val probes = docs.filter(col("doc_id") < 20)
         .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
       val q = Dedup.fuzzyMatch(probes, corpus, simThreshold = 0.5)
-      val plan = q.queryExecution.executedPlan
-      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      // the verify ends in a cache barrier (see editVerify) — the join
+      // lives in the cached child plan, so search through it
+      def expand(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        p.collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            expand(s.relation.cachedPlan)
+        }.flatten :+ p
+      val plans = expand(q.queryExecution.executedPlan)
+      val smj = plans.flatMap(_.collect { case j: SortMergeJoinExec => j })
       assert(smj.nonEmpty,
-        s"text verify must plan as SMJ with broadcasts off:\n${plan.toString.take(900)}")
+        "text verify must plan as SMJ with broadcasts off:\n" +
+          plans.map(_.toString).mkString("\n").take(900))
       val corpusSide = smj.head.right
       assert(corpusSide.collect { case e: ShuffleExchangeExec => e }.isEmpty,
         "bucketed corpus text must reach the verify SMJ with no Exchange:\n" +
