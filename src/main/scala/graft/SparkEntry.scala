@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{BloomJoin, Components, Dedup, EventWindows, MultiModal, Relational, Sampling, SimSearch, Skew, TextOps}
+import graft.ops.{BloomJoin, Cleaning, Components, Dedup, EventWindows, Layout, MultiModal, Relational, Sampling, SimSearch, Skew, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §3.
@@ -120,7 +120,21 @@ object SparkEntry {
     // SemDeDup-style semantic dedup closed end-to-end: embedding
     // near-dup pairs -> connected components -> representative filter,
     // every keep/drop decision and cluster size under the hash gate
-    "q_semantic_dedup" -> ((s, d) => Components.semanticDedupQ(s, d))
+    "q_semantic_dedup" -> ((s, d) => Components.semanticDedupQ(s, d)),
+    // CDC upsert compaction: one max_by hash aggregate, map-side
+    // partials keep the per-key winner (no per-version window sort)
+    "q_upsert" -> ((s, d) => Relational.upsertQ(Tables.events(s, d))),
+    // fixed-bound equi-width histogram: single-pass, append-mergeable
+    "q_hist" -> ((s, d) => Relational.histQ(Tables.events(s, d))),
+    // Z-order layout: morton interleave + per-bucket (user, value)
+    // envelopes — the file-stats picture a zordered write would prune by
+    "q_zorder" -> ((s, d) => Layout.zorderStatsQ(Tables.events(s, d))),
+    // C4/CCNet-style span-level boilerplate removal with in-row
+    // reassembly (span text never shuffles)
+    "q_line_dedup" -> ((s, d) => Dedup.spanDedupQ(Tables.documents(s, d))),
+    // the composed cleaning pipeline: first-failing-stage attribution
+    // over lang -> quality -> repetition -> dedup -> decontamination
+    "q_corpus_clean" -> ((s, d) => Cleaning.corpusCleanQ(s, d))
   )
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on
@@ -844,6 +858,107 @@ object SparkEntry {
         |best AS (SELECT vec_id, cell, s FROM
         |(SELECT vec_id, cell, s, row_number() OVER
         |(PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn FROM sims) t WHERE rn = 1)
-        |SELECT cell, count(*) AS n_vecs, avg(s) AS avg_sim FROM best GROUP BY cell""".stripMargin
+        |SELECT cell, count(*) AS n_vecs, avg(s) AS avg_sim FROM best GROUP BY cell""".stripMargin,
+    // Same total ordering key (ts DESC, event_id DESC) as the engine's
+    // max_by struct — the window form here is the semantic spec, the
+    // engine's aggregate form is the scale shape.
+    "q_upsert" ->
+      """WITH v AS (SELECT user_id, event_type, event_id, ts, value,
+        |row_number() OVER (PARTITION BY user_id, event_type
+        |ORDER BY ts DESC, event_id DESC) AS rn,
+        |count(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+        |FROM events)
+        |SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,
+        |value AS last_value, n_versions FROM v WHERE rn = 1""".stripMargin,
+    "q_hist" ->
+      """SELECT event_type,
+        |CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bucket,
+        |count(*) AS n, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // The 16-term interleave is generated, not hand-spelled, so the bit
+    // layout cannot drift from Layout.zValue's fold.
+    "q_zorder" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((ux >> $i) & 1) << ${2 * i})",
+        s"(((vy >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""WITH b AS (SELECT user_id, value, user_id & 255 AS ux,
+         |CAST(least(greatest(floor(value / 2.0), 0), 255) AS BIGINT) AS vy FROM events),
+         |z AS (SELECT user_id, value, ($terms) AS z FROM b)
+         |SELECT z >> 11 AS zbucket, count(*) AS n,
+         |min(user_id) AS min_user, max(user_id) AS max_user,
+         |min(value) AS min_value, max(value) AS max_value,
+         |min(z) AS min_z, max(z) AS max_z
+         |FROM z GROUP BY 1""".stripMargin
+    },
+    // Zipped unnests (pos, span) mirror the engine's in-row chunking;
+    // the NOT IN reproduces the broadcast boilerplate filter.
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |FROM documents),
+        |sp AS (SELECT doc_id,
+        |unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))) AS pos,
+        |unnest(list_transform(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT)),
+        |i -> array_to_string(toks[(i*16+1):(i*16+16)], ' '))) AS span FROM t),
+        |freq AS (SELECT md5(span) AS h FROM sp GROUP BY md5(span) HAVING count(*) >= 2),
+        |kept AS (SELECT doc_id, pos, span FROM sp
+        |WHERE md5(span) NOT IN (SELECT h FROM freq)),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |string_agg(span, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT tot.doc_id, CAST(tot.n_spans AS BIGINT) AS n_spans,
+        |CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |coalesce(k.clean_text, '') AS clean_text
+        |FROM tot LEFT JOIN k ON k.doc_id = tot.doc_id""".stripMargin,
+    // Stage predicates are verbatim from q_text_quality / q_repetition /
+    // q_dedup / q_decontaminate's oracles; the CASE order is the
+    // engine's first-failing-stage attribution.
+    "q_corpus_clean" ->
+      """WITH corpus AS (SELECT doc_id, text, lang FROM documents WHERE doc_id >= 50),
+        |q AS (SELECT doc_id, CAST((n_tok >= 10
+        |AND CAST(punct AS DOUBLE)/nullif(length(text), 0) < 0.3
+        |AND CAST(stop_hits AS DOUBLE)/n_tok > 0.01) AS BIGINT) AS q_keep
+        |FROM (SELECT doc_id, text,
+        |len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok,
+        |len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS punct,
+        |len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> x IN ('the','a','an','and','of','to','in','is','on','for'))) AS stop_hits
+        |FROM corpus) t),
+        |rtoks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |FROM corpus),
+        |r2 AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN 1.0 -
+        |CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+        |/ (len(toks) - 1) ELSE 0.0 END AS dup2 FROM rtoks),
+        |tc AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_nonempty FROM (
+        |SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS tok FROM rtoks) u
+        |WHERE tok <> '' GROUP BY doc_id, tok) g GROUP BY doc_id),
+        |r AS (SELECT r2.doc_id,
+        |CAST((CAST(top_c AS DOUBLE)/n_nonempty < 0.2 AND dup2 < 0.2) AS BIGINT) AS r_keep
+        |FROM r2 JOIN tc ON tc.doc_id = r2.doc_id),
+        |d AS (SELECT doc_id, CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY
+        |md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) THEN 1 ELSE 0 END AS is_dup
+        |FROM corpus),
+        |ev AS (SELECT DISTINCT
+        |unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+        |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+8], ' ')),1,15)) AS BIGINT))) AS shingle
+        |FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |FROM documents WHERE doc_id < 50) t WHERE len(toks) >= 8),
+        |corp AS (SELECT DISTINCT doc_id,
+        |unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+        |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+8], ' ')),1,15)) AS BIGINT))) AS shingle
+        |FROM rtoks WHERE len(toks) >= 8),
+        |ct AS (SELECT doc_id FROM corp GROUP BY doc_id
+        |HAVING CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS DOUBLE)
+        |/count(*) >= 0.05),
+        |lab AS (SELECT c.doc_id, length(c.text) AS n_chars,
+        |CASE WHEN c.lang <> 'en' THEN 'lang'
+        |WHEN q.q_keep = 0 THEN 'quality'
+        |WHEN coalesce(r.r_keep, 1) = 0 THEN 'repetition'
+        |WHEN d.is_dup = 1 THEN 'duplicate'
+        |WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+        |ELSE 'keep' END AS reason
+        |FROM corpus c JOIN q USING (doc_id) LEFT JOIN r USING (doc_id)
+        |JOIN d USING (doc_id) LEFT JOIN ct USING (doc_id))
+        |SELECT reason, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM lab GROUP BY reason""".stripMargin
   )
 }

@@ -821,4 +821,54 @@ object Dedup {
     // that survives 100 TB.
     jaccardVerify(candRaw.distinct(), shSets, "shs", threshold, verifyMode)
   }
+
+  /** Span-level corpus dedup — the C4/CCNet "line dedup" adapted to a
+    * corpus without line structure: each document is chunked into fixed
+    * `w`-token spans, any span whose md5 occurs at least `cap` times
+    * ACROSS THE WHOLE CORPUS (counting repeats within one document) is
+    * boilerplate and removed from every document, and the surviving
+    * spans re-concatenate in their original order. This removes the
+    * repeated header/footer/template text that per-document filters
+    * like [[TextOps.repetitionScores]] cannot see.
+    *
+    * Scale shape: span TEXT never shuffles. The corpus-wide frequency
+    * count explodes only 32-hex span hashes (map-side partial count on
+    * the hash), and the frequent-span set comes back as a one-row
+    * collected array that broadcasts to every task — boilerplate is
+    * rare by definition (≤ corpus_spans / cap entries), the same
+    * cardinality argument as the ngram df-cap broadcast
+    * ([[ngramJaccardPairs]]). Keep and reassembly are then per-row
+    * codegen'd array expressions: filter on array_contains, concat_ws —
+    * no explode of text, no second shuffle, no join. Past the broadcast
+    * gate (~10 MB of hashes), the degrade path is the same as the df
+    * cap's: explode (doc_id, pos, hash), left_anti join the frequent
+    * hashes, and re-aggregate sort_array(collect_list((pos, span))) —
+    * one extra shuffle of surviving span text, still never all-pairs. */
+  def spanDedup(docs: DataFrame, w: Int = 16, cap: Long = 2): DataFrame = {
+    require(w > 0 && cap > 0, s"w and cap must be positive, got w=$w cap=$cap")
+    val nChunks = ceil(size(col("toks")).cast("double") / w).cast("int")
+    val withSpans = spread(docs)
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(col("toks"), i * w + 1, lit(w)))).as("spans"))
+    val boiler = withSpans
+      .select(explode(transform(col("spans"), s => md5(s))).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= cap)
+      .agg(collect_set(col("h")).as("boiler"))
+    withSpans.crossJoin(broadcast(boiler))
+      .select(col("doc_id"), col("spans"),
+        filter(col("spans"), s => !array_contains(col("boiler"), md5(s))).as("kept"))
+      .select(col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
+  /** Declared query q_line_dedup: 16-token spans, corpus-wide
+    * occurrence ≥ 2 → removed. Every document keeps a row (a fully-
+    * boilerplate document comes back with n_kept = 0 and empty
+    * clean_text — the caller decides whether empty means drop). */
+  def spanDedupQ(docs: DataFrame): DataFrame = spanDedup(docs)
 }

@@ -791,4 +791,50 @@ object Relational {
       .groupBy(col("y"), col("m"), col("month_start"))
       .agg(count(lit(1)).as("n_orders"), min("d").as("first_day"), max("d").as("last_day"))
   }
+
+  /** CDC upsert compaction — collapse an append-only change log to the
+    * latest row per key, the merge every ingestion pipeline runs before
+    * serving "current state". One `max_by` aggregate with a struct
+    * ordering key: PARTIAL aggregation keeps the per-key winner on the
+    * map side, so the shuffle carries at most one row per (key, map
+    * partition) — the row_number-window alternative shuffles and sorts
+    * EVERY version of every key. The struct buffer has no fixed-size
+    * hash form, so Spark plans SortAggregate — but both sorts are
+    * per-partition, spillable, and BELOW/ABOVE the one winners-only
+    * exchange; no per-version data ever crosses the network. The
+    * ordering key (ts, event_id) is a total order, so the winner is
+    * deterministic under any partitioning and ties on ts resolve to
+    * the higher event_id (mirrored by the oracle's ORDER BY ts DESC,
+    * event_id DESC). */
+  def upsertQ(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max_by(struct(col("event_id"), col("ts"), col("value")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("event_type"),
+        col("last.event_id").as("last_event_id"),
+        col("last.ts").as("last_ts"),
+        col("last.value").as("last_value"),
+        col("n_versions"))
+
+  /** Equi-width histogram per group — the numeric distribution profile
+    * next to [[profileQ]]'s per-column stats. FIXED bucket bounds
+    * (clamped floor arithmetic) rather than data-dependent ones keep
+    * the op single-pass — a min/max-normalized histogram needs a prior
+    * pass over the data — and keep bucket ids stable under appends, so
+    * incremental re-profiles merge by addition. Pure map-side bucket
+    * assignment + one partial+final hash aggregate; the per-bucket
+    * min/max are pass-through doubles (no arithmetic), so the output
+    * is exact and engine-portable. */
+  def histQ(events: DataFrame, width: Double = 50.0, nBuckets: Int = 10): DataFrame =
+    events
+      .select(col("event_type"), col("value"),
+        least(greatest(floor(col("value") / lit(width)), lit(0L)),
+          lit((nBuckets - 1).toLong)).as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
 }

@@ -356,4 +356,56 @@ class RelationalSpec extends SparkSuite {
       assert(math.abs(approx - exact) / exact < 0.15, s"approx=$approx exact=$exact")
     }
   }
+
+  test("upsert: latest-per-key winner, no window sort in the plan") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.events(spark, sf)
+    // the aggregate form must NOT decay into the per-version window
+    // shuffle it exists to avoid: no Window, exactly one exchange, and
+    // the partial max_by sits BELOW it (textually after, in the
+    // top-down plan print) so only per-key winners cross the network.
+    // Plan pin BEFORE caching (see windowAnalytic's comment).
+    val plan = Relational.upsertQ(events).queryExecution.executedPlan.toString
+    val up = Relational.upsertQ(events).cache()
+    assert(!plan.contains("Window"), plan.take(600))
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(600))
+    assert(plan.indexOf("partial_max_by") > plan.indexOf("Exchange hashpartitioning"),
+      "partial aggregate must be below the exchange:\n" + plan.take(800))
+    // one row per key, and the winner row really exists in the input
+    assert(up.count() ==
+      events.select("user_id", "event_type").distinct().count())
+    val matched = up.join(events,
+      up("user_id") === events("user_id") &&
+        up("event_type") === events("event_type") &&
+        up("last_event_id") === events("event_id") &&
+        up("last_ts") === events("ts"))
+    assert(matched.count() == up.count(), "winner row missing from input")
+    // nothing in the input beats its key's winner on (ts, event_id)
+    val beaten = up.join(events,
+      up("user_id") === events("user_id") &&
+        up("event_type") === events("event_type") &&
+        (events("ts") > up("last_ts") ||
+          (events("ts") === up("last_ts") && events("event_id") > up("last_event_id"))))
+    assert(beaten.isEmpty, "a later version escaped the upsert")
+    up.unpersist()
+  }
+
+  test("hist: buckets clamped, counts total, one exchange") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val events = graft.sources.Tables.events(spark, sf)
+    // plan pin BEFORE caching (see windowAnalytic's comment)
+    val plan = Relational.histQ(events).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(600))
+    val h = Relational.histQ(events).cache()
+    assert(h.filter(col("bucket") < 0 || col("bucket") > 9).isEmpty)
+    assert(h.agg(sum("n")).head.getLong(0) == events.count())
+    // out-of-range values clamp into the edge buckets instead of
+    // vanishing (the append-stability property fixed bounds exist for)
+    import spark.implicits._
+    val wild = Seq(("a", -5.0), ("a", 1e9)).toDF("event_type", "value")
+    val hw = Relational.histQ(wild)
+    assert(hw.filter(col("bucket") === 0).count() == 1)
+    assert(hw.filter(col("bucket") === 9).count() == 1)
+    h.unpersist()
+  }
 }

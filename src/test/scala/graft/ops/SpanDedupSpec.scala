@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Behavior laws for span-level corpus dedup ([[Dedup.spanDedup]]) on a
+  * crafted corpus where the boilerplate is known, plus the plan pin
+  * that keeps the frequency count hash-only. */
+class SpanDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // w=4 corpus: docs 1 and 2 open with the same 4-token boilerplate
+  // span; doc 3 is all-unique; doc 4 is the same span twice (intra-doc
+  // repeat); doc 5 contains the boilerplate TOKENS but not chunk-aligned
+  private val boiler = "alpha beta gamma delta"
+  private def docs = Seq(
+    (1L, s"$boiler one two three four"),
+    (2L, s"$boiler five six seven eight"),
+    (3L, "nine ten eleven twelve"),
+    (4L, s"$boiler $boiler"),
+    (5L, s"pad $boiler x y z")
+  ).toDF("doc_id", "text")
+
+  test("corpus-frequent spans are removed everywhere, others survive in order") {
+    val out = Dedup.spanDedup(docs, w = 4, cap = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 1L, "one two three four")))
+    assert(out(2L) == ((2L, 1L, "five six seven eight")))
+    assert(out(3L) == ((1L, 1L, "nine ten eleven twelve")))
+    // intra-doc repeats count toward the cap; a fully-boilerplate doc
+    // keeps its row with empty text
+    assert(out(4L) == ((2L, 0L, "")))
+    // chunking is positional: an unaligned copy of the boilerplate
+    // tokens forms different spans and survives
+    assert(out(5L)._2 == 2L)
+    assert(out(5L)._3 == s"pad $boiler x y z")
+  }
+
+  test("case/whitespace normalization feeds the span hash") {
+    val d = Seq(
+      (1L, "Alpha  Beta gamma DELTA"),
+      (2L, "alpha beta GAMMA delta")
+    ).toDF("doc_id", "text")
+    // both docs normalize to the same single span -> corpus count 2 -> dropped
+    val out = Dedup.spanDedup(d, w = 4, cap = 2).collect()
+    assert(out.forall(_.getLong(2) == 0L), out.mkString(";"))
+  }
+
+  test("no boilerplate at cap: everything survives verbatim (normalized)") {
+    val out = Dedup.spanDedup(docs.filter(col("doc_id") =!= 2L && col("doc_id") =!= 4L),
+      w = 4, cap = 2).collect()
+    out.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+  }
+
+  test("plan: only span hashes explode; reassembly is in-row") {
+    val plan = Dedup.spanDedup(docs).queryExecution.executedPlan.toString
+    // the single Generate feeds the frequency count with md5 hashes —
+    // span TEXT must not be the exploded column
+    val gens = "Generate explode".r.findAllIn(plan).size
+    assert(gens == 1, s"expected 1 explode, got $gens:\n${plan.take(800)}")
+    assert(plan.contains("explode(transform") && plan.contains("md5"),
+      "explode must carry md5 hashes, not span text")
+    // reassembly side: no doc_id shuffle — the only hashpartitioning
+    // exchange belongs to the frequency groupBy on the hash
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashEx.subsetOf(Set("h")), s"unexpected shuffles on $hashEx")
+  }
+}
