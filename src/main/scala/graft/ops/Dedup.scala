@@ -836,15 +836,25 @@ object Dedup {
     * the hash), and the frequent-span set comes back as a one-row
     * collected array that broadcasts to every task — boilerplate is
     * rare by definition (≤ corpus_spans / cap entries), the same
-    * cardinality argument as the ngram df-cap broadcast
-    * ([[ngramJaccardPairs]]). Keep and reassembly are then per-row
-    * codegen'd array expressions: filter on array_contains, concat_ws —
-    * no explode of text, no second shuffle, no join. Past the broadcast
-    * gate (~10 MB of hashes), the degrade path is the same as the df
-    * cap's: explode (doc_id, pos, hash), left_anti join the frequent
-    * hashes, and re-aggregate sort_array(collect_list((pos, span))) —
-    * one extra shuffle of surviving span text, still never all-pairs. */
-  def spanDedup(docs: DataFrame, w: Int = 16, cap: Long = 2): DataFrame = {
+    * cardinality argument — and the same GATE — as the ngram df-cap
+    * ([[ngramJaccardPairs]]): |frequent| grows with the corpus, so
+    * broadcasting it is a choice, not an assumption.
+    *  - |frequent| ≤ maxFrequentBroadcast: one-row collected array,
+    *    broadcast; keep and reassembly are per-row codegen'd array
+    *    expressions (filter on array_contains, concat_ws) — no explode
+    *    of text, no second shuffle, no join.
+    *  - above the gate: posexplode (doc_id, pos, span) with its hash,
+    *    LEFT join the frequent TABLE (left, not left_anti — a fully-
+    *    boilerplate document must keep its empty-text row, matching
+    *    the broadcast form exactly), and re-aggregate
+    *    sort_array(collect_list((pos, span))) — one shuffle of
+    *    surviving span text, no driver-sized array, no per-row set
+    *    rebuild. The 100 TB form; parity of both forms is pinned in
+    *    SpanDedupSpec.
+    * The gate reads one long (the cached frequent table's count) — a
+    * stats-sized driver round-trip, same class as the df cap's. */
+  def spanDedup(docs: DataFrame, w: Int = 16, cap: Long = 2,
+      maxFrequentBroadcast: Long = 100000): DataFrame = {
     require(w > 0 && cap > 0, s"w and cap must be positive, got w=$w cap=$cap")
     val nChunks = ceil(size(col("toks")).cast("double") / w).cast("int")
     val withSpans = spread(docs)
@@ -852,18 +862,38 @@ object Dedup {
       .select(col("doc_id"),
         transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ", slice(col("toks"), i * w + 1, lit(w)))).as("spans"))
-    val boiler = withSpans
+    val freqTable = PipelineCaches.track(withSpans
       .select(explode(transform(col("spans"), s => md5(s))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= cap)
-      .agg(collect_set(col("h")).as("boiler"))
-    withSpans.crossJoin(broadcast(boiler))
-      .select(col("doc_id"), col("spans"),
-        filter(col("spans"), s => !array_contains(col("boiler"), md5(s))).as("kept"))
-      .select(col("doc_id"),
-        size(col("spans")).cast("long").as("n_spans"),
-        size(col("kept")).cast("long").as("n_kept"),
-        concat_ws(" ", col("kept")).as("clean_text"))
+      .select("h"))
+    val nFrequent = freqTable.count()
+    if (nFrequent <= maxFrequentBroadcast) {
+      val boiler = freqTable.agg(collect_set(col("h")).as("boiler"))
+      withSpans.crossJoin(broadcast(boiler))
+        .select(col("doc_id"), col("spans"),
+          filter(col("spans"), s => !array_contains(col("boiler"), md5(s))).as("kept"))
+        .select(col("doc_id"),
+          size(col("spans")).cast("long").as("n_spans"),
+          size(col("kept")).cast("long").as("n_kept"),
+          concat_ws(" ", col("kept")).as("clean_text"))
+    } else {
+      withSpans
+        .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
+          posexplode(col("spans")).as(Seq("pos", "span")))
+        .withColumn("h", md5(col("span")))
+        .join(freqTable.withColumn("boil", lit(true)), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        // collect_list drops the nulls the unmatched-when produces, so
+        // only non-boilerplate (pos, span) pairs survive; sort_array on
+        // the struct restores document order by pos
+        .agg(first(col("n_spans")).as("n_spans"),
+          sort_array(collect_list(
+            when(col("boil").isNull, struct(col("pos"), col("span"))))).as("kept_ps"))
+        .select(col("doc_id"), col("n_spans"),
+          size(col("kept_ps")).cast("long").as("n_kept"),
+          concat_ws(" ", transform(col("kept_ps"), p => p("span"))).as("clean_text"))
+    }
   }
 
   /** Declared query q_line_dedup: 16-token spans, corpus-wide

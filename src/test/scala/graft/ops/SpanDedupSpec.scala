@@ -54,14 +54,29 @@ class SpanDedupSpec extends SparkSuite {
     out.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
   }
 
+  test("join fallback (past the broadcast gate) matches the broadcast form exactly") {
+    val broadcastForm = Dedup.spanDedup(docs, w = 4, cap = 2)
+    // force the degrade path: any non-empty frequent set exceeds a gate of 0
+    val joinForm = Dedup.spanDedup(docs, w = 4, cap = 2, maxFrequentBroadcast = 0)
+    assert(joinForm.count() == broadcastForm.count(),
+      "fallback must keep fully-boilerplate docs too")
+    assert(broadcastForm.exceptAll(joinForm).isEmpty &&
+      joinForm.exceptAll(broadcastForm).isEmpty, "forms disagree")
+    // and the fallback really is the join form: no one-row broadcast array
+    val plan = Dedup.spanDedup(docs, w = 4, cap = 2, maxFrequentBroadcast = 0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+  }
+
   test("plan: only span hashes explode; reassembly is in-row") {
     val plan = Dedup.spanDedup(docs).queryExecution.executedPlan.toString
-    // the single Generate feeds the frequency count with md5 hashes —
-    // span TEXT must not be the exploded column
-    val gens = "Generate explode".r.findAllIn(plan).size
-    assert(gens == 1, s"expected 1 explode, got $gens:\n${plan.take(800)}")
-    assert(plan.contains("explode(transform") && plan.contains("md5"),
-      "explode must carry md5 hashes, not span text")
+    // every explode (the live one and the cached frequency table's
+    // stored twin) feeds the frequency count with md5 hashes — span
+    // TEXT must never be an exploded column in the broadcast form
+    val gens = plan.linesIterator.filter(_.contains("Generate explode")).toSeq
+    assert(gens.nonEmpty, plan.take(800))
+    gens.foreach(l => assert(l.contains("md5"),
+      s"explode must carry md5 hashes, not span text: $l"))
     // reassembly side: no doc_id shuffle — the only hashpartitioning
     // exchange belongs to the frequency groupBy on the hash
     val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r
