@@ -126,6 +126,11 @@ object SparkEntry {
     "q_upsert" -> ((s, d) => Relational.upsertQ(Tables.events(s, d))),
     // fixed-bound equi-width histogram: single-pass, append-mergeable
     "q_hist" -> ((s, d) => Relational.histQ(Tables.events(s, d))),
+    // SCD2 validity intervals: one per-key window over (ts, event_id)
+    "q_scd2" -> ((s, d) => Relational.scd2Q(Tables.events(s, d))),
+    // per-group z-score flags: stats aggregate + broadcast join back,
+    // never a per-row window buffer
+    "q_anomaly" -> ((s, d) => Relational.anomalyQ(Tables.events(s, d))),
     // Z-order layout: morton interleave + per-bucket (user, value)
     // envelopes — the file-stats picture a zordered write would prune by
     "q_zorder" -> ((s, d) => Layout.zorderStatsQ(Tables.events(s, d))),
@@ -875,6 +880,18 @@ object SparkEntry {
         |CAST(least(greatest(floor(value / 50.0), 0), 9) AS BIGINT) AS bucket,
         |count(*) AS n, min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_type, event_id, value, ts AS valid_from,
+        |lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS valid_to,
+        |CAST((lead(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) IS NULL) AS BIGINT) AS is_current
+        |FROM events""".stripMargin,
+    "q_anomaly" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+        |FROM events GROUP BY event_type)
+        |SELECT e.event_type, e.event_id, e.value,
+        |(e.value - s.mu) / nullif(s.sigma, 0) AS zscore,
+        |CAST((abs((e.value - s.mu) / nullif(s.sigma, 0)) > 3.0) AS BIGINT) AS is_anomaly
+        |FROM events e JOIN s USING (event_type)""".stripMargin,
     // The 16-term interleave is generated, not hand-spelled, so the bit
     // layout cannot drift from Layout.zValue's fold.
     "q_zorder" -> {

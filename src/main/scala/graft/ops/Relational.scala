@@ -819,6 +819,42 @@ object Relational {
         col("last.value").as("last_value"),
         col("n_versions"))
 
+  /** SCD Type-2 interval build — the other half of the CDC story next
+    * to [[upsertQ]]: every version of a key becomes a validity interval
+    * [valid_from, valid_to) with the current version open-ended
+    * (valid_to NULL, is_current = 1). One window over the key ordered
+    * by the same total order upsert compacts with (ts, event_id).
+    * Unlike upsert there is no winners-only shortcut to take: every
+    * version IS an output row, so the one per-key shuffle + sort is
+    * the minimum work for the semantics. Pairs with [[asofJoin]] for
+    * point-in-time lookups against the resulting interval table. */
+  def scd2Q(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+      col("value"), col("ts").as("valid_from"),
+      lead(col("ts"), 1).over(w).as("valid_to"),
+      lead(col("ts"), 1).over(w).isNull.cast("long").as("is_current"))
+  }
+
+  /** Per-group z-score anomaly flags — the data-quality screen that
+    * applies [[statsAggQ]]'s moments back to the rows. Two passes: one
+    * partial+final hash aggregate for (mean, stddev) per group — the
+    * stats frame is group-cardinality-sized, so it broadcasts — then a
+    * map-side join computes the flag. Deliberately NOT a window
+    * (avg() OVER would shuffle and buffer every data row per group);
+    * the aggregate+broadcast shape reads the data twice but shuffles
+    * only group stats. Zero-variance groups z-score to NULL (nullif
+    * guards the division) rather than dividing by zero. */
+  def anomalyQ(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+    events.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("event_id"), col("value"),
+        ((col("value") - col("mu")) / nullif(col("sigma"), lit(0.0))).as("zscore"))
+      .withColumn("is_anomaly", (abs(col("zscore")) > threshold).cast("long"))
+  }
+
   /** Equi-width histogram per group — the numeric distribution profile
     * next to [[profileQ]]'s per-column stats. FIXED bucket bounds
     * (clamped floor arithmetic) rather than data-dependent ones keep

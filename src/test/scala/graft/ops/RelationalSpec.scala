@@ -390,6 +390,49 @@ class RelationalSpec extends SparkSuite {
     up.unpersist()
   }
 
+  test("scd2: intervals chain per key, one current version, rows preserved") {
+    import org.apache.spark.sql.functions.{col, lead, sum}
+    val events = graft.sources.Tables.events(spark, sf)
+    val iv = Relational.scd2Q(events).cache()
+    assert(iv.count() == events.count())
+    // exactly one open-ended current version per key
+    val cur = iv.groupBy("user_id", "event_type").agg(sum("is_current").as("nc"))
+    assert(cur.filter(col("nc") =!= 1).isEmpty)
+    // intervals chain: each version's valid_to equals the next
+    // version's valid_from (same ordering key), and never precedes its
+    // own valid_from
+    assert(iv.filter(col("valid_to") < col("valid_from")).isEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("valid_from"), col("event_id"))
+    val chained = iv.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(chained.isEmpty, "interval chain broken")
+    iv.unpersist()
+  }
+
+  test("anomaly: rows preserved, z-scores match directly computed stats, stats broadcast") {
+    import org.apache.spark.sql.functions.{abs, avg, col, stddev_pop}
+    val events = graft.sources.Tables.events(spark, sf)
+    val plan = Relational.anomalyQ(events).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    val an = Relational.anomalyQ(events).cache()
+    assert(an.count() == events.count())
+    // recompute one group's moments directly and cross-check a row
+    val g = events.filter(col("event_type") === "pv")
+    if (g.count() > 1) {
+      val st = g.agg(avg("value").as("mu"), stddev_pop("value").as("sd")).head
+      val (mu, sd) = (st.getDouble(0), st.getDouble(1))
+      val row = an.filter(col("event_type") === "pv").orderBy(col("event_id")).head
+      val expected = (row.getDouble(2) - mu) / sd
+      assert(math.abs(row.getDouble(3) - expected) < 1e-9)
+    }
+    // flags agree with the threshold everywhere
+    assert(an.filter(col("is_anomaly") === 1L && abs(col("zscore")) <= 3.0).isEmpty)
+    assert(an.filter(col("is_anomaly") === 0L && abs(col("zscore")) > 3.0).isEmpty)
+    an.unpersist()
+  }
+
   test("hist: buckets clamped, counts total, one exchange") {
     import org.apache.spark.sql.functions.{col, sum}
     val events = graft.sources.Tables.events(spark, sf)
