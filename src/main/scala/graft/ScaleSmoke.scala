@@ -48,6 +48,11 @@ object ScaleSmoke {
       run("near_dup", Dedup.nearDupPairs(docs))
       run("simhash", Dedup.simhashPairs(docs))
       run("ngram", Dedup.ngramJaccardPairs(docs))
+      // span dedup: frequency count + in-row filter should scale with
+      // the span count; the forced-join form is the past-the-gate
+      // (100 TB) path and must stay in the same complexity class
+      run("span_dedup", Dedup.spanDedup(docs))
+      run("span_dedup_join", Dedup.spanDedup(docs, maxFrequentBroadcast = 0))
       // fuzzy lookup: probes grow with the corpus (100 per amplified
       // copy), so candidate volume and the DP verify scale linearly
       run("fuzzy", Dedup.fuzzyMatch(
