@@ -137,6 +137,9 @@ object SparkEntry {
     // C4/CCNet-style span-level boilerplate removal with in-row
     // reassembly (span text never shuffles)
     "q_line_dedup" -> ((s, d) => Dedup.spanDedupQ(Tables.documents(s, d))),
+    // the incremental form: delta cleaned against the persisted
+    // bucket-partitioned span-frequency index of the 95% corpus
+    "q_line_dedup_incr" -> ((s, d) => Dedup.incrementalSpanDedupQ(s, d)),
     // the composed cleaning pipeline: first-failing-stage attribution
     // over lang -> quality -> repetition -> dedup -> decontamination
     "q_corpus_clean" -> ((s, d) => Cleaning.corpusCleanQ(s, d))
@@ -908,7 +911,8 @@ object SparkEntry {
          |FROM z GROUP BY 1""".stripMargin
     },
     // Zipped unnests (pos, span) mirror the engine's in-row chunking;
-    // the NOT IN reproduces the broadcast boilerplate filter.
+    // the NOT IN reproduces the broadcast boilerplate filter; span
+    // identity is the 60-bit md5 prefix, like the engine's md5_bits.
     "q_line_dedup" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
         |FROM documents),
@@ -916,10 +920,37 @@ object SparkEntry {
         |unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))) AS pos,
         |unnest(list_transform(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT)),
         |i -> array_to_string(toks[(i*16+1):(i*16+16)], ' '))) AS span FROM t),
-        |freq AS (SELECT md5(span) AS h FROM sp GROUP BY md5(span) HAVING count(*) >= 2),
-        |kept AS (SELECT doc_id, pos, span FROM sp
-        |WHERE md5(span) NOT IN (SELECT h FROM freq)),
-        |tot AS (SELECT doc_id, count(*) AS n_spans FROM sp GROUP BY doc_id),
+        |sph AS (SELECT doc_id, pos, span,
+        |CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) AS h FROM sp),
+        |freq AS (SELECT h FROM sph GROUP BY h HAVING count(*) >= 2),
+        |kept AS (SELECT doc_id, pos, span FROM sph
+        |WHERE h NOT IN (SELECT h FROM freq)),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM sph GROUP BY doc_id),
+        |k AS (SELECT doc_id, count(*) AS n_kept,
+        |string_agg(span, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
+        |SELECT tot.doc_id, CAST(tot.n_spans AS BIGINT) AS n_spans,
+        |CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |coalesce(k.clean_text, '') AS clean_text
+        |FROM tot LEFT JOIN k ON k.doc_id = tot.doc_id""".stripMargin,
+    // Incremental form: the frequent set comes from the 95% corpus ONLY
+    // (intra-delta repetition is deliberately not counted — the batch
+    // re-run owns that), mirroring spanDedupAgainstIndex exactly.
+    "q_line_dedup_incr" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+        |delta AS (SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |ct AS (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM corpus),
+        |csp AS (SELECT unnest(list_transform(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT)),
+        |i -> CAST(('0x'||substr(md5(array_to_string(toks[(i*16+1):(i*16+16)], ' ')),1,15)) AS BIGINT))) AS h
+        |FROM ct),
+        |freq AS (SELECT h FROM csp GROUP BY h HAVING count(*) >= 2),
+        |dt AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks FROM delta),
+        |dsp AS (SELECT doc_id,
+        |unnest(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT))) AS pos,
+        |unnest(list_transform(range(0, CAST(ceil(len(toks)/16.0) AS BIGINT)),
+        |i -> array_to_string(toks[(i*16+1):(i*16+16)], ' '))) AS span FROM dt),
+        |kept AS (SELECT doc_id, pos, span FROM dsp
+        |WHERE CAST(('0x'||substr(md5(span),1,15)) AS BIGINT) NOT IN (SELECT h FROM freq)),
+        |tot AS (SELECT doc_id, count(*) AS n_spans FROM dsp GROUP BY doc_id),
         |k AS (SELECT doc_id, count(*) AS n_kept,
         |string_agg(span, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id)
         |SELECT tot.doc_id, CAST(tot.n_spans AS BIGINT) AS n_spans,

@@ -853,26 +853,41 @@ object Dedup {
     *    SpanDedupSpec.
     * The gate reads one long (the cached frequent table's count) — a
     * stats-sized driver round-trip, same class as the df cap's. */
-  def spanDedup(docs: DataFrame, w: Int = 16, cap: Long = 2,
-      maxFrequentBroadcast: Long = 100000): DataFrame = {
-    require(w > 0 && cap > 0, s"w and cap must be positive, got w=$w cap=$cap")
+  /** (doc_id, spans ARRAY<STRING>) — the fixed w-token chunking shared
+    * by the batch operator and the persisted-index forms. */
+  private def withSpansOf(docs: DataFrame, w: Int): DataFrame = {
     val nChunks = ceil(size(col("toks")).cast("double") / w).cast("int")
-    val withSpans = spread(docs)
+    spread(docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
       .select(col("doc_id"),
         transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ", slice(col("toks"), i * w + 1, lit(w)))).as("spans"))
-    val freqTable = PipelineCaches.track(withSpans
-      .select(explode(transform(col("spans"), s => md5(s))).as("h"))
+  }
+
+  /** Corpus-wide span occurrence counts (h = 60-bit span hash, c). Span
+    * identity is the md5 60-bit prefix like every other hash here —
+    * half the shuffle width of hex strings, 2^-60 collision odds. */
+  private def spanCounts(withSpans: DataFrame): DataFrame =
+    withSpans
+      .select(explode(transform(col("spans"),
+        s => md5Prefix(s, withSpans.sparkSession, 15))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= cap)
-      .select("h"))
-    val nFrequent = freqTable.count()
+
+  /** Apply a frequent-span table (h LONG) to (doc_id, spans) — the
+    * size-gated keep/reassemble stage both [[spanDedup]] and
+    * [[spanDedupAgainstIndex]] end in (gate rationale in spanDedup's
+    * scaladoc). */
+  private def applySpanFilter(withSpans: DataFrame, freqTable: DataFrame,
+      maxFrequentBroadcast: Long): DataFrame = {
+    val spark = withSpans.sparkSession
+    val cached = PipelineCaches.track(freqTable)
+    val nFrequent = cached.count()
     if (nFrequent <= maxFrequentBroadcast) {
-      val boiler = freqTable.agg(collect_set(col("h")).as("boiler"))
+      val boiler = cached.agg(collect_set(col("h")).as("boiler"))
       withSpans.crossJoin(broadcast(boiler))
         .select(col("doc_id"), col("spans"),
-          filter(col("spans"), s => !array_contains(col("boiler"), md5(s))).as("kept"))
+          filter(col("spans"),
+            s => !array_contains(col("boiler"), md5Prefix(s, spark, 15))).as("kept"))
         .select(col("doc_id"),
           size(col("spans")).cast("long").as("n_spans"),
           size(col("kept")).cast("long").as("n_kept"),
@@ -881,8 +896,8 @@ object Dedup {
       withSpans
         .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
           posexplode(col("spans")).as(Seq("pos", "span")))
-        .withColumn("h", md5(col("span")))
-        .join(freqTable.withColumn("boil", lit(true)), Seq("h"), "left")
+        .withColumn("h", md5Prefix(col("span"), spark, 15))
+        .join(cached.withColumn("boil", lit(true)), Seq("h"), "left")
         .groupBy(col("doc_id"))
         // collect_list drops the nulls the unmatched-when produces, so
         // only non-boilerplate (pos, span) pairs survive; sort_array on
@@ -894,6 +909,117 @@ object Dedup {
           size(col("kept_ps")).cast("long").as("n_kept"),
           concat_ws(" ", transform(col("kept_ps"), p => p("span"))).as("clean_text"))
     }
+  }
+
+  def spanDedup(docs: DataFrame, w: Int = 16, cap: Long = 2,
+      maxFrequentBroadcast: Long = 100000): DataFrame = {
+    require(w > 0 && cap > 0, s"w and cap must be positive, got w=$w cap=$cap")
+    val withSpans = withSpansOf(docs, w)
+    applySpanFilter(withSpans,
+      spanCounts(withSpans).filter(col("c") >= cap).select("h"),
+      maxFrequentBroadcast)
+  }
+
+  /** On-disk schema of the span-frequency index (explicit for the same
+    * empty-corpus / footer-skip reasons as [[BandsSchema]]). */
+  private val SpanIndexSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "h LONG, c LONG, bkt LONG")
+
+  /** Persist the corpus span-frequency table for incremental span
+    * dedup, bucket-partitioned on the span hash so delta lookups prune.
+    * Stores ALL counts, not only the ≥cap frequents: appends are
+    * additive and a span becomes boilerplate when its TOTAL crosses the
+    * cap, so readers re-aggregate sum(c) after the pruned read — which
+    * also makes [[appendToSpanIndex]] a pure file append per
+    * micro-batch, no read-modify-write. */
+  def writeSpanIndex(docs: DataFrame, dir: String, w: Int = 16,
+      spanBuckets: Int = 256): Unit = {
+    require(w > 0 && spanBuckets > 0,
+      s"w and spanBuckets must be positive, got w=$w spanBuckets=$spanBuckets")
+    spanCounts(withSpansOf(docs, w))
+      .withColumn("bkt", pmod(col("h"), lit(spanBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/spans")
+    docs.sparkSession.range(1)
+      .select(lit(w).as("w"), lit(spanBuckets).as("span_buckets"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Fold newly ingested documents into a persisted span index — counts
+    * append as new files in existing bkt partitions; the reader's
+    * sum(c) re-aggregation merges them. Same single-writer discipline
+    * as [[appendToNearDupIndex]]. */
+  def appendToSpanIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").first()
+    val (w, spanBuckets) = (meta.getAs[Int]("w"), meta.getAs[Int]("span_buckets"))
+    spanCounts(withSpansOf(newDocs, w))
+      .withColumn("bkt", pmod(col("h"), lit(spanBuckets.toLong)))
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/spans")
+  }
+
+  /** Compact a span index in place: re-aggregate the per-batch partial
+    * counts and rewrite each bkt partition's accumulated files into one
+    * (same hash-repartition trick, swap discipline, and degradation
+    * rationale as [[compactNearDupIndex]]). */
+  def compactSpanIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/spans")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/spans.compact")
+    val fs = live.getFileSystem(hconf)
+    fs.delete(tmp, true)
+    spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
+      .groupBy(col("h"), col("bkt")).agg(sum(col("c")).as("c"))
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"compaction swap failed for $live")
+  }
+
+  /** Clean a delta of NEW documents against a persisted corpus span
+    * index — the incremental form of [[spanDedup]]: delta spans whose
+    * corpus-wide count has reached `cap` are boilerplate and are
+    * removed. Intra-delta repetition is deliberately NOT counted (the
+    * batch re-run owns that); after cleaning, [[appendToSpanIndex]]
+    * folds the delta in so later deltas see its spans.
+    *
+    * Scale shape: the spans read is partition-pruned to the buckets the
+    * delta's own span hashes fall in (bucket list ≤ spanBuckets longs —
+    * a metadata-sized collect, effective for micro-batch-sized deltas,
+    * a full scan in the worst case); sum(c) re-aggregates the appended
+    * partials; the filter stage is [[applySpanFilter]]'s gate. */
+  def spanDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, dir: String, cap: Long = 2,
+      maxFrequentBroadcast: Long = 100000): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val meta = spark.read.parquet(s"$dir/meta").first()
+    val (w, spanBuckets) = (meta.getAs[Int]("w"), meta.getAs[Int]("span_buckets"))
+    val withSpans = PipelineCaches.track(withSpansOf(delta, w))
+    val touched = withSpans
+      .select(explode(transform(col("spans"),
+        s => pmod(md5Prefix(s, spark, 15), lit(spanBuckets.toLong)))).as("bkt"))
+      .distinct().collect().map(_.getLong(0))
+    val freq = spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
+      .filter(col("bkt").isin(touched.toSeq: _*))
+      .groupBy(col("h")).agg(sum(col("c")).as("c"))
+      .filter(col("c") >= cap)
+      .select("h")
+    applySpanFilter(withSpans, freq, maxFrequentBroadcast)
+  }
+
+  /** Declared incremental span-dedup workload (q_line_dedup_incr): the
+    * same re-keyed 5% delta convention as [[incrementalNearDupQ]],
+    * cleaned against the span index of the other 95% (BuildOnce keyed
+    * on the directory — one build serves every run in the session). */
+  def incrementalSpanDedupQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val idxDir = BuildOnce.tempDirFor("graft_span_idx", dir)
+    BuildOnce(spark, idxDir)(writeSpanIndex(corpus, idxDir))
+    spanDedupAgainstIndex(spark, delta, idxDir)
   }
 
   /** Declared query q_line_dedup: 16-token spans, corpus-wide

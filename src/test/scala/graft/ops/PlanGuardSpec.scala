@@ -22,12 +22,13 @@ class PlanGuardSpec extends SparkSuite {
   // map-side df-cap (Dedup.ngramJaccardPairs); q_tfidf broadcasts the
   // ONE-row corpus count onto the scored frame (TextOps.tfidfQ);
   // q_profile_approx cross-joins its four ONE-row aggregate subtrees
-  // (Relational.profileApproxQ); q_line_dedup broadcasts the ONE-row
-  // boilerplate-span hash array for the in-row filter (Dedup.spanDedup)
+  // (Relational.profileApproxQ); q_line_dedup and its incremental form
+  // broadcast the ONE-row boilerplate-span hash array for the in-row
+  // filter (Dedup.applySpanFilter's gated fast path)
   private val bnljAllowed =
     Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
       "q_dedup_ngram", "q_tfidf", "q_cluster", "q_profile_approx",
-      "q_line_dedup")
+      "q_line_dedup", "q_line_dedup_incr")
 
   test("skew split join: hot path broadcasts by construction, cold path shuffles") {
     // isolated session (suites may run in parallel; see DedupVerifyModeSpec)

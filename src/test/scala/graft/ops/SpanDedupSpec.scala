@@ -68,6 +68,49 @@ class SpanDedupSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
   }
 
+  test("index lifecycle: write → lookup, append promotes to frequent, compact is lossless") {
+    val dir = java.nio.file.Files.createTempDirectory("span_idx").toString
+    val corpus = Seq(
+      (1L, s"$boiler one two three four"),
+      (2L, s"$boiler five six seven eight"),
+      (3L, "nine ten eleven twelve"),
+      (4L, "rare span here only once")
+    ).toDF("doc_id", "text")
+    Dedup.writeSpanIndex(corpus, dir, w = 4)
+    // delta: boiler span (frequent in corpus) removed; a span repeated
+    // only WITHIN the delta survives — intra-delta repetition is
+    // deliberately not counted (documented; the batch re-run owns it)
+    val delta = Seq(
+      (100L, s"$boiler fresh unique tokens here"),
+      (101L, "self dup span here self dup span here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupAgainstIndex(spark, delta, dir, cap = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(out(100L) == ((1L, "fresh unique tokens here")))
+    assert(out(101L)._1 == 2L, "intra-delta repeats must not count toward the cap")
+    // the pruned read must carry a bkt partition filter
+    val plan = Dedup.spanDedupAgainstIndex(spark, delta, dir, cap = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bkt"),
+      "spans scan must be partition-pruned:\n" + plan.take(700))
+    // append: 'rare span here only' had c=1; a second occurrence folded
+    // in from a delta promotes it to frequent for LATER deltas
+    Dedup.appendToSpanIndex(
+      Seq((200L, "rare span here only again")).toDF("doc_id", "text"), dir)
+    val promoted = Dedup.spanDedupAgainstIndex(spark,
+      Seq((300L, "rare span here only and padding tail")).toDF("doc_id", "text"),
+      dir, cap = 2).head
+    assert(promoted.getLong(2) == 1L && promoted.getString(3) == "and padding tail",
+      s"append must promote the span: $promoted")
+    // compact: per-bucket partial counts collapse losslessly
+    val before = Dedup.spanDedupAgainstIndex(spark, delta, dir, cap = 2).collect()
+      .map(_.toString).sorted.toSeq
+    Dedup.compactSpanIndex(spark, dir)
+    val after = Dedup.spanDedupAgainstIndex(spark, delta, dir, cap = 2).collect()
+      .map(_.toString).sorted.toSeq
+    assert(before == after, "compaction changed lookup results")
+  }
+
   test("plan: only span hashes explode; reassembly is in-row") {
     val plan = Dedup.spanDedup(docs).queryExecution.executedPlan.toString
     // every explode (the live one and the cached frequency table's
