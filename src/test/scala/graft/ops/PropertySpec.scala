@@ -250,4 +250,57 @@ class PropertySpec extends SparkSuite {
     assert(a.nonEmpty && a.forall { case (p, n, _) => p != n })
     assert(a.groupBy(_._1).forall(_._2.length <= 5))
   }
+
+  test("law: z-value interleave is invertible (no two points share a z)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    // the full 16x16 low grid plus random high points: a collision or a
+    // non-invertible bit layout would break file-stat pruning silently
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val high = Seq.fill(50)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong)).distinct
+    val pts = (grid ++ high).distinct
+    val zs = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y")).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(zs.map(_._3).distinct.length == pts.length, "z collision")
+    // deinterleave check: even bits reconstruct x, odd bits y
+    zs.foreach { case (x, y, z) =>
+      val rx = (0 until 8).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val ry = (0 until 8).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(rx == x && ry == y, s"z=$z does not invert to ($x,$y)")
+    }
+  }
+
+  test("law: upsert is idempotent (compacting the compacted log is identity)") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.events(spark, sf)
+    val once = Relational.upsertQ(events)
+    // re-feed the compacted state as if it were a change log
+    val relog = once.select(
+      col("last_event_id").as("event_id"), col("last_ts").as("ts"),
+      col("user_id"), col("event_type"), col("last_value").as("value"))
+    // winner columns only: the recompacted log has 1 version per key by
+    // construction, so n_versions legitimately differs
+    val w1 = once.drop("n_versions")
+    val w2 = Relational.upsertQ(relog).drop("n_versions")
+    assert(w1.exceptAll(w2).isEmpty && w2.exceptAll(w1).isEmpty,
+      "upsert(upsert(log)) must equal upsert(log) on the winner columns")
+  }
+
+  test("law: histogram of a union is the bucket-wise merge of the parts") {
+    import org.apache.spark.sql.functions.col
+    val events = graft.sources.Tables.events(spark, sf)
+    val a = events.filter(col("event_id") % 2 === 0)
+    val b = events.filter(col("event_id") % 2 =!= 0)
+    val whole = Relational.histQ(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val merged = (Relational.histQ(a).collect() ++ Relational.histQ(b).collect())
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        val ps = vs.map(_._2)
+        k -> (ps.map(_._1).sum, ps.map(_._2).min, ps.map(_._3).max)
+      }
+    assert(whole == merged, "fixed-bound histograms must merge by addition")
+  }
 }
