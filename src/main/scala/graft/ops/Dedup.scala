@@ -936,8 +936,13 @@ object Dedup {
       spanBuckets: Int = 256): Unit = {
     require(w > 0 && spanBuckets > 0,
       s"w and spanBuckets must be positive, got w=$w spanBuckets=$spanBuckets")
+    // repartition on bkt BEFORE the partitioned write: every bucket
+    // lands in exactly one task, so the write emits one file per bucket
+    // instead of (tasks × buckets) fragments — the pruned lookup's cost
+    // is footer-opens, and this keeps it at one per touched bucket
     spanCounts(withSpansOf(docs, w))
       .withColumn("bkt", pmod(col("h"), lit(spanBuckets.toLong)))
+      .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/spans")
     docs.sparkSession.range(1)
       .select(lit(w).as("w"), lit(spanBuckets).as("span_buckets"))
@@ -952,8 +957,11 @@ object Dedup {
     val spark = newDocs.sparkSession
     val meta = spark.read.parquet(s"$dir/meta").first()
     val (w, spanBuckets) = (meta.getAs[Int]("w"), meta.getAs[Int]("span_buckets"))
+    // one file per touched bucket per batch (same repartition trick as
+    // the initial write); compaction collapses the per-batch accumulation
     spanCounts(withSpansOf(newDocs, w))
       .withColumn("bkt", pmod(col("h"), lit(spanBuckets.toLong)))
+      .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/spans")
   }
 

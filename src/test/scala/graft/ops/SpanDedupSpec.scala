@@ -77,6 +77,13 @@ class SpanDedupSpec extends SparkSuite {
       (4L, "rare span here only once")
     ).toDF("doc_id", "text")
     Dedup.writeSpanIndex(corpus, dir, w = 4)
+    // the repartition-on-bkt write contract: one file per bucket, so a
+    // pruned lookup pays one footer-open per touched bucket
+    new java.io.File(s"$dir/spans").listFiles()
+      .filter(_.getName.startsWith("bkt=")).foreach { p =>
+        val n = p.listFiles().count(_.getName.endsWith(".parquet"))
+        assert(n == 1, s"expected one file in ${p.getName}, got $n")
+      }
     // delta: boiler span (frequent in corpus) removed; a span repeated
     // only WITHIN the delta survives — intra-delta repetition is
     // deliberately not counted (documented; the batch re-run owns it)

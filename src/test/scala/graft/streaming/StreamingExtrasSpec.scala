@@ -251,4 +251,53 @@ class StreamingExtrasSpec extends SparkSuite {
       assert(got(30000L) == got(30002L), "replays of the same doc must share a cluster")
     } finally q.stop()
   }
+
+  test("streaming span scrub: boilerplate accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the span-dedup ingestion loop: each micro-batch is cleaned against
+    // the persisted span-frequency index, then folded in — so a template
+    // that first appears IN THE STREAM becomes boilerplate for later
+    // batches once its corpus-wide count crosses the cap
+    val boiler = "alpha beta gamma delta"
+    val corpus = Seq(
+      (1L, s"$boiler one two three four"),
+      (2L, s"$boiler five six seven eight")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("span_stream_idx").toString
+    graft.ops.Dedup.writeSpanIndex(corpus, dir, w = 4)
+    val tpl = "tmpl head lines here"
+    val cleaned = scala.collection.mutable.Map[Long, (Long, String)]()
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        this.synchronized {
+          val b = batch.cache()
+          cleaned ++= graft.ops.Dedup.spanDedupAgainstIndex(spark, b, dir, cap = 2)
+            .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3)))
+          graft.ops.Dedup.appendToSpanIndex(b, dir)
+          b.unpersist()
+          graft.ops.PipelineCaches.release(spark)
+        }
+        ()
+      }
+      .start()
+    try {
+      // batch 1: corpus boilerplate scrubbed immediately; the stream's
+      // own template seen for the FIRST time passes through
+      input.addData((100L, s"$boiler keep these four words"),
+        (101L, s"$tpl unique tail one two"))
+      q.processAllAvailable()
+      // batch 2: template count in the index is still 1 → passes
+      input.addData((102L, s"$tpl second sighting four"))
+      q.processAllAvailable()
+      // batch 3: count reached 2 → the template is now boilerplate
+      input.addData((103L, s"$tpl third sighting xx yy"))
+      q.processAllAvailable()
+      val got = this.synchronized(cleaned.toMap)
+      assert(got(100L) == ((1L, "keep these four words")), got.toString)
+      assert(got(101L) == ((2L, s"$tpl unique tail one two")), got.toString)
+      assert(got(102L) == ((2L, s"$tpl second sighting four")), got.toString)
+      assert(got(103L) == ((1L, "third sighting xx yy")), got.toString)
+    } finally q.stop()
+  }
 }
