@@ -166,4 +166,36 @@ class EdgeCaseSpec extends SparkSuite {
         lit(null).cast("array<float>").as("embedding"))
     assert(SimSearch.clusterProfile(emptyEmb).isEmpty)
   }
+
+  test("round-7 operators degrade gracefully on EMPTY or degenerate input") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val empty = docs()
+    // span dedup: empty corpus → empty output in BOTH gate branches
+    assert(Dedup.spanDedup(empty).isEmpty)
+    assert(Dedup.spanDedup(empty, maxFrequentBroadcast = 0).isEmpty)
+    // an EMPTY corpus's span index still writes (no footer to infer —
+    // the explicit reader schema covers it) and cleans a delta as a
+    // no-boilerplate pass-through
+    val dir = java.nio.file.Files.createTempDirectory("span_idx_empty").toString
+    Dedup.writeSpanIndex(empty, dir, w = 4)
+    val out = Dedup.spanDedupAgainstIndex(spark, docs((1L, "a b c d")), dir).head
+    assert(out.getLong(2) == 1L && out.getString(3) == "a b c d")
+    // relational CDC/profile ops on an empty event log: empty, no throw
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(Relational.upsertQ(noEvents).isEmpty)
+    assert(Relational.scd2Q(noEvents).isEmpty)
+    assert(Relational.histQ(noEvents).isEmpty)
+    assert(Relational.anomalyQ(noEvents).isEmpty)
+    // zero-variance group: z-score NULL (guarded division), never flagged
+    val flat = Seq((1L, new java.sql.Timestamp(0), 1L, "pv", 5.0),
+      (2L, new java.sql.Timestamp(1), 2L, "pv", 5.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val an = Relational.anomalyQ(flat).collect()
+    assert(an.length == 2 && an.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    // a single-version key is its own current SCD2 interval
+    val one = Relational.scd2Q(flat.filter(col("event_id") === 1L)).head
+    assert(one.isNullAt(5) && one.getLong(6) == 1L)
+  }
 }
