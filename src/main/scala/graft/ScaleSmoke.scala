@@ -81,6 +81,11 @@ object ScaleSmoke {
         Dedup.nearDupPairs(docs)))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // dsir: two full token-stream passes against a 256-row broadcast
+      // model — pure map+agg, must scale linearly with the token count
+      run("dsir", graft.ops.Scoring.dsirQ(spark, docs,
+        targetPred = col("doc_id") % 10 === 0))
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{BloomJoin, Cleaning, Components, Dedup, EventWindows, Layout, MultiModal, Relational, Sampling, SimSearch, Skew, TextOps}
+import graft.ops.{BloomJoin, Cleaning, Components, Dedup, EventAnalytics, EventWindows, Layout, MultiModal, ProfileIndex, Relational, Sampling, Scoring, SimSearch, Skew, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §3.
@@ -142,7 +142,22 @@ object SparkEntry {
     "q_line_dedup_incr" -> ((s, d) => Dedup.incrementalSpanDedupQ(s, d)),
     // the composed cleaning pipeline: first-failing-stage attribution
     // over lang -> quality -> repetition -> dedup -> decontamination
-    "q_corpus_clean" -> ((s, d) => Cleaning.corpusCleanQ(s, d))
+    "q_corpus_clean" -> ((s, d) => Cleaning.corpusCleanQ(s, d)),
+    // event-log analytics: the ordered per-user family the reference's
+    // windowed counts generalize to — each pays the user_id exchange once
+    "q_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) => EventAnalytics.funnel(Tables.events(s, d))),
+    "q_retention" -> ((s, d) => EventAnalytics.retention(Tables.events(s, d))),
+    // tokenizer-design readout: top-k vocabulary + cumulative coverage
+    "q_vocab" -> ((s, d) => TextOps.vocabQ(Tables.documents(s, d))),
+    // L2 normalization: the map-side preprocessing of every cosine pipeline
+    "q_embed_norm" -> ((s, d) => SimSearch.embedNormQ(Tables.embeddings(s, d))),
+    // persisted mergeable HLL profile index: rows-only (HLL estimates);
+    // exact lanes + error bound + append invariance in ProfileIndexSpec
+    "q_profile_incr" -> ((s, d) => ProfileIndex.profileIncrQ(s, d)),
+    // retrieval + data-selection scoring
+    "q_bm25" -> ((s, d) => Scoring.bm25Q(Tables.documents(s, d))),
+    "q_dsir" -> ((s, d) => Scoring.dsirQ(s, Tables.documents(s, d)))
   )
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on
@@ -1007,6 +1022,106 @@ object SparkEntry {
         |FROM corpus c JOIN q USING (doc_id) LEFT JOIN r USING (doc_id)
         |JOIN d USING (doc_id) LEFT JOIN ct USING (doc_id))
         |SELECT reason, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM lab GROUP BY reason""".stripMargin
+        |FROM lab GROUP BY reason""".stripMargin,
+    // Gap arithmetic is integer epoch-microseconds on both sides
+    // (720 min = 43_200_000_000 us); ties on ts order by event_id.
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |CASE WHEN lag(ts) OVER w IS NULL
+        |OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 43200000000 THEN 1 ELSE 0 END AS new_sess
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, value,
+        |sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_no FROM g)
+        |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |min(ts) AS session_start, max(ts) AS session_end,
+        |CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS total_value
+        |FROM s GROUP BY user_id, session_no""".stripMargin,
+    // Chained conditional minima: each stage's CTE may only reference the
+    // previous stage's window result — the stacked-CTE form of the
+    // engine's three chained Window nodes.
+    "q_funnel" ->
+      """WITH f AS (SELECT user_id, event_type, ts FROM events
+        |WHERE event_type IN ('view', 'click', 'purchase')),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |OVER (PARTITION BY user_id) AS t1 FROM f),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |OVER (PARTITION BY user_id) AS t3 FROM b)
+        |SELECT user_id, min(t1) AS t_stage1, min(t2) AS t_stage2, min(t3) AS t_stage3,
+        |CAST(min(t1) IS NOT NULL AS BIGINT) + CAST(min(t2) IS NOT NULL AS BIGINT)
+        |+ CAST(min(t3) IS NOT NULL AS BIGINT) AS stage_reached
+        |FROM c GROUP BY user_id""".stripMargin,
+    "q_retention" ->
+      """WITH fd AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+        |FROM events GROUP BY user_id),
+        |ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events)
+        |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+        |CAST(date_diff('day', cohort_day, active_day) AS INT) AS day_offset,
+        |CAST(count(*) AS BIGINT) AS n_users
+        |FROM ad JOIN fd USING (user_id)
+        |WHERE date_diff('day', cohort_day, active_day) <= 7
+        |GROUP BY 1, 2""".stripMargin,
+    // Running coverage over the top-k only; the (n DESC, token ASC) order
+    // key is unique per row, so the default RANGE frame has no peers and
+    // both engines' running sums agree row-by-row.
+    "q_vocab" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token),
+        |t AS (SELECT sum(n) AS total_n FROM c),
+        |k AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT 200)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank,
+        |token, CAST(n AS BIGINT) AS n,
+        |round(CAST(sum(n) OVER (ORDER BY n DESC, token ASC) AS DOUBLE)
+        |/ CAST(total_n AS DOUBLE), 6) AS cum_share
+        |FROM k, t""".stripMargin,
+    // All-double arithmetic in list order on both sides; empty lists
+    // guarded (list_sum of [] is NULL where the engine's fold is 0).
+    "q_embed_norm" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |sqrt(coalesce(list_sum(list_transform(v, x -> x * x)), 0.0)) AS l2_norm FROM q)
+        |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims, round(l2_norm, 6) AS l2_norm,
+        |round(CASE WHEN l2_norm = 0 THEN coalesce(list_sum(v), 0.0)
+        |ELSE list_sum(list_transform(v, x -> x / l2_norm)) END, 6) AS unit_sum
+        |FROM n""".stripMargin,
+    // BM25 k1=1.2 b=0.75; only docs matching ≥1 query term score a row
+    // (inner joins). The 1e-16 double-literal delta between the engine's
+    // computed k1+1 and the SQL's 2.2 dies in the round-to-6.
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+        |WHERE token IN ('data', 'query', 'engine', 'fast') GROUP BY token),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |WHERE token IN ('data', 'query', 'engine', 'fast') GROUP BY doc_id, token)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+        |round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        |FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id), st
+        |GROUP BY doc_id""".stripMargin,
+    // Same 60-bit md5 token hash as the dedup lanes; add-one smoothing
+    // over 256 buckets; candidates are the non-target docs.
+    "q_dsir" ->
+      """WITH tok AS (SELECT doc_id,
+        |(lang = 'en' AND source IN ('src1', 'src2', 'src3')) AS is_target, t AS token
+        |FROM (SELECT doc_id, lang, source,
+        |unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |b AS (SELECT doc_id, is_target,
+        |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) % 256 AS bkt FROM tok),
+        |c AS (SELECT bkt, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt,
+        |sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS r_cnt FROM b GROUP BY bkt),
+        |tt AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot FROM c),
+        |lam AS (SELECT bkt, ln((t_cnt + 1.0) / (t_tot + 256))
+        |- ln((r_cnt + 1.0) / (r_tot + 256)) AS lam FROM c, tt)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |round(avg(lam), 6) AS dsir_weight
+        |FROM b JOIN lam USING (bkt) WHERE NOT is_target GROUP BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log analytics — sessionization, funnels, cohort retention.
+  *
+  * The reference's streaming jobs are event-log analytics (windowed
+  * counts over behavior streams — `HotItemAnalysis.java:103-108`,
+  * `HotMediaTrack.java:88-90`); this file is the batch family those
+  * generalize to: the per-user ORDERED analyses that windowed counts
+  * can't express. All three operators share one design rule for scale:
+  * the expensive exchange is the hash-partition by `user_id`, and each
+  * query pays it exactly once — every downstream step (running session
+  * sums, staged funnel minima, the per-session aggregate) either rides
+  * the same partitioning (a `groupBy` on a superset of the partition
+  * key needs no new exchange) or shuffles only user-cardinality or
+  * group-cardinality frames, never the event rows a second time.
+  */
+object EventAnalytics {
+
+  /** Gap-based sessionization: a new session starts when a user's gap
+    * from their previous event exceeds `gapMinutes`. Classic lag →
+    * running-sum-of-flags; the session number is a pure property of
+    * the user's event sequence, so the output is deterministic under
+    * any partitioning.
+    *
+    * Plan shape (pinned in EventAnalyticsSpec): ONE Exchange
+    * (hashpartitioning user_id) + one per-partition Sort feed both
+    * window computations AND the per-session aggregate —
+    * `groupBy(user_id, session_no)` clusters by a superset of the
+    * window's partition key, so Catalyst plans the final HashAggregate
+    * with no second exchange. At 100 TB the per-user sort spills
+    * per-partition; nothing buffers a whole user beyond the sort run.
+    *
+    * The gap compare is integer microseconds (`unix_micros`), not a
+    * float subtraction — exact, and mirrored verbatim by the oracle's
+    * `epoch_us` arithmetic. Ties on `ts` are ordered by `event_id`
+    * (a total order, so lag sees a deterministic neighbor).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Long = 720L): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = gapMinutes * 60L * 1000000L
+    val flagged = events.select(
+      col("user_id"), col("event_id"), col("ts"), col("value"),
+      when(lag(col("ts"), 1).over(byUser).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs,
+        1L).otherwise(0L).as("new_sess"))
+    flagged
+      .withColumn("session_no", sum(col("new_sess")).over(byUser))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 6).as("total_value"))
+  }
+
+  /** Ordered funnel: how far does each user get through
+    * stage1 → stage2 → stage3, where a later stage only counts if it
+    * happens STRICTLY AFTER the user's earliest completion of the
+    * previous one (the ordering is the point — an unordered version is
+    * three semi-joins).
+    *
+    * Implementation: three chained conditional-min windows over the
+    * SAME unordered `partitionBy(user_id)` spec — `t2`'s predicate
+    * references `t1`, so Catalyst stacks three Window nodes, but they
+    * share one partitioning and need no sort (unbounded frames):
+    * total cost is ONE exchange of the filtered event rows, then a
+    * same-key aggregate collapses to one row per user with no further
+    * shuffle. A NULL earlier stage propagates: the `ts > t1` predicate
+    * is null, the conditional never fires, and `stage_reached` counts
+    * only the unbroken prefix.
+    */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.length == 3, s"funnel expects 3 stages, got $stages")
+    val byUser = Window.partitionBy(col("user_id"))
+    val staged = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === stages(0), col("ts"))).over(byUser))
+      .withColumn("t2",
+        min(when(col("event_type") === stages(1) && col("ts") > col("t1"),
+          col("ts"))).over(byUser))
+      .withColumn("t3",
+        min(when(col("event_type") === stages(2) && col("ts") > col("t2"),
+          col("ts"))).over(byUser))
+    staged
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t_stage1"),
+        first(col("t2")).as("t_stage2"),
+        first(col("t3")).as("t_stage3"))
+      .select(col("user_id"), col("t_stage1"), col("t_stage2"), col("t_stage3"),
+        (col("t_stage1").isNotNull.cast("long") +
+          col("t_stage2").isNotNull.cast("long") +
+          col("t_stage3").isNotNull.cast("long")).as("stage_reached"))
+  }
+
+  /** Cohort retention: users grouped by their first-activity day; for
+    * each (cohort_day, day_offset ≤ maxOffsetDays), how many of the
+    * cohort were active that day. The workhorse readout of any event
+    * product — and of training-data freshness audits (which ingest
+    * cohorts still contribute documents N days on).
+    *
+    * Two event-row passes (first-day aggregate + per-day distinct),
+    * both keyed on `user_id` so the join is co-partitioned; the final
+    * aggregate shuffles only (cohort, offset, user) distinct activity
+    * rows — bounded by users × maxOffset, not by event rows. The
+    * distinct-before-join keeps the join input at user×day
+    * cardinality; joining raw events first would replicate the cohort
+    * row per event.
+    */
+  def retention(events: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    val firstDay = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val activeDays = events
+      .select(col("user_id"), to_date(col("ts")).as("active_day"))
+      .distinct()
+    activeDays.join(firstDay, Seq("user_id"))
+      .select(col("cohort_day"),
+        datediff(col("active_day"), col("cohort_day")).as("day_offset"))
+      .filter(col("day_offset") <= maxOffsetDays)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      // DATE round-trips as a different physical type per engine
+      // (date32 → pandas object vs DuckDB datetime64); the timestamp
+      // cast keeps the oracle compare on one dtype
+      .withColumn("cohort_day", col("cohort_day").cast("timestamp"))
+  }
+}

@@ -73,6 +73,37 @@ object SimSearch {
         array_max(col("codes")).cast("long").as("code_max"),
         col("scale"))
 
+  /** L2 normalization — the preprocessing step every cosine-similarity
+    * pipeline (ANN search, SemDeDup, clustering) runs first so dot
+    * products ARE cosines downstream. Pure map-side array expressions:
+    * the norm folds once per row, each element divides by it; zero
+    * vectors pass through unchanged (norm 0 → the guard keeps zeros
+    * instead of dividing). No shuffle, codegen'd, deterministic —
+    * arithmetic is all-double (the float elements are cast up BEFORE
+    * multiplying, so the oracle's `CAST(x AS DOUBLE)` spelling matches
+    * bit-for-bit). */
+  def normalizeL2(embeddings: DataFrame): DataFrame = {
+    val v = asDouble(col("embedding"))
+    embeddings
+      .select(col("vec_id"), v.as("v"),
+        sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)).as("l2_norm"))
+      .select(col("vec_id"), col("l2_norm"),
+        when(col("l2_norm") === 0.0, col("v"))
+          .otherwise(transform(col("v"), x => x / col("l2_norm"))).as("unit"))
+  }
+
+  /** Declared query q_embed_norm: per-vector norm summary (dim, norm,
+    * checksum of the normalized elements) — every element participates
+    * in the oracle hash through the checksum, rounded to the oracle's
+    * 1e-6 canonicalization grain so the last-bit double noise of
+    * cross-engine fold order cannot flip the hash. */
+  def embedNormQ(embeddings: DataFrame): DataFrame =
+    normalizeL2(embeddings)
+      .select(col("vec_id"),
+        size(col("unit")).cast("long").as("n_dims"),
+        round(col("l2_norm"), 6).as("l2_norm"),
+        round(aggregate(col("unit"), lit(0.0), (a, x) => a + x), 6).as("unit_sum"))
+
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting
@@ -216,6 +217,36 @@ object TextOps {
     PiiPatterns.foldLeft(df) { case (d, (pat, _, cnt)) =>
       d.withColumn(cnt, regexp_count(col(textCol), lit(pat)).cast("long"))
     }.withColumn(textCol, redacted)
+  }
+
+  /** Top-k vocabulary with cumulative coverage — the tokenizer-design
+    * readout (how many vocabulary entries cover what fraction of the
+    * corpus token stream). Scale shape: one explode + partial+final
+    * hash count builds the (token, n) table ONCE (tracked cache — the
+    * corpus-sized explode must not run twice for the total and the
+    * top-k), then the corpus total is a one-row aggregate cross-joined
+    * as a scalar, the top k comes from TakeOrderedAndProject (heap, no
+    * full sort), and the running coverage window orders only the k
+    * surviving rows — the single-partition window is bounded by k, by
+    * construction, never by vocabulary size. Deterministic tie-break
+    * (n desc, token asc) keeps the cut line and the running sum
+    * oracle-stable. */
+  def vocabQ(docs: DataFrame, k: Int = 200): DataFrame = {
+    val counts = PipelineCaches.track(
+      graft.sources.Tables.fanout(docs)
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n")))
+    val total = counts.agg(sum(col("n")).as("total_n"))
+    val byCount = Window.orderBy(col("n").desc, col("token").asc)
+    counts.orderBy(col("n").desc, col("token").asc).limit(k)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(byCount).cast("long").as("rank"),
+        col("token"), col("n"),
+        round(sum(col("n")).over(byCount).cast("double") /
+          col("total_n").cast("double"), 6).as("cum_share"))
   }
 
   /** Declared query (q_redact): the fixture corpus is digit-free word

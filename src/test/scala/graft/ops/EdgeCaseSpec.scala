@@ -198,4 +198,35 @@ class EdgeCaseSpec extends SparkSuite {
     val one = Relational.scd2Q(flat.filter(col("event_id") === 1L)).head
     assert(one.isNullAt(5) && one.getLong(6) == 1L)
   }
+
+  test("event-analytics and vocab/norm operators degrade gracefully on EMPTY input") {
+    import spark.implicits._
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventAnalytics.sessionize(noEvents).isEmpty)
+    assert(EventAnalytics.funnel(noEvents).isEmpty)
+    assert(EventAnalytics.retention(noEvents).isEmpty)
+    // a single event is a complete one-event session and a day-0 cohort
+    val lone = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s = EventAnalytics.sessionize(lone).head
+    assert(s.getLong(1) == 1L && s.getLong(4) == 1L)
+    val r = EventAnalytics.retention(lone).head
+    assert(r.getInt(1) == 0 && r.getLong(2) == 1L)
+    // funnel with only a later-stage event: stage 1 unreached → stage_reached 0
+    val clickOnly = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val f = EventAnalytics.funnel(clickOnly).head
+    assert(f.isNullAt(1) && f.isNullAt(2) && f.getLong(4) == 0L)
+    // vocab of an empty / all-whitespace corpus: zero rows, no division blowup
+    assert(TextOps.vocabQ(docs(), k = 10).isEmpty)
+    assert(TextOps.vocabQ(docs((1L, "   ")), k = 10).isEmpty)
+    PipelineCaches.release(spark)
+    // zero vector normalizes to itself (no ANSI divide-by-zero), empty frame passes
+    val noVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(SimSearch.embedNormQ(noVecs).isEmpty)
+    val zero = Seq((1L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val z = SimSearch.embedNormQ(zero).head
+    assert(z.getDouble(2) == 0.0 && z.getDouble(3) == 0.0)
+  }
 }

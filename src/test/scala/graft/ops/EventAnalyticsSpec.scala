@@ -1,0 +1,151 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSuite
+import graft.sources.Tables
+
+/** Event-analytics laws: each operator is checked exactly against a
+  * driver-side reference implementation over the real sf0.001 events
+  * table (1000 rows — small enough to replay in Scala, real enough to
+  * carry ties, gaps, and multi-day spans), plus the plan pins that
+  * hold the one-exchange designs. */
+class EventAnalyticsSpec extends SparkSuite {
+
+  private lazy val events: Seq[(Long, Long, Timestamp, Double, String)] =
+    Tables.events(spark, sf)
+      .select("user_id", "event_id", "ts", "value", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getDouble(3), r.getString(4)))
+      .toSeq
+
+  // --- sessionize ---
+
+  private def refSessions(gapMinutes: Long): Map[(Long, Long), (Timestamp, Timestamp, Long)] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    def us(t: Timestamp) = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.groupBy(_._1).flatMap { case (user, evs) =>
+      val ordered = evs.sortBy(e => (us(e._3), e._2))
+      var sess = 0L
+      var prev = Long.MinValue
+      val tagged = ordered.map { e =>
+        if (prev == Long.MinValue || us(e._3) - prev > gapUs) sess += 1
+        prev = us(e._3)
+        (sess, e)
+      }
+      tagged.groupBy(_._1).map { case (s, g) =>
+        val ts = g.map(_._2._3)
+        (user, s) -> (ts.minBy(us), ts.maxBy(us), g.size.toLong)
+      }
+    }
+  }
+
+  test("sessionize matches the driver-side reference on real events") {
+    val got = EventAnalytics.sessionize(Tables.events(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+      .toMap
+    val want = refSessions(720L)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (s, e, n)) =>
+      assert((s, e, n) == want(k), s"session $k")
+    }
+  }
+
+  test("sessionize plan: one exchange feeds windows AND the per-session aggregate") {
+    val plan = EventAnalytics.sessionize(Tables.events(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(800))
+  }
+
+  test("sessionize: sessions are maximal (boundary gaps exceed the threshold)") {
+    // adjacent sessions of the same user must be separated by > gap —
+    // otherwise the flag logic merged or split wrongly somewhere
+    val gapUs = 720L * 60L * 1000000L
+    def us(t: Timestamp) = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val rows = EventAnalytics.sessionize(Tables.events(spark, sf))
+      .select("user_id", "session_no", "session_start", "session_end")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getTimestamp(3)))
+      .sortBy(t => (t._1, t._2))
+    rows.sliding(2).foreach {
+      case Array((u1, s1, _, end1), (u2, s2, start2, _)) if u1 == u2 =>
+        assert(s2 == s1 + 1, s"session numbering gap for user $u1")
+        assert(us(start2) - us(end1) > gapUs,
+          s"user $u1 sessions $s1/$s2 closer than the gap")
+      case _ => ()
+    }
+  }
+
+  // --- funnel ---
+
+  test("funnel matches the driver-side reference on real events") {
+    def us(t: Timestamp) = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val want = events.groupBy(_._1).map { case (user, evs) =>
+      val t1 = evs.filter(_._5 == "view").map(_._3).sortBy(us).headOption
+      val t2 = t1.flatMap(a =>
+        evs.filter(e => e._5 == "click" && us(e._3) > us(a)).map(_._3).sortBy(us).headOption)
+      val t3 = t2.flatMap(b =>
+        evs.filter(e => e._5 == "purchase" && us(e._3) > us(b)).map(_._3).sortBy(us).headOption)
+      user -> (t1, t2, t3, t1.size + t2.size + t3.size.toLong)
+    }
+    val got = EventAnalytics.funnel(Tables.events(spark, sf))
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+        Option(r.getTimestamp(3)), r.getLong(4)))
+      .toMap
+    // users with no funnel-stage events at all produce no row (the
+    // filter drops them before the window) — compare on the union and
+    // require absent users to have an empty reference funnel
+    want.foreach { case (u, w) =>
+      got.get(u) match {
+        case Some(g) => assert(g == w, s"user $u")
+        case None => assert(w._4 == 0L, s"user $u missing but reached ${w._4}")
+      }
+    }
+    assert(got.keySet.subsetOf(want.keySet))
+  }
+
+  test("funnel: stage counts are monotone non-increasing, plan has one exchange") {
+    val df = EventAnalytics.funnel(Tables.events(spark, sf))
+    val reached = df.groupBy().agg(
+      org.apache.spark.sql.functions.sum(col("t_stage1").isNotNull.cast("long")),
+      org.apache.spark.sql.functions.sum(col("t_stage2").isNotNull.cast("long")),
+      org.apache.spark.sql.functions.sum(col("t_stage3").isNotNull.cast("long")))
+      .collect()(0)
+    assert(reached.getLong(0) >= reached.getLong(1))
+    assert(reached.getLong(1) >= reached.getLong(2))
+    assert(reached.getLong(0) > 0, "fixture must exercise stage 1")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(800))
+  }
+
+  // --- retention ---
+
+  test("retention matches the driver-side reference; offset 0 equals cohort size") {
+    val day = java.time.ZoneOffset.UTC
+    def dayOf(t: Timestamp) = t.toInstant.atZone(day).toLocalDate
+    val firstDay = events.groupBy(_._1).map { case (u, evs) =>
+      u -> evs.map(e => dayOf(e._3)).min(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    }
+    val want = events.flatMap(e => Some((e._1, dayOf(e._3)))).distinct
+      .map { case (u, d) => (firstDay(u), d.toEpochDay - firstDay(u).toEpochDay) }
+      .filter(_._2 <= 7)
+      .groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val got = EventAnalytics.retention(Tables.events(spark, sf))
+      .collect()
+      .map(r => (r.getTimestamp(0).toInstant.atZone(day).toLocalDate,
+        r.getInt(1).toLong) -> r.getLong(2))
+      .toMap
+    assert(got == want.map { case ((d, o), n) => (d, o) -> n })
+    // offset 0 is the cohort size: every user is active on their first day
+    val cohortSizes = firstDay.groupBy(_._2).map { case (d, g) => d -> g.size.toLong }
+    cohortSizes.foreach { case (d, n) =>
+      assert(got((d, 0L)) == n, s"cohort $d day-0")
+    }
+  }
+}

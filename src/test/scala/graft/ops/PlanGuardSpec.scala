@@ -26,9 +26,13 @@ class PlanGuardSpec extends SparkSuite {
   // broadcast the ONE-row boilerplate-span hash array for the in-row
   // filter (Dedup.applySpanFilter's gated fast path)
   private val bnljAllowed =
+    // q_vocab broadcasts the ONE-row corpus token total onto the k
+    // surviving vocabulary rows (TextOps.vocabQ); q_bm25 the ONE-row
+    // (n_docs, avgdl) scalar; q_dsir the ONE-row smoothing totals onto
+    // the ≤nBuckets count rows (Scoring)
     Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
       "q_dedup_ngram", "q_tfidf", "q_cluster", "q_profile_approx",
-      "q_line_dedup", "q_line_dedup_incr")
+      "q_line_dedup", "q_line_dedup_incr", "q_vocab", "q_bm25", "q_dsir")
 
   test("skew split join: hot path broadcasts by construction, cold path shuffles") {
     // isolated session (suites may run in parallel; see DedupVerifyModeSpec)

@@ -1,0 +1,87 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import graft.SparkSuite
+import graft.sources.Tables
+
+/** Exact driver-side reference replays for the scoring operators over
+  * the real sf0.001 documents table. */
+class ScoringSpec extends SparkSuite {
+
+  private lazy val docs: Seq[(Long, String, String, String)] =
+    Tables.documents(spark, sf)
+      .select("doc_id", "text", "lang", "source")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSeq
+
+  private def toksOf(text: String): Seq[String] =
+    text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("bm25 matches the driver-side reference") {
+    val terms = Seq("data", "query", "engine", "fast")
+    val tokenized = docs.map { case (id, text, _, _) => id -> toksOf(text) }
+    val withTok = tokenized.filter(_._2.nonEmpty)
+    val nDocs = withTok.size.toDouble
+    val avgdl = withTok.map(_._2.size).sum.toDouble / nDocs
+    val dfm = terms.map(t => t -> withTok.count(_._2.contains(t)).toDouble).toMap
+    val want = withTok.flatMap { case (id, tk) =>
+      val matched = terms.filter(tk.contains)
+      if (matched.isEmpty) None
+      else {
+        val dl = tk.size.toDouble
+        val score = matched.map { t =>
+          val tf = tk.count(_ == t).toDouble
+          val idf = math.log((nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+          idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+        }.sum
+        Some(id -> (matched.size.toLong, score))
+      }
+    }.toMap
+    val got = Scoring.bm25Q(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (n, s)) =>
+      assert(n == want(id)._1, s"doc $id terms")
+      assert(math.abs(s - want(id)._2) < 1e-5, s"doc $id bm25 $s vs ${want(id)._2}")
+    }
+  }
+
+  test("dsir matches the driver-side reference; target docs are never scored") {
+    val nBuckets = 256
+    def bucket(tok: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % nBuckets
+    }
+    val flagged = docs.map { case (id, text, lang, source) =>
+      (id, toksOf(text).map(bucket),
+        lang == "en" && Set("src1", "src2", "src3").contains(source))
+    }
+    val tCnt = new Array[Long](nBuckets)
+    val rCnt = new Array[Long](nBuckets)
+    flagged.foreach { case (_, bks, isT) =>
+      bks.foreach(b => if (isT) tCnt(b.toInt) += 1 else rCnt(b.toInt) += 1)
+    }
+    val (tTot, rTot) = (tCnt.sum.toDouble, rCnt.sum.toDouble)
+    def lam(b: Int): Double =
+      math.log((tCnt(b) + 1.0) / (tTot + nBuckets)) -
+        math.log((rCnt(b) + 1.0) / (rTot + nBuckets))
+    val want = flagged.filter(f => !f._3 && f._2.nonEmpty).map { case (id, bks, _) =>
+      id -> (bks.size.toLong, bks.map(b => lam(b.toInt)).sum / bks.size)
+    }.toMap
+    val got = Scoring.dsirQ(spark, Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet, "candidate set mismatch")
+    got.foreach { case (id, (n, w)) =>
+      assert(n == want(id)._1, s"doc $id n_tok")
+      assert(math.abs(w - want(id)._2) < 1e-5, s"doc $id weight $w vs ${want(id)._2}")
+    }
+    // no target doc is ever scored
+    val targets = flagged.filter(_._3).map(_._1).toSet
+    assert(got.keySet.intersect(targets).isEmpty)
+  }
+}

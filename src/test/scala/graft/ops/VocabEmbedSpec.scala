@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.Tables
+
+/** Laws for the vocabulary-coverage and embedding-normalization
+  * operators, checked against driver-side references on the real
+  * sf0.001 tables. */
+class VocabEmbedSpec extends SparkSuite {
+
+  test("vocab matches a driver-side token count; coverage is monotone to ≤ 1") {
+    val docs = Tables.documents(spark, sf)
+    val counts = docs.collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+"))
+      .filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val total = counts.values.sum.toDouble
+    val want = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(50)
+    val got = TextOps.vocabQ(docs, k = 50).orderBy("rank").collect()
+    assert(got.length == math.min(50, counts.size),
+      s"expected min(k, vocab)=${math.min(50, counts.size)} rows")
+    var cum = 0L
+    got.zip(want).zipWithIndex.foreach { case ((r, (tok, n)), i) =>
+      assert(r.getLong(0) == i + 1, "rank is dense")
+      assert(r.getString(1) == tok && r.getLong(2) == n, s"rank ${i + 1}")
+      cum += n
+      assert(math.abs(r.getDouble(3) - cum / total) < 1e-6, s"coverage at ${i + 1}")
+    }
+    val shares = got.map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b }, "monotone")
+    assert(shares.last <= 1.0 + 1e-9)
+    PipelineCaches.release(spark)
+  }
+
+  test("vocab plan: top-k via TakeOrdered, window only above the k-row frame") {
+    val plan = TextOps.vocabQ(Tables.documents(spark, sf), k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+    PipelineCaches.release(spark)
+  }
+
+  test("embedNorm: norm and checksum reconstruct the raw sums; map-side only") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = SimSearch.embedNormQ(emb)
+    val got = df.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val raw = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      r.getLong(0) -> v
+    }.toMap
+    assert(got.keySet == raw.keySet)
+    raw.foreach { case (id, v) =>
+      val (dims, norm, unitSum) = got(id)
+      assert(dims == v.length)
+      val trueNorm = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(norm - trueNorm) < 1e-5, s"vec $id norm")
+      val trueUnit = if (trueNorm == 0) v.sum else v.map(_ / trueNorm).sum
+      assert(math.abs(unitSum - trueUnit) < 1e-5, s"vec $id unit sum")
+    }
+    // pure map-side: no exchange anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+  }
+}
