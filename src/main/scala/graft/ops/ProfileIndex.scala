@@ -66,6 +66,34 @@ object ProfileIndex {
   def writeProfileSketches(li: DataFrame, dir: String, nShards: Int = 8): Unit =
     sketchFrame(li, nShards).write.mode("overwrite").parquet(dir)
 
+  /** Compact the accumulated per-append file-sets back to one row per
+    * shard — the maintenance half of the ingestion loop, mirroring
+    * [[Dedup.compactNearDupIndex]]: a long-running ingestion appends one
+    * row-set per micro-batch, and while the MERGE stays cheap (KB-sized
+    * sketch rows), the file count grows without bound. Sketch states
+    * union losslessly, so compaction is a pure re-aggregation: read,
+    * merge per shard, rewrite via a temp dir + atomic move (the index
+    * stays readable if compaction dies mid-write). */
+  def compactProfileSketches(spark: SparkSession, dir: String): Unit = {
+    val idx = spark.read.parquet(dir)
+    val aggs =
+      Seq(sum(col("n_rows")).as("n_rows")) ++
+        (NumCols ++ StrCols).flatMap { n =>
+          Seq(sum(col(s"cnt_$n")).as(s"cnt_$n"),
+            hll_union_agg(col(s"hll_$n"), lit(false)).as(s"hll_$n"),
+            min(col(s"min_$n")).as(s"min_$n"),
+            max(col(s"max_$n")).as(s"max_$n"))
+        }
+    val merged = idx.groupBy(col("shard")).agg(aggs.head, aggs.tail: _*)
+    val tmp = dir.stripSuffix("/") + ".compact_tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Merge the accumulated index into the one-row-per-column profile
     * frame (same schema as [[Relational.profileApproxQ]]): sums/min/max
     * merge exactly, cardinalities via `hll_union_agg` → estimate. The

@@ -81,6 +81,23 @@ class EventAnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("sessionize laws: events conserved at any gap; session count monotone in gap") {
+    val ev = Tables.events(spark, sf)
+    val total = ev.count()
+    val counts = Seq(1L, 60L, 720L, 527040L).map { gap =>
+      val df = EventAnalytics.sessionize(ev, gapMinutes = gap)
+      val agg = df.agg(org.apache.spark.sql.functions.sum(col("n_events")),
+        org.apache.spark.sql.functions.count(col("session_no"))).collect()(0)
+      assert(agg.getLong(0) == total, s"gap=$gap must conserve events")
+      agg.getLong(1)
+    }
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"session count must shrink as the gap grows: $counts")
+    // a gap longer than the fixture's whole span → one session per user
+    val users = ev.select("user_id").distinct().count()
+    assert(counts.last == users, "huge gap collapses to one session per user")
+  }
+
   // --- funnel ---
 
   test("funnel matches the driver-side reference on real events") {

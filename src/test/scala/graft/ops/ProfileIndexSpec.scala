@@ -7,6 +7,12 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 import graft.sources.Tables
 
+/** Micro-batch row shape for the streaming ingestion test — the
+  * profiled lineitem lanes plus the shard-hash key. */
+case class LiBatchRow(l_orderkey: Long, l_linenumber: Int, l_quantity: Double,
+    l_extendedprice: Double, l_shipdate: java.time.LocalDateTime,
+    l_returnflag: String, l_linestatus: String)
+
 /** Laws for the persisted mergeable profile index: every non-distinct
   * lane is EXACT and append-order-invariant; the HLL cardinalities stay
   * inside the sketch's published error at lgK=12 (rsd ≈ 1.6 %, asserted
@@ -72,6 +78,60 @@ class ProfileIndexSpec extends SparkSuite {
     assert(prof("l_quantity").getDouble(5) == d.getDouble(1))
     assert(prof("l_returnflag").getString(6) == d.getString(2))
     assert(prof("l_returnflag").getString(7) == d.getString(3))
+  }
+
+  test("compaction collapses to one row-set per shard and preserves the profile") {
+    val idx = tmp()
+    ProfileIndex.writeProfileSketches(li.filter(col("l_orderkey") % 3 === 0), idx, nShards = 4)
+    ProfileIndex.appendProfileSketches(li.filter(col("l_orderkey") % 3 === 1), idx, nShards = 4)
+    ProfileIndex.appendProfileSketches(li.filter(col("l_orderkey") % 3 === 2), idx, nShards = 4)
+    def snap() = ProfileIndex.profileFromSketches(spark, idx)
+      .collect().map(r => r.toSeq.toList).sortBy(_.head.toString).toSeq
+    val before = snap()
+    assert(spark.read.parquet(idx).count() == 12)
+    ProfileIndex.compactProfileSketches(spark, idx)
+    assert(spark.read.parquet(idx).count() == 4, "one row per shard after compaction")
+    // DataSketches HLL union is lossless at one lgK: the compacted
+    // profile is IDENTICAL, estimates included
+    assert(snap() == before)
+    // and the index keeps accepting appends after compaction
+    ProfileIndex.appendProfileSketches(li.limit(50), idx, nShards = 4)
+    assert(ProfileIndex.profileFromSketches(spark, idx)
+      .filter(col("column_name") === "l_orderkey")
+      .head().getLong(1) == li.count() + 50)
+  }
+
+  test("streaming ingestion: foreachBatch folds each micro-batch into the standing profile") {
+    import spark.implicits._
+    val idx = tmp()
+    ProfileIndex.writeProfileSketches(li.filter(col("l_orderkey") % 2 === 0), idx)
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[LiBatchRow](spark)
+    val delta = li.filter(col("l_orderkey") % 2 === 1)
+    val deltaRows = delta.select("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_shipdate", "l_returnflag", "l_linestatus")
+      .collect().map(r => LiBatchRow(r.getLong(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getAs[java.time.LocalDateTime](4), r.getString(5), r.getString(6)))
+    val (half1, half2) = deltaRows.splitAt(deltaRows.length / 2)
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        ProfileIndex.appendProfileSketches(batch, idx)
+      }
+      .option("checkpointLocation", tmp())
+      .start()
+    stream.addData(half1.toIndexedSeq)
+    q.processAllAvailable()
+    stream.addData(half2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val prof = ProfileIndex.profileFromSketches(spark, idx)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = exactProfile
+    exact.keySet.foreach { c =>
+      assert(prof(c).getLong(1) == exact(c)._1, s"$c rows after streaming appends")
+      assert(prof(c).getLong(2) == exact(c)._2, s"$c nulls")
+      val est = prof(c).getLong(3).toDouble
+      assert(math.abs(est - exact(c)._3) <= math.max(1.0, exact(c)._3 * 0.05), s"$c distinct")
+    }
   }
 
   test("index stays metadata-scale: rows = appends × shards, and the read plan scans no data table") {
