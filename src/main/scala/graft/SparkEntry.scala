@@ -157,7 +157,11 @@ object SparkEntry {
     "q_profile_incr" -> ((s, d) => ProfileIndex.profileIncrQ(s, d)),
     // retrieval + data-selection scoring
     "q_bm25" -> ((s, d) => Scoring.bm25Q(Tables.documents(s, d))),
-    "q_dsir" -> ((s, d) => Scoring.dsirQ(s, Tables.documents(s, d)))
+    "q_dsir" -> ((s, d) => Scoring.dsirQ(s, Tables.documents(s, d))),
+    // RAG-style sliding-window chunking: map-side, one Generate
+    "q_chunk" -> ((s, d) => TextOps.chunkQ(Tables.documents(s, d))),
+    // URL canonicalization + exact dedup (the CommonCrawl-first step)
+    "q_dedup_url" -> ((s, d) => Dedup.urlDedupQ(Tables.documents(s, d)))
   )
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on
@@ -1122,6 +1126,35 @@ object SparkEntry {
         |- ln((r_cnt + 1.0) / (r_tot + 256)) AS lam FROM c, tt)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
         |round(avg(lam), 6) AS dsir_weight
-        |FROM b JOIN lam USING (bkt) WHERE NOT is_target GROUP BY doc_id""".stripMargin
+        |FROM b JOIN lam USING (bkt) WHERE NOT is_target GROUP BY doc_id""".stripMargin,
+    // Window 64 / stride 48; DuckDB list slice is 1-based inclusive on
+    // both ends, so [s*48+1 : s*48+64] is Spark's slice(toks, s*48+1, 64).
+    "q_chunk" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n_tok,
+        |unnest(range(0, 1 + CAST(ceil(greatest(n_tok - 64, 0) / 48.0) AS INT))) AS chunk_id
+        |FROM n)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |CAST(least(64, n_tok - chunk_id * 48) AS BIGINT) AS n_tok,
+        |array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    // Backreference dialects differ: Spark spells $1, DuckDB \1.
+    "q_dedup_url" ->
+      """WITH m AS (SELECT doc_id,
+        |(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END)
+        ||| source || '.Example.COM/docs/' || CAST(doc_id % 40 AS VARCHAR)
+        ||| (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        ||| (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&ref=x' ELSE '' END)
+        ||| (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END) AS url FROM documents),
+        |c AS (SELECT doc_id,
+        |regexp_replace(regexp_replace(
+        |lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]*)', 1))
+        ||| regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+        |'^(https?://)www\.', '\1'), '/$', '') AS canon_url FROM m)
+        |SELECT min(doc_id) AS doc_id, canon_url, CAST(count(*) AS BIGINT) AS dup_cnt
+        |FROM c GROUP BY canon_url""".stripMargin
   )
 }

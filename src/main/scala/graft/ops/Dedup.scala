@@ -99,6 +99,52 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
       .select("doc_id", "dup_cnt")
 
+  /** URL canonicalization + exact dedup by canonical URL — the
+    * CommonCrawl-first curation step that runs BEFORE any content
+    * dedup: two fetches of one page differ only in scheme case, a
+    * `www.` prefix, tracking query params, fragments, or a trailing
+    * slash. Canonical form: lowercase scheme+host, strip `www.`, drop
+    * `?query` and `#fragment`, strip one trailing `/`. Keep the
+    * minimum doc_id per canonical URL with the group size — identical
+    * shuffle shape to [[exactDedup]] (one hash-partition on a short
+    * key), so the 100 TB posture is the same: at scale hash the
+    * canonical string to fixed width before the shuffle. All
+    * regexp/string builtins, codegen'd, no UDF. */
+  def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame = {
+    val hostLowered = concat(
+      lower(regexp_extract(col(urlCol), "^([a-zA-Z]+://[^/?#]*)", 1)),
+      regexp_extract(col(urlCol), "^[a-zA-Z]+://[^/?#]*([^?#]*)", 1))
+    val canon = regexp_replace(
+      regexp_replace(hostLowered, "^(https?://)www\\.", "$1"),
+      "/$", "")
+    docs
+      .select(col("doc_id"), canon.as("canon_url"))
+      .groupBy(col("canon_url"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("doc_id"), col("canon_url"), col("dup_cnt"))
+  }
+
+  /** Declared query q_dedup_url: the fixture corpus has no URL column,
+    * so the query synthesizes one deterministic messy URL per row from
+    * (doc_id, source) — scheme/host case noise, an alternating `www.`
+    * prefix, utm query params, fragments, trailing slashes — then
+    * canonicalizes and dedups. Every canonicalization rule fires on a
+    * known subset of rows and the full canonical string participates
+    * in the oracle hash. The ×40 path collision is the dedup under
+    * test: doc_ids sharing (source, doc_id % 40) map to one canonical
+    * URL. */
+  def urlDedupQ(docs: DataFrame): DataFrame = {
+    val messy = docs.select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("https://")),
+        col("source"), lit(".Example.COM/docs/"),
+        (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("?utm_source=feed&ref=x")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit(""))).as("url"))
+    urlDedup(messy)
+  }
+
   /** Per-document MinHash signature: NumHashes columns h0..h7, as LONGs
     * (15 hex chars of an md5 — 60 bits, sign-safe). Longs matter for the
     * plan: min(long) aggregates in the Tungsten hash map (HashAggregate)

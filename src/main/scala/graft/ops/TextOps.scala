@@ -249,6 +249,33 @@ object TextOps {
           col("total_n").cast("double"), 6).as("cum_share"))
   }
 
+  /** Sliding-window document chunking — the RAG/embedding preprocessing
+    * step: cut each document's token stream into overlapping windows of
+    * `window` tokens every `stride` tokens (the final chunk may be
+    * short; a document shorter than one window is one chunk). Pure
+    * per-row array expressions and one Generate — embarrassingly
+    * parallel, no shuffle, no UDF. Chunk count per doc is
+    * 1 + ceil(max(n_tok − window, 0) / stride), so the last window
+    * always reaches the document's end and every token is covered.
+    * Output: (doc_id, chunk_id, n_tok BIGINT, chunk_text). */
+  def chunkQ(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0, s"window/stride must be positive")
+    val nTok = size(col("toks"))
+    val nChunks = (lit(1) +
+      ceil(greatest(nTok - window, lit(0)).cast("double") / stride).cast("int"))
+    graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"), toks(col("text")).as("toks"))
+      .withColumn("toks", filter(col("toks"), t => t =!= ""))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        least(lit(window), size(col("toks")) - col("chunk_id") * stride)
+          .cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("toks"), col("chunk_id") * stride + 1, lit(window)))
+          .as("chunk_text"))
+  }
+
   /** Declared query (q_redact): the fixture corpus is digit-free word
     * soup, so the query first synthesizes deterministic PII per row
     * (email, dotted IP, long id, dashed phone — all pure functions of
