@@ -40,12 +40,14 @@ object Scoring {
     val docLen = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val stats = docLen.agg(count(lit(1)).as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val dfTbl = tokens.filter(col("token").isin(terms: _*))
-      .groupBy(col("token"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-    val tf = tokens.filter(col("token").isin(terms: _*))
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // tf is docs × |terms| bounded — cache it and DERIVE df from it
+    // (df(t) = #rows of tf with that term), so the corpus token stream
+    // explodes twice total (lengths + tf), never three times
+    val tf = PipelineCaches.track(
+      tokens.filter(col("token").isin(terms: _*))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf")))
+    val dfTbl = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf.join(broadcast(dfTbl), Seq("token"))
       .join(docLen, Seq("doc_id"))
       .crossJoin(broadcast(stats))

@@ -98,6 +98,25 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(counts.last == users, "huge gap collapses to one session per user")
   }
 
+  test("sessionize agrees with Spark's builtin session_window aggregation") {
+    // independent implementation cross-check: the builtin gap-session
+    // aggregate must produce the same (user, n_events, start) session
+    // multiset. Boundary semantics differ only when a gap EXACTLY
+    // equals the threshold (builtin merges ts < prev+gap, ours splits
+    // on > gap); microsecond fixture timestamps never land there.
+    import org.apache.spark.sql.functions.{col => c, count, session_window, sum}
+    val ev = Tables.events(spark, sf)
+    def us(t: Timestamp) = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val builtin = ev.groupBy(session_window(c("ts"), "720 minutes"), c("user_id"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .select(c("user_id"), c("session_window.start").as("session_start"), c("n_events"))
+      .collect().map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2))).sorted
+    val ours = EventAnalytics.sessionize(ev)
+      .select(c("user_id"), c("session_start"), c("n_events"))
+      .collect().map(r => (r.getLong(0), us(r.getTimestamp(1)), r.getLong(2))).sorted
+    assert(ours.toSeq == builtin.toSeq)
+  }
+
   // --- funnel ---
 
   test("funnel matches the driver-side reference on real events") {
