@@ -36,28 +36,35 @@ object Scoring {
   def bm25Q(docs: DataFrame,
             terms: Seq[String] = Seq("data", "query", "engine", "fast"),
             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tokens = tokensOf(docs)
-    val docLen = tokens.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = docLen.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    // tf is docs × |terms| bounded — cache it and DERIVE df from it
-    // (df(t) = #rows of tf with that term), so the corpus token stream
-    // explodes twice total (lengths + tf), never three times
-    val tf = PipelineCaches.track(
-      tokens.filter(col("token").isin(terms: _*))
-        .groupBy(col("doc_id"), col("token"))
-        .agg(count(lit(1)).as("tf")))
-    val dfTbl = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfTbl), Seq("token"))
-      .join(docLen, Seq("doc_id"))
-      .crossJoin(broadcast(stats))
-      .select(col("doc_id"),
-        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-          col("tf") * (k1 + 1) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("term_score"))
+    // ONE corpus token pass: a pivot-style per-doc aggregate carries the
+    // document length AND one tf lane per query term (|terms| is small
+    // and fixed — the wide agg is |terms|+1 counters per doc). df per
+    // term then folds out of the SAME doc-cardinality frame (df(t) =
+    // #docs with tf_t > 0) in the one-row stats aggregate, so nothing
+    // re-explodes and no join is keyed on doc_id — everything after the
+    // per-doc aggregate is map-side against a broadcast scalar row.
+    val perDoc = tokensOf(docs)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_terms_matched"),
-        round(sum(col("term_score")), 6).as("bm25"))
+      .agg(count(lit(1)).as("dl"),
+        terms.map(t =>
+          count(when(col("token") === t, 1)).as(s"tf_$t")): _*)
+    val statAggs = Seq(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")) ++
+      terms.map(t => count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t")
+      when(tf > 0,
+        log((col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5) + 1.0) *
+          tf * (k1 + 1) /
+          (tf + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        terms.map(t => (col(s"tf_$t") > 0).cast("long"))
+          .reduce(_ + _).as("n_terms_matched"),
+        round(terms.map(termScore).reduce(_ + _), 6).as("bm25"))
+      .filter(col("n_terms_matched") > 0)
   }
 
   /** DSIR-style importance weights: hash every token into one of
