@@ -161,7 +161,11 @@ object SparkEntry {
     // RAG-style sliding-window chunking: map-side, one Generate
     "q_chunk" -> ((s, d) => TextOps.chunkQ(Tables.documents(s, d))),
     // URL canonicalization + exact dedup (the CommonCrawl-first step)
-    "q_dedup_url" -> ((s, d) => Dedup.urlDedupQ(Tables.documents(s, d)))
+    "q_dedup_url" -> ((s, d) => Dedup.urlDedupQ(Tables.documents(s, d))),
+    // per-user daily gap-filled series (per-user spine, co-partitioned fill)
+    "q_resample" -> ((s, d) => EventAnalytics.resampleDaily(Tables.events(s, d))),
+    // per-source token entropy: corpus-audit diversity readout
+    "q_entropy" -> ((s, d) => TextOps.entropyQ(Tables.documents(s, d)))
   )
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on
@@ -1155,6 +1159,34 @@ object SparkEntry {
         ||| regexp_extract(url, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
         |'^(https?://)www\.', '\1'), '/$', '') AS canon_url FROM m)
         |SELECT min(doc_id) AS doc_id, canon_url, CAST(count(*) AS BIGINT) AS dup_cnt
-        |FROM c GROUP BY canon_url""".stripMargin
+        |FROM c GROUP BY canon_url""".stripMargin,
+    // Per-user dense day spine from that user's own [min, max] span;
+    // zero-filled gaps; day emitted as TIMESTAMP for the dtype-stable
+    // compare (same DATE→TIMESTAMP convention as q_retention).
+    "q_resample" ->
+      """WITH pd AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS total_value
+        |FROM events GROUP BY 1, 2),
+        |sp AS (SELECT user_id, unnest(generate_series(CAST(min(ts) AS DATE),
+        |CAST(max(ts) AS DATE), INTERVAL 1 DAY)) AS day
+        |FROM events GROUP BY user_id)
+        |SELECT sp.user_id, CAST(sp.day AS TIMESTAMP) AS day,
+        |coalesce(pd.n_events, 0) AS n_events,
+        |coalesce(pd.total_value, 0.0) AS total_value
+        |FROM sp LEFT JOIN pd ON pd.user_id = sp.user_id AND pd.day = sp.day""".stripMargin,
+    // H = ln(n) - sum(c*ln c)/n over per-(source, token) counts; the
+    // normalized form guards the single-token ln(1) division.
+    "q_entropy" ->
+      """WITH tc AS (SELECT source AS slice, t AS token, count(*) AS c FROM
+        |(SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> '' GROUP BY 1, 2),
+        |s AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n,
+        |CAST(count(*) AS BIGINT) AS n_distinct,
+        |sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clnc FROM tc GROUP BY slice)
+        |SELECT slice, n, n_distinct,
+        |round(ln(CAST(n AS DOUBLE)) - clnc / n, 6) AS entropy,
+        |round(CASE WHEN n_distinct = 1 THEN 0.0
+        |ELSE (ln(CAST(n AS DOUBLE)) - clnc / n) / ln(CAST(n_distinct AS DOUBLE)) END, 6)
+        |AS norm_entropy FROM s""".stripMargin
   )
 }

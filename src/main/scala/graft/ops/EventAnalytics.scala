@@ -100,6 +100,31 @@ object EventAnalytics {
           col("t_stage3").isNotNull.cast("long")).as("stage_reached"))
   }
 
+  /** Time-series resampling with gap filling: each user's event stream
+    * becomes a DENSE daily series over [first day, last day] — days
+    * with no events zero-filled — the regularization step before any
+    * per-entity forecasting/sequence model trains on event data. The
+    * dense day spine is generated per user from the (user,
+    * min day, max day) aggregate via `sequence` (never a calendar
+    * cross-join against all users: a user's spine is exactly their own
+    * span, so spine cardinality is Σ spans, not users × global days).
+    * Both the per-day aggregate and the spine key on (user_id, day) —
+    * one co-partitioned left join fills the gaps. */
+  def resampleDaily(events: DataFrame): DataFrame = {
+    val perDay = events
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 6).as("total_value"))
+    val spine = events
+      .groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    spine.join(perDay, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("timestamp").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+  }
+
   /** Cohort retention: users grouped by their first-activity day; for
     * each (cohort_day, day_offset ≤ maxOffsetDays), how many of the
     * cohort were active that day. The workhorse readout of any event

@@ -249,6 +249,32 @@ object TextOps {
           col("total_n").cast("double"), 6).as("cum_share"))
   }
 
+  /** Per-slice token entropy — the corpus-audit readout (how diverse is
+    * each source's token distribution; a collapsing entropy flags
+    * template/boilerplate sources before any model sees them). Shannon
+    * entropy in nats via the algebraic identity
+    * H = ln(n) − Σ c·ln(c) / n, which needs only per-(slice, token)
+    * counts — one explode + two partial+final hash aggregates, never a
+    * p·ln(p) per-row pass over probabilities. Also reports the
+    * normalized form H / ln(#distinct) (1.0 = uniform; 0 for
+    * single-token slices by convention — ln(1) guards the division). */
+  def entropyQ(docs: DataFrame, sliceCol: String = "source"): DataFrame =
+    graft.sources.Tables.fanout(docs)
+      .select(col(sliceCol).as("slice"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("slice"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("slice"))
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clnc"))
+      .select(col("slice"), col("n"), col("n_distinct"),
+        round(log(col("n").cast("double")) - col("clnc") / col("n"), 6).as("entropy"),
+        round(when(col("n_distinct") === 1, lit(0.0))
+          .otherwise((log(col("n").cast("double")) - col("clnc") / col("n")) /
+            log(col("n_distinct").cast("double"))), 6).as("norm_entropy"))
+
   /** Sliding-window document chunking — the RAG/embedding preprocessing
     * step: cut each document's token stream into overlapping windows of
     * `window` tokens every `stride` tokens (the final chunk may be

@@ -45,6 +45,21 @@ class ChunkUrlSpec extends SparkSuite {
     assert(plan.contains("Generate"), plan.take(600))
   }
 
+  test("chunkQ with stride == window reconstructs the token stream exactly") {
+    val docs = Tables.documents(spark, sf)
+    val rebuilt = TextOps.chunkQ(docs, window = 32, stride = 32)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (doc, rows) =>
+        doc -> rows.sortBy(_.getLong(1)).map(_.getString(3)).mkString(" ")
+      }
+    val want = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" "))
+      .filter(_._2.nonEmpty).toMap
+    assert(rebuilt == want)
+  }
+
   test("urlDedup canonicalization: every rule fires; dup counts tile the corpus") {
     val docs = Tables.documents(spark, sf)
     val total = docs.count()

@@ -160,6 +160,30 @@ class EventAnalyticsSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(800))
   }
 
+  test("resampleDaily: dense per-user spine, events conserved, gaps zero-filled") {
+    val day = java.time.ZoneOffset.UTC
+    def dayOf(t: Timestamp) = t.toInstant.atZone(day).toLocalDate
+    val out = EventAnalytics.resampleDaily(Tables.events(spark, sf))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.atZone(day).toLocalDate,
+        r.getLong(2), r.getDouble(3)))
+    val byUser = out.groupBy(_._1)
+    val evByUser = events.groupBy(_._1)
+    assert(byUser.keySet == evByUser.keySet)
+    byUser.foreach { case (u, rows) =>
+      val days = rows.map(_._2).sortBy(_.toEpochDay)
+      val (d0, d1) = (evByUser(u).map(e => dayOf(e._3)).minBy(_.toEpochDay),
+        evByUser(u).map(e => dayOf(e._3)).maxBy(_.toEpochDay))
+      assert(days.head == d0 && days.last == d1, s"user $u span")
+      assert(days.length == d1.toEpochDay - d0.toEpochDay + 1, s"user $u density")
+      assert(days.distinct.length == days.length, s"user $u dup days")
+      assert(rows.map(_._3).sum == evByUser(u).size.toLong, s"user $u events conserved")
+      rows.filter(_._3 == 0).foreach { case (_, _, _, v) =>
+        assert(v == 0.0, s"user $u gap day with nonzero value")
+      }
+    }
+  }
+
   // --- retention ---
 
   test("retention matches the driver-side reference; offset 0 equals cohort size") {

@@ -41,6 +41,31 @@ class VocabEmbedSpec extends SparkSuite {
     PipelineCaches.release(spark)
   }
 
+  test("entropyQ matches a driver-side Shannon entropy; normalized form in [0, 1]") {
+    val docs = Tables.documents(spark, sf)
+    val want = docs.select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(t => (r.getString(0), t)))
+      .groupBy(identity).map { case ((s, t), g) => (s, t) -> g.length.toLong }
+      .groupBy(_._1._1).map { case (s, m) =>
+        val counts = m.values.map(_.toDouble)
+        val n = counts.sum
+        val h = counts.map(c => -(c / n) * math.log(c / n)).sum
+        s -> (n.toLong, m.size.toLong, h)
+      }
+    val got = TextOps.entropyQ(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (s, (n, nd, h)) =>
+      val (gn, gnd, gh, gnorm) = got(s)
+      assert(gn == n && gnd == nd, s"source $s counts")
+      assert(math.abs(gh - h) < 1e-5, s"source $s entropy $gh vs $h")
+      assert(gnorm >= 0.0 && gnorm <= 1.0 + 1e-9, s"source $s norm")
+      if (nd > 1) assert(math.abs(gnorm - h / math.log(nd.toDouble)) < 1e-5)
+    }
+  }
+
   test("embedNorm: norm and checksum reconstruct the raw sums; map-side only") {
     val emb = Tables.embeddings(spark, sf)
     val df = SimSearch.embedNormQ(emb)
