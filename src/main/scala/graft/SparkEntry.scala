@@ -165,7 +165,11 @@ object SparkEntry {
     // per-user daily gap-filled series (per-user spine, co-partitioned fill)
     "q_resample" -> ((s, d) => EventAnalytics.resampleDaily(Tables.events(s, d))),
     // per-source token entropy: corpus-audit diversity readout
-    "q_entropy" -> ((s, d) => TextOps.entropyQ(Tables.documents(s, d)))
+    "q_entropy" -> ((s, d) => TextOps.entropyQ(Tables.documents(s, d))),
+    // cross-slice vocabulary overlap (jaccard of token sets per source pair)
+    "q_source_overlap" -> ((s, d) => TextOps.sourceOverlapQ(Tables.documents(s, d))),
+    // collocations: top-k bigrams by PMI with a min-count guard
+    "q_pmi" -> ((s, d) => TextOps.pmiQ(Tables.documents(s, d)))
   )
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on
@@ -1187,6 +1191,39 @@ object SparkEntry {
         |round(ln(CAST(n AS DOUBLE)) - clnc / n, 6) AS entropy,
         |round(CASE WHEN n_distinct = 1 THEN 0.0
         |ELSE (ln(CAST(n AS DOUBLE)) - clnc / n) / ln(CAST(n_distinct AS DOUBLE)) END, 6)
-        |AS norm_entropy FROM s""".stripMargin
+        |AS norm_entropy FROM s""".stripMargin,
+    "q_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source AS slice, t AS token FROM
+        |(SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |sz AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_tok FROM st GROUP BY slice),
+        |i AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+        |CAST(count(*) AS BIGINT) AS n_common
+        |FROM st a JOIN st b ON a.token = b.token AND a.slice < b.slice
+        |GROUP BY 1, 2)
+        |SELECT slice_a, slice_b, n_common,
+        |round(CAST(n_common AS DOUBLE) / CAST(za.n_tok + zb.n_tok - n_common AS DOUBLE), 6)
+        |AS jaccard
+        |FROM i JOIN sz za ON za.slice = i.slice_a JOIN sz zb ON zb.slice = i.slice_b""".stripMargin,
+    // Same rounded-PMI ordering + (tok_a, tok_b) tie-break as the engine,
+    // so the top-k cut line is deterministic on both sides.
+    "q_pmi" ->
+      """WITH tk AS (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> x <> '') AS toks FROM documents),
+        |uni AS (SELECT t AS token, count(*) AS n_uni FROM
+        |(SELECT unnest(toks) AS t FROM tk) u GROUP BY t),
+        |bi AS (SELECT p['a'] AS tok_a, p['b'] AS tok_b, count(*) AS n_ab FROM
+        |(SELECT unnest(list_transform(range(1, len(toks)),
+        |i -> {'a': toks[i], 'b': toks[i+1]})) AS p FROM tk WHERE len(toks) >= 2) v
+        |GROUP BY 1, 2),
+        |tot AS (SELECT (SELECT CAST(sum(n_uni) AS DOUBLE) FROM uni) AS n_total,
+        |(SELECT CAST(sum(n_ab) AS DOUBLE) FROM bi) AS b_total)
+        |SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+        |round(ln((CAST(n_ab AS DOUBLE) / b_total) /
+        |((CAST(n_a AS DOUBLE) / n_total) * (CAST(n_b AS DOUBLE) / n_total))), 6) AS pmi
+        |FROM (SELECT bi.tok_a, bi.tok_b, bi.n_ab, ua.n_uni AS n_a, ub.n_uni AS n_b
+        |FROM bi JOIN uni ua ON ua.token = bi.tok_a JOIN uni ub ON ub.token = bi.tok_b
+        |WHERE bi.n_ab >= 5) j, tot
+        |ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50""".stripMargin
   )
 }

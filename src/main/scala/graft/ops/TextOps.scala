@@ -275,6 +275,86 @@ object TextOps {
           .otherwise((log(col("n").cast("double")) - col("clnc") / col("n")) /
             log(col("n_distinct").cast("double"))), 6).as("norm_entropy"))
 
+  /** Pairwise vocabulary overlap between corpus slices (sources): the
+    * cross-slice contamination audit next to [[entropyQ]]'s
+    * within-slice diversity. Jaccard of the slices' distinct token
+    * sets, computed without ever materializing a set: the (slice,
+    * token) distinct frame self-joins on token — candidate rows are
+    * Σ_token C(slices_with_token, 2), bounded by |vocab| · |slices|²
+    * where |slices| (sources/domains) is small by definition — then
+    * one pair-keyed count and an inclusion-exclusion union against the
+    * broadcast per-slice set sizes. Emits each unordered pair once
+    * (slice_a < slice_b). */
+  def sourceOverlapQ(docs: DataFrame, sliceCol: String = "source"): DataFrame = {
+    // (slice, token) distinct is |slices|·|vocab| bounded and read three
+    // times (sizes + both self-join sides) — tracked cache keeps the
+    // corpus at one explode
+    val st = PipelineCaches.track(
+      graft.sources.Tables.fanout(docs)
+        .select(col(sliceCol).as("slice"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .distinct())
+    val sizes = st.groupBy(col("slice")).agg(count(lit(1)).as("n_tok"))
+    val inter = st.select(col("slice").as("slice_a"), col("token"))
+      .join(st.select(col("slice").as("slice_b"), col("token")), Seq("token"))
+      .filter(col("slice_a") < col("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.withColumnRenamed("slice", "slice_a")
+        .withColumnRenamed("n_tok", "n_a")), Seq("slice_a"))
+      .join(broadcast(sizes.withColumnRenamed("slice", "slice_b")
+        .withColumnRenamed("n_tok", "n_b")), Seq("slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** Top-k token bigrams by pointwise mutual information — the
+    * collocation detector (PMI surfaces bigrams whose parts co-occur
+    * far above chance; raw counts just surface stopword pairs).
+    * PMI = ln((n_ab/B) / ((n_a/N)·(n_b/N))) over adjacent-pair and
+    * unigram counts; `minCount` suppresses the low-frequency PMI
+    * explosion (a hapax bigram of two hapax tokens has maximal PMI).
+    * Scale shape: the bigram and unigram count tables are both
+    * vocab-bounded; the two enrichment joins are token-keyed
+    * (broadcast when small, shuffle otherwise — Catalyst's call); the
+    * one-row totals broadcast; TakeOrderedAndProject keeps the top k
+    * on the ROUNDED score with a bigram tie-break so the cut line is
+    * oracle-stable. */
+  def pmiQ(docs: DataFrame, k: Int = 50, minCount: Int = 5): DataFrame = {
+    val toksF = graft.sources.Tables.fanout(docs)
+      .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
+      .withColumn("toks", filter(col("toks"), t => t =!= ""))
+    // both count tables are vocab-bounded and read twice (totals +
+    // enrichment joins) — tracked caches keep the corpus token stream
+    // at exactly two explodes (unigrams, bigrams)
+    val uni = PipelineCaches.track(
+      toksF.select(explode(col("toks")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_uni")))
+    val bi = PipelineCaches.track(
+      toksF.filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => struct(col("toks")(i).as("tok_a"), col("toks")(i + 1).as("tok_b")))).as("p"))
+        .select(col("p.tok_a"), col("p.tok_b"))
+        .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_ab")))
+    val totals = uni.agg(sum(col("n_uni")).as("n_total"))
+      .crossJoin(bi.agg(sum(col("n_ab")).as("b_total")))
+    bi.filter(col("n_ab") >= minCount)
+      .join(uni.withColumnRenamed("token", "tok_a").withColumnRenamed("n_uni", "n_a"),
+        Seq("tok_a"))
+      .join(uni.withColumnRenamed("token", "tok_b").withColumnRenamed("n_uni", "n_b"),
+        Seq("tok_b"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        round(log((col("n_ab").cast("double") / col("b_total")) /
+          ((col("n_a").cast("double") / col("n_total")) *
+            (col("n_b").cast("double") / col("n_total")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("tok_a").asc, col("tok_b").asc)
+      .limit(k)
+  }
+
   /** Sliding-window document chunking — the RAG/embedding preprocessing
     * step: cut each document's token stream into overlapping windows of
     * `window` tokens every `stride` tokens (the final chunk may be

@@ -30,9 +30,12 @@ class PlanGuardSpec extends SparkSuite {
     // surviving vocabulary rows (TextOps.vocabQ); q_bm25 the ONE-row
     // (n_docs, avgdl) scalar; q_dsir the ONE-row smoothing totals onto
     // the ≤nBuckets count rows (Scoring)
+    // q_pmi broadcasts the ONE-row (N, B) totals onto the vocab-bounded
+    // bigram table (TextOps.pmiQ)
     Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
       "q_dedup_ngram", "q_tfidf", "q_cluster", "q_profile_approx",
-      "q_line_dedup", "q_line_dedup_incr", "q_vocab", "q_bm25", "q_dsir")
+      "q_line_dedup", "q_line_dedup_incr", "q_vocab", "q_bm25", "q_dsir",
+      "q_pmi")
 
   test("skew split join: hot path broadcasts by construction, cold path shuffles") {
     // isolated session (suites may run in parallel; see DedupVerifyModeSpec)

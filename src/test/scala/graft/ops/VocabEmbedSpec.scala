@@ -66,6 +66,52 @@ class VocabEmbedSpec extends SparkSuite {
     }
   }
 
+  test("sourceOverlap matches driver-side pairwise jaccard; pairs emitted once") {
+    val docs = Tables.documents(spark, sf)
+    val sets = docs.select("source", "text").collect()
+      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+")
+        .filter(_.nonEmpty).map(t => (r.getString(0), t)))
+      .distinct.groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSet }
+    val slices = sets.keys.toSeq.sorted
+    val want = (for {
+      a <- slices; b <- slices if a < b
+      common = (sets(a) & sets(b)).size if common > 0
+    } yield (a, b) -> (common.toLong,
+      common.toDouble / (sets(a).size + sets(b).size - common))).toMap
+    val gotMap = TextOps.sourceOverlapQ(docs).collect()
+      .map(r => (r.getAs[String]("slice_a"), r.getAs[String]("slice_b")) ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+    assert(gotMap.keySet == want.keySet)
+    gotMap.foreach { case (k, (n, j)) =>
+      assert(n == want(k)._1, s"pair $k common")
+      assert(math.abs(j - want(k)._2) < 1e-5, s"pair $k jaccard")
+      assert(k._1 < k._2, s"pair $k not canonical order")
+    }
+    PipelineCaches.release(spark)
+  }
+
+  test("pmi matches a driver-side reference on the top-k cut") {
+    val (k, minCount) = (50, 5)
+    val docs = Tables.documents(spark, sf)
+    val tokenized = docs.select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val uni = tokenized.flatten.groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val bi = tokenized.filter(_.length >= 2)
+      .flatMap(ts => ts.zip(ts.tail))
+      .groupBy(identity).map { case (p, g) => p -> g.length.toLong }
+    val (nTot, bTot) = (uni.values.sum.toDouble, bi.values.sum.toDouble)
+    val want = bi.filter(_._2 >= minCount).map { case ((a, b), nab) =>
+      val pmi = math.log((nab / bTot) / ((uni(a) / nTot) * (uni(b) / nTot)))
+      (a, b) -> (nab, BigDecimal(pmi).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy { case ((a, b), (_, p)) => (-p, a, b) }.take(k)
+    val got = TextOps.pmiQ(docs, k, minCount).collect()
+      .map(r => ((r.getAs[String]("tok_a"), r.getAs[String]("tok_b")),
+        (r.getAs[Long]("n_ab"), r.getAs[Double]("pmi"))))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+    PipelineCaches.release(spark)
+  }
+
   test("embedNorm: norm and checksum reconstruct the raw sums; map-side only") {
     val emb = Tables.embeddings(spark, sf)
     val df = SimSearch.embedNormQ(emb)
