@@ -419,6 +419,41 @@ object SimSearch {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
 
+  /** Append new vectors to a persisted IVF index — the ingestion half
+    * every other persisted index (near-dup bands, span frequencies,
+    * profile sketches) already has: new vectors are assigned against
+    * the STORED centroids (assignment is a pure function of the
+    * centroid table, so append-then-probe equals rebuild-then-probe —
+    * IvfIndexSpec pins it) and appended to the cell partitions.
+    * Centroids deliberately do NOT retrain on append: a serving index's
+    * cell geometry must stay stable or every existing assignment is
+    * invalidated — retraining is the offline rebuild path. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      embeddings: DataFrame, dir: String): Unit = {
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    assignCells(normed(embeddings), centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+  }
+
+  /** Compact a persisted IVF index's cell partitions back to one file
+    * per cell — the maintenance half of the append loop (each
+    * micro-batch append adds a file-set per touched cell; probe cost
+    * degrades by file count, not data size). Same temp-dir swap as the
+    * other index compactions: the live index stays readable until the
+    * rename. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/cells")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/cells.compact")
+    val fs = live.getFileSystem(hconf)
+    fs.delete(tmp, true)
+    spark.read.parquet(live.toString)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"compaction swap failed for $live")
+  }
+
   /** Declared trained-IVF workload (q_sim_topk_ivf_trained): k-means
     * centroids (2 Lloyd iterations — the declared query pins the
     * training WIRING, not convergence) → persisted inverted file →

@@ -229,4 +229,41 @@ class EdgeCaseSpec extends SparkSuite {
     val z = SimSearch.embedNormQ(zero).head
     assert(z.getDouble(2) == 0.0 && z.getDouble(3) == 0.0)
   }
+
+  test("round-7-close operators degrade gracefully on EMPTY or degenerate input") {
+    import spark.implicits._
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(EventAnalytics.resampleDaily(noEvents).isEmpty)
+    // one event → a one-day series carrying that event
+    val lone = Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"), 7L, "view", 2.5))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val rs = EventAnalytics.resampleDaily(lone).collect()
+    assert(rs.length == 1 && rs.head.getLong(2) == 1L && rs.head.getDouble(3) == 2.5)
+    // empty / whitespace-only corpora: no slices, no pairs, no bigrams
+    val srcDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "source")
+    assert(TextOps.entropyQ(srcDocs).isEmpty)
+    assert(TextOps.sourceOverlapQ(srcDocs).isEmpty)
+    assert(TextOps.pmiQ(docs()).isEmpty)
+    PipelineCaches.release(spark)
+    // single-token slice: entropy 0, normalized 0 by the ln(1) guard
+    val one = Seq((1L, "word word word", "s1")).toDF("doc_id", "text", "source")
+    val e = TextOps.entropyQ(one).head
+    assert(e.getDouble(3) == 0.0 && e.getDouble(4) == 0.0)
+    // disjoint vocabularies: no overlap row (inner join semantics)
+    val disjoint = Seq((1L, "aa bb", "s1"), (2L, "cc dd", "s2"))
+      .toDF("doc_id", "text", "source")
+    assert(TextOps.sourceOverlapQ(disjoint).isEmpty)
+    PipelineCaches.release(spark)
+    // identical vocabularies: jaccard exactly 1
+    val same = Seq((1L, "aa bb", "s1"), (2L, "bb aa", "s2"))
+      .toDF("doc_id", "text", "source")
+    val ov = TextOps.sourceOverlapQ(same).head
+    assert(ov.getLong(2) == 2L && ov.getDouble(3) == 1.0)
+    PipelineCaches.release(spark)
+    // pmi: a bigram below minCount never surfaces
+    val rare = Seq((1L, "x y")).toDF("doc_id", "text")
+    assert(TextOps.pmiQ(rare, minCount = 2).isEmpty)
+    PipelineCaches.release(spark)
+  }
 }

@@ -35,6 +35,43 @@ class IvfIndexSpec extends SparkSuite {
     assert(idx == mem, s"index answer diverged: missing=${mem -- idx} extra=${idx -- mem}")
   }
 
+  test("append against stored centroids equals a whole-corpus rebuild; compaction collapses files") {
+    val whole = Files.createTempDirectory("graft_ivf_w").toString
+    val split = Files.createTempDirectory("graft_ivf_s").toString
+    SimSearch.writeIvfIndex(embDf, whole)
+    // same deterministic centroid sample on the 95% slice would differ —
+    // build the split index from the SAME centroids the whole one used
+    SimSearch.writeIvfIndexWith(embDf.filter(col("vec_id") % 20 =!= 0),
+      spark.read.parquet(s"$whole/centroids"), split)
+    SimSearch.appendToIvfIndex(spark, embDf.filter(col("vec_id") % 20 === 0), split)
+    SimSearch.appendToIvfIndex(spark, embDf.limit(0), split) // empty append is a no-op
+    val probes = embDf.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    def triples(dir: String) =
+      SimSearch.ivfTopKFromIndex(spark, dir, probes)
+        .select(col("probe_id").cast("long"), col("neighbor_id").cast("long"),
+          col("rnk")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val before = triples(split)
+    assert(before == triples(whole), "append-built index must answer like the rebuild")
+    // compaction: one file per cell partition, identical answers
+    def dataFiles(dir: String) = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/cells")).filter(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = dataFiles(split).length
+    SimSearch.compactIvfIndex(spark, split)
+    val cellDirs = new java.io.File(s"$split/cells").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    cellDirs.foreach { d =>
+      val n = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName}: $n files after compaction")
+    }
+    assert(dataFiles(split).length < filesBefore, "compaction must shrink the file count")
+    assert(triples(split) == before, "compaction must preserve answers")
+  }
+
   test("index layout: one directory per cell, centroids persisted") {
     val dir = Files.createTempDirectory("graft_ivf2").toString
     SimSearch.writeIvfIndex(embDf, dir, nCells = 8)
