@@ -169,7 +169,9 @@ object SparkEntry {
     // cross-slice vocabulary overlap (jaccard of token sets per source pair)
     "q_source_overlap" -> ((s, d) => TextOps.sourceOverlapQ(Tables.documents(s, d))),
     // collocations: top-k bigrams by PMI with a min-count guard
-    "q_pmi" -> ((s, d) => TextOps.pmiQ(Tables.documents(s, d)))
+    "q_pmi" -> ((s, d) => TextOps.pmiQ(Tables.documents(s, d))),
+    // two-proportion z-test between deterministic user variants
+    "q_abtest" -> ((s, d) => EventAnalytics.abTest(Tables.events(s, d)))
   )
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on
@@ -1224,6 +1226,31 @@ object SparkEntry {
         |FROM (SELECT bi.tok_a, bi.tok_b, bi.n_ab, ua.n_uni AS n_a, ub.n_uni AS n_b
         |FROM bi JOIN uni ua ON ua.token = bi.tok_a JOIN uni ub ON ub.token = bi.tok_b
         |WHERE bi.n_ab >= 5) j, tot
-        |ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50""".stripMargin
+        |ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50""".stripMargin,
+    // Pooled two-proportion z; variant = user_id % 2; conversion =
+    // MORE THAN 13 'purchase' events (any-event converts every user on
+    // this dense fixture — the threshold splits around the mean).
+    "q_abtest" ->
+      """WITH per AS (SELECT user_id % 2 AS variant,
+        |CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 13 AS INT) AS conv
+        |FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |FROM per)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |round((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |/ nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |* (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z_score,
+        |coalesce(CAST(abs((CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+        |/ nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+        |* (1.0 / n_a + 1.0 / n_b)), 0.0)) > 1.96 AS BIGINT), 0) AS significant
+        |FROM c""".stripMargin
   )
 }

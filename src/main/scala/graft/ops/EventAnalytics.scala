@@ -125,6 +125,44 @@ object EventAnalytics {
         coalesce(col("total_value"), lit(0.0)).as("total_value"))
   }
 
+  /** Two-proportion z-test between user variants — the experiment
+    * readout that closes the statistics family next to
+    * [[Relational.statsAggQ]]'s moments and [[Relational.anomalyQ]]'s
+    * flags: split users into A/B by a deterministic hash of user_id,
+    * compare conversion (more than `minEvents` events of `convType` —
+    * an any-event definition is degenerate on dense logs where every
+    * user fires every type) rates, report the pooled z statistic and
+    * the |z| > 1.96 significance flag. Shape: one per-user aggregate
+    * (the only data-sized shuffle) collapses to a single row of
+    * conditional sums; the test statistic is pure arithmetic on that
+    * row. */
+  def abTest(events: DataFrame, convType: String = "purchase",
+             minEvents: Long = 13L): DataFrame = {
+    val per = events
+      .groupBy(col("user_id"))
+      .agg((sum(when(col("event_type") === convType, 1L).otherwise(0L)) > minEvents)
+        .cast("long").as("conv"))
+      .select((col("user_id") % 2).as("variant"), col("conv"))
+    val counts = per.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("conv_b"))
+    val (pa, pb) = (col("conv_a").cast("double") / col("n_a"),
+      col("conv_b").cast("double") / col("n_b"))
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") / (col("n_a") + col("n_b"))
+    // pooled rates of exactly 0 or 1 (nobody / everybody converts)
+    // zero the variance — the z statistic is undefined, not infinite;
+    // nullif guards the ANSI division like anomalyQ's sigma guard
+    val z = (pa - pb) /
+      nullif(sqrt(pooled * (lit(1.0) - pooled) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0))
+    counts.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(pa, 6).as("rate_a"), round(pb, 6).as("rate_b"),
+      round(z, 6).as("z_score"),
+      coalesce((abs(z) > 1.96).cast("long"), lit(0L)).as("significant"))
+  }
+
   /** Cohort retention: users grouped by their first-activity day; for
     * each (cohort_day, day_offset ≤ maxOffsetDays), how many of the
     * cohort were active that day. The workhorse readout of any event

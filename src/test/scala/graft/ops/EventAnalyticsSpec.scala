@@ -160,6 +160,33 @@ class EventAnalyticsSpec extends SparkSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan.take(800))
   }
 
+  test("abTest matches the driver-side two-proportion z-test") {
+    val byUser = events.groupBy(_._1)
+    val conv = byUser.toSeq.map { case (u, evs) =>
+      (u % 2, if (evs.count(_._5 == "purchase") > 13) 1L else 0L)
+    }
+    val (na, nb) = (conv.count(_._1 == 0).toLong, conv.count(_._1 == 1).toLong)
+    val (ca, cb) = (conv.filter(_._1 == 0).map(_._2).sum, conv.filter(_._1 == 1).map(_._2).sum)
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val pooled = (ca + cb).toDouble / (na + nb)
+    val z = (pa - pb) / math.sqrt(pooled * (1 - pooled) * (1.0 / na + 1.0 / nb))
+    val r = EventAnalytics.abTest(Tables.events(spark, sf)).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((na, nb, ca, cb)))
+    if (pooled == 0.0 || pooled == 1.0) {
+      assert(r.isNullAt(6) && r.getLong(7) == 0L, "degenerate pooled rate must null z")
+    } else {
+      assert(math.abs(r.getDouble(6) - z) < 1e-5, s"z ${r.getDouble(6)} vs $z")
+      assert(r.getLong(7) == (if (math.abs(z) > 1.96) 1L else 0L))
+    }
+    // degenerate arm: threshold 0 converts EVERY user (each fires every
+    // type on this dense fixture) → pooled rate 1, variance 0 → the
+    // nullif guard yields NULL z and significant=0, never a crash
+    val all = EventAnalytics.abTest(Tables.events(spark, sf),
+      convType = "view", minEvents = 0L).head
+    assert(all.getDouble(4) == 1.0 && all.getDouble(5) == 1.0)
+    assert(all.isNullAt(6) && all.getLong(7) == 0L)
+  }
+
   test("resampleDaily: dense per-user spine, events conserved, gaps zero-filled") {
     val day = java.time.ZoneOffset.UTC
     def dayOf(t: Timestamp) = t.toInstant.atZone(day).toLocalDate
