@@ -51,9 +51,27 @@ object Components {
     * smallest doc id in the node's connected component. Self-loops are
     * dropped; `maxRounds` is a defensive bound (the algorithm needs
     * O(log²) — a non-converging input indicates corrupt edges) and
-    * exceeding it throws rather than returning a wrong answer. */
+    * exceeding it throws rather than returning a wrong answer.
+    *
+    * Size gate (the [[Dedup]] `applySpanFilter` pattern): the star loop
+    * pays ~log² rounds of fixed scheduling cost regardless of input
+    * size — at fixture scale that floor dwarfs the work. The gate is a
+    * single `limit(maxEdgesBroadcast + 1).collect()` probe over the
+    * canonical edges: if the limit did NOT truncate, the collected rows
+    * are provably the COMPLETE edge set (a bounded driver round-trip,
+    * same class as the bucket-pruning lists) and labels come from one
+    * exact driver union-find with min-label resolution, returned as a
+    * local relation (broadcast-sized by construction, so downstream
+    * representative joins stay map-side) — one job total, no checkpoint
+    * write, no stats pass. If the limit DID truncate, the probe's rows
+    * are discarded and the O(log²)-round star loop runs unchanged — the
+    * form that survives 100 TB; `CollectLimitExec` reaches its bound
+    * within the first few partitions there, so the probe's recompute
+    * cost is a fraction of one round. Gated ≡ star is pinned in
+    * ComponentsSpec. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
-      bCol: String = "doc_b", maxRounds: Int = 30): DataFrame = {
+      bCol: String = "doc_b", maxRounds: Int = 30,
+      maxEdgesBroadcast: Long = 1L << 20): DataFrame = {
     // canonical directed form: big → small. NOT deduplicated: both star
     // steps tolerate duplicate edges (min-aggregates are idempotent and
     // each round's output is distinct'd), so a dup-laden input costs at
@@ -114,6 +132,13 @@ object Components {
         Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
         Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
+    if (maxEdgesBroadcast >= 0) {
+      val probe = init.limit(
+        math.min(maxEdgesBroadcast, Int.MaxValue - 2L).toInt + 1).collect()
+      if (probe.length <= maxEdgesBroadcast)
+        return labelsByUnionFind(pairs.sparkSession,
+          probe.map(r => (r.getLong(0), r.getLong(1))))
+    }
     var edges = init.localCheckpoint()
     var st = stats(edges)
     var converged = false
@@ -147,6 +172,38 @@ object Components {
     edges.select(col("u").as("doc_id"), col("v").as("cluster"))
       .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster")))
       .distinct()
+  }
+
+  /** Exact union-find (iterative find + path compression, union links
+    * the larger root under the smaller) over a gate-bounded edge list —
+    * the fast path of [[connectedComponents]]. Because every union
+    * points the larger root at the smaller, each tree's root is the
+    * minimum id of its component, so the final `find` IS the
+    * cluster-minimum label. Returned as a local relation: node count ≤
+    * 2·edges ≤ 2·gate, broadcast-sized by construction. */
+  private def labelsByUnionFind(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)]): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) x = parent(x)
+      var y = x0
+      while (parent.getOrElse(y, y) != y) { val p = parent(y); parent(y) = x; y = p }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(
+        edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+          .map(n => org.apache.spark.sql.Row(n, find(n))): _*)
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   /** Incremental cluster maintenance — the companion to

@@ -24,13 +24,15 @@ class ComponentsSpec extends SparkSuite {
     nodes.map(x => x -> find(x)).toMap
   }
 
-  private def labelsOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def labelsOf(edges: Seq[(Long, Long)],
+      gate: Long = 1L << 20): Map[Long, Long] = {
     import spark.implicits._
-    Components.connectedComponents(edges.toDF("doc_a", "doc_b"))
+    Components.connectedComponents(edges.toDF("doc_a", "doc_b"),
+        maxEdgesBroadcast = gate)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("law: labels equal union-find on random graphs (three seeds)") {
+  test("law: labels equal union-find on random graphs (three seeds, BOTH paths)") {
     for (seed <- Seq(1, 7, 42)) {
       val rnd = new Random(seed)
       // mixed topology: random sparse edges + a clique + a chain
@@ -39,15 +41,21 @@ class ComponentsSpec extends SparkSuite {
       val clique = for (i <- 300 to 310; j <- (i + 1) to 310) yield (i.toLong, j.toLong)
       val chain = (400 until 430).map(i => (i.toLong, (i + 1).toLong))
       val edges = sparse ++ clique ++ chain
-      assert(labelsOf(edges) == unionFind(500, edges), s"seed=$seed")
+      val expect = unionFind(500, edges)
+      assert(labelsOf(edges) == expect, s"gated, seed=$seed")
+      // gate = -1 forces the star loop (the at-scale path): gated ≡ star
+      assert(labelsOf(edges, gate = -1L) == expect, s"star, seed=$seed")
     }
   }
 
-  test("chain of 200 nodes: converges and labels collapse to the minimum") {
+  test("chain of 200 nodes: star loop converges and labels collapse to the minimum") {
     val chain = (0 until 200).map(i => (i.toLong, (i + 1).toLong))
-    val got = labelsOf(chain)
+    // gate = -1 forces the star loop — the adversarial-diameter law is
+    // about ITS O(log²) convergence, not the union-find fast path
+    val got = labelsOf(chain, gate = -1L)
     assert(got.size == 201)
     assert(got.values.toSet == Set(0L), s"all labels must be 0, got ${got.values.toSet}")
+    assert(labelsOf(chain) == got, "gated fast path must agree on the chain")
   }
 
   test("incremental merge equals batch re-clustering over the pair union") {
