@@ -109,14 +109,22 @@ object Dedup {
     * shuffle shape to [[exactDedup]] (one hash-partition on a short
     * key), so the 100 TB posture is the same: at scale hash the
     * canonical string to fixed width before the shuffle. All
-    * regexp/string builtins, codegen'd, no UDF. */
+    * regexp/string builtins, codegen'd, no UDF. Schemeless / relative /
+    * malformed URLs (no `scheme://` prefix — common in real crawl data)
+    * pass through RAW: without a scheme the host/path split is
+    * ambiguous, and any canonicalization would risk collapsing distinct
+    * rows into one group (they'd all have shared canon "" before this
+    * guard). */
   def urlDedup(docs: DataFrame, urlCol: String = "url"): DataFrame = {
     val hostLowered = concat(
       lower(regexp_extract(col(urlCol), "^([a-zA-Z]+://[^/?#]*)", 1)),
       regexp_extract(col(urlCol), "^[a-zA-Z]+://[^/?#]*([^?#]*)", 1))
-    val canon = regexp_replace(
+    val canonSchemed = regexp_replace(
       regexp_replace(hostLowered, "^(https?://)www\\.", "$1"),
       "/$", "")
+    val canon = when(
+      regexp_extract(col(urlCol), "^([a-zA-Z]+://)", 1) === "", col(urlCol))
+      .otherwise(canonSchemed)
     docs
       .select(col("doc_id"), canon.as("canon_url"))
       .groupBy(col("canon_url"))

@@ -87,11 +87,11 @@ object ProfileIndex {
     val merged = idx.groupBy(col("shard")).agg(aggs.head, aggs.tail: _*)
     val tmp = dir.stripSuffix("/") + ".compact_tmp"
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compaction swap failed for $dst")
   }
 
   /** Merge the accumulated index into the one-row-per-column profile

@@ -95,4 +95,25 @@ class ChunkUrlSpec extends SparkSuite {
     assert(out("https://example.com/a") == (1L, 4L))
     assert(out("https://example.com/b") == (5L, 1L))
   }
+
+  test("urlDedup: schemeless/relative/malformed URLs pass through raw, never collapse") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, "example.com/a"),          // schemeless
+      (2L, "/relative/path"),         // relative
+      (3L, "not a url at all"),       // malformed
+      (4L, "https://example.com/a"),  // schemed control
+      (5L, "HTTPS://example.com/a/")).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(mixed).collect()
+      .map(r => r.getString(1) -> (r.getLong(0), r.getLong(2))).toMap
+    // the three scheme-free rows keep their raw strings as three distinct
+    // groups (the pre-guard behavior collapsed them all into canon "")
+    assert(out.keySet == Set(
+      "example.com/a", "/relative/path", "not a url at all",
+      "https://example.com/a"))
+    assert(out("example.com/a") == (1L, 1L))
+    assert(out("/relative/path") == (2L, 1L))
+    assert(out("not a url at all") == (3L, 1L))
+    assert(out("https://example.com/a") == (4L, 2L))
+  }
 }

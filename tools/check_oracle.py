@@ -18,6 +18,7 @@ Timing mode (skips the correctness compare):
 DuckDB timings on these VMs swing with page-cache warmth and thread
 detection (see BENCH_NOTES): record mins, read them as a range.
 """
+import argparse
 import json
 import sys
 import time
@@ -82,21 +83,23 @@ def _timed(f):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    outdir = args[0] if len(args) > 0 else "/tmp/verify_out"
-    sfdir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
-    flags = sys.argv[1:]
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("outdir", nargs="?", default="/tmp/verify_out")
+    p.add_argument("sfdir", nargs="?", default="/root/testdata/sf0.01")
+    p.add_argument("--time", type=int, default=None, metavar="N",
+                   help="timing mode: run each oracle SQL N times, record mins")
+    p.add_argument("--bench", default=None, metavar="F",
+                   help="graft.Bench JSON to print a Spark/DuckDB ratio table")
+    a = p.parse_args()
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
-    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    if "--time" in flags:
-        runs = int(flags[flags.index("--time") + 1]) \
-            if flags.index("--time") + 1 < len(flags) \
-            and flags[flags.index("--time") + 1].isdigit() else 2
-        bench = flags[flags.index("--bench") + 1] if "--bench" in flags else None
-        time_queries(con, oracle, outdir, runs, bench)
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{a.sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{a.outdir}/oracle_sql.json"))
+    if a.time is not None:
+        time_queries(con, oracle, a.outdir, a.time, a.bench)
         return
+    outdir = a.outdir
     n_ok = n_fail = 0
     for name in sorted(oracle):
         try:
