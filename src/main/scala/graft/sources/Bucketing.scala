@@ -21,12 +21,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Register `df` as a parquet catalog table bucketed AND sorted on
-    * `key` — sorted buckets let the merge join skip its sort too. */
+    * `key` — sorted buckets let the merge join skip its sort too.
+    * Drops any prior registration AND its warehouse directory first:
+    * the default in-memory catalog forgets tables across JVMs while
+    * the warehouse files survive, so a bare saveAsTable in a fresh
+    * session dies with LOCATION_ALREADY_EXISTS on the stale dir. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** Equi-join two co-bucketed tables on their bucket key. With both
     * sides bucketed on `key` the planned sort-merge join has no
@@ -49,5 +60,23 @@ object Bucketing {
       buckets: Int = 8): Unit = {
     writeBucketed(Tables.orders(spark, dir), OrdersBkt, "o_orderkey", buckets)
     writeBucketed(Tables.lineitem(spark, dir), LineitemBkt, "l_orderkey", buckets)
+  }
+
+  // Catalog.registerAll's memo pattern: the bucketed write is a one-time
+  // deployment step, so repeat calls against the SAME dir skip it and a
+  // dir change re-writes (the registered tables hold the previous dir's
+  // rows). Memo set only AFTER both writes succeed; whole check+write
+  // under one lock; weakly keyed so stopped sessions don't pin.
+  private val lastDir = new java.util.WeakHashMap[SparkSession, String]
+
+  /** Idempotent [[registerFactTables]] — the form a declared query can
+    * call: first call per (session, dir) pays the bucketed write, repeat
+    * calls measure the steady-state co-located join a deployment runs. */
+  def ensureFactTables(spark: SparkSession, dir: String,
+      buckets: Int = 8): Unit = lastDir.synchronized {
+    if (lastDir.get(spark) != dir) {
+      registerFactTables(spark, dir, buckets)
+      lastDir.put(spark, dir)
+    }
   }
 }

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed accessors for the driver-generated parquet tables
   * (TESTDATA.md / FIXTURES.md §2). Schemas are fixed by the generator;
@@ -90,25 +90,42 @@ object Tables {
     if (estSplits < target) df.repartition(target) else df
   }
 
+  /** Generator fixtures have shipped time columns as parquet
+    * TIMESTAMP(MICROS) both with and without isAdjustedToUTC; the
+    * latter surfaces as TIMESTAMP_NTZ, which instant functions
+    * (`unix_micros`, `unix_timestamp`) reject. The whole engine pins
+    * `spark.sql.session.timeZone=UTC` (Engine.session/tune), so casting
+    * NTZ→TIMESTAMP is a pure reinterpretation of the wall-clock as a
+    * UTC instant — same microsecond values either way, and DuckDB reads
+    * the same column as its (naive) TIMESTAMP. Normalizing at the
+    * accessor keeps every downstream operator on one timestamp type. */
+  private def tsUtc(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read nanos as long and floor-divide to microseconds
-    * (`div`, integer division — a double roundtrip would lose precision
-    * at 1e18 ns). DuckDB performs the identical ns→us truncation.
-    * The nanosAsLong conf is declared in Engine.session/tune; the set
-    * here only covers externally created sessions that skipped both. */
+  def orders(spark: SparkSession, dir: String): DataFrame = tsUtc(read(spark, dir, "orders"))
+  def lineitem(spark: SparkSession, dir: String): DataFrame = tsUtc(read(spark, dir, "lineitem"))
+  /** Older fixture generations wrote events.ts as parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects. Read
+    * nanos as long and floor-divide to microseconds (`div`, integer
+    * division — a double roundtrip would lose precision at 1e18 ns).
+    * DuckDB performs the identical ns→us truncation. Current fixtures
+    * write TIMESTAMP(MICROS) without isAdjustedToUTC → the [[tsUtc]]
+    * normalization. The nanosAsLong conf is declared in Engine.session/
+    * tune; the set here only covers externally created sessions that
+    * skipped both. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    else tsUtc(raw)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

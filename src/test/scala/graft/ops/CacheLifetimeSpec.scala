@@ -30,7 +30,9 @@ class CacheLifetimeSpec extends SparkSuite {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
-    val labels = Components.connectedComponents(pairs)
+    // gate=0 forces the star loop — the broadcast fast path never
+    // checkpoints, so there would be nothing to pin
+    val labels = Components.connectedComponents(pairs, maxEdgesBroadcast = 0L)
     assert(labels.count() == 5)
     // superseded rounds were unpersisted in-loop; the converged round's
     // blocks back the result and are registered for release

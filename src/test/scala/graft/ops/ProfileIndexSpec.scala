@@ -8,9 +8,11 @@ import graft.SparkSuite
 import graft.sources.Tables
 
 /** Micro-batch row shape for the streaming ingestion test — the
-  * profiled lineitem lanes plus the shard-hash key. */
+  * profiled lineitem lanes plus the shard-hash key. l_shipdate is
+  * TimestampType after the Tables.tsUtc normalization, whose external
+  * type is java.sql.Timestamp. */
 case class LiBatchRow(l_orderkey: Long, l_linenumber: Int, l_quantity: Double,
-    l_extendedprice: Double, l_shipdate: java.time.LocalDateTime,
+    l_extendedprice: Double, l_shipdate: java.sql.Timestamp,
     l_returnflag: String, l_linestatus: String)
 
 /** Laws for the persisted mergeable profile index: every non-distinct
@@ -110,7 +112,7 @@ class ProfileIndexSpec extends SparkSuite {
     val deltaRows = delta.select("l_orderkey", "l_linenumber", "l_quantity",
       "l_extendedprice", "l_shipdate", "l_returnflag", "l_linestatus")
       .collect().map(r => LiBatchRow(r.getLong(0), r.getInt(1), r.getDouble(2),
-        r.getDouble(3), r.getAs[java.time.LocalDateTime](4), r.getString(5), r.getString(6)))
+        r.getDouble(3), r.getAs[java.sql.Timestamp](4), r.getString(5), r.getString(6)))
     val (half1, half2) = deltaRows.splitAt(deltaRows.length / 2)
     val q = stream.toDF().writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
