@@ -42,6 +42,36 @@ object Layout {
       .repartitionByRange(nPartitions, col("z"))
       .sortWithinPartitions(col("z"))
 
+  /** The deployable whole-table form: bin BOTH dimensions monotonically
+    * into 2^bits range buckets from their observed envelopes, interleave,
+    * and lay out. Monotone binning is what makes a range predicate on the
+    * RAW columns align with the z clustering — after a plain parquet
+    * write of this frame, every file/row-group carries tight min/max
+    * stats on both raw columns and a two-dimension box predicate skips
+    * most units at scan time (LayoutSpec proves the skip on a read-back
+    * through the executed plan's scan metrics). The envelope agg is one
+    * metadata-sized driver round-trip — same class as the bucket-pruning
+    * lists; Delta/Iceberg OPTIMIZE ZORDER computes the same per-column
+    * bounds before binning. */
+  def zorderByRange(df: DataFrame, x: Column, y: Column, bits: Int = 8,
+      nPartitions: Int = 32): DataFrame = {
+    val r = df.agg(min(x), max(x), min(y), max(y)).head()
+    def d(v: Any): Double = v match {
+      case null => 0.0
+      case n: java.lang.Number => n.doubleValue
+    }
+    val nBins = (1L << bits) - 1
+    def bin(c: Column, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else coalesce(
+        least(floor((c.cast("double") - lit(lo)) / lit(hi - lo) * (nBins + 1)),
+          lit(nBins)).cast("long"),
+        lit(0L))
+    zorderLayout(df,
+      zValue(bin(x, d(r.get(0)), d(r.get(1))), bin(y, d(r.get(2)), d(r.get(3))), bits),
+      nPartitions)
+  }
+
   /** Declared query (q_zorder): events keyed by (user_id, value) —
     * clamp each dim to 8 bits (user_id masked; value halved and clamped,
     * both clamps mirrored in the oracle), interleave, and report

@@ -60,6 +60,47 @@ class LayoutSpec extends SparkSuite {
     }
   }
 
+  test("zorderByRange write + read-back: a two-dimension box predicate actually skips row groups") {
+    // isolated session, AQE off: the executed plan must expose the raw
+    // FileSourceScanExec whose numOutputRows metric counts rows
+    // SURVIVING parquet row-group stats pruning — the end-to-end point
+    // of the layout (files the predicate's box cannot intersect are
+    // never decoded)
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    val events = graft.sources.Tables.events(s, sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val zDir = java.nio.file.Files.createTempDirectory("layout_z").toString
+    val bDir = java.nio.file.Files.createTempDirectory("layout_b").toString
+    Layout.zorderByRange(events, col("user_id"), col("value"), bits = 8, nPartitions = 8)
+      .drop("z").write.mode("overwrite").parquet(zDir)
+    // baseline: same data, same file count, round-robin layout — every
+    // file's (user_id, value) envelope spans ~the full plane
+    events.repartition(8).write.mode("overwrite").parquet(bDir)
+    val pred = col("user_id").between(2L, 4L) && col("value").between(100.0, 160.0)
+    def scanned(path: String): (Set[Long], Long) = {
+      val df = s.read.parquet(path).filter(pred)
+      val got = df.collect().map(_.getLong(0)).toSet
+      val scan = df.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+      }.head
+      (got, scan.metrics("numOutputRows").value)
+    }
+    val (gotZ, rowsZ) = scanned(zDir)
+    val (gotB, rowsB) = scanned(bDir)
+    val expected = events.filter(pred).collect().map(_.getLong(0)).toSet
+    assert(gotZ == expected && gotB == expected, "layout must never change the answer")
+    // the box covers ~20% × ~18% of the plane: the z layout confines it
+    // to a few files' row groups while the round-robin baseline decodes
+    // every row group (its stats envelopes all intersect the box)
+    // 8 files → the box straddles ~3 z-runs (375/1000 rows decoded
+    // when pinned); assert the conservative half, not the exact count —
+    // the property is "most units skipped", not a file-boundary pin
+    assert(rowsZ * 2 <= rowsB,
+      s"z-ordered scan decoded $rowsZ rows vs $rowsB unclustered — row-group skipping did not engage")
+    assert(rowsZ >= expected.size.toLong, "scan metric sanity")
+  }
+
   test("zorderStatsQ: bucket envelopes cover all events and stay in range") {
     val events = graft.sources.Tables.events(spark, sf)
     val stats = Layout.zorderStatsQ(events).cache()
