@@ -932,10 +932,20 @@ object Dedup {
     * [[spanDedupAgainstIndex]] end in (gate rationale in spanDedup's
     * scaladoc). */
   private def applySpanFilter(withSpans: DataFrame, freqTable: DataFrame,
-      maxFrequentBroadcast: Long): DataFrame = {
+      maxFrequentBroadcast: Long,
+      knownFrequentCount: Option[Long] = None): DataFrame = {
     val spark = withSpans.sparkSession
-    val cached = PipelineCaches.track(freqTable)
-    val nFrequent = cached.count()
+    // a caller-supplied cardinality (index meta) answers the gate with
+    // no extra job AND no cache: the chosen path then consumes the
+    // frequent table exactly once. Without it, cache + eager count —
+    // both paths would otherwise materialize the frequency aggregate
+    // twice (once for the gate, once for the data pass).
+    val (nFrequent, cached) = knownFrequentCount match {
+      case Some(n) => (n, freqTable)
+      case None =>
+        val c = PipelineCaches.track(freqTable)
+        (c.count(), c)
+    }
     if (nFrequent <= maxFrequentBroadcast) {
       val boiler = cached.agg(collect_set(col("h")).as("boiler"))
       withSpans.crossJoin(broadcast(boiler))
@@ -979,6 +989,62 @@ object Dedup {
   private val SpanIndexSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "h LONG, c LONG, bkt LONG")
 
+  /** Span-index meta: layout invariants (w, span_buckets) plus the
+    * frequent-set cardinality at `freq_cap`, computed at build/compaction
+    * time so the incremental reader's broadcast gate reads one meta row
+    * instead of eagerly counting the pruned frequent table — that count
+    * was q_line_dedup_incr's largest per-call fixed cost. Appends set
+    * n_frequent = -1 (counts moved; a span may have crossed the cap) and
+    * [[compactSpanIndex]] restores it; a -1 (or a cap mismatch) makes
+    * readers fall back to the eager count, never to a wrong gate. */
+  private case class SpanMeta(w: Int, spanBuckets: Int, freqCap: Long,
+      nFrequent: Long)
+
+  // Meta rows are one tiny parquet read but still a full Spark job
+  // (~0.1 s of the incremental path's fixed floor) — memoize per
+  // (session, dir) under the index's single-writer discipline; every
+  // writer below invalidates through writeSpanMeta. Weakly keyed like
+  // BuildOnce so stopped sessions don't pin.
+  private val spanMetaCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, SpanMeta]]
+
+  private def readSpanMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): SpanMeta = spanMetaCache.synchronized {
+    val perDir = Option(spanMetaCache.get(spark)).getOrElse {
+      val m = scala.collection.mutable.Map.empty[String, SpanMeta]
+      spanMetaCache.put(spark, m); m
+    }
+    perDir.getOrElseUpdate(dir, {
+      val row = spark.read.parquet(s"$dir/meta").first()
+      // indexes written before the cardinality lanes existed read as
+      // stale (-1): eager-count fallback, not a schema error
+      val hasFreq = row.schema.fieldNames.contains("freq_cap")
+      SpanMeta(row.getAs[Int]("w"), row.getAs[Int]("span_buckets"),
+        if (hasFreq) row.getAs[Long]("freq_cap") else -1L,
+        if (hasFreq) row.getAs[Long]("n_frequent") else -1L)
+    })
+  }
+
+  private def writeSpanMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String, meta: SpanMeta): Unit = {
+    spark.range(1)
+      .select(lit(meta.w).as("w"), lit(meta.spanBuckets).as("span_buckets"),
+        lit(meta.freqCap).as("freq_cap"), lit(meta.nFrequent).as("n_frequent"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    spanMetaCache.synchronized {
+      Option(spanMetaCache.get(spark)).foreach(_.remove(dir))
+    }
+  }
+
+  /** Frequent-set cardinality of a (possibly multi-batch) spans dir at
+    * `cap` — sum(c) first so appended partial counts merge. */
+  private def countFrequent(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Long): Long =
+    spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
+      .groupBy(col("h")).agg(sum(col("c")).as("c"))
+      .filter(col("c") >= cap).count()
+
   /** Persist the corpus span-frequency table for incremental span
     * dedup, bucket-partitioned on the span hash so delta lookups prune.
     * Stores ALL counts, not only the ≥cap frequents: appends are
@@ -987,9 +1053,9 @@ object Dedup {
     * also makes [[appendToSpanIndex]] a pure file append per
     * micro-batch, no read-modify-write. */
   def writeSpanIndex(docs: DataFrame, dir: String, w: Int = 16,
-      spanBuckets: Int = 256): Unit = {
-    require(w > 0 && spanBuckets > 0,
-      s"w and spanBuckets must be positive, got w=$w spanBuckets=$spanBuckets")
+      spanBuckets: Int = 256, freqCap: Long = 2): Unit = {
+    require(w > 0 && spanBuckets > 0 && freqCap > 0,
+      s"w, spanBuckets and freqCap must be positive, got w=$w spanBuckets=$spanBuckets freqCap=$freqCap")
     // repartition on bkt BEFORE the partitioned write: every bucket
     // lands in exactly one task, so the write emits one file per bucket
     // instead of (tasks × buckets) fragments — the pruned lookup's cost
@@ -998,9 +1064,9 @@ object Dedup {
       .withColumn("bkt", pmod(col("h"), lit(spanBuckets.toLong)))
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/spans")
-    docs.sparkSession.range(1)
-      .select(lit(w).as("w"), lit(spanBuckets).as("span_buckets"))
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    val spark = docs.sparkSession
+    writeSpanMeta(spark, dir,
+      SpanMeta(w, spanBuckets, freqCap, countFrequent(spark, dir, freqCap)))
   }
 
   /** Fold newly ingested documents into a persisted span index — counts
@@ -1009,14 +1075,17 @@ object Dedup {
     * as [[appendToNearDupIndex]]. */
   def appendToSpanIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val meta = spark.read.parquet(s"$dir/meta").first()
-    val (w, spanBuckets) = (meta.getAs[Int]("w"), meta.getAs[Int]("span_buckets"))
+    val meta = readSpanMeta(spark, dir)
     // one file per touched bucket per batch (same repartition trick as
     // the initial write); compaction collapses the per-batch accumulation
-    spanCounts(withSpansOf(newDocs, w))
-      .withColumn("bkt", pmod(col("h"), lit(spanBuckets.toLong)))
+    spanCounts(withSpansOf(newDocs, meta.w))
+      .withColumn("bkt", pmod(col("h"), lit(meta.spanBuckets.toLong)))
       .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/spans")
+    // counts moved: the stored frequent cardinality is stale until the
+    // next compaction (readers fall back to the eager count meanwhile)
+    if (meta.nFrequent >= 0)
+      writeSpanMeta(spark, dir, meta.copy(nFrequent = -1L))
   }
 
   /** Compact a span index in place: re-aggregate the per-batch partial
@@ -1024,6 +1093,7 @@ object Dedup {
     * (same hash-repartition trick, swap discipline, and degradation
     * rationale as [[compactNearDupIndex]]). */
   def compactSpanIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val meta = readSpanMeta(spark, dir)
     val hconf = spark.sparkContext.hadoopConfiguration
     val live = new org.apache.hadoop.fs.Path(s"$dir/spans")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/spans.compact")
@@ -1035,6 +1105,11 @@ object Dedup {
       .write.partitionBy("bkt").parquet(tmp.toString)
     fs.delete(live, true)
     require(fs.rename(tmp, live), s"compaction swap failed for $live")
+    // counts are settled again: restore the frequent-set cardinality so
+    // readers get their one-meta-row broadcast gate back
+    if (meta.freqCap > 0)
+      writeSpanMeta(spark, dir,
+        meta.copy(nFrequent = countFrequent(spark, dir, meta.freqCap)))
   }
 
   /** Clean a delta of NEW documents against a persisted corpus span
@@ -1053,8 +1128,8 @@ object Dedup {
       delta: DataFrame, dir: String, cap: Long = 2,
       maxFrequentBroadcast: Long = 100000): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    val meta = spark.read.parquet(s"$dir/meta").first()
-    val (w, spanBuckets) = (meta.getAs[Int]("w"), meta.getAs[Int]("span_buckets"))
+    val meta = readSpanMeta(spark, dir)
+    val (w, spanBuckets) = (meta.w, meta.spanBuckets)
     val withSpans = PipelineCaches.track(withSpansOf(delta, w))
     val touched = withSpans
       .select(explode(transform(col("spans"),
@@ -1065,7 +1140,16 @@ object Dedup {
       .groupBy(col("h")).agg(sum(col("c")).as("c"))
       .filter(col("c") >= cap)
       .select("h")
-    applySpanFilter(withSpans, freq, maxFrequentBroadcast)
+    // the broadcast gate from meta, when it can answer: the stored
+    // GLOBAL frequent cardinality upper-bounds the pruned subset's, so
+    // "global fits the broadcast" is a safe gate decision with zero
+    // extra jobs; a stale (-1) or different-cap meta falls back to the
+    // eager count inside applySpanFilter
+    val known =
+      if (meta.freqCap == cap && meta.nFrequent >= 0 &&
+        meta.nFrequent <= maxFrequentBroadcast) Some(meta.nFrequent)
+      else None
+    applySpanFilter(withSpans, freq, maxFrequentBroadcast, known)
   }
 
   /** Declared incremental span-dedup workload (q_line_dedup_incr): the

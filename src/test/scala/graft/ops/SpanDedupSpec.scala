@@ -77,6 +77,12 @@ class SpanDedupSpec extends SparkSuite {
       (4L, "rare span here only once")
     ).toDF("doc_id", "text")
     Dedup.writeSpanIndex(corpus, dir, w = 4)
+    // meta carries the frequent-set cardinality at the build cap — the
+    // one-row read that lets the incremental gate skip its eager count
+    def meta() = spark.read.parquet(s"$dir/meta").first()
+    assert(meta().getAs[Long]("freq_cap") == 2L)
+    assert(meta().getAs[Long]("n_frequent") == 1L,
+      "build must record |{boiler}| = 1 frequent span")
     // the repartition-on-bkt write contract: one file per bucket, so a
     // pruned lookup pays one footer-open per touched bucket
     new java.io.File(s"$dir/spans").listFiles()
@@ -104,6 +110,11 @@ class SpanDedupSpec extends SparkSuite {
     // in from a delta promotes it to frequent for LATER deltas
     Dedup.appendToSpanIndex(
       Seq((200L, "rare span here only again")).toDF("doc_id", "text"), dir)
+    // append invalidates the stored cardinality (a span may have crossed
+    // the cap — here one actually did); readers fall back to the eager
+    // count until compaction settles the totals
+    assert(meta().getAs[Long]("n_frequent") == -1L,
+      "append must mark the frequent cardinality stale")
     val promoted = Dedup.spanDedupAgainstIndex(spark,
       Seq((300L, "rare span here only and padding tail")).toDF("doc_id", "text"),
       dir, cap = 2).head
@@ -113,6 +124,12 @@ class SpanDedupSpec extends SparkSuite {
     val before = Dedup.spanDedupAgainstIndex(spark, delta, dir, cap = 2).collect()
       .map(_.toString).sorted.toSeq
     Dedup.compactSpanIndex(spark, dir)
+    // compaction restores the cardinality: boiler + the promoted span
+    assert(meta().getAs[Long]("n_frequent") == 2L,
+      "compaction must recount the frequent set")
+    // this lookup rides the known-count gate (meta fresh); `before` rode
+    // the eager count (meta stale) — the gate source must never change
+    // the answer
     val after = Dedup.spanDedupAgainstIndex(spark, delta, dir, cap = 2).collect()
       .map(_.toString).sorted.toSeq
     assert(before == after, "compaction changed lookup results")

@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.ops.{Dedup, PipelineCaches, ProfileIndex, SimSearch}
+
+/** One streamed document row — the single ingestion feed every index
+  * derives from. */
+case class IngestDoc(doc_id: Long, text: String)
+
+/** The production maintenance cadence the index scaladocs describe, run
+  * as ONE loop instead of four isolated specs: a single MemoryStream of
+  * documents drives foreachBatch; every micro-batch is appended into
+  * all four persisted indexes (near-dup bands, span frequencies, IVF
+  * cells, profile sketches — the embedding and lineitem shapes derived
+  * deterministically from the same rows), compaction runs on a cadence,
+  * and after every batch AND after compaction a probe of each index is
+  * asserted equal to a probe of an index REBUILT from scratch over
+  * everything ingested so far. The individual append/compact/probe laws
+  * are pinned per-index in NearDupIndexSpec / SpanDedupSpec /
+  * IvfIndexSpec / ProfileIndexSpec; this spec pins their COMPOSITION —
+  * the steady-state loop a deployment actually runs. */
+class IngestionMaintenanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(pfx: String): String =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  // ---- the one feed and its per-index derivations -------------------
+  // 7 shared tokens + one per-doc token + one low-cardinality token:
+  // heavy cross-doc overlap (near-dup pairs exist), a corpus-frequent
+  // span ("gamma delta common tail"), and profilable numeric lanes.
+  private def docText(i: Long) =
+    s"seed token$i alpha beta gamma delta common tail v${i % 3}"
+  private def docsDF(ids: Seq[Long]): DataFrame =
+    ids.map(i => IngestDoc(i, docText(i))).toDF()
+
+  /** Deterministic 4-dim embedding from the text hash — the Spark-side
+    * plumbing is what the loop exercises, not embedding quality. */
+  private def embOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        i => (pmod(hash(col("text"), i), lit(997)).cast("double") / 498.5 - 1.0))
+        .cast("array<float>").as("embedding"))
+
+  /** Lineitem-shaped lanes for the profile index. */
+  private def liOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("l_orderkey"), lit(1).as("l_linenumber"),
+      size(split(col("text"), " ")).cast("double").as("l_quantity"),
+      length(col("text")).cast("double").as("l_extendedprice"),
+      timestamp_micros(col("doc_id") * 86400000000L).as("l_shipdate"),
+      substring(col("text"), 1, 1).as("l_returnflag"),
+      lit("O").as("l_linestatus"))
+
+  test("one MemoryStream loop: append all four indexes per batch, compact on cadence, probe == rebuild") {
+    val nearDir = tmp("ingest_near")
+    val spanDir = tmp("ingest_span")
+    val ivfDir = tmp("ingest_ivf")
+    val profDir = tmp("ingest_prof")
+
+    val seedIds = 1L to 30L
+    val seed = docsDF(seedIds)
+    Dedup.writeNearDupIndex(seed, nearDir)
+    Dedup.writeSpanIndex(seed, spanDir, w = 4)
+    SimSearch.writeIvfIndex(embOf(seed), ivfDir, nCells = 4, centroidFrom = 0)
+    ProfileIndex.writeProfileSketches(liOf(seed), profDir)
+    // cell geometry must stay FIXED across the loop (appendToIvfIndex's
+    // contract) — rebuilds reuse the stored centroids
+    val centroids = spark.read.parquet(s"$ivfDir/centroids")
+
+    // disjoint-id probes: one near-dup of a seed doc, one unrelated
+    val probes = Seq(
+      IngestDoc(900L, docText(7L)),
+      IngestDoc(901L, "totally different probe content here now")).toDF()
+
+    def probeAll(): Seq[Seq[String]] = {
+      val near = Dedup.nearDupsAgainstIndex(spark, probes, nearDir)
+        .collect().map(_.toString).sorted.toSeq
+      val span = Dedup.spanDedupAgainstIndex(spark, probes, spanDir, cap = 2)
+        .collect().map(_.toString).sorted.toSeq
+      val ivf = SimSearch.ivfTopKFromIndex(spark, ivfDir,
+        embOf(probes).select(col("vec_id").as("probe_id"), col("embedding")))
+        .collect().map(_.toString).sorted.toSeq
+      val prof = ProfileIndex.profileFromSketches(spark, profDir)
+        .collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      Seq(near, span, ivf, prof)
+    }
+
+    def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
+      val all = docsDF(allIds)
+      val (n2, s2, i2, p2) = (tmp("rb_near"), tmp("rb_span"), tmp("rb_ivf"), tmp("rb_prof"))
+      Dedup.writeNearDupIndex(all, n2)
+      Dedup.writeSpanIndex(all, s2, w = 4)
+      SimSearch.writeIvfIndexWith(embOf(all), centroids, i2)
+      ProfileIndex.writeProfileSketches(liOf(all), p2)
+      val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
+        .collect().map(_.toString).sorted.toSeq
+      val span = Dedup.spanDedupAgainstIndex(spark, probes, s2, cap = 2)
+        .collect().map(_.toString).sorted.toSeq
+      val ivf = SimSearch.ivfTopKFromIndex(spark, i2,
+        embOf(probes).select(col("vec_id").as("probe_id"), col("embedding")))
+        .collect().map(_.toString).sorted.toSeq
+      val prof = ProfileIndex.profileFromSketches(spark, p2)
+        .collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      Seq(near, span, ivf, prof)
+    }
+
+    val names = Seq("near-dup", "span", "ivf", "profile")
+    def assertParity(allIds: Seq[Long], when: String): Unit = {
+      val live = probeAll()
+      val rebuilt = rebuildAndProbe(allIds)
+      names.indices.foreach { i =>
+        assert(live(i) == rebuilt(i),
+          s"${names(i)} probe diverged from rebuild $when")
+      }
+      // the near-dup probe must actually see something (doc 900 is a
+      // verbatim copy of seed doc 7) — guards against vacuous parity
+      assert(live.head.nonEmpty, s"near-dup probe empty $when")
+    }
+
+    val stream = MemoryStream[IngestDoc](spark)
+    var batchNo = 0
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the documented single-writer loop: probe-clean would go here;
+        // then fold the batch into every standing index
+        Dedup.appendToNearDupIndex(batch, nearDir)
+        Dedup.appendToSpanIndex(batch, spanDir)
+        SimSearch.appendToIvfIndex(spark, embOf(batch), ivfDir)
+        ProfileIndex.appendProfileSketches(liOf(batch), profDir)
+        batchNo += 1
+        if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
+          Dedup.compactNearDupIndex(spark, nearDir)
+          Dedup.compactSpanIndex(spark, spanDir)
+          SimSearch.compactIvfIndex(spark, ivfDir)
+          ProfileIndex.compactProfileSketches(spark, profDir)
+        }
+      }
+      .option("checkpointLocation", tmp("ingest_ckpt"))
+      .start()
+
+    val batch1 = 101L to 104L
+    val batch2 = 201L to 204L
+    stream.addData(batch1.map(i => IngestDoc(i, docText(i))))
+    q.processAllAvailable()
+    assertParity(seedIds ++ batch1, "after batch 1 (no compaction yet)")
+
+    stream.addData(batch2.map(i => IngestDoc(i, docText(i))))
+    q.processAllAvailable()
+    q.stop()
+    assert(batchNo == 2, s"expected 2 micro-batches, saw $batchNo")
+    assertParity(seedIds ++ batch1 ++ batch2,
+      "after batch 2 + full compaction pass")
+  }
+}
