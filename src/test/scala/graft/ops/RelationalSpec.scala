@@ -227,23 +227,44 @@ class RelationalSpec extends SparkSuite {
       "semi/anti join types must survive planning")
   }
 
-  test("exact quantile plans sort-based: window ranks, no percentile buffer aggregate") {
+  test("exact quantile dispatch: sort plan at fixture size, histogram-select above the size gate") {
+    // fixture-sized input → the sort form (the planner-stats dispatch):
+    // range exchange for intra-group-parallel ranks, never the builtin
+    // `percentile`, whose per-group value→count map OOMs a skewed group
     val q = Relational.quantileQ(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
-    // the builtin `percentile` funnels each group's full distribution
-    // into one task's in-memory value→count map — the first thing to
-    // OOM on a skewed group at 100× scale. The sort-based form's heavy
-    // operator is Window over a spillable external sort.
     assert(!plan.contains("percentile"),
       s"exact quantile must not use the buffering percentile aggregate:\n${plan.take(600)}")
-    // intra-group parallelism: ranks come from a RANGE exchange over
-    // (group, ci, v) — parallelism is the partition count — never from
-    // a window partitioned by the group key alone, whose parallelism is
-    // the number of groups (one serial task per hot group at scale)
     assert(plan.toLowerCase.contains("rangepartitioning"),
-      s"expected range-partitioned rank plan:\n${plan.take(600)}")
+      s"small input must ride the sort form's range exchange:\n${plan.take(600)}")
     assert(!plan.contains("Window [row_number"),
       s"no per-group row_number window over the full data:\n${plan.take(600)}")
+    // forced past the size gate → the histogram-select form: the DATA
+    // is never exchanged (no range partitioning), and every row_number
+    // window is scoped to located buckets (rk in its partition spec)
+    val sel = Relational.exactPercentiles(
+      graft.sources.Tables.lineitem(spark, sf)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+      "l_returnflag",
+      Seq("l_quantity" -> Seq(0.5 -> "median_qty", 0.95 -> "p95_qty"),
+        "l_extendedprice" -> Seq(0.5 -> "median_price")),
+      smallInputBytes = 0)
+    val selPlan = sel.queryExecution.executedPlan.toString
+    assert(!selPlan.contains("percentile"), selPlan.take(600))
+    assert(!selPlan.toLowerCase.contains("rangepartitioning"),
+      s"select form must not range-exchange the data:\n${selPlan.take(600)}")
+    val rnLines = selPlan.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rnLines.nonEmpty, s"expected the in-bucket row_number:\n${selPlan.take(600)}")
+    rnLines.foreach(l => assert(l.contains("rk#"),
+      s"row_number must be bucket-scoped (rk in partition spec): $l"))
+    // and the select form agrees with the dispatched query exactly
+    val selMap = sel.collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    q.collect().foreach { r =>
+      assert(selMap(r.getString(0)) == ((r.getDouble(1), r.getDouble(2), r.getDouble(3))),
+        s"select and sort forms disagree for ${r.getString(0)}")
+    }
+    graft.ops.PipelineCaches.release(spark)
     // and it must still agree with the buffering builtin to the last ulp
     import org.apache.spark.sql.functions.{col, expr}
     val builtin = graft.sources.Tables.lineitem(spark, sf)
@@ -274,8 +295,10 @@ class RelationalSpec extends SparkSuite {
       ("b", 5.0, null), ("b", 7.0, null), ("b", 6.0, null),
       (null, 5.0, 50.0), (null, 6.0, 70.0)
     ).toDF("g", "x", "y")
-    val got = Relational.exactPercentiles(df, "g",
-        Seq("x" -> Seq(0.5 -> "med_x", 0.95 -> "p95_x"), "y" -> Seq(0.5 -> "med_y")))
+    val specs = Seq("x" -> Seq(0.5 -> "med_x", 0.95 -> "p95_x"), "y" -> Seq(0.5 -> "med_y"))
+    // smallInputBytes=0 forces the histogram-select form — the tiny df
+    // would otherwise dispatch to the sort form (covered below anyway)
+    val got = Relational.exactPercentiles(df, "g", specs, smallInputBytes = 0)
       .collect().map(r => r.getString(0) ->
         (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
     val want = df.groupBy(col("g"))
@@ -286,6 +309,18 @@ class RelationalSpec extends SparkSuite {
         (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
     assert(got == want,
       s"null-bearing percentiles must match the builtin exactly: got=$got want=$want")
+    // the sort fallback obeys the identical semantics — both directly...
+    val gotSort = Relational.exactPercentilesBySort(df, "g", specs)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(gotSort == want, s"sort form diverged: $gotSort vs $want")
+    // ...and through the group-count gate (a stats frame larger than
+    // the gate must dispatch to the sort form, same answer)
+    val gotGated = Relational.exactPercentiles(df, "g", specs,
+        maxStatsBroadcast = 0, smallInputBytes = 0)
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(gotGated == want, s"gated dispatch diverged: $gotGated vs $want")
   }
 
   test("pivot: parity with Dataset.pivot, one exchange; unpivot: no shuffle") {
