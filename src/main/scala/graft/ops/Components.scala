@@ -55,19 +55,19 @@ object Components {
     *
     * Size gate (the [[Dedup]] `applySpanFilter` pattern): the star loop
     * pays ~log² rounds of fixed scheduling cost regardless of input
-    * size — at fixture scale that floor dwarfs the work. The gate is a
-    * single `limit(maxEdgesBroadcast + 1).collect()` probe over the
-    * canonical edges: if the limit did NOT truncate, the collected rows
-    * are provably the COMPLETE edge set (a bounded driver round-trip,
-    * same class as the bucket-pruning lists) and labels come from one
-    * exact driver union-find with min-label resolution, returned as a
-    * local relation (broadcast-sized by construction, so downstream
-    * representative joins stay map-side) — one job total, no checkpoint
-    * write, no stats pass. If the limit DID truncate, the probe's rows
-    * are discarded and the O(log²)-round star loop runs unchanged — the
-    * form that survives 100 TB; `CollectLimitExec` reaches its bound
-    * within the first few partitions there, so the probe's recompute
-    * cost is a fraction of one round. Gated ≡ star is pinned in
+    * size — at fixture scale that floor dwarfs the work. The gate runs
+    * over the locally CONTRACTED edges (see the contraction note in the
+    * body — per-partition spanning forests, so a dense pair graph
+    * usually fits the gate even when its raw edge count does not): the
+    * contracted frame is cached and counted once — one fully parallel
+    * materialization, shared by both outcomes. Under the gate, the
+    * cached rows collect (a bounded driver round-trip — the count
+    * proved it) into one exact driver union-find with min-label
+    * resolution, returned as a local relation (broadcast-sized by
+    * construction, so downstream representative joins stay map-side).
+    * Over the gate, the cache feeds the star loop's round-0 checkpoint
+    * instead — the form that survives 100 TB — so the pair pipeline
+    * never runs twice either way. Gated ≡ star is pinned in
     * ComponentsSpec. */
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxRounds: Int = 30,
@@ -83,6 +83,43 @@ object Components {
       .filter(col("x") =!= col("y"))
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
+
+    // Map-side LOCAL CONTRACTION (exact, no shuffle): each partition
+    // union-finds its own edges and keeps only those that MERGE two
+    // local components — a per-partition spanning forest. A dropped
+    // edge's endpoints are already connected by kept edges of the same
+    // partition, so global connectivity is untouched; every node
+    // survives (its first edge always merges two fresh singletons);
+    // duplicate edges die for free. Real near-dup corpora produce DENSE
+    // quasi-cliques — sf0.1 measures 7.8 M pairs over 5 k documents —
+    // and one contraction pass collapses that below the broadcast gate
+    // (≤ local-nodes − local-components edges per partition); on sparse
+    // graphs it's a cheap pass-through. The imperative per-partition
+    // hash map is exactly the mapPartitions niche: no relational
+    // operator expresses "stateful scan within a partition". localCap
+    // bounds task memory — past it the partition's tail passes through
+    // uncontracted (still exact; the star loop absorbs the remainder).
+    val session = pairs.sparkSession
+    import session.implicits._
+    val localCap = 4 << 20
+    val contracted = init.as[(Long, Long)].mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent(x)
+        var y = x0
+        while (parent.getOrElse(y, y) != y) { val p = parent(y); parent(y) = x; y = p }
+        x
+      }
+      it.filter { case (a, b) =>
+        if (parent.size >= localCap) true
+        else {
+          val ra = find(a); val rb = find(b)
+          if (ra == rb) false
+          else { parent(math.max(ra, rb)) = math.min(ra, rb); true }
+        }
+      }
+    }.toDF("u", "v")
 
     // large-star: m(u) = min(u, min Γ(u)) over BOTH directions; every
     // neighbor v > u re-points to m. Output stays canonical: v > u ≥ m.
@@ -132,14 +169,19 @@ object Components {
         Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L),
         Option(r.get(2)).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
-    if (maxEdgesBroadcast >= 0) {
-      val probe = init.limit(
-        math.min(maxEdgesBroadcast, Int.MaxValue - 2L).toInt + 1).collect()
-      if (probe.length <= maxEdgesBroadcast)
-        return labelsByUnionFind(pairs.sparkSession,
-          probe.map(r => (r.getLong(0), r.getLong(1))))
+    // One materialization serves the gate AND whichever path wins: the
+    // contracted frame is cached, counted (a fully parallel job — no
+    // executeTake waves), then either collected for the driver
+    // union-find or localCheckpoint'ed as the star loop's round 0, both
+    // straight from the cache. PipelineCaches releases the blocks with
+    // the pipeline's documented lifetime.
+    val tracked = PipelineCaches.track(contracted)
+    val nContracted = tracked.count()
+    if (maxEdgesBroadcast >= 0 && nContracted <= maxEdgesBroadcast) {
+      return labelsByUnionFind(pairs.sparkSession,
+        tracked.collect().map(r => (r.getLong(0), r.getLong(1))))
     }
-    var edges = init.localCheckpoint()
+    var edges = tracked.localCheckpoint()
     var st = stats(edges)
     var converged = false
     var round = 0
@@ -275,6 +317,10 @@ object Components {
     * components with a recursive min-label CTE, so the label for every
     * document is hash-checked, not just counted. */
   def dupClustersQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    // dedupPairs=false: the contraction dedups pairs for free, so the
+    // pipeline skips its surviving-pair exchange (7.8 M rows at sf0.1 —
+    // the clustering's single biggest avoidable stage)
     connectedComponents(
-      Dedup.nearDupPairs(graft.sources.Tables.documents(spark, dir)))
+      Dedup.nearDupPairs(graft.sources.Tables.documents(spark, dir),
+        dedupPairs = false))
 }

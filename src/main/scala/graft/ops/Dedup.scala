@@ -218,8 +218,17 @@ object Dedup {
     * → threshold. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     * The signature aggregate runs ONCE (cached; verified with
     * graft.Explain). */
+  /** `dedupPairs = false` skips the final per-pair dedup exchange (its
+    * output may repeat a pair up to nBands times, jaccard identical on
+    * every copy) — for consumers that dedup for free anyway, like
+    * [[Components.connectedComponents]]'s local contraction: at sf0.1
+    * the surviving-pair exchange carries 7.8 M rows, the single biggest
+    * stage the cluster query would otherwise pay twice. Broadcast-verify
+    * mode only; the bucketed mode's pre-verify distinct is a cost
+    * decision inside the verify itself and stays. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
-      verifyMode: String = VerifyBroadcast): DataFrame = {
+      verifyMode: String = VerifyBroadcast,
+      dedupPairs: Boolean = true): DataFrame = {
     val tok = PipelineCaches.track(tokens(spread(docs)))
     val sig = PipelineCaches.track(signatures(tok))
     val bands = bandsOf(sig)
@@ -241,7 +250,7 @@ object Dedup {
     // distinct shares the shuffle budget the SMJ pays anyway.
     val (cand, dedupAfter) =
       if (verifyMode == VerifyBucketed) (candRaw.distinct(), false)
-      else (candRaw, true)
+      else (candRaw, dedupPairs)
 
     // Exact-Jaccard verification over per-doc HASHED token sets:
     //  - candidate volume is quadratic in dup-cluster size (8.7M pairs at

@@ -48,6 +48,27 @@ class ComponentsSpec extends SparkSuite {
     }
   }
 
+  test("local contraction is exact across partitions: shuffled dense+chain graph, many partitions") {
+    import spark.implicits._
+    // adversarial for per-partition contraction: a chain whose edges are
+    // SCATTERED across partitions (each partition sees disconnected
+    // fragments and must emit enough forest edges for the cross-partition
+    // merge), plus a dense clique whose redundancy the contraction should
+    // eliminate, plus duplicated edges
+    val rnd = new Random(11)
+    val chain = (0 until 500).map(i => (i.toLong, (i + 1).toLong))
+    val clique = for (i <- 600 to 640; j <- (i + 1) to 640) yield (i.toLong, j.toLong)
+    val edges = rnd.shuffle(chain ++ clique ++ clique)
+    val expect = unionFind(700, edges)
+    val df = edges.toDF("doc_a", "doc_b").repartition(16)
+    val gated = Components.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gated == expect, "gated path (contracted probe) diverged")
+    val star = Components.connectedComponents(df, maxEdgesBroadcast = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == expect, "star path over contracted edges diverged")
+  }
+
   test("chain of 200 nodes: star loop converges and labels collapse to the minimum") {
     val chain = (0 until 200).map(i => (i.toLong, (i + 1).toLong))
     // gate = -1 forces the star loop — the adversarial-diameter law is
