@@ -81,6 +81,10 @@ object SparkEntry {
     "q_dedup_incr" -> ((s, d) => Dedup.incrementalNearDupQ(s, d)),
     "q_dedup_fuzzy_incr" -> ((s, d) => Dedup.incrementalFuzzyQ(s, d)),
     "q_dup_clusters" -> ((s, d) => Components.dupClustersQ(s, d)),
+    // incremental cluster maintenance: standing corpus labels + delta
+    // pairs folded in via mergeClusters, hash-gated against batch
+    // re-clustering of the union (LSH pairs decompose exactly by side)
+    "q_dup_clusters_incr" -> ((s, d) => Components.dupClustersIncrQ(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => Dedup.fingerprints(Tables.documents(s, d))),
@@ -182,6 +186,66 @@ object SparkEntry {
     // two-proportion z-test between deterministic user variants
     "q_abtest" -> ((s, d) => EventAnalytics.abTest(Tables.events(s, d)))
   )
+
+  /** The dup-clustering oracle, parameterized over its document source
+    * so the batch (q_dup_clusters) and incremental (q_dup_clusters_incr)
+    * gates share ONE text: banded minhash pairs, two star-contraction
+    * levels, recursive min-label walk on the residual graph (shape
+    * rationale at the q_dup_clusters registration). `docsCte` prepends
+    * an optional CTE (e.g. the re-keyed corpus ∪ delta union) and `src`
+    * names the table the tokenizer reads. */
+  private def dupClusterOracleSql(docsCte: String, src: String): String =
+    s"""WITH $docsCte tok AS (SELECT DISTINCT doc_id, t AS token FROM
+      |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      |FROM $src) u WHERE t <> ''),
+      |sig AS (SELECT doc_id,
+      |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
+      |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
+      |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
+      |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
+      |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
+      |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
+      |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
+      |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
+      |FROM tok GROUP BY doc_id),
+      |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
+      |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+      |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+      |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
+      |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+      |AND a.doc_id < b.doc_id),
+      |tokh AS (SELECT DISTINCT doc_id,
+      |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
+      |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),
+      |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
+      |JOIN tokh ta ON ta.doc_id = c.doc_a
+      |JOIN tokh tb ON tb.doc_id = c.doc_b AND tb.th = ta.th
+      |GROUP BY c.doc_a, c.doc_b),
+      |pairs AS MATERIALIZED (SELECT c.doc_a, c.doc_b
+      |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+      |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5),
+      |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+      |UNION ALL SELECT doc_b, doc_a FROM pairs),
+      |m1 AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM e0 GROUP BY u),
+      |e1 AS MATERIALIZED (SELECT DISTINCT ma.m AS u, mb.m AS v FROM e0
+      |JOIN m1 ma ON ma.u = e0.u JOIN m1 mb ON mb.u = e0.v WHERE ma.m <> mb.m),
+      |e1s AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
+      |m2 AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM e1s GROUP BY u),
+      |e2 AS MATERIALIZED (SELECT DISTINCT ma.m AS u, mb.m AS v FROM e1s
+      |JOIN m2 ma ON ma.u = e1s.u JOIN m2 mb ON mb.u = e1s.v WHERE ma.m <> mb.m),
+      |e2s AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+      |wl AS MATERIALIZED (SELECT u, min(label) AS label FROM (
+      |WITH RECURSIVE walk(u, label) AS (
+      |SELECT DISTINCT u, u FROM e2s
+      |UNION
+      |SELECT e.v, w.label FROM walk w JOIN e2s e ON e.u = w.u
+      |WHERE w.label < e.v)
+      |SELECT u, label FROM walk) GROUP BY u),
+      |lvl AS (SELECT m1.u AS doc_id, coalesce(m2.m, m1.m) AS s2
+      |FROM m1 LEFT JOIN m2 ON m2.u = m1.m)
+      |SELECT lvl.doc_id, coalesce(wl.label, lvl.s2) AS cluster
+      |FROM lvl LEFT JOIN wl ON wl.u = lvl.s2""".stripMargin
 
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on
     * views named after the parquet tables). Omitted for approximate ops
@@ -431,58 +495,14 @@ object SparkEntry {
     // in a NESTED subquery because DuckDB 1.0 stops honoring
     // MATERIALIZED once the top-level WITH is RECURSIVE — inlining it
     // re-evaluates the md5 pair pipeline per reference (measured 3×).
-    "q_dup_clusters" ->
-      """WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM
-        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
-        |FROM documents) u WHERE t <> ''),
-        |sig AS (SELECT doc_id,
-        |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
-        |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
-        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
-        |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
-        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
-        |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
-        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
-        |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
-        |FROM tok GROUP BY doc_id),
-        |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
-        |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
-        |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
-        |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
-        |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
-        |AND a.doc_id < b.doc_id),
-        |tokh AS (SELECT DISTINCT doc_id,
-        |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
-        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),
-        |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
-        |JOIN tokh ta ON ta.doc_id = c.doc_a
-        |JOIN tokh tb ON tb.doc_id = c.doc_b AND tb.th = ta.th
-        |GROUP BY c.doc_a, c.doc_b),
-        |pairs AS MATERIALIZED (SELECT c.doc_a, c.doc_b
-        |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
-        |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5),
-        |e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
-        |UNION ALL SELECT doc_b, doc_a FROM pairs),
-        |m1 AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM e0 GROUP BY u),
-        |e1 AS MATERIALIZED (SELECT DISTINCT ma.m AS u, mb.m AS v FROM e0
-        |JOIN m1 ma ON ma.u = e0.u JOIN m1 mb ON mb.u = e0.v WHERE ma.m <> mb.m),
-        |e1s AS MATERIALIZED (SELECT u, v FROM e1 UNION ALL SELECT v, u FROM e1),
-        |m2 AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM e1s GROUP BY u),
-        |e2 AS MATERIALIZED (SELECT DISTINCT ma.m AS u, mb.m AS v FROM e1s
-        |JOIN m2 ma ON ma.u = e1s.u JOIN m2 mb ON mb.u = e1s.v WHERE ma.m <> mb.m),
-        |e2s AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
-        |wl AS MATERIALIZED (SELECT u, min(label) AS label FROM (
-        |WITH RECURSIVE walk(u, label) AS (
-        |SELECT DISTINCT u, u FROM e2s
-        |UNION
-        |SELECT e.v, w.label FROM walk w JOIN e2s e ON e.u = w.u
-        |WHERE w.label < e.v)
-        |SELECT u, label FROM walk) GROUP BY u),
-        |lvl AS (SELECT m1.u AS doc_id, coalesce(m2.m, m1.m) AS s2
-        |FROM m1 LEFT JOIN m2 ON m2.u = m1.m)
-        |SELECT lvl.doc_id, coalesce(wl.label, lvl.s2) AS cluster
-        |FROM lvl LEFT JOIN wl ON wl.u = lvl.s2""".stripMargin,
+    "q_dup_clusters" -> dupClusterOracleSql(docsCte = "", src = "documents"),
+    // batch re-clustering of the re-keyed corpus ∪ delta union — the
+    // ground truth the INCREMENTAL label maintenance must reproduce
+    "q_dup_clusters_incr" -> dupClusterOracleSql(
+      docsCte = """docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+        |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+        |""".stripMargin,
+      src = "docs2"),
     // Incremental shape: same banded minhash + exact-Jaccard as
     // q_dedup_near, over the corpus (doc_id % 20 <> 0) ∪ re-keyed delta
     // (doc_id % 20 = 0, +100000), restricted to (delta, corpus) cross

@@ -310,6 +310,42 @@ object Components {
   def semanticDedupQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     semanticDedup(graft.sources.Tables.embeddings(spark, dir))
 
+  /** Declared incremental clustering (q_dup_clusters_incr): the
+    * [[mergeClusters]] maintenance loop as a gated artifact, same 95/5
+    * delta convention (and the same persisted band index) as
+    * q_dedup_incr. LSH banded pairs decompose EXACTLY by side — a pair
+    * exists iff its two docs share a band, regardless of every other
+    * doc — so pairs(union) = pairs(corpus) ∪ pairs(delta vs corpus,
+    * from the index) ∪ pairs(delta internal), and folding the last two
+    * into the STANDING corpus labels must equal batch re-clustering
+    * over the union. The oracle recomputes exactly that batch form
+    * (the q_dup_clusters SQL over the re-keyed union), so every
+    * incrementally-maintained label is hash-checked. Standing state
+    * (the corpus label table) is built once per (session, dir) and read
+    * from parquet — the shape a production loop carries between
+    * micro-batches; steady-state cost is the delta work only. */
+  def dupClustersIncrQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    // the same index q_dedup_incr stands up (same BuildOnce key)
+    val idxDir = BuildOnce.tempDirFor("graft_neardup_idx", dir)
+    BuildOnce(spark, idxDir)(Dedup.writeNearDupIndex(corpus, idxDir))
+    val labDir = BuildOnce.tempDirFor("graft_cluster_labels", dir)
+    BuildOnce(spark, labDir)(
+      connectedComponents(Dedup.nearDupPairs(corpus, dedupPairs = false))
+        .write.mode("overwrite").parquet(labDir))
+    val labels = spark.read.parquet(labDir)
+    val cross = Dedup.nearDupsAgainstIndex(spark, delta, idxDir)
+      .select("doc_a", "doc_b")
+    val internal = Dedup.nearDupPairs(delta, dedupPairs = false)
+      .select("doc_a", "doc_b")
+    mergeClusters(labels, cross.unionByName(internal))
+  }
+
   /** Declared query (q_dup_clusters): cluster labels over the minhash
     * near-dup pairs of the documents table — the [[Dedup.nearDupPairs]]
     * flagship pipeline composed with [[connectedComponents]]. The
