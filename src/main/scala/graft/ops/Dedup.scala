@@ -408,7 +408,8 @@ object Dedup {
     * least exchange-free on the index side. */
   def nearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       newDocs: DataFrame, dir: String,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      smallIndexBytes: Long = 64L << 20): DataFrame = {
     SortedLongIntersectCount.register(spark)
     // tracked caches (caller releases via PipelineCaches.release after
     // each consuming action — the documented lifetime contract, so the
@@ -422,13 +423,27 @@ object Dedup {
       .withColumnRenamed("doc_id", "doc_a"))
     val bandBuckets = spark.read.parquet(s"$dir/meta")
       .first().getAs[Int]("band_buckets")
-    // one extra delta-sized pass to learn which buckets the delta can
-    // touch; its distinct is ≤ bandBuckets values
-    val touched = newBands
-      .select(pmod(col("b0"), lit(bandBuckets.toLong)).as("bkt"))
-      .distinct().collect().map(_.getLong(0))
-    val candRaw = spark.read.schema(BandsSchema).parquet(s"$dir/bands")
-      .filter(col("bkt").isin(touched: _*))
+    // the touched-bucket prune costs one extra delta-sized Spark job, so
+    // it is size-gated on the index footprint (a driver filesystem stat,
+    // no job — same gate as spanDedupAgainstIndex): below the gate a
+    // full bands read is cheaper than the job that would prune it; above
+    // it, pruning is what keeps micro-batch lookups independent of
+    // corpus size
+    val bandsPath = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val indexBytes = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(bandsPath).getLength
+    val bandsRead = spark.read.schema(BandsSchema).parquet(s"$dir/bands")
+    val prunedBands =
+      if (indexBytes < smallIndexBytes) bandsRead
+      else {
+        // one extra delta-sized pass to learn which buckets the delta
+        // can touch; its distinct is ≤ bandBuckets values
+        val touched = newBands
+          .select(pmod(col("b0"), lit(bandBuckets.toLong)).as("bkt"))
+          .distinct().collect().map(_.getLong(0))
+        bandsRead.filter(col("bkt").isin(touched: _*))
+      }
+    val candRaw = prunedBands
       .join(broadcast(newBands), Seq("band", "b0", "b1"))
       .filter(col("doc_a") =!= col("doc_id"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
@@ -936,6 +951,21 @@ object Dedup {
         s => md5Prefix(s, withSpans.sparkSession, 15))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("c"))
 
+  /** Broadcast-form keep/reassemble against a ONE-row
+    * (boiler ARRAY<LONG>) frame: per-row codegen'd array filter +
+    * in-row concat, no explode of text, no second shuffle. */
+  private def applyBoilerFrame(withSpans: DataFrame, boiler: DataFrame): DataFrame = {
+    val spark = withSpans.sparkSession
+    withSpans.crossJoin(broadcast(boiler))
+      .select(col("doc_id"), col("spans"),
+        filter(col("spans"),
+          s => !array_contains(col("boiler"), md5Prefix(s, spark, 15))).as("kept"))
+      .select(col("doc_id"),
+        size(col("spans")).cast("long").as("n_spans"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   /** Apply a frequent-span table (h LONG) to (doc_id, spans) — the
     * size-gated keep/reassemble stage both [[spanDedup]] and
     * [[spanDedupAgainstIndex]] end in (gate rationale in spanDedup's
@@ -956,15 +986,7 @@ object Dedup {
         (c.count(), c)
     }
     if (nFrequent <= maxFrequentBroadcast) {
-      val boiler = cached.agg(collect_set(col("h")).as("boiler"))
-      withSpans.crossJoin(broadcast(boiler))
-        .select(col("doc_id"), col("spans"),
-          filter(col("spans"),
-            s => !array_contains(col("boiler"), md5Prefix(s, spark, 15))).as("kept"))
-        .select(col("doc_id"),
-          size(col("spans")).cast("long").as("n_spans"),
-          size(col("kept")).cast("long").as("n_kept"),
-          concat_ws(" ", col("kept")).as("clean_text"))
+      applyBoilerFrame(withSpans, cached.agg(collect_set(col("h")).as("boiler")))
     } else {
       withSpans
         .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
@@ -1044,15 +1066,34 @@ object Dedup {
     spanMetaCache.synchronized {
       Option(spanMetaCache.get(spark)).foreach(_.remove(dir))
     }
+    spanFreqCache.synchronized {
+      Option(spanFreqCache.get(spark)).foreach(_.filterInPlace((k, _) => k._1 != dir))
+    }
   }
 
-  /** Frequent-set cardinality of a (possibly multi-batch) spans dir at
-    * `cap` — sum(c) first so appended partial counts merge. */
-  private def countFrequent(spark: org.apache.spark.sql.SparkSession,
-      dir: String, cap: Long): Long =
+  /** Standing boilerplate-set memo — the steady state of the production
+    * micro-batch loop: when the frequent set is broadcast-sized (the
+    * meta gate proved it), keep the collected hash array resident
+    * per (session, dir, cap) between deltas instead of re-reading the
+    * index every clean. Driver memory ≤ maxFrequentBroadcast longs per
+    * entry; every index writer invalidates through [[writeSpanMeta]]
+    * (the same single-writer discipline the meta memo rides); weakly
+    * keyed so stopped sessions don't pin. */
+  private val spanFreqCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[(String, Long), Array[Long]]]
+
+  /** Global frequent-span table (h LONG) of a (possibly multi-batch)
+    * spans dir at `cap` — sum(c) first so appended partial counts
+    * merge. */
+  private def freqTableFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Long): DataFrame =
     spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
       .groupBy(col("h")).agg(sum(col("c")).as("c"))
-      .filter(col("c") >= cap).count()
+      .filter(col("c") >= cap).select("h")
+
+  private def countFrequent(spark: org.apache.spark.sql.SparkSession,
+      dir: String, cap: Long): Long = freqTableFor(spark, dir, cap).count()
 
   /** Persist the corpus span-frequency table for incremental span
     * dedup, bucket-partitioned on the span hash so delta lookups prune.
@@ -1132,33 +1173,78 @@ object Dedup {
     * delta's own span hashes fall in (bucket list ≤ spanBuckets longs —
     * a metadata-sized collect, effective for micro-batch-sized deltas,
     * a full scan in the worst case); sum(c) re-aggregates the appended
-    * partials; the filter stage is [[applySpanFilter]]'s gate. */
+    * partials; the filter stage is [[applySpanFilter]]'s gate. The
+    * pruning list itself costs one delta-sized Spark job, so it is
+    * size-gated on the INDEX's on-disk footprint (a driver filesystem
+    * stat, no job): below `smallIndexBytes` a full index read is
+    * cheaper than the job that would prune it — above, the touched-
+    * bucket prune is what makes micro-batch cleans independent of
+    * corpus size. */
   def spanDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       delta: DataFrame, dir: String, cap: Long = 2,
-      maxFrequentBroadcast: Long = 100000): DataFrame = {
+      maxFrequentBroadcast: Long = 100000,
+      smallIndexBytes: Long = 64L << 20): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     val meta = readSpanMeta(spark, dir)
     val (w, spanBuckets) = (meta.w, meta.spanBuckets)
-    val withSpans = PipelineCaches.track(withSpansOf(delta, w))
-    val touched = withSpans
-      .select(explode(transform(col("spans"),
-        s => pmod(md5Prefix(s, spark, 15), lit(spanBuckets.toLong)))).as("bkt"))
-      .distinct().collect().map(_.getLong(0))
-    val freq = spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
-      .filter(col("bkt").isin(touched.toSeq: _*))
+    // STEADY-STATE fast path: when meta proves the GLOBAL frequent set
+    // is broadcast-sized, serve the clean from the resident boilerplate
+    // array ([[spanFreqCache]]) — the index is read once per
+    // (session, dir, cap) and every subsequent delta pays ONLY its own
+    // map-side pass. This is the per-micro-batch cost of the production
+    // loop; writers invalidate both memos.
+    if (meta.freqCap == cap && meta.nFrequent >= 0 &&
+      meta.nFrequent <= maxFrequentBroadcast) {
+      val key = (dir, cap)
+      val resident = spanFreqCache.synchronized {
+        Option(spanFreqCache.get(spark)).flatMap(_.get(key))
+      }
+      val hashes = resident.getOrElse {
+        // benign race: a concurrent first caller recomputes, last put wins
+        val arr = freqTableFor(spark, dir, cap).collect().map(_.getLong(0))
+        spanFreqCache.synchronized {
+          val m = Option(spanFreqCache.get(spark)).getOrElse {
+            val x = scala.collection.mutable.Map.empty[(String, Long), Array[Long]]
+            spanFreqCache.put(spark, x); x
+          }
+          m.put(key, arr)
+        }
+        arr
+      }
+      val boiler = spark.createDataFrame(
+        java.util.Collections.singletonList(
+          org.apache.spark.sql.Row(hashes.toSeq)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("boiler",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType), nullable = false))))
+      return applyBoilerFrame(withSpansOf(delta, w), boiler)
+    }
+    // eager path (stale / cap-mismatched / oversized frequent set): the
+    // touched-bucket prune costs one delta-sized job, so it is gated on
+    // the index footprint (a driver filesystem stat, no job) — below
+    // `smallIndexBytes` a full read is cheaper than the job that would
+    // prune it. The delta frame is cached only when the prune consumes
+    // it a second time.
+    val spansPath = new org.apache.hadoop.fs.Path(s"$dir/spans")
+    val indexBytes = spansPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(spansPath).getLength
+    val spansRead = spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
+    val (withSpans, pruned) =
+      if (indexBytes < smallIndexBytes) (withSpansOf(delta, w), spansRead)
+      else {
+        val tracked = PipelineCaches.track(withSpansOf(delta, w))
+        val touched = tracked
+          .select(explode(transform(col("spans"),
+            s => pmod(md5Prefix(s, spark, 15), lit(spanBuckets.toLong)))).as("bkt"))
+          .distinct().collect().map(_.getLong(0))
+        (tracked, spansRead.filter(col("bkt").isin(touched.toSeq: _*)))
+      }
+    val freq = pruned
       .groupBy(col("h")).agg(sum(col("c")).as("c"))
       .filter(col("c") >= cap)
       .select("h")
-    // the broadcast gate from meta, when it can answer: the stored
-    // GLOBAL frequent cardinality upper-bounds the pruned subset's, so
-    // "global fits the broadcast" is a safe gate decision with zero
-    // extra jobs; a stale (-1) or different-cap meta falls back to the
-    // eager count inside applySpanFilter
-    val known =
-      if (meta.freqCap == cap && meta.nFrequent >= 0 &&
-        meta.nFrequent <= maxFrequentBroadcast) Some(meta.nFrequent)
-      else None
-    applySpanFilter(withSpans, freq, maxFrequentBroadcast, known)
+    applySpanFilter(withSpans, freq, maxFrequentBroadcast)
   }
 
   /** Declared incremental span-dedup workload (q_line_dedup_incr): the

@@ -15,7 +15,10 @@ class NearDupIndexSpec extends SparkSuite {
     // the delta: every corpus text re-ingested under a fresh id — each
     // delta doc must rediscover its source as an exact duplicate
     val delta = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
-    val q = Dedup.nearDupsAgainstIndex(spark, delta, dir)
+    // smallIndexBytes=0 forces the touched-bucket prune (the tiny test
+    // index would otherwise ride the full-read fast path) — this test
+    // pins the AT-SCALE plan shape
+    val q = Dedup.nearDupsAgainstIndex(spark, delta, dir, smallIndexBytes = 0)
     // the index side must stream through broadcast-hash joins (the delta
     // is the broadcast side) — an index-side sort or exchange before the
     // band join would mean the corpus scan is being shuffled
@@ -79,7 +82,7 @@ class NearDupIndexSpec extends SparkSuite {
     // scan must select at most 4 of the written partitions
     val delta = docs.filter(col("doc_id") === 0L)
       .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
-    val q = Dedup.nearDupsAgainstIndex(spark, delta, dir)
+    val q = Dedup.nearDupsAgainstIndex(spark, delta, dir, smallIndexBytes = 0)
     val scans = q.queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
           if s.metadata.get("Location").exists(_.contains("bands")) => s

@@ -101,11 +101,21 @@ class SpanDedupSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
     assert(out(100L) == ((1L, "fresh unique tokens here")))
     assert(out(101L)._1 == 2L, "intra-delta repeats must not count toward the cap")
-    // the pruned read must carry a bkt partition filter
-    val plan = Dedup.spanDedupAgainstIndex(spark, delta, dir, cap = 2)
+    // the pruned read must carry a bkt partition filter. Forced onto the
+    // AT-SCALE eager path: cap=3 mismatches the meta cap (so the
+    // resident-set fast path cannot answer) and smallIndexBytes=0 defeats
+    // the small-index full-read gate
+    val plan = Dedup.spanDedupAgainstIndex(spark, delta, dir, cap = 3,
+        smallIndexBytes = 0)
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("bkt"),
       "spans scan must be partition-pruned:\n" + plan.take(700))
+    // and the default (meta-fresh) path answers from the resident
+    // boilerplate set: NO scan of the index directory in the plan
+    val fastPlan = Dedup.spanDedupAgainstIndex(spark, delta, dir, cap = 2)
+      .queryExecution.executedPlan.toString
+    assert(!fastPlan.contains(dir),
+      "steady-state clean must not re-read the index:\n" + fastPlan.take(700))
     // append: 'rare span here only' had c=1; a second occurrence folded
     // in from a delta promotes it to frequent for LATER deltas
     Dedup.appendToSpanIndex(
