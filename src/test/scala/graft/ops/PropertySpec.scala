@@ -20,6 +20,42 @@ class PropertySpec extends SparkSuite {
   private def randText(): String =
     Seq.fill(5 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
 
+  test("law: histogram-select ≡ sort ≡ builtin percentiles on adversarial distributions") {
+    import spark.implicits._
+    // three seeds × a distribution mix built to stress the select form:
+    // heavy ties (10 distinct values — many ranks straddle equal-value
+    // bucket boundaries), a constant column (mn == mx → every row in
+    // bucket 0), and a long-tailed skew (~all mass in the lowest
+    // buckets, the degenerate-bucket worst case)
+    for (seed <- Seq(3, 19, 71)) {
+      val r = new Random(seed)
+      val rows = Seq.fill(800)((
+        s"g${r.nextInt(4)}",
+        r.nextInt(10).toDouble,
+        42.0,
+        math.pow(r.nextDouble(), 8) * 1e6))
+      val df = rows.toDF("g", "ties", "const", "skew")
+      val specs = Seq(
+        "ties" -> Seq(0.5 -> "p50_t", 0.9 -> "p90_t"),
+        "const" -> Seq(0.5 -> "p50_c"),
+        "skew" -> Seq(0.25 -> "p25_s", 0.99 -> "p99_s"))
+      def toMap(got: Array[org.apache.spark.sql.Row]) =
+        got.map(r0 => r0.getString(0) -> r0.toSeq.tail).toMap
+      val builtin = toMap(df.groupBy(col("g")).agg(
+        expr("percentile(ties, 0.5)").as("p50_t"),
+        expr("percentile(ties, 0.9)").as("p90_t"),
+        expr("percentile(const, 0.5)").as("p50_c"),
+        expr("percentile(skew, 0.25)").as("p25_s"),
+        expr("percentile(skew, 0.99)").as("p99_s")).collect())
+      val select = toMap(Relational.exactPercentiles(df, "g", specs,
+        smallInputBytes = 0).collect())
+      val sort = toMap(Relational.exactPercentilesBySort(df, "g", specs).collect())
+      assert(select == builtin, s"select form diverged from builtin, seed=$seed")
+      assert(sort == builtin, s"sort form diverged from builtin, seed=$seed")
+      PipelineCaches.release(spark)
+    }
+  }
+
   test("law: identical documents always surface as near-dup pairs with jaccard 1") {
     import spark.implicits._
     // 10 base docs, each duplicated once with whitespace/case noise
