@@ -103,9 +103,17 @@ object Bench {
     // TAIL, and with ~100 queries the one-line JSON blob can straddle
     // the cut (round 7 lost 23 of 95 per-query entries that way). The
     // file is the durable, parseable record.
+    // never fail the whole (minutes-long) bench on the file write —
+    // stdout above already carries the record
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (json + "\n").getBytes("UTF-8"))
+    try {
+      val p = java.nio.file.Paths.get(out)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $out: $e")
+    }
     spark.stop()
   }
 }

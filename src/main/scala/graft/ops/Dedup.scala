@@ -971,20 +971,14 @@ object Dedup {
     * [[spanDedupAgainstIndex]] end in (gate rationale in spanDedup's
     * scaladoc). */
   private def applySpanFilter(withSpans: DataFrame, freqTable: DataFrame,
-      maxFrequentBroadcast: Long,
-      knownFrequentCount: Option[Long] = None): DataFrame = {
+      maxFrequentBroadcast: Long): DataFrame = {
+    // cache + eager count: both paths consume the frequency aggregate a
+    // second time (collect_set / join), so uncached it would materialize
+    // twice. (A fresh-meta index never reaches here — the resident
+    // fast path in spanDedupAgainstIndex answers first.)
     val spark = withSpans.sparkSession
-    // a caller-supplied cardinality (index meta) answers the gate with
-    // no extra job AND no cache: the chosen path then consumes the
-    // frequent table exactly once. Without it, cache + eager count —
-    // both paths would otherwise materialize the frequency aggregate
-    // twice (once for the gate, once for the data pass).
-    val (nFrequent, cached) = knownFrequentCount match {
-      case Some(n) => (n, freqTable)
-      case None =>
-        val c = PipelineCaches.track(freqTable)
-        (c.count(), c)
-    }
+    val cached = PipelineCaches.track(freqTable)
+    val nFrequent = cached.count()
     if (nFrequent <= maxFrequentBroadcast) {
       applyBoilerFrame(withSpans, cached.agg(collect_set(col("h")).as("boiler")))
     } else {
@@ -1033,28 +1027,49 @@ object Dedup {
 
   // Meta rows are one tiny parquet read but still a full Spark job
   // (~0.1 s of the incremental path's fixed floor) — memoize per
-  // (session, dir) under the index's single-writer discipline; every
-  // writer below invalidates through writeSpanMeta. Weakly keyed like
-  // BuildOnce so stopped sessions don't pin.
+  // (session, dir), validated against the meta dir's mtime stamp (see
+  // [[metaStamp]]) so writers in OTHER sessions/processes are seen;
+  // same-session writers additionally invalidate through writeSpanMeta.
+  // Weakly keyed like BuildOnce so stopped sessions don't pin.
   private val spanMetaCache = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[String, SpanMeta]]
+    scala.collection.mutable.Map[String, (Long, SpanMeta)]]
+
+  /** Version stamp of an index's meta dir (its modification time) — a
+    * driver filesystem stat, no Spark job. Both memos below validate
+    * against it, so a writer in ANOTHER session or process (which
+    * cannot reach this JVM-session's WeakHashMap invalidation) still
+    * flips readers to fresh state on their next call: every meta write
+    * replaces the dir's files and bumps its mtime. */
+  private def metaStamp(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+  }
 
   private def readSpanMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String): SpanMeta = spanMetaCache.synchronized {
-    val perDir = Option(spanMetaCache.get(spark)).getOrElse {
-      val m = scala.collection.mutable.Map.empty[String, SpanMeta]
-      spanMetaCache.put(spark, m); m
+      dir: String): SpanMeta = {
+    val stamp = metaStamp(spark, dir)
+    spanMetaCache.synchronized {
+      val perDir = Option(spanMetaCache.get(spark)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, (Long, SpanMeta)]
+        spanMetaCache.put(spark, m); m
+      }
+      perDir.get(dir) match {
+        case Some((s, m)) if s == stamp => m
+        case _ =>
+          val row = spark.read.parquet(s"$dir/meta").first()
+          // indexes written before the cardinality lanes existed read as
+          // stale (-1): eager-count fallback, not a schema error
+          val hasFreq = row.schema.fieldNames.contains("freq_cap")
+          val m = SpanMeta(row.getAs[Int]("w"), row.getAs[Int]("span_buckets"),
+            if (hasFreq) row.getAs[Long]("freq_cap") else -1L,
+            if (hasFreq) row.getAs[Long]("n_frequent") else -1L)
+          perDir.put(dir, (stamp, m))
+          m
+      }
     }
-    perDir.getOrElseUpdate(dir, {
-      val row = spark.read.parquet(s"$dir/meta").first()
-      // indexes written before the cardinality lanes existed read as
-      // stale (-1): eager-count fallback, not a schema error
-      val hasFreq = row.schema.fieldNames.contains("freq_cap")
-      SpanMeta(row.getAs[Int]("w"), row.getAs[Int]("span_buckets"),
-        if (hasFreq) row.getAs[Long]("freq_cap") else -1L,
-        if (hasFreq) row.getAs[Long]("n_frequent") else -1L)
-    })
   }
 
   private def writeSpanMeta(spark: org.apache.spark.sql.SparkSession,
@@ -1076,12 +1091,14 @@ object Dedup {
     * meta gate proved it), keep the collected hash array resident
     * per (session, dir, cap) between deltas instead of re-reading the
     * index every clean. Driver memory ≤ maxFrequentBroadcast longs per
-    * entry; every index writer invalidates through [[writeSpanMeta]]
-    * (the same single-writer discipline the meta memo rides); weakly
-    * keyed so stopped sessions don't pin. */
+    * entry. Entries carry the meta mtime stamp they were computed at
+    * and are ignored once the stamp moves, so cross-session/process
+    * writers are seen; same-session writers additionally invalidate
+    * through [[writeSpanMeta]]. Weakly keyed so stopped sessions don't
+    * pin. */
   private val spanFreqCache = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[(String, Long), Array[Long]]]
+    scala.collection.mutable.Map[(String, Long), (Long, Array[Long])]]
 
   /** Global frequent-span table (h LONG) of a (possibly multi-batch)
     * spans dir at `cap` — sum(c) first so appended partial counts
@@ -1126,16 +1143,18 @@ object Dedup {
   def appendToSpanIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
     val meta = readSpanMeta(spark, dir)
+    // mark the stored cardinality stale BEFORE the data append: a crash
+    // between the two writes must leave meta claiming LESS than it
+    // knows, never a fresh n_frequent over moved counts (a stale-fresh
+    // meta would let the broadcast gate collect an unbounded set)
+    if (meta.nFrequent >= 0)
+      writeSpanMeta(spark, dir, meta.copy(nFrequent = -1L))
     // one file per touched bucket per batch (same repartition trick as
     // the initial write); compaction collapses the per-batch accumulation
     spanCounts(withSpansOf(newDocs, meta.w))
       .withColumn("bkt", pmod(col("h"), lit(meta.spanBuckets.toLong)))
       .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/spans")
-    // counts moved: the stored frequent cardinality is stale until the
-    // next compaction (readers fall back to the eager count meanwhile)
-    if (meta.nFrequent >= 0)
-      writeSpanMeta(spark, dir, meta.copy(nFrequent = -1L))
   }
 
   /** Compact a span index in place: re-aggregate the per-batch partial
@@ -1196,18 +1215,21 @@ object Dedup {
     if (meta.freqCap == cap && meta.nFrequent >= 0 &&
       meta.nFrequent <= maxFrequentBroadcast) {
       val key = (dir, cap)
+      val stamp = metaStamp(spark, dir)
       val resident = spanFreqCache.synchronized {
         Option(spanFreqCache.get(spark)).flatMap(_.get(key))
+          .collect { case (s, arr) if s == stamp => arr }
       }
       val hashes = resident.getOrElse {
         // benign race: a concurrent first caller recomputes, last put wins
         val arr = freqTableFor(spark, dir, cap).collect().map(_.getLong(0))
         spanFreqCache.synchronized {
           val m = Option(spanFreqCache.get(spark)).getOrElse {
-            val x = scala.collection.mutable.Map.empty[(String, Long), Array[Long]]
+            val x = scala.collection.mutable.Map
+              .empty[(String, Long), (Long, Array[Long])]
             spanFreqCache.put(spark, x); x
           }
-          m.put(key, arr)
+          m.put(key, (stamp, arr))
         }
         arr
       }

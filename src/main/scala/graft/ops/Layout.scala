@@ -61,12 +61,15 @@ object Layout {
       case n: java.lang.Number => n.doubleValue
     }
     val nBins = (1L << bits) - 1
+    // nulls explicitly to bin 0: least() SKIPS nulls (least(null, n) = n),
+    // so a coalesce around it can never see the null and a null row
+    // would silently cluster into the TOP bin, polluting the top z-run's
+    // stats envelope
     def bin(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else coalesce(
+      else when(c.isNull, lit(0L)).otherwise(
         least(floor((c.cast("double") - lit(lo)) / lit(hi - lo) * (nBins + 1)),
-          lit(nBins)).cast("long"),
-        lit(0L))
+          lit(nBins)).cast("long"))
     zorderLayout(df,
       zValue(bin(x, d(r.get(0)), d(r.get(1))), bin(y, d(r.get(2)), d(r.get(3))), bits),
       nPartitions)

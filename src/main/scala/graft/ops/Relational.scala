@@ -727,14 +727,20 @@ object Relational {
         .agg(count(col("v")).as("cnt"), min("v").as("mn"), max("v").as("mx")))
     if (stats.count() > maxStatsBroadcast)
       return exactPercentilesBySort(df, groupCol, specs)
-    // (ci, p) literals → target ranks per slice
+    // (ci, p) literals → target ranks per slice; `tg` carries the ONE
+    // copy of the rank arithmetic (pos/lo/hi) and both the locator
+    // (targets) and the final interpolation derive from it, so the two
+    // can never drift apart
     val specDf = specs.zipWithIndex
       .flatMap { case ((_, ps), i) => ps.map { case (p, _) => (i, p) } }
       .toDF("ci", "p")
-    val targets = stats.join(broadcast(specDf), "ci")
+    val tg = stats.join(broadcast(specDf), "ci")
       .withColumn("pos", col("p") * (col("cnt") - 1))
+      .withColumn("lo", floor(col("pos")))
+      .withColumn("hi", ceil(col("pos")))
+    val targets = tg
       .select(col(groupCol), col("ci"),
-        explode(array(floor(col("pos")), ceil(col("pos")))).as("rk"))
+        explode(array(col("lo"), col("hi"))).as("rk"))
       .distinct()
     // scans 2 & 3 share the bucket expression (deliberately NOT cached:
     // two source scans beat materializing the full frame)
@@ -776,10 +782,6 @@ object Relational {
     picked.count()
     // interpolate per (slice, percentile); equal-v ties across the pick
     // are interchangeable like in the sort form
-    val tg = stats.join(broadcast(specDf), "ci")
-      .withColumn("pos", col("p") * (col("cnt") - 1))
-      .withColumn("lo", floor(col("pos")))
-      .withColumn("hi", ceil(col("pos")))
     val vlo = picked.select(col(groupCol).as("__g3"), col("ci").as("__c3"),
       col("rk").as("__r3"), col("v").as("v_lo"))
     val vhi = picked.select(col(groupCol).as("__g4"), col("ci").as("__c4"),

@@ -67,16 +67,19 @@ object Bucketing {
   // dir change re-writes (the registered tables hold the previous dir's
   // rows). Memo set only AFTER both writes succeed; whole check+write
   // under one lock; weakly keyed so stopped sessions don't pin.
-  private val lastDir = new java.util.WeakHashMap[SparkSession, String]
+  private val lastDir = new java.util.WeakHashMap[SparkSession, (String, Int)]
 
   /** Idempotent [[registerFactTables]] — the form a declared query can
-    * call: first call per (session, dir) pays the bucketed write, repeat
-    * calls measure the steady-state co-located join a deployment runs. */
+    * call: first call per (session, dir, buckets) pays the bucketed
+    * write, repeat calls measure the steady-state co-located join a
+    * deployment runs. The bucket count is part of the memo key: a
+    * repeat call asking for a different layout must re-write, not
+    * silently serve the old one. */
   def ensureFactTables(spark: SparkSession, dir: String,
       buckets: Int = 8): Unit = lastDir.synchronized {
-    if (lastDir.get(spark) != dir) {
+    if (lastDir.get(spark) != ((dir, buckets))) {
       registerFactTables(spark, dir, buckets)
-      lastDir.put(spark, dir)
+      lastDir.put(spark, (dir, buckets))
     }
   }
 }

@@ -99,10 +99,18 @@ object Tables {
     * UTC instant — same microsecond values either way, and DuckDB reads
     * the same column as its (naive) TIMESTAMP. Normalizing at the
     * accessor keeps every downstream operator on one timestamp type. */
-  private def tsUtc(df: DataFrame): DataFrame =
-    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+  private def tsUtc(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    // pin the zone whenever the cast actually runs: on an externally
+    // created session with a local zone, NTZ→TIMESTAMP would reinterpret
+    // the wall-clock as a local instant and shift every value (same
+    // defensive set as the nanosAsLong conf below)
+    if (ntz.nonEmpty)
+      df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+    ntz.foldLeft(df) {
       (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
     }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "nation")
