@@ -74,11 +74,15 @@ object ScaleSmoke {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
-      // pairs → clusters: the iterative star algorithm must keep its
-      // round count flat as the edge list grows (amplified replicas
-      // never cross-match, so components scale in count, not diameter)
+      // pairs → clusters, BOTH at-scale stages forced: the map-side
+      // local contraction always runs, and maxEdgesBroadcast = -1
+      // disables the driver union-find so the iterative star loop is
+      // what's measured — its round count must stay flat as the edge
+      // list grows (amplified replicas never cross-match, so components
+      // scale in count, not diameter). The gated path is a fixture
+      // optimization; this probe's job is the 100 TB loop.
       run("components", graft.ops.Components.connectedComponents(
-        Dedup.nearDupPairs(docs)))
+        Dedup.nearDupPairs(docs), maxEdgesBroadcast = -1L))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
       // dsir: two full token-stream passes against a 256-row broadcast
