@@ -199,6 +199,24 @@ class EdgeCaseSpec extends SparkSuite {
     assert(one.isNullAt(5) && one.getLong(6) == 1L)
   }
 
+  test("exact percentiles degrade gracefully: empty frame and single-row groups, both forms") {
+    import spark.implicits._
+    val specs = Seq("x" -> Seq(0.5 -> "med", 0.95 -> "p95"))
+    val empty = Seq.empty[(String, java.lang.Double)].toDF("g", "x")
+    assert(Relational.exactPercentiles(empty, "g", specs, smallInputBytes = 0).isEmpty)
+    assert(Relational.exactPercentilesBySort(empty, "g", specs).isEmpty)
+    // a 1-row group: pos = 0 for every percentile → lo == hi == 0, the
+    // value itself comes back untouched in both forms
+    val solo = Seq(("s", 7.0), ("t", 1.0), ("t", 3.0)).toDF("g", "x")
+    def m(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val sel = m(Relational.exactPercentiles(solo, "g", specs, smallInputBytes = 0).collect())
+    val srt = m(Relational.exactPercentilesBySort(solo, "g", specs).collect())
+    assert(sel("s") == ((7.0, 7.0)) && srt("s") == ((7.0, 7.0)))
+    assert(sel == srt, s"forms disagree: $sel vs $srt")
+    PipelineCaches.release(spark)
+  }
+
   test("event-analytics and vocab/norm operators degrade gracefully on EMPTY input") {
     import spark.implicits._
     val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
