@@ -326,10 +326,38 @@ object Dedup {
     * new files in existing (or new) bkt= partitions — no rewrite of
     * prior data, safe to run per micro-batch. Ids must stay disjoint
     * from what the index already holds (same contract as the lookup). */
+  // The band index's one-int meta, memoized per (session, dir) and
+  // validated against the meta dir's mtime stamp (same pattern as the
+  // span index's [[readSpanMeta]]): the raw `.first()` is a full Spark
+  // job — ~0.5 s of every incremental lookup's fixed floor (IncrLab).
+  // No manual invalidation needed: only writeNearDupIndex writes meta,
+  // and its overwrite bumps the stamp.
+  private val bandMetaCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, (Long, Int)]]
+
+  private def readBandBuckets(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val stamp = metaStamp(spark, dir)
+    bandMetaCache.synchronized {
+      val perDir = Option(bandMetaCache.get(spark)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, (Long, Int)]
+        bandMetaCache.put(spark, m); m
+      }
+      perDir.get(dir) match {
+        case Some((s, b)) if s == stamp => b
+        case _ =>
+          val b = spark.read.parquet(s"$dir/meta")
+            .first().getAs[Int]("band_buckets")
+          perDir.put(dir, (stamp, b))
+          b
+      }
+    }
+  }
+
   def appendToNearDupIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
-    val bandBuckets = spark.read.parquet(s"$dir/meta")
-      .first().getAs[Int]("band_buckets")
+    val bandBuckets = readBandBuckets(spark, dir)
     val tok = tokens(spread(newDocs)).cache()
     try {
       bandsOf(signatures(tok))
@@ -421,8 +449,7 @@ object Dedup {
     val tok = PipelineCaches.track(tokens(spread(newDocs)))
     val newBands = PipelineCaches.track(bandsOf(signatures(tok))
       .withColumnRenamed("doc_id", "doc_a"))
-    val bandBuckets = spark.read.parquet(s"$dir/meta")
-      .first().getAs[Int]("band_buckets")
+    val bandBuckets = readBandBuckets(spark, dir)
     // the touched-bucket prune costs one extra delta-sized Spark job, so
     // it is size-gated on the index footprint (a driver filesystem stat,
     // no job — same gate as spanDedupAgainstIndex): below the gate a
@@ -547,8 +574,7 @@ object Dedup {
       simThreshold: Double = 0.8, capChars: Int = 127): DataFrame = {
     val probeBands = PipelineCaches.track(bandsOf(signatures(tokens(probes)))
       .withColumnRenamed("doc_id", "probe_id"))
-    val bandBuckets = spark.read.parquet(s"$dir/meta")
-      .first().getAs[Int]("band_buckets")
+    val bandBuckets = readBandBuckets(spark, dir)
     val touched = probeBands
       .select(pmod(col("b0"), lit(bandBuckets.toLong)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
