@@ -30,7 +30,10 @@ object SparkEntry {
     "q_filter" -> ((s, d) => Relational.filterQ(s, d)),
     "q_agg_group" -> ((s, d) => Relational.aggGroup(s, d)),
     "q_agg_distinct" -> ((s, d) => Relational.aggDistinct(s, d)),
-    "q_agg_approx_distinct" -> ((s, d) => Relational.aggApproxDistinct(s, d)),
+    // sketch cardinality under the hash gate: the declared query emits
+    // the exact twin + the ±3·rsd law as data (pure sketch form stays
+    // the production path — Relational.aggApproxDistinct)
+    "q_agg_approx_distinct" -> ((s, d) => Relational.aggApproxDistinctGated(s, d)),
     "q_rollup" -> ((s, d) => Relational.rollupQ(s, d)),
     "q_cube" -> ((s, d) => Relational.cubeQ(s, d)),
     "q_join_inner" -> ((s, d) => Relational.joinInner(s, d)),
@@ -56,10 +59,11 @@ object SparkEntry {
     "q_window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "q_window_analytic" -> ((s, d) => Relational.windowAnalytic(s, d)),
     "q_profile" -> ((s, d) => Relational.profileQ(s, d)),
-    // the sketch form a 100 TB corpus profiles with FIRST: one wide
-    // pass, HLL cardinalities -> rows-only gate; error bounded in
-    // RelationalSpec against the exact melt
-    "q_profile_approx" -> ((s, d) => Relational.profileApproxQ(s, d)),
+    // the sketch form a 100 TB corpus profiles with FIRST, under the
+    // hash gate: exact lanes + the HLL ±3·rsd law emitted as data
+    // against the exact melt (pure sketch form stays the production
+    // path — Relational.profileApproxQ)
+    "q_profile_approx" -> ((s, d) => Relational.profileApproxGated(s, d)),
     "q_stats_agg" -> ((s, d) => Relational.statsAggQ(s, d)),
     "q_sort_limit" -> ((s, d) => Relational.sortLimit(s, d)),
     "q_scalar" -> ((s, d) => Relational.scalarQ(s, d)),
@@ -67,7 +71,9 @@ object SparkEntry {
     "q_map" -> ((s, d) => Relational.mapQ(s, d)),
     "q_array" -> ((s, d) => Relational.arrayQ(s, d)),
     "q_quantile" -> ((s, d) => Relational.quantileQ(s, d)),
-    "q_quantile_approx" -> ((s, d) => Relational.quantileApproxQ(s, d)),
+    // the GK sketch's own rank contract under the hash gate (pure
+    // sketch form stays the production path — Relational.quantileApproxQ)
+    "q_quantile_approx" -> ((s, d) => Relational.quantileApproxGated(s, d)),
     "q_grouping_sets" -> ((s, d) => Relational.groupingSetsQ(s, d)),
     "q_date" -> ((s, d) => Relational.dateQ(s, d)),
     // reference-job replicas (batch form; streaming forms in graft.streaming)
@@ -109,26 +115,33 @@ object SparkEntry {
     "q_dedup_fuzzy" -> ((s, d) => Dedup.fuzzyMatchQ(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => Dedup.contaminationQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
+    // sign-bucket blocking is DECLARED semantics (both engines compute
+    // identical buckets — same construction q_embed_neardup gates), so
+    // the LSH top-k is deterministic and fully hash-checked
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
-    // IVF is approximate (cell pruning) → rows-only gate; recall vs the
-    // brute-force top-k is bounded in LlmOpsSpec
+    // IVF with deterministic sampled centroids: assignment (gated alone
+    // by q_cluster), probe-cell ranking, and cell-pruned top-k are all
+    // pure functions of the data → fully hash-checked oracle
     "q_sim_topk_ivf" -> ((s, d) => SimSearch.ivfTopK(Tables.embeddings(s, d))),
     // the k-means-trained centroid path, driver-checked every round:
     // train -> persisted inverted file -> partition-pruned probe (build
-    // memoized per session+dir; see SimSearch.trainedIvfQ). Rows-only:
-    // distributed double means are order-dependent in the last ulp, so
-    // the oracle keeps the sampled form; trained recall ≥ sampled
-    // recall is pinned in LlmOpsSpec
-    "q_sim_topk_ivf_trained" -> ((s, d) => SimSearch.trainedIvfQ(s, d)),
+    // memoized per session+dir; see SimSearch.trainedIvfQ). Distributed
+    // double means are order-dependent in the last ulp, so the probe
+    // rows can't hash-match — the declared query instead emits the
+    // recall law vs the in-query brute-force top-k as data (oracle
+    // replays the brute-force counts + literal TRUE)
+    "q_sim_topk_ivf_trained" -> ((s, d) => SimSearch.trainedIvfGatedQ(s, d)),
     // the assignment math (broadcast centroids, map-side argmax,
-    // sim-then-lowest-cell tie-break) under the hash gate — the piece
-    // of IVF/k-means the rows-only queries cannot oracle-check
+    // sim-then-lowest-cell tie-break) under the hash gate in isolation
+    // — the building block the IVF oracles above compose
     "q_cluster" -> ((s, d) => SimSearch.clusterProfileQ(s, d)),
     "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d))),
     "q_embed_quant" -> ((s, d) => SimSearch.quantizeQ(Tables.embeddings(s, d))),
-    // the scale form (corpus-sized bucket width + 2 sign projections) —
-    // blocking differs from the oracle-mirrored fixed form → rows-only;
-    // recall properties pinned in LlmOpsSpec/PropertySpec
+    // the scale form (corpus-sized bucket width + 2 sign projections):
+    // autoBits and both rotation windows are pure functions of the
+    // data, so the oracle recomputes the identical blocking from the
+    // corpus count → fully hash-checked; recall properties additionally
+    // pinned in LlmOpsSpec/PropertySpec
     "q_embed_neardup_auto" -> ((s, d) => SimSearch.embedNearDupAuto(Tables.embeddings(s, d))),
     // SemDeDup-style semantic dedup closed end-to-end: embedding
     // near-dup pairs -> connected components -> representative filter,
@@ -165,9 +178,10 @@ object SparkEntry {
     "q_vocab" -> ((s, d) => TextOps.vocabQ(Tables.documents(s, d))),
     // L2 normalization: the map-side preprocessing of every cosine pipeline
     "q_embed_norm" -> ((s, d) => SimSearch.embedNormQ(Tables.embeddings(s, d))),
-    // persisted mergeable HLL profile index: rows-only (HLL estimates);
-    // exact lanes + error bound + append invariance in ProfileIndexSpec
-    "q_profile_incr" -> ((s, d) => ProfileIndex.profileIncrQ(s, d)),
+    // persisted mergeable HLL profile index under the hash gate: the
+    // sketch-side exact lanes + the HLL error law emitted as data
+    // against the exact melt; append invariance stays in ProfileIndexSpec
+    "q_profile_incr" -> ((s, d) => ProfileIndex.profileIncrGated(s, d)),
     // retrieval + data-selection scoring
     "q_bm25" -> ((s, d) => Scoring.bm25Q(Tables.documents(s, d))),
     "q_dsir" -> ((s, d) => Scoring.dsirQ(s, Tables.documents(s, d))),
@@ -247,10 +261,50 @@ object SparkEntry {
       |SELECT lvl.doc_id, coalesce(wl.label, lvl.s2) AS cluster
       |FROM lvl LEFT JOIN wl ON wl.u = lvl.s2""".stripMargin
 
+  /** The exact brute-force cosine top-k oracle — declared for q_sim_topk
+    * and reused as the ground-truth CTE of the trained-IVF recall gate. */
+  private val SimTopKOracleSql: String =
+    """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+      |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |FROM embeddings) e WHERE list_dot_product(v, v) > 0),
+      |sims AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |list_dot_product(c.v, p.v)/(c.nrm*p.nrm) AS cos_sim
+      |FROM n c JOIN n p ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
+      |SELECT * FROM (SELECT probe_id, neighbor_id, cos_sim,
+      |CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+      |FROM sims) t WHERE rnk <= 5""".stripMargin
+
+  /** The exact per-column profile oracle — declared for q_profile and
+    * reused (wrapped with the law booleans) by the two sketch-profile
+    * gates, so all three profiles share ONE ground-truth text. */
+  private val ProfileOracleSql: String =
+    """SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+      |count(*) - count(l_orderkey) AS n_nulls, count(DISTINCT l_orderkey) AS n_distinct,
+      |CAST(min(l_orderkey) AS DOUBLE) AS min_num, CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+      |CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM lineitem
+      |UNION ALL SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+      |count(DISTINCT l_quantity), CAST(min(l_quantity) AS DOUBLE),
+      |CAST(max(l_quantity) AS DOUBLE), NULL, NULL FROM lineitem
+      |UNION ALL SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+      |count(DISTINCT l_extendedprice), CAST(min(l_extendedprice) AS DOUBLE),
+      |CAST(max(l_extendedprice) AS DOUBLE), NULL, NULL FROM lineitem
+      |UNION ALL SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+      |count(DISTINCT l_shipdate), epoch(min(l_shipdate)), epoch(max(l_shipdate)),
+      |NULL, NULL FROM lineitem
+      |UNION ALL SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+      |count(DISTINCT l_returnflag), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |min(l_returnflag), max(l_returnflag) FROM lineitem
+      |UNION ALL SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+      |count(DISTINCT l_linestatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |min(l_linestatus), max(l_linestatus) FROM lineitem""".stripMargin
+
   /** DuckDB-dialect equivalents (run by the driver's oracle harness on
-    * views named after the parquet tables). Omitted for approximate ops
-    * (q_agg_approx_distinct, q_sim_topk_lsh) → rows-only check; their
-    * accuracy is bounded in the ScalaTest specs instead. */
+    * views named after the parquet tables). Approximate operators are
+    * declared through GATED forms — deterministic exact lanes plus
+    * in-query error/recall-law booleans the oracle replays as exact
+    * values + literal TRUE — so every declared query is hash-checked;
+    * the same laws remain spec-pinned in RelationalSpec/LlmOpsSpec/
+    * ProfileIndexSpec. */
   def oracleSql: Map[String, String] = Map(
     "q_scan_project" ->
       """SELECT l_orderkey, l_linenumber, CAST(floor(l_quantity) AS BIGINT) AS qty_int,
@@ -269,6 +323,14 @@ object SparkEntry {
     "q_agg_distinct" ->
       """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    // HLL gate: exact cardinality + the ±3·rsd law as literal TRUE
+    "q_agg_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts_exact,
+        |TRUE AS within_3rsd FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // GK-sketch rank-contract gate: exact group sizes + law booleans
+    "q_quantile_approx" ->
+      """SELECT l_returnflag, count(l_quantity) AS n, TRUE AS median_rank_ok,
+        |TRUE AS p95_rank_ok FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(n_name, 'ALL') AS grp_nation, CAST(coalesce(y, -1) AS BIGINT) AS grp_year,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS revenue, count(*) AS n_orders
@@ -379,26 +441,13 @@ object SparkEntry {
         |first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
         |FROM orders""".stripMargin,
-    "q_profile" ->
-      """SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
-        |count(*) - count(l_orderkey) AS n_nulls, count(DISTINCT l_orderkey) AS n_distinct,
-        |CAST(min(l_orderkey) AS DOUBLE) AS min_num, CAST(max(l_orderkey) AS DOUBLE) AS max_num,
-        |CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM lineitem
-        |UNION ALL SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
-        |count(DISTINCT l_quantity), CAST(min(l_quantity) AS DOUBLE),
-        |CAST(max(l_quantity) AS DOUBLE), NULL, NULL FROM lineitem
-        |UNION ALL SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
-        |count(DISTINCT l_extendedprice), CAST(min(l_extendedprice) AS DOUBLE),
-        |CAST(max(l_extendedprice) AS DOUBLE), NULL, NULL FROM lineitem
-        |UNION ALL SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
-        |count(DISTINCT l_shipdate), epoch(min(l_shipdate)), epoch(max(l_shipdate)),
-        |NULL, NULL FROM lineitem
-        |UNION ALL SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
-        |count(DISTINCT l_returnflag), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-        |min(l_returnflag), max(l_returnflag) FROM lineitem
-        |UNION ALL SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
-        |count(DISTINCT l_linestatus), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
-        |min(l_linestatus), max(l_linestatus) FROM lineitem""".stripMargin,
+    "q_profile" -> ProfileOracleSql,
+    // sketch-profile gates: the exact profile text plus the HLL law
+    // boolean (both gated forms emit exact lanes + nd_ok)
+    "q_profile_approx" ->
+      s"SELECT *, TRUE AS nd_ok FROM ($ProfileOracleSql) p",
+    "q_profile_incr" ->
+      s"SELECT *, TRUE AS nd_ok FROM ($ProfileOracleSql) p",
     "q_stats_agg" ->
       """SELECT l_returnflag, corr(l_quantity, l_extendedprice) AS corr_qty_price,
         |covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
@@ -842,16 +891,51 @@ object SparkEntry {
         |CASE WHEN max_len = 0 THEN 1.0 ELSE 1.0 - CAST(edit_dist AS DOUBLE)/max_len END AS edit_sim
         |FROM v
         |WHERE CASE WHEN max_len = 0 THEN 1.0 ELSE 1.0 - CAST(edit_dist AS DOUBLE)/max_len END >= 0.8""".stripMargin,
-    "q_sim_topk" ->
-      """WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
-        |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |FROM embeddings) e WHERE list_dot_product(v, v) > 0),
-        |sims AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-        |list_dot_product(c.v, p.v)/(c.nrm*p.nrm) AS cos_sim
-        |FROM n c JOIN n p ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
+    "q_sim_topk" -> SimTopKOracleSql,
+    // the LSH/IVF variants' blocking is declared semantics, recomputed
+    // identically here: sign buckets (as q_embed_neardup), sampled
+    // centroids + argmax assignment (as q_cluster), cell-pruned rank
+    "q_sim_topk_lsh" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+        |array_to_string(list_transform(range(8), i -> CASE WHEN v[(i % len(v)) + 1] > 0 THEN '1' ELSE '0' END), '') AS bucket
+        |FROM n),
+        |probes AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn, bucket FROM nn WHERE vec_id < 5),
+        |sims AS (SELECT p.probe_id, c.vec_id AS neighbor_id,
+        |list_dot_product(c.v, p.pv)/(c.nrm*p.pn) AS cos_sim
+        |FROM nn c JOIN probes p ON c.bucket = p.bucket AND c.vec_id <> p.probe_id)
         |SELECT * FROM (SELECT probe_id, neighbor_id, cos_sim,
         |CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
         |FROM sims) t WHERE rnk <= 5""".stripMargin,
+    "q_sim_topk_ivf" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+        |WHERE vec_id >= 5 AND vec_id < 21),
+        |asg AS (SELECT vec_id, v, nrm, cell FROM (
+        |SELECT a.vec_id, a.v, a.nrm, c.cell, row_number() OVER (PARTITION BY a.vec_id
+        |ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell ASC) AS rn
+        |FROM nn a CROSS JOIN cents c) t WHERE rn = 1),
+        |pc AS (SELECT probe_id, pv, pn, cell FROM (
+        |SELECT p.vec_id AS probe_id, p.v AS pv, p.nrm AS pn, c.cell,
+        |row_number() OVER (PARTITION BY p.vec_id
+        |ORDER BY list_dot_product(p.v, c.cv)/(p.nrm*c.cn) DESC, c.cell ASC) AS cr
+        |FROM nn p CROSS JOIN cents c WHERE p.vec_id < 5) t WHERE cr <= 2),
+        |sims AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,
+        |list_dot_product(a.v, pc.pv)/(a.nrm*pc.pn) AS cos_sim
+        |FROM asg a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
+        |SELECT * FROM (SELECT probe_id, neighbor_id, cos_sim,
+        |CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |FROM sims) t WHERE rnk <= 5""".stripMargin,
+    // trained-IVF recall gate: the ground truth is the exact top-k CTE;
+    // the law booleans replay as literal TRUE
+    "q_sim_topk_ivf_trained" ->
+      s"""SELECT count(DISTINCT probe_id) AS n_probes, count(*) AS n_true_pairs,
+         |TRUE AS recall_ok FROM ($SimTopKOracleSql) b""".stripMargin,
     "q_embed_neardup" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
@@ -863,6 +947,30 @@ object SparkEntry {
         |list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cos_sim
         |FROM nn a JOIN nn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.25""".stripMargin,
+    // the auto-bits scale form, blocking recomputed from the corpus:
+    // bits = clamp(ceil_log2(max(1, n/1024)), 4, 24) — bit_length via
+    // floor(log2)+1 (log2 of powers of two is exact in IEEE doubles) —
+    // and the rotation count capped by the dim-window period
+    // d/gcd(d, bits), both exactly as SimSearch.autoBits/embedNearDup
+    "q_embed_neardup_auto" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+        |params AS (SELECT LEAST(24, GREATEST(4,
+        |CAST(FLOOR(LOG2(CAST(GREATEST(1, GREATEST(1,
+        |(SELECT count(*) FROM embeddings) // 1024) - 1) AS DOUBLE))) AS INT) + 1)) AS bits),
+        |dims AS (SELECT min(len(v)) AS d FROM n),
+        |rotp AS (SELECT bits, GREATEST(1, LEAST(2, d // gcd(d, bits))) AS nrot
+        |FROM params, dims),
+        |rots AS (SELECT bits, unnest(range(nrot)) AS rot FROM rotp),
+        |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, rot,
+        |array_to_string(list_transform(range(bits),
+        |i -> CASE WHEN v[((rot*bits + i) % len(v)) + 1] > 0 THEN '1' ELSE '0' END), '') AS bucket
+        |FROM n CROSS JOIN rots)
+        |SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |list_dot_product(a.v, b2.v)/(a.nrm*b2.nrm) AS cos_sim
+        |FROM b a JOIN b b2 ON a.rot = b2.rot AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |WHERE list_dot_product(a.v, b2.v)/(a.nrm*b2.nrm) >= 0.25""".stripMargin,
     "q_embed_quant" ->
       """WITH q AS (SELECT vec_id,
         |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,

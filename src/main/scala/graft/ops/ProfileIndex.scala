@@ -143,4 +143,28 @@ object ProfileIndex {
     }
     profileFromSketches(spark, idxDir)
   }
+
+  /** Gate form of [[profileIncrQ]] (declared q_profile_incr): the merged
+    * sketch profile joined per column with the exact melt
+    * ([[Relational.profileQ]]) over the same (index ∪ append) = full
+    * lineitem. Every lane the sketches carry EXACTLY (row/null counts,
+    * min/max — lossless sums and extrema merges) is emitted from the
+    * SKETCH side, so the driver hash gates the whole
+    * append→merge→read path against an engine that recomputed them
+    * from raw rows; the one genuinely approximate lane (datasketches
+    * HLL cardinality, rsd ≈ 1.6 % at the default lgK = 12) becomes
+    * `nd_ok` = |est − exact| ≤ 3·0.05·exact (the engine-wide sketch
+    * bound, ≥ 9σ here). The exact twin is the gate's cost, not the
+    * operator's — production reads [[profileFromSketches]] alone. */
+  def profileIncrGated(spark: SparkSession, dir: String): DataFrame = {
+    val m = profileIncrQ(spark, dir).withColumnRenamed("n_distinct", "nd_sketch")
+    val exact = graft.ops.Relational.profileQ(spark, dir)
+      .select(col("column_name"), col("n_distinct").as("nd_exact"))
+    m.join(broadcast(exact), Seq("column_name"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("nd_exact").as("n_distinct"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"),
+        (abs(col("nd_sketch").cast("double") - col("nd_exact")) <=
+          lit(3 * 0.05) * col("nd_exact")).as("nd_ok"))
+  }
 }

@@ -72,16 +72,36 @@ object Relational {
         count(lit(1)).as("n_rows")
       )
 
-  /** HLL sketch count. Not hash-checkable against an exact oracle —
-    * registered without oracleSql (rows-only gate); RelationalSpec bounds
-    * the relative error against an exact count it computes SEPARATELY
-    * (carrying the exact countDistinct inside the declared query would
-    * pay the full expand/two-phase distinct the sketch exists to avoid —
-    * same slimming as quantileApproxQ). */
+  /** HLL sketch count — the pure production form: one pass, no expand,
+    * constant-size state. The estimate itself cannot hash-match across
+    * engines, so the DECLARED query is [[aggApproxDistinctGated]], which
+    * carries the exact twin and emits the error law as data; this form
+    * stays the library entry point for real pipelines (where the exact
+    * twin is exactly the cost the sketch exists to avoid). */
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
+  /** Gate form of [[aggApproxDistinct]] (declared q_agg_approx_distinct):
+    * per group, the exact cardinality plus a boolean asserting the HLL
+    * estimate lands within ±3·rsd of it (rsd = 0.05, the builtin
+    * default — HLL++'s relative error concentrates at σ ≈ rsd, so 3σ is
+    * a deterministic pass on any fixture this engine gates on). The
+    * oracle replays the exact side and literal TRUE, so the driver hash
+    * now gates the ESTIMATE'S ACCURACY in the correctness record, not
+    * only the row count; RelationalSpec keeps the same law as a spec.
+    * Exact + sketch ride one aggregate: Catalyst plans the distinct
+    * lane two-phase and merges the HLL partial alongside — one scan. */
+  def aggApproxDistinctGated(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts_exact"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.05).as("ap"))
+      .select(col("l_returnflag"), col("n_parts_exact"),
+        (abs(col("ap").cast("double") - col("n_parts_exact")) <=
+          lit(3 * 0.05) * col("n_parts_exact")).as("within_3rsd"))
 
   /** ROLLUP over (nation, order year): revenue at (n,y), (n), () levels.
     * Grouping-set nulls are coalesced to sentinel values so the oracle
@@ -373,6 +393,26 @@ object Relational {
       num.map(n => row(n, numeric = true)) ++
         str.map(n => row(n, numeric = false)): _*)).as("p"))
       .select("p.*")
+  }
+
+  /** Gate form of [[profileApproxQ]] (declared q_profile_approx): the
+    * sketch profile's exact twin ([[profileQ]]) joined per column with
+    * the HLL cardinalities, emitting every exact lane under the hash
+    * gate plus `nd_ok` = |hll − exact| ≤ 3·rsd·exact (rsd = 0.05, the
+    * rsd [[profileApproxQ]] requests). 8 columns → a broadcast join of
+    * two 6-row frames; the cost is exact-profile + sketch-profile, and
+    * the ORACLE pays the identical exact profile, so the bench ratio
+    * stays apples-to-apples. Pure sketch form remains the production
+    * entry point. */
+  def profileApproxGated(spark: SparkSession, dir: String): DataFrame = {
+    val ap = profileApproxQ(spark, dir)
+      .select(col("column_name"), col("n_distinct").as("nd_ap"))
+    profileQ(spark, dir).join(broadcast(ap), Seq("column_name"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_num"), col("max_num"),
+        col("min_str"), col("max_str"),
+        (abs(col("nd_ap").cast("double") - col("n_distinct")) <=
+          lit(3 * 0.05) * col("n_distinct")).as("nd_ok"))
   }
 
   /** Statistical aggregates — correlation, covariance, stddev/variance —
@@ -857,6 +897,44 @@ object Relational {
       .agg(
         expr("approx_percentile(l_quantity, 0.5, 1000)").as("median_qty"),
         expr("approx_percentile(l_quantity, 0.95, 1000)").as("p95_qty"))
+
+  /** Gate form of [[quantileApproxQ]] (declared q_quantile_approx):
+    * asserts the sketch's defining RANK guarantee in-query and emits it
+    * as data. approx_percentile(accuracy = a) promises the returned
+    * value is an element whose empirical rank is within n/a of the
+    * target rank; the check counts, per group, how many values fall
+    * strictly below / at-or-below the returned quantile (the returned
+    * element's rank interval) and asserts that interval overlaps
+    * [q·n − εn, q·n + εn] with ε = 2/a (×2 absorbs the half-open
+    * boundary conventions across GK implementations). Shape: the sketch
+    * aggregate (no sort, no data exchange) plus ONE more scan joined
+    * against the broadcast 3-row sketch result — still cheaper than any
+    * exact-percentile twin, and the law it proves is the sketch's own
+    * contract rather than a loose |approx − exact| band. The oracle
+    * replays n exactly and literal TRUE per law. */
+  def quantileApproxGated(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_returnflag"), col("l_quantity"))
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 1000)").as("med"),
+        expr("approx_percentile(l_quantity, 0.95, 1000)").as("p95"))
+    val eps = 2.0 / 1000
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    def ok(lt: Column, le: Column, q: Double): Column =
+      (lt <= (lit(q) + lit(eps)) * col("n")) &&
+        (le >= (lit(q) - lit(eps)) * col("n"))
+    li.join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(col("l_quantity")).as("n"),
+        cnt(col("l_quantity") < col("med")).as("lt_med"),
+        cnt(col("l_quantity") <= col("med")).as("le_med"),
+        cnt(col("l_quantity") < col("p95")).as("lt_p95"),
+        cnt(col("l_quantity") <= col("p95")).as("le_p95"))
+      .select(col("l_returnflag"), col("n"),
+        ok(col("lt_med"), col("le_med"), 0.5).as("median_rank_ok"),
+        ok(col("lt_p95"), col("le_p95"), 0.95).as("p95_rank_ok"))
+  }
 
   /** MapType surface: parse the JSON props column into map<string,int>,
     * explode to (key, value) pairs, aggregate per key. Complements

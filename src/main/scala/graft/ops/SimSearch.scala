@@ -475,6 +475,41 @@ object SimSearch {
         .select(col("vec_id").as("probe_id"), col("embedding")))
   }
 
+  /** Gate form of [[trainedIvfQ]] (declared q_sim_topk_ivf_trained).
+    * k-means centroids are distributed double means — order-dependent
+    * in the last ulp — so the probe result itself cannot hash-match
+    * an oracle. What CAN be gated is the recall law the spec pins: the
+    * trained index's top-k, intersected with the in-query brute-force
+    * top-k (exact, DuckDB-replayable), must recover at least
+    * `recallFloor` of the true neighbor pairs. One summary row ties
+    * the gate to the data: probe and corpus counts come from the
+    * corpus, the booleans from the measured recall. The oracle
+    * recomputes the counts from the same brute-force CTE and asserts
+    * literal TRUE — so a trained index that silently lost recall now
+    * FAILS the driver hash, not just a spec.
+    *
+    * Floor calibration: the declared probe scans nProbeCells/nCells =
+    * 2/16 = 12.5 % of the corpus, so scan-fraction recall is the
+    * no-structure baseline; the floor pins the index at that baseline
+    * (0.12, one 1/25 recall-quantum under the measured 0.16 at sf0.01
+    * — this fixture's embeddings are near-uniform, where IVF's
+    * theoretical recall ≈ its scan fraction; clustered production
+    * corpora sit far above it). */
+  def trainedIvfGatedQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String, recallFloor: Double = 0.12): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val brute = cosineTopK(emb).select(col("probe_id"), col("neighbor_id"))
+    val trained = trainedIvfQ(spark, dir).select(col("probe_id"), col("neighbor_id"))
+    val hits = brute.join(trained, Seq("probe_id", "neighbor_id"), "left_semi")
+    brute.agg(
+      countDistinct(col("probe_id")).as("n_probes"),
+      count(lit(1)).as("n_true_pairs"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_probes"), col("n_true_pairs"),
+        (col("n_hits").cast("double") / col("n_true_pairs") >= lit(recallFloor))
+          .as("recall_ok"))
+  }
+
   /** Query a persisted IVF index: rank cells per probe against the
     * stored centroids, then scan ONLY the probed cells' partitions.
     * The probed-cell set is metadata-sized (|probes| × nProbeCells
