@@ -314,6 +314,12 @@ object Dedup {
       docs.sparkSession.range(1)
         .select(lit(bandBuckets).as("band_buckets"))
         .write.mode("overwrite").parquet(s"$dir/meta")
+      // same-session rewrite with a different bandBuckets must not
+      // depend on the filesystem stamp moving (symmetry with
+      // writeSpanMeta) — drop the memo explicitly
+      bandMetaCache.synchronized {
+        Option(bandMetaCache.get(docs.sparkSession)).foreach(_.remove(dir))
+      }
     } finally tok.unpersist()
   }
 
@@ -327,11 +333,11 @@ object Dedup {
     * prior data, safe to run per micro-batch. Ids must stay disjoint
     * from what the index already holds (same contract as the lookup). */
   // The band index's one-int meta, memoized per (session, dir) and
-  // validated against the meta dir's mtime stamp (same pattern as the
-  // span index's [[readSpanMeta]]): the raw `.first()` is a full Spark
-  // job — ~0.5 s of every incremental lookup's fixed floor (IncrLab).
-  // No manual invalidation needed: only writeNearDupIndex writes meta,
-  // and its overwrite bumps the stamp.
+  // validated against the meta files' stamp (same pattern as the span
+  // index's [[readSpanMeta]]): the raw `.first()` is a full Spark job —
+  // ~0.5 s of every incremental lookup's fixed floor (IncrLab).
+  // Same-session rewrites additionally invalidate through
+  // [[writeNearDupIndex]], so freshness never hangs on the stamp alone.
   private val bandMetaCache = new java.util.WeakHashMap[
     org.apache.spark.sql.SparkSession,
     scala.collection.mutable.Map[String, (Long, Int)]]
@@ -339,19 +345,26 @@ object Dedup {
   private def readBandBuckets(spark: org.apache.spark.sql.SparkSession,
       dir: String): Int = {
     val stamp = metaStamp(spark, dir)
-    bandMetaCache.synchronized {
-      val perDir = Option(bandMetaCache.get(spark)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, (Long, Int)]
-        bandMetaCache.put(spark, m); m
+    val cached =
+      if (stamp == StampUnknown) None // unverifiable: bypass the memo
+      else bandMetaCache.synchronized {
+        Option(bandMetaCache.get(spark)).flatMap(_.get(dir))
+          .collect { case (s, b) if s == stamp => b }
       }
-      perDir.get(dir) match {
-        case Some((s, b)) if s == stamp => b
-        case _ =>
-          val b = spark.read.parquet(s"$dir/meta")
-            .first().getAs[Int]("band_buckets")
-          perDir.put(dir, (stamp, b))
-          b
+    cached.getOrElse {
+      // the meta read runs OUTSIDE the lock — it is a full Spark job
+      // and must not serialize readers of unrelated dirs; a racing
+      // first caller recomputes the same value, last put wins (benign)
+      val b = spark.read.parquet(s"$dir/meta")
+        .first().getAs[Int]("band_buckets")
+      if (stamp != StampUnknown) bandMetaCache.synchronized {
+        val perDir = Option(bandMetaCache.get(spark)).getOrElse {
+          val m = scala.collection.mutable.Map.empty[String, (Long, Int)]
+          bandMetaCache.put(spark, m); m
+        }
+        perDir.put(dir, (stamp, b))
       }
+      b
     }
   }
 
@@ -1053,7 +1066,7 @@ object Dedup {
 
   // Meta rows are one tiny parquet read but still a full Spark job
   // (~0.1 s of the incremental path's fixed floor) — memoize per
-  // (session, dir), validated against the meta dir's mtime stamp (see
+  // (session, dir), validated against the meta files' stamp (see
   // [[metaStamp]]) so writers in OTHER sessions/processes are seen;
   // same-session writers additionally invalidate through writeSpanMeta.
   // Weakly keyed like BuildOnce so stopped sessions don't pin.
@@ -1061,40 +1074,63 @@ object Dedup {
     org.apache.spark.sql.SparkSession,
     scala.collection.mutable.Map[String, (Long, SpanMeta)]]
 
-  /** Version stamp of an index's meta dir (its modification time) — a
-    * driver filesystem stat, no Spark job. Both memos below validate
-    * against it, so a writer in ANOTHER session or process (which
-    * cannot reach this JVM-session's WeakHashMap invalidation) still
-    * flips readers to fresh state on their next call: every meta write
-    * replaces the dir's files and bumps its mtime. */
+  /** Version stamp of an index's meta dir — a driver filesystem stat,
+    * no Spark job. The memos below validate against it, so a writer in
+    * ANOTHER session or process (which cannot reach this JVM-session's
+    * WeakHashMap invalidation) still flips readers to fresh state on
+    * their next call. The stamp folds every meta FILE's name, length
+    * and mtime (not the directory's mtime): object stores synthesize
+    * directory mtimes that never move on overwrite, and a rewrite
+    * within one coarse-filesystem tick keeps a directory stamp
+    * unchanged — per-file name+length catches both (an overwrite
+    * rewrites part files under fresh task-UUID names). Returns
+    * [[StampUnknown]] when the listing fails or degenerates; callers
+    * must then bypass their memo entirely (read fresh, cache nothing). */
+  private val StampUnknown = 0L
+
   private def metaStamp(spark: org.apache.spark.sql.SparkSession,
       dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).getModificationTime
+    try {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var h = 1125899906842597L
+      fs.listStatus(p).filter(_.isFile)
+        .sortBy(_.getPath.getName).foreach { st =>
+          h = h * 31 + st.getPath.getName.hashCode
+          h = h * 31 + st.getLen
+          h = h * 31 + st.getModificationTime
+        }
+      if (h == StampUnknown) h + 1 else h
+    } catch { case _: java.io.IOException => StampUnknown }
   }
 
   private def readSpanMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String): SpanMeta = {
     val stamp = metaStamp(spark, dir)
-    spanMetaCache.synchronized {
-      val perDir = Option(spanMetaCache.get(spark)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, (Long, SpanMeta)]
-        spanMetaCache.put(spark, m); m
+    val cached =
+      if (stamp == StampUnknown) None // unverifiable: bypass the memo
+      else spanMetaCache.synchronized {
+        Option(spanMetaCache.get(spark)).flatMap(_.get(dir))
+          .collect { case (s, m) if s == stamp => m }
       }
-      perDir.get(dir) match {
-        case Some((s, m)) if s == stamp => m
-        case _ =>
-          val row = spark.read.parquet(s"$dir/meta").first()
-          // indexes written before the cardinality lanes existed read as
-          // stale (-1): eager-count fallback, not a schema error
-          val hasFreq = row.schema.fieldNames.contains("freq_cap")
-          val m = SpanMeta(row.getAs[Int]("w"), row.getAs[Int]("span_buckets"),
-            if (hasFreq) row.getAs[Long]("freq_cap") else -1L,
-            if (hasFreq) row.getAs[Long]("n_frequent") else -1L)
-          perDir.put(dir, (stamp, m))
-          m
+    cached.getOrElse {
+      // meta read OUTSIDE the lock (full Spark job — see
+      // [[readBandBuckets]]); duplicate recompute on a race is benign
+      val row = spark.read.parquet(s"$dir/meta").first()
+      // indexes written before the cardinality lanes existed read as
+      // stale (-1): eager-count fallback, not a schema error
+      val hasFreq = row.schema.fieldNames.contains("freq_cap")
+      val m = SpanMeta(row.getAs[Int]("w"), row.getAs[Int]("span_buckets"),
+        if (hasFreq) row.getAs[Long]("freq_cap") else -1L,
+        if (hasFreq) row.getAs[Long]("n_frequent") else -1L)
+      if (stamp != StampUnknown) spanMetaCache.synchronized {
+        val perDir = Option(spanMetaCache.get(spark)).getOrElse {
+          val x = scala.collection.mutable.Map.empty[String, (Long, SpanMeta)]
+          spanMetaCache.put(spark, x); x
+        }
+        perDir.put(dir, (stamp, m))
       }
+      m
     }
   }
 
@@ -1117,7 +1153,7 @@ object Dedup {
     * meta gate proved it), keep the collected hash array resident
     * per (session, dir, cap) between deltas instead of re-reading the
     * index every clean. Driver memory ≤ maxFrequentBroadcast longs per
-    * entry. Entries carry the meta mtime stamp they were computed at
+    * entry. Entries carry the meta stamp they were computed at
     * and are ignored once the stamp moves, so cross-session/process
     * writers are seen; same-session writers additionally invalidate
     * through [[writeSpanMeta]]. Weakly keyed so stopped sessions don't
@@ -1242,14 +1278,16 @@ object Dedup {
       meta.nFrequent <= maxFrequentBroadcast) {
       val key = (dir, cap)
       val stamp = metaStamp(spark, dir)
-      val resident = spanFreqCache.synchronized {
-        Option(spanFreqCache.get(spark)).flatMap(_.get(key))
-          .collect { case (s, arr) if s == stamp => arr }
-      }
+      val resident =
+        if (stamp == StampUnknown) None // unverifiable: bypass the memo
+        else spanFreqCache.synchronized {
+          Option(spanFreqCache.get(spark)).flatMap(_.get(key))
+            .collect { case (s, arr) if s == stamp => arr }
+        }
       val hashes = resident.getOrElse {
         // benign race: a concurrent first caller recomputes, last put wins
         val arr = freqTableFor(spark, dir, cap).collect().map(_.getLong(0))
-        spanFreqCache.synchronized {
+        if (stamp != StampUnknown) spanFreqCache.synchronized {
           val m = Option(spanFreqCache.get(spark)).getOrElse {
             val x = scala.collection.mutable.Map
               .empty[(String, Long), (Long, Array[Long])]

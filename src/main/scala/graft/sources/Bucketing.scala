@@ -29,11 +29,27 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val defaultLoc = new org.apache.hadoop.fs.Path(
+      catalog.defaultTablePath(ident))
+    // resolve the registration's ACTUAL location before dropping: a
+    // table registered at a custom/external LOCATION must not trigger
+    // a delete of the unrelated default warehouse dir (and external
+    // data is the user's, not ours — DROP TABLE already leaves it).
+    // The stale-dir delete exists only for the managed-table case
+    // where the in-memory catalog forgot the files across JVMs.
+    val registeredLoc =
+      if (catalog.tableExists(ident))
+        scala.util.Try(new org.apache.hadoop.fs.Path(
+          catalog.getTableMetadata(ident).location)).toOption
+      else None
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    def bare(p: org.apache.hadoop.fs.Path) =
+      org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(p)
+    if (registeredLoc.forall(l => bare(l) == bare(defaultLoc)))
+      defaultLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(defaultLoc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(table)
@@ -65,9 +81,16 @@ object Bucketing {
   // Catalog.registerAll's memo pattern: the bucketed write is a one-time
   // deployment step, so repeat calls against the SAME dir skip it and a
   // dir change re-writes (the registered tables hold the previous dir's
-  // rows). Memo set only AFTER both writes succeed; whole check+write
-  // under one lock; weakly keyed so stopped sessions don't pin.
-  private val lastDir = new java.util.WeakHashMap[SparkSession, (String, Int)]
+  // rows — a LAST-value memo, not a set: going back to an old dir must
+  // also re-write). Memo set only AFTER both writes succeed. The global
+  // lock covers only the map get/put; the write itself runs under a
+  // PER-SESSION latch, so concurrent callers on unrelated sessions are
+  // not serialized behind one session's multi-second bucketed write
+  // (same-session callers do serialize — they'd race writes to the
+  // same table names otherwise). Weakly keyed so stopped sessions
+  // don't pin.
+  private val lastDir = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.atomic.AtomicReference[(String, Int)]]
 
   /** Idempotent [[registerFactTables]] — the form a declared query can
     * call: first call per (session, dir, buckets) pays the bucketed
@@ -76,10 +99,18 @@ object Bucketing {
     * repeat call asking for a different layout must re-write, not
     * silently serve the old one. */
   def ensureFactTables(spark: SparkSession, dir: String,
-      buckets: Int = 8): Unit = lastDir.synchronized {
-    if (lastDir.get(spark) != ((dir, buckets))) {
-      registerFactTables(spark, dir, buckets)
-      lastDir.put(spark, (dir, buckets))
+      buckets: Int = 8): Unit = {
+    val ref = lastDir.synchronized {
+      Option(lastDir.get(spark)).getOrElse {
+        val r = new java.util.concurrent.atomic.AtomicReference[(String, Int)]()
+        lastDir.put(spark, r); r
+      }
+    }
+    ref.synchronized {
+      if (ref.get != ((dir, buckets))) {
+        registerFactTables(spark, dir, buckets)
+        ref.set((dir, buckets))
+      }
     }
   }
 }

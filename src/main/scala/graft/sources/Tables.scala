@@ -101,15 +101,23 @@ object Tables {
     * accessor keeps every downstream operator on one timestamp type. */
   private def tsUtc(df: DataFrame): DataFrame = {
     val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
-    // pin the zone whenever the cast actually runs: on an externally
-    // created session with a local zone, NTZ→TIMESTAMP would reinterpret
-    // the wall-clock as a local instant and shift every value (same
-    // defensive set as the nanosAsLong conf below)
-    if (ntz.nonEmpty)
-      df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
-    ntz.foldLeft(df) {
-      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
-    }
+    if (ntz.isEmpty) return df
+    // The cast's zone binds at ANALYSIS time (ResolveTimeZone stamps
+    // the session zone into the Cast node, and Dataset construction
+    // runs the analyzer eagerly), so pinning UTC around the fold and
+    // RESTORING the caller's zone afterwards yields a plan whose Cast
+    // nodes carry UTC permanently — no reinterpretation shift on an
+    // externally created session with a local zone, and no UTC leak
+    // into the caller's own queries (the prior accessor mutated the
+    // session conf and left it mutated).
+    val spark = df.sparkSession
+    val prior = spark.conf.getOption("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try
+      ntz.foldLeft(df) {
+        (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+      }
+    finally prior.foreach(z => spark.conf.set("spark.sql.session.timeZone", z))
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "region")
