@@ -317,34 +317,50 @@ object TextOps {
     * PMI = ln((n_ab/B) / ((n_a/N)·(n_b/N))) over adjacent-pair and
     * unigram counts; `minCount` suppresses the low-frequency PMI
     * explosion (a hapax bigram of two hapax tokens has maximal PMI).
-    * Scale shape: the bigram and unigram count tables are both
-    * vocab-bounded; the two enrichment joins are token-keyed
-    * (broadcast when small, shuffle otherwise — Catalyst's call); the
-    * one-row totals broadcast; TakeOrderedAndProject keeps the top k
-    * on the ROUNDED score with a bigram tie-break so the cut line is
-    * oracle-stable. */
+    * Scale shape (round-9 single-pass fold): ONE tokenize + ONE
+    * explode emits each position as a (tok_a, tok_b) pair — tok_b is
+    * the successor, null at the last position — so every token appears
+    * exactly once as tok_a. One corpus-sized hash count to the
+    * vocab²-bounded pair table, from which the unigram table
+    * (re-aggregate on tok_a), the bigram table (drop the null-successor
+    * rows) and BOTH totals derive without touching the corpus again —
+    * the previous form ran the tokenize+explode+count twice. The
+    * enrichment joins are token-keyed (broadcast when small, shuffle
+    * otherwise — Catalyst's call); the one-row totals broadcast;
+    * TakeOrderedAndProject keeps the top k on the ROUNDED score with a
+    * bigram tie-break so the cut line is oracle-stable. */
   def pmiQ(docs: DataFrame, k: Int = 50, minCount: Int = 5): DataFrame = {
     val toksF = graft.sources.Tables.fanout(docs)
       .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
       .withColumn("toks", filter(col("toks"), t => t =!= ""))
-    // both count tables are vocab-bounded and read twice (totals +
-    // enrichment joins) — tracked caches keep the corpus token stream
-    // at exactly two explodes (unigrams, bigrams)
-    val uni = PipelineCaches.track(
-      toksF.select(explode(col("toks")).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("n_uni")))
-    val bi = PipelineCaches.track(
-      toksF.filter(size(col("toks")) >= 2)
-        .select(explode(transform(sequence(lit(0), size(col("toks")) - 2),
-          i => struct(col("toks")(i).as("tok_a"), col("toks")(i + 1).as("tok_b")))).as("p"))
+    // the pair-count table is vocab²-bounded and read four times
+    // (unigram re-agg ×2 sides, bigram filter, totals) — tracked cache
+    // keeps the corpus token stream at exactly ONE explode
+    val pairs = PipelineCaches.track(
+      toksF.select(explode(transform(col("toks"), (t, i) =>
+          struct(t.as("tok_a"),
+            when(i < size(col("toks")) - 1, col("toks")(i + 1)).as("tok_b")))).as("p"))
         .select(col("p.tok_a"), col("p.tok_b"))
         .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_ab")))
-    val totals = uni.agg(sum(col("n_uni")).as("n_total"))
-      .crossJoin(bi.agg(sum(col("n_ab")).as("b_total")))
+    // the unigram re-agg shuffles the pair table — tracked too (it is
+    // read by both enrichment joins AND the totals). n_end counts each
+    // token's null-successor occurrences so BOTH corpus totals derive
+    // from this vocab-sized frame: n_total = Σ n_uni (every token is
+    // exactly one row's tok_a) and b_total = n_total − Σ n_end (pairs
+    // are exactly the non-terminal positions) — no third scan of the
+    // pair table
+    val uni = PipelineCaches.track(
+      pairs.groupBy(col("tok_a").as("token"))
+        .agg(sum(col("n_ab")).as("n_uni"),
+          coalesce(sum(when(col("tok_b").isNull, col("n_ab"))), lit(0L)).as("n_end")))
+    val bi = pairs.filter(col("tok_b").isNotNull)
+    val totals = uni.agg(
+      sum(col("n_uni")).as("n_total"),
+      (sum(col("n_uni")) - sum(col("n_end"))).as("b_total"))
     bi.filter(col("n_ab") >= minCount)
-      .join(uni.withColumnRenamed("token", "tok_a").withColumnRenamed("n_uni", "n_a"),
+      .join(uni.select(col("token").as("tok_a"), col("n_uni").as("n_a")),
         Seq("tok_a"))
-      .join(uni.withColumnRenamed("token", "tok_b").withColumnRenamed("n_uni", "n_b"),
+      .join(uni.select(col("token").as("tok_b"), col("n_uni").as("n_b")),
         Seq("tok_b"))
       .crossJoin(broadcast(totals))
       .select(col("tok_a"), col("tok_b"), col("n_ab"),

@@ -32,8 +32,12 @@ class PlanGuardSpec extends SparkSuite {
     // the ≤nBuckets count rows (Scoring)
     // q_pmi broadcasts the ONE-row (N, B) totals onto the vocab-bounded
     // bigram table (TextOps.pmiQ)
+    // q_profile (and the gated q_profile_incr that embeds it as the
+    // exact twin) cross-joins its ONE-row count/min/max and per-column
+    // count_distinct subtrees (Relational.profileQ round-9 split form)
     Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
       "q_dedup_ngram", "q_tfidf", "q_cluster", "q_profile_approx",
+      "q_profile", "q_profile_incr",
       "q_line_dedup", "q_line_dedup_incr", "q_vocab", "q_bm25", "q_dsir",
       "q_pmi")
 

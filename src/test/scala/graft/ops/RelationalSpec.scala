@@ -77,13 +77,20 @@ class RelationalSpec extends SparkSuite {
     assert(qt.isNullAt(6) && qt.isNullAt(7), "numeric column has no string min/max")
     assert(qt.getDouble(4) == li.agg(min("l_quantity")).head.getDouble(0))
     assert(qt.getLong(2) == 0, "fixture has no null quantities")
-    // melt shape: one pruned scan per type branch, hash aggregation all
-    // the way — no Expand-feeding-SortAggregate over |rows|×|cols| tuples
+    // codegen-split shape: one pruned scan per subtree (2 wide
+    // count/min/max + 6 per-column count_distinct), hash aggregation,
+    // and never an Expand-feeding-SortAggregate over |rows|×|cols|
+    // tuples (the multi-column count_distinct plan)
     val plan = Relational.profileQ(spark, sf).queryExecution.executedPlan.toString
-    assert("Scan parquet".r.findAllIn(plan).size == 2, plan)
+    assert("Scan parquet".r.findAllIn(plan).size == 8, plan)
     assert(!plan.contains("Expand"), plan)
-    assert("HashAggregate".r.findAllIn(plan).size >= 4,
-      s"per-value and per-column aggregates must be hash-based:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 12,
+      s"distinct and stat aggregates must be hash-based:\n$plan")
+    // the wide-schema melt alternative emits the same rows
+    val melt = Relational.profileMeltQ(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(melt.keySet == rows.keySet)
+    melt.foreach { case (n, m) => assert(m == rows(n), s"$n: melt/split drift") }
   }
 
   test("approx profile: non-distinct stats exact, HLL within 3·rsd, no data-row shuffle") {
