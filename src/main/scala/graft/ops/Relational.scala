@@ -169,6 +169,29 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** [[aggGroup]] over the bucketed lineitem catalog table — identical
+    * answer, different scan. The raw fixture file is a single parquet
+    * row group, so the map phase (where the DECIMAL(20,6) partial sums
+    * live) runs on ONE task; the bucketed copy scans one task per
+    * bucket, parallelizing the decimal partials. This is the shape a
+    * deployment reads anyway (many row groups per table), so the twin
+    * both proves the layout-independence of the answer and measures the
+    * aggregate without the single-file fixture floor (FloorLab's ~0.3 s
+    * per decimal sum is a one-task artifact, BENCH_NOTES r3/r9). */
+  def aggGroupBucketed(spark: SparkSession, dir: String): DataFrame =
+    spark.table(graft.sources.Bucketing.LineitemBkt)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(20,6)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(20,6)"))
+          .cast("double").as("sum_disc_price"),
+        avg("l_quantity").as("avg_qty"),
+        min("l_shipdate").as("min_ship"),
+        max("l_shipdate").as("max_ship"),
+        count(lit(1)).as("count_order")
+      )
+
   /** Left outer join: order count per customer including zero-order
     * customers (count of a null o_orderkey is 0 in both engines). */
   def joinOuter(spark: SparkSession, dir: String): DataFrame = {

@@ -239,7 +239,10 @@ object TextOps {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n")))
     val total = counts.agg(sum(col("n")).as("total_n"))
-    val byCount = Window.orderBy(col("n").desc, col("token").asc)
+    // Constant partition spec: the window runs post-limit(k) so a single
+    // partition is the point, but an empty partitionSpec makes WindowExec
+    // log a data-loss warning on every run — lit(1) declares the intent.
+    val byCount = Window.partitionBy(lit(1)).orderBy(col("n").desc, col("token").asc)
     counts.orderBy(col("n").desc, col("token").asc).limit(k)
       .crossJoin(broadcast(total))
       .select(

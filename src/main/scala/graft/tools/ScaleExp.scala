@@ -1,0 +1,85 @@
+package graft.tools
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Engine, ScaleSmoke}
+import graft.ops.{Components, Dedup, PipelineCaches, Sampling}
+
+/** Scaling-exponent fit for the five heaviest pipelines — the cheapest
+  * 100× evidence a single box can produce. Each pipeline runs over the
+  * documents table amplified k ∈ {1,2,4,8} (disjoint vocabularies per
+  * copy, see [[ScaleSmoke.amplify]] — output per unit input is constant
+  * by construction, so wall-clock growth measures the ENGINE, not
+  * output explosion) with every broadcast gate forced off: near-dup
+  * verify in bucketed sort-merge mode, fuzzy's corpus join degraded to
+  * SMJ, clustering on the iterative star loop (driver union-find
+  * disabled), span dedup through the frequent-set join, and packing's
+  * slice-parallel prefix sums. A least-squares slope of log t over
+  * log k is the scaling exponent: ≤ ~1 is linear; anything clearly
+  * above names a pipeline that would not survive 100×.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleExp [sfDir] [k1,k2,...] [reps]"
+  * Prints a markdown table for BENCH_NOTES.
+  */
+object ScaleExp {
+  def fitSlope(pts: Seq[(Double, Double)]): Double = {
+    val xs = pts.map(p => math.log(p._1)); val ys = pts.map(p => math.log(p._2))
+    val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+    val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+    val varx = xs.map(x => (x - mx) * (x - mx)).sum
+    cov / varx
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val ks = args.lift(1).getOrElse("1,2,4,8").split(",").map(_.toInt)
+    val reps = args.lift(2).map(_.toInt).getOrElse(1)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    Engine.tune(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val base = graft.sources.Tables.documents(spark, dir)
+    base.count() // warm the scan + JIT
+
+    val times = mutable.LinkedHashMap.empty[String, mutable.Buffer[(Int, Double)]]
+    for (k <- ks; _ <- 1 to reps) {
+      val docs = ScaleSmoke.amplify(base, k)
+      def run(label: String)(df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        times.getOrElseUpdate(label, mutable.Buffer.empty) += ((k, dt))
+        println(f"[exp] k=$k%-3d $label%-10s $dt%7.2f s   rows=$n")
+        PipelineCaches.release(spark)
+        spark.sharedState.cacheManager.clearCache()
+      }
+      run("near_dup")(Dedup.nearDupPairs(docs, verifyMode = Dedup.VerifyBucketed))
+      run("fuzzy")(Dedup.fuzzyMatch(
+        docs.filter(col("doc_id") % 10_000_000L < 100), docs))
+      run("clusters")(Components.connectedComponents(
+        Dedup.nearDupPairs(docs, verifyMode = Dedup.VerifyBucketed,
+          dedupPairs = false), maxEdgesBroadcast = -1L))
+      run("span")(Dedup.spanDedup(docs, maxFrequentBroadcast = 0))
+      run("pack")(Sampling.packSequences(docs))
+    }
+
+    // per-(pipeline, k) best-of-reps, then the log-log slope over k
+    println("\n| Pipeline | " + ks.map(k => s"k=$k").mkString(" | ") +
+      " | fitted exponent |")
+    println("|---|" + ks.map(_ => "---|").mkString + "---|")
+    for ((label, pts) <- times) {
+      val best = ks.map(k => k ->
+        pts.filter(_._1 == k).map(_._2).min)
+      val slope = fitSlope(best.map { case (k, t) => (k.toDouble, t) })
+      println(s"| $label | " +
+        best.map { case (_, t) => f"$t%.2f s" }.mkString(" | ") +
+        f" | $slope%.2f |")
+    }
+    spark.stop()
+  }
+}

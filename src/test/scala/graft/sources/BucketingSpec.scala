@@ -67,4 +67,29 @@ class BucketingSpec extends SparkSuite {
       s.sql(s"DROP TABLE IF EXISTS ${Bucketing.LineitemBkt}")
     }
   }
+
+  test("aggGroupBucketed: parallel map phase (one task per bucket); parity with aggGroup") {
+    val s = spark.newSession()
+    Bucketing.registerFactTables(s, sf, buckets = 4)
+    try {
+      val q = graft.ops.Relational.aggGroupBucketed(s, sf)
+      // the point of the twin: the raw fixture scan is ONE map task
+      // (single row group), the bucketed scan is one per bucket — the
+      // decimal partial sums run in parallel
+      val scanParts = s.table(Bucketing.LineitemBkt).rdd.getNumPartitions
+      assert(scanParts == 4, s"bucketed scan must parallelize: $scanParts")
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), math.round(r.getDouble(2) * 100),
+          math.round(r.getDouble(3) * 100), math.round(r.getDouble(4) * 100),
+          math.round(r.getDouble(5) * 1000), r.getTimestamp(6), r.getTimestamp(7),
+          r.getLong(8))
+      val got = q.collect().map(key).toSet
+      val exp = graft.ops.Relational.aggGroup(s, sf).collect().map(key).toSet
+      assert(got == exp, "bucketed and raw-parquet q_agg_group must agree")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS ${Bucketing.OrdersBkt}")
+      s.sql(s"DROP TABLE IF EXISTS ${Bucketing.LineitemBkt}")
+    }
+  }
 }
