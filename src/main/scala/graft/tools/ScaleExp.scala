@@ -21,8 +21,15 @@ import graft.ops.{Components, Dedup, PipelineCaches, Sampling}
   * log k is the scaling exponent: ≤ ~1 is linear; anything clearly
   * above names a pipeline that would not survive 100×.
   *
-  * Usage: sbt "runMain graft.tools.ScaleExp [sfDir] [k1,k2,...] [reps]"
-  * Prints a markdown table for BENCH_NOTES.
+  * Usage: sbt "runMain graft.tools.ScaleExp [sfDir] [k1,k2,...] [reps]
+  *   [pipeline,...] [shufflePartitions]"
+  * Prints a markdown table for BENCH_NOTES (also written to
+  * SPARK_GRAFT_SCALEEXP_OUT, default /tmp/scale_exp.md). The pipeline
+  * filter + partition override exist to probe a single pipeline's
+  * sensitivity to the partition count (a deployment scales
+  * spark.sql.shuffle.partitions with the data; the default 32 here
+  * makes per-task sort working sets grow k× — the probe separates that
+  * fixture artifact from genuine superlinearity).
   */
 object ScaleExp {
   def fitSlope(pts: Seq[(Double, Double)]): Double = {
@@ -37,8 +44,10 @@ object ScaleExp {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ks = args.lift(1).getOrElse("1,2,4,8").split(",").map(_.toInt)
     val reps = args.lift(2).map(_.toInt).getOrElse(1)
+    val only = args.lift(3).map(_.split(",").toSet)
+    val shufParts = args.lift(4).getOrElse("32")
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", shufParts)
       .config("spark.ui.enabled", "false").getOrCreate()
     Engine.tune(spark)
     spark.sparkContext.setLogLevel("WARN")
@@ -47,14 +56,19 @@ object ScaleExp {
     base.count() // warm the scan + JIT
 
     val times = mutable.LinkedHashMap.empty[String, mutable.Buffer[(Int, Double)]]
-    for (k <- ks; _ <- 1 to reps) {
+    // leading untimed pass at the smallest k (Bench protocol): each
+    // md5-heavy pipeline's first JVM execution pays the C2 tiering ramp
+    // (~1.4× measured) — recording it as the k=1 sample would deflate
+    // every fitted exponent
+    for ((k, timed) <- (ks.min, false) +: ks.map((_, true)); _ <- 1 to reps) {
       val docs = ScaleSmoke.amplify(base, k)
       def run(label: String)(df: => DataFrame): Unit = {
+        if (only.exists(!_.contains(label))) return
         val t0 = System.nanoTime()
         val n = df.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        times.getOrElseUpdate(label, mutable.Buffer.empty) += ((k, dt))
-        println(f"[exp] k=$k%-3d $label%-10s $dt%7.2f s   rows=$n")
+        if (timed) times.getOrElseUpdate(label, mutable.Buffer.empty) += ((k, dt))
+        println(f"[exp] k=$k%-3d timed=$timed%-5s $label%-10s $dt%7.2f s   rows=$n")
         PipelineCaches.release(spark)
         spark.sharedState.cacheManager.clearCache()
       }
@@ -69,17 +83,23 @@ object ScaleExp {
     }
 
     // per-(pipeline, k) best-of-reps, then the log-log slope over k
-    println("\n| Pipeline | " + ks.map(k => s"k=$k").mkString(" | ") +
-      " | fitted exponent |")
-    println("|---|" + ks.map(_ => "---|").mkString + "---|")
+    val sb = new StringBuilder
+    sb ++= "| Pipeline | " + ks.map(k => s"k=$k").mkString(" | ") +
+      " | fitted exponent |\n"
+    sb ++= "|---|" + ks.map(_ => "---|").mkString + "---|\n"
     for ((label, pts) <- times) {
       val best = ks.map(k => k ->
         pts.filter(_._1 == k).map(_._2).min)
       val slope = fitSlope(best.map { case (k, t) => (k.toDouble, t) })
-      println(s"| $label | " +
+      sb ++= s"| $label | " +
         best.map { case (_, t) => f"$t%.2f s" }.mkString(" | ") +
-        f" | $slope%.2f |")
+        f" | $slope%.2f |\n"
     }
+    println("\n" + sb)
+    // a timing table must survive log-stream mangling — land it in a file
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALEEXP_OUT", "/tmp/scale_exp.md")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      sb.toString.getBytes("UTF-8"))
     spark.stop()
   }
 }
