@@ -52,6 +52,24 @@ object PipelineCaches {
     }
   }
 
+  /** Register a localCheckpoint'd frame's backing blocks for the
+    * session-wide [[release]] (Spark exposes no public unpersist for
+    * checkpoint blocks — this walks to the LogicalRDD and tracks its
+    * RDD). For frames consumed through SELF-JOINS of derived views,
+    * checkpointing beats [[track]]: analyzer attribute-deduplication
+    * rewrites one side's expression ids, which defeats the
+    * CacheManager's plan-match for grouping-sets aggregates (measured
+    * in pmiQ: both uni sides and the totals silently re-ran the full
+    * corpus aggregate from the file scan) — a lineage-truncated
+    * LogicalRDD has no plan to mismatch. */
+  private[ops] def trackCheckpointed(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        trackRdd(df.sparkSession, l.rdd)
+    }
+    df
+  }
+
   /** Cache `df` and register it for the session-wide [[release]]. */
   private[ops] def track(df: DataFrame): DataFrame = {
     purgeStopped()

@@ -241,8 +241,11 @@ object TextOps {
     val total = counts.agg(sum(col("n")).as("total_n"))
     // Constant partition spec: the window runs post-limit(k) so a single
     // partition is the point, but an empty partitionSpec makes WindowExec
-    // log a data-loss warning on every run — lit(1) declares the intent.
-    val byCount = Window.partitionBy(lit(1)).orderBy(col("n").desc, col("token").asc)
+    // log a data-loss warning on every run. total_n (one value for every
+    // row — the broadcast one-row total) declares the intent; a literal
+    // would be constant-folded OUT of the spec and re-empty it.
+    val byCount = Window.partitionBy(col("total_n"))
+      .orderBy(col("n").desc, col("token").asc)
     counts.orderBy(col("n").desc, col("token").asc).limit(k)
       .crossJoin(broadcast(total))
       .select(
@@ -336,30 +339,42 @@ object TextOps {
     val toksF = graft.sources.Tables.fanout(docs)
       .select(split(lower(trim(col("text"))), "\\s+").as("toks"))
       .withColumn("toks", filter(col("toks"), t => t =!= ""))
-    // the pair-count table is vocab²-bounded and read four times
-    // (unigram re-agg ×2 sides, bigram filter, totals) — tracked cache
-    // keeps the corpus token stream at exactly ONE explode
-    val pairs = PipelineCaches.track(
+    // ONE corpus aggregate computes the pair AND unigram count tables
+    // via GROUPING SETS ((tok_a, tok_b), (tok_a)): Expand forks each
+    // position into both levels ahead of the map-side partial agg, so
+    // the corpus is tokenized, exploded and shuffled exactly once and
+    // the unigram table is a FILTER on this frame — the previous form
+    // re-aggregated (and re-cached) the pair table for unigrams, a
+    // second shuffle + materialization per run. gid: 0 = (tok_a,
+    // tok_b) level, 1 = tok_b aggregated out (the unigram level; its
+    // tok_b is NULL by Expand, distinct from gid-0 rows whose tok_b is
+    // the genuine null successor at a document's last position).
+    // localCheckpoint, NOT cache: the derived views self-join below,
+    // and the analyzer's attribute dedup defeats the CacheManager's
+    // plan-match for grouping-sets subtrees (see trackCheckpointed) —
+    // with cache the uni sides and totals silently re-ran the corpus
+    // aggregate; the checkpoint's LogicalRDD cannot miss.
+    val counts = PipelineCaches.trackCheckpointed(
       toksF.select(explode(transform(col("toks"), (t, i) =>
           struct(t.as("tok_a"),
             when(i < size(col("toks")) - 1, col("toks")(i + 1)).as("tok_b")))).as("p"))
         .select(col("p.tok_a"), col("p.tok_b"))
-        .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("n_ab")))
-    // the unigram re-agg shuffles the pair table — tracked too (it is
-    // read by both enrichment joins AND the totals). n_end counts each
-    // token's null-successor occurrences so BOTH corpus totals derive
-    // from this vocab-sized frame: n_total = Σ n_uni (every token is
-    // exactly one row's tok_a) and b_total = n_total − Σ n_end (pairs
-    // are exactly the non-terminal positions) — no third scan of the
-    // pair table
-    val uni = PipelineCaches.track(
-      pairs.groupBy(col("tok_a").as("token"))
-        .agg(sum(col("n_ab")).as("n_uni"),
-          coalesce(sum(when(col("tok_b").isNull, col("n_ab"))), lit(0L)).as("n_end")))
-    val bi = pairs.filter(col("tok_b").isNotNull)
-    val totals = uni.agg(
-      sum(col("n_uni")).as("n_total"),
-      (sum(col("n_uni")) - sum(col("n_end"))).as("b_total"))
+        .groupingSets(Seq(Seq(col("tok_a"), col("tok_b")), Seq(col("tok_a"))),
+          col("tok_a"), col("tok_b"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .localCheckpoint())
+    // vocab-bounded map-side derivations of the one materialized frame —
+    // no further shuffle until the enrichment joins
+    val uni = counts.filter(col("gid") === 1)
+      .select(col("tok_a").as("token"), col("n").as("n_uni"))
+    val bi = counts.filter(col("gid") === 0 && col("tok_b").isNotNull)
+      .select(col("tok_a"), col("tok_b"), col("n").as("n_ab"))
+    // both corpus totals from one scan of the cache: every token is
+    // exactly one unigram row's tok_a (n_total), and pairs are exactly
+    // the non-terminal positions (b_total)
+    val totals = counts.agg(
+      sum(when(col("gid") === 1, col("n"))).as("n_total"),
+      sum(when(col("gid") === 0 && col("tok_b").isNotNull, col("n"))).as("b_total"))
     bi.filter(col("n_ab") >= minCount)
       .join(uni.select(col("token").as("tok_a"), col("n_uni").as("n_a")),
         Seq("tok_a"))
