@@ -44,6 +44,19 @@ class CacheLifetimeSpec extends SparkSuite {
       s"release must unpersist checkpoint blocks, leaked rdd ids: $leftover")
   }
 
+  test("pmiQ's grouping-sets checkpoint blocks release deterministically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    TextOps.pmiQ(docs).write.format("noop").mode("overwrite").save()
+    val mine = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(mine.nonEmpty,
+      "pmiQ is expected to localCheckpoint its counts frame")
+    PipelineCaches.release(spark)
+    val leftover = spark.sparkContext.getPersistentRDDs.keySet intersect mine
+    assert(leftover.isEmpty,
+      s"release must unpersist pmiQ checkpoint blocks, leaked rdd ids: $leftover")
+  }
+
   test("release is idempotent and safe on a session with no tracked caches") {
     PipelineCaches.release(spark.newSession())
     PipelineCaches.release(spark)
