@@ -13,7 +13,7 @@ object TextOps {
   /** Stopwords for the crude lang-ID / quality heuristics. */
   val EnStopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for")
 
-  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+  private[ops] def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Whitespace token count. */
   def nTokensWs(c: Column): Column = size(toks(c))
@@ -95,18 +95,13 @@ object TextOps {
   def repetitionScores(docs: DataFrame): DataFrame = {
     val base = graft.sources.Tables.fanout(docs)
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-    def grams(n: Int) = transform(sequence(lit(0), size(col("toks")) - n),
-      i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))
-    def dupFrac(n: Int) =
-      // the gram array only materializes when ≥ n tokens exist — a
-      // shorter doc would build a DESCENDING sequence (the round-5
-      // inverted-interval trap) and has no meaningful fraction anyway
-      when(size(col("toks")) >= n,
-        lit(1.0) - size(array_distinct(grams(n))).cast("double") / size(grams(n)))
-        .otherwise(lit(0.0))
+    // the gram array only materializes when ≥ n tokens exist — a
+    // shorter doc would build a DESCENDING sequence (the round-5
+    // inverted-interval trap) and has no meaningful fraction anyway
     val mapSide = base.select(col("doc_id"),
       size(col("toks")).cast("long").as("n_tokens"),
-      dupFrac(2).as("dup_2gram_frac"), dupFrac(3).as("dup_3gram_frac"))
+      dupGramFrac(col("toks"), 2).as("dup_2gram_frac"),
+      dupGramFrac(col("toks"), 3).as("dup_3gram_frac"))
     val topTok = base
       .select(col("doc_id"), explode(col("toks")).as("token"))
       .filter(col("token") =!= "")
@@ -151,6 +146,32 @@ object TextOps {
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"), col("tf"), col("df"),
         (col("tf") * log(col("n_docs").cast("double") / col("df"))).as("tfidf"))
+  }
+
+  /** [[qualityScores]]' composite keep flag as a single reusable
+    * per-row expression — the shared primitive that lets the composed
+    * cleaning pipeline compute the verdict in ITS one per-row pass
+    * without re-deriving (or re-scanning for) the feature columns.
+    * Parity with the frame form is spec-pinned (CleaningSpec). */
+  private[ops] def qualityKeepExpr(text: Column): Column = {
+    val nTok = nTokensWs(text)
+    val punct = regexp_count(lower(text), lit("[^a-z0-9\\s]"))
+    val stopHits = size(filter(toks(text), t => t.isin(EnStopwords: _*)))
+    (nTok.cast("long") >= 10 &&
+      (punct.cast("double") / nullif(length(text), lit(0))) < 0.3 &&
+      (stopHits.cast("double") / nTok) > 0.01).cast("long")
+  }
+
+  /** [[repetitionScores]]' duplicate-n-gram fraction over a token
+    * array, as a reusable per-row expression (same sharing rationale as
+    * [[qualityKeepExpr]]). The `when` guard keeps short docs off the
+    * descending-sequence trap (round-5 note in repetitionScores). */
+  private[ops] def dupGramFrac(tokArr: Column, n: Int): Column = {
+    def grams = transform(sequence(lit(0), size(tokArr) - n),
+      i => concat_ws(" ", slice(tokArr, i + 1, lit(n))))
+    when(size(tokArr) >= n,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+      .otherwise(lit(0.0))
   }
 
   /** Per-document quality score features: length, token stats, punct

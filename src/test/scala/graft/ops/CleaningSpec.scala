@@ -32,6 +32,25 @@ class CleaningSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("shared per-row expressions match the standalone operator frames") {
+    // the round-9 fusion computes the stage verdicts from
+    // qualityKeepExpr / dupGramFrac in ONE pass — pin that they equal
+    // the frames qualityScores / repetitionScores produce, doc by doc
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val viaExpr = docs.select(col("doc_id"),
+      TextOps.qualityKeepExpr(col("text")).as("k2"),
+      TextOps.dupGramFrac(TextOps.toks(col("text")), 2).as("d2"),
+      TextOps.dupGramFrac(TextOps.toks(col("text")), 3).as("d3"))
+    val q = TextOps.qualityScores(docs).select(col("doc_id"), col("keep"))
+    val r = TextOps.repetitionScores(docs)
+      .select(col("doc_id"), col("dup_2gram_frac"), col("dup_3gram_frac"))
+    val bad = viaExpr.join(q, "doc_id").join(r, "doc_id")
+      .filter(col("k2") =!= col("keep") ||
+        col("d2") =!= col("dup_2gram_frac") || col("d3") =!= col("dup_3gram_frac"))
+      .count()
+    assert(bad == 0, s"$bad docs diverge between expr and frame forms")
+  }
+
   test("char totals are consistent with the per-reason doc sets") {
     val out = Cleaning.corpusCleanQ(spark, sf)
     val total = out.agg(sum("total_chars")).head.getLong(0)
