@@ -323,9 +323,18 @@ object TextOps {
         .filter(col("token") =!= "")
         .distinct())
     val sizes = st.groupBy(col("slice")).agg(count(lit(1)).as("n_tok"))
-    val inter = st.select(col("slice").as("slice_a"), col("token"))
-      .join(st.select(col("slice").as("slice_b"), col("token")), Seq("token"))
-      .filter(col("slice_a") < col("slice_b"))
+    // pair counts WITHOUT a self-join (round 9): slices-per-token is
+    // bounded by |slices| (small by definition), so fold each token's
+    // slice set with collect_set and expand the C(s,2) ordered pairs
+    // IN THE ROW — one token-keyed shuffle replaces the join's two,
+    // candidate rows identical (Σ_token C(slices_with_token, 2)), and
+    // the sort inside the row pins slice_a < slice_b deterministically.
+    val inter = st.groupBy(col("token"))
+      .agg(array_sort(collect_set(col("slice"))).as("ss"))
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          b => struct(a.as("slice_a"), b.as("slice_b")))))).as("p"))
+      .select(col("p.slice_a"), col("p.slice_b"))
       .groupBy(col("slice_a"), col("slice_b"))
       .agg(count(lit(1)).as("n_common"))
     inter
