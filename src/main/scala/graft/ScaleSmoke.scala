@@ -11,7 +11,10 @@ import graft.ops.Dedup
   *
   * Amplification prefixes every token with the copy id, so copies have
   * DISJOINT vocabularies: dup-cluster sizes (and therefore output size
-  * per unit input) stay constant — a fair linear-scaling probe. A naive
+  * per unit input) stay constant in expectation — true Jaccard is
+  * prefix-invariant, though LSH recall varies a few percent per copy
+  * with the rehashed tokens (spread bounded in ScaleSmokeSpec) — a
+  * fair linear-scaling probe. A naive
   * self-union of identical copies would multiply every duplicate
   * cluster by k and grow the true pair count k², measuring output
   * explosion instead of engine scaling.
