@@ -207,7 +207,13 @@ object SparkEntry {
     // collocations: top-k bigrams by PMI with a min-count guard
     "q_pmi" -> ((s, d) => TextOps.pmiQ(Tables.documents(s, d))),
     // two-proportion z-test between deterministic user variants
-    "q_abtest" -> ((s, d) => EventAnalytics.abTest(Tables.events(s, d)))
+    "q_abtest" -> ((s, d) => EventAnalytics.abTest(Tables.events(s, d))),
+    // interval × interval overlap join, double-sided binning (no equi key)
+    "q_join_interval" -> ((s, d) => Relational.intervalJoinQ(s, d)),
+    // full winnowing (MOSS) fingerprints → substring-dup candidate pairs
+    "q_winnow" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
+    // CCNet-style bigram-LM log-perplexity quality scores (en-trained)
+    "q_ngram_lm" -> ((s, d) => Scoring.ngramLmQ(Tables.documents(s, d)))
   )
 
   /** The dup-clustering oracle, parameterized over its document source
@@ -1412,6 +1418,68 @@ object SparkEntry {
         |/ nullif(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
         |* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
         |* (1.0 / n_a + 1.0 / n_b)), 0.0)) > 1.96 AS BIGINT), 0) AS significant
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // Interval-overlap join: the oracle is the plain non-equi overlap
+    // join (DuckDB plans it as an IEJoin); the engine's binned equi form
+    // must produce the identical aggregate. Transit spans synthesize
+    // deterministically from (l_orderkey, l_linenumber).
+    "q_join_interval" ->
+      """WITH p AS (SELECT o_orderkey,
+        |date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS p_lo,
+        |date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) + 3 AS p_hi
+        |FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |t AS (SELECT l_quantity,
+        |date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS t_lo,
+        |date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) + 1
+        |+ ((l_orderkey * 7 + l_linenumber) % 28) AS t_hi
+        |FROM lineitem WHERE l_quantity > 45)
+        |SELECT o_orderkey, count(*) AS n_in_transit,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty_in_transit
+        |FROM p JOIN t ON p_lo <= t_hi AND t_lo <= p_hi
+        |GROUP BY o_orderkey""".stripMargin,
+    // Winnowing: k=4 token grams, w=5 window minima, 60-bit md5 hashes
+    // (the md5-hex spelling Md5Bits is bit-identical to), df cap 50,
+    // pairs sharing >= 2 fingerprints.
+    "q_winnow" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |FROM documents),
+        |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 2), i ->
+        |CAST(('0x'||substr(md5(array_to_string(toks[i:i+3], ' ')),1,15)) AS BIGINT)) AS h
+        |FROM t WHERE len(toks) >= 4),
+        |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |range(1, greatest(len(h) - 4, 1) + 1),
+        |p -> list_aggregate(h[p:p+4], 'min')))) AS fp FROM g),
+        |c AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+        |fc AS (SELECT f.doc_id, f.fp FROM f JOIN c USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // Bigram-LM perplexity: add-0.1 smoothing, en-trained, <unk> OOV
+    // mapping; tr's range runs one past the end so unigram counts cover
+    // the last position (toks[i+1] out of bounds -> NULL successor).
+    "q_ngram_lm" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |FROM documents),
+        |tr AS (SELECT toks[i] AS a, toks[i+1] AS b
+        |FROM (SELECT toks, unnest(range(1, len(toks)+1)) AS i FROM t WHERE lang = 'en') z),
+        |uni AS (SELECT a, count(*) AS n_u FROM tr GROUP BY a),
+        |bi AS (SELECT a, b, count(*) AS n_ab FROM tr WHERE b IS NOT NULL GROUP BY a, b),
+        |vs AS (SELECT count(*) AS v FROM uni),
+        |sc AS (SELECT doc_id, lang, toks[i] AS ra, toks[i+1] AS rb
+        |FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+        |FROM t WHERE len(toks) >= 2) z),
+        |m AS (SELECT doc_id, lang,
+        |CASE WHEN ua.a IS NULL THEN '<unk>' ELSE sc.ra END AS a,
+        |CASE WHEN ub.a IS NULL THEN '<unk>' ELSE sc.rb END AS b
+        |FROM sc LEFT JOIN uni ua ON sc.ra = ua.a LEFT JOIN uni ub ON sc.rb = ub.a),
+        |pr AS (SELECT doc_id, lang,
+        |(coalesce(bi.n_ab, 0) + 0.1) / (coalesce(uni.n_u, 0) + 0.1 * (v + 1)) AS prob
+        |FROM m LEFT JOIN bi ON m.a = bi.a AND m.b = bi.b
+        |LEFT JOIN uni ON m.a = uni.a, vs)
+        |SELECT doc_id, lang, count(*) AS n_bigrams,
+        |round(-avg(ln(prob)), 6) AS logppl
+        |FROM pr GROUP BY doc_id, lang""".stripMargin
   )
 }

@@ -722,6 +722,57 @@ object Dedup {
     fuzzyMatchAgainstIndex(spark, delta, idxDir, corpus)
   }
 
+  /** Full winnowing fingerprints (the MOSS scheme): hash every k-token
+    * gram, then keep the MINIMUM hash of each w-wide window of
+    * consecutive gram hashes. The selected set is position-robust — any
+    * shared run of ≥ k+w−1 tokens between two documents is GUARANTEED
+    * to contribute at least one common fingerprint (the scheme's
+    * coverage guarantee), which [[fingerprints]]' single global
+    * min-hash cannot promise. Docs with < k tokens are excluded
+    * (declared); docs with fewer than w grams emit the min of what
+    * they have. Entirely per-row array expressions — zero shuffle,
+    * whole-stage codegen'd; output one (doc_id, fp) row per DISTINCT
+    * selected hash. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
+    require(k > 0 && w > 0, s"k/w must be positive, got k=$k w=$w")
+    val spark = docs.sparkSession
+    val hashes = transform(
+      sequence(lit(0), size(col("toks")) - k),
+      i => md5Prefix(concat_ws(" ", slice(col("toks"), i + 1, lit(k))), spark, 15))
+    spread(docs)
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), hashes.as("h"))
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(1), greatest(size(col("h")) - w + 1, lit(1))),
+        p => array_min(slice(col("h"), p, lit(w)))))).as("fp"))
+  }
+
+  /** Declared query (q_winnow): substring-level duplicate CANDIDATES —
+    * document pairs sharing ≥ `minShared` winnowed fingerprints, i.e.
+    * pairs with common token runs long enough to survive window-min
+    * selection. The one shuffle rides the 60-bit fingerprint; a
+    * boilerplate guard drops fingerprints occurring in > `maxDf` docs
+    * before pairing (the df-cap discipline every band join here uses —
+    * without it one boilerplate run makes a quadratic bucket). Same
+    * banded shape as the LSH joins: no all-pairs anywhere. */
+  def winnowPairs(docs: DataFrame, k: Int = 4, w: Int = 5,
+      maxDf: Int = 50, minShared: Int = 2): DataFrame = {
+    // tracked: the df-cap aggregate and both pair sides re-read this frame
+    val fps = PipelineCaches.track(winnowFingerprints(docs, k, w))
+    val capped = fps.join(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxDf).select(col("fp")),
+      Seq("fp"), "left_semi")
+    capped.join(
+        capped.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_id") < col("doc_b"))
+      .groupBy(col("doc_id").as("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Document fingerprint: min-of-shingle-hashes (winnowing-style) over
     * 5-token shingles; short docs fall back to the whole token list.
     * Pure array expressions — stays inside whole-stage codegen. */

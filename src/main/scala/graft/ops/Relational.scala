@@ -626,6 +626,64 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(20,6)")).cast("double").as("total"))
   }
 
+  /** Binned interval-OVERLAP join — interval × interval with NO equi
+    * key (the two-sided sibling of [[rangeJoinBinned]]'s
+    * point-in-interval). Both sides explode into the width-W bins their
+    * interval covers and meet on an equi-join over the bin; the exact
+    * overlap predicate (lLo ≤ rHi ∧ rLo ≤ lHi) post-filters. An
+    * overlapping pair co-occupies every bin from ⌊max(lo)/W⌋ (the
+    * overlap's start bin) to the overlap's end bin, so the dedup is
+    * FREE — keep the pair only in its first shared bin
+    * (bin = ⌊greatest(lLo, rLo)/W⌋) instead of paying a distinct over
+    * the matched volume. Replication per side is ⌈len/W⌉+1, so pick W
+    * near the typical interval length; the shuffle rides the bin key
+    * and AQE skew-split applies to hot time ranges, where Spark's only
+    * native plan for this predicate is a broadcast-nested-loop.
+    * Inverted intervals are dropped on both sides before the explode
+    * (the [[rangeJoinBinned]] descending-`sequence` trap). */
+  def intervalOverlapJoinBinned(left: DataFrame, right: DataFrame,
+      lLo: String, lHi: String, rLo: String, rHi: String,
+      binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(col(lo) <= col(hi)).withColumn("_bin",
+        explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+    binned(left, lLo, lHi).join(binned(right, rLo, rHi), Seq("_bin"))
+      .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
+        col("_bin") === floor(greatest(col(lLo), col(rLo)) / binWidth))
+      .drop("_bin")
+  }
+
+  /** Declared interval-overlap query (q_join_interval): for each urgent
+    * order's 3-day promotion window, the high-quantity shipments whose
+    * transit interval overlaps it — transit spans are synthesized
+    * deterministically from the line's keys (the fixture ships only
+    * l_shipdate), identically in the oracle. Dates discretize to epoch
+    * days; W = 7 days ≈ the mean transit span, so each side replicates
+    * into ≲ 2-5 bins. Output: one row per urgent order with ≥ 1
+    * overlapping shipment (orders with none drop — inner semantics,
+    * mirrored by the oracle). The decimal intermediate keeps the
+    * quantity sum order-exact. */
+  def intervalJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val promos = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("p_lo"))
+      .withColumn("p_hi", col("p_lo") + 3)
+    val transits = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45)
+      .select(col("l_quantity"),
+        datediff(col("l_shipdate"), epoch).cast("long").as("t_lo"),
+        (datediff(col("l_shipdate"), epoch) + 1 +
+          pmod(col("l_orderkey") * 7 + col("l_linenumber"), lit(28)))
+          .cast("long").as("t_hi"))
+    intervalOverlapJoinBinned(promos, transits, "p_lo", "p_hi", "t_lo", "t_hi", 7.0)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_in_transit"),
+        sum(col("l_quantity").cast("decimal(20,6)")).cast("double").as("qty_in_transit"))
+  }
+
   /** Sort-based exact percentiles with INTRA-group parallelism: global
     * per-group ranks are assembled from range-partitioned local ranks
     * plus per-partition offset prefix sums, then the one-or-two

@@ -112,4 +112,69 @@ object Scoring {
       .agg(count(lit(1)).as("n_tok"),
         round(avg(col("lam")), 6).as("dsir_weight"))
   }
+
+  /** CCNet-style n-gram language-model perplexity scoring (q_ngram_lm):
+    * train an add-α bigram LM on the corpus's `trainLang` slice, then
+    * score EVERY document by its per-bigram log-perplexity under that
+    * model — the classic quality/fluency filter (CCNet ranks CommonCrawl
+    * by Wikipedia-LM perplexity; low logppl ≈ target-like text).
+    *
+    * Model: tokens outside the train vocabulary map to `<unk>`;
+    * p(b|a) = (C(a,b) + α) / (C(a) + α·(V+1)) with V = train vocab
+    * size (+1 for unk). Unseen contexts degrade to the uniform
+    * α/(α·(V+1)) floor. Score: logppl = −mean ln p over the doc's
+    * bigrams; docs with < 2 tokens drop (no bigram evidence).
+    *
+    * Scale shape: ONE train-slice aggregate builds the whole model —
+    * GROUPING SETS ((a,b),(a)) over in-row successor pairs (the q_pmi
+    * fusion; the null-successor rows make the (a) level the true
+    * unigram count and V = the gid-1 row count), localCheckpoint'd
+    * because its derived views join 4× (the analyzer's attribute dedup
+    * defeats cache plan-match on grouping-sets subtrees). The scoring
+    * pass explodes in-row bigram pairs once; vocab/bigram/unigram
+    * model tables are VOCAB-bounded and broadcast (Catalyst's call —
+    * beyond broadcast size the joins degrade to token-keyed shuffles);
+    * the one corpus-sized shuffle is the final per-doc aggregate. */
+  def ngramLmQ(docs: DataFrame, trainLang: String = "en",
+               alpha: Double = 0.1): DataFrame = {
+    val toksF = graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"), col("lang"),
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
+    def pairsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("lang"),
+        explode(transform(col("toks"), (t, i) =>
+          struct(t.as("ra"),
+            when(i < size(col("toks")) - 1, col("toks")(i + 1)).as("rb")))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.ra"), col("p.rb"))
+    val model = PipelineCaches.trackCheckpointed(
+      pairsOf(toksF.filter(col("lang") === trainLang))
+        .groupingSets(Seq(Seq(col("ra"), col("rb")), Seq(col("ra"))),
+          col("ra"), col("rb"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .localCheckpoint())
+    val uni = model.filter(col("gid") === 1)
+      .select(col("ra").as("u_tok"), col("n").as("n_u"))
+    val bi = model.filter(col("gid") === 0 && col("rb").isNotNull)
+      .select(col("ra").as("bi_a"), col("rb").as("bi_b"), col("n").as("n_ab"))
+    val vsz = model.filter(col("gid") === 1).agg(count(lit(1)).as("v"))
+    // score every doc: drop each row's null-successor tail pair, map
+    // out-of-vocab tokens to <unk>, look up the smoothed probability
+    val mapped = pairsOf(toksF).filter(col("rb").isNotNull)
+      .join(uni.select(col("u_tok").as("ra"), lit(1).as("_ina")), Seq("ra"), "left")
+      .join(uni.select(col("u_tok").as("rb"), lit(1).as("_inb")), Seq("rb"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("_ina").isNotNull, col("ra")).otherwise(lit("<unk>")).as("a"),
+        when(col("_inb").isNotNull, col("rb")).otherwise(lit("<unk>")).as("b"))
+    mapped
+      .join(bi, col("a") === col("bi_a") && col("b") === col("bi_b"), "left")
+      .join(uni, col("a") === col("u_tok"), "left")
+      .crossJoin(broadcast(vsz))
+      .select(col("doc_id"), col("lang"),
+        ((coalesce(col("n_ab"), lit(0L)).cast("double") + alpha) /
+          (coalesce(col("n_u"), lit(0L)).cast("double") +
+            lit(alpha) * (col("v") + 1))).as("prob"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("prob"))), 6).as("logppl"))
+  }
 }

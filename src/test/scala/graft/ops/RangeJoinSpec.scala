@@ -33,4 +33,42 @@ class RangeJoinSpec extends SparkSuite {
       plan.take(800))
     assert(q.count() > 0)
   }
+
+  test("law: binned interval-overlap join equals naive overlap join, exactly once") {
+    import spark.implicits._
+    val a = Seq((0L, 0.0, 10.0), (1L, 5.0, 5.0), (2L, 20.0, 45.0),
+      (3L, -8.0, -2.0), (4L, 50.0, 40.0) /* inverted: empty */)
+      .toDF("aid", "a_lo", "a_hi")
+    val b = Seq((0L, 9.9, 30.0), (1L, 10.0, 10.0), (2L, -3.0, 0.0),
+      (3L, 44.9, 60.0), (4L, 100.0, 200.0), (5L, 3.0, 1.0) /* inverted */)
+      .toDF("bid", "b_lo", "b_hi")
+    // multiset compare: set equality would hide a pair matched in TWO
+    // shared bins — the first-shared-bin dedup must yield each pair once.
+    // The naive side must ALSO drop inverted intervals: lo > hi is an
+    // EMPTY interval (declared BETWEEN semantics), yet the raw overlap
+    // predicate alone would still accept it against a wide partner
+    val naive = a.filter(col("a_lo") <= col("a_hi"))
+      .join(b.filter(col("b_lo") <= col("b_hi")),
+        col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(naive.nonEmpty)
+    for (w <- Seq(0.5, 7.0, 25.0, 1000.0)) {
+      val binned = Relational.intervalOverlapJoinBinned(
+          a, b, "a_lo", "a_hi", "b_lo", "b_hi", w)
+        .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSeq.sorted
+      assert(binned == naive, s"binWidth=$w: $binned vs $naive")
+    }
+  }
+
+  test("q_join_interval: equi-join plan, no duplicate orders, rows > 0") {
+    val q = Relational.intervalJoinQ(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(800))
+    val n = q.count()
+    assert(n > 0)
+    assert(q.select("o_orderkey").distinct().count() == n)
+  }
 }

@@ -84,4 +84,63 @@ class ScoringSpec extends SparkSuite {
     val targets = flagged.filter(_._3).map(_._1).toSet
     assert(got.keySet.intersect(targets).isEmpty)
   }
+
+  test("ngram LM matches the driver-side reference") {
+    val alpha = 0.1
+    // train the bigram model exactly as declared: en slice, unigram
+    // counts over ALL positions, bigram counts over adjacent pairs
+    val uniC = collection.mutable.Map.empty[String, Long]
+    val biC = collection.mutable.Map.empty[(String, String), Long]
+    docs.filter(_._3 == "en").foreach { case (_, text, _, _) =>
+      val tk = toksOf(text)
+      tk.foreach(t => uniC(t) = uniC.getOrElse(t, 0L) + 1)
+      tk.sliding(2).filter(_.size == 2)
+        .foreach(p => biC((p(0), p(1))) = biC.getOrElse((p(0), p(1)), 0L) + 1)
+    }
+    val v = uniC.size
+    def prob(a0: String, b0: String): Double = {
+      val a = if (uniC.contains(a0)) a0 else "<unk>"
+      val b = if (uniC.contains(b0)) b0 else "<unk>"
+      (biC.getOrElse((a, b), 0L) + alpha) /
+        (uniC.getOrElse(a, 0L) + alpha * (v + 1))
+    }
+    val want = docs.flatMap { case (id, text, lang, _) =>
+      val tk = toksOf(text)
+      if (tk.size < 2) None
+      else {
+        val lps = tk.sliding(2).filter(_.size == 2)
+          .map(p => math.log(prob(p(0), p(1)))).toSeq
+        Some(id -> (lang, lps.size.toLong, -lps.sum / lps.size))
+      }
+    }.toMap
+    val got = Scoring.ngramLmQ(Tables.documents(spark, sf))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == want.keySet, "scored set mismatch")
+    got.foreach { case (id, (lang, n, s)) =>
+      assert(lang == want(id)._1 && n == want(id)._2, s"doc $id lang/n_bigrams")
+      assert(math.abs(s - want(id)._3) < 1e-5, s"doc $id logppl $s vs ${want(id)._3}")
+    }
+    graft.ops.PipelineCaches.release(spark)
+  }
+
+  test("ngram LM: OOV gibberish scores strictly worse than in-domain text") {
+    import spark.implicits._
+    // 20 train docs of a tiny repeated vocabulary; one fluent doc made of
+    // seen bigrams; one gibberish doc of wholly unseen tokens
+    val train = (0 until 20).map(i =>
+      (i.toLong, "the cat sat on the mat and the dog ran", "en", "s", 0L))
+    val probes = Seq(
+      (100L, "the cat sat on the mat", "xx", "s", 0L),
+      (101L, "zqx wvu ponm lkj ihg fed", "xx", "s", 0L))
+    val df = (train ++ probes)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Scoring.ngramLmQ(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(100L) < got(101L),
+      s"fluent ${got(100L)} should beat gibberish ${got(101L)}")
+    // fluent probe scores like the training text itself (same bigrams)
+    assert(got(100L) < got.filter(_._1 < 20).values.max + 0.5)
+    graft.ops.PipelineCaches.release(spark)
+  }
 }
