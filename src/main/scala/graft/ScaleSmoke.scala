@@ -93,6 +93,22 @@ object ScaleSmoke {
       run("dsir", graft.ops.Scoring.dsirQ(spark, docs,
         targetPred = col("doc_id") % 10 === 0))
       spark.sharedState.cacheManager.clearCache()
+      // winnowing: per-doc selection is map-side, pairing is one
+      // fp-keyed shuffle; disjoint copy vocabularies keep pairs inside
+      // copies, so output per unit input is constant and wall clock
+      // must track the token count
+      run("winnow", graft.ops.Dedup.winnowPairs(docs))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // bigram LM: the model tables grow ~k (disjoint vocab per copy)
+      // but stay token-keyed joins; the scoring pass is linear in the
+      // corpus token stream. amplify strips lang — resynthesize a
+      // deterministic 20%-per-copy train slice
+      run("ngram_lm", graft.ops.Scoring.ngramLmQ(
+        docs.withColumn("lang",
+          when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -213,7 +213,9 @@ object SparkEntry {
     // full winnowing (MOSS) fingerprints → substring-dup candidate pairs
     "q_winnow" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
     // CCNet-style bigram-LM log-perplexity quality scores (en-trained)
-    "q_ngram_lm" -> ((s, d) => Scoring.ngramLmQ(Tables.documents(s, d)))
+    "q_ngram_lm" -> ((s, d) => Scoring.ngramLmQ(Tables.documents(s, d))),
+    // temperature-flattened (alpha=0.5) source rebalancing, min-anchored
+    "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d)))
   )
 
   /** The dup-clustering oracle, parameterized over its document source
@@ -1480,6 +1482,23 @@ object SparkEntry {
         |LEFT JOIN uni ON m.a = uni.a, vs)
         |SELECT doc_id, lang, count(*) AS n_bigrams,
         |round(-avg(ln(prob)), 6) AS logppl
-        |FROM pr GROUP BY doc_id, lang""".stripMargin
+        |FROM pr GROUP BY doc_id, lang""".stripMargin,
+    // Temperature sampling: rate_s = sqrt(n_min / n_s) — one IEEE
+    // division + one correctly-rounded sqrt per stratum, so the
+    // millionths thresholds are bit-identical across engines (no
+    // order-sensitive normalizing sum anywhere).
+    "q_sample_temp" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |WHERE lang IS NOT NULL GROUP BY lang),
+        |m AS (SELECT min(n) AS n_min FROM c),
+        |thr AS (SELECT lang,
+        |CAST(round(sqrt(CAST(n_min AS DOUBLE) / n) * 1000000) AS BIGINT) AS t
+        |FROM c, m)
+        |SELECT d.lang, count(*) AS n_docs,
+        |CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE CAST(('0x'||substr(md5('strat:' || d.lang || ':' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
+        |% 1000000 < t
+        |GROUP BY d.lang""".stripMargin
   )
 }

@@ -671,8 +671,12 @@ object Relational {
       .select(col("o_orderkey"),
         datediff(col("o_orderdate"), epoch).cast("long").as("p_lo"))
       .withColumn("p_hi", col("p_lo") + 3)
-    val transits = Tables.lineitem(spark, dir)
-      .filter(col("l_quantity") > 45)
+    // fanout: the transit side is the PROBE of a broadcast join whose
+    // candidate volume is ~20x its row count (bin co-occupancy) — on a
+    // single-row-group fixture file the whole probe+filter+partial-agg
+    // chain would otherwise run on one task
+    val transits = Tables.fanout(Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 45))
       .select(col("l_quantity"),
         datediff(col("l_shipdate"), epoch).cast("long").as("t_lo"),
         (datediff(col("l_shipdate"), epoch) + 1 +

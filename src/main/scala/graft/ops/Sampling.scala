@@ -279,4 +279,40 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).cast("long").as("total_chars"))
   }
+
+  /** Temperature-flattened (α = 0.5) source rebalancing — the
+    * multilingual alpha-sampling step (mBERT/XLM-R style): flatten the
+    * per-stratum size distribution toward n^α so over-represented
+    * sources stop dominating the mix. Anchored at the SMALLEST stratum
+    * (kept whole): stratum s samples at rate √(n_min / n_s), giving
+    * expected sizes √(n_s·n_min) = n_s^α·n_min^(1−α). The anchor form
+    * needs NO normalizing sum over strata — one division and one
+    * `Math.sqrt` per stratum, both IEEE-exact and correctly rounded, so
+    * the driver-side fractions are bit-identical to any engine
+    * replaying the same arithmetic (a Σ√n normalizer would be
+    * summation-order-sensitive and break the oracle hash).
+    *
+    * The count collect is METADATA-sized (|strata| rows — languages or
+    * sources, not documents); the draw itself is [[stratifiedSampleByHash]]
+    * — map-side, per-stratum monotone, no shuffle. */
+  def temperatureFractions(df: DataFrame, strataCol: String = "source"): Map[String, Double] = {
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureFractions needs a non-empty corpus")
+    val nMin = counts.values.min.toDouble
+    counts.map { case (k, n) => k -> math.sqrt(nMin / n) }
+  }
+
+  /** Declared query q_sample_temp: per-LANGUAGE sizes of the
+    * temperature-rebalanced corpus (the stratum that is actually skewed
+    * — `source` is generator-uniform, so rebalancing it would be a
+    * no-op). The smallest language survives whole (rate 1); every
+    * larger one lands at ≈ √(n_s·n_min) docs — English stops dominating
+    * the mix. */
+  def temperatureQ(docs: DataFrame): DataFrame =
+    stratifiedSampleByHash(docs, "lang", temperatureFractions(docs, "lang"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
 }

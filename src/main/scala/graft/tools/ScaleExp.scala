@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{Engine, ScaleSmoke}
-import graft.ops.{Components, Dedup, PipelineCaches, Sampling}
+import graft.ops.{Components, Dedup, PipelineCaches, Sampling, Scoring}
 
 /** Scaling-exponent fit for the five heaviest pipelines — the cheapest
   * 100× evidence a single box can produce. Each pipeline runs over the
@@ -80,6 +80,13 @@ object ScaleExp {
           dedupPairs = false), maxEdgesBroadcast = -1L))
       run("span")(Dedup.spanDedup(docs, maxFrequentBroadcast = 0))
       run("pack")(Sampling.packSequences(docs))
+      // round-10 pipelines: winnow pairing rides one fp shuffle;
+      // ngram_lm's model tables grow with k (disjoint copy vocab) and
+      // with broadcasts globally OFF its model joins run as SMJ — the
+      // 100 TB degradation path is what's fitted here
+      run("winnow")(Dedup.winnowPairs(docs))
+      run("ngram_lm")(Scoring.ngramLmQ(docs.withColumn("lang",
+        when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
     }
 
     // per-(pipeline, k) best-of-reps, then the log-log slope over k

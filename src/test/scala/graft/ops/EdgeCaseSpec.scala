@@ -284,4 +284,46 @@ class EdgeCaseSpec extends SparkSuite {
     assert(TextOps.pmiQ(rare, minCount = 2).isEmpty)
     PipelineCaches.release(spark)
   }
+
+  test("round-10 operators degrade gracefully on EMPTY or degenerate input") {
+    import spark.implicits._
+    // interval-overlap join: empty sides and all-inverted sides → empty
+    val a = Seq((1L, 0.0, 10.0)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((1L, 5.0, 15.0)).toDF("bid", "b_lo", "b_hi")
+    assert(Relational.intervalOverlapJoinBinned(
+      a.limit(0), b, "a_lo", "a_hi", "b_lo", "b_hi", 1.0).isEmpty)
+    assert(Relational.intervalOverlapJoinBinned(
+      a, b.limit(0), "a_lo", "a_hi", "b_lo", "b_hi", 1.0).isEmpty)
+    val inv = Seq((1L, 9.0, 2.0)).toDF("bid", "b_lo", "b_hi")
+    assert(Relational.intervalOverlapJoinBinned(
+      a, inv, "a_lo", "a_hi", "b_lo", "b_hi", 1.0).isEmpty)
+    // winnowing: empty corpus, whitespace-only and sub-k docs excluded;
+    // a doc with >= k tokens but < w grams still emits one fingerprint
+    val lm = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    assert(Dedup.winnowFingerprints(lm.drop("lang")).isEmpty)
+    assert(Dedup.winnowPairs(lm.drop("lang")).isEmpty)
+    val short = Seq((1L, "   "), (2L, "a b c"), (3L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(short).collect()
+    assert(fps.forall(_.getLong(0) == 3L) && fps.length == 1)
+    PipelineCaches.release(spark)
+    // ngram LM: empty corpus → no rows; corpus with NO train-lang docs
+    // still scores every >= 2-token doc at the uniform <unk> floor
+    assert(Scoring.ngramLmQ(lm).isEmpty)
+    val noTrain = Seq((1L, "uno dos tres", "es"), (2L, "solo", "es"))
+      .toDF("doc_id", "text", "lang")
+    val sc = Scoring.ngramLmQ(noTrain).collect()
+    // the 1-token doc drops; the scored doc sits exactly at -ln(1/(V+1))
+    // with V = 0 -> ln 1 = 0
+    assert(sc.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(math.abs(sc.head.getDouble(3)) < 1e-9, sc.head.toString)
+    PipelineCaches.release(spark)
+    // temperature sampling: empty corpus is a contract violation, and a
+    // single-stratum corpus is a no-op (rate exactly 1)
+    val srcd = Seq((1L, "a", "en"), (2L, "b", "en"))
+      .toDF("doc_id", "text", "lang")
+    intercept[IllegalArgumentException](
+      Sampling.temperatureFractions(srcd.limit(0), "lang"))
+    assert(Sampling.temperatureQ(srcd).collect().head.getLong(1) == 2L)
+  }
 }

@@ -264,6 +264,33 @@ class LlmOpsSpec extends SparkSuite {
     assert(only.count() == docs.filter($"lang" === "en").count())
   }
 
+  test("temperature sampling: min stratum kept whole, flattening law, deterministic") {
+    import spark.implicits._
+    val docs = docsDf
+    val counts = docs.groupBy($"lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minSrc = counts.minBy(_._2)._1
+    val fr = Sampling.temperatureFractions(docs, "lang")
+    // anchor: the smallest source samples at exactly rate 1 — whole
+    assert(math.abs(fr(minSrc) - 1.0) < 1e-15)
+    val out = Sampling.temperatureQ(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out(minSrc) == counts(minSrc), "smallest source must survive whole")
+    // flattening: sampled size ratios are compressed toward 1 — every
+    // source's EXPECTED size is sqrt(n_s * n_min), so no source may
+    // exceed sqrt(n_max * n_min) by much (hash-draw spread at these
+    // sizes stays well under 2x the expectation)
+    val nMin = counts.values.min.toDouble
+    counts.foreach { case (s, n) =>
+      val expected = math.sqrt(n * nMin)
+      assert(out.getOrElse(s, 0L) <= expected * 2 + 5, s"source $s over-sampled")
+    }
+    // deterministic: a second run draws the identical per-source sizes
+    val again = Sampling.temperatureQ(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
   test("shards: complete deterministic partition; writeShards round-trips in order_key order") {
     val docs = docsDf
     val a = Sampling.assignShards(docs, 8).cache()

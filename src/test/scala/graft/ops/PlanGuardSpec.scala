@@ -35,11 +35,13 @@ class PlanGuardSpec extends SparkSuite {
     // q_profile (and the gated q_profile_incr that embeds it as the
     // exact twin) cross-joins its ONE-row count/min/max and per-column
     // count_distinct subtrees (Relational.profileQ round-9 split form)
+    // q_ngram_lm broadcasts the ONE-row train-vocab size V onto the
+    // scored bigram stream (Scoring.ngramLmQ)
     Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
       "q_dedup_ngram", "q_tfidf", "q_cluster", "q_profile_approx",
       "q_profile", "q_profile_incr",
       "q_line_dedup", "q_line_dedup_incr", "q_vocab", "q_bm25", "q_dsir",
-      "q_pmi")
+      "q_pmi", "q_ngram_lm")
 
   test("skew split join: hot path broadcasts by construction, cold path shuffles") {
     // isolated session (suites may run in parallel; see DedupVerifyModeSpec)
