@@ -212,11 +212,37 @@ object SparkEntry {
     "q_join_interval" -> ((s, d) => Relational.intervalJoinQ(s, d)),
     // full winnowing (MOSS) fingerprints → substring-dup candidate pairs
     "q_winnow" -> ((s, d) => Dedup.winnowPairs(Tables.documents(s, d))),
+    // delta vs persisted winnow-fingerprint index (the fifth index's
+    // pruned-read lookup; build memoized per session+dir)
+    "q_winnow_incr" -> ((s, d) => Dedup.incrementalWinnowQ(s, d)),
     // CCNet-style bigram-LM log-perplexity quality scores (en-trained)
     "q_ngram_lm" -> ((s, d) => Scoring.ngramLmQ(Tables.documents(s, d))),
     // temperature-flattened (alpha=0.5) source rebalancing, min-anchored
     "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d)))
   )
+
+  /** The winnowing oracle, parameterized the same way as
+    * [[dupClusterOracleSql]] so the batch (q_winnow) and incremental
+    * (q_winnow_incr) gates share ONE text: k=4 token-gram 60-bit
+    * hashes, w=5 window minima per doc, df cap 50 over whatever corpus
+    * `src` names, then the pairs `pairCond` admits with ≥ 2 shared
+    * fingerprints. */
+  private def winnowOracleSql(docsCte: String, src: String,
+      pairCond: String): String =
+    s"""WITH $docsCte t AS (SELECT doc_id,
+      |list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+      |FROM $src),
+      |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 2), i ->
+      |CAST(('0x'||substr(md5(array_to_string(toks[i:i+3], ' ')),1,15)) AS BIGINT)) AS h
+      |FROM t WHERE len(toks) >= 4),
+      |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |range(1, greatest(len(h) - 4, 1) + 1),
+      |p -> list_aggregate(h[p:p+4], 'min')))) AS fp FROM g),
+      |c AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
+      |fc AS (SELECT f.doc_id, f.fp FROM f JOIN c USING (fp))
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |FROM fc a JOIN fc b ON a.fp = b.fp AND $pairCond
+      |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 
   /** The dup-clustering oracle, parameterized over its document source
     * so the batch (q_dup_clusters) and incremental (q_dup_clusters_incr)
@@ -1442,21 +1468,15 @@ object SparkEntry {
     // Winnowing: k=4 token grams, w=5 window minima, 60-bit md5 hashes
     // (the md5-hex spelling Md5Bits is bit-identical to), df cap 50,
     // pairs sharing >= 2 fingerprints.
-    "q_winnow" ->
-      """WITH t AS (SELECT doc_id,
-        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
-        |FROM documents),
-        |g AS (SELECT doc_id, list_transform(range(1, len(toks) - 2), i ->
-        |CAST(('0x'||substr(md5(array_to_string(toks[i:i+3], ' ')),1,15)) AS BIGINT)) AS h
-        |FROM t WHERE len(toks) >= 4),
-        |f AS (SELECT doc_id, unnest(list_distinct(list_transform(
-        |range(1, greatest(len(h) - 4, 1) + 1),
-        |p -> list_aggregate(h[p:p+4], 'min')))) AS fp FROM g),
-        |c AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 50),
-        |fc AS (SELECT f.doc_id, f.fp FROM f JOIN c USING (fp))
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        |FROM fc a JOIN fc b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q_winnow" -> winnowOracleSql("", "documents", "a.doc_id < b.doc_id"),
+    // the incremental lookup's oracle is the SAME winnow text over the
+    // re-keyed union, restricted to delta x corpus cross pairs (the df
+    // cap counts the union — exactly what the pruned-partition lookup
+    // computes, since a fingerprint's whole history lives in one bkt)
+    "q_winnow_incr" -> winnowOracleSql(
+      """d AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id + 100000
+        |ELSE doc_id END AS doc_id, text FROM documents), """.stripMargin,
+      "d", "a.doc_id >= 100000 AND b.doc_id < 100000"),
     // Bigram-LM perplexity: add-0.1 smoothing, en-trained, <unk> OOV
     // mapping; tr's range runs one past the end so unigram counts cover
     // the last position (toks[i+1] out of bounds -> NULL successor).

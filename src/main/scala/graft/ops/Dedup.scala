@@ -773,6 +773,172 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Persisted winnow-fingerprint index — the FIFTH persisted index
+    * carrying the standard append / compact / pruned-read ingestion
+    * loop (bands, spans, profile sketches, IVF cells are the other
+    * four): `<dir>/fps` = (doc_id, fp, bkt) partitioned by
+    * bkt = fp mod fpBuckets (every occurrence of a fingerprint lands in
+    * exactly one bucket, so a delta's pruned read sees the COMPLETE
+    * corpus-side history of each fingerprint it carries — document
+    * frequencies computed from pruned partitions are exact);
+    * `<dir>/meta` = (fp_buckets, k, w), so readers derive the identical
+    * bucket function and gram/window geometry the writer used. */
+  private val WinnowFpsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id LONG, fp LONG, bkt LONG")
+
+  def writeWinnowIndex(docs: DataFrame, dir: String,
+      k: Int = 4, w: Int = 5, fpBuckets: Int = 256): Unit = {
+    require(fpBuckets > 0, s"fpBuckets must be positive, got $fpBuckets")
+    winnowFingerprints(docs, k, w)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/fps")
+    docs.sparkSession.range(1)
+      .select(lit(fpBuckets).as("fp_buckets"), lit(k).as("k"), lit(w).as("w"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    // same-session rewrite must not depend on the filesystem stamp
+    // moving (the writeNearDupIndex/writeSpanMeta discipline)
+    winnowMetaCache.synchronized {
+      Option(winnowMetaCache.get(docs.sparkSession)).foreach(_.remove(dir))
+    }
+  }
+
+  /** (fpBuckets, k, w), memoized per (session, dir) against the meta
+    * stamp — the raw `.first()` is a full Spark job, the same fixed
+    * floor the band/span meta memos shave (IncrLab). */
+  private val winnowMetaCache = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    scala.collection.mutable.Map[String, (Long, (Int, Int, Int))]]
+
+  private def readWinnowMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int) = {
+    val stamp = metaStamp(spark, dir)
+    val cached =
+      if (stamp == StampUnknown) None // unverifiable: bypass the memo
+      else winnowMetaCache.synchronized {
+        Option(winnowMetaCache.get(spark)).flatMap(_.get(dir))
+          .collect { case (s, m) if s == stamp => m }
+      }
+    cached.getOrElse {
+      // meta read OUTSIDE the lock (a racing recompute is benign)
+      val r = spark.read.parquet(s"$dir/meta").first()
+      val m = (r.getAs[Int]("fp_buckets"), r.getAs[Int]("k"), r.getAs[Int]("w"))
+      if (stamp != StampUnknown) winnowMetaCache.synchronized {
+        val perDir = Option(winnowMetaCache.get(spark)).getOrElse {
+          val mm = scala.collection.mutable.Map
+            .empty[String, (Long, (Int, Int, Int))]
+          winnowMetaCache.put(spark, mm); mm
+        }
+        perDir.put(dir, (stamp, m))
+      }
+      m
+    }
+  }
+
+  /** Append half of the winnow ingestion loop: new files into existing
+    * bkt= partitions, no rewrite of prior data, per-micro-batch safe.
+    * Ids must stay disjoint from the index (the crawl-delta contract). */
+  def appendToWinnowIndex(newDocs: DataFrame, dir: String): Unit = {
+    val (fpBuckets, k, w) = readWinnowMeta(newDocs.sparkSession, dir)
+    winnowFingerprints(newDocs, k, w)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/fps")
+  }
+
+  /** Maintenance half: collapse each bkt partition's accumulated
+    * append files into one (lookup latency degrades by file count, not
+    * data size). Same non-atomic delete+rename swap discipline as
+    * [[compactNearDupIndex]] — single writer between batches. */
+  def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(s"$dir/fps")
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/fps.compact")
+    val fs = live.getFileSystem(hconf)
+    fs.delete(tmp, true)
+    spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps")
+      .repartition(col("bkt"))
+      .write.partitionBy("bkt").parquet(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"compaction swap failed for $live")
+  }
+
+  /** Substring-dup candidates between a delta of NEW documents and a
+    * persisted [[writeWinnowIndex]] corpus: (doc_a = new id, doc_b =
+    * indexed id, n_shared ≥ minShared). Declared semantics match
+    * [[winnowPairs]] over the union restricted to cross pairs: the df
+    * cap counts a fingerprint's occurrences across index AND delta —
+    * exact even under pruning, because partitioning by fp mod buckets
+    * puts a fingerprint's whole history in the one partition the
+    * delta's own copy selects.
+    *
+    * Scale shape: the delta's fingerprint table is delta-sized →
+    * broadcast into the pruned index read (no index shuffle); the
+    * touched-bucket prune is size-gated on the index footprint exactly
+    * like [[nearDupsAgainstIndex]] (below the gate a full read is
+    * cheaper than the delta-sized job that prunes it). */
+  def winnowAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, dir: String,
+      maxDf: Int = 50, minShared: Int = 2,
+      smallIndexBytes: Long = 64L << 20): DataFrame = {
+    val (fpBuckets, k, w) = readWinnowMeta(spark, dir)
+    // tracked: feeds the touched-bucket probe, the df count and the
+    // pair join — uncached the delta would tokenize+hash three times
+    val deltaFps = PipelineCaches.track(
+      winnowFingerprints(newDocs, k, w)
+        .withColumn("doc_id", col("doc_id").cast("long")))
+    val fpsPath = new org.apache.hadoop.fs.Path(s"$dir/fps")
+    val indexBytes = fpsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(fpsPath).getLength
+    val fpsRead = spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps")
+    val pruned =
+      if (indexBytes < smallIndexBytes) fpsRead
+      else {
+        val touched = deltaFps
+          .select(pmod(col("fp"), lit(fpBuckets.toLong)).as("bkt"))
+          .distinct().collect().map(_.getLong(0))
+        fpsRead.filter(col("bkt").isin(touched: _*))
+      }
+    // exact union df per fingerprint the delta carries: corpus-side
+    // occurrences from the pruned read + the delta's own
+    val indexMatches = pruned
+      .join(broadcast(deltaFps.select(col("fp")).distinct()), Seq("fp"))
+    val unionDf = indexMatches.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_idx"))
+      .join(deltaFps.groupBy(col("fp")).agg(count(lit(1)).as("n_new")),
+        Seq("fp"), "right")
+      .select(col("fp"),
+        (coalesce(col("n_idx"), lit(0L)) + col("n_new")).as("df"))
+    val keptFps = broadcast(
+      unionDf.filter(col("df") <= maxDf).select(col("fp")))
+    indexMatches
+      .join(keptFps, Seq("fp"), "left_semi")
+      .select(col("fp"), col("doc_id").as("doc_b"))
+      .join(broadcast(deltaFps.select(col("fp"), col("doc_id").as("doc_a"))),
+        Seq("fp"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Declared incremental winnow workload (q_winnow_incr): the same
+    * 5% re-keyed delta shape as q_dedup_incr, substring-matched against
+    * the persisted fingerprint index of the other 95%. Build memoized
+    * per (session, sf dir): repeat calls measure the steady-state
+    * per-micro-batch lookup. */
+  def incrementalWinnowQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val idxDir = BuildOnce.tempDirFor("graft_winnow_idx", dir)
+    BuildOnce(spark, idxDir)(writeWinnowIndex(corpus, idxDir))
+    winnowAgainstIndex(spark, delta, idxDir)
+  }
+
   /** Document fingerprint: min-of-shingle-hashes (winnowing-style) over
     * 5-token shingles; short docs fall back to the whole token list.
     * Pure array expressions — stays inside whole-stage codegen. */

@@ -65,4 +65,26 @@ class WinnowSpec extends SparkSuite {
     assert(rows.forall(r => r.getLong(2) >= 2))
     graft.ops.PipelineCaches.release(spark)
   }
+
+  test("index lookup == batch winnowPairs over the union, restricted to cross pairs") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_win_idx").toString
+    Dedup.writeWinnowIndex(corpus, dir)
+    val got = Dedup.winnowAgainstIndex(spark, delta, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    graft.ops.PipelineCaches.release(spark)
+    // batch over the union orders doc_a < doc_b, so a cross pair lands
+    // as (corpus, delta); the lookup reports (delta, corpus) — flip.
+    // The df cap counts the union on both sides by construction.
+    val want = Dedup.winnowPairs(corpus.unionByName(delta))
+      .filter(col("doc_a") < 100000L && col("doc_b") >= 100000L)
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    graft.ops.PipelineCaches.release(spark)
+    assert(got == want, s"lookup $got vs batch-restricted $want")
+    assert(got.nonEmpty || want.isEmpty)
+  }
 }

@@ -12,11 +12,12 @@ import graft.ops.{Dedup, PipelineCaches, ProfileIndex, SimSearch}
 case class IngestDoc(doc_id: Long, text: String)
 
 /** The production maintenance cadence the index scaladocs describe, run
-  * as ONE loop instead of four isolated specs: a single MemoryStream of
+  * as ONE loop instead of five isolated specs: a single MemoryStream of
   * documents drives foreachBatch; every micro-batch is appended into
-  * all four persisted indexes (near-dup bands, span frequencies, IVF
-  * cells, profile sketches — the embedding and lineitem shapes derived
-  * deterministically from the same rows), compaction runs on a cadence,
+  * all five persisted indexes (near-dup bands, span frequencies, IVF
+  * cells, profile sketches, winnow fingerprints — the embedding and
+  * lineitem shapes derived deterministically from the same rows),
+  * compaction runs on a cadence,
   * and after every batch AND after compaction a probe of each index is
   * asserted equal to a probe of an index REBUILT from scratch over
   * everything ingested so far. The individual append/compact/probe laws
@@ -55,15 +56,17 @@ class IngestionMaintenanceSpec extends SparkSuite {
       substring(col("text"), 1, 1).as("l_returnflag"),
       lit("O").as("l_linestatus"))
 
-  test("one MemoryStream loop: append all four indexes per batch, compact on cadence, probe == rebuild") {
+  test("one MemoryStream loop: append all five indexes per batch, compact on cadence, probe == rebuild") {
     val nearDir = tmp("ingest_near")
     val spanDir = tmp("ingest_span")
     val ivfDir = tmp("ingest_ivf")
     val profDir = tmp("ingest_prof")
+    val winDir = tmp("ingest_win")
 
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
+    Dedup.writeWinnowIndex(seed, winDir)
     Dedup.writeSpanIndex(seed, spanDir, w = 4)
     SimSearch.writeIvfIndex(embOf(seed), ivfDir, nCells = 4, centroidFrom = 0)
     ProfileIndex.writeProfileSketches(liOf(seed), profDir)
@@ -86,14 +89,20 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val prof = ProfileIndex.profileFromSketches(spark, profDir)
         .collect().map(_.toString).sorted.toSeq
+      // minShared=1: the verbatim probe copy of doc 7 shares its whole
+      // (2-window) fingerprint set, which may be a single distinct hash
+      val win = Dedup.winnowAgainstIndex(spark, probes, winDir, minShared = 1)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof)
+      Seq(near, span, ivf, prof, win)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
       val all = docsDF(allIds)
       val (n2, s2, i2, p2) = (tmp("rb_near"), tmp("rb_span"), tmp("rb_ivf"), tmp("rb_prof"))
+      val w2 = tmp("rb_win")
       Dedup.writeNearDupIndex(all, n2)
+      Dedup.writeWinnowIndex(all, w2)
       Dedup.writeSpanIndex(all, s2, w = 4)
       SimSearch.writeIvfIndexWith(embOf(all), centroids, i2)
       ProfileIndex.writeProfileSketches(liOf(all), p2)
@@ -106,11 +115,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val prof = ProfileIndex.profileFromSketches(spark, p2)
         .collect().map(_.toString).sorted.toSeq
+      val win = Dedup.winnowAgainstIndex(spark, probes, w2, minShared = 1)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof)
+      Seq(near, span, ivf, prof, win)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -121,6 +132,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       // the near-dup probe must actually see something (doc 900 is a
       // verbatim copy of seed doc 7) — guards against vacuous parity
       assert(live.head.nonEmpty, s"near-dup probe empty $when")
+      assert(live.last.nonEmpty, s"winnow probe empty $when")
     }
 
     val stream = MemoryStream[IngestDoc](spark)
@@ -133,12 +145,14 @@ class IngestionMaintenanceSpec extends SparkSuite {
         Dedup.appendToSpanIndex(batch, spanDir)
         SimSearch.appendToIvfIndex(spark, embOf(batch), ivfDir)
         ProfileIndex.appendProfileSketches(liOf(batch), profDir)
+        Dedup.appendToWinnowIndex(batch, winDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
           Dedup.compactSpanIndex(spark, spanDir)
           SimSearch.compactIvfIndex(spark, ivfDir)
           ProfileIndex.compactProfileSketches(spark, profDir)
+          Dedup.compactWinnowIndex(spark, winDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
