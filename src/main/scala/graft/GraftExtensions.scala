@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{DotProductDouble, Md5Bits, SortedLongIntersectCount}
+import graft.functions.{DotProductDouble, Md5Bits, SortedLongIntersectCount, WinnowMins}
 
 /** Session-extension entry point: the standard way a cluster deploys
   * this library's custom Catalyst surface without code changes —
@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SortedLongIntersectCount.descriptor)
     ext.injectFunction(DotProductDouble.descriptor)
     ext.injectFunction(Md5Bits.descriptor)
+    ext.injectFunction(WinnowMins.descriptor)
   }
 }

@@ -218,7 +218,9 @@ object SparkEntry {
     // CCNet-style bigram-LM log-perplexity quality scores (en-trained)
     "q_ngram_lm" -> ((s, d) => Scoring.ngramLmQ(Tables.documents(s, d))),
     // temperature-flattened (alpha=0.5) source rebalancing, min-anchored
-    "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d)))
+    "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d))),
+    // bounded-buffer per-group top-k aggregate (map-side partial top-k)
+    "q_topk_agg" -> ((s, d) => Relational.topKAggQ(s, d))
   )
 
   /** The winnowing oracle, parameterized the same way as
@@ -1519,6 +1521,14 @@ object SparkEntry {
         |FROM documents d JOIN thr ON d.lang = thr.lang
         |WHERE CAST(('0x'||substr(md5('strat:' || d.lang || ':' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT)
         |% 1000000 < t
-        |GROUP BY d.lang""".stripMargin
+        |GROUP BY d.lang""".stripMargin,
+    // Top-k aggregate: the oracle is the rank-filter spelling with the
+    // identical deterministic tie-break (score desc, key asc).
+    "q_topk_agg" ->
+      """SELECT o_orderpriority, CAST(rnk AS BIGINT) AS rnk, o_orderkey, o_totalprice
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |row_number() OVER (PARTITION BY o_orderpriority
+        |ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |FROM orders) z WHERE rnk <= 3""".stripMargin
   )
 }

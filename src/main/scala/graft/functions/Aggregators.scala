@@ -46,9 +46,48 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** One (score, tag) candidate for [[TopKAgg]]. */
+  case class Scored(score: Double, tag: Long)
+
+  /** Per-group top-k as a BOUNDED-BUFFER aggregate — the 100 TB form of
+    * "top N per group". The rank-filter spelling
+    * (`row_number() over (partition by g order by s desc) <= k`) sorts
+    * EVERY group's full row set through one exchange; this Aggregator's
+    * add/merge contract makes Spark run it as partial (map-side) + final
+    * aggregation, so each map task ships at most k rows per group — the
+    * shuffle carries k·|groups| rows no matter how large the input, and
+    * no per-group sort of the full data ever happens. Deterministic
+    * total order: score DESC, then tag ASC on ties (tags are unique
+    * keys by contract). The buffer is a sorted Vector capped at k —
+    * O(k) per reduce via one binary-position insert. */
+  class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    require(k > 0, s"k must be positive, got $k")
+    private def beats(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.tag < b.tag)
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] = {
+      if (buf.size == k && !beats(x, buf.last)) return buf
+      val pos = buf.indexWhere(e => beats(x, e)) match {
+        case -1 => buf.size
+        case p => p
+      }
+      val v = buf.toVector
+      (v.take(pos) :+ x) ++ v.drop(pos).take(k - pos - 1)
+    }
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      b.foldLeft(a)(reduce) // b is itself sorted and <= k elements
+    override def finish(r: Seq[Scored]): Seq[Scored] = r
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+  }
+
   /** Register the UDAFs for spark.sql use. Idempotent. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("count_agg", udaf(CountAgg))
     spark.udf.register("avg_agg", udaf(AverageAgg))
+    spark.udf.register("topk_agg", udaf(new TopKAgg(3),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]()))
   }
 }

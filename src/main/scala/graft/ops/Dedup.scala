@@ -304,9 +304,15 @@ object Dedup {
     try {
       // doc_id normalized to long so the fixed reader schema holds for
       // any integral id column
+      // repartition on bkt first: otherwise every write task emits a
+      // file into every bucket dir (tasks × buckets tiny files) — the
+      // bulk build should land in the one-file-per-bucket layout
+      // compaction produces (same lesson as writeWinnowIndex, measured
+      // ~3x on the winnow lookup's read path)
       bandsOf(signatures(tok))
         .withColumn("doc_id", col("doc_id").cast("long"))
         .withColumn("bkt", pmod(col("b0"), lit(bandBuckets.toLong)))
+        .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
       tokSetsOf(tok)
         .withColumn("doc_id", col("doc_id").cast("long"))
@@ -736,6 +742,7 @@ object Dedup {
   def winnowFingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
     require(k > 0 && w > 0, s"k/w must be positive, got k=$k w=$w")
     val spark = docs.sparkSession
+    graft.functions.WinnowMins.register(spark)
     val hashes = transform(
       sequence(lit(0), size(col("toks")) - k),
       i => md5Prefix(concat_ws(" ", slice(col("toks"), i + 1, lit(k))), spark, 15))
@@ -744,9 +751,12 @@ object Dedup {
         filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), hashes.as("h"))
-      .select(col("doc_id"), explode(array_distinct(transform(
-        sequence(lit(1), greatest(size(col("h")) - w + 1, lit(1))),
-        p => array_min(slice(col("h"), p, lit(w)))))).as("fp"))
+      // native O(n) monotonic-deque window minima (WinnowMinsProps pins
+      // value parity with the composed array_distinct/slice/array_min
+      // spelling, which is O(n·w) with a slice copy per window)
+      .select(col("doc_id"),
+        explode(call_function(graft.functions.WinnowMins.FnName,
+          col("h"), lit(w))).as("fp"))
   }
 
   /** Declared query (q_winnow): substring-level duplicate CANDIDATES —
@@ -789,9 +799,14 @@ object Dedup {
   def writeWinnowIndex(docs: DataFrame, dir: String,
       k: Int = 4, w: Int = 5, fpBuckets: Int = 256): Unit = {
     require(fpBuckets > 0, s"fpBuckets must be positive, got $fpBuckets")
+    // repartition on bkt before the partitioned write: without it every
+    // map task writes a file into every bucket dir (tasks × buckets tiny
+    // files — measured ~3x on the whole lookup), with it the bulk build
+    // lands in the one-file-per-bucket layout compaction would produce
     winnowFingerprints(docs, k, w)
       .withColumn("doc_id", col("doc_id").cast("long"))
       .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
+      .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/fps")
     docs.sparkSession.range(1)
       .select(lit(fpBuckets).as("fp_buckets"), lit(k).as("k"), lit(w).as("w"))
@@ -901,9 +916,11 @@ object Dedup {
         fpsRead.filter(col("bkt").isin(touched: _*))
       }
     // exact union df per fingerprint the delta carries: corpus-side
-    // occurrences from the pruned read + the delta's own
-    val indexMatches = pruned
-      .join(broadcast(deltaFps.select(col("fp")).distinct()), Seq("fp"))
+    // occurrences from the pruned read + the delta's own. Tracked: the
+    // df count and the pair join both consume this candidate-sized
+    // frame — uncached, each re-scans the index files (CacheAudit)
+    val indexMatches = PipelineCaches.track(pruned
+      .join(broadcast(deltaFps.select(col("fp")).distinct()), Seq("fp")))
     val unionDf = indexMatches.groupBy(col("fp"))
       .agg(count(lit(1)).as("n_idx"))
       .join(deltaFps.groupBy(col("fp")).agg(count(lit(1)).as("n_new")),

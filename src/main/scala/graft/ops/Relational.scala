@@ -626,6 +626,27 @@ object Relational {
         sum(col("o_totalprice").cast("decimal(20,6)")).cast("double").as("total"))
   }
 
+  /** Declared query q_topk_agg: per-priority top-3 orders by price via
+    * the BOUNDED-BUFFER aggregate [[graft.functions.Aggregators.TopKAgg]]
+    * — the 100 TB form of per-group top-N. Where the rank-filter
+    * spelling (q_window_rank's shape) exchanges and sorts every group's
+    * FULL row set, the aggregate ships at most k rows per group out of
+    * each map task (partial+final ObjectHashAggregate, plan spec-pinned
+    * in FunctionsSpec) — shuffle volume k·|groups| regardless of input
+    * size. Deterministic ties: score desc, then order key asc. */
+  def topKAggQ(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val fn = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Aggregators.Scored]())
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(fn(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.tag").as("o_orderkey"), col("col.score").as("o_totalprice"))
+  }
+
   /** Binned interval-OVERLAP join — interval × interval with NO equi
     * key (the two-sided sibling of [[rangeJoinBinned]]'s
     * point-in-interval). Both sides explode into the width-W bins their

@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.functions.{col, row_number}
+
 import graft.SparkSuite
 import graft.sources.Catalog
 
@@ -120,5 +122,43 @@ class FunctionsSpec extends SparkSuite {
     Catalog.tables.foreach { t =>
       assert(spark.sql(s"SELECT * FROM $t LIMIT 1").count() == 1, s"table $t empty")
     }
+  }
+
+  test("TopKAgg equals the rank-filter reference; plan is partial+final aggregate") {
+    val q = graft.ops.Relational.topKAggQ(spark, sf)
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // rank-filter reference with the identical tie-break
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    val want = graft.sources.Tables.orders(spark, sf)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("o_orderpriority"), col("rnk").cast("long"),
+        col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+    // the scale claim: a PARTIAL aggregate runs before the exchange, so
+    // each map task ships <= k rows per group — never the full row set
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkagg") ||
+      plan.toLowerCase.contains("partial"), plan.take(800))
+    assert(!plan.contains("Window"), "top-k aggregate must not fall back to a window sort")
+  }
+
+  test("TopKAgg: capped insert law — any split/merge order equals global sort take-k") {
+    import graft.functions.Aggregators.{Scored, TopKAgg}
+    val agg = new TopKAgg(5)
+    val rng = new scala.util.Random(7)
+    val xs = Seq.fill(200)(Scored(rng.nextInt(40).toDouble, rng.nextLong().abs))
+    val want = xs.sortBy(s => (-s.score, s.tag)).take(5)
+    // single fold
+    assert(xs.foldLeft(agg.zero)(agg.reduce) == want)
+    // arbitrary partition into partial buffers, then merge in odd order
+    val parts = xs.grouped(17).map(_.foldLeft(agg.zero)(agg.reduce)).toSeq
+    val merged = scala.util.Random.shuffle(parts.toList)
+      .foldLeft(agg.zero)(agg.merge)
+    assert(merged == want)
   }
 }
