@@ -91,6 +91,14 @@ class FunctionsSpec extends SparkSuite {
       Literal.create(Array(2L, 3L), ArrayType(LongType))))
     assert(e.isInstanceOf[SortedLongIntersectCount])
     assert(e.eval(null) == 1)
+    val (wIdent, _, wBuilder) = WinnowMins.descriptor
+    assert(wIdent.funcName == WinnowMins.FnName)
+    val we = wBuilder(Seq(
+      Literal.create(Array(3L, 1L, 2L), ArrayType(LongType)),
+      Literal.create(2, org.apache.spark.sql.types.IntegerType)))
+    assert(we.isInstanceOf[WinnowMins])
+    assert(we.eval(null).asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq == Seq(1L))
     // the full injection path (a fresh session resolving the function
     // with no register() call) needs session construction — covered by
     // `sbt "runMain graft.ExtensionsSmoke"`, which this JVM's shared
