@@ -62,8 +62,17 @@ object Aggregators {
     * O(k) per reduce via one binary-position insert. */
   class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     require(k > 0, s"k must be positive, got $k")
-    private def beats(a: Scored, b: Scored): Boolean =
-      a.score > b.score || (a.score == b.score && a.tag < b.tag)
+    // TOTAL order, or reduce/merge become partition-order-dependent:
+    // `>` is not total on NaN (NaN > x and x > NaN are both false, so a
+    // full buffer would keep whichever arrived first). Double.compare
+    // gives SQL's ordering (NaN greatest) and is total; ±0.0 normalizes
+    // first because compare distinguishes them while SQL does not —
+    // without it a (+0.0, -0.0) tie would break on sign, not tag.
+    private def beats(a: Scored, b: Scored): Boolean = {
+      def norm(d: Double): Double = if (d == 0.0) 0.0 else d
+      val c = java.lang.Double.compare(norm(a.score), norm(b.score))
+      c > 0 || (c == 0 && a.tag < b.tag)
+    }
     override def zero: Seq[Scored] = Vector.empty
     override def reduce(buf: Seq[Scored], x: Scored): Seq[Scored] = {
       if (buf.size == k && !beats(x, buf.last)) return buf
@@ -83,11 +92,13 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
   }
 
-  /** Register the UDAFs for spark.sql use. Idempotent. */
+  /** Register the UDAFs for spark.sql use. Idempotent. TopKAgg is NOT
+    * SQL-registered: k is a constructor parameter, so callers bind
+    * their own k via `functions.udaf(new TopKAgg(k), encoder)` (see
+    * [[graft.ops.Relational.topKAggQ]]) — a registration would
+    * silently hardcode one k behind a generic name. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("count_agg", udaf(CountAgg))
     spark.udf.register("avg_agg", udaf(AverageAgg))
-    spark.udf.register("topk_agg", udaf(new TopKAgg(3),
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]()))
   }
 }

@@ -38,7 +38,13 @@ case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
       TypeCheckResult.TypeCheckFailure(s"$prettyName window must be >= 1, got $w")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType,
+    // an all-null window yields a null minimum (array_min semantics) —
+    // only possible when the input can hold null elements
+    containsNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    })
   override def prettyName: String = WinnowMins.FnName
 
   override protected def nullSafeEval(input: Any): Any =
@@ -59,10 +65,17 @@ case class WinnowMins(child: Expression, w: Int) extends UnaryExpression {
   * companion class. */
 object WinnowMinsEval {
   /** Distinct window-w minima of `in` in first-occurrence order; for
-    * n < w one window covering the whole array. */
+    * n < w one window covering the whole array. Null elements take the
+    * composed spelling's path (array_min skips nulls; an all-null
+    * window contributes a null minimum) — the SQL surface must not NPE
+    * on `array(1L, NULL)`. */
   def eval(in: ArrayData, w: Int): ArrayData = {
     val n = in.numElements()
     if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    var hasNull = false
+    var ni = 0
+    while (ni < n && !hasNull) { hasNull = in.isNullAt(ni); ni += 1 }
+    if (hasNull) return evalWithNulls(in, w)
     val a = in.toLongArray()
     val nWin = math.max(n - w + 1, 1)
     // monotonic deque of indices; head = current window minimum
@@ -93,6 +106,33 @@ object WinnowMinsEval {
       j += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  /** Slow path, null elements present: min over each window's non-null
+    * values, null for an all-null window, distinct keeps one null —
+    * exactly what slice + array_min + array_distinct compute. */
+  private def evalWithNulls(in: ArrayData, w: Int): ArrayData = {
+    val n = in.numElements()
+    val nWin = math.max(n - w + 1, 1)
+    val mins = new Array[Any](nWin)
+    var p = 0
+    while (p < nWin) {
+      var best: java.lang.Long = null
+      var i = p
+      val end = math.min(p + w, n)
+      while (i < end) {
+        if (!in.isNullAt(i)) {
+          val v = in.getLong(i)
+          if (best == null || v < best) best = v
+        }
+        i += 1
+      }
+      mins(p) = best
+      p += 1
+    }
+    val seen = new java.util.LinkedHashSet[Any]()
+    mins.foreach(seen.add)
+    new GenericArrayData(seen.toArray)
   }
 }
 

@@ -323,9 +323,7 @@ object Dedup {
       // same-session rewrite with a different bandBuckets must not
       // depend on the filesystem stamp moving (symmetry with
       // writeSpanMeta) — drop the memo explicitly
-      bandMetaCache.synchronized {
-        Option(bandMetaCache.get(docs.sparkSession)).foreach(_.remove(dir))
-      }
+      bandMeta.invalidate(docs.sparkSession)(_ == dir)
     } finally tok.unpersist()
   }
 
@@ -338,41 +336,16 @@ object Dedup {
     * new files in existing (or new) bkt= partitions — no rewrite of
     * prior data, safe to run per micro-batch. Ids must stay disjoint
     * from what the index already holds (same contract as the lookup). */
-  // The band index's one-int meta, memoized per (session, dir) and
-  // validated against the meta files' stamp (same pattern as the span
-  // index's [[readSpanMeta]]): the raw `.first()` is a full Spark job —
-  // ~0.5 s of every incremental lookup's fixed floor (IncrLab).
-  // Same-session rewrites additionally invalidate through
-  // [[writeNearDupIndex]], so freshness never hangs on the stamp alone.
-  private val bandMetaCache = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[String, (Long, Int)]]
+  // The band index's one-int meta, memoized per (session, dir): the raw
+  // `.first()` is a full Spark job — ~0.5 s of every incremental
+  // lookup's fixed floor (IncrLab). Shared [[MetaMemo]] discipline.
+  private val bandMeta = new MetaMemo[String, Int]
 
   private def readBandBuckets(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Int = {
-    val stamp = metaStamp(spark, dir)
-    val cached =
-      if (stamp == StampUnknown) None // unverifiable: bypass the memo
-      else bandMetaCache.synchronized {
-        Option(bandMetaCache.get(spark)).flatMap(_.get(dir))
-          .collect { case (s, b) if s == stamp => b }
-      }
-    cached.getOrElse {
-      // the meta read runs OUTSIDE the lock — it is a full Spark job
-      // and must not serialize readers of unrelated dirs; a racing
-      // first caller recomputes the same value, last put wins (benign)
-      val b = spark.read.parquet(s"$dir/meta")
-        .first().getAs[Int]("band_buckets")
-      if (stamp != StampUnknown) bandMetaCache.synchronized {
-        val perDir = Option(bandMetaCache.get(spark)).getOrElse {
-          val m = scala.collection.mutable.Map.empty[String, (Long, Int)]
-          bandMetaCache.put(spark, m); m
-        }
-        perDir.put(dir, (stamp, b))
-      }
-      b
+      dir: String): Int =
+    bandMeta.getOrRead(spark, dir, metaStamp(spark, dir)) {
+      spark.read.parquet(s"$dir/meta").first().getAs[Int]("band_buckets")
     }
-  }
 
   def appendToNearDupIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
@@ -813,42 +786,20 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/meta")
     // same-session rewrite must not depend on the filesystem stamp
     // moving (the writeNearDupIndex/writeSpanMeta discipline)
-    winnowMetaCache.synchronized {
-      Option(winnowMetaCache.get(docs.sparkSession)).foreach(_.remove(dir))
-    }
+    winnowMeta.invalidate(docs.sparkSession)(_ == dir)
   }
 
-  /** (fpBuckets, k, w), memoized per (session, dir) against the meta
-    * stamp — the raw `.first()` is a full Spark job, the same fixed
-    * floor the band/span meta memos shave (IncrLab). */
-  private val winnowMetaCache = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[String, (Long, (Int, Int, Int))]]
+  /** (fpBuckets, k, w), memoized per (session, dir) — the raw `.first()`
+    * is a full Spark job, the same fixed floor the band/span meta memos
+    * shave (IncrLab). Shared [[MetaMemo]] discipline. */
+  private val winnowMeta = new MetaMemo[String, (Int, Int, Int)]
 
   private def readWinnowMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String): (Int, Int, Int) = {
-    val stamp = metaStamp(spark, dir)
-    val cached =
-      if (stamp == StampUnknown) None // unverifiable: bypass the memo
-      else winnowMetaCache.synchronized {
-        Option(winnowMetaCache.get(spark)).flatMap(_.get(dir))
-          .collect { case (s, m) if s == stamp => m }
-      }
-    cached.getOrElse {
-      // meta read OUTSIDE the lock (a racing recompute is benign)
+      dir: String): (Int, Int, Int) =
+    winnowMeta.getOrRead(spark, dir, metaStamp(spark, dir)) {
       val r = spark.read.parquet(s"$dir/meta").first()
-      val m = (r.getAs[Int]("fp_buckets"), r.getAs[Int]("k"), r.getAs[Int]("w"))
-      if (stamp != StampUnknown) winnowMetaCache.synchronized {
-        val perDir = Option(winnowMetaCache.get(spark)).getOrElse {
-          val mm = scala.collection.mutable.Map
-            .empty[String, (Long, (Int, Int, Int))]
-          winnowMetaCache.put(spark, mm); mm
-        }
-        perDir.put(dir, (stamp, m))
-      }
-      m
+      (r.getAs[Int]("fp_buckets"), r.getAs[Int]("k"), r.getAs[Int]("w"))
     }
-  }
 
   /** Append half of the winnow ingestion loop: new files into existing
     * bkt= partitions, no rewrite of prior data, per-micro-batch safe.
@@ -1299,14 +1250,9 @@ object Dedup {
       nFrequent: Long)
 
   // Meta rows are one tiny parquet read but still a full Spark job
-  // (~0.1 s of the incremental path's fixed floor) — memoize per
-  // (session, dir), validated against the meta files' stamp (see
-  // [[metaStamp]]) so writers in OTHER sessions/processes are seen;
-  // same-session writers additionally invalidate through writeSpanMeta.
-  // Weakly keyed like BuildOnce so stopped sessions don't pin.
-  private val spanMetaCache = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[String, (Long, SpanMeta)]]
+  // (~0.1 s of the incremental path's fixed floor) — memoized per
+  // (session, dir) under the shared [[MetaMemo]] discipline.
+  private val spanMeta = new MetaMemo[String, SpanMeta]
 
   /** Version stamp of an index's meta dir — a driver filesystem stat,
     * no Spark job. The memos below validate against it, so a writer in
@@ -1321,6 +1267,46 @@ object Dedup {
     * [[StampUnknown]] when the listing fails or degenerates; callers
     * must then bypass their memo entirely (read fresh, cache nothing). */
   private val StampUnknown = 0L
+
+  /** Stamp-validated per-(session, key) memo — the ONE discipline every
+    * index-meta / resident-set cache here follows (band buckets, winnow
+    * geometry, span meta, resident boilerplate arrays): entries carry
+    * the meta stamp they were computed at and are ignored once it moves
+    * (cross-session/process writers are seen); an unverifiable stamp
+    * ([[StampUnknown]]) bypasses the memo entirely — read fresh, cache
+    * nothing. The read runs OUTSIDE the lock (it is a full Spark job; a
+    * racing recompute is benign, last put wins). Weakly keyed so
+    * stopped sessions don't pin. Same-session writers ALSO invalidate
+    * explicitly, so freshness never hangs on the stamp alone. */
+  private final class MetaMemo[K, T] {
+    private val cache = new java.util.WeakHashMap[
+      org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[K, (Long, T)]]
+    def invalidate(spark: org.apache.spark.sql.SparkSession)(
+        pred: K => Boolean): Unit = cache.synchronized {
+      Option(cache.get(spark)).foreach(_.filterInPlace((k, _) => !pred(k)))
+    }
+    def getOrRead(spark: org.apache.spark.sql.SparkSession, key: K,
+        stamp: Long)(read: => T): T = {
+      val cached =
+        if (stamp == StampUnknown) None
+        else cache.synchronized {
+          Option(cache.get(spark)).flatMap(_.get(key))
+            .collect { case (s, m) if s == stamp => m }
+        }
+      cached.getOrElse {
+        val m = read
+        if (stamp != StampUnknown) cache.synchronized {
+          val perKey = Option(cache.get(spark)).getOrElse {
+            val x = scala.collection.mutable.Map.empty[K, (Long, T)]
+            cache.put(spark, x); x
+          }
+          perKey.put(key, (stamp, m))
+        }
+        m
+      }
+    }
+  }
 
   private def metaStamp(spark: org.apache.spark.sql.SparkSession,
       dir: String): Long = {
@@ -1339,34 +1325,16 @@ object Dedup {
   }
 
   private def readSpanMeta(spark: org.apache.spark.sql.SparkSession,
-      dir: String): SpanMeta = {
-    val stamp = metaStamp(spark, dir)
-    val cached =
-      if (stamp == StampUnknown) None // unverifiable: bypass the memo
-      else spanMetaCache.synchronized {
-        Option(spanMetaCache.get(spark)).flatMap(_.get(dir))
-          .collect { case (s, m) if s == stamp => m }
-      }
-    cached.getOrElse {
-      // meta read OUTSIDE the lock (full Spark job — see
-      // [[readBandBuckets]]); duplicate recompute on a race is benign
+      dir: String): SpanMeta =
+    spanMeta.getOrRead(spark, dir, metaStamp(spark, dir)) {
       val row = spark.read.parquet(s"$dir/meta").first()
       // indexes written before the cardinality lanes existed read as
       // stale (-1): eager-count fallback, not a schema error
       val hasFreq = row.schema.fieldNames.contains("freq_cap")
-      val m = SpanMeta(row.getAs[Int]("w"), row.getAs[Int]("span_buckets"),
+      SpanMeta(row.getAs[Int]("w"), row.getAs[Int]("span_buckets"),
         if (hasFreq) row.getAs[Long]("freq_cap") else -1L,
         if (hasFreq) row.getAs[Long]("n_frequent") else -1L)
-      if (stamp != StampUnknown) spanMetaCache.synchronized {
-        val perDir = Option(spanMetaCache.get(spark)).getOrElse {
-          val x = scala.collection.mutable.Map.empty[String, (Long, SpanMeta)]
-          spanMetaCache.put(spark, x); x
-        }
-        perDir.put(dir, (stamp, m))
-      }
-      m
     }
-  }
 
   private def writeSpanMeta(spark: org.apache.spark.sql.SparkSession,
       dir: String, meta: SpanMeta): Unit = {
@@ -1374,12 +1342,8 @@ object Dedup {
       .select(lit(meta.w).as("w"), lit(meta.spanBuckets).as("span_buckets"),
         lit(meta.freqCap).as("freq_cap"), lit(meta.nFrequent).as("n_frequent"))
       .write.mode("overwrite").parquet(s"$dir/meta")
-    spanMetaCache.synchronized {
-      Option(spanMetaCache.get(spark)).foreach(_.remove(dir))
-    }
-    spanFreqCache.synchronized {
-      Option(spanFreqCache.get(spark)).foreach(_.filterInPlace((k, _) => k._1 != dir))
-    }
+    spanMeta.invalidate(spark)(_ == dir)
+    spanFreq.invalidate(spark)(_._1 == dir)
   }
 
   /** Standing boilerplate-set memo — the steady state of the production
@@ -1392,9 +1356,7 @@ object Dedup {
     * writers are seen; same-session writers additionally invalidate
     * through [[writeSpanMeta]]. Weakly keyed so stopped sessions don't
     * pin. */
-  private val spanFreqCache = new java.util.WeakHashMap[
-    org.apache.spark.sql.SparkSession,
-    scala.collection.mutable.Map[(String, Long), (Long, Array[Long])]]
+  private val spanFreq = new MetaMemo[(String, Long), Array[Long]]
 
   /** Global frequent-span table (h LONG) of a (possibly multi-batch)
     * spans dir at `cap` — sum(c) first so appended partial counts
@@ -1504,32 +1466,14 @@ object Dedup {
     val (w, spanBuckets) = (meta.w, meta.spanBuckets)
     // STEADY-STATE fast path: when meta proves the GLOBAL frequent set
     // is broadcast-sized, serve the clean from the resident boilerplate
-    // array ([[spanFreqCache]]) — the index is read once per
+    // array ([[spanFreq]] memo) — the index is read once per
     // (session, dir, cap) and every subsequent delta pays ONLY its own
     // map-side pass. This is the per-micro-batch cost of the production
     // loop; writers invalidate both memos.
     if (meta.freqCap == cap && meta.nFrequent >= 0 &&
       meta.nFrequent <= maxFrequentBroadcast) {
-      val key = (dir, cap)
-      val stamp = metaStamp(spark, dir)
-      val resident =
-        if (stamp == StampUnknown) None // unverifiable: bypass the memo
-        else spanFreqCache.synchronized {
-          Option(spanFreqCache.get(spark)).flatMap(_.get(key))
-            .collect { case (s, arr) if s == stamp => arr }
-        }
-      val hashes = resident.getOrElse {
-        // benign race: a concurrent first caller recomputes, last put wins
-        val arr = freqTableFor(spark, dir, cap).collect().map(_.getLong(0))
-        if (stamp != StampUnknown) spanFreqCache.synchronized {
-          val m = Option(spanFreqCache.get(spark)).getOrElse {
-            val x = scala.collection.mutable.Map
-              .empty[(String, Long), (Long, Array[Long])]
-            spanFreqCache.put(spark, x); x
-          }
-          m.put(key, (stamp, arr))
-        }
-        arr
+      val hashes = spanFreq.getOrRead(spark, (dir, cap), metaStamp(spark, dir)) {
+        freqTableFor(spark, dir, cap).collect().map(_.getLong(0))
       }
       val boiler = spark.createDataFrame(
         java.util.Collections.singletonList(

@@ -311,7 +311,13 @@ object Sampling {
     * larger one lands at ≈ √(n_s·n_min) docs — English stops dominating
     * the mix. */
   def temperatureQ(docs: DataFrame): DataFrame =
-    stratifiedSampleByHash(docs, "lang", temperatureFractions(docs, "lang"))
+    // null-stratum docs are EXCLUDED, matching temperatureFractions'
+    // counts (and the oracle's inner join): without the filter,
+    // stratifiedSampleByHash would coalesce a null lang onto the ''
+    // stratum and sample it at a rate derived from ''-keyed counts
+    // that never saw those rows
+    stratifiedSampleByHash(docs.filter(col("lang").isNotNull),
+        "lang", temperatureFractions(docs, "lang"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).cast("long").as("total_chars"))

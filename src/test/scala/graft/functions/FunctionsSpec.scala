@@ -150,8 +150,10 @@ class FunctionsSpec extends SparkSuite {
     // the scale claim: a PARTIAL aggregate runs before the exchange, so
     // each map task ships <= k rows per group — never the full row set
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("partial_topkagg") ||
-      plan.toLowerCase.contains("partial"), plan.take(800))
+    // the SPECIFIC partial: a generic "partial" substring would stay
+    // green on any other aggregate in the plan while TopKAgg itself
+    // decayed to a complete-mode (shuffle-everything) aggregate
+    assert(plan.contains("partial_topkagg"), plan.take(800))
     assert(!plan.contains("Window"), "top-k aggregate must not fall back to a window sort")
   }
 
