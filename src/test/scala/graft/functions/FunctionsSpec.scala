@@ -161,8 +161,21 @@ class FunctionsSpec extends SparkSuite {
     import graft.functions.Aggregators.{Scored, TopKAgg}
     val agg = new TopKAgg(5)
     val rng = new scala.util.Random(7)
-    val xs = Seq.fill(200)(Scored(rng.nextInt(40).toDouble, rng.nextLong().abs))
-    val want = xs.sortBy(s => (-s.score, s.tag)).take(5)
+    // NaN and both zero signs ride along: the comparator must stay a
+    // TOTAL order (NaN greatest, +-0.0 equal -> tag tie-break) or the
+    // fold below becomes partition-order-dependent
+    def score(i: Int): Double = i % 23 match {
+      case 0 => Double.NaN
+      case 1 => 0.0
+      case 2 => -0.0
+      case _ => rng.nextInt(40).toDouble
+    }
+    val xs = (0 until 200).map(i => Scored(score(i), rng.nextLong().abs))
+    def key(s: Scored): (Double, Long) =
+      // SQL's total order, negated for descending: NaN greatest, zeros equal
+      (-(if (s.score == 0.0) 0.0
+         else if (s.score.isNaN) Double.MaxValue * 2 else s.score), s.tag)
+    val want = xs.sortBy(key).take(5)
     // single fold
     assert(xs.foldLeft(agg.zero)(agg.reduce) == want)
     // arbitrary partition into partial buffers, then merge in odd order
@@ -170,5 +183,7 @@ class FunctionsSpec extends SparkSuite {
     val merged = scala.util.Random.shuffle(parts.toList)
       .foldLeft(agg.zero)(agg.merge)
     assert(merged == want)
+    // order-independence directly: reversed input, same answer
+    assert(xs.reverse.foldLeft(agg.zero)(agg.reduce) == want)
   }
 }

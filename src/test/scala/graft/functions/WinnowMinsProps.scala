@@ -44,4 +44,33 @@ object WinnowMinsProps extends Properties("WinnowMins") {
       native(a, a.length + Gen.chooseNum(0, 5).sample.getOrElse(0)) ==
         Seq(a.min)
     }
+
+  // --- null-bearing arrays: the SQL-surface path must replicate the
+  // composed spelling (array_min skips nulls; all-null window -> null;
+  // distinct keeps one null), not NPE -------------------------------
+  private def referenceN(a: Array[java.lang.Long], w: Int): Seq[java.lang.Long] = {
+    val n = a.length
+    val nWin = math.max(n - w + 1, 1)
+    (0 until nWin).map { p =>
+      val vs = a.slice(p, math.min(p + w, n)).filter(_ != null)
+      if (vs.isEmpty) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(vs.map(_.longValue).min)
+    }.distinct
+  }
+
+  private val nullArrGen: Gen[Array[java.lang.Long]] =
+    Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.containerOfN[Array, java.lang.Long](n, Gen.frequency(
+        3 -> Gen.chooseNum(0L, 9L).map(java.lang.Long.valueOf),
+        1 -> Gen.const(null.asInstanceOf[java.lang.Long]))))
+
+  property("null elements: equals the composed spelling's null semantics") =
+    forAll(nullArrGen, wGen) { (a, w) =>
+      val got = WinnowMinsEval.eval(
+        new GenericArrayData(a.asInstanceOf[Array[Any]]), w)
+      val out = (0 until got.numElements()).map(i =>
+        if (got.isNullAt(i)) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(got.getLong(i)))
+      out == referenceN(a, w)
+    }
 }

@@ -87,4 +87,15 @@ class WinnowSpec extends SparkSuite {
     assert(got == want, s"lookup $got vs batch-restricted $want")
     assert(got.nonEmpty || want.isEmpty)
   }
+
+  test("empty-corpus index: write succeeds, lookup returns empty (schema'd read)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_win_empty").toString
+    Dedup.writeWinnowIndex(empty, dir)
+    val probe = Seq((900L, "some probe text with enough tokens here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowAgainstIndex(spark, probe, dir, minShared = 1).isEmpty)
+    graft.ops.PipelineCaches.release(spark)
+  }
 }
