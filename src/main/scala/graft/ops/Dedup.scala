@@ -453,7 +453,11 @@ object Dedup {
       .getContentSummary(bandsPath).getLength
     val bandsRead = spark.read.schema(BandsSchema).parquet(s"$dir/bands")
     val prunedBands =
-      if (indexBytes < smallIndexBytes) bandsRead
+      // un-pruned branch: fanout — the one-file-per-bucket layout
+      // bin-packs into few scan tasks (openCost packing) and the verify
+      // chain inherits that; the PRUNED branch must NOT repartition or
+      // it loses the PartitionFilters pushdown it exists for
+      if (indexBytes < smallIndexBytes) graft.sources.Tables.fanout(bandsRead)
       else {
         // one extra delta-sized pass to learn which buckets the delta
         // can touch; its distinct is ≤ bandBuckets values
@@ -859,6 +863,10 @@ object Dedup {
       .getContentSummary(fpsPath).getLength
     val fpsRead = spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps")
     val pruned =
+      // NO fanout here, unlike nearDupsAgainstIndex: this lookup's
+      // post-scan work is hash joins and counts (no per-row DP), so the
+      // repartition exchange costs more than the parallelism it buys
+      // (measured +0.4 s at sf0.1)
       if (indexBytes < smallIndexBytes) fpsRead
       else {
         val touched = deltaFps

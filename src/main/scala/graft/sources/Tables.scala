@@ -52,10 +52,26 @@ object Tables {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
-    if (files.length >= target) return df
+    // production file counts exit without any per-file I/O: beyond ~1k
+    // files the probe's driver stats stop being free, and data at that
+    // file count is either genuinely large (plenty of splits even
+    // bin-packed) or maintained by the compaction paths that write
+    // size-targeted files
+    if (files.length >= math.max(1024, target)) return df
     val hconf = spark.sparkContext.hadoopConfiguration
     val maxPB = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    // MANY-tiny-files trap (round 10): file COUNT alone over-estimates
+    // parallelism, because FilePartition BIN-PACKS small files — actual
+    // scan tasks ≈ ⌈(Σbytes + nFiles·openCost) / maxPartitionBytes⌉,
+    // so 256 one-row-group bucket files (openCost 4 MB) pack into ~9
+    // tasks and everything downstream of the scan inherits that. The
+    // effective-parallelism estimate is min(carried-row splits,
+    // bin-packed task count); the early count exit is gated on the
+    // packed estimate too.
+    val openCost = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    var totalBytes = 0L
     val estSplits = files.map { f =>
       val p = new org.apache.hadoop.fs.Path(f)
       val status =
@@ -64,6 +80,7 @@ object Tables {
       status match {
         case None => 1L
         case Some(st) =>
+          totalBytes += st.getLen
           // byteSplits depends on the session's maxPartitionBytes, so
           // only the pure file property (row-group count) is memoized —
           // and only on SUCCESS: a transient footer-read failure falls
@@ -87,7 +104,9 @@ object Tables {
           math.min(rowGroups, byteSplits)
       }
     }.sum
-    if (estSplits < target) df.repartition(target) else df
+    val binPacked = math.max(1L,
+      (totalBytes + files.length * openCost + maxPB - 1) / maxPB)
+    if (math.min(estSplits, binPacked) < target) df.repartition(target) else df
   }
 
   /** Generator fixtures have shipped time columns as parquet
