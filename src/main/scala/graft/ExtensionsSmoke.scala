@@ -31,6 +31,16 @@ object ExtensionsSmoke {
       .head()
     require(h.getLong(0) == h.getLong(1), s"md5_bits mismatch: $h")
     println(s"[extensions-smoke] OK md5_bits resolved natively, value=${h.getLong(0)}")
+    val wm = Seq(Tuple1(Array(7L, 3L, 5L, 1L, 9L))).toDF("h")
+      .selectExpr("winnow_mins(h, 3) AS m")
+      .head().getSeq[Long](0)
+    // windows of 3: min(7,3,5)=3, min(3,5,1)=1, min(5,1,9)=1 -> [3, 1]
+    require(wm == Seq(3L, 1L), s"winnow_mins mismatch: $wm")
+    println(s"[extensions-smoke] OK winnow_mins resolved natively, value=$wm")
+    val dp = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("x", "y")
+      .selectExpr("dot_double(x, y) AS d").head().getDouble(0)
+    require(dp == 11.0, s"dot_double mismatch: $dp")
+    println(s"[extensions-smoke] OK dot_double resolved natively, value=$dp")
     spark.stop()
   }
 }
