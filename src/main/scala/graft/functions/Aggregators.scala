@@ -59,7 +59,7 @@ object Aggregators {
     * no per-group sort of the full data ever happens. Deterministic
     * total order: score DESC, then tag ASC on ties (tags are unique
     * keys by contract). The buffer is a sorted Vector capped at k —
-    * O(k) per reduce via one binary-position insert. */
+    * O(k) per reduce via one positional insert. */
   class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     require(k > 0, s"k must be positive, got $k")
     // TOTAL order, or reduce/merge become partition-order-dependent:

@@ -38,3 +38,24 @@ private[ops] object BuildOnce {
       prefix + "_" + dir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + dirHash).getPath
   }
 }
+
+/** The compaction swap every persisted index shares: clear the temp
+  * path, `write(tmp)` (the writer READS the live path — it stays
+  * untouched until the write succeeds), then delete-live + rename. NOT
+  * atomic between the last two steps: run from the ingestion loop's
+  * single writer between batches (the documented discipline of every
+  * compact* caller); the live data survives any failure BEFORE the
+  * final delete, and the rename is `require`-guarded so a failed swap
+  * surfaces instead of leaving a half-state silently. */
+private[ops] object DirSwap {
+  def apply(spark: SparkSession, livePath: String)(
+      write: String => Unit): Unit = {
+    val live = new org.apache.hadoop.fs.Path(livePath)
+    val tmp = new org.apache.hadoop.fs.Path(livePath + ".compact")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(tmp, true)
+    write(tmp.toString)
+    fs.delete(live, true)
+    require(fs.rename(tmp, live), s"compaction swap failed for $live")
+  }
+}

@@ -379,24 +379,15 @@ object Dedup {
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val tmp = new org.apache.hadoop.fs.Path(s"$dir/$sub.compact")
-      val fs = live.getFileSystem(hconf)
-      fs.delete(tmp, true)
-      write(tmp.toString) // reads live, writes tmp — live untouched until here
-      fs.delete(live, true)
-      require(fs.rename(tmp, live), s"compaction swap failed for $live")
-    }
-    swap("bands") { out =>
+    DirSwap(spark, s"$dir/bands") { out =>
       spark.read.schema(BandsSchema).parquet(s"$dir/bands")
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
-    swap("toksets") { out =>
+    DirSwap(spark, s"$dir/toksets") { out =>
       val live = new org.apache.hadoop.fs.Path(s"$dir/toksets")
-      val bytes = live.getFileSystem(hconf).getContentSummary(live).getLength
+      val bytes = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(live).getLength
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       spark.read.schema(TokSetsSchema).parquet(s"$dir/toksets")
         .repartition(nFiles)
@@ -773,6 +764,12 @@ object Dedup {
   private val WinnowFpsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id LONG, fp LONG, bkt LONG")
 
+  private def bucketedWinnowFps(docs: DataFrame, k: Int, w: Int,
+      fpBuckets: Int): DataFrame =
+    winnowFingerprints(docs, k, w)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
+
   def writeWinnowIndex(docs: DataFrame, dir: String,
       k: Int = 4, w: Int = 5, fpBuckets: Int = 256): Unit = {
     require(fpBuckets > 0, s"fpBuckets must be positive, got $fpBuckets")
@@ -780,9 +777,7 @@ object Dedup {
     // map task writes a file into every bucket dir (tasks × buckets tiny
     // files — measured ~3x on the whole lookup), with it the bulk build
     // lands in the one-file-per-bucket layout compaction would produce
-    winnowFingerprints(docs, k, w)
-      .withColumn("doc_id", col("doc_id").cast("long"))
-      .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
+    bucketedWinnowFps(docs, k, w, fpBuckets)
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/fps")
     docs.sparkSession.range(1)
@@ -810,9 +805,7 @@ object Dedup {
     * Ids must stay disjoint from the index (the crawl-delta contract). */
   def appendToWinnowIndex(newDocs: DataFrame, dir: String): Unit = {
     val (fpBuckets, k, w) = readWinnowMeta(newDocs.sparkSession, dir)
-    winnowFingerprints(newDocs, k, w)
-      .withColumn("doc_id", col("doc_id").cast("long"))
-      .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
+    bucketedWinnowFps(newDocs, k, w, fpBuckets)
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/fps")
   }
 
@@ -821,18 +814,12 @@ object Dedup {
     * data size). Same non-atomic delete+rename swap discipline as
     * [[compactNearDupIndex]] — single writer between batches. */
   def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/fps")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/fps.compact")
-    val fs = live.getFileSystem(hconf)
-    fs.delete(tmp, true)
-    spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps")
-      .repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"compaction swap failed for $live")
-  }
+      dir: String): Unit =
+    DirSwap(spark, s"$dir/fps") { out =>
+      spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(out)
+    }
 
   /** Substring-dup candidates between a delta of NEW documents and a
     * persisted [[writeWinnowIndex]] corpus: (doc_a = new id, doc_b =
@@ -1429,17 +1416,12 @@ object Dedup {
     * rationale as [[compactNearDupIndex]]). */
   def compactSpanIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val meta = readSpanMeta(spark, dir)
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/spans")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/spans.compact")
-    val fs = live.getFileSystem(hconf)
-    fs.delete(tmp, true)
-    spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
-      .groupBy(col("h"), col("bkt")).agg(sum(col("c")).as("c"))
-      .repartition(col("bkt"))
-      .write.partitionBy("bkt").parquet(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"compaction swap failed for $live")
+    DirSwap(spark, s"$dir/spans") { out =>
+      spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
+        .groupBy(col("h"), col("bkt")).agg(sum(col("c")).as("c"))
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(out)
+    }
     // counts are settled again: restore the frequent-set cardinality so
     // readers get their one-meta-row broadcast gate back
     if (meta.freqCap > 0)

@@ -85,13 +85,9 @@ object ProfileIndex {
             max(col(s"max_$n")).as(s"max_$n"))
         }
     val merged = idx.groupBy(col("shard")).agg(aggs.head, aggs.tail: _*)
-    val tmp = dir.stripSuffix("/") + ".compact_tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"compaction swap failed for $dst")
+    DirSwap(spark, dir.stripSuffix("/")) { out =>
+      merged.coalesce(1).write.parquet(out)
+    }
   }
 
   /** Merge the accumulated index into the one-row-per-column profile

@@ -441,18 +441,12 @@ object SimSearch {
     * degrades by file count, not data size). Same temp-dir swap as the
     * other index compactions: the live index stays readable until the
     * rename. */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val live = new org.apache.hadoop.fs.Path(s"$dir/cells")
-    val tmp = new org.apache.hadoop.fs.Path(s"$dir/cells.compact")
-    val fs = live.getFileSystem(hconf)
-    fs.delete(tmp, true)
-    spark.read.parquet(live.toString)
-      .repartition(col("cell"))
-      .write.partitionBy("cell").parquet(tmp.toString)
-    fs.delete(live, true)
-    require(fs.rename(tmp, live), s"compaction swap failed for $live")
-  }
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    DirSwap(spark, s"$dir/cells") { out =>
+      spark.read.parquet(s"$dir/cells")
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(out)
+    }
 
   /** Declared trained-IVF workload (q_sim_topk_ivf_trained): k-means
     * centroids (2 Lloyd iterations — the declared query pins the
