@@ -93,6 +93,9 @@ object SparkEntry {
     // (vec_id, embedding) frame works — the test tables are one wiring)
     "q_dedup" -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "q_dedup_near" -> ((s, d) => Dedup.nearDupPairs(Tables.documents(s, d))),
+    // the minhash estimator itself, gated: signature-agreement estimate
+    // vs exact jaccard per verified pair, absolute error as data
+    "q_minhash_est" -> ((s, d) => Dedup.minhashEstQ(Tables.documents(s, d))),
     "q_dedup_incr" -> ((s, d) => Dedup.incrementalNearDupQ(s, d)),
     "q_dedup_fuzzy_incr" -> ((s, d) => Dedup.incrementalFuzzyQ(s, d)),
     "q_dup_clusters" -> ((s, d) => Components.dupClustersQ(s, d)),
@@ -582,6 +585,52 @@ object SparkEntry {
         |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
         |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
         |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin,
+    // The minhash estimator readout: the q_dedup_near pipeline's pairs
+    // enriched with the signature-agreement estimate (exact multiples
+    // of 1/8 in both engines) and its absolute error.
+    "q_minhash_est" ->
+      """WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |sig AS (SELECT doc_id,
+        |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
+        |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
+        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
+        |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
+        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
+        |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
+        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
+        |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
+        |FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
+        |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+        |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+        |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
+        |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+        |AND a.doc_id < b.doc_id),
+        |tokh AS (SELECT DISTINCT doc_id,
+        |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),
+        |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
+        |JOIN tokh ta ON ta.doc_id = c.doc_a
+        |JOIN tokh tb ON tb.doc_id = c.doc_b AND tb.th = ta.th
+        |GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (SELECT c.doc_a, c.doc_b,
+        |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
+        |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+        |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5)
+        |SELECT p.doc_a, p.doc_b, round(p.jaccard, 6) AS jaccard,
+        |(CAST(a.h0 = b.h0 AS INT) + CAST(a.h1 = b.h1 AS INT)
+        |+ CAST(a.h2 = b.h2 AS INT) + CAST(a.h3 = b.h3 AS INT)
+        |+ CAST(a.h4 = b.h4 AS INT) + CAST(a.h5 = b.h5 AS INT)
+        |+ CAST(a.h6 = b.h6 AS INT) + CAST(a.h7 = b.h7 AS INT)) / 8.0 AS est_jaccard,
+        |round(abs((CAST(a.h0 = b.h0 AS INT) + CAST(a.h1 = b.h1 AS INT)
+        |+ CAST(a.h2 = b.h2 AS INT) + CAST(a.h3 = b.h3 AS INT)
+        |+ CAST(a.h4 = b.h4 AS INT) + CAST(a.h5 = b.h5 AS INT)
+        |+ CAST(a.h6 = b.h6 AS INT) + CAST(a.h7 = b.h7 AS INT)) / 8.0 - p.jaccard), 6) AS abs_err
+        |FROM pairs p JOIN sig a ON a.doc_id = p.doc_a
+        |JOIN sig b ON b.doc_id = p.doc_b""".stripMargin,
     // Cluster resolution over the SAME pair pipeline as q_dedup_near.
     // Shape matters for DuckDB feasibility: a naive recursive
     // reachability walk does Σ|component|²·degree join work — cubic in

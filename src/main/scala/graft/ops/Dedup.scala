@@ -696,6 +696,33 @@ object Dedup {
     fuzzyMatchAgainstIndex(spark, delta, idxDir, corpus)
   }
 
+  /** Declared query q_minhash_est: the minhash ESTIMATOR surfaced as a
+    * first-class, fully hash-gated artifact — for every verified
+    * near-dup pair, the signature-agreement Jaccard estimate
+    * (fraction of the 8 minhash components that agree; the property
+    * P[h_min(A) = h_min(B)] = J(A,B) every LSH design here rests on)
+    * next to the EXACT Jaccard, with the absolute error emitted as
+    * data. est is an exact multiple of 1/8 in both engines, so the
+    * whole row hashes. Adds only two broadcast-sized signature joins
+    * on top of [[nearDupPairs]] (whose tracked token/signature caches
+    * this reuses — same plans, same cache entries). */
+  def minhashEstQ(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = nearDupPairs(docs, threshold)
+    val sig = PipelineCaches.track(signatures(tokens(spread(docs))))
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"b$i")): _*)
+    val est = (0 until NumHashes)
+      .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / NumHashes
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 6).as("jaccard"),
+        est.as("est_jaccard"),
+        round(abs(est - col("jaccard")), 6).as("abs_err"))
+  }
+
   /** Full winnowing fingerprints (the MOSS scheme): hash every k-token
     * gram, then keep the MINIMUM hash of each w-wide window of
     * consecutive gram hashes. The selected set is position-robust — any

@@ -35,6 +35,27 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).isEmpty)
   }
 
+  test("minhash estimator: eighths-valued, exact on identical docs, bounded mean error") {
+    import spark.implicits._
+    val est = Dedup.minhashEstQ(docsDf).cache()
+    // estimates are exact multiples of 1/8 in [0, 1]
+    assert(est.filter(col("est_jaccard") * 8 =!= (col("est_jaccard") * 8).cast("long"))
+      .isEmpty)
+    assert(est.filter(col("est_jaccard") < 0 || col("est_jaccard") > 1).isEmpty)
+    // an exact-duplicate pair estimates 1.0 with error 0: same token
+    // set -> identical minima in every component
+    val dup = Seq((9001L, "alpha beta gamma delta epsilon zeta"),
+      (9002L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val d = Dedup.minhashEstQ(dup).collect()
+    assert(d.length == 1 && d.head.getDouble(3) == 1.0 && d.head.getDouble(4) == 0.0)
+    graft.ops.PipelineCaches.release(spark)
+    // over the fixture's verified pairs (j >= 0.5) the 8-component
+    // estimator's mean |error| stays well under its worst-case spread
+    val meanErr = est.agg(avg(col("abs_err"))).head.getDouble(0)
+    assert(meanErr < 0.3, s"mean |est - jaccard| = $meanErr")
+    est.unpersist()
+  }
+
   test("fingerprints: deterministic, one per doc") {
     val fp = Dedup.fingerprints(docsDf).cache()
     val docs = docsDf
