@@ -151,10 +151,16 @@ object WinnowMins {
     (exprs: Seq[Expression]) => fromExprs(exprs))
 
   private def fromExprs(exprs: Seq[Expression]): Expression = {
+    // arity-checked up front so SQL misuse (winnow_mins(h), winnow_mins())
+    // surfaces as a clean resolution message, not an IndexOutOfBounds
+    if (exprs.length != 2) throw new IllegalArgumentException(
+      s"$FnName expects exactly 2 arguments (hashes array, INT literal window), got ${exprs.length}")
     val w = exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+          org.apache.spark.sql.types.IntegerType) => v
       case other => throw new IllegalArgumentException(
-        s"$FnName window argument must be an integer literal, got $other")
+        s"$FnName window argument must be an INT literal (the window is part of the plan; " +
+          s"a LONG literal or a column will not resolve), got $other")
     }
     WinnowMins(exprs.head, w)
   }

@@ -54,6 +54,9 @@ private[ops] object DirSwap {
     val tmp = new org.apache.hadoop.fs.Path(livePath + ".compact")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(tmp, true)
+    // legacy temp suffix from before the swap was shared (ProfileIndex
+    // used `.compact_tmp`): clean up any crashed-run leftover too
+    fs.delete(new org.apache.hadoop.fs.Path(livePath + ".compact_tmp"), true)
     write(tmp.toString)
     fs.delete(live, true)
     require(fs.rename(tmp, live), s"compaction swap failed for $live")

@@ -666,13 +666,19 @@ object Relational {
       lLo: String, lHi: String, rLo: String, rHi: String,
       binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // the working bin column gets a suffix no user schema plausibly
+    // carries: a plain `_bin` input column would be silently overwritten
+    // by withColumn and dropped from the output
+    val bin = "_graft_interval_bin"
+    require(!left.columns.contains(bin) && !right.columns.contains(bin),
+      s"inputs must not contain the reserved working column '$bin'")
     def binned(df: DataFrame, lo: String, hi: String): DataFrame =
-      df.filter(col(lo) <= col(hi)).withColumn("_bin",
+      df.filter(col(lo) <= col(hi)).withColumn(bin,
         explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
-    binned(left, lLo, lHi).join(binned(right, rLo, rHi), Seq("_bin"))
+    binned(left, lLo, lHi).join(binned(right, rLo, rHi), Seq(bin))
       .filter(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
-        col("_bin") === floor(greatest(col(lLo), col(rLo)) / binWidth))
-      .drop("_bin")
+        col(bin) === floor(greatest(col(lLo), col(rLo)) / binWidth))
+      .drop(bin)
   }
 
   /** Declared interval-overlap query (q_join_interval): for each urgent

@@ -78,7 +78,11 @@ object Tables {
         try Some(p.getFileSystem(hconf).getFileStatus(p))
         catch { case _: java.io.IOException => None }
       status match {
-        case None => 1L
+        // unreadable file: count it as openCost-only bytes so the
+        // bin-packed estimate stays consistent with the 1-split estimate
+        // (0 bytes would under-count binPacked and could trigger an
+        // unnecessary repartition via the min(estSplits, binPacked) gate)
+        case None => totalBytes += openCost; 1L
         case Some(st) =>
           totalBytes += st.getLen
           // byteSplits depends on the session's maxPartitionBytes, so
