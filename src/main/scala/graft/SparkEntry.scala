@@ -104,6 +104,9 @@ object SparkEntry {
     // re-clustering of the union (LSH pairs decompose exactly by side)
     "q_dup_clusters_incr" -> ((s, d) => Components.dupClustersIncrQ(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
+    // ExactSubstr (Lee et al.) at 8-token-gram coverage granularity:
+    // remove every token inside a >= 8-token run occurring twice anywhere
+    "q_substring_dedup" -> ((s, d) => Dedup.substringDedup(Tables.documents(s, d))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => Dedup.fingerprints(Tables.documents(s, d))),
     "q_multimodal" -> ((s, d) => MultiModal.payloadFeatures(Tables.documents(s, d))),
@@ -1516,6 +1519,31 @@ object SparkEntry {
         |CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS qty_in_transit
         |FROM p JOIN t ON p_lo <= t_hi AND t_lo <= p_hi
         |GROUP BY o_orderkey""".stripMargin,
+    // ExactSubstr semantics at L=8-gram coverage: a 1-based token
+    // position q is removed iff some 8-gram starting in [q-7, q] has
+    // corpus-wide occurrence >= 2 (within-doc repeats count). Same
+    // 60-bit md5 gram hashes as the Spark side; coverage expanded via
+    // range(pos, pos+8) over 1-based starts.
+    "q_substring_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |FROM documents),
+        |ge AS (SELECT doc_id, s['pos'] AS pos, s['gh'] AS gh FROM
+        |(SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6), i ->
+        |{'pos': i, 'gh': CAST(('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')),1,15)) AS BIGINT)})) AS s
+        |FROM t WHERE len(toks) >= 8) z),
+        |dup AS (SELECT gh FROM ge GROUP BY gh HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, q FROM
+        |(SELECT doc_id, unnest(range(pos, pos + 8)) AS q
+        |FROM ge JOIN dup USING (gh)) z),
+        |cv AS (SELECT doc_id, list(q) AS covs FROM cov GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+        |CAST(coalesce(len(cv.covs), 0) AS BIGINT) AS n_removed,
+        |coalesce(array_to_string(list_transform(
+        |list_filter(range(1, len(t.toks) + 1),
+        |i -> NOT list_contains(coalesce(cv.covs, []), i)),
+        |i -> t.toks[i]), ' '), '') AS clean_text
+        |FROM t LEFT JOIN cv USING (doc_id)""".stripMargin,
     // Winnowing: k=4 token grams, w=5 window minima, 60-bit md5 hashes
     // (the md5-hex spelling Md5Bits is bit-identical to), df cap 50,
     // pairs sharing >= 2 fingerprints.

@@ -1549,4 +1549,68 @@ object Dedup {
     * boilerplate document comes back with n_kept = 0 and empty
     * clean_text — the caller decides whether empty means drop). */
   def spanDedupQ(docs: DataFrame): DataFrame = spanDedup(docs)
+
+  /** Exact-substring deduplication at suffix-array granularity (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"):
+    * remove every token that lies inside a run of ≥ `minLen` tokens
+    * occurring more than once in the corpus (cross-document AND
+    * within-document repeats both count, as in ExactSubstr).
+    *
+    * The suffix-array formulation is exactly equivalent to L-gram
+    * coverage: a token run of length ≥ L repeats somewhere iff each of
+    * its length-L windows repeats, so token position q is inside some
+    * duplicated run of length ≥ L iff SOME L-gram starting at
+    * p ∈ [q−L+1, q] has global occurrence ≥ 2. That reformulation is
+    * what makes the operator shuffle-friendly: instead of a global
+    * suffix array (driver-sized, the paper's single-node design), the
+    * corpus-wide duplicate test is ONE aggregate over 60-bit L-gram
+    * hashes, and everything else is doc-keyed.
+    *
+    * Unlike [[spanDedup]] (disjoint fixed-w spans, span-granular
+    * removal), removal here is TOKEN-granular over overlapping grams —
+    * a duplicated run is excised exactly, not rounded to span
+    * boundaries.
+    *
+    * Plan shape (100 TB posture): tokenize+gram-hash map-side; one
+    * shuffle on the gram hash for the occurrence count; a semi-join of
+    * gram occurrences against the duplicated-hash table (AQE picks
+    * broadcast while the dup table is small, sort-merge when template
+    * text makes it big — never all-pairs); one doc-keyed aggregate of
+    * duplicated start positions; coverage expansion and token filtering
+    * happen IN THE ROW (sequence/flatten/filter over the starts array —
+    * no covered-position shuffle). Output: one row per document. */
+  def substringDedup(docs: DataFrame, minLen: Int = 8): DataFrame = {
+    require(minLen > 1, s"minLen must be > 1, got $minLen")
+    val spark = docs.sparkSession
+    val toks = PipelineCaches.track(spread(docs)
+      .select(col("doc_id"),
+        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks")))
+    val gramHashes = transform(
+      sequence(lit(0), size(col("toks")) - minLen),
+      i => md5Prefix(concat_ws(" ", slice(col("toks"), i + 1, lit(minLen))),
+        spark, 15))
+    // (doc_id, 0-based start, 60-bit gram hash) — cached: read by the
+    // occurrence aggregate and again by the semi-join probe side
+    val grams = PipelineCaches.track(
+      toks.filter(size(col("toks")) >= minLen)
+        .select(col("doc_id"), posexplode(gramHashes).as(Seq("pos", "gh"))))
+    val dupHashes = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("gh")
+    // per-doc duplicated start positions; covered 1-based positions are
+    // expanded in-row (array stays doc-local, bounded by doc length)
+    val covs = grams.join(dupHashes, Seq("gh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(array_distinct(flatten(collect_list(
+        sequence(col("pos") + 1, col("pos") + minLen))))).as("covs"))
+    val covered = coalesce(col("covs"),
+      array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType)))
+    toks.join(covs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(covered).cast("long").as("n_removed"),
+        concat_ws(" ",
+          filter(col("toks"), (t, i) => !array_contains(covered, i + 1)))
+          .as("clean_text"))
+  }
 }

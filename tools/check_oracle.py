@@ -91,11 +91,15 @@ def main():
                    help="timing mode: run each oracle SQL N times, record mins")
     p.add_argument("--bench", default=None, metavar="F",
                    help="graft.Bench JSON to print a Spark/DuckDB ratio table")
+    p.add_argument("--only", nargs="*", default=None, metavar="Q",
+                   help="restrict the compare/timing to these query names")
     a = p.parse_args()
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{a.sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{a.outdir}/oracle_sql.json"))
+    if a.only:
+        oracle = {k: v for k, v in oracle.items() if k in a.only}
     if a.time is not None:
         time_queries(con, oracle, a.outdir, a.time, a.bench)
         return
