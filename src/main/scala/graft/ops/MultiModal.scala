@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: image/audio/video treated as opaque
@@ -96,6 +96,100 @@ object MultiModal {
           MMResized(id, out, width, height, c, "raw")
         }
       }(Encoders.product[MMResized])
+  }
+
+  /** 60-bit dHash (difference hash — the standard perceptual-dedup
+    * fingerprint for images) over a decoded sample sequence: sample 61
+    * evenly-spaced positions p_i = ⌊i·(n−1)/60⌋ of the sequence, bit j =
+    * [sample_j < sample_{j+1}]. Gradient-based, so it is invariant to
+    * global brightness shifts and robust to local corruption — a local
+    * edit flips only the bits whose samples straddle it.
+    *
+    * STUB decode (no codecs in this container): the "decoded grayscale
+    * scanline" is the payload's code-point sequence. The fingerprint
+    * shape (fixed-width LONG, hamming-comparable, band-splittable) and
+    * everything downstream are the real contract.
+    *
+    * 60 bits, not 64: the oracle computes the identical value in SQL
+    * engines where `1 << 63` overflows BIGINT; dropping to 60 keeps the
+    * bit-building arithmetic overflow-free everywhere while dividing
+    * evenly into the 4×15-bit LSH bands below. */
+  val DHashBits = 60
+
+  def dHash(decoded: Column): Column = {
+    val n = length(decoded)
+    // 61 samples; exact in double arithmetic (i·(n−1) ≪ 2^53)
+    val codes = transform(sequence(lit(0), lit(DHashBits)),
+      i => ascii(decoded.substr(
+        floor(i * (n - 1) / lit(DHashBits)).cast("int") + 1, lit(1))))
+    (0 until DHashBits).map(j =>
+      when(element_at(codes, j + 1) < element_at(codes, j + 2),
+        lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _) // disjoint bits: sum == bitwise-or, no carries
+  }
+
+  /** Perceptual near-duplicate pairs over the payload column — the
+    * image-corpus sibling of [[Dedup.simhashPairs]]: dHash fingerprints
+    * → 4 LSH bands of 15 bits → bucket equi-join → exact hamming ≤
+    * `maxHamming` filter. Pigeonhole-exact for maxHamming ≤ 3 (a pair
+    * differing in ≤ 3 of 60 bits agrees on ≥ 1 whole band), so the
+    * result equals the full pairwise scan the oracle runs.
+    *
+    * Scale posture: candidates come from a 15-bit-bucket equi-join
+    * (32768 buckets per band — shuffle on (band, bandval), never
+    * all-pairs); the fingerprint rides the band rows so hamming is
+    * verified inline with zero post-candidate joins (same rationale as
+    * simhashPairs). Empty payloads are excluded up front (no samples to
+    * hash — degenerate-payload pin in ImageDedupSpec). */
+  def imageNearDupPairs(payloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = 4
+    require(maxHamming < bands, // pigeonhole bound for banding exactness
+      s"maxHamming must be < $bands bands, got $maxHamming")
+    val bandBits = DHashBits / bands
+    val fp = payloads
+      .filter(length(col("payload")) >= 1)
+      .select(col("doc_id"),
+        dHash(decode(col("payload"), "UTF-8")).as("fp"))
+    val bandArr = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bandval"))
+    }: _*)
+    val bandRows = fp.select(col("doc_id"), col("fp"),
+        explode(bandArr).as("bb"))
+      .select(col("doc_id"), col("fp"),
+        col("bb.band").as("band"), col("bb.bandval").as("bandval"))
+    val left = bandRows.select(col("band"), col("bandval"),
+      col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val right = bandRows.select(col("band"), col("bandval"),
+      col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    left.join(right, Seq("band", "bandval"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      // band multiplicity ≤ 4: dedup only the tiny surviving pair set
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("hamming")).as("hamming"))
+  }
+
+  /** Declared query q_image_dedup: perceptual dedup over a corpus that
+    * contains re-encoded variants — each document's payload plus a copy
+    * (doc_id + 100000) with ONE byte overwritten mid-payload, the
+    * fixture stand-in for "same image, slightly different encode". The
+    * gradient hash leaves a 1-byte corruption within hamming ≤ 3, so
+    * every (doc, variant) pair surfaces while unrelated documents (whose
+    * pairwise dHash distance in this corpus is ≥ 12) stay out. The
+    * variant construction is declared semantics, mirrored by the
+    * oracle's full O(n²) pairwise scan. */
+  def imageDedupQ(docs: DataFrame): DataFrame = {
+    val base = docs.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+    val mid = greatest(lit(1), floor(length(col("text")) / 2).cast("int"))
+    val variants = base.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text").substr(lit(1), mid - 1), lit("~"),
+        col("text").substr(mid + 1, length(col("text")))).as("text"))
+    imageNearDupPairs(withPayload(base.union(variants)))
   }
 
   /** Output row of the decode/feature-extract stage. */

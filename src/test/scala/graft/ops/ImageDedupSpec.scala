@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Behavior laws for perceptual (dHash) payload dedup
+  * ([[MultiModal.imageNearDupPairs]]): gradient-hash invariants, the
+  * banding-vs-brute-force exactness law, and degenerate-payload pins. */
+class ImageDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def pairsOf(rows: Seq[(Long, String)], maxHamming: Int = 3) =
+    MultiModal.imageNearDupPairs(
+      MultiModal.withPayload(rows.toDF("doc_id", "text")), maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  // a long "scanline" so the 61 samples land on distinct positions
+  private val line = (0 until 200).map(i => ('a' + i % 26).toChar).mkString
+
+  test("identical payloads pair at hamming 0") {
+    val out = pairsOf(Seq((1L, line), (2L, line)))
+    assert(out == Map((1L, 2L) -> 0L))
+  }
+
+  test("a one-byte corruption stays within the hamming budget") {
+    val corrupted = line.updated(100, '~')
+    val out = pairsOf(Seq((1L, line), (2L, corrupted)))
+    assert(out.contains((1L, 2L)))
+    assert(out((1L, 2L)) <= 3L)
+  }
+
+  test("dHash is invariant to a global brightness shift (gradient hash)") {
+    // shifting every code point by +1 preserves all pairwise orderings
+    val shifted = line.map(c => (c + 1).toChar).mkString
+    val out = pairsOf(Seq((1L, line), (2L, shifted)))
+    assert(out == Map((1L, 2L) -> 0L))
+  }
+
+  test("unrelated payloads do not pair") {
+    // reversing flips every gradient comparison -> hamming ~ 60
+    val out = pairsOf(Seq((1L, line), (2L, line.reverse)))
+    assert(out.isEmpty)
+  }
+
+  test("banded join equals brute force at the pigeonhole bound") {
+    val rows = Seq(
+      (1L, line), (2L, line.updated(50, '~')), (3L, line.updated(7, '!')),
+      (4L, line.reverse), (5L, (0 until 200).map(i => ('z' - i % 26).toChar).mkString))
+    val banded = pairsOf(rows)
+    // brute force over the same fingerprints
+    val fp = MultiModal.withPayload(rows.toDF("doc_id", "text"))
+      .select(col("doc_id"), MultiModal.dHash(decode(col("payload"), "UTF-8")).as("fp"))
+    val a = fp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(banded == brute)
+  }
+
+  test("degenerate payloads: empty excluded, one-byte payload hashes to 0") {
+    val out = pairsOf(Seq((1L, ""), (2L, ""), (3L, "x"), (4L, "y")))
+    // empties are filtered (no samples); 1-char payloads have constant
+    // sample sequences -> fp 0 -> they pair with each other at hamming 0
+    assert(out == Map((3L, 4L) -> 0L))
+  }
+
+  test("query fixture: every document pairs with its re-encoded variant") {
+    val docs = Seq(
+      (1L, line), (2L, line.reverse),
+      (3L, (0 until 150).map(i => ('m' + i % 13).toChar).mkString))
+      .toDF("doc_id", "text")
+    val out = MultiModal.imageDedupQ(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((1L, 100001L), (2L, 100002L), (3L, 100003L)).subsetOf(out))
+    // no original-original pairs on these dissimilar payloads
+    assert(!out.exists { case (a, b) => a < 100000L && b < 100000L })
+  }
+
+  test("plan: banded equi-join, no cartesian product") {
+    val plan = MultiModal.imageNearDupPairs(
+      MultiModal.withPayload(Seq((1L, line)).toDF("doc_id", "text")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
