@@ -226,6 +226,9 @@ object SparkEntry {
     "q_winnow_incr" -> ((s, d) => Dedup.incrementalWinnowQ(s, d)),
     // CCNet-style bigram-LM log-perplexity quality scores (en-trained)
     "q_ngram_lm" -> ((s, d) => Scoring.ngramLmQ(Tables.documents(s, d))),
+    // linear fasttext-style keep/drop classifier: hashed-bucket features,
+    // integer-milli weight table broadcast, exact order-free logit
+    "q_quality_clf" -> ((s, d) => Scoring.qualityClassifierQ(Tables.documents(s, d))),
     // temperature-flattened (alpha=0.5) source rebalancing, min-anchored
     "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d))),
     // bounded-buffer per-group top-k aggregate (map-side partial top-k)
@@ -1606,6 +1609,21 @@ object SparkEntry {
         |SELECT doc_id, lang, count(*) AS n_bigrams,
         |round(-avg(ln(prob)), 6) AS logppl
         |FROM pr GROUP BY doc_id, lang""".stripMargin,
+    // Linear quality classifier: 1024 hashed buckets, integer-milli
+    // weights wm = md5_60('w:'||bucket) % 2001 - 1000; the per-doc sum
+    // is exact integer arithmetic, one double division at the end.
+    "q_quality_clf" ->
+      """WITH w AS (SELECT j AS bucket,
+        |CAST(('0x'||substr(md5('w:'||j),1,15)) AS BIGINT) % 2001 - 1000 AS wm
+        |FROM (SELECT unnest(range(0, 1024)) AS j) z),
+        |tk AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1024 AS bucket FROM
+        |(SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> x <> '')) AS tok FROM documents) u)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |CAST(sum(wm) AS DOUBLE) / (count(*) * 1000.0) AS logit,
+        |CAST(sum(wm) >= 0 AS BIGINT) AS keep
+        |FROM tk JOIN w USING (bucket) GROUP BY doc_id""".stripMargin,
     // Temperature sampling: rate_s = sqrt(n_min / n_s) — one IEEE
     // division + one correctly-rounded sqrt per stratum, so the
     // millionths thresholds are bit-identical across engines (no

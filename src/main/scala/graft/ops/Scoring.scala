@@ -177,4 +177,51 @@ object Scoring {
       .agg(count(lit(1)).as("n_bigrams"),
         round(-avg(log(col("prob"))), 6).as("logppl"))
   }
+
+  /** Linear fasttext-style quality classifier (q_quality_clf): the
+    * CCNet/GPT-3 quality-filter step — a pretrained linear model over
+    * hashed bag-of-token features decides keep/drop per document. Each
+    * token hashes into one of `dim` feature buckets (60-bit md5 prefix
+    * mod dim — the hash spelling every dedup lane shares); the logit is
+    * the mean bucket weight over the doc's token INSTANCES (fasttext's
+    * mean-of-embeddings with 1-d embeddings); keep = logit ≥ 0.
+    *
+    * The weight table stands in for the shipped model artifact. Weights
+    * are stored as integer millis (wm ∈ [−1000, 1000], derived
+    * deterministically from the bucket id so the oracle rebuilds the
+    * identical model): the per-doc sum is then EXACT integer
+    * arithmetic — order-free under any partitioning, so the one double
+    * division at the end is bit-identical in every engine. A
+    * float-weight model would make the logit depend on reduction order.
+    *
+    * Scale shape: the weight table is `dim` rows — broadcast, hinted
+    * explicitly (the model artifact is always tiny next to the corpus);
+    * scoring is one map-side hash-join lookup per token instance plus
+    * the single per-doc aggregate shuffle. Nothing else. */
+  def qualityClassifierWeights(spark: SparkSession, dim: Int = 1024): DataFrame = {
+    graft.functions.Md5Bits.register(spark)
+    spark.range(dim).select(col("id").as("bucket"),
+      (call_function(graft.functions.Md5Bits.FnName,
+        concat(lit("w:"), col("id").cast("string")), lit(0), lit(15))
+        % 2001L - 1000L).as("wm"))
+  }
+
+  def qualityClassifierQ(docs: DataFrame, dim: Int = 1024): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Md5Bits.register(spark)
+    val weights = qualityClassifierWeights(spark, dim)
+    val bucketed = graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"),
+        pmod(call_function(graft.functions.Md5Bits.FnName,
+          col("token"), lit(0), lit(15)), lit(dim.toLong)).as("bucket"))
+    bucketed.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wm")).as("swm"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("swm").cast("double") / (col("n_tokens") * 1000.0)).as("logit"),
+        (col("swm") >= 0L).cast("long").as("keep"))
+  }
 }

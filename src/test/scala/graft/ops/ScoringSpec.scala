@@ -143,4 +143,43 @@ class ScoringSpec extends SparkSuite {
     assert(got(100L) < got.filter(_._1 < 20).values.max + 0.5)
     graft.ops.PipelineCaches.release(spark)
   }
+
+  test("quality classifier matches the driver-side reference exactly") {
+    val dim = 1024
+    def md60(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def wm(bucket: Long): Long = md60(s"w:$bucket") % 2001L - 1000L
+    val want = docs.map { case (id, text, _, _) =>
+      val bks = toksOf(text).map(t => md60(t) % dim)
+      id -> (bks.size.toLong, bks.map(wm).sum)
+    }.filter(_._2._1 > 0).toMap
+    val got = Scoring.qualityClassifierQ(Tables.documents(spark, sf))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, (n, logit, keep)) =>
+      val (wn, wsum) = want(id)
+      assert(n == wn, s"doc $id n_tokens")
+      // integer-milli weights: the logit is ONE division of exact
+      // integers — the replay is bit-equal, not epsilon-close
+      assert(logit == wsum.toDouble / (wn * 1000.0), s"doc $id logit")
+      assert(keep == (if (wsum >= 0) 1L else 0L), s"doc $id keep")
+    }
+    // the deterministic model splits this corpus non-trivially
+    val kept = got.values.count(_._3 == 1L)
+    assert(kept > 0 && kept < got.size, s"degenerate split: $kept of ${got.size}")
+  }
+
+  test("quality classifier plan: weight table broadcasts, one doc-keyed shuffle") {
+    val plan = Scoring.qualityClassifierQ(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <= 1 data shuffle, got $exchanges\n$plan")
+  }
 }
