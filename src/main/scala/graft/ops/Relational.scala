@@ -864,164 +864,194 @@ object Relational {
   /** Exact percentiles by DISTRIBUTED SELECTION (histogram-select) — the
     * form that never exchanges the data: instead of range-partitioning
     * all 2·|rows| (group, ci, v) tuples to assemble global ranks (see
-    * [[exactPercentilesBySort]]), locate each target rank with
-    * metadata-sized aggregates and fetch only the straddling values:
-    *  1. scan 1 — per-slice (group, ci) count/min/max: a tiny hash
-    *     aggregate; target ranks ⌊pos⌋/⌈pos⌉ fall out arithmetically;
-    *  2. scan 2 — fixed-width histogram per slice (bucket of v is a pure
-    *     map-side expression against the broadcast envelope): ≤ slices ×
-    *     nBuckets count rows; a prefix sum over that tiny frame locates
-    *     the bucket holding each target rank and the rank's offset
-    *     within it;
-    *  3. scan 3 — only rows in located buckets survive (a broadcast
-    *     semi-ish join: ~|rows|/nBuckets per target); the off-th
-    *     smallest within each bucket is the target value (row_number
-    *     over bucket-sized partitions — bounded, parallel per target).
-    * Interpolation is the same v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋) as
-    * the sort form — bit-identical to Spark's builtin `percentile` and
-    * DuckDB's `quantile_cont` (RelationalSpec pins both forms to the
-    * builtin to the last ulp, nulls included).
+    * [[exactPercentilesBySort]]), locate each target rank from a
+    * metadata-sized histogram and fetch only the straddling values.
+    * TWO jobs, two source scans, zero data exchanges:
+    *  1. scan 1 — per-slice (group, ci) RADIX histogram: bucket = the
+    *     top `radixBits` of the order-preserving IEEE bit image of v
+    *     ([[graft.functions.DoubleOrderBits]] — a monotone bucketing
+    *     that needs NO min/max envelope, which is what lets the old
+    *     separate stats pass fuse into this one). The histogram is
+    *     metadata-sized BY CONSTRUCTION (≤ slices × occupied buckets,
+    *     cap-checked against `maxStatsBroadcast` at collect time), so
+    *     it comes back to the driver in the same action and the whole
+    *     locator — slice counts, target ranks ⌊pos⌋/⌈pos⌉, the prefix
+    *     sum that finds each rank's bucket and in-bucket offset — is
+    *     driver arithmetic over it (the stats-sized-driver-round-trip
+    *     pattern of the IVF probe and the ngram df-cap gate), not three
+    *     more Spark jobs of tiny windows and joins.
+    *  2. scan 2 — only rows in located buckets survive (a broadcast
+    *     join on the recomputed bucket expression); the off-th smallest
+    *     within each bucket is the target value (row_number over
+    *     bucket-sized partitions — bounded, parallel per target). The
+    *     ≤ 2·targets picked rows collect, interpolation happens on the
+    *     driver, and the result ships as a literal |groups|-row frame
+    *     (bounded by the same histogram gate).
+    * Interpolation is the same v_lo·(⌈pos⌉−pos) + v_hi·(pos−⌊pos⌋) —
+    * bit-identical to Spark's builtin `percentile` and DuckDB's
+    * `quantile_cont` (RelationalSpec pins both forms to the builtin to
+    * the last ulp, nulls included; the driver doubles go through the
+    * exact IEEE ops the builtin uses).
     *
-    * Trade: three cheap scans + tiny shuffles instead of one scan + one
-    * full-data exchange — at 100 TB re-scanning a columnar source twice
-    * more is far cheaper than exchanging it once. BELOW
-    * `smallInputBytes` (planner-estimated, zero extra jobs) the balance
-    * inverts — the exchange of a small frame costs less than the select
-    * form's extra jobs — so small inputs dispatch to the sort form
-    * (QuantLab head-to-head at sf0.1, same JVM: sort 1.74 s vs select
-    * 2.41 s, the exchange itself 1.19 s ≈ the sort form's floor; three
-    * scans at 0.37 s each plus 4 jobs of scheduling is what the select
-    * form pays). Degenerate case: a slice whose values are ~all equal
-    * lands in one bucket and its row_number partition degrades to the
-    * slice size (still spillable, still correct — and the sort form has
-    * the same worst case in one range partition). The stats broadcast
-    * bounds the group count, so the second gate: above
-    * `maxStatsBroadcast` slices this also dispatches to the sort form,
-    * whose shuffle handles unbounded group cardinality — the same
-    * size-gate-with-fallback pattern as Dedup.applySpanFilter. */
+    * Trade: two cheap scans + one tiny shuffle (the histogram partial
+    * agg) instead of one scan + one full-data exchange — at 100 TB
+    * re-scanning a columnar source once more is far cheaper than
+    * exchanging it once. Radix buckets concentrate where doubles share
+    * sign+exponent (real data mostly does): a slice typically occupies
+    * tens-to-hundreds of the 2^16 possible buckets, so located buckets
+    * stay small; the degenerate all-values-equal slice lands in ONE
+    * bucket and its row_number partition degrades to the slice size
+    * (still spillable, still correct — the sort form has the same worst
+    * case in one range partition). Above `maxStatsBroadcast` histogram
+    * rows this dispatches to the sort form, whose shuffle handles
+    * unbounded cardinality — the same size-gate-with-fallback pattern
+    * as Dedup.applySpanFilter. Below `smallInputBytes`
+    * (planner-estimated, zero extra jobs) the second scan's fixed job
+    * cost stops paying and small inputs ride the sort form. */
   private[graft] def exactPercentiles(df: DataFrame, groupCol: String,
       specs: Seq[(String, Seq[(Double, String)])],
-      nBuckets: Int = 1024, maxStatsBroadcast: Long = 200000,
-      smallInputBytes: Long = 2L << 30): DataFrame = {
+      radixBits: Int = 16, maxStatsBroadcast: Long = 200000,
+      smallInputBytes: Long = 2L << 20): DataFrame = {
     if (df.queryExecution.optimizedPlan.stats.sizeInBytes < smallInputBytes)
       return exactPercentilesBySort(df, groupCol, specs)
+    selectFormPicks(df, groupCol, specs, radixBits, maxStatsBroadcast) match {
+      case None => exactPercentilesBySort(df, groupCol, specs)
+      case Some((universe, cnts, picked)) =>
+        val session = df.sparkSession
+        val pickedMap = picked.collect()
+          .map(r => (Option(r.get(0)), r.getInt(1), r.getLong(2)) -> r.getDouble(3))
+          .toMap
+        val names = specs.flatMap(_._2.map(_._2))
+        val resRows = universe.map { g =>
+          val vals = specs.zipWithIndex.flatMap { case ((_, ps), i) =>
+            ps.map { case (p, _) =>
+              cnts.get((g, i)) match {
+                case None => null // all-null slice → null like the builtin
+                case Some(cnt) =>
+                  val pos = p * (cnt - 1).toDouble
+                  val lo = math.floor(pos).toLong
+                  val hi = math.ceil(pos).toLong
+                  val vLo = pickedMap((g, i, lo))
+                  if (lo == hi) java.lang.Double.valueOf(vLo)
+                  else java.lang.Double.valueOf(
+                    vLo * (hi - pos) + pickedMap((g, i, hi)) * (pos - lo))
+              }
+            }
+          }
+          org.apache.spark.sql.Row.fromSeq(g.orNull +: vals)
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          df.schema(groupCol).copy(nullable = true) +:
+            names.map(n => org.apache.spark.sql.types.StructField(
+              n, org.apache.spark.sql.types.DoubleType, nullable = true)))
+        session.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(resRows).asJava),
+          schema)
+    }
+  }
+
+  /** The select form's two Spark-side pieces, exposed for plan pinning:
+    * runs the fused histogram job, does the driver-side locate, and
+    * returns (group universe, per-slice non-null counts, the LAZY
+    * picked-values frame — scan 2). None = the histogram outgrew
+    * `maxStatsBroadcast` (caller dispatches to the sort form). */
+  private[graft] def selectFormPicks(df: DataFrame, groupCol: String,
+      specs: Seq[(String, Seq[(Double, String)])],
+      radixBits: Int = 16, maxStatsBroadcast: Long = 200000)
+      : Option[(Seq[Option[Any]], Map[(Option[Any], Int), Long], DataFrame)] = {
     val session = df.sparkSession
-    import session.implicits._
+    graft.functions.DoubleOrderBits.register(session)
     val vals = df.select(col(groupCol) +:
       specs.zipWithIndex.map { case ((vc, _), i) => col(vc).cast("double").as(s"v$i") }: _*)
     val n = specs.size
     val stackExpr = s"stack($n, ${specs.indices.map(i => s"$i, v$i").mkString(", ")}) as (ci, v)"
-    // nulls KEPT in the long frame here (dropped before bucketing):
-    // stack emits a row per (group, ci) for every input row, so the
-    // stats aggregate sees EVERY group — including all-null ones — and
-    // the final reattachment reads the group universe from the cached
-    // stats instead of paying a fourth source scan
+    // nulls KEPT in the long frame (they bucket to null): stack emits a
+    // row per (group, ci) for every input row, so the histogram sees
+    // EVERY group — including all-null ones — and the group universe
+    // reads straight off the collected histogram
     val long = vals.select(col(groupCol), expr(stackExpr))
-    // slice envelopes: cached because four consumers derive from it
-    // (the gate count, the target arithmetic, the bucket expression,
-    // the group universe) — uncached each would re-run the scan 1
-    // aggregate. count(v) skips nulls like the builtin.
-    val stats = PipelineCaches.track(
-      long.groupBy(col(groupCol), col("ci"))
-        .agg(count(col("v")).as("cnt"), min("v").as("mn"), max("v").as("mx")))
-    if (stats.count() > maxStatsBroadcast)
-      return exactPercentilesBySort(df, groupCol, specs)
-    // (ci, p) literals → target ranks per slice; `tg` carries the ONE
-    // copy of the rank arithmetic (pos/lo/hi) and both the locator
-    // (targets) and the final interpolation derive from it, so the two
-    // can never drift apart
-    val specDf = specs.zipWithIndex
-      .flatMap { case ((_, ps), i) => ps.map { case (p, _) => (i, p) } }
-      .toDF("ci", "p")
-    val tg = stats.join(broadcast(specDf), "ci")
-      .withColumn("pos", col("p") * (col("cnt") - 1))
-      .withColumn("lo", floor(col("pos")))
-      .withColumn("hi", ceil(col("pos")))
-    val targets = tg
-      .select(col(groupCol), col("ci"),
-        explode(array(col("lo"), col("hi"))).as("rk"))
-      .distinct()
-    // scans 2 & 3 share the bucket expression (deliberately NOT cached:
-    // two source scans beat materializing the full frame)
-    val env = broadcast(stats.select(col(groupCol).as("__g"), col("ci").as("__ci"),
-      col("mn"), col("mx")))
-    val bucketed = long.filter(col("v").isNotNull)
-      .join(env, col(groupCol) <=> col("__g") && col("ci") === col("__ci"))
-      .withColumn("bkt",
-        when(col("mx") > col("mn"),
-          least(floor((col("v") - col("mn")) / (col("mx") - col("mn")) * nBuckets),
-            lit(nBuckets - 1L)))
-          .otherwise(lit(0L)))
-      .select(col(groupCol), col("ci"), col("v"), col("bkt"))
-    val hist = bucketed.groupBy(col(groupCol), col("ci"), col("bkt"))
+    val bktExpr = when(col("v").isNotNull,
+      shiftright(call_function(graft.functions.DoubleOrderBits.FnName,
+        col("v")), 64 - radixBits))
+    val cap = math.min(maxStatsBroadcast, (Int.MaxValue - 8).toLong).toInt
+    val hist = long.withColumn("bkt", bktExpr)
+      .groupBy(col(groupCol), col("ci"), col("bkt"))
       .agg(count(lit(1)).as("cb"))
-    val slice = Window.partitionBy(col(groupCol), col("ci")).orderBy(col("bkt"))
-    val cum = hist.withColumn("cum0",
-      coalesce(sum(col("cb")).over(
-        slice.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-    // locate: the unique non-empty bucket with cum0 ≤ rk < cum0 + cb
-    val loc = targets.as("t").join(cum.as("c"),
-        col(s"t.$groupCol") <=> col(s"c.$groupCol") && $"t.ci" === $"c.ci" &&
-          $"t.rk" >= $"c.cum0" && $"t.rk" < $"c.cum0" + $"c.cb")
-      .select(col(s"t.$groupCol").as("__g2"), $"t.ci".as("__c2"),
-        $"c.bkt".as("__b2"), $"t.rk".as("rk"), ($"t.rk" - $"c.cum0").as("off"))
-    val surv = bucketed.join(broadcast(loc),
+      .limit(cap + 1) // cap probe: cap+1 rows back ⇒ too big ⇒ fallback
+      .collect()
+    if (hist.length > cap) return None
+    val rows = hist.map(r => (Option(r.get(0)), r.getInt(1),
+      if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3)))
+    val universe = rows.map(_._1).distinct.toSeq
+    // per-slice sorted buckets (signed bucket order IS value order —
+    // the whole point of the order-preserving key) and non-null counts
+    val slices = rows.collect { case (g, ci, Some(b), cb) => ((g, ci), (b, cb)) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sortBy(_._1).toSeq }
+    val cnts = slices.map { case (k, bs) => k -> bs.map(_._2).sum }
+    // locate each needed rank: bucket with cum0 ≤ rk < cum0 + cb
+    def locate(k: (Option[Any], Int), rk: Long): (Long, Long) = {
+      var cum = 0L
+      for ((b, cb) <- slices(k)) {
+        if (rk < cum + cb) return (b, rk - cum)
+        cum += cb
+      }
+      throw new IllegalStateException(s"rank $rk out of range for slice $k")
+    }
+    val locRows = (for {
+      ((g, ci), cnt) <- cnts.toSeq
+      (p, _) <- specs(ci)._2
+      rk <- {
+        val pos = p * (cnt - 1).toDouble
+        Seq(math.floor(pos).toLong, math.ceil(pos).toLong).distinct
+      }
+    } yield {
+      val (b, off) = locate((g, ci), rk)
+      org.apache.spark.sql.Row.fromSeq(Seq(g.orNull, ci, b, rk, off))
+    }).distinct
+    val locSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(groupCol).copy(name = "__g2", nullable = true),
+      org.apache.spark.sql.types.StructField("__c2",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("__b2",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("rk",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("off",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val locDf = session.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(locRows).asJava), locSchema)
+    // scan 2: recompute the bucket expression (one more source scan
+    // beats materializing the full frame), keep only located buckets,
+    // pick the off-th smallest per (slice, rank). Equal-v ties across
+    // a bucket boundary are interchangeable under interpolation — the
+    // same argument the sort form makes for range-partition ties.
+    val surv = long.filter(col("v").isNotNull)
+      .withColumn("bkt", bktExpr)
+      .join(broadcast(locDf),
         col(groupCol) <=> col("__g2") && col("ci") === col("__c2") &&
           col("bkt") === col("__b2"))
       .select(col(groupCol), col("ci"), col("rk"), col("off"), col("v"))
     val inBucket = Window.partitionBy(col(groupCol), col("ci"), col("rk"))
       .orderBy(col("v"))
-    // picked is consumed twice (v_lo and v_hi reattachment) — cache and
-    // FORCE it, else both sides of the final plan race to materialize
-    // the survivor scan and the source is read twice more
-    val picked = PipelineCaches.track(surv
+    val picked = surv
       .withColumn("rn", row_number().over(inBucket).cast("long") - 1)
       .filter(col("rn") === col("off"))
-      .select(col(groupCol), col("ci"), col("rk"), col("v")))
-    picked.count()
-    // interpolate per (slice, percentile); equal-v ties across the pick
-    // are interchangeable like in the sort form
-    val vlo = picked.select(col(groupCol).as("__g3"), col("ci").as("__c3"),
-      col("rk").as("__r3"), col("v").as("v_lo"))
-    val vhi = picked.select(col(groupCol).as("__g4"), col("ci").as("__c4"),
-      col("rk").as("__r4"), col("v").as("v_hi"))
-    val interp = tg
-      .join(vlo, col(groupCol) <=> col("__g3") && col("ci") === col("__c3") &&
-        col("lo") === col("__r3"), "left")
-      .join(vhi, col(groupCol) <=> col("__g4") && col("ci") === col("__c4") &&
-        col("hi") === col("__r4"), "left")
-      .withColumn("q", when(col("lo") === col("hi"), col("v_lo"))
-        .otherwise(col("v_lo") * (col("hi") - col("pos")) +
-          col("v_hi") * (col("pos") - col("lo"))))
-    val names = specs.flatMap(_._2.map(_._2))
-    val aggsW = specs.zipWithIndex.flatMap { case ((_, ps), i) =>
-      ps.map { case (p, name) =>
-        // p compares exactly: both sides are the same literal double
-        max(when(col("ci") === i && col("p") === p, col("q"))).as(name)
-      }
-    }
-    val perGroup = interp.groupBy(col(groupCol)).agg(aggsW.head, aggsW.tail: _*)
-    // reattach groups whose every value column is entirely null: their
-    // slices have cnt=0 (no targets, no interp rows) but they DO appear
-    // in the cached stats, so the group universe is a metadata-sized
-    // distinct — no extra source scan. Null-SAFE equality keeps a null
-    // group key.
-    stats.select(col(groupCol)).distinct()
-      .join(perGroup.withColumnRenamed(groupCol, "__g"),
-        col(groupCol) <=> col("__g"), "left")
-      .select(col(groupCol) +: names.map(col): _*)
+      .select(col(groupCol), col("ci"), col("rk"), col("v"))
+    Some((universe, cnts.toMap, picked))
   }
 
   /** Exact percentiles (median + p95) per group via the size-dispatched
     * [[exactPercentiles]]: planner-estimated small inputs ride the sort
-    * form (one range exchange — cheapest at fixture scale, where its
-    * ~1.4 s is JVM floor: QuantLab decomposes it as 1.19 s exchange +
-    * 0.37 s scan), large inputs the histogram-select form (three cheap
-    * scans, metadata-sized shuffles, NO full-data exchange — the shape
-    * that survives 100 TB). Matches DuckDB's `quantile_cont` bit-for-bit
-    * in both regimes. Per-column skip-nulls semantics match the builtin.
-    * At scale prefer [[quantileApproxQ]] — sketches beat any exact form —
-    * but when exact is required, this is the shape that survives. */
+    * form (one range exchange — cheapest when the whole frame is a few
+    * MB), everything else the radix-histogram-select form (two cheap
+    * fanned-out scans, metadata-sized shuffles, NO full-data
+    * exchange — the shape that survives 100 TB). Matches DuckDB's
+    * `quantile_cont` bit-for-bit in both regimes. Per-column skip-nulls
+    * semantics match the builtin. At scale prefer [[quantileApproxQ]] —
+    * sketches beat any exact form — but when exact is required, this is
+    * the shape that survives. */
   def quantileQ(spark: SparkSession, dir: String): DataFrame =
     exactPercentiles(
       Tables.lineitem(spark, dir).select("l_returnflag", "l_quantity", "l_extendedprice"),

@@ -34,6 +34,22 @@ object QuantLab {
       Lab.noop(graft.ops.Relational.quantileQ(spark, sfDir))
       graft.ops.PipelineCaches.release(spark)
     }
+    // dispatch input as quantileQ builds it: what does the planner say?
+    println("[quantlab] dispatch sizeInBytes = " +
+      graft.sources.Tables.lineitem(spark, sfDir)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .queryExecution.optimizedPlan.stats.sizeInBytes)
+    // head-to-head: the radix-select form forced (threshold 0)
+    bench("full_by_select") {
+      Lab.noop(graft.ops.Relational.exactPercentiles(
+        graft.sources.Tables.lineitem(spark, sfDir)
+          .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
+        "l_returnflag",
+        Seq("l_quantity" -> Seq(0.5 -> "median_qty", 0.95 -> "p95_qty"),
+          "l_extendedprice" -> Seq(0.5 -> "median_price")),
+        smallInputBytes = 0L))
+      graft.ops.PipelineCaches.release(spark)
+    }
     // head-to-head: the sort fallback on the same JVM/machine state
     bench("full_by_sort") {
       Lab.noop(graft.ops.Relational.exactPercentilesBySort(

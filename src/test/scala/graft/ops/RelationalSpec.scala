@@ -246,17 +246,18 @@ class RelationalSpec extends SparkSuite {
       s"small input must ride the sort form's range exchange:\n${plan.take(600)}")
     assert(!plan.contains("Window [row_number"),
       s"no per-group row_number window over the full data:\n${plan.take(600)}")
-    // forced past the size gate → the histogram-select form: the DATA
-    // is never exchanged (no range partitioning), and every row_number
-    // window is scoped to located buckets (rk in its partition spec)
-    val sel = Relational.exactPercentiles(
-      graft.sources.Tables.lineitem(spark, sf)
-        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice")),
-      "l_returnflag",
+    // forced past the size gate → the histogram-select form: scan 2's
+    // pick frame never exchanges the DATA (no range partitioning) and
+    // every row_number window is scoped to located buckets (rk in its
+    // partition spec); the returned result is a literal |groups|-row
+    // frame (driver-interpolated — bounded by the histogram gate)
+    val specs3 =
       Seq("l_quantity" -> Seq(0.5 -> "median_qty", 0.95 -> "p95_qty"),
-        "l_extendedprice" -> Seq(0.5 -> "median_price")),
-      smallInputBytes = 0)
-    val selPlan = sel.queryExecution.executedPlan.toString
+        "l_extendedprice" -> Seq(0.5 -> "median_price"))
+    val li3 = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+    val Some((_, _, picks)) = Relational.selectFormPicks(li3, "l_returnflag", specs3)
+    val selPlan = picks.queryExecution.executedPlan.toString
     assert(!selPlan.contains("percentile"), selPlan.take(600))
     assert(!selPlan.toLowerCase.contains("rangepartitioning"),
       s"select form must not range-exchange the data:\n${selPlan.take(600)}")
@@ -264,6 +265,10 @@ class RelationalSpec extends SparkSuite {
     assert(rnLines.nonEmpty, s"expected the in-bucket row_number:\n${selPlan.take(600)}")
     rnLines.foreach(l => assert(l.contains("rk#"),
       s"row_number must be bucket-scoped (rk in partition spec): $l"))
+    val sel = Relational.exactPercentiles(li3, "l_returnflag", specs3,
+      smallInputBytes = 0)
+    assert(sel.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "select form result should be the driver-interpolated literal frame")
     // and the select form agrees with the dispatched query exactly
     val selMap = sel.collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
