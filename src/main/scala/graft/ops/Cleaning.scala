@@ -26,63 +26,88 @@ object Cleaning {
     * cleaned and reported as one row per rejection reason (+ 'keep')
     * with document and char counts.
     *
-    * Scale shape (round-9 fusion): the PER-ROW stage signals — quality
-    * keep, both duplicate-n-gram fractions, and the dup-rank norm-hash
-    * — come out of ONE pass over the corpus via [[TextOps]]' shared
-    * column expressions (qualityKeepExpr / dupGramFrac — the same
-    * primitives the standalone operators use, parity spec-pinned), so
-    * the text is scanned, trimmed, tokenized and regexed once instead
-    * of once per stage (the previous shape re-scanned the corpus per
-    * verdict frame — read amplification a 100 TB crawl pays in full).
-    * The only remaining corpus passes are the two genuine aggregates:
-    * repetition's per-(doc, token) top-token count and contamination's
-    * shingle explode (broadcast semi-join, [[Dedup.contamination]]).
-    * The dup rank stays ONE window min over the norm-hash (shuffle on
-    * the hash plus the narrow per-row verdict columns, no self-join,
-    * never the text); the per-doc joins hash-partition on doc_id and
-    * AQE coalesces the small sides; nothing here is all-pairs. */
+    * Scale shape (round-9 fusion, completed round 11): EVERY stage
+    * signal — quality keep, duplicate-n-gram fraction, top-token
+    * concentration (max equal-run of the row's sorted token array),
+    * the containment check (in-row merge-intersect against the one-row
+    * broadcast eval-shingle array), and the dup-rank norm-hash — comes
+    * out of ONE pass over the corpus via shared column expressions
+    * (parity with the standalone operators is spec-pinned), so the
+    * text is scanned, trimmed, tokenized and regexed once instead of
+    * once per stage (the previous shapes re-scanned the corpus for the
+    * top-token aggregate and contamination's shingle explode — read
+    * amplification a 100 TB crawl pays in full). The ONLY remaining
+    * corpus exchange is the dup rank's window min over the norm-hash
+    * (narrow verdict columns, no self-join, never the text) feeding
+    * the final reason aggregate; nothing here is all-pairs. */
   def corpusCleanQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val evalDocs = docs.filter(col("doc_id") < 50)
     val corpus = docs.filter(col("doc_id") >= 50)
 
+    // top-token concentration IN-ROW (round-11 fusion): the per-(doc,
+    // token) aggregate chain the standalone operator uses is the right
+    // shape when the signal is consumed alone, but inside the composed
+    // pipeline it cost two extra exchanges plus a doc-keyed join for
+    // one number per doc. A document's tokens already live in its row,
+    // so max token multiplicity = the longest equal-run of the row's
+    // SORTED token array — O(n log n) per row, zero shuffles, and the
+    // memory bound (one doc's tokens) is the same bound holding the
+    // text column itself. CleaningSpec pins parity with
+    // TextOps.repetitionScores' aggregate-computed fraction.
+    val toksNE = filter(TextOps.toks(col("text")), t => t =!= "")
+    val bestRun = aggregate(sort_array(col("__toks")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val newRun = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc("best"), newRun).as("best"))
+      },
+      acc => acc("best"))
+    // contamination IN-ROW (round-11 fusion): the standalone operator's
+    // broadcast-semi-join form re-scans and re-shingles the corpus for
+    // one boolean per doc. Here the doc's sorted distinct shingle array
+    // rides the same per-row pass and merge-intersects (native
+    // SortedLongIntersectCount, O(|doc| + |eval|) per row) against the
+    // ONE-ROW broadcast eval-shingle array. Right while the eval
+    // benchmark is bounded (the same boundedness the broadcast
+    // semi-join rests on); for an eval set big enough that per-row
+    // O(|eval|) hurts, compose Dedup.contamination's join form instead.
+    graft.functions.SortedLongIntersectCount.register(spark)
+    val evalRow = Dedup.evalShingleRow(evalDocs)
+
     // one per-row pass: every map-side signal from a single tokenize
     val perRow = Tables.fanout(corpus)
-      .select(col("doc_id"), col("lang"),
+      .crossJoin(broadcast(evalRow))
+      .select(col("doc_id"), col("lang"), col("eval_sh"),
         length(col("text")).cast("long").as("n_chars"),
         TextOps.qualityKeepExpr(col("text")).as("q_keep"),
         TextOps.dupGramFrac(TextOps.toks(col("text")), 2).as("dup_2gram_frac"),
-        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("norm_hash"))
+        md5(lower(trim(regexp_replace(col("text"), "\\s+", " ")))).as("norm_hash"),
+        toksNE.as("__toks"),
+        Dedup.shingleArrayExpr(col("text"), 8, spark).as("__sh"))
+      .withColumn("top_token_frac",
+        when(size(col("__toks")) > 0,
+          bestRun.cast("double") / size(col("__toks"))))
+      .withColumn("is_contam", size(col("__sh")) > 0 &&
+        expr("sorted_intersect_count(__sh, eval_sh)").cast("double") /
+          size(col("__sh")) >= 0.05)
+      .drop("__toks", "__sh", "eval_sh")
       .withColumn("first_id", min(col("doc_id")).over(Window.partitionBy(col("norm_hash"))))
       .withColumn("is_dup", col("doc_id") =!= col("first_id"))
-    // top-token concentration needs the per-(doc, token) aggregate —
-    // the one repetition signal that is not per-row. No row for docs
-    // with zero non-empty tokens → left join; r_keep stays null there
-    // (the old left-joined repetitionScores frame had no row either)
-    // and the verdict's coalesce defaults it to keep.
-    val topTok = Tables.fanout(corpus)
-      .select(col("doc_id"), explode(TextOps.toks(col("text"))).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_nonempty"))
-      .select(col("doc_id"),
-        (col("top_c").cast("double") / col("n_nonempty")).as("top_token_frac"))
-    val contam = Dedup.contamination(corpus, evalDocs)
-      .filter(col("contamination") >= 0.05)
-      .select(col("doc_id"), lit(true).as("is_contam"))
 
     perRow
-      .join(topTok, Seq("doc_id"), "left")
+      // docs with zero non-empty tokens keep a null r_keep (the old
+      // left-joined aggregate frame had no row either) and the
+      // verdict's coalesce defaults it to keep
       .withColumn("r_keep", when(col("top_token_frac").isNotNull,
         (col("top_token_frac") < 0.2 && col("dup_2gram_frac") < 0.2).cast("long")))
-      .join(contam, Seq("doc_id"), "left")
       .select(col("n_chars"),
         when(col("lang") =!= "en", lit("lang"))
           .when(col("q_keep") === 0L, lit("quality"))
           .when(coalesce(col("r_keep"), lit(1L)) === 0L, lit("repetition"))
           .when(col("is_dup"), lit("duplicate"))
-          .when(coalesce(col("is_contam"), lit(false)), lit("contaminated"))
+          .when(col("is_contam"), lit("contaminated"))
           .otherwise(lit("keep")).as("reason"))
       .groupBy(col("reason"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))

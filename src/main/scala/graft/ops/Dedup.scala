@@ -961,18 +961,50 @@ object Dedup {
     * the corpus never shuffles text (60-bit shingle hashes only). For
     * an eval set beyond broadcast size, drop the hint: the same plan
     * degrades to a shuffled semi-join on the shingle hash. */
+  private def shinglesOf(df: DataFrame, n: Int): DataFrame = df
+    .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
+    .filter(size(col("toks")) >= n)
+    .select(col("doc_id"),
+      explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
+        i => md5Prefix(concat_ws(" ", slice(col("toks"), i + 1, lit(n))),
+          df.sparkSession, 15)))).as("shingle"))
+
+  /** The doc-side shingle set as ONE in-row sorted array — the same
+    * hashes [[contamination]] explodes, for consumers that fold the
+    * containment check into an existing per-row pass (see
+    * [[Cleaning.corpusCleanQ]]). Docs under `n` tokens get an empty
+    * array (the explode form emits no rows for them — same verdict). */
+  private[ops] def shingleArrayExpr(text: org.apache.spark.sql.Column,
+      n: Int, spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) >= n,
+      sort_array(array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => md5Prefix(concat_ws(" ", slice(toks, i + 1, lit(n))), spark, 15)))))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+  }
+
+  /** The eval benchmark's distinct shingles collapsed to a ONE-ROW
+    * sorted array — broadcast material by declaration (the eval set is
+    * benchmark-sized; that boundedness is the same assumption the
+    * broadcast semi-join form rests on). Callers merge-intersect
+    * against it in-row via SortedLongIntersectCount. */
+  private[ops] def evalShingleRow(evalDocs: DataFrame, n: Int = 8): DataFrame =
+    shinglesOf(evalDocs.select(col("doc_id"), col("text")), n)
+      .agg(sort_array(collect_set(col("shingle"))).as("eval_sh"))
+
+  // dev-lab seams (CleanLab) for the private in-row contamination pieces
+  def shingleArrayTestSeam(text: org.apache.spark.sql.Column, n: Int,
+      spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Column =
+    shingleArrayExpr(text, n, spark)
+  def evalShingleRowTestSeam(evalDocs: DataFrame): DataFrame =
+    evalShingleRow(evalDocs)
+
   def contamination(docs: DataFrame, evalDocs: DataFrame, n: Int = 8): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    def shingles(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(sequence(lit(0), size(col("toks")) - n),
-          i => md5Prefix(concat_ws(" ", slice(col("toks"), i + 1, lit(n))),
-            df.sparkSession, 15)))).as("shingle"))
     val evalSh = evalDocs.select(col("doc_id"), col("text"))
-    val evalSet = shingles(evalSh).select("shingle").distinct()
-    val corpusSh = shingles(spread(docs))
+    val evalSet = shinglesOf(evalSh, n).select("shingle").distinct()
+    val corpusSh = shinglesOf(spread(docs), n)
     corpusSh
       .join(broadcast(evalSet.withColumn("hit", lit(1L))), Seq("shingle"), "left")
       .groupBy(col("doc_id"))
