@@ -48,6 +48,13 @@ private[ops] object BuildOnce {
   * final delete, and the rename is `require`-guarded so a failed swap
   * surfaces instead of leaving a half-state silently. */
 private[ops] object DirSwap {
+  /** TEST-ONLY failpoint (FaultInjectionSpec): when set, invoked after
+    * `write(tmp)` returns and BEFORE the live delete+rename — the crash
+    * window between a compaction's data write and its swap, which the
+    * fault-injection tests kill in to assert readers keep seeing the
+    * old generation. Production code never sets it. */
+  private[ops] var crashBeforeSwap: Option[String => Unit] = None
+
   def apply(spark: SparkSession, livePath: String)(
       write: String => Unit): Unit = {
     val live = new org.apache.hadoop.fs.Path(livePath)
@@ -58,6 +65,7 @@ private[ops] object DirSwap {
     // used `.compact_tmp`): clean up any crashed-run leftover too
     fs.delete(new org.apache.hadoop.fs.Path(livePath + ".compact_tmp"), true)
     write(tmp.toString)
+    crashBeforeSwap.foreach(f => f(livePath))
     fs.delete(live, true)
     require(fs.rename(tmp, live), s"compaction swap failed for $live")
   }

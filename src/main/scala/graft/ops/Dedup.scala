@@ -1452,6 +1452,16 @@ object Dedup {
     * append as new files in existing bkt partitions; the reader's
     * sum(c) re-aggregation merges them. Same single-writer discipline
     * as [[appendToNearDupIndex]]. */
+  /** Test seam (FaultInjectionSpec): construct the exact on-disk state a
+    * crash between [[appendToSpanIndex]]'s stale-marker write and its
+    * data append leaves behind — stale meta over unmoved data. */
+  def markSpanMetaStaleTestSeam(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val meta = readSpanMeta(spark, dir)
+    if (meta.nFrequent >= 0)
+      writeSpanMeta(spark, dir, meta.copy(nFrequent = -1L))
+  }
+
   def appendToSpanIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
     val meta = readSpanMeta(spark, dir)

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Crash-consistency fault injection for the five-index maintenance
+  * loop (round-11 hardening): kill each family's compaction in the
+  * window BETWEEN its data write and the DirSwap delete+rename (the
+  * `crashBeforeSwap` failpoint) and assert
+  *   1. readers keep seeing the OLD generation bit-for-bit,
+  *   2. a retried compaction converges (DirSwap clears the stale temp
+  *      first) and the reader output is STILL unchanged.
+  * A second injection mode kills MID-WRITE (the writer throws with a
+  * partial temp on disk) — same two laws. The append-side crash
+  * ordering (span meta marked stale BEFORE data moves) gets its own
+  * state-constructed pin. */
+class FaultInjectionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(pfx: String): String =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  private def docText(i: Long) =
+    s"seed token$i alpha beta gamma delta common tail v${i % 3}"
+  private def docsDF(ids: Seq[Long]): DataFrame =
+    ids.map(i => (i, docText(i))).toDF("doc_id", "text")
+  private def embOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("vec_id"),
+      transform(sequence(lit(0), lit(3)),
+        i => (pmod(hash(col("text"), i), lit(997)).cast("double") / 498.5 - 1.0))
+        .cast("array<float>").as("embedding"))
+  private def liOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("l_orderkey"), lit(1).as("l_linenumber"),
+      size(split(col("text"), " ")).cast("double").as("l_quantity"),
+      length(col("text")).cast("double").as("l_extendedprice"),
+      timestamp_micros(col("doc_id") * 86400000000L).as("l_shipdate"),
+      substring(col("text"), 1, 1).as("l_returnflag"),
+      lit("O").as("l_linestatus"))
+
+  private def rows(df: DataFrame): Set[Row] = {
+    val out = df.collect().toSet
+    PipelineCaches.release(spark)
+    out
+  }
+
+  private case class Killed() extends RuntimeException("injected crash")
+
+  /** The shared drill: snapshot the reader, kill a compaction before
+    * its swap, assert old generation + converging retry. */
+  private def drill(name: String, reader: () => DataFrame,
+      compact: () => Unit): Unit = {
+    val before = rows(reader())
+    DirSwap.crashBeforeSwap = Some(_ => throw Killed())
+    try {
+      intercept[Killed](compact())
+    } finally DirSwap.crashBeforeSwap = None
+    assert(rows(reader()) == before,
+      s"$name: reader must see the OLD generation after a pre-swap crash")
+    compact() // retry must clear the stale temp and converge
+    assert(rows(reader()) == before,
+      s"$name: reader output must survive the retried compaction")
+  }
+
+  test("near-dup index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_near")
+    Dedup.writeNearDupIndex(docsDF(1L to 30L), dir)
+    Dedup.appendToNearDupIndex(docsDF(31L to 40L), dir)
+    val delta = docsDF(Seq(900L)).withColumn("text", lit(docText(7L)))
+    drill("near-dup",
+      () => Dedup.nearDupsAgainstIndex(spark, delta, dir),
+      () => Dedup.compactNearDupIndex(spark, dir))
+  }
+
+  test("winnow index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_win")
+    Dedup.writeWinnowIndex(docsDF(1L to 30L), dir)
+    val delta = docsDF(Seq(900L)).withColumn("text", lit(docText(7L)))
+    drill("winnow",
+      () => Dedup.winnowAgainstIndex(spark, delta, dir),
+      () => Dedup.compactWinnowIndex(spark, dir))
+  }
+
+  test("span index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_span")
+    Dedup.writeSpanIndex(docsDF(1L to 30L), dir, w = 4)
+    Dedup.appendToSpanIndex(docsDF(31L to 40L), dir)
+    val delta = docsDF(Seq(900L)).withColumn("text", lit(docText(7L)))
+    drill("span",
+      () => Dedup.spanDedupAgainstIndex(spark, delta, dir),
+      () => Dedup.compactSpanIndex(spark, dir))
+  }
+
+  test("IVF index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_ivf")
+    SimSearch.writeIvfIndex(embOf(docsDF(1L to 30L)), dir,
+      nCells = 4, centroidFrom = 0)
+    val probes = embOf(docsDF(Seq(900L)))
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+    drill("ivf",
+      () => SimSearch.ivfTopKFromIndex(spark, dir, probes, k = 3),
+      () => SimSearch.compactIvfIndex(spark, dir))
+  }
+
+  test("profile index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_prof")
+    ProfileIndex.writeProfileSketches(liOf(docsDF(1L to 30L)), dir)
+    ProfileIndex.appendProfileSketches(liOf(docsDF(31L to 40L)), dir)
+    drill("profile",
+      () => ProfileIndex.profileFromSketches(spark, dir),
+      () => ProfileIndex.compactProfileSketches(spark, dir))
+  }
+
+  test("mid-write crash (partial temp on disk): live untouched, retry converges") {
+    val dir = tmp("fi_partial")
+    Dedup.writeNearDupIndex(docsDF(1L to 30L), dir)
+    val delta = docsDF(Seq(900L)).withColumn("text", lit(docText(7L)))
+    val before = rows(Dedup.nearDupsAgainstIndex(spark, delta, dir))
+    // the writer dies after materializing PART of the temp output —
+    // exactly what a mid-write executor loss leaves behind
+    intercept[Killed] {
+      DirSwap(spark, s"$dir/bands") { out =>
+        spark.range(3).toDF("junk").write.parquet(s"$out/partial")
+        throw Killed()
+      }
+    }
+    assert(rows(Dedup.nearDupsAgainstIndex(spark, delta, dir)) == before,
+      "live index must be untouched by a mid-write crash")
+    Dedup.compactNearDupIndex(spark, dir)
+    assert(rows(Dedup.nearDupsAgainstIndex(spark, delta, dir)) == before,
+      "retried compaction must clear the partial temp and converge")
+  }
+
+  test("span append crash ordering: stale meta marker + old data reads correctly") {
+    // appendToSpanIndex marks n_frequent stale BEFORE moving data; a
+    // crash between the two writes leaves (stale meta, old data).
+    // Construct that exact state and assert the reader's eager-count
+    // fallback returns the same verdicts as the fresh-meta index.
+    val dir = tmp("fi_stale")
+    Dedup.writeSpanIndex(docsDF(1L to 30L), dir, w = 4)
+    val delta = docsDF(Seq(900L)).withColumn("text", lit(docText(7L)))
+    val fresh = rows(Dedup.spanDedupAgainstIndex(spark, delta, dir))
+    Dedup.markSpanMetaStaleTestSeam(spark, dir)
+    assert(rows(Dedup.spanDedupAgainstIndex(spark, delta, dir)) == fresh,
+      "stale-marker state must read identically via the eager-count fallback")
+    // compaction restores the fresh marker; reader unchanged
+    Dedup.compactSpanIndex(spark, dir)
+    assert(rows(Dedup.spanDedupAgainstIndex(spark, delta, dir)) == fresh)
+  }
+}
