@@ -19,7 +19,9 @@ import graft.ops.Dedup
   * cluster by k and grow the true pair count k², measuring output
   * explosion instead of engine scaling.
   *
-  * Usage: sbt "runMain graft.ScaleSmoke [sfDir] [k1,k2,...]"
+  * Usage: sbt "runMain graft.ScaleSmoke [sfDir] [k1,k2,...] [label1,label2,...]"
+  * The optional third arg restricts the run to named pipelines (e.g.
+  * "fuzzy_smj,components" for the k=32 knee probe).
   */
 object ScaleSmoke {
   def amplify(docs: DataFrame, k: Int): DataFrame =
@@ -32,6 +34,8 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ks = args.drop(1).headOption.getOrElse("1,4,16").split(",").map(_.toInt)
+    val only: Option[Set[String]] =
+      args.drop(2).headOption.map(_.split(",").toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -43,6 +47,7 @@ object ScaleSmoke {
     for (k <- ks) {
       val docs = amplify(base, k)
       def run(label: String, df: => DataFrame): Unit = {
+        if (only.exists(!_.contains(label))) return
         val t0 = System.nanoTime()
         val n = df.count()
         val dt = (System.nanoTime() - t0) / 1e9

@@ -107,6 +107,9 @@ object SparkEntry {
     // ExactSubstr (Lee et al.) at 8-token-gram coverage granularity:
     // remove every token inside a >= 8-token run occurring twice anywhere
     "q_substring_dedup" -> ((s, d) => Dedup.substringDedup(Tables.documents(s, d))),
+    // delta excised against the persisted gram-frequency index (the
+    // sixth index): totals = index counts + the delta's own counts
+    "q_substring_dedup_incr" -> ((s, d) => Dedup.incrementalSubstringQ(s, d)),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => Dedup.fingerprints(Tables.documents(s, d))),
     "q_multimodal" -> ((s, d) => MultiModal.payloadFeatures(Tables.documents(s, d))),
@@ -257,6 +260,33 @@ object SparkEntry {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
       |FROM fc a JOIN fc b ON a.fp = b.fp AND $pairCond
       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** The exact-substring-dedup oracle, parameterized the same way as
+    * [[winnowOracleSql]] so the batch (q_substring_dedup) and
+    * incremental (q_substring_dedup_incr) gates share ONE text: L=8
+    * token-gram 60-bit hashes, coverage-based token excision over
+    * whatever corpus `src` names, final rows restricted by `where`. */
+  private def substringOracleSql(docsCte: String, src: String,
+      where: String): String =
+    s"""WITH $docsCte t AS (SELECT doc_id,
+      |list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+      |FROM $src),
+      |ge AS (SELECT doc_id, s['pos'] AS pos, s['gh'] AS gh FROM
+      |(SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6), i ->
+      |{'pos': i, 'gh': CAST(('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')),1,15)) AS BIGINT)})) AS s
+      |FROM t WHERE len(toks) >= 8) z),
+      |dup AS (SELECT gh FROM ge GROUP BY gh HAVING count(*) >= 2),
+      |cov AS (SELECT DISTINCT doc_id, q FROM
+      |(SELECT doc_id, unnest(range(pos, pos + 8)) AS q
+      |FROM ge JOIN dup USING (gh)) z),
+      |cv AS (SELECT doc_id, list(q) AS covs FROM cov GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+      |CAST(coalesce(len(cv.covs), 0) AS BIGINT) AS n_removed,
+      |coalesce(array_to_string(list_transform(
+      |list_filter(range(1, len(t.toks) + 1),
+      |i -> NOT list_contains(coalesce(cv.covs, []), i)),
+      |i -> t.toks[i]), ' '), '') AS clean_text
+      |FROM t LEFT JOIN cv USING (doc_id) $where""".stripMargin
 
   /** The dup-clustering oracle, parameterized over its document source
     * so the batch (q_dup_clusters) and incremental (q_dup_clusters_incr)
@@ -1551,26 +1581,15 @@ object SparkEntry {
     // corpus-wide occurrence >= 2 (within-doc repeats count). Same
     // 60-bit md5 gram hashes as the Spark side; coverage expanded via
     // range(pos, pos+8) over 1-based starts.
-    "q_substring_dedup" ->
-      """WITH t AS (SELECT doc_id,
-        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
-        |FROM documents),
-        |ge AS (SELECT doc_id, s['pos'] AS pos, s['gh'] AS gh FROM
-        |(SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6), i ->
-        |{'pos': i, 'gh': CAST(('0x'||substr(md5(array_to_string(toks[i:i+7], ' ')),1,15)) AS BIGINT)})) AS s
-        |FROM t WHERE len(toks) >= 8) z),
-        |dup AS (SELECT gh FROM ge GROUP BY gh HAVING count(*) >= 2),
-        |cov AS (SELECT DISTINCT doc_id, q FROM
-        |(SELECT doc_id, unnest(range(pos, pos + 8)) AS q
-        |FROM ge JOIN dup USING (gh)) z),
-        |cv AS (SELECT doc_id, list(q) AS covs FROM cov GROUP BY doc_id)
-        |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-        |CAST(coalesce(len(cv.covs), 0) AS BIGINT) AS n_removed,
-        |coalesce(array_to_string(list_transform(
-        |list_filter(range(1, len(t.toks) + 1),
-        |i -> NOT list_contains(coalesce(cv.covs, []), i)),
-        |i -> t.toks[i]), ' '), '') AS clean_text
-        |FROM t LEFT JOIN cv USING (doc_id)""".stripMargin,
+    "q_substring_dedup" -> substringOracleSql("", "documents", ""),
+    // the incremental lookup's oracle is the SAME coverage text over
+    // the re-keyed union, restricted to delta rows: duplicate totals =
+    // index counts + the delta's own counts, exactly what the pruned
+    // lookup computes
+    "q_substring_dedup_incr" -> substringOracleSql(
+      """d AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id + 200000
+        |ELSE doc_id END AS doc_id, text FROM documents), """.stripMargin,
+      "d", "WHERE t.doc_id >= 200000"),
     // Winnowing: k=4 token grams, w=5 window minima, 60-bit md5 hashes
     // (the md5-hex spelling Md5Bits is bit-identical to), df cap 50,
     // pairs sharing >= 2 fingerprints.

@@ -1623,24 +1623,36 @@ object Dedup {
     * no covered-position shuffle). Output: one row per document. */
   def substringDedup(docs: DataFrame, minLen: Int = 8): DataFrame = {
     require(minLen > 1, s"minLen must be > 1, got $minLen")
-    val spark = docs.sparkSession
-    val toks = PipelineCaches.track(spread(docs)
-      .select(col("doc_id"),
-        filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks")))
+    val toks = PipelineCaches.track(substrToksOf(docs))
+    val grams = PipelineCaches.track(substrGramsOf(toks, minLen))
+    val dupHashes = grams.groupBy(col("gh"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("gh")
+    exciseCovered(toks, grams.join(dupHashes, Seq("gh"), "left_semi"), minLen)
+  }
+
+  /** (doc_id, non-empty lowercase tokens) — the substring-dedup frames
+    * both the batch and index forms excise over. */
+  private def substrToksOf(docs: DataFrame): DataFrame =
+    spread(docs).select(col("doc_id"),
+      filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
+
+  /** (doc_id, 0-based start pos, 60-bit L-gram hash) rows. */
+  private def substrGramsOf(toks: DataFrame, minLen: Int): DataFrame = {
+    val spark = toks.sparkSession
     val gramHashes = transform(
       sequence(lit(0), size(col("toks")) - minLen),
       i => md5Prefix(concat_ws(" ", slice(col("toks"), i + 1, lit(minLen))),
         spark, 15))
-    // (doc_id, 0-based start, 60-bit gram hash) — cached: read by the
-    // occurrence aggregate and again by the semi-join probe side
-    val grams = PipelineCaches.track(
-      toks.filter(size(col("toks")) >= minLen)
-        .select(col("doc_id"), posexplode(gramHashes).as(Seq("pos", "gh"))))
-    val dupHashes = grams.groupBy(col("gh"))
-      .agg(count(lit(1)).as("occ")).filter(col("occ") >= 2).select("gh")
-    // per-doc duplicated start positions; covered 1-based positions are
-    // expanded in-row (array stays doc-local, bounded by doc length)
-    val covs = grams.join(dupHashes, Seq("gh"), "left_semi")
+    toks.filter(size(col("toks")) >= minLen)
+      .select(col("doc_id"), posexplode(gramHashes).as(Seq("pos", "gh")))
+  }
+
+  /** Shared excision tail: duplicated start positions → per-doc covered
+    * set (expanded IN-ROW — the array stays doc-local, bounded by doc
+    * length) → token-granular removal. One doc-keyed shuffle. */
+  private def exciseCovered(toks: DataFrame, dupStarts: DataFrame,
+      minLen: Int): DataFrame = {
+    val covs = dupStarts
       .groupBy(col("doc_id"))
       .agg(sort_array(array_distinct(flatten(collect_list(
         sequence(col("pos") + 1, col("pos") + minLen))))).as("covs"))
@@ -1654,5 +1666,134 @@ object Dedup {
         concat_ws(" ",
           filter(col("toks"), (t, i) => !array_contains(covered, i + 1)))
           .as("clean_text"))
+  }
+
+  /** On-disk schema of the gram-frequency index (explicit for the same
+    * empty-corpus / footer-skip reasons as [[BandsSchema]]). */
+  private val GramIndexSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "h LONG, c LONG, bkt LONG")
+
+  private case class GramMeta(minLen: Int, gramBuckets: Int)
+
+  private val gramMeta = new MetaMemo[String, GramMeta]
+
+  private def readGramMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): GramMeta =
+    gramMeta.getOrRead(spark, dir, metaStamp(spark, dir)) {
+      val r = spark.read.parquet(s"$dir/meta").first()
+      GramMeta(r.getAs[Int]("min_len"), r.getAs[Int]("gram_buckets"))
+    }
+
+  private def writeGramMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String, meta: GramMeta): Unit = {
+    spark.range(1)
+      .select(lit(meta.minLen).as("min_len"),
+        lit(meta.gramBuckets).as("gram_buckets"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    gramMeta.invalidate(spark)(_ == dir)
+  }
+
+  /** The SIXTH persisted index — gram-frequency for incremental
+    * exact-substring dedup: `<dir>/grams` = (60-bit L-gram hash h,
+    * occurrence count c) partitioned by bkt = h mod gramBuckets (one
+    * file per bucket, the same pruned-read layout every index here
+    * uses); `<dir>/meta` = (min_len, gram_buckets) so readers derive
+    * the identical gram geometry and bucket function. Counts are
+    * ADDITIVE — appends land per-batch partial counts and readers
+    * re-aggregate sum(c), exactly the span index's merge discipline. */
+  def writeSubstringIndex(docs: DataFrame, dir: String, minLen: Int = 8,
+      gramBuckets: Int = 256): Unit = {
+    require(minLen > 1 && gramBuckets > 0,
+      s"minLen must be > 1 and gramBuckets positive, got $minLen/$gramBuckets")
+    substrGramsOf(substrToksOf(docs), minLen)
+      .groupBy(col("gh").as("h")).agg(count(lit(1)).as("c"))
+      .withColumn("bkt", pmod(col("h"), lit(gramBuckets.toLong)))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/grams")
+    writeGramMeta(docs.sparkSession, dir, GramMeta(minLen, gramBuckets))
+  }
+
+  /** Fold newly ingested documents into a persisted gram index — counts
+    * append as new files in existing bkt partitions (additive; readers
+    * sum). Single-writer discipline as everywhere. */
+  def appendToSubstringIndex(newDocs: DataFrame, dir: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = readGramMeta(spark, dir)
+    substrGramsOf(substrToksOf(newDocs), meta.minLen)
+      .groupBy(col("gh").as("h")).agg(count(lit(1)).as("c"))
+      .withColumn("bkt", pmod(col("h"), lit(meta.gramBuckets.toLong)))
+      .repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/grams")
+  }
+
+  /** Compact a gram index in place: re-aggregate per-batch partial
+    * counts, one file per bucket, same DirSwap discipline (and the
+    * same FaultInjectionSpec crash drills) as every index here. */
+  def compactSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val meta = readGramMeta(spark, dir)
+    DirSwap(spark, s"$dir/grams") { out =>
+      spark.read.schema(GramIndexSchema).parquet(s"$dir/grams")
+        .groupBy(col("h"), col("bkt")).agg(sum(col("c")).as("c"))
+        .select(col("h"), col("c"), col("bkt"))
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(out)
+    }
+    gramMeta.invalidate(spark)(_ == dir)
+  }
+
+  /** Exact-substring-dedup a delta of NEW documents against a persisted
+    * gram index: a delta gram occurrence is duplicated iff its
+    * corpus-wide total — index count plus the delta's own count — is
+    * ≥ 2, which is exactly [[substringDedup]] over corpus ∪ delta
+    * restricted to the delta's rows (SubstringDedupSpec pins the law).
+    *
+    * Scale shape: the delta's gram table is delta-sized; its touched
+    * buckets (≤ distinct delta grams, metadata-sized) drive a
+    * partition-PRUNED index read (the bounded driver round-trip every
+    * pruned lookup here uses, gated on the index footprint — below
+    * `smallIndexBytes` a full read beats the extra pruning job); the
+    * pruned counts join the delta's gram hashes (AQE broadcasts the
+    * delta side), and the excision tail is the batch operator's own. */
+  def substringDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame, dir: String,
+      smallIndexBytes: Long = 64L << 20): DataFrame = {
+    val meta = readGramMeta(spark, dir)
+    val toks = PipelineCaches.track(substrToksOf(delta))
+    val grams = PipelineCaches.track(substrGramsOf(toks, meta.minLen))
+    val gramsPath = new org.apache.hadoop.fs.Path(s"$dir/grams")
+    val indexBytes = gramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(gramsPath).getLength
+    val gramsRead = spark.read.schema(GramIndexSchema).parquet(s"$dir/grams")
+    val pruned =
+      if (indexBytes < smallIndexBytes) gramsRead
+      else {
+        val touched = grams
+          .select(pmod(col("gh"), lit(meta.gramBuckets.toLong)).as("bkt"))
+          .distinct().collect().map(_.getLong(0))
+        gramsRead.filter(col("bkt").isin(touched.toSeq: _*))
+      }
+    val idxCounts = pruned.groupBy(col("h")).agg(sum(col("c")).as("idx_c"))
+    val dupGh = grams.groupBy(col("gh")).agg(count(lit(1)).as("delta_c"))
+      .join(idxCounts.select(col("h").as("gh"), col("idx_c")), Seq("gh"), "left")
+      .filter(col("delta_c") + coalesce(col("idx_c"), lit(0L)) >= 2)
+      .select("gh")
+    exciseCovered(toks, grams.join(dupGh, Seq("gh"), "left_semi"), meta.minLen)
+  }
+
+  /** Declared incremental substring-dedup workload
+    * (q_substring_dedup_incr): the same re-keyed 5% delta convention as
+    * [[incrementalSpanDedupQ]], excised against the gram index of the
+    * other 95% (BuildOnce keyed on the directory). */
+  def incrementalSubstringQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val idxDir = BuildOnce.tempDirFor("graft_gram_idx", dir)
+    BuildOnce(spark, idxDir)(writeSubstringIndex(corpus, idxDir))
+    substringDedupAgainstIndex(spark, delta, idxDir)
   }
 }

@@ -92,6 +92,16 @@ class FaultInjectionSpec extends SparkSuite {
       () => Dedup.compactSpanIndex(spark, dir))
   }
 
+  test("gram (substring) index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_gram")
+    Dedup.writeSubstringIndex(docsDF(1L to 30L), dir, minLen = 4)
+    Dedup.appendToSubstringIndex(docsDF(31L to 40L), dir)
+    val delta = docsDF(Seq(900L)).withColumn("text", lit(docText(7L)))
+    drill("gram",
+      () => Dedup.substringDedupAgainstIndex(spark, delta, dir),
+      () => Dedup.compactSubstringIndex(spark, dir))
+  }
+
   test("IVF index: compaction killed before swap -> old generation; retry converges") {
     val dir = tmp("fi_ivf")
     SimSearch.writeIvfIndex(embOf(docsDF(1L to 30L)), dir,

@@ -71,6 +71,75 @@ class SubstringDedupSpec extends SparkSuite {
     assert(out(2L)._3 == "")
   }
 
+  private def tmp(pfx: String): String =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  private def cleanMap(df: org.apache.spark.sql.DataFrame) = {
+    val out = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    PipelineCaches.release(spark)
+    out
+  }
+
+  test("index lookup == batch over corpus ∪ delta, restricted to the delta") {
+    val corpus = Seq(
+      (1L, "x1 x2 a b c d e y1 y2"),
+      (2L, "m n o p q r s t")).toDF("doc_id", "text")
+    val delta = Seq(
+      (100L, "z1 a b c d e z2"),   // shares a 5-token run with doc 1
+      (101L, "u v w aa bb cc dd"), // unique vs corpus
+      (102L, "u v w aa bb cc dd")  // duplicates 101 WITHIN the delta
+    ).toDF("doc_id", "text")
+    val dir = tmp("substr_idx")
+    Dedup.writeSubstringIndex(corpus, dir, minLen = 4)
+    val got = cleanMap(Dedup.substringDedupAgainstIndex(spark, delta, dir))
+    val want = cleanMap(
+      Dedup.substringDedup(corpus.union(delta), minLen = 4))
+      .filter(_._1 >= 100L)
+    assert(got == want)
+    // the cross-corpus run was excised, the intra-delta dup too
+    assert(got(100L)._2 == 5L)
+    assert(got(101L)._3 == "" && got(102L)._3 == "")
+  }
+
+  test("append == rebuild; compaction preserves answers and collapses files") {
+    val a = Seq((1L, "a b c d e f"), (2L, "g h i j k l")).toDF("doc_id", "text")
+    val b = Seq((3L, "a b c d e z")).toDF("doc_id", "text")
+    val delta = Seq((200L, "p a b c d e q")).toDF("doc_id", "text")
+    val incrDir = tmp("substr_incr")
+    Dedup.writeSubstringIndex(a, incrDir, minLen = 4)
+    Dedup.appendToSubstringIndex(b, incrDir)
+    val rebuiltDir = tmp("substr_rebuilt")
+    Dedup.writeSubstringIndex(a.union(b), rebuiltDir, minLen = 4)
+    val viaAppend = cleanMap(Dedup.substringDedupAgainstIndex(spark, delta, incrDir))
+    val viaRebuild = cleanMap(Dedup.substringDedupAgainstIndex(spark, delta, rebuiltDir))
+    assert(viaAppend == viaRebuild)
+    def parquetFiles(d: String) =
+      new java.io.File(s"$d/grams").listFiles((f: java.io.File) => f.isDirectory)
+        .flatMap(_.listFiles((f: java.io.File) => f.getName.endsWith(".parquet"))).length
+    val before = parquetFiles(incrDir)
+    Dedup.compactSubstringIndex(spark, incrDir)
+    assert(parquetFiles(incrDir) < before,
+      "compaction must collapse the per-batch file accumulation")
+    assert(cleanMap(Dedup.substringDedupAgainstIndex(spark, delta, incrDir)) == viaAppend)
+  }
+
+  test("pruned lookup reads only touched buckets (PartitionFilters pin)") {
+    val corpus = (1L to 40L).map(i =>
+      (i, s"tok${i}a tok${i}b tok${i}c tok${i}d tok${i}e")).toDF("doc_id", "text")
+    val dir = tmp("substr_prune")
+    Dedup.writeSubstringIndex(corpus, dir, minLen = 4)
+    val delta = Seq((500L, "tok1a tok1b tok1c tok1d tok1e")).toDF("doc_id", "text")
+    // force the prune path: gate the full-read shortcut off
+    val plan = Dedup.substringDedupAgainstIndex(spark, delta, dir,
+      smallIndexBytes = 0L).queryExecution.executedPlan.toString
+    PipelineCaches.release(spark)
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("grams")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [bkt"),
+      s"gram index scan must carry a bucket partition filter:\n$scanLine")
+  }
+
   test("plan: no cartesian product / nested-loop join anywhere") {
     val plan = Dedup.substringDedup(
       Seq((1L, "a b c d e"), (2L, "a b c d e")).toDF("doc_id", "text"))

@@ -14,8 +14,8 @@ case class IngestDoc(doc_id: Long, text: String)
 /** The production maintenance cadence the index scaladocs describe, run
   * as ONE loop instead of five isolated specs: a single MemoryStream of
   * documents drives foreachBatch; every micro-batch is appended into
-  * all five persisted indexes (near-dup bands, span frequencies, IVF
-  * cells, profile sketches, winnow fingerprints — the embedding and
+  * all six persisted indexes (near-dup bands, span frequencies, IVF
+  * cells, profile sketches, winnow fingerprints, substring gram counts — the embedding and
   * lineitem shapes derived deterministically from the same rows),
   * compaction runs on a cadence,
   * and after every batch AND after compaction a probe of each index is
@@ -63,11 +63,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
     val profDir = tmp("ingest_prof")
     val winDir = tmp("ingest_win")
 
+    val gramDir = tmp("ingest_gram")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
     Dedup.writeWinnowIndex(seed, winDir)
     Dedup.writeSpanIndex(seed, spanDir, w = 4)
+    Dedup.writeSubstringIndex(seed, gramDir, minLen = 4)
     SimSearch.writeIvfIndex(embOf(seed), ivfDir, nCells = 4, centroidFrom = 0)
     ProfileIndex.writeProfileSketches(liOf(seed), profDir)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
@@ -93,17 +95,21 @@ class IngestionMaintenanceSpec extends SparkSuite {
       // (2-window) fingerprint set, which may be a single distinct hash
       val win = Dedup.winnowAgainstIndex(spark, probes, winDir, minShared = 1)
         .collect().map(_.toString).sorted.toSeq
+      val gram = Dedup.substringDedupAgainstIndex(spark, probes, gramDir)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win)
+      Seq(near, span, ivf, prof, win, gram)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
       val all = docsDF(allIds)
       val (n2, s2, i2, p2) = (tmp("rb_near"), tmp("rb_span"), tmp("rb_ivf"), tmp("rb_prof"))
       val w2 = tmp("rb_win")
+      val g2 = tmp("rb_gram")
       Dedup.writeNearDupIndex(all, n2)
       Dedup.writeWinnowIndex(all, w2)
       Dedup.writeSpanIndex(all, s2, w = 4)
+      Dedup.writeSubstringIndex(all, g2, minLen = 4)
       SimSearch.writeIvfIndexWith(embOf(all), centroids, i2)
       ProfileIndex.writeProfileSketches(liOf(all), p2)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
@@ -117,11 +123,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val win = Dedup.winnowAgainstIndex(spark, probes, w2, minShared = 1)
         .collect().map(_.toString).sorted.toSeq
+      val gram = Dedup.substringDedupAgainstIndex(spark, probes, g2)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win)
+      Seq(near, span, ivf, prof, win, gram)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -146,6 +154,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         SimSearch.appendToIvfIndex(spark, embOf(batch), ivfDir)
         ProfileIndex.appendProfileSketches(liOf(batch), profDir)
         Dedup.appendToWinnowIndex(batch, winDir)
+        Dedup.appendToSubstringIndex(batch, gramDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -153,6 +162,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           SimSearch.compactIvfIndex(spark, ivfDir)
           ProfileIndex.compactProfileSketches(spark, profDir)
           Dedup.compactWinnowIndex(spark, winDir)
+          Dedup.compactSubstringIndex(spark, gramDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
