@@ -116,6 +116,9 @@ object SparkEntry {
     // perceptual (dHash) near-dup over payloads + re-encoded variants:
     // 60-bit gradient hash, 4x15-bit LSH bands, hamming <= 3 exact
     "q_image_dedup" -> ((s, d) => MultiModal.imageDedupQ(Tables.documents(s, d))),
+    // incoming re-encodes deduped against the persisted dHash band
+    // index (the seventh index): bucket-pruned read, inline hamming
+    "q_image_dedup_incr" -> ((s, d) => MultiModal.imageDedupIncrQ(s, d)),
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextOps.repetitionScores(Tables.documents(s, d))),
@@ -287,6 +290,30 @@ object SparkEntry {
       |i -> NOT list_contains(coalesce(cv.covs, []), i)),
       |i -> t.toks[i]), ' '), '') AS clean_text
       |FROM t LEFT JOIN cv USING (doc_id) $where""".stripMargin
+
+  /** The perceptual-dedup oracle: 60-bit dHash over the decoded (stub:
+    * code-point) sequence of each payload and its one-byte-corrupted
+    * re-encode variant (doc_id + 100000); full O(n²) pairwise scan at
+    * hamming ≤ 3 — the banded join must equal it exactly (pigeonhole).
+    * `pairCond` restricts the pair set (the incremental gate keeps only
+    * base × variant pairs, the delta-vs-index contract). */
+  private def imageOracleSql(pairCond: String): String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
+      |v AS (SELECT doc_id + 100000 AS doc_id,
+      |substr(text, 1, greatest(1, CAST(floor(length(text)/2) AS INT)) - 1) || '~' ||
+      |substr(text, greatest(1, CAST(floor(length(text)/2) AS INT)) + 1, length(text)) AS text
+      |FROM base),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM v),
+      |c AS (SELECT doc_id, list_transform(range(0, 61), i ->
+      |unicode(substr(text, CAST(floor(i*(length(text)-1)/60) AS INT) + 1, 1))) AS cs
+      |FROM u),
+      |f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+      |CASE WHEN cs[j+1] < cs[j+2] THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS fp
+      |FROM c)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+      |FROM f a JOIN f b ON a.doc_id < b.doc_id $pairCond
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
 
   /** The dup-clustering oracle, parameterized over its document source
     * so the batch (q_dup_clusters) and incremental (q_dup_clusters_incr)
@@ -818,23 +845,12 @@ object SparkEntry {
     // sequence of each payload and its one-byte-corrupted re-encode
     // variant (doc_id + 100000); full O(n^2) pairwise scan at hamming
     // <= 3 — the banded join must equal it exactly (pigeonhole).
-    "q_image_dedup" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
-        |v AS (SELECT doc_id + 100000 AS doc_id,
-        |substr(text, 1, greatest(1, CAST(floor(length(text)/2) AS INT)) - 1) || '~' ||
-        |substr(text, greatest(1, CAST(floor(length(text)/2) AS INT)) + 1, length(text)) AS text
-        |FROM base),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM v),
-        |c AS (SELECT doc_id, list_transform(range(0, 61), i ->
-        |unicode(substr(text, CAST(floor(i*(length(text)-1)/60) AS INT) + 1, 1))) AS cs
-        |FROM u),
-        |f AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
-        |CASE WHEN cs[j+1] < cs[j+2] THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS fp
-        |FROM c)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
-        |FROM f a JOIN f b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+    "q_image_dedup" -> imageOracleSql(""),
+    // the incremental lookup's oracle is the SAME pairwise text
+    // restricted to (indexed base, delta variant) pairs — exactly the
+    // delta-vs-index contract the pruned lookup computes
+    "q_image_dedup_incr" -> imageOracleSql(
+      "AND a.doc_id < 100000 AND b.doc_id >= 100000"),
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens, avg(n_chars) AS avg_chars,

@@ -1332,7 +1332,7 @@ object Dedup {
     * racing recompute is benign, last put wins). Weakly keyed so
     * stopped sessions don't pin. Same-session writers ALSO invalidate
     * explicitly, so freshness never hangs on the stamp alone. */
-  private final class MetaMemo[K, T] {
+  private[ops] final class MetaMemo[K, T] {
     private val cache = new java.util.WeakHashMap[
       org.apache.spark.sql.SparkSession,
       scala.collection.mutable.Map[K, (Long, T)]]
@@ -1362,7 +1362,7 @@ object Dedup {
     }
   }
 
-  private def metaStamp(spark: org.apache.spark.sql.SparkSession,
+  private[ops] def metaStamp(spark: org.apache.spark.sql.SparkSession,
       dir: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
     try {

@@ -141,24 +141,30 @@ object MultiModal {
     * verified inline with zero post-candidate joins (same rationale as
     * simhashPairs). Empty payloads are excluded up front (no samples to
     * hash — degenerate-payload pin in ImageDedupSpec). */
-  def imageNearDupPairs(payloads: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val bands = 4
-    require(maxHamming < bands, // pigeonhole bound for banding exactness
-      s"maxHamming must be < $bands bands, got $maxHamming")
-    val bandBits = DHashBits / bands
+  val DHashBands = 4
+
+  /** (doc_id, fp, band, bandval) LSH band rows of the payload dHash —
+    * shared by the batch pair join and the persisted image index. */
+  private def dHashBands(payloads: DataFrame): DataFrame = {
+    val bandBits = DHashBits / DHashBands
     val fp = payloads
       .filter(length(col("payload")) >= 1)
       .select(col("doc_id"),
         dHash(decode(col("payload"), "UTF-8")).as("fp"))
-    val bandArr = array((0 until bands).map { b =>
+    val bandArr = array((0 until DHashBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("bandval"))
     }: _*)
-    val bandRows = fp.select(col("doc_id"), col("fp"),
-        explode(bandArr).as("bb"))
+    fp.select(col("doc_id"), col("fp"), explode(bandArr).as("bb"))
       .select(col("doc_id"), col("fp"),
         col("bb.band").as("band"), col("bb.bandval").as("bandval"))
+  }
+
+  def imageNearDupPairs(payloads: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < DHashBands, // pigeonhole bound for banding exactness
+      s"maxHamming must be < $DHashBands bands, got $maxHamming")
+    val bandRows = dHashBands(payloads)
     val left = bandRows.select(col("band"), col("bandval"),
       col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val right = bandRows.select(col("band"), col("bandval"),
@@ -173,6 +179,124 @@ object MultiModal {
       .agg(first(col("hamming")).as("hamming"))
   }
 
+  /** On-disk schema of the image (dHash band) index — explicit for the
+    * same empty-corpus / footer-skip reasons as the other indexes. */
+  private val ImageBandsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id LONG, fp LONG, band INT, bandval LONG, bkt LONG")
+
+  private case class ImageMeta(bandBuckets: Int)
+
+  private val imageMeta = new Dedup.MetaMemo[String, ImageMeta]
+
+  private def readImageMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): ImageMeta =
+    imageMeta.getOrRead(spark, dir, Dedup.metaStamp(spark, dir)) {
+      ImageMeta(spark.read.parquet(s"$dir/meta").first()
+        .getAs[Int]("band_buckets"))
+    }
+
+  /** The SEVENTH persisted index — dHash bands for incremental
+    * perceptual image dedup: `<dir>/bands` = (doc_id, fp, band,
+    * bandval) partitioned by bkt = bandval mod bandBuckets (one file
+    * per bucket); `<dir>/meta` = the bucket count so appended rows land
+    * in the layout the pruned lookup relies on. The image-corpus
+    * sibling of [[Dedup.writeNearDupIndex]], same ingestion-loop
+    * discipline (append per micro-batch, compact on cadence, DirSwap
+    * crash drills in FaultInjectionSpec). */
+  def writeImageIndex(payloads: DataFrame, dir: String,
+      bandBuckets: Int = 256): Unit = {
+    require(bandBuckets > 0, s"bandBuckets must be positive, got $bandBuckets")
+    dHashBands(payloads)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("bkt", pmod(col("bandval"), lit(bandBuckets.toLong)))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
+    payloads.sparkSession.range(1)
+      .select(lit(bandBuckets).as("band_buckets"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    imageMeta.invalidate(payloads.sparkSession)(_ == dir)
+  }
+
+  def appendToImageIndex(payloads: DataFrame, dir: String): Unit = {
+    val bandBuckets = readImageMeta(payloads.sparkSession, dir).bandBuckets
+    dHashBands(payloads)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .withColumn("bkt", pmod(col("bandval"), lit(bandBuckets.toLong)))
+      .repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/bands")
+  }
+
+  /** Compact: collapse the per-batch file accumulation back to one file
+    * per bucket (rows are immutable — no re-aggregation needed, unlike
+    * the additive count indexes). */
+  def compactImageIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    DirSwap(spark, s"$dir/bands") { out =>
+      spark.read.schema(ImageBandsSchema).parquet(s"$dir/bands")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(out)
+    }
+
+  /** Perceptual near-dup pairs between a delta of NEW payloads and the
+    * persisted image index: (doc_a = indexed id, doc_b = new id,
+    * hamming ≤ maxHamming). Ids must be disjoint (the crawl-delta
+    * contract every index lookup here shares).
+    *
+    * Scale shape: the delta's band rows are delta-sized (broadcast by
+    * AQE); the index read is partition-PRUNED to the buckets the
+    * delta's bandvals hash into (metadata-sized driver round-trip);
+    * fingerprints ride both sides so hamming verifies inline — zero
+    * post-candidate joins, no index shuffle. */
+  def imageNearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      deltaPayloads: DataFrame, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < DHashBands,
+      s"maxHamming must be < $DHashBands bands, got $maxHamming")
+    val meta = readImageMeta(spark, dir)
+    val deltaBands = PipelineCaches.track(dHashBands(deltaPayloads))
+    val touched = deltaBands
+      .select(pmod(col("bandval"), lit(meta.bandBuckets.toLong)).as("bkt"))
+      .distinct().collect().map(_.getLong(0))
+    val idx = spark.read.schema(ImageBandsSchema).parquet(s"$dir/bands")
+      .filter(col("bkt").isin(touched.toSeq: _*))
+      .select(col("band"), col("bandval"),
+        col("doc_id").as("doc_a"), col("fp").as("fp_a"))
+    idx.join(deltaBands.select(col("band"), col("bandval"),
+        col("doc_id").as("doc_b"), col("fp").as("fp_b")),
+        Seq("band", "bandval"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(fp_a ^ fp_b)").cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("hamming")).as("hamming"))
+  }
+
+  /** Declared incremental workload (q_image_dedup_incr): the standing
+    * index holds the base corpus payloads; the delta is the re-encoded
+    * variants (the q_image_dedup fixture's doc_id + 100000 one-byte
+    * corruptions) — "dedupe incoming re-encodes against the image
+    * index". BuildOnce keys the index build on the directory. */
+  def imageDedupIncrQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = graft.sources.Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+    val idxDir = BuildOnce.tempDirFor("graft_image_idx", dir)
+    BuildOnce(spark, idxDir)(writeImageIndex(withPayload(base), idxDir))
+    imageNearDupsAgainstIndex(spark, withPayload(reencodeVariants(base)), idxDir)
+  }
+
+  /** The fixture's deterministic "re-encode": doc_id + 100000, one byte
+    * overwritten mid-payload — shared by q_image_dedup (batch union)
+    * and q_image_dedup_incr (the delta side). */
+  private def reencodeVariants(base: DataFrame): DataFrame = {
+    val mid = greatest(lit(1), floor(length(col("text")) / 2).cast("int"))
+    base.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text").substr(lit(1), mid - 1), lit("~"),
+        col("text").substr(mid + 1, length(col("text")))).as("text"))
+  }
+
   /** Declared query q_image_dedup: perceptual dedup over a corpus that
     * contains re-encoded variants — each document's payload plus a copy
     * (doc_id + 100000) with ONE byte overwritten mid-payload, the
@@ -185,11 +309,7 @@ object MultiModal {
   def imageDedupQ(docs: DataFrame): DataFrame = {
     val base = docs.filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"))
-    val mid = greatest(lit(1), floor(length(col("text")) / 2).cast("int"))
-    val variants = base.select((col("doc_id") + 100000L).as("doc_id"),
-      concat(col("text").substr(lit(1), mid - 1), lit("~"),
-        col("text").substr(mid + 1, length(col("text")))).as("text"))
-    imageNearDupPairs(withPayload(base.union(variants)))
+    imageNearDupPairs(withPayload(base.union(reencodeVariants(base))))
   }
 
   /** Output row of the decode/feature-extract stage. */

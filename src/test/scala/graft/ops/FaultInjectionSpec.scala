@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
 
-/** Crash-consistency fault injection for the five-index maintenance
+/** Crash-consistency fault injection for the seven-index maintenance
   * loop (round-11 hardening): kill each family's compaction in the
   * window BETWEEN its data write and the DirSwap delete+rename (the
   * `crashBeforeSwap` failpoint) and assert
@@ -111,6 +111,17 @@ class FaultInjectionSpec extends SparkSuite {
     drill("ivf",
       () => SimSearch.ivfTopKFromIndex(spark, dir, probes, k = 3),
       () => SimSearch.compactIvfIndex(spark, dir))
+  }
+
+  test("image (dHash band) index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_img")
+    MultiModal.writeImageIndex(MultiModal.withPayload(docsDF(1L to 30L)), dir)
+    MultiModal.appendToImageIndex(MultiModal.withPayload(docsDF(31L to 40L)), dir)
+    val delta = MultiModal.withPayload(
+      docsDF(Seq(900L)).withColumn("text", lit(docText(7L))))
+    drill("image",
+      () => MultiModal.imageNearDupsAgainstIndex(spark, delta, dir),
+      () => MultiModal.compactImageIndex(spark, dir))
   }
 
   test("profile index: compaction killed before swap -> old generation; retry converges") {

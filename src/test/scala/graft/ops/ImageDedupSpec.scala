@@ -80,6 +80,77 @@ class ImageDedupSpec extends SparkSuite {
     assert(!out.exists { case (a, b) => a < 100000L && b < 100000L })
   }
 
+  private def tmp(pfx: String): String =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  private def pairsIdx(df: org.apache.spark.sql.DataFrame) = {
+    val out = df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    PipelineCaches.release(spark)
+    out
+  }
+
+  test("index lookup == banded batch join restricted to (index, delta) pairs") {
+    val base = Seq((1L, line), (2L, line.reverse),
+      (3L, (0 until 150).map(i => ('m' + i % 13).toChar).mkString))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (101L, line.updated(40, '!')),      // near-dup of doc 1
+      (102L, "something else entirely that matches nothing at all ok"))
+      .toDF("doc_id", "text")
+    val dir = tmp("img_idx")
+    MultiModal.writeImageIndex(MultiModal.withPayload(base), dir)
+    val got = pairsIdx(
+      MultiModal.imageNearDupsAgainstIndex(spark, MultiModal.withPayload(delta), dir))
+    val batch = pairsOf(Seq((1L, line), (2L, line.reverse),
+      (3L, (0 until 150).map(i => ('m' + i % 13).toChar).mkString),
+      (101L, line.updated(40, '!')),
+      (102L, "something else entirely that matches nothing at all ok")))
+      .filter { case ((a, b), _) => a <= 3L && b >= 101L }
+    assert(got == batch)
+    assert(got.contains((1L, 101L)), "the near-dup delta payload must hit its original")
+  }
+
+  test("image index: append == rebuild; compaction preserves and collapses files") {
+    val a = Seq((1L, line), (2L, line.reverse)).toDF("doc_id", "text")
+    val b = Seq((3L, line.updated(7, '#'))).toDF("doc_id", "text")
+    val delta = Seq((200L, line.updated(100, '~'))).toDF("doc_id", "text")
+    val incrDir = tmp("img_incr")
+    MultiModal.writeImageIndex(MultiModal.withPayload(a), incrDir)
+    MultiModal.appendToImageIndex(MultiModal.withPayload(b), incrDir)
+    val rebuiltDir = tmp("img_rebuilt")
+    MultiModal.writeImageIndex(MultiModal.withPayload(a.union(b)), rebuiltDir)
+    val dp = MultiModal.withPayload(delta)
+    val viaAppend = pairsIdx(MultiModal.imageNearDupsAgainstIndex(spark, dp, incrDir))
+    assert(viaAppend ==
+      pairsIdx(MultiModal.imageNearDupsAgainstIndex(spark, dp, rebuiltDir)))
+    def parquetFiles(d: String) =
+      new java.io.File(s"$d/bands").listFiles((f: java.io.File) => f.isDirectory)
+        .flatMap(_.listFiles((f: java.io.File) => f.getName.endsWith(".parquet"))).length
+    val before = parquetFiles(incrDir)
+    MultiModal.compactImageIndex(spark, incrDir)
+    assert(parquetFiles(incrDir) < before,
+      "compaction must collapse the per-batch file accumulation")
+    assert(viaAppend ==
+      pairsIdx(MultiModal.imageNearDupsAgainstIndex(spark, dp, incrDir)))
+  }
+
+  test("index lookup reads only touched buckets (PartitionFilters pin)") {
+    val base = (1L to 20L).map(i =>
+      (i, (0 until 150).map(j => ('a' + (i + j) % 26).toChar).mkString))
+      .toDF("doc_id", "text")
+    val dir = tmp("img_prune")
+    MultiModal.writeImageIndex(MultiModal.withPayload(base), dir)
+    val delta = Seq((500L, (0 until 150).map(j => ('a' + (1 + j) % 26).toChar).mkString))
+      .toDF("doc_id", "text")
+    val plan = MultiModal.imageNearDupsAgainstIndex(spark,
+      MultiModal.withPayload(delta), dir).queryExecution.executedPlan.toString
+    PipelineCaches.release(spark)
+    val scanLine = plan.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("bands")).getOrElse("")
+    assert(scanLine.contains("PartitionFilters: [bkt"),
+      s"image index scan must carry a bucket partition filter:\n$scanLine")
+  }
+
   test("plan: banded equi-join, no cartesian product") {
     val plan = MultiModal.imageNearDupPairs(
       MultiModal.withPayload(Seq((1L, line)).toDF("doc_id", "text")))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{Dedup, PipelineCaches, ProfileIndex, SimSearch}
+import graft.ops.{Dedup, MultiModal, PipelineCaches, ProfileIndex, SimSearch}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -14,8 +14,9 @@ case class IngestDoc(doc_id: Long, text: String)
 /** The production maintenance cadence the index scaladocs describe, run
   * as ONE loop instead of five isolated specs: a single MemoryStream of
   * documents drives foreachBatch; every micro-batch is appended into
-  * all six persisted indexes (near-dup bands, span frequencies, IVF
-  * cells, profile sketches, winnow fingerprints, substring gram counts — the embedding and
+  * all seven persisted indexes (near-dup bands, span frequencies, IVF
+  * cells, profile sketches, winnow fingerprints, substring gram counts,
+  * image dHash bands — the embedding and
   * lineitem shapes derived deterministically from the same rows),
   * compaction runs on a cadence,
   * and after every batch AND after compaction a probe of each index is
@@ -64,12 +65,14 @@ class IngestionMaintenanceSpec extends SparkSuite {
     val winDir = tmp("ingest_win")
 
     val gramDir = tmp("ingest_gram")
+    val imgDir = tmp("ingest_img")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
     Dedup.writeWinnowIndex(seed, winDir)
     Dedup.writeSpanIndex(seed, spanDir, w = 4)
     Dedup.writeSubstringIndex(seed, gramDir, minLen = 4)
+    MultiModal.writeImageIndex(MultiModal.withPayload(seed), imgDir)
     SimSearch.writeIvfIndex(embOf(seed), ivfDir, nCells = 4, centroidFrom = 0)
     ProfileIndex.writeProfileSketches(liOf(seed), profDir)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
@@ -97,8 +100,11 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val gram = Dedup.substringDedupAgainstIndex(spark, probes, gramDir)
         .collect().map(_.toString).sorted.toSeq
+      val img = MultiModal.imageNearDupsAgainstIndex(spark,
+        MultiModal.withPayload(probes), imgDir)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram)
+      Seq(near, span, ivf, prof, win, gram, img)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -106,10 +112,12 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val (n2, s2, i2, p2) = (tmp("rb_near"), tmp("rb_span"), tmp("rb_ivf"), tmp("rb_prof"))
       val w2 = tmp("rb_win")
       val g2 = tmp("rb_gram")
+      val im2 = tmp("rb_img")
       Dedup.writeNearDupIndex(all, n2)
       Dedup.writeWinnowIndex(all, w2)
       Dedup.writeSpanIndex(all, s2, w = 4)
       Dedup.writeSubstringIndex(all, g2, minLen = 4)
+      MultiModal.writeImageIndex(MultiModal.withPayload(all), im2)
       SimSearch.writeIvfIndexWith(embOf(all), centroids, i2)
       ProfileIndex.writeProfileSketches(liOf(all), p2)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
@@ -125,11 +133,14 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val gram = Dedup.substringDedupAgainstIndex(spark, probes, g2)
         .collect().map(_.toString).sorted.toSeq
+      val img = MultiModal.imageNearDupsAgainstIndex(spark,
+        MultiModal.withPayload(probes), im2)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram)
+      Seq(near, span, ivf, prof, win, gram, img)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -155,6 +166,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         ProfileIndex.appendProfileSketches(liOf(batch), profDir)
         Dedup.appendToWinnowIndex(batch, winDir)
         Dedup.appendToSubstringIndex(batch, gramDir)
+        MultiModal.appendToImageIndex(MultiModal.withPayload(batch), imgDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -163,6 +175,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           ProfileIndex.compactProfileSketches(spark, profDir)
           Dedup.compactWinnowIndex(spark, winDir)
           Dedup.compactSubstringIndex(spark, gramDir)
+          MultiModal.compactImageIndex(spark, imgDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
