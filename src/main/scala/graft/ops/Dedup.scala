@@ -41,6 +41,23 @@ object Dedup {
   val VerifyBroadcast = "broadcast"
   val VerifyBucketed = "bucketed"
 
+  /** Size-dispatched verify mode (the [[nearDupPairs]] default):
+    * broadcast while the input corpus — the proxy for the per-doc
+    * hashed-set dictionary — is planner-estimated small, bucketed
+    * (sort-merge) past `VerifyAutoBytes`. The crossover is MEASURED,
+    * not theoretical: ScaleSmoke k=32 (160k docs, ~48 MB text) has the
+    * broadcast mode's GC knee already eating its lead (192.7 vs
+    * 217.6 s) while the bucketed mode's wall is near-flat per octave
+    * (k=16→32: ×1.10) — past this point broadcast only degrades. */
+  val VerifyAuto = "auto"
+  val VerifyAutoBytes: Long = 64L << 20
+
+  private def resolveVerifyMode(docs: DataFrame, mode: String): String =
+    if (mode != VerifyAuto) mode
+    else if (docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      > VerifyAutoBytes) VerifyBucketed
+    else VerifyBroadcast
+
   private def attachSet(cand: DataFrame, sets: DataFrame, side: String,
       setCol: String, outCol: String, mode: String): DataFrame = {
     val s = sets.select(col("doc_id").as(side), col(setCol).as(outCol))
@@ -227,8 +244,9 @@ object Dedup {
     * mode only; the bucketed mode's pre-verify distinct is a cost
     * decision inside the verify itself and stays. */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
-      verifyMode: String = VerifyBroadcast,
+      verifyMode: String = VerifyAuto,
       dedupPairs: Boolean = true): DataFrame = {
+    val mode = resolveVerifyMode(docs, verifyMode)
     val tok = PipelineCaches.track(tokens(spread(docs)))
     val sig = PipelineCaches.track(signatures(tok))
     val bands = bandsOf(sig)
@@ -249,7 +267,7 @@ object Dedup {
     // sorts (measured OOM at ScaleSmoke k=16), so dedup FIRST: the
     // distinct shares the shuffle budget the SMJ pays anyway.
     val (cand, dedupAfter) =
-      if (verifyMode == VerifyBucketed) (candRaw.distinct(), false)
+      if (mode == VerifyBucketed) (candRaw.distinct(), false)
       else (candRaw, dedupPairs)
 
     // Exact-Jaccard verification over per-doc HASHED token sets:
@@ -264,9 +282,10 @@ object Dedup {
     //    partition: map-side array_intersect, then the threshold filter.
     //  - Jaccard is over hashed sets in BOTH engines (oracle mirrors the
     //    hash), so a 2^-60 collision cannot cause divergence.
-    // At larger corpora where the dictionary outgrows a broadcast, pass
-    // verifyMode = VerifyBucketed for sort-merge joins on doc id.
-    jaccardVerify(cand, tokSetsOf(tok), "toks", threshold, verifyMode, dedupAfter)
+    // At larger corpora where the dictionary outgrows a broadcast the
+    // default VerifyAuto dispatches to the bucketed sort-merge mode
+    // (the measured crossover in resolveVerifyMode's scaladoc).
+    jaccardVerify(cand, tokSetsOf(tok), "toks", threshold, mode, dedupAfter)
   }
 
   /** Persist the minhash inverted file for INCREMENTAL near-dup lookup —

@@ -61,4 +61,28 @@ class DedupVerifyModeSpec extends SparkSuite {
       Dedup.nearDupPairs(docsDf, verifyMode = "banana").count()
     }
   }
+
+  test("auto mode dispatches on planner-estimated corpus size (the measured crossover)") {
+    import spark.implicits._
+    // tiny corpus -> broadcast verify: the hinted BroadcastHashJoin
+    // attaches the dictionary map-side
+    val small = Dedup.nearDupPairs(docsDf) // default VerifyAuto
+      .queryExecution.executedPlan.toString
+    assert(small.contains("BroadcastHashJoin"),
+      "small corpus must ride the broadcast verify:\n" + small.take(600))
+    PipelineCaches.release(spark)
+    // a frame whose PLANNER ESTIMATE crosses VerifyAutoBytes without
+    // materializing anything: 3M synthesized rows x ~100B estimate.
+    // Only the PLAN is inspected - the query never runs.
+    val big = spark.range(6000000).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta epsilon zeta "), col("id")).as("text"))
+    assert(big.queryExecution.optimizedPlan.stats.sizeInBytes > Dedup.VerifyAutoBytes,
+      "fixture must cross the auto threshold for this pin to mean anything")
+    val bigPlan = Dedup.nearDupPairs(big) // default VerifyAuto
+      .queryExecution.executedPlan.toString
+    assert(bigPlan.contains("SortMergeJoin"),
+      "past the threshold auto must dispatch to the bucketed verify:\n" +
+        bigPlan.take(600))
+    PipelineCaches.release(spark)
+  }
 }
