@@ -138,6 +138,9 @@ object SparkEntry {
     "q_pack" -> ((s, d) => Sampling.packQ(Tables.documents(s, d))),
     "q_dedup_fuzzy" -> ((s, d) => Dedup.fuzzyMatchQ(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => Dedup.contaminationQ(Tables.documents(s, d))),
+    // the same decontamination with a bloom prefilter on the corpus
+    // shingle stream — shares q_decontaminate's oracle (bloom invisible)
+    "q_decontaminate_bloom" -> ((s, d) => Dedup.contaminationBloomQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
     // sign-bucket blocking is DECLARED semantics (both engines compute
     // identical buckets — same construction q_embed_neardup gates), so
@@ -178,6 +181,9 @@ object SparkEntry {
     "q_hist" -> ((s, d) => Relational.histQ(Tables.events(s, d))),
     // SCD2 validity intervals: one per-key window over (ts, event_id)
     "q_scd2" -> ((s, d) => Relational.scd2Q(Tables.events(s, d))),
+    // content-hash CDC between two crawl snapshots (B synthesized
+    // deterministically from the fixture, mirrored in the oracle)
+    "q_snapshot_diff" -> ((s, d) => Relational.snapshotDiffQ(s, d)),
     // per-group z-score flags: stats aggregate + broadcast join back,
     // never a per-row window buffer
     "q_anomaly" -> ((s, d) => Relational.anomalyQ(Tables.events(s, d))),
@@ -237,6 +243,9 @@ object SparkEntry {
     "q_quality_clf" -> ((s, d) => Scoring.qualityClassifierQ(Tables.documents(s, d))),
     // temperature-flattened (alpha=0.5) source rebalancing, min-anchored
     "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d))),
+    // exact-k deterministic per-stratum sample on the bounded-buffer
+    // top-k aggregate (44-bit hash rank, engine-portable)
+    "q_sample_k" -> ((s, d) => Sampling.sampleExactKQ(Tables.documents(s, d))),
     // bounded-buffer per-group top-k aggregate (map-side partial top-k)
     "q_topk_agg" -> ((s, d) => Relational.topKAggQ(s, d))
   )
@@ -263,6 +272,27 @@ object SparkEntry {
       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
       |FROM fc a JOIN fc b ON a.fp = b.fp AND $pairCond
       |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+
+  /** The containment-decontamination ground truth — shared by
+    * q_decontaminate and q_decontaminate_bloom (the bloom is a pruning
+    * layer whose false positives the exact join removes; the result
+    * must be identical).  */
+  private val DecontaminateOracleSql: String =
+      """WITH ev AS (SELECT DISTINCT
+        |unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+        |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+8], ' ')),1,15)) AS BIGINT))) AS shingle
+        |FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |FROM documents WHERE doc_id < 50) t WHERE len(toks) >= 8),
+        |corp AS (SELECT DISTINCT doc_id,
+        |unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+        |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+8], ' ')),1,15)) AS BIGINT))) AS shingle
+        |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |FROM documents WHERE doc_id >= 50) t WHERE len(toks) >= 8)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        |CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS contamination
+        |FROM corp GROUP BY doc_id
+        |HAVING sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) > 0""".stripMargin
 
   /** The exact-substring-dedup oracle, parameterized the same way as
     * [[winnowOracleSql]] so the batch (q_substring_dedup) and
@@ -1002,22 +1032,34 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     // Containment semantics: fraction of the TRAINING doc's own distinct
     // 8-gram hashes that occur anywhere in the eval set (docs 0-49).
-    "q_decontaminate" ->
-      """WITH ev AS (SELECT DISTINCT
-        |unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
-        |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+8], ' ')),1,15)) AS BIGINT))) AS shingle
-        |FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |FROM documents WHERE doc_id < 50) t WHERE len(toks) >= 8),
-        |corp AS (SELECT DISTINCT doc_id,
-        |unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
-        |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+8], ' ')),1,15)) AS BIGINT))) AS shingle
-        |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |FROM documents WHERE doc_id >= 50) t WHERE len(toks) >= 8)
-        |SELECT doc_id, count(*) AS n_shingles,
-        |CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-        |CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS DOUBLE)/count(*) AS contamination
-        |FROM corp GROUP BY doc_id
-        |HAVING sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) > 0""".stripMargin,
+    // Content-hash CDC: snapshot B = fixture minus doc_id%17==3, with
+    // doc_id%17==5 re-crawled (' v2' suffix) and a new page per
+    // doc_id%17==7 (id + 300000, synthesized body).
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (SELECT doc_id,
+        |md5(CASE WHEN doc_id % 17 = 5 THEN text || ' v2' ELSE text END) AS h
+        |FROM documents WHERE doc_id % 17 <> 3
+        |UNION ALL SELECT doc_id + 300000,
+        |md5('new snapshot doc ' || CAST(doc_id AS VARCHAR))
+        |FROM documents WHERE doc_id % 17 = 7)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |CASE WHEN a.doc_id IS NULL THEN 'added'
+        |WHEN b.doc_id IS NULL THEN 'removed'
+        |WHEN a.h <> b.h THEN 'changed' ELSE 'unchanged' END AS status
+        |FROM a FULL JOIN b ON a.doc_id = b.doc_id""".stripMargin,
+    // Exact-k per-stratum sample: the 44-bit salted hash rank order
+    // (hash asc, doc_id asc) the bounded-buffer aggregate reproduces.
+    "q_sample_k" ->
+      """SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id FROM (
+        |SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |ORDER BY CAST(('0x'||substr(md5('sk:'||CAST(doc_id AS VARCHAR)),1,11)) AS BIGINT) ASC,
+        |doc_id ASC) AS rnk
+        |FROM documents WHERE lang IS NOT NULL) t WHERE rnk <= 50""".stripMargin,
+    "q_decontaminate" -> DecontaminateOracleSql,
+    // bloom prefilter is a pure pruning layer: SAME oracle text
+    "q_decontaminate_bloom" -> DecontaminateOracleSql,
+
     // Deterministic GPT-style packing: per-shard hash order, prefix-sum
     // token offsets, bin = floor(start / budget). Same md5 shard/order
     // spelling as q_shard.

@@ -1040,6 +1040,56 @@ object Dedup {
   def contaminationQ(docs: DataFrame): DataFrame =
     contamination(docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
 
+  /** Sketch-accelerated EXACT decontamination — [[contamination]] with a
+    * bloom prefilter on the corpus shingle stream (Spark's own
+    * BloomFilterAggregate/MightContain via [[BloomJoin.register]]):
+    * the eval-shingle bloom ships as a scalar with the scan predicate,
+    * so non-matching corpus shingles die MAP-SIDE before the exact
+    * membership join's exchange. False positives are removed by the
+    * exact join, false negatives are impossible — the result equals
+    * [[contamination]] row for row (the two declared queries share one
+    * oracle text). The trade vs the plain broadcast semi-join: at
+    * 100 TB the bloom (a few MB regardless of eval size) prunes ~all
+    * of the exploded shingle stream before any join machinery runs,
+    * where the broadcast hash join still probes a hash table per
+    * shingle instance; and the bloom path keeps working unchanged when
+    * the eval set outgrows the broadcast budget (the exchange then
+    * carries only the bloom's survivors).
+    *
+    * Per-doc totals (`n_shingles`) are computed IN-ROW from the shingle
+    * array BEFORE the prefilter — pruning must be invisible to the
+    * containment denominator. */
+  def contaminationBloom(docs: DataFrame, evalDocs: DataFrame,
+      n: Int = 8, expectedEval: Long = 100000L,
+      bloomBits: Long = 1600000L): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val spark = docs.sparkSession
+    BloomJoin.register(spark)
+    val evalSet = shinglesOf(evalDocs.select(col("doc_id"), col("text")), n)
+      .select("shingle").distinct()
+    evalSet.createOrReplaceTempView("graft_eval_shingles")
+    val withArr = spread(docs)
+      .select(col("doc_id"), shingleArrayExpr(col("text"), n, spark).as("shs"))
+      .filter(size(col("shs")) > 0)
+    withArr
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
+        explode(col("shs")).as("shingle"))
+      .filter(expr(s"${BloomJoin.ContainsFn}((SELECT ${BloomJoin.AggFn}(" +
+        s"shingle, ${expectedEval}L, ${bloomBits}L) FROM graft_eval_shingles), shingle)"))
+      .join(broadcast(evalSet), Seq("shingle"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
+  /** Declared query q_decontaminate_bloom: the same fixture and the
+    * same oracle as q_decontaminate — the bloom must be invisible. */
+  def contaminationBloomQ(docs: DataFrame): DataFrame =
+    contaminationBloom(docs.filter(col("doc_id") >= 50),
+      docs.filter(col("doc_id") < 50))
+
   val SimhashBits = 32
   val SimhashBands = 4 // 4 bands × 8 bits: pigeonhole-catches every hamming ≤ 3 pair
 

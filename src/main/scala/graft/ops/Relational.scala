@@ -1257,6 +1257,39 @@ object Relational {
       lead(col("ts"), 1).over(w).isNull.cast("long").as("is_current"))
   }
 
+  /** Content-hash snapshot diff (CDC between two crawl generations) —
+    * the change-data-capture sibling of [[upsertQ]]/[[scd2Q]] at
+    * corpus granularity: full-outer join two snapshots on doc_id,
+    * compare md5 content hashes, classify every id as
+    * added/removed/changed/unchanged. The join carries 32-char hashes,
+    * never text; at deployment both snapshots are written bucketed by
+    * doc_id (see Bucketing) and the full-outer SMJ is exchange-free.
+    *
+    * Declared query q_snapshot_diff synthesizes snapshot B from the
+    * fixture deterministically (mirrored in the oracle): doc_id%17==3
+    * deleted, doc_id%17==5 re-crawled with changed content, and a new
+    * page (doc_id+300000) per doc_id%17==7. */
+  def snapshotDiffQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val snapA = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val kept = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 17 === 5, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h"))
+    val added = docs.filter(col("doc_id") % 17 === 7)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        md5(concat(lit("new snapshot doc "), col("doc_id").cast("string"))).as("h"))
+    val snapB = kept.union(added)
+    snapA.select(col("doc_id"), col("h").as("h_a"))
+      .join(snapB.select(col("doc_id"), col("h").as("h_b")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_a").isNull, lit("added"))
+          .when(col("h_b").isNull, lit("removed"))
+          .when(col("h_a") =!= col("h_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Per-group z-score anomaly flags — the data-quality screen that
     * applies [[statsAggQ]]'s moments back to the rows. Two passes: one
     * partial+final hash aggregate for (mean, stddev) per group — the

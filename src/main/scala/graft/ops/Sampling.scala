@@ -321,4 +321,35 @@ object Sampling {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).cast("long").as("total_chars"))
+
+  /** Declared query q_sample_k: EXACT-k deterministic sample per
+    * stratum — "give me exactly 50 documents per language, the same 50
+    * on any engine, any day". Rate-based draws ([[stratifiedSampleByHash]])
+    * hit a target in expectation only; exact quotas need the k
+    * smallest-hash rows per stratum, which is per-group top-k — ridden
+    * here on the BOUNDED-BUFFER [[graft.functions.Aggregators.TopKAgg]]
+    * (map-side partial top-k: the shuffle carries ≤ k·|strata| rows no
+    * matter the corpus size, vs a rank-filter window sorting every
+    * stratum's full row set through one exchange).
+    *
+    * The rank hash is 44 bits (11 md5 nibbles), exactly representable
+    * in the aggregate's double score, so `-hash` as score + tag-asc
+    * tie-break reproduces "order by hash asc, doc_id asc" bit-for-bit
+    * in any engine — the portability invariant all sampling here
+    * keeps. */
+  def sampleExactKQ(docs: DataFrame, k: Int = 50): DataFrame = {
+    val rank = conv(substring(md5(concat(lit("sk:"),
+        col("doc_id").cast("string"))), 1, 11), 16, 10).cast("long")
+    val fn = udaf(new graft.functions.Aggregators.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Aggregators.Scored]())
+    graft.sources.Tables.fanout(docs)
+      .filter(col("lang").isNotNull)
+      .select(col("lang"), col("doc_id"), (-rank.cast("double")).as("score"))
+      .groupBy(col("lang"))
+      .agg(fn(col("score"), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.tag").as("doc_id"))
+  }
 }

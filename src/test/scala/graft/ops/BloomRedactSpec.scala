@@ -25,6 +25,68 @@ class BloomRedactSpec extends SparkSuite {
       "bloom predicate missing from plan:\n" + plan.take(800))
   }
 
+  test("bloom decontamination == plain contamination; bloom predicate precedes the exact join") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    def toSet(df: org.apache.spark.sql.DataFrame) = {
+      val out = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e12))).toSet
+      PipelineCaches.release(spark)
+      out
+    }
+    val plain = toSet(Dedup.contaminationQ(docs))
+    val bloom = Dedup.contaminationBloomQ(docs)
+    assert(toSet(bloom) == plain, "the bloom must be invisible in the result")
+    assert(plain.nonEmpty, "spec needs a non-trivial contamination set")
+    val plan = bloom.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("might_contain") || plan.contains("bloomfilter"),
+      "bloom predicate missing from plan:\n" + plan.take(800))
+  }
+
+  test("exact-k sample: exactly k per stratum, deterministic, stable under repartition") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val k = 7
+    val got = Sampling.sampleExactKQ(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val perLang = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val counts = docs.filter(col("lang").isNotNull)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0) == math.min(k, n).toInt,
+        s"stratum $lang must yield exactly min(k, |stratum|)")
+    }
+    // determinism under a different physical layout: same sample
+    val re = Sampling.sampleExactKQ(
+      docs.repartition(7, col("doc_id")), k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(re == got, "the sample is a property of the data, not the run")
+    // scale shape: bounded-buffer aggregate, not a rank-filter window
+    val plan = Sampling.sampleExactKQ(docs, k)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"),
+      "exact-k must ride the bounded-buffer aggregate, not a window")
+    assert(plan.contains("ObjectHashAggregate"), plan.take(600))
+  }
+
+  test("snapshot diff classifies every id, and statuses follow the fixture arithmetic") {
+    val out = Relational.snapshotDiffQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      val want =
+        if (id % 17 == 3) "removed"
+        else if (id % 17 == 5) "changed"
+        else "unchanged"
+      assert(out(id) == want, s"doc $id")
+      if (id % 17 == 7)
+        assert(out(id + 300000L) == "added", s"new page for $id")
+    }
+    assert(out.size == ids.length + ids.count(_ % 17 == 7),
+      "every snapshot id classified exactly once")
+  }
+
   test("redaction: each pattern fires, counts match, and redaction is idempotent") {
     import spark.implicits._
     val docs = Seq(
