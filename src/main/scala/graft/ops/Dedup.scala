@@ -1068,18 +1068,30 @@ object Dedup {
     val evalSet = shinglesOf(evalDocs.select(col("doc_id"), col("text")), n)
       .select("shingle").distinct()
     evalSet.createOrReplaceTempView("graft_eval_shingles")
-    val withArr = spread(docs)
-      .select(col("doc_id"), shingleArrayExpr(col("text"), n, spark).as("shs"))
-      .filter(size(col("shs")) > 0)
-    withArr
-      .select(col("doc_id"), size(col("shs")).cast("long").as("n_shingles"),
-        explode(col("shs")).as("shingle"))
+    // DIRECT-generator spelling both passes (explode of the array
+    // EXPRESSION): staging the array through a named column and
+    // exploding the column re-evaluates the ~300-hash array per
+    // EXPLODED row once anything downstream references it — measured
+    // 12× the whole query (BloomLab: 6.1 s vs 0.49 s for the identical
+    // explode+count).
+    // Two passes because the containment DENOMINATOR counts a doc's
+    // shingles BEFORE any pruning: pass 1 is the count-only aggregate
+    // (never touches join machinery); pass 2 sends only the bloom's
+    // survivors through the exact membership join — the stream the
+    // bloom exists to shrink. One extra tokenize+hash scan, the same
+    // re-scan-over-exchange trade every two-scan shape here makes.
+    def corpusSh = shinglesOf(spread(docs), n)
+    val totals = corpusSh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val shared = corpusSh
       .filter(expr(s"${BloomJoin.ContainsFn}((SELECT ${BloomJoin.AggFn}(" +
         s"shingle, ${expectedEval}L, ${bloomBits}L) FROM graft_eval_shingles), shingle)"))
       .join(broadcast(evalSet), Seq("shingle"), "left_semi")
-      .groupBy(col("doc_id"))
-      .agg(first(col("n_shingles")).as("n_shingles"),
-        count(lit(1)).as("n_shared"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    // inner join keeps exactly the >=1-shared docs (contamination's
+    // output contract); both sides are per-doc aggregates, AQE
+    // broadcasts the (tiny) shared side
+    shared.join(totals, Seq("doc_id"))
       .select(col("doc_id"), col("n_shingles"), col("n_shared"),
         (col("n_shared").cast("double") / col("n_shingles")).as("contamination"))
   }

@@ -116,17 +116,30 @@ object MultiModal {
     * evenly into the 4×15-bit LSH bands below. */
   val DHashBits = 60
 
-  def dHash(decoded: Column): Column = {
+  /** The 61 evenly-spaced sample code points (exact in double
+    * arithmetic: i·(n−1) ≪ 2^53). */
+  private def dHashCodes(decoded: Column): Column = {
     val n = length(decoded)
-    // 61 samples; exact in double arithmetic (i·(n−1) ≪ 2^53)
-    val codes = transform(sequence(lit(0), lit(DHashBits)),
+    transform(sequence(lit(0), lit(DHashBits)),
       i => ascii(decoded.substr(
         floor(i * (n - 1) / lit(DHashBits)).cast("int") + 1, lit(1))))
+  }
+
+  /** Fingerprint bits from a MATERIALIZED codes column. Callers must
+    * stage the codes array into its own projection first: this
+    * expression references it 2·60 times via element_at, and Catalyst
+    * would otherwise inline the 61-substring sampling at every
+    * reference (the simhash materialize-once lesson — measured ~4× on
+    * the sf0.1 fixture). */
+  private def dHashFromCodes(codes: Column): Column =
     (0 until DHashBits).map(j =>
       when(element_at(codes, j + 1) < element_at(codes, j + 2),
         lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _) // disjoint bits: sum == bitwise-or, no carries
-  }
+
+  /** One-column spelling for specs/ad-hoc use; the operators below go
+    * through the staged two-projection form instead. */
+  def dHash(decoded: Column): Column = dHashFromCodes(dHashCodes(decoded))
 
   /** Perceptual near-duplicate pairs over the payload column — the
     * image-corpus sibling of [[Dedup.simhashPairs]]: dHash fingerprints
@@ -147,10 +160,14 @@ object MultiModal {
     * shared by the batch pair join and the persisted image index. */
   private def dHashBands(payloads: DataFrame): DataFrame = {
     val bandBits = DHashBits / DHashBands
+    // STAGED: codes materialize in their own projection so the 120
+    // element_at references in the bit builder read one array instead
+    // of re-sampling the payload (see dHashFromCodes)
     val fp = payloads
       .filter(length(col("payload")) >= 1)
       .select(col("doc_id"),
-        dHash(decode(col("payload"), "UTF-8")).as("fp"))
+        dHashCodes(decode(col("payload"), "UTF-8")).as("__codes"))
+      .select(col("doc_id"), dHashFromCodes(col("__codes")).as("fp"))
     val bandArr = array((0 until DHashBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * bandBits)
@@ -164,7 +181,9 @@ object MultiModal {
   def imageNearDupPairs(payloads: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < DHashBands, // pigeonhole bound for banding exactness
       s"maxHamming must be < $DHashBands bands, got $maxHamming")
-    val bandRows = dHashBands(payloads)
+    // tracked: BOTH sides of the band self-join read this frame —
+    // uncached, each side re-decodes and re-hashes every payload
+    val bandRows = PipelineCaches.track(dHashBands(payloads))
     val left = bandRows.select(col("band"), col("bandval"),
       col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     val right = bandRows.select(col("band"), col("bandval"),
