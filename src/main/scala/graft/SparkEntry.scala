@@ -67,6 +67,12 @@ object SparkEntry {
     "q_subquery" -> ((s, d) => Relational.subqueryQ(s, d)),
     "q_window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "q_window_analytic" -> ((s, d) => Relational.windowAnalytic(s, d)),
+    // value-RANGE frame (rolling 30-day spend) — peer-inclusive, so
+    // deterministic under same-day order ties where ROWS would not be
+    "q_window_range" -> ((s, d) => Relational.windowRange(s, d)),
+    // ORC round-trip: lineitem converted once, read back through the ORC
+    // scanner with pushdown + pruning (FormatsSpec pins the plan facts)
+    "q_source_orc" -> ((s, d) => graft.sources.Formats.orcScanAggQ(s, d)),
     "q_profile" -> ((s, d) => Relational.profileQ(s, d)),
     // the sketch form a 100 TB corpus profiles with FIRST, under the
     // hash gate: exact lanes + the HLL ±3·rsd law emitted as data
@@ -103,6 +109,9 @@ object SparkEntry {
     // pairs folded in via mergeClusters, hash-gated against batch
     // re-clustering of the union (LSH pairs decompose exactly by side)
     "q_dup_clusters_incr" -> ((s, d) => Components.dupClustersIncrQ(s, d)),
+    // quality-aware canonical selection: keep the longest member of each
+    // near-dup cluster (C4/RefinedWeb keep-rule), rank window per cluster
+    "q_dedup_best" -> ((s, d) => Components.dedupBestQ(s, d)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashPairs(Tables.documents(s, d))),
     // ExactSubstr (Lee et al.) at 8-token-gram coverage granularity:
     // remove every token inside a >= 8-token run occurring twice anywhere
@@ -146,6 +155,9 @@ object SparkEntry {
     // identical buckets — same construction q_embed_neardup gates), so
     // the LSH top-k is deterministic and fully hash-checked
     "q_sim_topk_lsh" -> ((s, d) => SimSearch.signBucketTopK(Tables.embeddings(s, d))),
+    // kNN majority-vote label propagation: probe batch broadcast, top-k
+    // on the bounded-buffer aggregate (k rows/probe/map-task shuffle)
+    "q_knn_clf" -> ((s, d) => SimSearch.knnClassifyQ(s, d)),
     // IVF with deterministic sampled centroids: assignment (gated alone
     // by q_cluster), probe-cell ranking, and cell-pruned top-k are all
     // pure functions of the data → fully hash-checked oracle
@@ -593,6 +605,22 @@ object SparkEntry {
         |first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
         |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order
         |FROM orders""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) OVER w AS DOUBLE) AS sum_30d,
+        |CAST(count(*) OVER w AS BIGINT) AS n_30d
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+        |date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day
+        |FROM orders) o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+        |RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)""".stripMargin,
+    // q_source_orc's oracle reads the PARQUET lineitem — the round-trip
+    // through ORC must be value-exact, which is exactly the gate
+    "q_source_orc" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
     "q_profile" -> ProfileOracleSql,
     // sketch-profile gates: the exact profile text plus the HLL law
     // boolean (both gated forms emit exact lanes + nd_ok)
@@ -743,6 +771,17 @@ object SparkEntry {
     // MATERIALIZED once the top-level WITH is RECURSIVE — inlining it
     // re-evaluates the md5 pair pipeline per reference (measured 3×).
     "q_dup_clusters" -> dupClusterOracleSql(docsCte = "", src = "documents"),
+    // the cluster oracle nested as a CTE, then the keep-longest rank —
+    // quality-aware canonical selection shares the clustering ground truth
+    "q_dedup_best" ->
+      s"""WITH clusters AS (
+        |${dupClusterOracleSql(docsCte = "", src = "documents")}
+        |)
+        |SELECT cluster, doc_id, n_chars, (rn = 1) AS keep FROM (
+        |SELECT c.cluster, c.doc_id, d.n_chars,
+        |row_number() OVER (PARTITION BY c.cluster
+        |ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+        |FROM clusters c JOIN documents d ON d.doc_id = c.doc_id) t""".stripMargin,
     // batch re-clustering of the re-keyed corpus ∪ delta union — the
     // ground truth the INCREMENTAL label maintenance must reproduce
     "q_dup_clusters_incr" -> dupClusterOracleSql(
@@ -1112,6 +1151,25 @@ object SparkEntry {
         |FROM v
         |WHERE CASE WHEN max_len = 0 THEN 1.0 ELSE 1.0 - CAST(edit_dist AS DOUBLE)/max_len END >= 0.8""".stripMargin,
     "q_sim_topk" -> SimTopKOracleSql,
+    // kNN label propagation: brute-force top-5 by cosine among the
+    // labeled side (vec_id % 10 <> 0), majority vote, ties to the
+    // smaller label — same sim/id tie discipline as q_sim_topk
+    "q_knn_clf" ->
+      """WITH n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |FROM (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings) e WHERE list_dot_product(v, v) > 0),
+        |sims AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+        |list_dot_product(c.v, p.v)/(c.nrm*p.nrm) AS cos_sim
+        |FROM n c JOIN n p ON p.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+        |topk AS (SELECT * FROM (SELECT probe_id, label,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        |FROM sims) t WHERE rnk <= 5),
+        |votes AS (SELECT probe_id, label, count(*) AS n_votes
+        |FROM topk GROUP BY probe_id, label)
+        |SELECT probe_id AS vec_id, CAST(label AS BIGINT) AS pred_label, n_votes
+        |FROM (SELECT probe_id, label, n_votes,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, label ASC) AS vr
+        |FROM votes) v WHERE vr = 1""".stripMargin,
     // the LSH/IVF variants' blocking is declared semantics, recomputed
     // identically here: sign buckets (as q_embed_neardup), sampled
     // centroids + argmax assignment (as q_cluster), cell-pruned rank

@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * unset so a retry rebuilds), the whole check+build runs under one
   * lock, and the map is weakly keyed so stopped sessions don't pin.
   */
-private[ops] object BuildOnce {
+private[graft] object BuildOnce {
   private val done =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]
 

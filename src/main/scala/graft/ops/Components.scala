@@ -359,4 +359,41 @@ object Components {
     connectedComponents(
       Dedup.nearDupPairs(graft.sources.Tables.documents(spark, dir),
         dedupPairs = false))
+
+  /** Quality-aware canonical selection — "keep the BEST document per
+    * duplicate cluster", the keep/drop decision that actually ships in a
+    * dedup pipeline (min-doc-id representatives, the
+    * [[keepClusterRepresentatives]] default, keep an arbitrary member;
+    * production corpora keep the longest / highest-quality one — C4 and
+    * RefinedWeb both rank by length). Ranks every clustered document by
+    * `qualityCol` DESC then doc_id ASC inside its cluster and flags rank
+    * 1 as kept.
+    *
+    * Scale shape: `clusters` is (doc_id, cluster) — already corpus-
+    * reduced to the clustered subset; the quality join shuffles on
+    * doc_id and the rank window on cluster. Dup clusters are small by
+    * construction (a cluster IS a near-dup group), so the per-cluster
+    * sort is bounded; a degenerate giant cluster (boilerplate corpus)
+    * concentrates in one partition the same way it does in the star
+    * loop — AQE skew-split applies, and the row volume is |clustered
+    * docs|, not pairs. */
+  def keepBestPerCluster(clusters: DataFrame, quality: DataFrame,
+      qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col(qualityCol).desc, col("doc_id").asc)
+    clusters.join(quality, "doc_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("cluster"), col("doc_id"), col(qualityCol), col("keep"))
+  }
+
+  /** Declared query q_dedup_best: near-dup clusters over the documents
+    * table, keep the longest member (n_chars DESC, doc_id ASC) of each. */
+  def dedupBestQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    keepBestPerCluster(
+      dupClustersQ(spark, dir),
+      graft.sources.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars")),
+      "n_chars")
 }

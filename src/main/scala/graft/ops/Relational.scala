@@ -317,6 +317,31 @@ object Relational {
       first(col("o_orderkey")).over(run).as("first_order"))
   }
 
+  /** Time-RANGE window frames — the third leg of the window surface:
+    * q_window_rank covers ranking/running sums, q_window_analytic
+    * offset/ROWS frames, this one VALUE-range frames ("spend in the 30
+    * days up to and including this order", the rolling-feature shape of
+    * a feature-engineering pass). RANGE frames are peer-inclusive: every
+    * row whose order key falls in [cur−29, cur] days joins the frame
+    * regardless of physical row order, so the result is deterministic
+    * even when a customer places several orders the same day — ROWS
+    * frames would be tie-order-dependent there. The order key is epoch
+    * days (an explicit integer both engines derive identically from the
+    * date); the money sum rides the exact DECIMAL(20,6) intermediate
+    * like every other money aggregate here. One Exchange on o_custkey
+    * serves both frame aggregates. */
+  def windowRange(spark: SparkSession, dir: String, days: Int = 30): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("epoch_day"),
+      col("o_totalprice"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("epoch_day"))
+      .rangeBetween(-(days - 1), Window.currentRow)
+    o.select(col("o_orderkey"), col("o_custkey"),
+      sum(col("o_totalprice").cast("decimal(20,6)")).over(w)
+        .cast("double").as("sum_30d"),
+      count(lit(1)).over(w).cast("long").as("n_30d"))
+  }
+
   /** Column profiling — the data-quality summary a pipeline computes
     * before training: per column, row/null/distinct counts and
     * type-appropriate min/max, as one row per column. Shape (round-9,

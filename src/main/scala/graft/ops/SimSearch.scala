@@ -554,4 +554,69 @@ object SimSearch {
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
+
+  /** kNN label propagation — majority-vote classification over the
+    * embedding corpus, the label-spreading step of a training-data
+    * pipeline (hand-label / teacher-score a seed set, propagate to the
+    * rest by nearest neighbors; the kNN sibling of the linear
+    * [[graft.ops.Scoring]] classifier).
+    *
+    * Probes (the unlabeled batch) are rows with vec_id ≡ 0 (mod
+    * `probeMod`); the labeled side is everything else. Each probe takes
+    * the majority label of its `k` nearest labeled vectors by cosine;
+    * ties break to the smaller label, and the top-k cut itself breaks
+    * sim ties by neighbor id — the same discipline as [[cosineTopK]],
+    * so the vote counts are integers and the output replays exactly.
+    *
+    * Scale shape: the probe batch broadcasts (a labeling batch is
+    * metadata-sized next to the corpus); the corpus side is one map-only
+    * scan, and the per-probe top-k rides the BOUNDED-BUFFER
+    * [[graft.functions.Aggregators.TopKAgg]] — partial aggregation ships
+    * at most k rows per probe out of each map task, so the one shuffle
+    * carries k·|probes| rows no matter how large the corpus (the
+    * rank-filter spelling would exchange the full |corpus|·|probes| sim
+    * matrix). The (neighbor, label) pair rides the aggregate's tag as
+    * tag = neighbor_id·16 + label (labels 0–15 by contract, guarded) —
+    * monotone in neighbor_id, so the aggregate's score-then-tag tie
+    * order IS the declared sim-then-id order. A 100 TB full-corpus
+    * relabel swaps candidate generation to the IVF index ([[ivfTopKFromIndex]])
+    * with the same vote semantics downstream. */
+  def knnClassify(embeddings: DataFrame, k: Int = 5, probeMod: Int = 10): DataFrame = {
+    graft.functions.DotProductDouble.register(embeddings.sparkSession)
+    val emb = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val probes = emb.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val labeled = emb.filter(pmod(col("vec_id"), lit(probeMod)) =!= 0)
+      // tag packing needs label ∈ [0, 16) — fail loudly, not corrupt votes
+      .withColumn("label", when(col("label").between(0, 15), col("label"))
+        .otherwise(raise_error(concat(lit("knnClassify: label out of [0,16): "),
+          col("label").cast("string")))))
+    val topkFn = org.apache.spark.sql.functions.udaf(
+      new graft.functions.Aggregators.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Aggregators.Scored]())
+    val votes = labeled.crossJoin(broadcast(probes))
+      .select(col("probe_id"),
+        (ndot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"),
+        (col("vec_id") * 16 + col("label")).as("tag"))
+      .groupBy(col("probe_id"))
+      .agg(topkFn(col("cos_sim"), col("tag")).as("top"))
+      .select(col("probe_id"), explode(col("top")).as("nb"))
+      .select(col("probe_id"), pmod(col("nb.tag"), lit(16)).as("label"))
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_votes").desc, col("label").asc)
+    votes.withColumn("vr", row_number().over(vw)).filter(col("vr") === 1)
+      .select(col("probe_id").as("vec_id"), col("label").as("pred_label"),
+        col("n_votes"))
+  }
+
+  /** Declared query q_knn_clf over the embeddings table. */
+  def knnClassifyQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    knnClassify(graft.sources.Tables.embeddings(spark, dir))
 }

@@ -139,6 +139,36 @@ class ComponentsSpec extends SparkSuite {
     PipelineCaches.release(spark)
   }
 
+  test("keepBestPerCluster: one keeper per cluster, keeper is longest then smallest id") {
+    import spark.implicits._
+    val clusters = Seq(
+      (10L, 1L), (11L, 1L), (12L, 1L),   // cluster 1: lengths 5, 9, 9
+      (20L, 2L), (21L, 2L)               // cluster 2: tie on length
+    ).toDF("doc_id", "cluster")
+    val quality = Seq(
+      (10L, 5L), (11L, 9L), (12L, 9L), (20L, 4L), (21L, 4L)
+    ).toDF("doc_id", "n_chars")
+    val out = Components.keepBestPerCluster(clusters, quality, "n_chars")
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getBoolean(3)))
+    assert(out.length == 5, "every clustered doc stays, flagged not dropped")
+    val kept = out.filter(_._3).map(t => t._2 -> t._1).toMap
+    // cluster 1: 11 and 12 tie at 9 chars -> smaller doc_id 11 wins
+    assert(kept == Map(1L -> 11L, 2L -> 20L))
+  }
+
+  test("dedupBestQ: keepers are exactly one per cluster over the fixture") {
+    val out = Components.dedupBestQ(spark, sf).cache()
+    try {
+      val perCluster = out.groupBy("cluster")
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.col("keep"), 1L).otherwise(0L))
+          .as("n_keep"))
+        .collect().map(_.getLong(1))
+      assert(perCluster.nonEmpty && perCluster.forall(_ == 1L))
+    } finally { out.unpersist(); PipelineCaches.release(spark) }
+  }
+
   test("self-loops and duplicate edges are ignored; empty input is empty") {
     import spark.implicits._
     val got = labelsOf(Seq((1L, 2L), (2L, 1L), (3L, 3L), (1L, 2L)))

@@ -39,11 +39,14 @@ class PlanGuardSpec extends SparkSuite {
     // scored bigram stream (Scoring.ngramLmQ)
     // q_corpus_clean broadcasts the ONE-row eval-shingle array for the
     // in-row containment merge-intersect (Cleaning.corpusCleanQ)
+    // q_knn_clf broadcasts the metadata-sized probe batch against one
+    // labeled-corpus scan (SimSearch.knnClassify — same shape as
+    // q_sim_topk's probe broadcast)
     Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
       "q_dedup_ngram", "q_tfidf", "q_cluster", "q_profile_approx",
       "q_profile", "q_profile_incr",
       "q_line_dedup", "q_line_dedup_incr", "q_vocab", "q_bm25", "q_dsir",
-      "q_pmi", "q_ngram_lm", "q_corpus_clean")
+      "q_pmi", "q_ngram_lm", "q_corpus_clean", "q_knn_clf")
 
   test("skew split join: hot path broadcasts by construction, cold path shuffles") {
     // isolated session (suites may run in parallel; see DedupVerifyModeSpec)

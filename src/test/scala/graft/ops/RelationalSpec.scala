@@ -480,6 +480,37 @@ class RelationalSpec extends SparkSuite {
     an.unpersist()
   }
 
+  test("windowRange: frame equals driver-replayed 30-day value range; peers share results; one exchange") {
+    val q = Relational.windowRange(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      "both frame aggregates must share one custkey exchange\n" + plan.take(600))
+    val rows = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // driver replay from the raw table: value-range frame, not row-range
+    val base = graft.sources.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("d"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val byCust = base.groupBy(_._2)
+    val want = base.map { case (ok, ck, d, _) =>
+      val frame = byCust(ck).filter(o => o._3 >= d - 29 && o._3 <= d)
+      // exact decimal sum like the query's DECIMAL(20,6) intermediate
+      val s = frame.map(o => BigDecimal(o._4).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+      (ok, ck, s.toDouble, frame.length.toLong)
+    }.toSet
+    assert(rows.toSet == want)
+    // peer inclusion: same (custkey, day) rows carry identical frames
+    val dayOf = base.map(b => (b._1, b._2) -> b._3).toMap
+    rows.groupBy(r => (r._2, dayOf((r._1, r._2)))).foreach { case (_, g) =>
+      assert(g.map(x => (x._3, x._4)).distinct.length == 1,
+        "same-day peers must share the frame result")
+    }
+  }
+
   test("hist: buckets clamped, counts total, one exchange") {
     import org.apache.spark.sql.functions.{col, sum}
     val events = graft.sources.Tables.events(spark, sf)

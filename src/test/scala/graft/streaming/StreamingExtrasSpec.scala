@@ -64,6 +64,78 @@ class StreamingExtrasSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks attribute to impressions within 60s") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    // BOTH sides watermarked + an event-time range in the join condition:
+    // that pair is what lets Spark bound the join state (impressions
+    // older than watermark − 60s can never match a future click and are
+    // evicted) — without it stream-stream state grows forever
+    val joined = imps.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "10 seconds")
+      .join(clicks.toDF().toDF("c_ad_id", "clk_ts")
+          .withWatermark("clk_ts", "10 seconds"),
+        col("ad_id") === col("c_ad_id") &&
+          col("clk_ts") >= col("imp_ts") &&
+          col("clk_ts") <= col("imp_ts") + expr("interval 60 seconds"))
+      .select(col("ad_id"), unix_timestamp(col("imp_ts")).as("i"),
+        unix_timestamp(col("clk_ts")).as("c"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try {
+      // NB: event times sit ABOVE the initial watermark (epoch 0) — a row
+      // AT the origin is dropped as late by the pre-join watermark filter
+      imps.addData((1L, ts(100)), (2L, ts(105)))
+      clicks.addData((1L, ts(130)))
+      q.processAllAvailable()
+      clicks.addData((2L, ts(220))) // 115s after the impression: outside
+      clicks.addData((1L, ts(140))) // second in-window click, same ad
+      q.processAllAvailable()
+      val rows = spark.table("ssj").as[(Long, Long, Long)].collect().toSet
+      assert(rows == Set((1L, 100L, 130L), (1L, 100L, 140L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER join emits unmatched impressions after watermark expiry") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val joined = imps.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "10 seconds")
+      .join(clicks.toDF().toDF("c_ad_id", "clk_ts")
+          .withWatermark("clk_ts", "10 seconds"),
+        col("ad_id") === col("c_ad_id") &&
+          col("clk_ts") >= col("imp_ts") &&
+          col("clk_ts") <= col("imp_ts") + expr("interval 60 seconds"),
+        "leftOuter")
+      .select(col("ad_id"), unix_timestamp(col("imp_ts")).as("i"),
+        unix_timestamp(col("clk_ts")).as("c"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer").start()
+    try {
+      imps.addData((1L, ts(100)), (3L, ts(100))) // ad 3 never clicked
+      clicks.addData((1L, ts(130)))
+      q.processAllAvailable()
+      // push BOTH watermarks far past 0s+60s so ad 3's state expires and
+      // the null row emits (outer results are watermark-delayed by
+      // design — they must wait until a match is provably impossible)
+      imps.addData((9L, ts(1000)))
+      clicks.addData((9L, ts(1000)))
+      q.processAllAvailable()
+      imps.addData((9L, ts(1100)))
+      clicks.addData((9L, ts(1100)))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_outer")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(rows.contains((1L, 100L, Some(130L))), s"matched row missing: $rows")
+      assert(rows.contains((3L, 100L, None)),
+        s"unmatched impression must surface as an outer null after expiry: $rows")
+    } finally q.stop()
+  }
+
   test("update mode re-emits growing counts; complete mode emits full result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
