@@ -174,6 +174,9 @@ object SparkEntry {
     // sim-then-lowest-cell tie-break) under the hash gate in isolation
     // — the building block the IVF oracles above compose
     "q_cluster" -> ((s, d) => SimSearch.clusterProfileQ(s, d)),
+    // per-cluster outlier flags in exact integer-nano arithmetic (the
+    // SemDeDup prune step; no distributed double mean anywhere)
+    "q_embed_outlier" -> ((s, d) => SimSearch.embedOutlierQ(s, d)),
     "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d))),
     "q_embed_quant" -> ((s, d) => SimSearch.quantizeQ(Tables.embeddings(s, d))),
     // the scale form (corpus-sized bucket width + 2 sign projections):
@@ -258,6 +261,9 @@ object SparkEntry {
     // exact-k deterministic per-stratum sample on the bounded-buffer
     // top-k aggregate (44-bit hash rank, engine-portable)
     "q_sample_k" -> ((s, d) => Sampling.sampleExactKQ(Tables.documents(s, d))),
+    // weighted exact-k per-stratum draw (Efraimidis-Spirakis): longer
+    // docs proportionally likelier, rounded-key cut, bounded-buffer top-k
+    "q_sample_weighted" -> ((s, d) => Sampling.sampleWeightedKQ(Tables.documents(s, d))),
     // bounded-buffer per-group top-k aggregate (map-side partial top-k)
     "q_topk_agg" -> ((s, d) => Relational.topKAggQ(s, d))
   )
@@ -1095,6 +1101,16 @@ object SparkEntry {
         |ORDER BY CAST(('0x'||substr(md5('sk:'||CAST(doc_id AS VARCHAR)),1,11)) AS BIGINT) ASC,
         |doc_id ASC) AS rnk
         |FROM documents WHERE lang IS NOT NULL) t WHERE rnk <= 50""".stripMargin,
+    // A-ES weighted draw: key = round(ln(u)/n_chars, 6) with the exact
+    // 44-bit hash uniform; top-k per source by key desc, doc_id ties
+    "q_sample_weighted" ->
+      """WITH t AS (SELECT source, doc_id,
+        |round(ln((CAST(('0x'||substr(md5('ws:'||CAST(doc_id AS VARCHAR)),1,11)) AS BIGINT) + 0.5)
+        |/ 17592186044416.0) / CAST(n_chars AS DOUBLE), 6) AS key
+        |FROM documents WHERE source IS NOT NULL AND n_chars > 0)
+        |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, key + 0.0 AS key FROM (
+        |SELECT source, doc_id, key, row_number() OVER (PARTITION BY source
+        |ORDER BY key DESC, doc_id ASC) AS rnk FROM t) z WHERE rnk <= 10""".stripMargin,
     "q_decontaminate" -> DecontaminateOracleSql,
     // bloom prefilter is a pure pruning layer: SAME oracle text
     "q_decontaminate_bloom" -> DecontaminateOracleSql,
@@ -1318,6 +1334,25 @@ object SparkEntry {
         |(SELECT vec_id, cell, s, row_number() OVER
         |(PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn FROM sims) t WHERE rn = 1)
         |SELECT cell, count(*) AS n_vecs, avg(s) AS avg_sim FROM best GROUP BY cell""".stripMargin,
+    // same assignment CTEs as q_cluster; the outlier boolean runs in
+    // exact integer nanos (cross-multiplied, division-free)
+    "q_embed_outlier" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+        |WHERE vec_id >= 5 AND vec_id < 21),
+        |sims AS (SELECT a.vec_id, c.cell,
+        |list_dot_product(a.v, c.cv)/(a.nrm*c.cn) AS s FROM nn a CROSS JOIN cents c),
+        |best AS (SELECT vec_id, cell, s FROM
+        |(SELECT vec_id, cell, s, row_number() OVER
+        |(PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn FROM sims) t WHERE rn = 1),
+        |b AS (SELECT vec_id, cell, CAST(round(s * 1000000000.0) AS BIGINT) AS sim_nano FROM best),
+        |st AS (SELECT cell, count(*) AS n_vecs, sum(sim_nano) AS tot_nano FROM b GROUP BY cell)
+        |SELECT b.vec_id, b.cell, b.sim_nano,
+        |(b.sim_nano * st.n_vecs < st.tot_nano - 50000000 * st.n_vecs) AS is_outlier
+        |FROM b JOIN st USING (cell)""".stripMargin,
     // Same total ordering key (ts DESC, event_id DESC) as the engine's
     // max_by struct — the window form here is the semantic spec, the
     // engine's aggregate form is the scale shape.

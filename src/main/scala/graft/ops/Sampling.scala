@@ -352,4 +352,44 @@ object Sampling {
       .select(col("lang"), (col("pos") + 1).cast("long").as("rnk"),
         col("col.tag").as("doc_id"))
   }
+
+  /** Declared query q_sample_weighted: WEIGHTED exact-k per-stratum
+    * sampling without replacement (Efraimidis–Spirakis A-ES) — "k docs
+    * per source, longer documents proportionally more likely", the
+    * quality/length-biased quota draw of a mixture build. Each row
+    * draws the deterministic 44-bit hash uniform u and ranks by
+    * key = ln(u)/w (w = n_chars): taking the k LARGEST keys per stratum
+    * is exactly A-ES's top-k by u^(1/w) (ln is monotone), giving each
+    * row inclusion probability proportional to its weight.
+    *
+    * Engine portability: u = (H + 0.5)/2^44 is exact in a double (a
+    * 44-bit integer and a power-of-two division), so the only
+    * implementation-defined step is `ln` itself (both engines are
+    * ≤1-ulp libm); the key is rounded to 6 dp as DECLARED semantics —
+    * the [[graft.ops.TextOps]] q_pmi rounded-score-cut convention — so
+    * the cut point is a 1e-6 grid where a sub-ulp libm disagreement
+    * cannot reorder rows, and grid ties break by doc_id on both
+    * engines (TopKAgg's score-then-tag order IS the oracle's
+    * `key DESC, doc_id ASC`). `+ 0.0` normalizes a rank-1 −0.0 key.
+    *
+    * Scale shape: identical to [[sampleExactKQ]] — one map-side pass,
+    * the BOUNDED-BUFFER top-k aggregate, shuffle ≤ k·|strata| rows. */
+  def sampleWeightedKQ(docs: DataFrame, k: Int = 10): DataFrame = {
+    val h = conv(substring(md5(concat(lit("ws:"),
+        col("doc_id").cast("string"))), 1, 11), 16, 10).cast("long")
+    val u = (h.cast("double") + lit(0.5)) / lit(17592186044416.0) // 2^44
+    val key = round(log(u) / col("n_chars").cast("double"), 6)
+    val fn = udaf(new graft.functions.Aggregators.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Aggregators.Scored]())
+    graft.sources.Tables.fanout(docs)
+      .filter(col("source").isNotNull && col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), key.as("score"))
+      .groupBy(col("source"))
+      .agg(fn(col("score"), col("doc_id")).as("top"))
+      .select(col("source"), posexplode(col("top")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.tag").as("doc_id"),
+        (col("col.score") + lit(0.0)).as("key"))
+  }
 }

@@ -619,4 +619,47 @@ object SimSearch {
   /** Declared query q_knn_clf over the embeddings table. */
   def knnClassifyQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     knnClassify(graft.sources.Tables.embeddings(spark, dir))
+
+  /** Embedding outlier detection — the SemDeDup-style prune step that
+    * flags vectors far from their own cluster (mislabeled / corrupt /
+    * off-distribution rows a curation pass drops). Every vector is
+    * assigned to its nearest deterministic sampled centroid (the same
+    * argmax [[clusterProfile]] gates), and a vector is an outlier when
+    * its best cosine sits more than `margin` BELOW its cell's mean.
+    *
+    * Exactness discipline: a distributed double mean is summation-
+    * order-dependent, so the comparison runs in INTEGER nanos — the
+    * per-row sim rounds to sim_nano = round(sim·1e9) (a BIGINT), and
+    * "sim < mean − margin" cross-multiplies to
+    * `sim_nano·n < Σsim_nano − margin_nano·n`, all exact 64-bit
+    * arithmetic (|Σ| ≤ 1e9·|corpus|, overflow-free far past 1e9 rows
+    * per cell). No decimal-precision rules, no division — the boolean
+    * replays bit-identically in any engine.
+    *
+    * Scale shape: one corpus scan against broadcast centroids, one
+    * vec_id-keyed argmax shuffle (|corpus| rows), a 16-row stats
+    * aggregate broadcast back. */
+  def embedOutliers(raw: DataFrame, marginNano: Long = 50000000L): DataFrame = {
+    val emb = normed(raw)
+    val cents = sampledCentroids(raw, 16, 5)
+    val simToCell = ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    val best = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"), simToCell.as("cell_sim"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max_by(col("cell"), struct(col("cell_sim"), (-col("cell")).as("nc"))).as("cell"),
+        max(col("cell_sim")).as("best_sim"))
+      .withColumn("sim_nano", round(col("best_sim") * 1e9).cast("long"))
+      .drop("best_sim")
+    val stats = best.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("sim_nano")).as("tot_nano"))
+    best.join(broadcast(stats), "cell")
+      .select(col("vec_id"), col("cell"), col("sim_nano"),
+        (col("sim_nano") * col("n_vecs") <
+          col("tot_nano") - lit(marginNano) * col("n_vecs")).as("is_outlier"))
+  }
+
+  /** Declared query q_embed_outlier over the embeddings table. */
+  def embedOutlierQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    embedOutliers(graft.sources.Tables.embeddings(spark, dir))
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Laws for the round-11 weighted draw + embedding outlier ops: exact
+  * driver replays (the same IEEE arithmetic re-run on the driver must
+  * reproduce every selection and flag), the weighted sampler's quota
+  * and layout-independence, and a hand-built outlier fixture pinning
+  * the integer-nano margin semantics. */
+class WeightedSampleOutlierSpec extends SparkSuite {
+
+  test("sampleWeightedKQ: driver replay reproduces the exact selection; quotas; plan") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val k = 10
+    val got = Sampling.sampleWeightedKQ(docs, k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // driver replay: same hash uniform, same ln, same round-6 key
+    val base = docs.filter(col("source").isNotNull && col("n_chars") > 0)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))),
+          1, 11), 16, 10).cast("long").as("h"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = base.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      val keyed = rows.map { case (_, id, w, h) =>
+        val u = (h.toDouble + 0.5) / 17592186044416.0
+        val key = BigDecimal(math.log(u) / w.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (id, key)
+      }
+      keyed.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._2, b._2)
+        c > 0 || (c == 0 && a._1 < b._1)
+      }.take(k).zipWithIndex.map { case ((id, key), i) =>
+        (src, (i + 1).toLong, id, key + 0.0)
+      }
+    }.toSet
+    assert(got == want)
+    // quota: exactly min(k, |stratum|) per source
+    val perSrc = got.groupBy(_._1).view.mapValues(_.size).toMap
+    val counts = base.groupBy(_._1).view.mapValues(_.size).toMap
+    counts.foreach { case (src, n) =>
+      assert(perSrc.getOrElse(src, 0) == math.min(k, n))
+    }
+    // the draw is length-biased: the selected rows' mean length beats
+    // the corpus mean (deterministic on the fixed fixture)
+    val lenOf = base.map(b => b._2 -> b._3).toMap
+    val selMean = got.toSeq.map(g => lenOf(g._3)).sum.toDouble / got.size
+    val allMean = base.map(_._3).sum.toDouble / base.length
+    assert(selMean > allMean,
+      f"weighted draw must skew long: sel=$selMean%.0f all=$allMean%.0f")
+    // layout-independence + scale shape
+    val re = Sampling.sampleWeightedKQ(
+      docs.repartition(7, col("doc_id")), k).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(re == got)
+    val plan = Sampling.sampleWeightedKQ(docs, k)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number") && plan.contains("ObjectHashAggregate"),
+      plan.take(600))
+  }
+
+  test("embedOutliers: driver replay reproduces every flag on the fixture") {
+    val rows = graft.sources.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val nn = rows.filter { case (_, v) => dot(v, v) > 0 }
+      .map { case (id, v) => (id, v, math.sqrt(dot(v, v))) }
+    val cents = nn.filter(c => c._1 >= 5 && c._1 < 21)
+    val best = nn.map { case (id, v, nrm) =>
+      val (cell, sim) = cents.map { case (c, cv, cn) =>
+        (c, dot(v, cv) / (nrm * cn))
+      }.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a._2, b._2)
+        c > 0 || (c == 0 && a._1 < b._1)
+      }.head
+      // HALF_UP away from zero — Spark round()'s BigDecimal discipline
+      // (math.round is half-toward-+inf, wrong for negative sims)
+      (id, cell,
+        BigDecimal(sim * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    }
+    val stats = best.groupBy(_._2).view
+      .mapValues(xs => (xs.length.toLong, xs.map(_._3).sum)).toMap
+    val want = best.map { case (id, cell, simN) =>
+      val (n, tot) = stats(cell)
+      (id, cell, simN, simN * n < tot - 50000000L * n)
+    }.toSet
+    val got = SimSearch.embedOutlierQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.exists(_._4) && got.exists(!_._4),
+      "fixture must exercise both flag values")
+  }
+
+  test("embedOutliers: hand fixture pins the integer-nano margin semantics") {
+    import spark.implicits._
+    // one centroid (vec_id 5); three aligned vectors and one at cos 0.9.
+    // sims {1, 1, 1, 0.9}: mean 0.975, margin 0.05 -> only 0.9 flags
+    // (0.9e9*4 = 3.6e9 < 3.9e9 - 0.2e9 = 3.7e9)
+    val off = Array(0.9f, math.sqrt(1.0 - 0.81).toFloat)
+    val emb = Seq(
+      (5L, Array(1.0f, 0.0f)),
+      (100L, Array(2.0f, 0.0f)),
+      (101L, Array(0.5f, 0.0f)),
+      (102L, off)
+    ).toDF("vec_id", "embedding")
+    val got = SimSearch.embedOutliers(emb).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(5L -> false, 100L -> false, 101L -> false, 102L -> true))
+  }
+}
