@@ -129,6 +129,9 @@ object SparkEntry {
     // index (the seventh index): bucket-pruned read, inline hamming
     "q_image_dedup_incr" -> ((s, d) => MultiModal.imageDedupIncrQ(s, d)),
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
+    // per-source data card: volume, language spread, token budget,
+    // corpus-wide exact-dup counts — two-exchange budget, hash-key shuffle
+    "q_corpus_report" -> ((s, d) => TextOps.corpusReportQ(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextOps.repetitionScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -158,6 +161,9 @@ object SparkEntry {
     // kNN majority-vote label propagation: probe batch broadcast, top-k
     // on the bounded-buffer aggregate (k rows/probe/map-task shuffle)
     "q_knn_clf" -> ((s, d) => SimSearch.knnClassifyQ(s, d)),
+    // the cell-pruned form: IVF blocking as declared semantics (oracle
+    // recomputes the identical cells), per-cell candidate volume
+    "q_knn_clf_ivf" -> ((s, d) => SimSearch.knnClassifyIvfQ(s, d)),
     // IVF with deterministic sampled centroids: assignment (gated alone
     // by q_cluster), probe-cell ranking, and cell-pruned top-k are all
     // pure functions of the data → fully hash-checked oracle
@@ -934,6 +940,16 @@ object SparkEntry {
         |CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
         |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
         |CAST(length(text) AS BIGINT) AS n_chars FROM documents) t GROUP BY lang""".stripMargin,
+    "q_corpus_report" ->
+      """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS n_chars,
+        |CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+        |md5(text) AS h FROM documents),
+        |dh AS (SELECT h, count(*) AS n_h FROM d GROUP BY h)
+        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |CAST(sum(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+        |FROM d JOIN dh USING (h) GROUP BY source""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
         |CAST(length(text) AS DOUBLE)/n_tok AS avg_tok_len,
@@ -1177,6 +1193,33 @@ object SparkEntry {
         |sims AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
         |list_dot_product(c.v, p.v)/(c.nrm*p.nrm) AS cos_sim
         |FROM n c JOIN n p ON p.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+        |topk AS (SELECT * FROM (SELECT probe_id, label,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        |FROM sims) t WHERE rnk <= 5),
+        |votes AS (SELECT probe_id, label, count(*) AS n_votes
+        |FROM topk GROUP BY probe_id, label)
+        |SELECT probe_id AS vec_id, CAST(label AS BIGINT) AS pred_label, n_votes
+        |FROM (SELECT probe_id, label, n_votes,
+        |row_number() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, label ASC) AS vr
+        |FROM votes) v WHERE vr = 1""".stripMargin,
+    // cell-pruned kNN: nearest-sampled-centroid assignment (q_cluster's
+    // argmax) blocks candidates to the probe's cell; vote text unchanged
+    "q_knn_clf_ivf" ->
+      """WITH n AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+        |nn AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+        |WHERE vec_id >= 5 AND vec_id < 21),
+        |asg AS (SELECT vec_id, label, v, nrm, cell FROM (
+        |SELECT a.vec_id, a.label, a.v, a.nrm, c.cell,
+        |row_number() OVER (PARTITION BY a.vec_id
+        |ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell ASC) AS rn
+        |FROM nn a CROSS JOIN cents c) t WHERE rn = 1),
+        |sims AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id, c.label,
+        |list_dot_product(c.v, p.v)/(c.nrm*p.nrm) AS cos_sim
+        |FROM asg c JOIN asg p ON p.cell = c.cell
+        |AND p.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
         |topk AS (SELECT * FROM (SELECT probe_id, label,
         |row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
         |FROM sims) t WHERE rnk <= 5),

@@ -595,14 +595,22 @@ object SimSearch {
       .withColumn("label", when(col("label").between(0, 15), col("label"))
         .otherwise(raise_error(concat(lit("knnClassify: label out of [0,16): "),
           col("label").cast("string")))))
+    majorityVote(labeled.crossJoin(broadcast(probes))
+      .select(col("probe_id"),
+        (ndot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"),
+        (col("vec_id") * 16 + col("label")).as("tag")), k)
+  }
+
+  /** The shared vote stage of both kNN classifiers: per-probe top-k cut
+    * on the bounded-buffer aggregate over (cos_sim, packed tag), then
+    * majority with ties to the smaller label. Input is the candidate
+    * sim stream (probe_id, cos_sim, tag = neighbor_id·16 + label). */
+  private def majorityVote(sims: DataFrame, k: Int): DataFrame = {
     val topkFn = org.apache.spark.sql.functions.udaf(
       new graft.functions.Aggregators.TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[graft.functions.Aggregators.Scored]())
-    val votes = labeled.crossJoin(broadcast(probes))
-      .select(col("probe_id"),
-        (ndot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"),
-        (col("vec_id") * 16 + col("label")).as("tag"))
+    val votes = sims
       .groupBy(col("probe_id"))
       .agg(topkFn(col("cos_sim"), col("tag")).as("top"))
       .select(col("probe_id"), explode(col("top")).as("nb"))
@@ -619,6 +627,57 @@ object SimSearch {
   /** Declared query q_knn_clf over the embeddings table. */
   def knnClassifyQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     knnClassify(graft.sources.Tables.embeddings(spark, dir))
+
+  /** Cell-pruned kNN classification — [[knnClassify]]'s 100 TB form:
+    * instead of scoring every probe against the whole labeled corpus,
+    * both sides are assigned to their nearest deterministic sampled
+    * centroid (the argmax q_cluster gates) and a probe only scores
+    * labeled vectors IN ITS OWN CELL — the IVF blocking step as
+    * DECLARED semantics, so the oracle recomputes the identical cells
+    * and the result is fully hash-checked (the same construction
+    * q_sim_topk_lsh / q_embed_neardup use for their blocking). Vote and
+    * tie discipline are [[majorityVote]]'s, unchanged. A probe whose
+    * cell holds no labeled vector is absent from the output (declared:
+    * the production loop widens to multi-cell probes for those).
+    *
+    * Scale shape: one corpus scan against broadcast centroids, the
+    * vec_id argmax shuffle, then a cell-keyed equi-join — per-cell
+    * candidate volume, never |corpus|·|probes|; the top-k cut still
+    * rides the bounded-buffer aggregate. */
+  def knnClassifyIvf(embeddings: DataFrame, k: Int = 5, probeMod: Int = 10,
+      nCells: Int = 16): DataFrame = {
+    graft.functions.DotProductDouble.register(embeddings.sparkSession)
+    val emb = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val cents = sampledCentroids(embeddings, nCells, 5)
+    val withCell = PipelineCaches.track(
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"),
+          (ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cell"), struct(col("cs"), (-col("cell")).as("nc"))).as("cell"),
+          first(col("label")).as("label"), first(col("v")).as("v"),
+          first(col("nrm")).as("nrm")))
+    val probes = withCell.filter(pmod(col("vec_id"), lit(probeMod)) === 0)
+      .select(col("vec_id").as("probe_id"), col("cell"),
+        col("v").as("pv"), col("nrm").as("pn"))
+    val labeled = withCell.filter(pmod(col("vec_id"), lit(probeMod)) =!= 0)
+      .withColumn("label", when(col("label").between(0, 15), col("label"))
+        .otherwise(raise_error(concat(lit("knnClassifyIvf: label out of [0,16): "),
+          col("label").cast("string")))))
+    majorityVote(labeled.join(probes, "cell")
+      .select(col("probe_id"),
+        (ndot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"),
+        (col("vec_id") * 16 + col("label")).as("tag")), k)
+  }
+
+  /** Declared query q_knn_clf_ivf over the embeddings table. */
+  def knnClassifyIvfQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    knnClassifyIvf(graft.sources.Tables.embeddings(spark, dir))
 
   /** Embedding outlier detection — the SemDeDup-style prune step that
     * flags vectors far from their own cluster (mislabeled / corrupt /

@@ -463,4 +463,34 @@ object TextOps {
     redactPii(withPii)
       .select("doc_id", "text", "n_email", "n_ip", "n_phone", "n_id")
   }
+
+  /** Per-source corpus data card (q_corpus_report) — the one-page
+    * summary a curation run publishes per ingested source: document and
+    * character volume, language spread, token budget, and the
+    * exact-duplicate count (docs whose md5(text) occurs ≥ 2 times
+    * CORPUS-wide — cross-source dups count in every source holding a
+    * copy, which is the number a "which sources re-host content"
+    * review wants).
+    *
+    * Scale shape: one corpus scan computes the per-row stats and the
+    * content hash; the dup count is one short-key (hash) shuffle joined
+    * back on the hash, then one partial+final per-source aggregate —
+    * the same two-exchange budget exact dedup pays, and nothing wider
+    * than a 16-byte key ever shuffles at data scale. */
+  def corpusReportQ(docs: DataFrame): DataFrame = {
+    val d = graft.sources.Tables.fanout(docs)
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTokensWs(col("text")).cast("long").as("n_tok"),
+        md5(col("text")).as("h"))
+    val dupHashes = d.groupBy(col("h")).agg(count(lit(1)).as("n_h"))
+    d.join(dupHashes, "h")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("n_h") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+  }
 }

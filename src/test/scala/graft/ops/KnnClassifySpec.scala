@@ -79,4 +79,60 @@ class KnnClassifySpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_topkagg"), plan.take(800))
   }
+
+  test("cell-pruned kNN: driver replay with the identical blocking (k=5, mod 10)") {
+    val rows = graft.sources.Tables.embeddings(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2).toLong))
+      .filter { case (_, v, _) => dot(v, v) > 0 }
+    val withNrm = rows.map { case (id, v, lab) => (id, v, lab, math.sqrt(dot(v, v))) }
+    val cents = withNrm.filter(r => r._1 >= 5 && r._1 < 21)
+    // nearest-sampled-centroid assignment, sim desc then cell asc ties
+    val asg = withNrm.map { case (id, v, lab, nrm) =>
+      val cell = cents.map { case (c, cv, _, cn) => (c, dot(v, cv) / (nrm * cn)) }
+        .sortWith { (a, b) =>
+          val c = java.lang.Double.compare(a._2, b._2)
+          c > 0 || (c == 0 && a._1 < b._1)
+        }.head._1
+      (id, v, lab, nrm, cell)
+    }
+    val probes = asg.filter(_._1 % 10 == 0)
+    val labeled = asg.filter(_._1 % 10 != 0)
+    val byCell = labeled.groupBy(_._5)
+    val want = probes.flatMap { case (pid, pv, _, pn, cell) =>
+      byCell.get(cell).filter(_.nonEmpty).map { cand =>
+        val topk = cand.map { case (cid, cv, lab, cn, _) =>
+          (cid, lab, dot(cv, pv) / (cn * pn))
+        }.sortWith { (a, b) =>
+          val c = java.lang.Double.compare(a._3, b._3)
+          c > 0 || (c == 0 && a._1 < b._1)
+        }.take(5)
+        val (lab, n) = topk.groupBy(_._2).map { case (l, xs) => (l, xs.length) }
+          .toSeq.sortWith { (a, b) =>
+            a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+          }.head
+        (pid, lab, n.toLong)
+      }
+    }.toSet
+    val got = SimSearch.knnClassifyIvfQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try assert(got == want)
+    finally PipelineCaches.release(spark)
+  }
+
+  test("cell-pruned kNN: candidate join is an equi join, top-k stays partial") {
+    val plan = SimSearch.knnClassifyIvfQ(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkagg"), plan.take(800))
+    // the probe-candidate meet must be a hash/merge EQUI join on cell
+    // (the only BNLJs are the 16-row centroid broadcast, whose cached
+    // subtree prints once per reference); a cross/nested-loop meet over
+    // the corpus would be the scale bug this guards against
+    assert(Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+      .exists(plan.contains), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"), plan.take(1200))
+    PipelineCaches.release(spark)
+  }
 }

@@ -46,7 +46,10 @@ class PlanGuardSpec extends SparkSuite {
       "q_dedup_ngram", "q_tfidf", "q_cluster", "q_profile_approx",
       "q_profile", "q_profile_incr",
       "q_line_dedup", "q_line_dedup_incr", "q_vocab", "q_bm25", "q_dsir",
-      "q_pmi", "q_ngram_lm", "q_corpus_clean", "q_knn_clf")
+      "q_pmi", "q_ngram_lm", "q_corpus_clean", "q_knn_clf",
+      // q_knn_clf_ivf and q_embed_outlier broadcast the 16-row sampled
+      // centroid table against one corpus scan (q_cluster's shape)
+      "q_knn_clf_ivf", "q_embed_outlier")
 
   test("skew split join: hot path broadcasts by construction, cold path shuffles") {
     // isolated session (suites may run in parallel; see DedupVerifyModeSpec)

@@ -101,6 +101,27 @@ class WeightedSampleOutlierSpec extends SparkSuite {
       "fixture must exercise both flag values")
   }
 
+  test("corpusReportQ: totals tie to the corpus; cross-source dup counted in both sources") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val out = TextOps.corpusReportQ(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out.values.map(_._1).sum == docs.count(), "every doc in exactly one source row")
+    val chars = docs.agg(sum(length(col("text")))).head.getLong(0)
+    assert(out.values.map(_._2).sum == chars)
+    // synthetic: the same text hosted by two sources -> n_exact_dup = 1
+    // in BOTH rows (corpus-wide dup semantics), unique docs count 0
+    val syn = Seq(
+      (1L, "shared body", "en", "siteA", 11L),
+      (2L, "shared body", "en", "siteB", 11L),
+      (3L, "unique body", "en", "siteA", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rep = TextOps.corpusReportQ(syn).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(rep == Map("siteA" -> 1L, "siteB" -> 1L))
+  }
+
   test("embedOutliers: hand fixture pins the integer-nano margin semantics") {
     import spark.implicits._
     // one centroid (vec_id 5); three aligned vectors and one at cos 0.9.
