@@ -326,4 +326,40 @@ class EdgeCaseSpec extends SparkSuite {
       Sampling.temperatureFractions(srcd.limit(0), "lang"))
     assert(Sampling.temperatureQ(srcd).collect().head.getLong(1) == 2L)
   }
+
+  test("round-11 operators degrade gracefully on EMPTY or degenerate input") {
+    import spark.implicits._
+    // kNN: fewer labeled than k -> votes from what exists, not a crash;
+    // an all-probe corpus (nothing labeled) -> empty
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.9f, 0.1f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val small = SimSearch.knnClassify(emb, k = 5).collect()
+    assert(small.length == 1 && small.head.getLong(1) == 7L
+      && small.head.getLong(2) == 1L)
+    val allProbes = Seq((0L, Array(1.0f, 0.0f), 1), (10L, Array(0.5f, 0.5f), 2))
+      .toDF("vec_id", "embedding", "label")
+    assert(SimSearch.knnClassify(allProbes).isEmpty)
+    // cell-pruned kNN: a probe alone in its cell -> absent (declared)
+    assert(SimSearch.knnClassifyIvf(allProbes).isEmpty)
+    PipelineCaches.release(spark)
+    // weighted sampler: empty corpus and zero-length docs excluded
+    val docs0 = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    assert(Sampling.sampleWeightedKQ(docs0).isEmpty)
+    val zlen = Seq((1L, "a", 0L), (2L, "a", 5L)).toDF("doc_id", "source", "n_chars")
+    val sel = Sampling.sampleWeightedKQ(zlen).collect()
+    assert(sel.length == 1 && sel.head.getLong(2) == 2L,
+      "zero-weight rows are excluded from the draw")
+    // outliers: singleton cells are never their own outlier (sim == mean)
+    val lone = Seq((5L, Array(1.0f, 0.0f)), (6L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val flags = SimSearch.embedOutliers(lone).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(flags == Map(5L -> false, 6L -> false), flags.toString)
+    // corpus report: empty corpus -> empty report, not a crash
+    val d0 = Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(TextOps.corpusReportQ(d0).isEmpty)
+  }
 }
