@@ -132,6 +132,9 @@ object SparkEntry {
     // per-source data card: volume, language spread, token budget,
     // corpus-wide exact-dup counts — two-exchange budget, hash-key shuffle
     "q_corpus_report" -> ((s, d) => TextOps.corpusReportQ(Tables.documents(s, d))),
+    // distributed BPE tokenizer training: vocab-bounded pair-count
+    // aggregate per round + one-row argmax collect, map-side greedy merge
+    "q_bpe_merges" -> ((s, d) => graft.ops.Bpe.bpeMergesQ(s, d)),
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextOps.repetitionScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -376,6 +379,49 @@ object SparkEntry {
     * rationale at the q_dup_clusters registration). `docsCte` prepends
     * an optional CTE (e.g. the re-keyed corpus ∪ delta union) and `src`
     * names the table the tokenizer reads. */
+  /** The BPE-training oracle, generated per round count: word counts →
+    * char segmentation, then k rounds of (pair count, argmax, greedy
+    * merge). Every round's tables are MATERIALIZED at the top level
+    * with the greedy application inside a NESTED `WITH RECURSIVE`
+    * subquery — the same structure the dup-cluster oracle uses, because
+    * chaining recursive CTEs directly re-evaluates each prior round
+    * once per recursion step (exponential; measured as a hang at k=6,
+    * 0.15 s in this form). The recursion walks each word's symbol list
+    * left-to-right, consuming two symbols on a rule match and one
+    * otherwise — the unique greedy leftmost non-overlapping matching
+    * [[graft.ops.Bpe.applyMerge]]'s fold realizes. */
+  private def bpeOracleSql(k: Int): String = {
+    val head =
+      """w AS MATERIALIZED (SELECT t AS word, count(*) AS n FROM
+        |(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents) u
+        |WHERE t <> '' GROUP BY t),
+        |seg0 AS MATERIALIZED (SELECT word, n,
+        |list_transform(range(1, length(word)+1), i -> substr(word, i, 1)) AS sym FROM w)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""pc$r AS MATERIALIZED (SELECT sym[i+1] AS sym_a, sym[i+2] AS sym_b,
+        |CAST(sum(n) AS BIGINT) AS n_pair
+        |FROM seg${r - 1}, unnest(range(0, len(sym)-1)) AS t(i) GROUP BY 1, 2),
+        |m$r AS MATERIALIZED (SELECT sym_a, sym_b, n_pair FROM pc$r
+        |ORDER BY n_pair DESC, sym_a ASC, sym_b ASC LIMIT 1),
+        |seg$r AS MATERIALIZED (SELECT word, n, outx AS sym FROM (
+        |WITH RECURSIVE app(word, n, lenx, pos, outx) AS (
+        |SELECT s.word, s.n, len(s.sym), 1, CAST([] AS VARCHAR[]) FROM seg${r - 1} s
+        |UNION ALL
+        |SELECT a.word, a.n, a.lenx,
+        |CASE WHEN a.pos < a.lenx AND s.sym[a.pos] = m.sym_a AND s.sym[a.pos+1] = m.sym_b
+        |THEN a.pos + 2 ELSE a.pos + 1 END,
+        |CASE WHEN a.pos < a.lenx AND s.sym[a.pos] = m.sym_a AND s.sym[a.pos+1] = m.sym_b
+        |THEN list_append(a.outx, m.sym_a || m.sym_b) ELSE list_append(a.outx, s.sym[a.pos]) END
+        |FROM app a JOIN seg${r - 1} s USING (word) CROSS JOIN m$r m
+        |WHERE a.pos <= a.lenx)
+        |SELECT word, n, outx FROM app WHERE pos > lenx) q)""".stripMargin
+    }
+    val sel = (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, sym_a, sym_b, n_pair FROM m$r")
+    "WITH " + (head +: rounds).mkString(",\n") + "\n" +
+      sel.mkString("\nUNION ALL ")
+  }
+
   private def dupClusterOracleSql(docsCte: String, src: String): String =
     s"""WITH $docsCte tok AS (SELECT DISTINCT doc_id, t AS token FROM
       |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
@@ -950,6 +996,7 @@ object SparkEntry {
         |CAST(sum(n_tok) AS BIGINT) AS total_tokens,
         |CAST(sum(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
         |FROM d JOIN dh USING (h) GROUP BY source""".stripMargin,
+    "q_bpe_merges" -> bpeOracleSql(6),
     "q_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
         |CAST(length(text) AS DOUBLE)/n_tok AS avg_tok_len,

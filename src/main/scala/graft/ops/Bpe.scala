@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (Sennrich et al., "Neural Machine
+  * Translation of Rare Words with Subword Units") — the vocabulary-
+  * induction step of a training-data pipeline, run as pure DataFrame
+  * ops. The classic formulation: collapse the corpus to WORD TYPES with
+  * counts, segment each word into characters, then repeatedly (1) count
+  * adjacent symbol pairs weighted by word count, (2) take the most
+  * frequent pair (ties: count desc, then pair lexicographically), and
+  * (3) merge that pair greedily left-to-right in every word.
+  *
+  * Scale shape: the corpus collapses to the vocab-bounded word-count
+  * table in ONE token shuffle (the same budget every TextOps aggregate
+  * pays), and each training round is one pair-count partial+final
+  * aggregate over that table plus a ONE-ROW argmax collect — the merge
+  * application is a map-side array fold (no shuffle, no growth). k
+  * rounds = k vocab-bounded aggregates; corpus size only enters through
+  * the initial word count. The learned rule list is metadata (k rows)
+  * by construction — collecting each round's winner to the driver is
+  * the same metadata-collect discipline as the histogram-select
+  * percentile locator.
+  *
+  * Determinism: pair counts are integer sums; the argmax tie-break is
+  * total (count desc, sym_a asc, sym_b asc — codepoint order on both
+  * engines); greedy application is the unique leftmost non-overlapping
+  * matching, realized here as a replace-last fold (provably equal to
+  * the lookahead scan for a single rule). The whole train replays
+  * bit-identically in any engine — the DuckDB oracle re-runs it via
+  * per-round recursive CTEs.
+  */
+object Bpe {
+
+  /** Corpus → (word, n) vocab table: the one corpus-scale shuffle. */
+  def wordCounts(docs: DataFrame): DataFrame =
+    graft.sources.Tables.fanout(docs)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Character segmentation of a word — explicit positional substrings
+    * (NOT an empty-pattern split, whose semantics differ per engine). */
+  private def charSymbols(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Greedy left-to-right application of ONE merge rule (a, b) → a+b as
+    * a replace-last fold: walk the symbols, and when the accumulator's
+    * last element is `a` and the current symbol is `b`, replace that
+    * last element with the merged token; else append. `try_element_at`
+    * keeps the empty-accumulator probe null-safe under ANSI. */
+  private[ops] def applyMerge(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === lit(a) && x === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Train `k` merges over the word-count table; returns the rules in
+    * learned order as (round, sym_a, sym_b, n_pair). */
+  def trainMerges(words: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    require(k > 0, s"k must be positive, got $k")
+    val cached = PipelineCaches.track(words)
+    val rules = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      // segmentation after the rules learned so far: a stack of map-side
+      // folds over the base character split — no shuffle, re-derived
+      // lazily from the cached vocab table each round
+      val sym = rules.foldLeft(charSymbols(col("word"))) {
+        case (c, (_, a, b, _)) => applyMerge(c, a, b)
+      }
+      val winner = cached
+        .select(col("n"), sym.as("sym"))
+        .select(col("n"),
+          slice(col("sym"), lit(1), size(col("sym")) - 1).as("sa"),
+          slice(col("sym"), lit(2), size(col("sym")) - 1).as("sb"))
+        .select(col("n"), explode(arrays_zip(col("sa"), col("sb"))).as("p"))
+        .groupBy(col("p.sa").as("sym_a"), col("p.sb").as("sym_b"))
+        .agg(sum(col("n")).as("n_pair"))
+        .orderBy(col("n_pair").desc, col("sym_a").asc, col("sym_b").asc)
+        .limit(1)
+        .collect()
+      require(winner.nonEmpty,
+        s"BPE round $r: no adjacent pairs left (corpus degenerate below k=$k)")
+      val w = winner.head
+      rules += ((r, w.getString(0), w.getString(1), w.getLong(2)))
+    }
+    rules.toList
+  }
+
+  /** Declared query q_bpe_merges: the first 6 merge rules learned from
+    * the documents corpus, as a literal k-row frame. */
+  def bpeMergesQ(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 6): DataFrame = {
+    val words = wordCounts(graft.sources.Tables.documents(spark, dir))
+    val rules = trainMerges(words, k)
+    PipelineCaches.release(spark)
+    import spark.implicits._
+    rules.toDF("round", "sym_a", "sym_b", "n_pair")
+      .select(col("round").cast("long").as("round"),
+        col("sym_a"), col("sym_b"), col("n_pair"))
+  }
+}
