@@ -135,6 +135,9 @@ object SparkEntry {
     // distributed BPE tokenizer training: vocab-bounded pair-count
     // aggregate per round + one-row argmax collect, map-side greedy merge
     "q_bpe_merges" -> ((s, d) => graft.ops.Bpe.bpeMergesQ(s, d)),
+    // the apply side: vocab segmented under the learned merges (train
+    // once + one map-side fold stack, no extra shuffle)
+    "q_bpe_encode" -> ((s, d) => graft.ops.Bpe.bpeEncodeQ(s, d)),
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextOps.repetitionScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -390,7 +393,12 @@ object SparkEntry {
     * left-to-right, consuming two symbols on a rule match and one
     * otherwise — the unique greedy leftmost non-overlapping matching
     * [[graft.ops.Bpe.applyMerge]]'s fold realizes. */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleSql(k: Int): String = bpeOracleSql(k,
+    (1 to k).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, sym_a, sym_b, n_pair FROM m$r")
+      .mkString("\nUNION ALL "))
+
+  private def bpeOracleSql(k: Int, finalSelect: String): String = {
     val head =
       """w AS MATERIALIZED (SELECT t AS word, count(*) AS n FROM
         |(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents) u
@@ -416,10 +424,7 @@ object SparkEntry {
         |WHERE a.pos <= a.lenx)
         |SELECT word, n, outx FROM app WHERE pos > lenx) q)""".stripMargin
     }
-    val sel = (1 to k).map(r =>
-      s"SELECT CAST($r AS BIGINT) AS round, sym_a, sym_b, n_pair FROM m$r")
-    "WITH " + (head +: rounds).mkString(",\n") + "\n" +
-      sel.mkString("\nUNION ALL ")
+    "WITH " + (head +: rounds).mkString(",\n") + "\n" + finalSelect
   }
 
   private def dupClusterOracleSql(docsCte: String, src: String): String =
@@ -997,6 +1002,10 @@ object SparkEntry {
         |CAST(sum(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
         |FROM d JOIN dh USING (h) GROUP BY source""".stripMargin,
     "q_bpe_merges" -> bpeOracleSql(6),
+    // the apply side: the final segmentation table the train built
+    "q_bpe_encode" -> bpeOracleSql(6,
+      """SELECT word, n, CAST(len(sym) AS BIGINT) AS n_sym,
+        |array_to_string(sym, ' ') AS bpe FROM seg6""".stripMargin),
     "q_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
         |CAST(length(text) AS DOUBLE)/n_tok AS avg_tok_len,

@@ -101,4 +101,24 @@ object Bpe {
       .select(col("round").cast("long").as("round"),
         col("sym_a"), col("sym_b"), col("n_pair"))
   }
+
+  /** Declared query q_bpe_encode — the APPLY side of the tokenizer:
+    * every vocab word segmented under the k learned merges, with its
+    * corpus count and symbol count. This is the production encode path
+    * (a document tokenizes by looking its words up here, or by running
+    * the same fold inline): train once, then ONE map-side pass — the
+    * rule list is a k-deep stack of [[applyMerge]] folds, no shuffle
+    * beyond the vocab build, corpus size only in the word counts. */
+  def bpeEncodeQ(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 6): DataFrame = {
+    val words = wordCounts(graft.sources.Tables.documents(spark, dir))
+    val rules = trainMerges(words, k)
+    PipelineCaches.release(spark)
+    val sym = rules.foldLeft(charSymbols(col("word"))) {
+      case (c, (_, a, b, _)) => applyMerge(c, a, b)
+    }
+    words.select(col("word"), col("n"),
+      size(sym).cast("long").as("n_sym"),
+      concat_ws(" ", sym).as("bpe"))
+  }
 }

@@ -64,6 +64,23 @@ class BpeSpec extends SparkSuite {
     }
   }
 
+  test("encode: segmentation losslessly reconstructs every word; counts tie to corpus") {
+    val enc = Bpe.bpeEncodeQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(enc.nonEmpty)
+    enc.foreach { case (w, _, nSym, bpe) =>
+      val syms = bpe.split(" ")
+      assert(syms.mkString("") == w, s"lossy segmentation of '$w': '$bpe'")
+      assert(syms.length == nSym.toInt)
+    }
+    assert(enc.exists(e => e._3 < e._1.length),
+      "at least one word must actually compress under 6 merges")
+    val corpusToks = graft.sources.Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(enc.map(_._2).sum == corpusToks)
+  }
+
   test("plan: pair counting is a partial+final aggregate; no corpus re-shuffle per round") {
     // the train's per-round job is over the CACHED vocab table; pin the
     // shape of one round's pair count directly
