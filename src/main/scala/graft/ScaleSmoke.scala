@@ -114,6 +114,28 @@ object ScaleSmoke {
           when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // BPE train: disjoint per-copy vocab grows the word-count table
+      // ~k, so each round's pair aggregate input grows ~k; the corpus
+      // scan grows ~k; rounds stay 6 — wall clock must track k
+      run("bpe", {
+        val rules = graft.ops.Bpe.trainMerges(
+          graft.ops.Bpe.wordCounts(docs), 6)
+        import spark.implicits._
+        rules.toDF("round", "sym_a", "sym_b", "n_pair")
+      })
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // corpus report: one scan + one hash-key shuffle + per-source agg
+      run("corpus_report", graft.ops.TextOps.corpusReportQ(
+        docs.withColumn("source", (col("doc_id") % 20).cast("string"))
+          .withColumn("lang", lit("en"))))
+      spark.sharedState.cacheManager.clearCache()
+      // weighted draw: map-side keys + bounded-buffer top-k — the
+      // shuffle is k·|strata| rows regardless of corpus size
+      run("sample_weighted", graft.ops.Sampling.sampleWeightedKQ(
+        docs.withColumn("source", (col("doc_id") % 20).cast("string"))
+          .withColumn("n_chars", length(col("text")))))
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }
