@@ -132,6 +132,9 @@ object SparkEntry {
     // per-source data card: volume, language spread, token budget,
     // corpus-wide exact-dup counts — two-exchange budget, hash-key shuffle
     "q_corpus_report" -> ((s, d) => TextOps.corpusReportQ(Tables.documents(s, d))),
+    // the EIGHTH persisted index: additive data-card stats + content-
+    // hash frequency, corpus indexed once + delta appended, report-on-read
+    "q_corpus_report_incr" -> ((s, d) => graft.ops.ReportIndex.incrementalReportQ(s, d)),
     // distributed BPE tokenizer training: vocab-bounded pair-count
     // aggregate per round + one-row argmax collect, map-side greedy merge
     "q_bpe_merges" -> ((s, d) => graft.ops.Bpe.bpeMergesQ(s, d)),
@@ -382,6 +385,21 @@ object SparkEntry {
     * rationale at the q_dup_clusters registration). `docsCte` prepends
     * an optional CTE (e.g. the re-keyed corpus ∪ delta union) and `src`
     * names the table the tokenizer reads. */
+  /** The per-source data-card oracle — shared by the batch
+    * q_corpus_report and the index-read q_corpus_report_incr (the
+    * additive index over corpus ∪ delta must reproduce the batch
+    * report over all documents exactly). */
+  private val CorpusReportOracleSql: String =
+    """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS n_chars,
+      |CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+      |md5(text) AS h FROM documents),
+      |dh AS (SELECT h, count(*) AS n_h FROM d GROUP BY h)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+      |CAST(sum(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
+      |FROM d JOIN dh USING (h) GROUP BY source""".stripMargin
+
   /** The BPE-training oracle, generated per round count: word counts →
     * char segmentation, then k rounds of (pair count, argmax, greedy
     * merge). Every round's tables are MATERIALIZED at the top level
@@ -991,16 +1009,10 @@ object SparkEntry {
         |CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
         |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
         |CAST(length(text) AS BIGINT) AS n_chars FROM documents) t GROUP BY lang""".stripMargin,
-    "q_corpus_report" ->
-      """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS n_chars,
-        |CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
-        |md5(text) AS h FROM documents),
-        |dh AS (SELECT h, count(*) AS n_h FROM d GROUP BY h)
-        |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-        |CAST(sum(n_tok) AS BIGINT) AS total_tokens,
-        |CAST(sum(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
-        |FROM d JOIN dh USING (h) GROUP BY source""".stripMargin,
+    "q_corpus_report" -> CorpusReportOracleSql,
+    // the incremental form reads the persisted additive index over the
+    // same full corpus — the SAME report text is its ground truth
+    "q_corpus_report_incr" -> CorpusReportOracleSql,
     "q_bpe_merges" -> bpeOracleSql(6),
     // the apply side: the final segmentation table the train built
     "q_bpe_encode" -> bpeOracleSql(6,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{Dedup, MultiModal, PipelineCaches, ProfileIndex, SimSearch}
+import graft.ops.{Dedup, MultiModal, PipelineCaches, ProfileIndex, ReportIndex, SimSearch}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -48,6 +48,12 @@ class IngestionMaintenanceSpec extends SparkSuite {
         i => (pmod(hash(col("text"), i), lit(997)).cast("double") / 498.5 - 1.0))
         .cast("array<float>").as("embedding"))
 
+  /** Data-card columns for the report index (source/lang synthesized
+    * deterministically from the id). */
+  private def repOf(docs: DataFrame): DataFrame =
+    docs.withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(3))))
+      .withColumn("lang", lit("en"))
+
   /** Lineitem-shaped lanes for the profile index. */
   private def liOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("l_orderkey"), lit(1).as("l_linenumber"),
@@ -57,7 +63,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       substring(col("text"), 1, 1).as("l_returnflag"),
       lit("O").as("l_linestatus"))
 
-  test("one MemoryStream loop: append all five indexes per batch, compact on cadence, probe == rebuild") {
+  test("one MemoryStream loop: append all EIGHT indexes per batch, compact on cadence, probe == rebuild") {
     val nearDir = tmp("ingest_near")
     val spanDir = tmp("ingest_span")
     val ivfDir = tmp("ingest_ivf")
@@ -66,6 +72,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
 
     val gramDir = tmp("ingest_gram")
     val imgDir = tmp("ingest_img")
+    val repDir = tmp("ingest_rep")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
@@ -75,6 +82,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     MultiModal.writeImageIndex(MultiModal.withPayload(seed), imgDir)
     SimSearch.writeIvfIndex(embOf(seed), ivfDir, nCells = 4, centroidFrom = 0)
     ProfileIndex.writeProfileSketches(liOf(seed), profDir)
+    ReportIndex.writeReportIndex(repOf(seed), repDir)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
     // contract) — rebuilds reuse the stored centroids
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
@@ -103,8 +111,10 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val img = MultiModal.imageNearDupsAgainstIndex(spark,
         MultiModal.withPayload(probes), imgDir)
         .collect().map(_.toString).sorted.toSeq
+      val rep = ReportIndex.reportFromIndex(spark, repDir)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img)
+      Seq(near, span, ivf, prof, win, gram, img, rep)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -113,6 +123,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val w2 = tmp("rb_win")
       val g2 = tmp("rb_gram")
       val im2 = tmp("rb_img")
+      val r2 = tmp("rb_rep")
       Dedup.writeNearDupIndex(all, n2)
       Dedup.writeWinnowIndex(all, w2)
       Dedup.writeSpanIndex(all, s2, w = 4)
@@ -120,6 +131,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       MultiModal.writeImageIndex(MultiModal.withPayload(all), im2)
       SimSearch.writeIvfIndexWith(embOf(all), centroids, i2)
       ProfileIndex.writeProfileSketches(liOf(all), p2)
+      ReportIndex.writeReportIndex(repOf(all), r2)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
         .collect().map(_.toString).sorted.toSeq
       val span = Dedup.spanDedupAgainstIndex(spark, probes, s2, cap = 2)
@@ -136,11 +148,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val img = MultiModal.imageNearDupsAgainstIndex(spark,
         MultiModal.withPayload(probes), im2)
         .collect().map(_.toString).sorted.toSeq
+      val rep = ReportIndex.reportFromIndex(spark, r2)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img)
+      Seq(near, span, ivf, prof, win, gram, img, rep)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -151,7 +165,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       // the near-dup probe must actually see something (doc 900 is a
       // verbatim copy of seed doc 7) — guards against vacuous parity
       assert(live.head.nonEmpty, s"near-dup probe empty $when")
-      assert(live.last.nonEmpty, s"winnow probe empty $when")
+      assert(live.last.nonEmpty, s"report read empty $when")
     }
 
     val stream = MemoryStream[IngestDoc](spark)
@@ -167,6 +181,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         Dedup.appendToWinnowIndex(batch, winDir)
         Dedup.appendToSubstringIndex(batch, gramDir)
         MultiModal.appendToImageIndex(MultiModal.withPayload(batch), imgDir)
+        ReportIndex.appendToReportIndex(repOf(batch), repDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -176,6 +191,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           Dedup.compactWinnowIndex(spark, winDir)
           Dedup.compactSubstringIndex(spark, gramDir)
           MultiModal.compactImageIndex(spark, imgDir)
+          ReportIndex.compactReportIndex(spark, repDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
