@@ -65,6 +65,13 @@ object SparkEntry {
     "q_unpivot" -> ((s, d) => Relational.unpivotQ(s, d)),
     "q_sql" -> ((s, d) => Relational.sqlQ(s, d)),
     "q_subquery" -> ((s, d) => Relational.subqueryQ(s, d)),
+    // LIMIT-ed LATERAL subquery, decorrelated by Catalyst into a rank
+    // window with WindowGroupLimit pushdown (k rows per key leave each
+    // map task — the scale-right per-key top-k plan)
+    "q_lateral" -> ((s, d) => Relational.lateralQ(s, d)),
+    // WITH RECURSIVE fixpoint (Spark 4 UnionLoop): hierarchy walk whose
+    // iteration count is the tree DEPTH, each level one distributed join
+    "q_recursive_cte" -> ((s, d) => Relational.recursiveCteQ(s, d)),
     "q_window_rank" -> ((s, d) => Relational.windowRank(s, d)),
     "q_window_analytic" -> ((s, d) => Relational.windowAnalytic(s, d)),
     // value-RANGE frame (rolling 30-day spend) — peer-inclusive, so
@@ -594,6 +601,8 @@ object SparkEntry {
         |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |GROUP BY e.event_id, e.user_id""".stripMargin,
     "q_subquery" -> graft.ops.Relational.SubqueryQText,
+    "q_lateral" -> graft.ops.Relational.LateralQText,
+    "q_recursive_cte" -> graft.ops.Relational.RecursiveCteQText,
     "q_join_range" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS band_id, count(*) AS n_orders,
         |CAST(sum(CAST(o_totalprice AS DECIMAL(20,6))) AS DOUBLE) AS total

@@ -1223,6 +1223,57 @@ object Relational {
     spark.sql(SqlQText)
   }
 
+  /** LATERAL correlated-subquery text accepted verbatim by both engines:
+    * per-nation top-2 customers by balance through a LIMIT-ed lateral.
+    * The naive reading is a per-row subquery execution; Catalyst instead
+    * decorrelates the lateral into one rank window whose top-k bound is
+    * pushed into WindowGroupLimit — per group, at most k rows survive
+    * the PARTIAL (pre-shuffle) limit, so at 100 TB each map task ships k
+    * rows per key, never the group. Plan pinned in RelationalSpec. */
+  val LateralQText: String =
+    """SELECT n_name, t.c_name, t.c_acctbal
+      |FROM nation, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin
+
+  /** Per-key top-k via LATERAL — the fourth correlation shape after
+    * scalar/EXISTS subqueries and the window-rank form, exercising the
+    * lateral-join decorrelation path none of the others touch. */
+  def lateralQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, dir)
+    spark.sql(LateralQText)
+  }
+
+  /** WITH RECURSIVE text shared verbatim by both engines: walk the
+    * implicit binary-heap hierarchy parent(k) = floor(k/2) over supplier
+    * keys from the root down, emitting per-depth level stats. Spark 4
+    * executes this as UnionLoop — one equi-join per level, and the
+    * iteration count is the HIERARCHY DEPTH (log₂ of the key domain,
+    * ≤ ~40 at any realistic scale), not the row count; each level's
+    * frontier joins distributed, nothing accumulates on the driver.
+    * Every derived integer is cast BIGINT on both sides (DuckDB's
+    * sum(BIGINT) widens to HUGEINT otherwise). */
+  val RecursiveCteQText: String =
+    """WITH RECURSIVE chain AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS k, CAST(0 AS BIGINT) AS depth
+      |  FROM supplier WHERE s_suppkey = 1
+      |  UNION ALL
+      |  SELECT CAST(s.s_suppkey AS BIGINT), c.depth + 1
+      |  FROM supplier s JOIN chain c ON CAST(floor(s.s_suppkey / 2.0) AS BIGINT) = c.k
+      |  WHERE s.s_suppkey > 1)
+      |SELECT depth, count(*) AS n_nodes, min(k) AS min_key, max(k) AS max_key,
+      |CAST(sum(k) AS BIGINT) AS sum_keys
+      |FROM chain GROUP BY depth""".stripMargin
+
+  /** Recursive CTE (transitive hierarchy traversal) through the SQL
+    * entry — the iterative-fixpoint surface (UnionLoop) that no other
+    * declared query exercises. */
+  def recursiveCteQ(spark: SparkSession, dir: String): DataFrame = {
+    graft.sources.Catalog.registerAll(spark, dir)
+    spark.sql(RecursiveCteQText)
+  }
+
   /** Date/time scalar surface on orders (kept separate from scalarQ so a
     * dialect mismatch in one family can't sink both). */
   def dateQ(spark: SparkSession, dir: String): DataFrame = {

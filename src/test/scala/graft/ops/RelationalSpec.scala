@@ -389,6 +389,45 @@ class RelationalSpec extends SparkSuite {
     assert(rows.head.getLong(3) == lines.count())
   }
 
+  test("lateral top-k decorrelates to WindowGroupLimit, bounded per key") {
+    val q = Relational.lateralQ(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // the LIMIT-ed lateral must become a rank window with the top-k
+    // bound pushed to WindowGroupLimit (k rows per key leave each map
+    // task) — a BroadcastNestedLoopJoin here means decorrelation failed
+    // and the subquery would execute per outer row at scale
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    val got = q.cache()
+    val oversize = got.groupBy("n_name").count().filter(col("count") > 2)
+    assert(oversize.isEmpty, "a nation emitted more than k=2 customers")
+    // per-nation max balance must equal the direct groupBy max
+    val direct = graft.sources.Tables.customer(spark, sf)
+      .join(graft.sources.Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(max("c_acctbal").as("top_bal"))
+    val mismatch = got.groupBy("n_name").agg(max("c_acctbal").as("lat_bal"))
+      .join(direct, "n_name").filter(col("lat_bal") =!= col("top_bal"))
+    assert(mismatch.isEmpty)
+    got.unpersist()
+  }
+
+  test("recursive CTE: UnionLoop fixpoint covers every supplier exactly once") {
+    val q = Relational.recursiveCteQ(spark, sf)
+    assert(q.queryExecution.executedPlan.toString.contains("UnionLoop"),
+      "recursive CTE must execute as the iterative UnionLoop, not be flattened")
+    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // parent(k) = floor(k/2) reaches root 1 from every key ≥ 1 (key 0 is
+    // its own parent and sits outside the rooted tree), so the level
+    // sizes must partition the k ≥ 1 keys; each level ≤ 2^depth nodes
+    val nSupp = graft.sources.Tables.supplier(spark, sf)
+      .filter(col("s_suppkey") >= 1).count()
+    assert(rows.values.sum == nSupp, s"levels cover $rows of $nSupp suppliers")
+    rows.foreach { case (d, n) =>
+      assert(n <= (1L << d.toInt), s"level $d has $n nodes > 2^$d")
+    }
+  }
+
   test("approx_count_distinct within 15% of exact") {
     import org.apache.spark.sql.functions.{col, countDistinct}
     val exactByRf = graft.sources.Tables.lineitem(spark, sf)
