@@ -286,6 +286,9 @@ object SparkEntry {
     // weighted exact-k per-stratum draw (Efraimidis-Spirakis): longer
     // docs proportionally likelier, rounded-key cut, bounded-buffer top-k
     "q_sample_weighted" -> ((s, d) => Sampling.sampleWeightedKQ(Tables.documents(s, d))),
+    // per-domain document cap (anti-host-dominance governance): bounded-
+    // buffer top-k + pre-cap volume count in ONE domain-key aggregate
+    "q_domain_cap" -> ((s, d) => Sampling.domainCapQ(Tables.documents(s, d))),
     // bounded-buffer per-group top-k aggregate (map-side partial top-k)
     "q_topk_agg" -> ((s, d) => Relational.topKAggQ(s, d))
   )
@@ -1204,6 +1207,14 @@ object SparkEntry {
         |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, key + 0.0 AS key FROM (
         |SELECT source, doc_id, key, row_number() OVER (PARTITION BY source
         |ORDER BY key DESC, doc_id ASC) AS rnk FROM t) z WHERE rnk <= 10""".stripMargin,
+    // Per-domain cap: rank-window replay of the bounded-buffer top-k
+    // (n_chars DESC, doc_id ASC) plus the pre-cap domain volume.
+    "q_domain_cap" ->
+      """SELECT domain, n_docs, rnk, doc_id, n_chars FROM (
+        |SELECT lower(source) || '.example.com' AS domain, doc_id, n_chars,
+        |CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk,
+        |CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        |FROM documents) t WHERE rnk <= 3""".stripMargin,
     "q_decontaminate" -> DecontaminateOracleSql,
     // bloom prefilter is a pure pruning layer: SAME oracle text
     "q_decontaminate_bloom" -> DecontaminateOracleSql,

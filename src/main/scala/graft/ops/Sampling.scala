@@ -392,4 +392,38 @@ object Sampling {
         col("col.tag").as("doc_id"),
         (col("col.score") + lit(0.0)).as("key"))
   }
+
+  /** Declared query q_domain_cap: per-domain document cap — the
+    * CommonCrawl-pipeline governance step that stops one dominant host
+    * from swamping a training mix ("keep at most k docs per domain,
+    * best first"). Domain is the canonical host of the doc's URL (here
+    * the urlDedupQ synthesis: source host on example.com); "best" is
+    * n_chars DESC with doc_id ASC tie-break — deterministic, engine-
+    * portable, no hash involved.
+    *
+    * Scale shape: ONE aggregate on the domain key doing both jobs —
+    * the BOUNDED-BUFFER top-k (shuffle ≤ k rows per domain out of every
+    * map task) and the pre-cap volume count the governance report needs.
+    * The rank-window spelling would exchange and sort every domain's
+    * full row set; this ships k·|domains| + one count, independent of
+    * corpus size, and a hot domain (the exact case the cap exists for)
+    * never concentrates more than k rows on the final aggregate. */
+  def domainCapQ(docs: DataFrame, k: Int = 3): DataFrame = {
+    val fn = udaf(new graft.functions.Aggregators.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Aggregators.Scored]())
+    // no fanout: the map side is metadata-cheap (no tokenize/md5), so
+    // the plan stays scan → partial top-k → ONE domain exchange → final
+    docs
+      .select(concat(lower(col("source")), lit(".example.com")).as("domain"),
+        col("doc_id"), col("n_chars"))
+      .groupBy(col("domain"))
+      .agg(fn(col("n_chars").cast("double"), col("doc_id")).as("top"),
+        count(lit(1)).as("n_docs"))
+      .select(col("domain"), col("n_docs"), posexplode(col("top")))
+      .select(col("domain"), col("n_docs"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.tag").as("doc_id"),
+        col("col.score").cast("long").as("n_chars"))
+  }
 }

@@ -138,4 +138,41 @@ class WeightedSampleOutlierSpec extends SparkSuite {
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(got == Map(5L -> false, 100L -> false, 101L -> false, 102L -> true))
   }
+
+  test("domainCapQ: cap + volume in one aggregate, best-first, no rank window") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val q = Sampling.domainCapQ(docs, k = 3)
+    // the whole query is ONE domain-key aggregate: bounded-buffer top-k
+    // rides ObjectHashAggregate, no row_number window, and exactly one
+    // exchange (the domain shuffle) — the shape that caps a hot domain
+    // without ever sorting its full row set
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      plan.take(600))
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(600))
+    val rows = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // per domain: exactly min(k, n_docs) survivors, ranks 1..that
+    rows.groupBy(_._1).foreach { case (dom, rs) =>
+      val n = rs.head._2
+      assert(rs.length == math.min(3L, n), s"$dom kept ${rs.length} of $n")
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq)
+      // best-first: ranks descend by n_chars with doc_id tie-break
+      val ordered = rs.sortBy(_._3).map(r => (r._5, r._4)).toSeq
+      assert(ordered.sliding(2).forall {
+        case Seq((c1, id1), (c2, id2)) => c1 > c2 || (c1 == c2 && id1 < id2)
+        case _ => true
+      }, s"$dom not best-first: $ordered")
+      // nothing outside the cap beats anyone inside it
+      val kept = rs.map(_._4).toSet
+      val floor = ordered.last
+      val beaten = docs.filter(
+          lower(concat(col("source"), org.apache.spark.sql.functions.lit(".example.com"))) === dom &&
+          !col("doc_id").isInCollection(kept))
+        .select(col("n_chars"), col("doc_id")).collect()
+        .filter(r => r.getLong(0) > floor._1 ||
+          (r.getLong(0) == floor._1 && r.getLong(1) < floor._2))
+      assert(beaten.isEmpty, s"$dom dropped better docs: ${beaten.mkString(",")}")
+    }
+  }
 }
