@@ -201,6 +201,10 @@ object SparkEntry {
     "q_embed_outlier" -> ((s, d) => SimSearch.embedOutlierQ(s, d)),
     "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d))),
     "q_embed_quant" -> ((s, d) => SimSearch.quantizeQ(Tables.embeddings(s, d))),
+    // sparse random projection (Achlioptas JL, 64→16): coordinate-hash
+    // matrix regenerated by any engine, driver-materialized into
+    // straight-line codegen adds — no per-row md5, no shuffle
+    "q_embed_rp" -> ((s, d) => SimSearch.randomProjectQ(Tables.embeddings(s, d))),
     // the scale form (corpus-sized bucket width + 2 sign projections):
     // autoBits and both rotation windows are pure functions of the
     // data, so the oracle recomputes the identical blocking from the
@@ -1409,6 +1413,9 @@ object SparkEntry {
         |CAST(list_min(codes) AS BIGINT) AS code_min,
         |CAST(list_max(codes) AS BIGINT) AS code_max,
         |ma / 127 AS scale FROM c""".stripMargin,
+    // generated at oracle-build time from the same coordinate-hash
+    // matrix the engine materializes (SimSearch.RandomProject)
+    "q_embed_rp" -> graft.ops.SimSearch.randomProjectOracleSql,
     // q_embed_neardup's pair pipeline composed with q_dup_clusters'
     // component resolution (two star-contraction levels + the pruned
     // recursive min-label walk on the residual), then the survivor

@@ -64,6 +64,83 @@ object SimSearch {
   /** Declared query q_embed_quant: per-vector code summary (dims, code
     * sum/min/max, scale) of the int8 quantization — every code and the
     * scale participate in the oracle hash through the sum. */
+  /** Deterministic sparse random projection (Achlioptas/JL): 64-d float
+    * embeddings down to m=16 dims with the {+1, 0, −1} matrix drawn
+    * from the portable md5 hash of the COORDINATES (density 1/3:
+    * hash(i,j) % 6 → 0:+1, 1:−1, else 0) and the √(3/m) variance
+    * correction. The matrix is a pure function of (i, j) — no stored
+    * model, any engine regenerates it — so the projection is DATA, not
+    * a run artifact, and the oracle rebuilds the identical matrix.
+    *
+    * Scale shape: the matrix is driver-materialized into the plan as
+    * ~d·m/3 straight-line adds per row (codegen'd, no md5 per ROW, no
+    * UDF, no shuffle) — the cheap-ANN/clustering preprocessing step at
+    * any corpus size. Bit-exactness: terms add in ascending input-dim
+    * order, left-associated, exactly the order the generated oracle SQL
+    * spells; subtraction IS addition of the negation in IEEE, and the
+    * rounded output normalizes −0.0. */
+  object RandomProject {
+    val Dims = 64
+    val OutDims = 16
+
+    /** {+1, 0, −1} at (in-dim i, out-dim j) — 60-bit md5 hash mod 6,
+      * the same "15 hex nibbles as BIGINT" spelling every portable
+      * hash in the engine uses. */
+    def sign(i: Int, j: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 6) match {
+        case 0 => 1
+        case 1 => -1
+        case _ => 0
+      }
+    }
+
+    /** The per-output-dim nonzero terms, ascending input dim. */
+    def terms(j: Int): Seq[(Int, Int)] =
+      (0 until Dims).map(i => (i, sign(i, j))).filter(_._2 != 0)
+
+    val Scale: Double = math.sqrt(3.0 / OutDims)
+  }
+
+  /** Declared query q_embed_rp: the projected vectors, one rounded
+    * column per output dim (every element under the oracle hash). */
+  def randomProjectQ(embeddings: DataFrame): DataFrame = {
+    import RandomProject._
+    val v = asDouble(col("embedding"))
+    val outs = (0 until OutDims).map { j =>
+      val sum = terms(j).map { case (i, s) =>
+        val e = element_at(col("v"), i + 1)
+        if (s > 0) e else -e
+      }.reduceOption(_ + _).getOrElse(lit(0.0))
+      // + 0.0 normalizes a −0.0 (the all-terms-cancel row)
+      (round(sum * lit(Scale), 6) + lit(0.0)).as(s"rp$j")
+    }
+    embeddings
+      .filter(size(col("embedding")) === Dims)
+      .select(col("vec_id") +: v.as("v") +: Nil: _*)
+      .select(col("vec_id") +: outs: _*)
+  }
+
+  /** The q_embed_rp oracle: the SAME matrix regenerated from the md5
+    * coordinates at ORACLE-BUILD time (Scala), emitted as straight-line
+    * SQL with the identical term order and association. */
+  def randomProjectOracleSql: String = {
+    import RandomProject._
+    val cols = (0 until OutDims).map { j =>
+      val body = terms(j).zipWithIndex.map { case ((i, s), idx) =>
+        val ref = s"v[${i + 1}]"
+        if (idx == 0) (if (s > 0) ref else s"-$ref")
+        else (if (s > 0) s" + $ref" else s" - $ref")
+      }.mkString
+      s"round(($body) * sqrt(3.0 / $OutDims.0), 6) + 0.0 AS rp$j"
+    }
+    s"""SELECT vec_id, ${cols.mkString(",\n")}
+       |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |FROM embeddings WHERE len(embedding) = $Dims) t""".stripMargin
+  }
+
   def quantizeQ(embeddings: DataFrame): DataFrame =
     quantizeInt8(embeddings)
       .select(col("vec_id"),

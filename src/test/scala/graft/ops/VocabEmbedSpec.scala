@@ -134,4 +134,49 @@ class VocabEmbedSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(600))
   }
+
+  test("randomProject: driver replay, JL distance law, sparse matrix, map-side plan") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = SimSearch.randomProjectQ(emb)
+    // map-side only, and the matrix is baked into codegen (no per-row
+    // md5: the expression tree carries element_at refs, not hash calls)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(600))
+    assert(!plan.toLowerCase.contains("md5"), "matrix must be driver-materialized")
+    import SimSearch.RandomProject._
+    // matrix density ≈ 1/3 per output dim (binomial(64, 1/3) bounds)
+    (0 until OutDims).foreach { j =>
+      val nz = terms(j).size
+      assert(nz >= 10 && nz <= 36, s"out-dim $j has $nz nonzeros of $Dims")
+    }
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (0 until OutDims).map(j => r.getDouble(j + 1)).toArray).toMap
+    val raw = emb.collect().map { r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray
+    }.toMap
+    assert(rows.keySet == raw.keySet)
+    // driver replay: same matrix, same order of adds, same rounding
+    raw.foreach { case (id, v) =>
+      (0 until OutDims).foreach { j =>
+        val s = terms(j).foldLeft(0.0) { case (acc, (i, sg)) =>
+          if (sg > 0) acc + v(i) else acc - v(i)
+        }
+        val want = BigDecimal(s * Scale)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+        assert(math.abs(rows(id)(j) - want) < 1e-9, s"vec $id dim $j")
+      }
+    }
+    // JL law on the fixture: squared distances survive the 64→16 cut
+    // within a generous band for the bulk of sampled pairs
+    val ids = raw.keys.toSeq.sorted.take(25)
+    val ratios = for {
+      a <- ids; b <- ids if a < b
+      d0 = raw(a).zip(raw(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      if d0 > 1e-12
+      d1 = rows(a).zip(rows(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    } yield d1 / d0
+    val inBand = ratios.count(r => r > 0.35 && r < 2.8)
+    assert(inBand.toDouble / ratios.size >= 0.8,
+      s"only $inBand/${ratios.size} pair distances inside the JL band")
+  }
 }
