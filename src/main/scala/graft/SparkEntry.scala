@@ -199,6 +199,10 @@ object SparkEntry {
     // per-cluster outlier flags in exact integer-nano arithmetic (the
     // SemDeDup prune step; no distributed double mean anywhere)
     "q_embed_outlier" -> ((s, d) => SimSearch.embedOutlierQ(s, d)),
+    // inverse-cluster-density selection (D4/SSL-prototypes shape):
+    // dense cells downsampled to ~target rows, sparse cells kept whole;
+    // q_cluster's assignment + exact counts + the portable hash draw
+    "q_density_sample" -> ((s, d) => SimSearch.densitySampleQ(s, d)),
     "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d))),
     "q_embed_quant" -> ((s, d) => SimSearch.quantizeQ(Tables.embeddings(s, d))),
     // sparse random projection (Achlioptas JL, 64→16): coordinate-hash
@@ -1472,6 +1476,28 @@ object SparkEntry {
         |(SELECT vec_id, cell, s, row_number() OVER
         |(PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn FROM sims) t WHERE rn = 1)
         |SELECT cell, count(*) AS n_vecs, avg(s) AS avg_sim FROM best GROUP BY cell""".stripMargin,
+    // same assignment CTEs as q_cluster, then exact cell counts, the
+    // integer cut on the 1e-6 grid, and the salted md5 draw
+    "q_density_sample" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+        |WHERE vec_id >= 5 AND vec_id < 21),
+        |sims AS (SELECT a.vec_id, c.cell,
+        |list_dot_product(a.v, c.cv)/(a.nrm*c.cn) AS s FROM nn a CROSS JOIN cents c),
+        |best AS (SELECT vec_id, cell FROM
+        |(SELECT vec_id, cell, row_number() OVER
+        |(PARTITION BY vec_id ORDER BY s DESC, cell ASC) AS rn FROM sims) t WHERE rn = 1),
+        |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_cell,
+        |least(CAST(1000000 AS BIGINT),
+        |CAST(round(20 * 1000000.0 / count(*)) AS BIGINT)) AS cut
+        |FROM best GROUP BY cell)
+        |SELECT b.vec_id, b.cell, sz.n_cell, sz.cut
+        |FROM best b JOIN sz USING (cell)
+        |WHERE CAST(('0x'||substr(md5('ds:' || CAST(b.vec_id AS VARCHAR)),1,15)) AS BIGINT)
+        |% 1000000 < sz.cut""".stripMargin,
     // same assignment CTEs as q_cluster; the outlier boolean runs in
     // exact integer nanos (cross-multiplied, division-free)
     "q_embed_outlier" ->

@@ -397,6 +397,48 @@ object SimSearch {
       .agg(count(lit(1)).as("n_vecs"), avg(col("best_sim")).as("avg_sim"))
   }
 
+  /** Declared query q_density_sample: inverse-cluster-density data
+    * selection (the SSL-prototypes / D4 shape): assign every vector to
+    * its nearest deterministic centroid, then keep each cell's rows at
+    * rate target/|cell| (capped at 1) under the portable hash draw —
+    * dense regions are downsampled toward `target` rows per cell,
+    * sparse regions survive whole, so the kept set flattens the
+    * density profile of the corpus (what diversity-preserving
+    * selection wants; exact dedup alone cannot do this).
+    *
+    * Determinism end-to-end: the assignment is q_cluster's gated
+    * argmax, cell sizes are exact counts, the cut is an integer on the
+    * 1e-6 grid, and the draw is the salted 60-bit md5 every sampler
+    * here uses — the oracle recomputes all four stages bit-for-bit.
+    *
+    * Scale shape: one corpus exchange (the assignment argmax), then a
+    * 16-row size table broadcast back — the draw itself is map-side.
+    * The assignment frame is computed once (tracked cache) and feeds
+    * both the size count and the final filter. */
+  def densitySampleQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    densitySample(graft.sources.Tables.embeddings(spark, dir))
+
+  def densitySample(raw: DataFrame, target: Int = 20, nCells: Int = 16): DataFrame = {
+    val emb = normed(raw)
+    val cents = sampledCentroids(raw, nCells, 5)
+    val simToCell = ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))
+    val assigned = PipelineCaches.track(
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cell"), simToCell.as("cs"))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cell"), struct(col("cs"), (-col("cell")).as("nc"))).as("cell")))
+    val sizes = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_cell"))
+      .withColumn("cut", least(lit(1000000L),
+        round(lit(target) * lit(1000000.0) / col("n_cell")).cast("long")))
+    val draw = pmod(conv(substring(md5(concat(lit("ds:"),
+      col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long"), lit(1000000L))
+    assigned.join(broadcast(sizes), Seq("cell"))
+      .filter(draw < col("cut"))
+      .select(col("vec_id"), col("cell"), col("n_cell"), col("cut"))
+  }
+
   /** Lloyd's k-means over the embedding corpus, as pure DataFrame ops —
     * the offline training path [[ivfTopK]]'s scaladoc names: start from
     * the deterministic sample, then `iters` rounds of assign-to-nearest

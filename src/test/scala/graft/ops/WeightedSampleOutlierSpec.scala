@@ -139,6 +139,36 @@ class WeightedSampleOutlierSpec extends SparkSuite {
     assert(got == Map(5L -> false, 100L -> false, 101L -> false, 102L -> true))
   }
 
+  test("densitySample: flattens cell densities, small cells survive whole, draw replays") {
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val df = SimSearch.densitySample(emb, target = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // size table joins back as a broadcast (16 rows) — a sort-merge
+    // join here would shuffle the corpus a second time
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    val kept = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    graft.ops.PipelineCaches.release(spark)
+    // cells at or under target keep everything (cut = 1e6 admits all)
+    kept.filter(_._3 <= 2).groupBy(_._2).foreach { case (cell, rs) =>
+      assert(rs.length.toLong == rs.head._3, s"cell $cell dropped from a sparse cell")
+      assert(rs.head._4 == 1000000L)
+    }
+    // every kept row replays the draw on the driver
+    kept.foreach { case (id, _, _, cut) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ds:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      assert(java.lang.Long.parseLong(hex, 16) % 1000000L < cut, s"vec $id draw")
+    }
+    // dense cells were actually cut: at least one cell has fewer kept
+    // rows than members (the sf0.001 corpus is 50 vecs over ≤16 cells)
+    val keptPerCell = kept.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(kept.exists { case (_, cell, n, _) => keptPerCell(cell) < n },
+      s"no dense cell was downsampled: $keptPerCell")
+  }
+
   test("domainCapQ: cap + volume in one aggregate, best-first, no rank window") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val q = Sampling.domainCapQ(docs, k = 3)
