@@ -259,6 +259,10 @@ object SparkEntry {
     "q_profile_incr" -> ((s, d) => ProfileIndex.profileIncrGated(s, d)),
     // retrieval + data-selection scoring
     "q_bm25" -> ((s, d) => Scoring.bm25Q(Tables.documents(s, d))),
+    // the NINTH persisted index: inverted postings (dl denormalized,
+    // token-hash bucketed) + additive (N, total_dl) partials; retrieval
+    // reads ONLY the query terms' buckets and must equal batch BM25
+    "q_bm25_incr" -> ((s, d) => graft.ops.TextIndex.incrementalBm25Q(s, d)),
     "q_dsir" -> ((s, d) => Scoring.dsirQ(s, Tables.documents(s, d))),
     // RAG-style sliding-window chunking: map-side, one Generate
     "q_chunk" -> ((s, d) => TextOps.chunkQ(Tables.documents(s, d))),
@@ -403,6 +407,25 @@ object SparkEntry {
     * rationale at the q_dup_clusters registration). `docsCte` prepends
     * an optional CTE (e.g. the re-keyed corpus ∪ delta union) and `src`
     * names the table the tokenizer reads. */
+  /** The BM25 oracle — shared by the batch q_bm25 and the inverted-
+    * index read q_bm25_incr (postings over corpus ∪ delta must score
+    * identically to the batch pass over all documents). */
+  private val Bm25OracleSql: String =
+    """WITH tok AS (SELECT doc_id, t AS token FROM
+      |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |FROM documents) u WHERE t <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+      |WHERE token IN ('data', 'query', 'engine', 'fast') GROUP BY token),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+      |WHERE token IN ('data', 'query', 'engine', 'fast') GROUP BY doc_id, token)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+      |round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+      |/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+      |FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id), st
+      |GROUP BY doc_id""".stripMargin
+
   /** The per-source data-card oracle — shared by the batch
     * q_corpus_report and the index-read q_corpus_report_incr (the
     * additive index over corpus ∪ delta must reproduce the batch
@@ -1725,21 +1748,10 @@ object SparkEntry {
     // BM25 k1=1.2 b=0.75; only docs matching ≥1 query term score a row
     // (inner joins). The 1e-16 double-literal delta between the engine's
     // computed k1+1 and the SQL's 2.2 dies in the round-to-6.
-    "q_bm25" ->
-      """WITH tok AS (SELECT doc_id, t AS token FROM
-        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
-        |FROM documents) u WHERE t <> ''),
-        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
-        |WHERE token IN ('data', 'query', 'engine', 'fast') GROUP BY token),
-        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
-        |WHERE token IN ('data', 'query', 'engine', 'fast') GROUP BY doc_id, token)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
-        |round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
-        |/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
-        |FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id), st
-        |GROUP BY doc_id""".stripMargin,
+    "q_bm25" -> Bm25OracleSql,
+    // the index read must equal the batch scorer over the union —
+    // q_bm25's oracle text verbatim IS the incremental gate
+    "q_bm25_incr" -> Bm25OracleSql,
     // Same 60-bit md5 token hash as the dedup lanes; add-one smoothing
     // over 256 buckets; candidates are the non-target docs.
     "q_dsir" ->

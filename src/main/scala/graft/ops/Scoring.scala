@@ -21,7 +21,9 @@ object Scoring {
   private def toks(docs: DataFrame): Column =
     split(lower(trim(col("text"))), "\\s+")
 
-  private def tokensOf(docs: DataFrame): DataFrame =
+  /** Shared with [[TextIndex]] — the inverted index must tokenize
+    * EXACTLY like the batch scorer for the index read to equal it. */
+  private[ops] def tokensOf(docs: DataFrame): DataFrame =
     graft.sources.Tables.fanout(docs)
       .select(col("doc_id"), explode(toks(docs)).as("token"))
       .filter(col("token") =!= "")

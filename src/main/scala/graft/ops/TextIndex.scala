@@ -1,0 +1,173 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The NINTH persisted index: incremental inverted text index serving
+  * BM25 retrieval.
+  *
+  * [[Scoring.bm25Q]] is the batch form — one corpus pass per query
+  * set. A 100 TB retrieval loop cannot re-tokenize the corpus per
+  * query; this index persists the postings once and serves any query
+  * from a bucket-pruned read:
+  *
+  *  - `postings`: one row per (token, doc) — (token, doc_id, tf, dl),
+  *    partitioned on `bkt = hash(token) % buckets`. The doc length is
+  *    DENORMALIZED onto the posting row, so scoring never joins a
+  *    doc-keyed side table: a query touches only its terms' buckets
+  *    (partition-pruned) and the rows inside them that match the terms
+  *    (pushed filter). Appends are additive — new docs contribute new
+  *    (token, doc) rows, and single-writer ingestion (the discipline
+  *    all nine indexes share) means a doc never arrives twice, so
+  *    df(t) stays an exact row count per token with no merge step.
+  *  - `stats`: per-batch additive partials (n_docs, total_dl) over
+  *    docs WITH ≥ 1 token (the batch scorer's population — whitespace
+  *    docs don't shift avgdl there, so they must not here). The reader
+  *    folds the partials to the (N, avgdl) scalar in one
+  *    metadata-sized aggregate.
+  *  - `meta`: the bucket count (fixed at build time; appends reuse it).
+  *
+  * Scoring from the index is [[bm25FromIndex]]: term buckets resolved
+  * with the same engine hash, postings read pruned to those buckets,
+  * per-term df as a |terms|-row broadcast, the (N, avgdl) scalar
+  * broadcast, then ONE doc-keyed aggregate over only the matching
+  * rows. Same k1/b, same score spelling, same round-6 grid as the
+  * batch scorer — the declared q_bm25_incr shares q_bm25's oracle
+  * text outright.
+  *
+  * Compaction collapses per-batch files to one file per bucket
+  * (postings rows are already unique — no merge aggregate) and the
+  * stats partials to one row, through the shared [[DirSwap]].
+  */
+object TextIndex {
+
+  private val PostingsSchema = StructType(Seq(
+    StructField("token", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("dl", LongType),
+    StructField("bkt", IntegerType)))
+
+  private val StatsSchema = StructType(Seq(
+    StructField("n_docs", LongType), StructField("total_dl", LongType)))
+
+  val DefaultTerms: Seq[String] = Seq("data", "query", "engine", "fast")
+
+  /** (postings, stats) partials for one batch. The (doc, token) tf
+    * aggregate and the per-doc length window share the doc-derived
+    * shuffle; the stats fold reads the cached postings frame. Caller
+    * must consume both before `done()` unpersists. */
+  private def partials(docs: DataFrame,
+      buckets: Int): (DataFrame, DataFrame, () => Unit) = {
+    val perDocTok = Scoring.tokensOf(docs)
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .cache()
+    val postings = perDocTok
+      .withColumn("bkt", pmod(abs(hash(col("token"))), lit(buckets)).cast("int"))
+    val stats = perDocTok
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        sum(col("tf")).as("total_dl"))
+    (postings, stats, () => { perDocTok.unpersist(); () })
+  }
+
+  def writeTextIndex(docs: DataFrame, dir: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val (postings, stats, done) = partials(docs, buckets)
+    postings.repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/postings")
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    done()
+    val spark = docs.sparkSession
+    spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(buckets)),
+      StructType(Seq(StructField("buckets", IntegerType))))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readBuckets(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/meta").head().getInt(0)
+
+  /** Fold newly ingested documents in — additive file appends on both
+    * tables, one file per touched bucket per batch. Contract: new
+    * doc_ids only (the single-writer ingestion discipline). */
+  def appendToTextIndex(newDocs: DataFrame, dir: String): Unit = {
+    val buckets = readBuckets(newDocs.sparkSession, dir)
+    val (postings, stats, done) = partials(newDocs, buckets)
+    postings.repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
+    stats.coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    done()
+  }
+
+  /** Collapse per-batch files: postings to one file per bucket (pure
+    * layout — rows are unique by the append contract), stats to one
+    * row. */
+  def compactTextIndex(spark: SparkSession, dir: String): Unit = {
+    DirSwap(spark, s"$dir/postings") { out =>
+      spark.read.schema(PostingsSchema).parquet(s"$dir/postings")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(out)
+    }
+    DirSwap(spark, s"$dir/stats") { out =>
+      spark.read.schema(StatsSchema).parquet(s"$dir/stats")
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+        .coalesce(1).write.parquet(out)
+    }
+  }
+
+  /** BM25 scores for every indexed doc matching ≥ 1 query term — the
+    * steady-state retrieval read. Touches only the query terms'
+    * buckets (partition-pruned scan, token filter pushed); everything
+    * model-sized (per-term df, the (N, avgdl) scalar) broadcasts; the
+    * one shuffle is the doc-keyed score sum over MATCHING rows only.
+    * Bit-compatible with [[Scoring.bm25Q]] over the same corpus. */
+  def bm25FromIndex(spark: SparkSession, dir: String,
+      terms: Seq[String] = DefaultTerms,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val buckets = readBuckets(spark, dir)
+    // term → bucket under the ENGINE's hash (the partition layout's
+    // function): resolved with one metadata-sized local job rather
+    // than reimplementing murmur3 driver-side
+    import scala.jdk.CollectionConverters._
+    val bkts = spark.createDataset(terms)(
+        org.apache.spark.sql.Encoders.STRING)
+      .select(pmod(abs(hash(col("value"))), lit(buckets)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val matched = spark.read.schema(PostingsSchema)
+      .parquet(s"$dir/postings")
+      .filter(col("bkt").isInCollection(bkts) &&
+        col("token").isInCollection(terms))
+    val dfx = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val st = spark.read.schema(StatsSchema).parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val score =
+      log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+        col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    matched.join(broadcast(dfx), "token")
+      .crossJoin(broadcast(st))
+      .select(col("doc_id"), score.as("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_matched"), round(sum(col("s")), 6).as("bm25"))
+  }
+
+  /** Declared query q_bm25_incr: corpus (doc_id % 20 ≠ 0) indexed
+    * once, the delta (doc_id % 20 = 0) folded in as a micro-batch
+    * append, scores served from the index — which must equal the batch
+    * [[Scoring.bm25Q]] over ALL documents (the shared oracle text). */
+  def incrementalBm25Q(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_text_idx", dir)
+    BuildOnce(spark, idxDir) {
+      writeTextIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
+      appendToTextIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+    }
+    bm25FromIndex(spark, idxDir)
+  }
+}

@@ -133,6 +133,15 @@ class FaultInjectionSpec extends SparkSuite {
       () => ProfileIndex.compactProfileSketches(spark, dir))
   }
 
+  test("text (BM25 postings) index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_text")
+    TextIndex.writeTextIndex(docsDF(1L to 30L), dir)
+    TextIndex.appendToTextIndex(docsDF(31L to 40L), dir)
+    drill("text",
+      () => TextIndex.bm25FromIndex(spark, dir, Seq("alpha", "token7", "v1")),
+      () => TextIndex.compactTextIndex(spark, dir))
+  }
+
   test("mid-write crash (partial temp on disk): live untouched, retry converges") {
     val dir = tmp("fi_partial")
     Dedup.writeNearDupIndex(docsDF(1L to 30L), dir)

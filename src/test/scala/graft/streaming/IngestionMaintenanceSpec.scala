@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{Dedup, MultiModal, PipelineCaches, ProfileIndex, ReportIndex, SimSearch}
+import graft.ops.{Dedup, MultiModal, PipelineCaches, ProfileIndex, ReportIndex, SimSearch, TextIndex}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -14,10 +14,11 @@ case class IngestDoc(doc_id: Long, text: String)
 /** The production maintenance cadence the index scaladocs describe, run
   * as ONE loop instead of five isolated specs: a single MemoryStream of
   * documents drives foreachBatch; every micro-batch is appended into
-  * all seven persisted indexes (near-dup bands, span frequencies, IVF
+  * all nine persisted indexes (near-dup bands, span frequencies, IVF
   * cells, profile sketches, winnow fingerprints, substring gram counts,
-  * image dHash bands — the embedding and
-  * lineitem shapes derived deterministically from the same rows),
+  * image dHash bands, the corpus data card, BM25 postings — the
+  * embedding and lineitem shapes derived deterministically from the
+  * same rows),
   * compaction runs on a cadence,
   * and after every batch AND after compaction a probe of each index is
   * asserted equal to a probe of an index REBUILT from scratch over
@@ -63,7 +64,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       substring(col("text"), 1, 1).as("l_returnflag"),
       lit("O").as("l_linestatus"))
 
-  test("one MemoryStream loop: append all EIGHT indexes per batch, compact on cadence, probe == rebuild") {
+  test("one MemoryStream loop: append all NINE indexes per batch, compact on cadence, probe == rebuild") {
     val nearDir = tmp("ingest_near")
     val spanDir = tmp("ingest_span")
     val ivfDir = tmp("ingest_ivf")
@@ -73,6 +74,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     val gramDir = tmp("ingest_gram")
     val imgDir = tmp("ingest_img")
     val repDir = tmp("ingest_rep")
+    val txtDir = tmp("ingest_txt")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
@@ -83,6 +85,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     SimSearch.writeIvfIndex(embOf(seed), ivfDir, nCells = 4, centroidFrom = 0)
     ProfileIndex.writeProfileSketches(liOf(seed), profDir)
     ReportIndex.writeReportIndex(repOf(seed), repDir)
+    TextIndex.writeTextIndex(seed, txtDir)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
     // contract) — rebuilds reuse the stored centroids
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
@@ -113,8 +116,10 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val rep = ReportIndex.reportFromIndex(spark, repDir)
         .collect().map(_.toString).sorted.toSeq
+      val txt = TextIndex.bm25FromIndex(spark, txtDir,
+        Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -124,6 +129,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val g2 = tmp("rb_gram")
       val im2 = tmp("rb_img")
       val r2 = tmp("rb_rep")
+      val t2 = tmp("rb_txt")
       Dedup.writeNearDupIndex(all, n2)
       Dedup.writeWinnowIndex(all, w2)
       Dedup.writeSpanIndex(all, s2, w = 4)
@@ -132,6 +138,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       SimSearch.writeIvfIndexWith(embOf(all), centroids, i2)
       ProfileIndex.writeProfileSketches(liOf(all), p2)
       ReportIndex.writeReportIndex(repOf(all), r2)
+      TextIndex.writeTextIndex(all, t2)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
         .collect().map(_.toString).sorted.toSeq
       val span = Dedup.spanDedupAgainstIndex(spark, probes, s2, cap = 2)
@@ -150,11 +157,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val rep = ReportIndex.reportFromIndex(spark, r2)
         .collect().map(_.toString).sorted.toSeq
+      val txt = TextIndex.bm25FromIndex(spark, t2,
+        Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -182,6 +191,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         Dedup.appendToSubstringIndex(batch, gramDir)
         MultiModal.appendToImageIndex(MultiModal.withPayload(batch), imgDir)
         ReportIndex.appendToReportIndex(repOf(batch), repDir)
+        TextIndex.appendToTextIndex(batch, txtDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -192,6 +202,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           Dedup.compactSubstringIndex(spark, gramDir)
           MultiModal.compactImageIndex(spark, imgDir)
           ReportIndex.compactReportIndex(spark, repDir)
+          TextIndex.compactTextIndex(spark, txtDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
