@@ -49,7 +49,11 @@ class PlanGuardSpec extends SparkSuite {
       "q_pmi", "q_ngram_lm", "q_corpus_clean", "q_knn_clf",
       // q_knn_clf_ivf and q_embed_outlier broadcast the 16-row sampled
       // centroid table against one corpus scan (q_cluster's shape)
-      "q_knn_clf_ivf", "q_embed_outlier")
+      "q_knn_clf_ivf", "q_embed_outlier",
+      // q_bm25_incr cross-joins the ONE-row (N, avgdl) scalar onto the
+      // bucket-pruned postings read (TextIndex.bm25FromIndex — the same
+      // scalar-broadcast shape as q_bm25's batch form)
+      "q_bm25_incr")
 
   test("skew split join: hot path broadcasts by construction, cold path shuffles") {
     // isolated session (suites may run in parallel; see DedupVerifyModeSpec)
