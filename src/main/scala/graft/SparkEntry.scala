@@ -1242,10 +1242,11 @@ object SparkEntry {
     // (n_chars DESC, doc_id ASC) plus the pre-cap domain volume.
     "q_domain_cap" ->
       """SELECT domain, n_docs, rnk, doc_id, n_chars FROM (
-        |SELECT lower(source) || '.example.com' AS domain, doc_id, n_chars,
-        |CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk,
-        |CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
-        |FROM documents) t WHERE rnk <= 3""".stripMargin,
+        |SELECT domain, doc_id, n_chars,
+        |CAST(row_number() OVER (PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rnk,
+        |CAST(count(*) OVER (PARTITION BY domain) AS BIGINT) AS n_docs
+        |FROM (SELECT lower(source) || '.example.com' AS domain, doc_id, n_chars
+        |      FROM documents) d) t WHERE rnk <= 3""".stripMargin,
     "q_decontaminate" -> DecontaminateOracleSql,
     // bloom prefilter is a pure pruning layer: SAME oracle text
     "q_decontaminate_bloom" -> DecontaminateOracleSql,

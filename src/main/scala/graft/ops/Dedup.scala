@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import java.util.concurrent.atomic.AtomicLong
+
 import graft.functions.SortedLongIntersectCount
 
 /** Deduplication operators for training-data pipelines.
@@ -18,6 +20,9 @@ import graft.functions.SortedLongIntersectCount
   * handles when a bucket is hot (e.g. boilerplate documents).
   */
 object Dedup {
+
+  /** Monotone suffix for [[contaminationBloom]]'s per-call temp-view name. */
+  private val bloomViewSeq = new AtomicLong(0L)
   val NumHashes = 8
   val BandSize = 2 // 4 bands of 2 hashes → catches jaccard ≳ 0.5 pairs
 
@@ -1067,7 +1072,11 @@ object Dedup {
     BloomJoin.register(spark)
     val evalSet = shinglesOf(evalDocs.select(col("doc_id"), col("text")), n)
       .select("shingle").distinct()
-    evalSet.createOrReplaceTempView("graft_eval_shingles")
+    // Per-call unique view name: a fixed session-global name would let two
+    // concurrent calls (or an unrelated pipeline reusing it) clobber each
+    // other's eval set before the lazy scalar-subquery bloom executes.
+    val evalView = s"graft_eval_shingles_${bloomViewSeq.incrementAndGet()}"
+    evalSet.createOrReplaceTempView(evalView)
     // DIRECT-generator spelling both passes (explode of the array
     // EXPRESSION): staging the array through a named column and
     // exploding the column re-evaluates the ~300-hash array per
@@ -1085,7 +1094,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"))
     val shared = corpusSh
       .filter(expr(s"${BloomJoin.ContainsFn}((SELECT ${BloomJoin.AggFn}(" +
-        s"shingle, ${expectedEval}L, ${bloomBits}L) FROM graft_eval_shingles), shingle)"))
+        s"shingle, ${expectedEval}L, ${bloomBits}L) FROM ${evalView}), shingle)"))
       .join(broadcast(evalSet), Seq("shingle"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
     // inner join keeps exactly the >=1-shared docs (contamination's

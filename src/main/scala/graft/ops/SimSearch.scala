@@ -97,9 +97,17 @@ object SimSearch {
       }
     }
 
-    /** The per-output-dim nonzero terms, ascending input dim. */
-    def terms(j: Int): Seq[(Int, Int)] =
-      (0 until Dims).map(i => (i, sign(i, j))).filter(_._2 != 0)
+    /** The per-output-dim nonzero terms, ascending input dim.
+      * Memoized once per JVM: the matrix is a constant, and both the
+      * plan builder and the generated oracle SQL walk it — recomputing
+      * a fresh MessageDigest per (i,j) coordinate on every call grows
+      * quadratically if Dims/OutDims are ever raised. */
+    private lazy val allTerms: IndexedSeq[Seq[(Int, Int)]] =
+      (0 until OutDims).map { j =>
+        (0 until Dims).map(i => (i, sign(i, j))).filter(_._2 != 0)
+      }
+
+    def terms(j: Int): Seq[(Int, Int)] = allTerms(j)
 
     val Scale: Double = math.sqrt(3.0 / OutDims)
   }

@@ -173,8 +173,9 @@ class IngestionMaintenanceSpec extends SparkSuite {
       }
       // the near-dup probe must actually see something (doc 900 is a
       // verbatim copy of seed doc 7) — guards against vacuous parity
-      assert(live.head.nonEmpty, s"near-dup probe empty $when")
-      assert(live.last.nonEmpty, s"report read empty $when")
+      assert(live(names.indexOf("near-dup")).nonEmpty, s"near-dup probe empty $when")
+      assert(live(names.indexOf("report")).nonEmpty, s"report read empty $when")
+      assert(live(names.indexOf("text")).nonEmpty, s"bm25 probe empty $when")
     }
 
     val stream = MemoryStream[IngestDoc](spark)
