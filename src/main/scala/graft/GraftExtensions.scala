@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{DotProductDouble, Md5Bits, SortedLongIntersectCount, WinnowMins}
+import graft.functions.{DHash60, DotProductDouble, Md5Bits, SortedLongIntersectCount, WinnowMins}
 
 /** Session-extension entry point: the standard way a cluster deploys
   * this library's custom Catalyst surface without code changes —
@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DotProductDouble.descriptor)
     ext.injectFunction(Md5Bits.descriptor)
     ext.injectFunction(WinnowMins.descriptor)
+    ext.injectFunction(DHash60.descriptor)
   }
 }

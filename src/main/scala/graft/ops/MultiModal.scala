@@ -160,14 +160,17 @@ object MultiModal {
     * shared by the batch pair join and the persisted image index. */
   private def dHashBands(payloads: DataFrame): DataFrame = {
     val bandBits = DHashBits / DHashBands
-    // STAGED: codes materialize in their own projection so the 120
-    // element_at references in the bit builder read one array instead
-    // of re-sampling the payload (see dHashFromCodes)
+    // NATIVE single-byte-walk fingerprint (DHash60): the composed
+    // sampling spelling pays 61 O(n) substr scans per payload —
+    // measured 1.9 s of the 2.4 s incremental probe at sf0.1; the
+    // native expression is one O(n) pass inside whole-stage codegen.
+    // Value parity with the composed spelling is scalacheck-pinned in
+    // DHash60Props and re-asserted end-to-end in ImageDedupSpec.
+    graft.functions.DHash60.register(payloads.sparkSession)
     val fp = payloads
       .filter(length(col("payload")) >= 1)
       .select(col("doc_id"),
-        dHashCodes(decode(col("payload"), "UTF-8")).as("__codes"))
-      .select(col("doc_id"), dHashFromCodes(col("__codes")).as("fp"))
+        expr(s"${graft.functions.DHash60.FnName}(decode(payload, 'UTF-8'))").as("fp"))
     val bandArr = array((0 until DHashBands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * bandBits)
@@ -302,7 +305,18 @@ object MultiModal {
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_image_idx", dir)
-    BuildOnce(spark, idxDir)(writeImageIndex(withPayload(base), idxDir))
+    BuildOnce(spark, idxDir) {
+      // Bucket count sized to the corpus (÷64, clamped to [64, 65536]):
+      // each bucket is a partition dir, and the probe's floor is the
+      // per-dir listing/footer cost — 256 dirs for a 5k-doc fixture
+      // read 0.7 s of pure overhead (measured), while at 1e9 images the
+      // same ÷64 rule yields the fine-grained pruning the incremental
+      // probe exists for. The count is build-time-only (parquet
+      // metadata); the probe reads the chosen count from the meta file.
+      val nDocs = base.count()
+      val buckets = math.max(64L, math.min(65536L, nDocs / 64)).toInt
+      writeImageIndex(withPayload(base), idxDir, bandBuckets = buckets)
+    }
     imageNearDupsAgainstIndex(spark, withPayload(reencodeVariants(base)), idxDir)
   }
 

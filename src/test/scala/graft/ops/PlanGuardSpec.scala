@@ -47,9 +47,10 @@ class PlanGuardSpec extends SparkSuite {
       "q_profile", "q_profile_incr",
       "q_line_dedup", "q_line_dedup_incr", "q_vocab", "q_bm25", "q_dsir",
       "q_pmi", "q_ngram_lm", "q_corpus_clean", "q_knn_clf",
-      // q_knn_clf_ivf and q_embed_outlier broadcast the 16-row sampled
-      // centroid table against one corpus scan (q_cluster's shape)
-      "q_knn_clf_ivf", "q_embed_outlier",
+      // q_knn_clf_ivf, q_embed_outlier, and q_density_sample broadcast
+      // the 16-row sampled centroid table against one corpus scan
+      // (q_cluster's shape)
+      "q_knn_clf_ivf", "q_embed_outlier", "q_density_sample",
       // q_bm25_incr cross-joins the ONE-row (N, avgdl) scalar onto the
       // bucket-pruned postings read (TextIndex.bm25FromIndex — the same
       // scalar-broadcast shape as q_bm25's batch form)
