@@ -42,8 +42,20 @@ object Bpe {
 
   /** Character segmentation of a word — explicit positional substrings
     * (NOT an empty-pattern split, whose semantics differ per engine). */
-  private def charSymbols(w: Column): Column =
+  private[ops] def charSymbols(w: Column): Column =
     transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Segmentation under a rule list via the NATIVE [[graft.functions.
+    * BpeSegment]] expression — value-parity with the composed
+    * charSymbols + applyMerge fold stack (BpeSegmentProps, and pinned
+    * end-to-end against the fold spelling in BpeSpec). The fold stack's
+    * codegen grows with the rule count, so each training round re-paid
+    * a strictly larger Janino compile; the native form is one
+    * constant-size static call for any k. */
+  private def segmented(wordCol: String, rules: Seq[(String, String)]): Column = {
+    val b64 = graft.functions.BpeSegment.encodeRules(rules)
+    expr(s"${graft.functions.BpeSegment.FnName}($wordCol, '$b64')")
+  }
 
   /** Greedy left-to-right application of ONE merge rule (a, b) → a+b as
     * a replace-last fold: walk the symbols, and when the accumulator's
@@ -62,14 +74,13 @@ object Bpe {
   def trainMerges(words: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     require(k > 0, s"k must be positive, got $k")
     val cached = PipelineCaches.track(words)
+    graft.functions.BpeSegment.register(words.sparkSession)
     val rules = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to k) {
-      // segmentation after the rules learned so far: a stack of map-side
-      // folds over the base character split — no shuffle, re-derived
-      // lazily from the cached vocab table each round
-      val sym = rules.foldLeft(charSymbols(col("word"))) {
-        case (c, (_, a, b, _)) => applyMerge(c, a, b)
-      }
+      // segmentation after the rules learned so far: one native
+      // constant-size expression over the cached vocab table — no
+      // shuffle, re-derived lazily each round
+      val sym = segmented("word", rules.toList.map(t => (t._2, t._3)))
       val winner = cached
         .select(col("n"), sym.as("sym"))
         .select(col("n"),
@@ -106,17 +117,17 @@ object Bpe {
     * every vocab word segmented under the k learned merges, with its
     * corpus count and symbol count. This is the production encode path
     * (a document tokenizes by looking its words up here, or by running
-    * the same fold inline): train once, then ONE map-side pass — the
-    * rule list is a k-deep stack of [[applyMerge]] folds, no shuffle
-    * beyond the vocab build, corpus size only in the word counts. */
+    * the same walk inline): train once, then ONE map-side pass — the
+    * rule list rides a single native [[graft.functions.BpeSegment]]
+    * call, no shuffle beyond the vocab build, corpus size only in the
+    * word counts. */
   def bpeEncodeQ(spark: org.apache.spark.sql.SparkSession, dir: String,
       k: Int = 6): DataFrame = {
     val words = wordCounts(graft.sources.Tables.documents(spark, dir))
     val rules = trainMerges(words, k)
     PipelineCaches.release(spark)
-    val sym = rules.foldLeft(charSymbols(col("word"))) {
-      case (c, (_, a, b, _)) => applyMerge(c, a, b)
-    }
+    graft.functions.BpeSegment.register(spark)
+    val sym = segmented("word", rules.toList.map(t => (t._2, t._3)))
     words.select(col("word"), col("n"),
       size(sym).cast("long").as("n_sym"),
       concat_ws(" ", sym).as("bpe"))

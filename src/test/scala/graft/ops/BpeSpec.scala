@@ -81,6 +81,36 @@ class BpeSpec extends SparkSuite {
     assert(enc.map(_._2).sum == corpusToks)
   }
 
+  test("native bpe_segment equals the composed charSymbols+applyMerge fold stack") {
+    import spark.implicits._
+    graft.functions.BpeSegment.register(spark)
+    // rule lists exercising chained merges, merged-token reuse by a
+    // LATER rule, and rules that never fire
+    val ruleSets = Seq(
+      Seq(("a", "a")),
+      Seq(("a", "b"), ("ab", "c")),
+      Seq(("b", "a"), ("ba", "ba")),
+      Seq(("x", "y")),
+      Seq(("a", "b"), ("c", "d"), ("ab", "cd")))
+    val wordsDf = Seq("aaa", "aaaa", "abab", "aab", "abbab", "abcabc",
+      "abcdabcd", "x", "banana", "bananana").toDF("word")
+    ruleSets.foreach { rules =>
+      val b64 = graft.functions.BpeSegment.encodeRules(rules)
+      val composed = rules.foldLeft(
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1)))) {
+        case (c, (a, b)) => Bpe.applyMerge(c, a, b)
+      }
+      val rows = wordsDf.select(col("word"),
+          expr(s"bpe_segment(word, '$b64')").as("nat"), composed.as("comp"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"word '${r.getString(0)}' rules $rules")
+      }
+    }
+  }
+
   test("plan: pair counting is a partial+final aggregate; no corpus re-shuffle per round") {
     // the train's per-round job is over the CACHED vocab table; pin the
     // shape of one round's pair count directly
