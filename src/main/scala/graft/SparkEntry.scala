@@ -142,6 +142,13 @@ object SparkEntry {
     // the EIGHTH persisted index: additive data-card stats + content-
     // hash frequency, corpus indexed once + delta appended, report-on-read
     "q_corpus_report_incr" -> ((s, d) => graft.ops.ReportIndex.incrementalReportQ(s, d)),
+    // count-min sketch: metadata-sized (4×1024) additive counter grid
+    // derived from the vocab-bounded term-count table; the query emits
+    // the sketch's one-sided error law as data (n_est >= n_exact)
+    "q_cms_topk" -> ((s, d) => graft.ops.CmsIndex.cmsTopKQ(Tables.documents(s, d))),
+    // the TENTH persisted index: additive CMS counters, corpus indexed
+    // once + delta appended, estimates read from the folded partials
+    "q_cms_incr" -> ((s, d) => graft.ops.CmsIndex.cmsIncrQ(s, d)),
     // distributed BPE tokenizer training: vocab-bounded pair-count
     // aggregate per round + one-row argmax collect, map-side greedy merge
     "q_bpe_merges" -> ((s, d) => graft.ops.Bpe.bpeMergesQ(s, d)),
@@ -430,6 +437,26 @@ object SparkEntry {
     * q_corpus_report and the index-read q_corpus_report_incr (the
     * additive index over corpus ∪ delta must reproduce the batch
     * report over all documents exactly). */
+  /** Shared by q_cms_topk and q_cms_incr (additivity law: the folded
+    * incremental sketch equals the batch sketch over the union):
+    * replays the 4×1024 count-min grid with the portable md5-15-nibble
+    * row hashes and reads the top-20 exact tokens' estimates. */
+  private val CmsOracleSql: String =
+    """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      |FROM documents),
+      |tc AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+      |WHERE token <> '' GROUP BY token),
+      |ds AS (SELECT unnest([0,1,2,3]) AS d),
+      |sk AS (SELECT d,
+      |CAST(('0x'||substr(md5('cms'||CAST(d AS VARCHAR)||':'||token),1,15)) AS BIGINT) % 1024 AS bucket,
+      |sum(n) AS c FROM tc CROSS JOIN ds GROUP BY 1, 2),
+      |top AS (SELECT token, n AS n_exact FROM tc ORDER BY n DESC, token ASC LIMIT 20),
+      |pr AS (SELECT token, n_exact, d,
+      |CAST(('0x'||substr(md5('cms'||CAST(d AS VARCHAR)||':'||token),1,15)) AS BIGINT) % 1024 AS bucket
+      |FROM top CROSS JOIN ds)
+      |SELECT pr.token, pr.n_exact, CAST(min(sk.c) AS BIGINT) AS n_est
+      |FROM pr JOIN sk USING (d, bucket) GROUP BY 1, 2""".stripMargin
+
   private val CorpusReportOracleSql: String =
     """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS n_chars,
       |CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
@@ -1056,6 +1083,10 @@ object SparkEntry {
     // the incremental form reads the persisted additive index over the
     // same full corpus — the SAME report text is its ground truth
     "q_corpus_report_incr" -> CorpusReportOracleSql,
+    "q_cms_topk" -> CmsOracleSql,
+    // the incremental form folds the persisted partial counters over the
+    // same full corpus — additivity makes the SAME sketch its ground truth
+    "q_cms_incr" -> CmsOracleSql,
     "q_bpe_merges" -> bpeOracleSql(6),
     // the apply side: the final segmentation table the train built
     "q_bpe_encode" -> bpeOracleSql(6,

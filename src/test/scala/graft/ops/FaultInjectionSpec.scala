@@ -142,6 +142,15 @@ class FaultInjectionSpec extends SparkSuite {
       () => TextIndex.compactTextIndex(spark, dir))
   }
 
+  test("CMS index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_cms")
+    CmsIndex.writeCmsIndex(docsDF(1L to 30L), dir)
+    CmsIndex.appendToCmsIndex(docsDF(31L to 40L), dir)
+    drill("cms",
+      () => CmsIndex.estimatesFromIndex(spark, dir, Seq("alpha", "token7", "v1")),
+      () => CmsIndex.compactCmsIndex(spark, dir))
+  }
+
   test("mid-write crash (partial temp on disk): live untouched, retry converges") {
     val dir = tmp("fi_partial")
     Dedup.writeNearDupIndex(docsDF(1L to 30L), dir)

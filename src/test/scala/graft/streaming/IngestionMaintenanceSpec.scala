@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{Dedup, MultiModal, PipelineCaches, ProfileIndex, ReportIndex, SimSearch, TextIndex}
+import graft.ops.{CmsIndex, Dedup, MultiModal, PipelineCaches, ProfileIndex, ReportIndex, SimSearch, TextIndex}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -14,9 +14,9 @@ case class IngestDoc(doc_id: Long, text: String)
 /** The production maintenance cadence the index scaladocs describe, run
   * as ONE loop instead of five isolated specs: a single MemoryStream of
   * documents drives foreachBatch; every micro-batch is appended into
-  * all nine persisted indexes (near-dup bands, span frequencies, IVF
+  * all ten persisted indexes (near-dup bands, span frequencies, IVF
   * cells, profile sketches, winnow fingerprints, substring gram counts,
-  * image dHash bands, the corpus data card, BM25 postings — the
+  * image dHash bands, the corpus data card, BM25 postings, CMS counters — the
   * embedding and lineitem shapes derived deterministically from the
   * same rows),
   * compaction runs on a cadence,
@@ -64,7 +64,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       substring(col("text"), 1, 1).as("l_returnflag"),
       lit("O").as("l_linestatus"))
 
-  test("one MemoryStream loop: append all NINE indexes per batch, compact on cadence, probe == rebuild") {
+  test("one MemoryStream loop: append all TEN indexes per batch, compact on cadence, probe == rebuild") {
     val nearDir = tmp("ingest_near")
     val spanDir = tmp("ingest_span")
     val ivfDir = tmp("ingest_ivf")
@@ -75,6 +75,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     val imgDir = tmp("ingest_img")
     val repDir = tmp("ingest_rep")
     val txtDir = tmp("ingest_txt")
+    val cmsDir = tmp("ingest_cms")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
@@ -86,6 +87,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     ProfileIndex.writeProfileSketches(liOf(seed), profDir)
     ReportIndex.writeReportIndex(repOf(seed), repDir)
     TextIndex.writeTextIndex(seed, txtDir)
+    CmsIndex.writeCmsIndex(seed, cmsDir)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
     // contract) — rebuilds reuse the stored centroids
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
@@ -118,8 +120,10 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val txt = TextIndex.bm25FromIndex(spark, txtDir,
         Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
+      val cms = CmsIndex.estimatesFromIndex(spark, cmsDir,
+        Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -130,6 +134,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val im2 = tmp("rb_img")
       val r2 = tmp("rb_rep")
       val t2 = tmp("rb_txt")
+      val c2 = tmp("rb_cms")
       Dedup.writeNearDupIndex(all, n2)
       Dedup.writeWinnowIndex(all, w2)
       Dedup.writeSpanIndex(all, s2, w = 4)
@@ -139,6 +144,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       ProfileIndex.writeProfileSketches(liOf(all), p2)
       ReportIndex.writeReportIndex(repOf(all), r2)
       TextIndex.writeTextIndex(all, t2)
+      CmsIndex.writeCmsIndex(all, c2)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
         .collect().map(_.toString).sorted.toSeq
       val span = Dedup.spanDedupAgainstIndex(spark, probes, s2, cap = 2)
@@ -159,11 +165,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val txt = TextIndex.bm25FromIndex(spark, t2,
         Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
+      val cms = CmsIndex.estimatesFromIndex(spark, c2,
+        Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -176,6 +184,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       assert(live(names.indexOf("near-dup")).nonEmpty, s"near-dup probe empty $when")
       assert(live(names.indexOf("report")).nonEmpty, s"report read empty $when")
       assert(live(names.indexOf("text")).nonEmpty, s"bm25 probe empty $when")
+      assert(live(names.indexOf("cms")).nonEmpty, s"cms estimate read empty $when")
     }
 
     val stream = MemoryStream[IngestDoc](spark)
@@ -193,6 +202,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         MultiModal.appendToImageIndex(MultiModal.withPayload(batch), imgDir)
         ReportIndex.appendToReportIndex(repOf(batch), repDir)
         TextIndex.appendToTextIndex(batch, txtDir)
+        CmsIndex.appendToCmsIndex(batch, cmsDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -204,6 +214,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           MultiModal.compactImageIndex(spark, imgDir)
           ReportIndex.compactReportIndex(spark, repDir)
           TextIndex.compactTextIndex(spark, txtDir)
+          CmsIndex.compactCmsIndex(spark, cmsDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
