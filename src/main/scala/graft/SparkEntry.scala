@@ -256,6 +256,10 @@ object SparkEntry {
     "q_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => EventAnalytics.funnel(Tables.events(s, d))),
     "q_retention" -> ((s, d) => EventAnalytics.retention(Tables.events(s, d))),
+    // weighted PageRank over the per-user page-transition graph: edge
+    // list aggregated once, 5 damped iterations in integer nano-rank
+    // arithmetic (bit-replayable — no distributed double sums)
+    "q_pagerank" -> ((s, d) => EventAnalytics.pageRankQ(Tables.events(s, d))),
     // tokenizer-design readout: top-k vocabulary + cumulative coverage
     "q_vocab" -> ((s, d) => TextOps.vocabQ(Tables.documents(s, d))),
     // L2 normalization: the map-side preprocessing of every cosine pipeline
@@ -479,6 +483,35 @@ object SparkEntry {
     * left-to-right, consuming two symbols on a rule match and one
     * otherwise — the unique greedy leftmost non-overlapping matching
     * [[graft.ops.Bpe.applyMerge]]'s fold realizes. */
+  /** Weighted-PageRank oracle: derive the transition graph, then
+    * `iters` UNROLLED damped-update CTEs r1..rN, each reading the
+    * previous — all in integer nano-rank arithmetic (`//` truncating
+    * division on non-negative operands == Spark's DIV). */
+  private def pageRankOracleSql(iters: Int): String = {
+    val base =
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS node
+        |FROM events WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''),
+        |tr AS (SELECT lag(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |node AS dst FROM ev),
+        |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr
+        |WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+        |wo AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT node FROM
+        |(SELECT src AS node FROM edges UNION SELECT dst FROM edges) u),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.node,
+         |CAST(150000000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+         |FROM nodes n LEFT JOIN
+         |(SELECT e.dst AS node, sum((r.r * e.w) // w2.wout) AS s
+         |FROM edges e JOIN wo w2 ON w2.src = e.src
+         |JOIN r${i - 1} r ON r.node = e.src GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$its\n" +
+      s"SELECT node, r AS rank_nano FROM r$iters ORDER BY r DESC, node ASC LIMIT 20"
+  }
+
   private def bpeOracleSql(k: Int): String = bpeOracleSql(k,
     (1 to k).map(r =>
       s"SELECT CAST($r AS BIGINT) AS round, sym_a, sym_b, n_pair FROM m$r")
@@ -1752,6 +1785,10 @@ object SparkEntry {
         |FROM ad JOIN fd USING (user_id)
         |WHERE date_diff('day', cohort_day, active_day) <= 7
         |GROUP BY 1, 2""".stripMargin,
+    // 5 unrolled damped iterations in integer nano-rank arithmetic —
+    // truncating division both at the contribution and the damping, so
+    // the chained iterations replay bit-identically
+    "q_pagerank" -> pageRankOracleSql(5),
     // Running coverage over the top-k only; the (n DESC, token ASC) order
     // key is unique per row, so the default RANGE frame has no peers and
     // both engines' running sums agree row-by-row.

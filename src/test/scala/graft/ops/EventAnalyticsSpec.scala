@@ -235,4 +235,64 @@ class EventAnalyticsSpec extends SparkSuite {
       assert(got((d, 0L)) == n, s"cohort $d day-0")
     }
   }
+
+  // --- pageRank ---
+
+  test("pageRank matches an exact integer driver replay on a synthetic graph") {
+    import spark.implicits._
+    // user walks: 1→2→3→1→2 (user A), 2→3→2 (user B), 4→3 (user C),
+    // plus a self-loop 3→3 that must be DROPPED
+    val walks = Seq(
+      (10L, Seq(1L, 2L, 3L, 1L, 2L)),
+      (11L, Seq(2L, 3L, 3L, 2L)), // contains the self-loop 3→3
+      (12L, Seq(4L, 3L)))
+    val rows = walks.flatMap { case (u, ks) =>
+      ks.zipWithIndex.map { case (k2, i) =>
+        (u * 1000L + i, new Timestamp(1700000000000L + u * 1000000L + i * 1000L),
+          u, "view", 0.0, s"""{"k": $k2}""")
+      }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventAnalytics.pageRankQ(ev, iters = 3, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toList
+    graft.ops.PipelineCaches.release(spark)
+    // driver replay, same integer nano arithmetic
+    val edges = walks.flatMap { case (_, ks) =>
+      ks.zip(ks.tail).filter(p => p._1 != p._2)
+    }.groupBy(identity).map { case (e, g) => e -> g.size.toLong }
+    val wout = edges.groupBy(_._1._1).map { case (s, g) => s -> g.values.sum }
+    val nodes = edges.keys.flatMap(e => Seq(e._1, e._2)).toSet
+    var r = nodes.map(_ -> 1000000000L).toMap
+    (1 to 3).foreach { _ =>
+      val s = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case ((a, b), w) => s(b) += r(a) * w / wout(a) }
+      r = nodes.map(v => v -> (150000000L + 85L * s(v) / 100L)).toMap
+    }
+    val want = r.toList.sortBy { case (n, rk) => (-rk, n) }
+    assert(got == want, s"got $got want $want")
+    // every node keeps at least the base mass; the hub (3) outranks the
+    // leaf source (4), which nothing points at
+    assert(got.forall(_._2 >= 150000000L))
+    assert(r(3L) > r(4L))
+    // branch parity: the DISTRIBUTED loop (gate forced shut) must equal
+    // the local contraction the fixture rides
+    val dist = EventAnalytics.pageRankQ(ev, iters = 3, k = 10,
+        maxEdgesLocal = 0).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toList
+    graft.ops.PipelineCaches.release(spark)
+    assert(dist == want, "distributed branch diverged from local contraction")
+  }
+
+  test("pageRank on real events: deterministic, top-k cut respected, ranks above base") {
+    val a = EventAnalytics.pageRankQ(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    graft.ops.PipelineCaches.release(spark)
+    val b = EventAnalytics.pageRankQ(Tables.events(spark, sf)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toList
+    graft.ops.PipelineCaches.release(spark)
+    assert(a == b, "pageRank must be bit-deterministic across runs")
+    assert(a.length <= 20 && a.nonEmpty)
+    assert(a.forall(_._2 >= 150000000L), "base mass floor")
+    assert(a == a.sortBy(x => (-x._2, x._1)), "output ordered (rank desc, node asc)")
+  }
 }
