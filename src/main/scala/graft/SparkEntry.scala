@@ -177,6 +177,11 @@ object SparkEntry {
     // shingle stream — shares q_decontaminate's oracle (bloom invisible)
     "q_decontaminate_bloom" -> ((s, d) => Dedup.contaminationBloomQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
+    // product-quantization ANN (ADC, inner-product metric): corpus
+    // encoded once as M=4 one-byte codes via a 32-row codebook
+    // broadcast; probes score candidates off their precomputed nano
+    // distance tables — integer sums, bit-replayable
+    "q_sim_topk_pq" -> ((s, d) => SimSearch.pqTopKQ(s, d)),
     // sign-bucket blocking is DECLARED semantics (both engines compute
     // identical buckets — same construction q_embed_neardup gates), so
     // the LSH top-k is deterministic and fully hash-checked
@@ -1367,6 +1372,32 @@ object SparkEntry {
         |FROM v
         |WHERE CASE WHEN max_len = 0 THEN 1.0 ELSE 1.0 - CAST(edit_dist AS DOUBLE)/max_len END >= 0.8""".stripMargin,
     "q_sim_topk" -> SimTopKOracleSql,
+    // PQ replay: same codebook sampling, argmax encode (dn DESC, cell
+    // ASC), nano distance tables, integer ADC sums
+    "q_sim_topk_pq" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings),
+        |ms AS (SELECT unnest([0,1,2,3]) AS m),
+        |cb AS (SELECT m, vec_id AS cell, list_slice(v, m*16+1, m*16+16) AS cv
+        |FROM e CROSS JOIN ms WHERE vec_id >= 5 AND vec_id < 13),
+        |enc AS (SELECT c.vec_id, cb.m, cb.cell,
+        |CAST(floor(list_dot_product(list_slice(c.v, cb.m*16+1, cb.m*16+16), cb.cv) * 1000000.0) AS BIGINT) AS dn
+        |FROM e c CROSS JOIN cb),
+        |codes AS (SELECT vec_id, m, cell AS code FROM (
+        |SELECT vec_id, m, cell, row_number() OVER (PARTITION BY vec_id, m
+        |ORDER BY dn DESC, cell ASC) AS rn FROM enc) t WHERE rn = 1),
+        |pd AS (SELECT p.vec_id AS probe_id, cb.m, cb.cell AS code,
+        |CAST(floor(list_dot_product(list_slice(p.v, cb.m*16+1, cb.m*16+16), cb.cv) * 1000000.0) AS BIGINT) AS qd
+        |FROM e p CROSS JOIN cb WHERE p.vec_id < 5),
+        |sc AS (SELECT pd.probe_id, c.vec_id AS neighbor_id,
+        |CAST(sum(pd.qd) AS BIGINT) AS score_nano
+        |FROM codes c JOIN pd ON pd.m = c.m AND pd.code = c.code
+        |WHERE c.vec_id <> pd.probe_id GROUP BY 1, 2)
+        |SELECT probe_id, neighbor_id, score_nano, rnk FROM (
+        |SELECT probe_id, neighbor_id, score_nano,
+        |CAST(row_number() OVER (PARTITION BY probe_id
+        |ORDER BY score_nano DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |FROM sc) z WHERE rnk <= 5""".stripMargin,
     // kNN label propagation: brute-force top-5 by cosine among the
     // labeled side (vec_id % 10 <> 0), majority vote, ties to the
     // smaller label — same sim/id tie discipline as q_sim_topk

@@ -54,7 +54,10 @@ class PlanGuardSpec extends SparkSuite {
       // q_bm25_incr cross-joins the ONE-row (N, avgdl) scalar onto the
       // bucket-pruned postings read (TextIndex.bm25FromIndex — the same
       // scalar-broadcast shape as q_bm25's batch form)
-      "q_bm25_incr")
+      "q_bm25_incr",
+      // q_sim_topk_pq broadcasts the nProbes-row ADC distance tables
+      // against one pass over the PQ code frame (q_sim_topk's shape)
+      "q_sim_topk_pq")
 
   test("skew split join: hot path broadcasts by construction, cold path shuffles") {
     // isolated session (suites may run in parallel; see DedupVerifyModeSpec)
