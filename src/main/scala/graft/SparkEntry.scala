@@ -80,6 +80,10 @@ object SparkEntry {
     // ORC round-trip: lineitem converted once, read back through the ORC
     // scanner with pushdown + pruning (FormatsSpec pins the plan facts)
     "q_source_orc" -> ((s, d) => graft.sources.Formats.orcScanAggQ(s, d)),
+    // text-format seams: typed write → schema-on-read, value-exact vs
+    // the parquet oracle (CSV for tabular lanes, JSONL for free text)
+    "q_source_csv" -> ((s, d) => graft.sources.Formats.csvScanAggQ(s, d)),
+    "q_source_jsonl" -> ((s, d) => graft.sources.Formats.jsonlStatsQ(s, d)),
     "q_profile" -> ((s, d) => Relational.profileQ(s, d)),
     // the sketch form a 100 TB corpus profiles with FIRST, under the
     // hash gate: exact lanes + the HLL ±3·rsd law emitted as data
@@ -810,6 +814,17 @@ object SparkEntry {
         |CAST(sum(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |GROUP BY l_returnflag""".stripMargin,
+    // text-format round-trips: oracles read the PARQUET tables — the
+    // CSV/JSONL copies must be value-exact, which is the gate
+    "q_source_csv" ->
+      """SELECT l_linestatus, count(*) AS n_items,
+        |CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q_source_jsonl" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |max(doc_id) AS max_doc_id FROM documents GROUP BY source""".stripMargin,
     "q_profile" -> ProfileOracleSql,
     // sketch-profile gates: the exact profile text plus the HLL law
     // boolean (both gated forms emit exact lanes + nd_ok)

@@ -45,4 +45,57 @@ object Formats {
       .agg(count(lit(1)).as("n_items"),
         sum(col("l_extendedprice").cast("decimal(20,6)"))
           .cast("double").as("sum_price"))
+
+  /** The lineitem table as headered CSV — the text-format ingestion
+    * seam (§2.1 #3's format, batch side). Written once per data dir,
+    * read back with the EXPLICIT parquet schema: text formats carry no
+    * types, so schema-on-read is the contract (an inferred read would
+    * silently widen decimals/dates). */
+  def csvLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.lineitem(spark, dir).schema
+    val csvDir = graft.ops.BuildOnce.tempDirFor("graft_csv_lineitem", dir)
+    graft.ops.BuildOnce(spark, csvDir) {
+      Tables.lineitem(spark, dir).write.mode("overwrite")
+        .option("header", "true").csv(csvDir)
+    }
+    spark.read.schema(schema).option("header", "true").csv(csvDir)
+  }
+
+  /** Declared query q_source_csv: filtered aggregate over the CSV copy
+    * — the gate proves the text round-trip (typed write → ISO
+    * timestamps/decimals as strings → schema-on-read) is value-exact
+    * against the parquet oracle. CSV scans cannot push predicates into
+    * the format, but column pruning still reaches the parser
+    * (ReadSchema pin in FormatsSpec). */
+  def csvScanAggQ(spark: SparkSession, dir: String): DataFrame =
+    csvLineitem(spark, dir)
+      .filter(col("l_shipdate") < lit("1998-01-01"))
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(20,6)"))
+          .cast("double").as("sum_qty"))
+
+  /** The documents table as JSON-lines — the interchange format crawl
+    * pipelines actually ship (one JSON object per line; embedded
+    * newlines/quotes in `text` ride JSON escapes, which is exactly why
+    * JSONL beats CSV for free-text corpora). Same write-once memo +
+    * explicit-schema read as the other format seams. */
+  def jsonlDocuments(spark: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.documents(spark, dir).schema
+    val jDir = graft.ops.BuildOnce.tempDirFor("graft_jsonl_documents", dir)
+    graft.ops.BuildOnce(spark, jDir) {
+      Tables.documents(spark, dir).write.mode("overwrite").json(jDir)
+    }
+    spark.read.schema(schema).json(jDir)
+  }
+
+  /** Declared query q_source_jsonl: per-source corpus stats over the
+    * JSONL copy — free-text round-trip exactness (every char of every
+    * doc survives the escape/unescape) is the gate. */
+  def jsonlStatsQ(spark: SparkSession, dir: String): DataFrame =
+    jsonlDocuments(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        max(col("doc_id")).as("max_doc_id"))
 }

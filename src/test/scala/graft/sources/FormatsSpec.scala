@@ -46,4 +46,31 @@ class FormatsSpec extends SparkSuite {
     assert(cols == Set("l_shipdate", "l_returnflag", "l_extendedprice"),
       s"ORC scan reads more than the projection: $cols")
   }
+
+  test("CSV round-trip is value-exact vs parquet (full row set)") {
+    val pq = Tables.lineitem(spark, sf)
+    val csv = Formats.csvLineitem(spark, sf)
+    assert(csv.schema == pq.schema, "schema drift through CSV schema-on-read")
+    assert(csv.count() == pq.count())
+    assert(csv.exceptAll(pq).isEmpty && pq.exceptAll(csv).isEmpty)
+  }
+
+  test("plan: CSV scan prunes columns to the projection (ReadSchema)") {
+    val plan = Formats.csvScanAggQ(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Format: CSV"), s"not a CSV scan:\n$plan")
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$plan"))
+    val cols = rs.split(",").map(_.split(":")(0).trim).toSet
+    assert(cols == Set("l_shipdate", "l_linestatus", "l_quantity"),
+      s"CSV scan parses more than the projection: $cols")
+  }
+
+  test("JSONL round-trip is value-exact vs parquet — free text survives escaping") {
+    val pq = Tables.documents(spark, sf)
+    val js = Formats.jsonlDocuments(spark, sf)
+    assert(js.schema == pq.schema, "schema drift through JSONL schema-on-read")
+    assert(js.count() == pq.count())
+    assert(js.exceptAll(pq).isEmpty && pq.exceptAll(js).isEmpty)
+  }
 }
