@@ -146,6 +146,10 @@ object SparkEntry {
     // the EIGHTH persisted index: additive data-card stats + content-
     // hash frequency, corpus indexed once + delta appended, report-on-read
     "q_corpus_report_incr" -> ((s, d) => graft.ops.ReportIndex.incrementalReportQ(s, d)),
+    // the ELEVENTH persisted index: additive (count, min, max) bucket
+    // histogram over the lineitem numeric lanes, quantile ENCLOSURE
+    // read from the folded partials (portable floor(v/16) bucketing)
+    "q_quantile_incr" -> ((s, d) => graft.ops.QuantileIndex.quantileIncrQ(s, d)),
     // count-min sketch: metadata-sized (4×1024) additive counter grid
     // derived from the vocab-bounded term-count table; the query emits
     // the sketch's one-sided error law as data (n_est >= n_exact)
@@ -1136,6 +1140,32 @@ object SparkEntry {
     // the incremental form reads the persisted additive index over the
     // same full corpus — the SAME report text is its ground truth
     "q_corpus_report_incr" -> CorpusReportOracleSql,
+    // replay of the additive histogram enclosure: same floor(v/16)
+    // buckets, same rank bracketing — additivity makes the full-table
+    // replay the incremental read's ground truth
+    "q_quantile_incr" ->
+      """WITH m AS (SELECT 'l_quantity' AS column_name, CAST(l_quantity AS DOUBLE) AS v
+        |FROM lineitem WHERE l_quantity IS NOT NULL
+        |UNION ALL SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE)
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |h AS (SELECT column_name, CAST(floor(v / 16.0) AS BIGINT) AS bucket,
+        |CAST(count(*) AS BIGINT) AS c, min(v) AS lo, max(v) AS hi
+        |FROM m GROUP BY 1, 2),
+        |cum AS (SELECT column_name, bucket, c, lo, hi,
+        |CAST(sum(c) OVER (PARTITION BY column_name ORDER BY bucket) AS BIGINT) AS cum_le,
+        |CAST(sum(c) OVER (PARTITION BY column_name) AS BIGINT) AS n FROM h),
+        |ps AS (SELECT unnest([0.5, 0.95]) AS p),
+        |pos AS (SELECT c2.column_name, ps.p, c2.n,
+        |CAST(floor(ps.p * (c2.n - 1)) AS BIGINT) AS rk_lo,
+        |CAST(ceil(ps.p * (c2.n - 1)) AS BIGINT) AS rk_hi
+        |FROM (SELECT DISTINCT column_name, n FROM cum) c2 CROSS JOIN ps)
+        |SELECT pos.column_name, pos.p, pos.n AS n_rows,
+        |bl.lo AS v_lo, bh.hi AS v_hi
+        |FROM pos
+        |JOIN cum bl ON bl.column_name = pos.column_name
+        |AND bl.cum_le - bl.c <= pos.rk_lo AND pos.rk_lo < bl.cum_le
+        |JOIN cum bh ON bh.column_name = pos.column_name
+        |AND bh.cum_le - bh.c <= pos.rk_hi AND pos.rk_hi < bh.cum_le""".stripMargin,
     "q_cms_topk" -> CmsOracleSql,
     // the incremental form folds the persisted partial counters over the
     // same full corpus — additivity makes the SAME sketch its ground truth

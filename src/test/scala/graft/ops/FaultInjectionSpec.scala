@@ -151,6 +151,16 @@ class FaultInjectionSpec extends SparkSuite {
       () => CmsIndex.compactCmsIndex(spark, dir))
   }
 
+  test("quantile index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_quant")
+    val li = graft.sources.Tables.lineitem(spark, sf)
+    QuantileIndex.writeQuantileIndex(li.filter(col("l_orderkey") % 2 === 0), dir)
+    QuantileIndex.appendToQuantileIndex(li.filter(col("l_orderkey") % 2 =!= 0), dir)
+    drill("quantile",
+      () => QuantileIndex.quantilesFromIndex(spark, dir),
+      () => QuantileIndex.compactQuantileIndex(spark, dir))
+  }
+
   test("mid-write crash (partial temp on disk): live untouched, retry converges") {
     val dir = tmp("fi_partial")
     Dedup.writeNearDupIndex(docsDF(1L to 30L), dir)

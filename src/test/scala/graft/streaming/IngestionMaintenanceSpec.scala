@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{CmsIndex, Dedup, MultiModal, PipelineCaches, ProfileIndex, ReportIndex, SimSearch, TextIndex}
+import graft.ops.{CmsIndex, Dedup, MultiModal, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, SimSearch, TextIndex}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -14,9 +14,10 @@ case class IngestDoc(doc_id: Long, text: String)
 /** The production maintenance cadence the index scaladocs describe, run
   * as ONE loop instead of five isolated specs: a single MemoryStream of
   * documents drives foreachBatch; every micro-batch is appended into
-  * all ten persisted indexes (near-dup bands, span frequencies, IVF
+  * all eleven persisted indexes (near-dup bands, span frequencies, IVF
   * cells, profile sketches, winnow fingerprints, substring gram counts,
-  * image dHash bands, the corpus data card, BM25 postings, CMS counters — the
+  * image dHash bands, the corpus data card, BM25 postings, CMS counters,
+  * quantile histogram triples — the
   * embedding and lineitem shapes derived deterministically from the
   * same rows),
   * compaction runs on a cadence,
@@ -64,7 +65,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       substring(col("text"), 1, 1).as("l_returnflag"),
       lit("O").as("l_linestatus"))
 
-  test("one MemoryStream loop: append all TEN indexes per batch, compact on cadence, probe == rebuild") {
+  test("one MemoryStream loop: append all ELEVEN indexes per batch, compact on cadence, probe == rebuild") {
     val nearDir = tmp("ingest_near")
     val spanDir = tmp("ingest_span")
     val ivfDir = tmp("ingest_ivf")
@@ -76,6 +77,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     val repDir = tmp("ingest_rep")
     val txtDir = tmp("ingest_txt")
     val cmsDir = tmp("ingest_cms")
+    val quantDir = tmp("ingest_quant")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
@@ -88,6 +90,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     ReportIndex.writeReportIndex(repOf(seed), repDir)
     TextIndex.writeTextIndex(seed, txtDir)
     CmsIndex.writeCmsIndex(seed, cmsDir)
+    QuantileIndex.writeQuantileIndex(liOf(seed), quantDir)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
     // contract) — rebuilds reuse the stored centroids
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
@@ -122,8 +125,10 @@ class IngestionMaintenanceSpec extends SparkSuite {
         Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
       val cms = CmsIndex.estimatesFromIndex(spark, cmsDir,
         Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
+      val quant = QuantileIndex.quantilesFromIndex(spark, quantDir)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -135,6 +140,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val r2 = tmp("rb_rep")
       val t2 = tmp("rb_txt")
       val c2 = tmp("rb_cms")
+      val q2 = tmp("rb_quant")
       Dedup.writeNearDupIndex(all, n2)
       Dedup.writeWinnowIndex(all, w2)
       Dedup.writeSpanIndex(all, s2, w = 4)
@@ -145,6 +151,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       ReportIndex.writeReportIndex(repOf(all), r2)
       TextIndex.writeTextIndex(all, t2)
       CmsIndex.writeCmsIndex(all, c2)
+      QuantileIndex.writeQuantileIndex(liOf(all), q2)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
         .collect().map(_.toString).sorted.toSeq
       val span = Dedup.spanDedupAgainstIndex(spark, probes, s2, cap = 2)
@@ -167,11 +174,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
         Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
       val cms = CmsIndex.estimatesFromIndex(spark, c2,
         Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
+      val quant = QuantileIndex.quantilesFromIndex(spark, q2)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -185,6 +194,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       assert(live(names.indexOf("report")).nonEmpty, s"report read empty $when")
       assert(live(names.indexOf("text")).nonEmpty, s"bm25 probe empty $when")
       assert(live(names.indexOf("cms")).nonEmpty, s"cms estimate read empty $when")
+      assert(live(names.indexOf("quantile")).nonEmpty, s"quantile read empty $when")
     }
 
     val stream = MemoryStream[IngestDoc](spark)
@@ -203,6 +213,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         ReportIndex.appendToReportIndex(repOf(batch), repDir)
         TextIndex.appendToTextIndex(batch, txtDir)
         CmsIndex.appendToCmsIndex(batch, cmsDir)
+        QuantileIndex.appendToQuantileIndex(liOf(batch), quantDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -215,6 +226,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           ReportIndex.compactReportIndex(spark, repDir)
           TextIndex.compactTextIndex(spark, txtDir)
           CmsIndex.compactCmsIndex(spark, cmsDir)
+          QuantileIndex.compactQuantileIndex(spark, quantDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
