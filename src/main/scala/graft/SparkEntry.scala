@@ -273,6 +273,9 @@ object SparkEntry {
     // list aggregated once, 5 damped iterations in integer nano-rank
     // arithmetic (bit-replayable — no distributed double sums)
     "q_pagerank" -> ((s, d) => EventAnalytics.pageRankQ(Tables.events(s, d))),
+    // the TWELFTH persisted index: additive transition-edge partials
+    // (user-complete batches), ranks recomputed on read from the fold
+    "q_pagerank_incr" -> ((s, d) => graft.ops.EdgeIndex.pageRankIncrQ(s, d)),
     // tokenizer-design readout: top-k vocabulary + cumulative coverage
     "q_vocab" -> ((s, d) => TextOps.vocabQ(Tables.documents(s, d))),
     // L2 normalization: the map-side preprocessing of every cosine pipeline
@@ -1865,6 +1868,10 @@ object SparkEntry {
     // truncating division both at the contribution and the damping, so
     // the chained iterations replay bit-identically
     "q_pagerank" -> pageRankOracleSql(5),
+    // the incremental form folds persisted edge partials over the same
+    // full event table — edge-count additivity (user-complete batches)
+    // makes the SAME batch replay its ground truth
+    "q_pagerank_incr" -> pageRankOracleSql(5),
     // Running coverage over the top-k only; the (n DESC, token ASC) order
     // key is unique per row, so the default RANGE frame has no peers and
     // both engines' running sums agree row-by-row.

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The TWELFTH persisted index: the aggregated transition-edge list
+  * behind [[EventAnalytics.pageRankQ]], kept incrementally.
+  *
+  * Edge weights are transition COUNTS — pure additive partials, so the
+  * index follows the ReportIndex discipline exactly: append per-batch
+  * (src, dst, w) partials, reader folds with one sum, compaction
+  * collapses to one file. Ranks are NOT persisted: they are a
+  * fixpoint of the whole graph, recomputed on read from the folded
+  * edges (rank-table-sized work via [[EventAnalytics.rankEdges]] —
+  * metadata-sized at the fixture through the same local-contraction
+  * gate, the distributed loop past it). That split is the scale
+  * design: the corpus-sized work (event scan → lag → edge aggregate)
+  * happens once per batch at append time; a rank refresh never
+  * re-touches raw events.
+  *
+  * APPEND CONTRACT: batches must be USER-COMPLETE (all events of a
+  * user in one batch) — transitions derive from per-user event order,
+  * so slicing one user's history across batches would drop the
+  * boundary-crossing transition. This is the natural partitioning of
+  * a sessionized event feed; it is asserted nowhere at runtime
+  * (unverifiable per-batch without global state) but declared here
+  * and exercised by the user-partitioned splits in EdgeIndexSpec.
+  * This is also why this index does NOT join the eleven-index
+  * document-ingestion loop: that loop's batches are arbitrary row
+  * slices. */
+object EdgeIndex {
+
+  private val EdgeSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("w", LongType)))
+
+  def writeEdgeIndex(events: DataFrame, dir: String): Unit =
+    EventAnalytics.transitionEdges(events)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/edges")
+
+  /** Fold a USER-COMPLETE event batch in — one additive partial-file
+    * append. */
+  def appendToEdgeIndex(newEvents: DataFrame, dir: String): Unit =
+    EventAnalytics.transitionEdges(newEvents)
+      .coalesce(1).write.mode("append").parquet(s"$dir/edges")
+
+  /** Collapse per-batch partials ([[DirSwap]]). */
+  def compactEdgeIndex(spark: SparkSession, dir: String): Unit =
+    DirSwap(spark, s"$dir/edges") { out =>
+      spark.read.schema(EdgeSchema).parquet(s"$dir/edges")
+        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+        .coalesce(1).write.parquet(out)
+    }
+
+  /** The folded edge list (partials summed). */
+  def edgesFromIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(EdgeSchema).parquet(s"$dir/edges")
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+
+  /** PageRank read from the index. */
+  def pageRankFromIndex(spark: SparkSession, dir: String,
+      iters: Int = 5, k: Int = 20): DataFrame =
+    EventAnalytics.rankEdges(
+      PipelineCaches.track(edgesFromIndex(spark, dir)), iters, k)
+
+  /** Declared query q_pagerank_incr: events partitioned by user
+    * (user_id % 5 ≠ 0 indexed once, user_id % 5 = 0 appended), ranks
+    * read from the folded edges — which must equal the batch
+    * [[EventAnalytics.pageRankQ]] over all events (edge-count
+    * additivity under user-complete batches; the shared oracle text
+    * is the law). */
+  def pageRankIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.sources.Tables.events(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_edge_idx", dir)
+    BuildOnce(spark, idxDir) {
+      writeEdgeIndex(events.filter(col("user_id") % 5 =!= 0), idxDir)
+      appendToEdgeIndex(events.filter(col("user_id") % 5 === 0), idxDir)
+    }
+    pageRankFromIndex(spark, idxDir)
+  }
+}

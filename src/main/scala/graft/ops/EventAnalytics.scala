@@ -231,8 +231,11 @@ object EventAnalytics {
     * hundred-node graph paid ~3 s of pure exchange machinery at the
     * fixture. Past the gate, the distributed loop is the branch that
     * runs (parity between the branches pinned in EventAnalyticsSpec). */
-  def pageRankQ(events: DataFrame, iters: Int = 5, k: Int = 20,
-      maxEdgesLocal: Int = 1 << 20): DataFrame = {
+  /** (src, dst, w) transition-edge aggregate from raw events — the
+    * corpus-scale derivation [[pageRankQ]] and the persisted edge
+    * index share: JSON `k` node extraction, per-user lag ordering,
+    * self-loops dropped, weight = transition count. */
+  def transitionEdges(events: DataFrame): DataFrame = {
     val kPat = "\"k\":\\s*(\\d+)"
     val ev = events
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -242,12 +245,21 @@ object EventAnalytics {
         col("ks").cast("long").as("node"))
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val trans = ev
-      .select(lag(col("node"), 1).over(byUser).as("src"),
+    ev.select(lag(col("node"), 1).over(byUser).as("src"),
         col("node").as("dst"))
       .filter(col("src").isNotNull && col("src") =!= col("dst"))
-    val edges = PipelineCaches.track(
-      trans.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+  }
+
+  def pageRankQ(events: DataFrame, iters: Int = 5, k: Int = 20,
+      maxEdgesLocal: Int = 1 << 20): DataFrame =
+    rankEdges(PipelineCaches.track(transitionEdges(events)),
+      iters, k, maxEdgesLocal)
+
+  /** The damped-rank loop over an aggregated (src, dst, w) edge frame
+    * — see [[pageRankQ]] for semantics and the size dispatch. */
+  def rankEdges(edges: DataFrame, iters: Int = 5, k: Int = 20,
+      maxEdgesLocal: Int = 1 << 20): DataFrame = {
     val nEdges = edges.count()
     if (nEdges <= maxEdgesLocal) {
       // LOCAL CONTRACTION: the contracted graph is metadata-sized —
@@ -264,7 +276,7 @@ object EventAnalytics {
         es.foreach { case (a, b, w) => s2(b) += r(a) * w / wout(a) }
         r = nodeSet.map(v => v -> (150000000L + 85L * s2(v) / 100L)).toMap
       }
-      val spark = events.sparkSession
+      val spark = edges.sparkSession
       import spark.implicits._
       r.toSeq.sortBy { case (n, rk) => (-rk, n) }.take(k)
         .toDF("node", "rank_nano")

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.Tables
+
+/** Persisted transition-edge index laws: append == rebuild for any
+  * USER-COMPLETE split (the declared append contract), compaction
+  * preserves the fold, and the incremental rank read equals the batch
+  * PageRank over the union. */
+class EdgeIndexSpec extends SparkSuite {
+
+  private def tmp(pfx: String): String =
+    java.nio.file.Files.createTempDirectory(pfx).toString
+
+  private lazy val events = Tables.events(spark, sf)
+
+  test("additivity under user-complete batches: append == rebuild") {
+    val incDir = tmp("ei_inc")
+    EdgeIndex.writeEdgeIndex(events.filter(col("user_id") % 3 === 0), incDir)
+    EdgeIndex.appendToEdgeIndex(events.filter(col("user_id") % 3 === 1), incDir)
+    EdgeIndex.appendToEdgeIndex(events.filter(col("user_id") % 3 === 2), incDir)
+    val rbDir = tmp("ei_rb")
+    EdgeIndex.writeEdgeIndex(events, rbDir)
+    val inc = EdgeIndex.edgesFromIndex(spark, incDir)
+      .collect().map(_.toString).sorted.toSeq
+    val rb = EdgeIndex.edgesFromIndex(spark, rbDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(inc == rb && inc.nonEmpty)
+  }
+
+  test("compaction preserves the folded edges and collapses files") {
+    val dir = tmp("ei_cmp")
+    EdgeIndex.writeEdgeIndex(events.filter(col("user_id") % 2 === 0), dir)
+    EdgeIndex.appendToEdgeIndex(events.filter(col("user_id") % 2 =!= 0), dir)
+    val before = EdgeIndex.edgesFromIndex(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    def nFiles = new java.io.File(s"$dir/edges").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles > 1)
+    EdgeIndex.compactEdgeIndex(spark, dir)
+    val after = EdgeIndex.edgesFromIndex(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after == before)
+    assert(nFiles == 1)
+  }
+
+  test("incremental rank read equals the batch PageRank over the union") {
+    val dir = tmp("ei_rank")
+    EdgeIndex.writeEdgeIndex(events.filter(col("user_id") % 4 =!= 0), dir)
+    EdgeIndex.appendToEdgeIndex(events.filter(col("user_id") % 4 === 0), dir)
+    val inc = EdgeIndex.pageRankFromIndex(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toList
+    PipelineCaches.release(spark)
+    val batch = EventAnalytics.pageRankQ(events).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toList
+    PipelineCaches.release(spark)
+    assert(inc == batch)
+  }
+}

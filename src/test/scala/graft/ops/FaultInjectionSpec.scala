@@ -161,6 +161,16 @@ class FaultInjectionSpec extends SparkSuite {
       () => QuantileIndex.compactQuantileIndex(spark, dir))
   }
 
+  test("edge index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_edge")
+    val ev = graft.sources.Tables.events(spark, sf)
+    EdgeIndex.writeEdgeIndex(ev.filter(col("user_id") % 2 === 0), dir)
+    EdgeIndex.appendToEdgeIndex(ev.filter(col("user_id") % 2 =!= 0), dir)
+    drill("edge",
+      () => EdgeIndex.edgesFromIndex(spark, dir),
+      () => EdgeIndex.compactEdgeIndex(spark, dir))
+  }
+
   test("mid-write crash (partial temp on disk): live untouched, retry converges") {
     val dir = tmp("fi_partial")
     Dedup.writeNearDupIndex(docsDF(1L to 30L), dir)
