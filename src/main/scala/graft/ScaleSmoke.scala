@@ -136,6 +136,23 @@ object ScaleSmoke {
         docs.withColumn("source", (col("doc_id") % 20).cast("string"))
           .withColumn("n_chars", length(col("text")))))
       spark.sharedState.cacheManager.clearCache()
+      // count-min sketch: the term-count shuffle grows ~k (disjoint
+      // vocab per copy); the sketch aggregate and estimate stay at
+      // the 4×1024 grid bound regardless — wall clock must track the
+      // token stream, never the sketch
+      run("cms", graft.ops.CmsIndex.cmsTopKQ(docs))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // PQ encode+score: one corpus pass for codes (grows ~k via the
+      // synthetic embedding amplification below), probe tables fixed —
+      // amplified vectors derive deterministically from the doc ids
+      run("pq", graft.ops.SimSearch.pqTopKQ(
+        docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(col("doc_id") * 37 + i * 17, lit(97)).cast("double")
+              / 48.5 - 1.0).cast("float")).as("embedding"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

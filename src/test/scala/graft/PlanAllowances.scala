@@ -1,0 +1,24 @@
+package graft
+
+/** The ONE canonical list of declared BroadcastNestedLoopJoin sites,
+  * shared by PlanGuardSpec (logical-level guard) and PlanSweepSpec
+  * (executed-plan sweep) — the two lists drifted twice (q_density_
+  * sample round 11, q_bm25_incr/q_sim_topk_pq round 12), each time
+  * green in one spec and red in the other. Per-query justifications
+  * live beside the names; every entry is a broadcast of a ONE-row /
+  * metadata-sized frame against one corpus scan, never a data×data
+  * cartesian. */
+object PlanAllowances {
+  val bnljAllowed: Set[String] = Set(
+    // probe batches / centroid tables broadcast against one corpus scan
+    "q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
+    "q_cluster", "q_knn_clf", "q_knn_clf_ivf", "q_embed_outlier",
+    "q_density_sample",
+    // nProbes-row ADC distance tables against the PQ code frame
+    "q_sim_topk_pq",
+    // ONE-row aggregate scalars / arrays broadcast onto a scored frame
+    "q_dedup_ngram", "q_tfidf", "q_profile_approx", "q_profile",
+    "q_profile_incr", "q_line_dedup", "q_line_dedup_incr", "q_vocab",
+    "q_bm25", "q_bm25_incr", "q_dsir", "q_pmi", "q_ngram_lm",
+    "q_corpus_clean")
+}

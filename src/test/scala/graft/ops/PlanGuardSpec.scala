@@ -15,49 +15,10 @@ import graft.{SparkEntry, SparkSuite}
   */
 class PlanGuardSpec extends SparkSuite {
 
-  // crossJoin(broadcast(tiny side)) by design: q_sim_topk broadcasts the
-  // probe set; q_sim_topk_ivf (sampled or trained centroids) broadcasts
-  // the centroid table (both O(k) rows against one corpus scan);
-  // q_dedup_ngram broadcasts the ONE-row frequent-shingle array for the
-  // map-side df-cap (Dedup.ngramJaccardPairs); q_tfidf broadcasts the
-  // ONE-row corpus count onto the scored frame (TextOps.tfidfQ);
-  // q_profile_approx cross-joins its four ONE-row aggregate subtrees
-  // (Relational.profileApproxQ); q_line_dedup and its incremental form
-  // broadcast the ONE-row boilerplate-span hash array for the in-row
-  // filter (Dedup.applySpanFilter's gated fast path)
-  private val bnljAllowed =
-    // q_vocab broadcasts the ONE-row corpus token total onto the k
-    // surviving vocabulary rows (TextOps.vocabQ); q_bm25 the ONE-row
-    // (n_docs, avgdl) scalar; q_dsir the ONE-row smoothing totals onto
-    // the ≤nBuckets count rows (Scoring)
-    // q_pmi broadcasts the ONE-row (N, B) totals onto the vocab-bounded
-    // bigram table (TextOps.pmiQ)
-    // q_profile (and the gated q_profile_incr that embeds it as the
-    // exact twin) cross-joins its ONE-row count/min/max and per-column
-    // count_distinct subtrees (Relational.profileQ round-9 split form)
-    // q_ngram_lm broadcasts the ONE-row train-vocab size V onto the
-    // scored bigram stream (Scoring.ngramLmQ)
-    // q_corpus_clean broadcasts the ONE-row eval-shingle array for the
-    // in-row containment merge-intersect (Cleaning.corpusCleanQ)
-    // q_knn_clf broadcasts the metadata-sized probe batch against one
-    // labeled-corpus scan (SimSearch.knnClassify — same shape as
-    // q_sim_topk's probe broadcast)
-    Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
-      "q_dedup_ngram", "q_tfidf", "q_cluster", "q_profile_approx",
-      "q_profile", "q_profile_incr",
-      "q_line_dedup", "q_line_dedup_incr", "q_vocab", "q_bm25", "q_dsir",
-      "q_pmi", "q_ngram_lm", "q_corpus_clean", "q_knn_clf",
-      // q_knn_clf_ivf, q_embed_outlier, and q_density_sample broadcast
-      // the 16-row sampled centroid table against one corpus scan
-      // (q_cluster's shape)
-      "q_knn_clf_ivf", "q_embed_outlier", "q_density_sample",
-      // q_bm25_incr cross-joins the ONE-row (N, avgdl) scalar onto the
-      // bucket-pruned postings read (TextIndex.bm25FromIndex — the same
-      // scalar-broadcast shape as q_bm25's batch form)
-      "q_bm25_incr",
-      // q_sim_topk_pq broadcasts the nProbes-row ADC distance tables
-      // against one pass over the PQ code frame (q_sim_topk's shape)
-      "q_sim_topk_pq")
+  // the canonical declared-BNLJ list (with per-query justifications)
+  // lives in graft.PlanAllowances — shared with PlanSweepSpec so the
+  // two guards can never drift again
+  private val bnljAllowed = graft.PlanAllowances.bnljAllowed
 
   test("skew split join: hot path broadcasts by construction, cold path shuffles") {
     // isolated session (suites may run in parallel; see DedupVerifyModeSpec)

@@ -29,14 +29,7 @@ import graft.{SparkEntry, SparkSuite}
   * lacked. */
 class PlanSweepSpec extends SparkSuite {
 
-  // justifications in PlanGuardSpec.bnljAllowed — kept in sync there
-  private val bnljAllowed =
-    Set("q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
-      "q_dedup_ngram", "q_tfidf", "q_cluster", "q_profile_approx",
-      "q_profile", "q_profile_incr",
-      "q_line_dedup", "q_line_dedup_incr", "q_vocab", "q_bm25", "q_dsir",
-      "q_pmi", "q_ngram_lm", "q_corpus_clean", "q_knn_clf",
-      "q_knn_clf_ivf", "q_embed_outlier")
+  private val bnljAllowed = graft.PlanAllowances.bnljAllowed
 
   /** All nodes of the final executed plan, descending AQE results,
     * reused exchanges, cached-plan interiors, and subqueries. */
