@@ -362,4 +362,42 @@ class EdgeCaseSpec extends SparkSuite {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     assert(TextOps.corpusReportQ(d0).isEmpty)
   }
+
+  test("round-12 operators degrade gracefully on degenerate input") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("edge12").toString
+    // CMS over an empty corpus: the all-zero grid estimates every
+    // probe at 0 (the sketch's own semantics — an absent token's
+    // counters are zero, not missing)
+    val d0 = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    CmsIndex.writeCmsIndex(d0, s"$tmp/cms")
+    val est0 = CmsIndex.estimatesFromIndex(spark, s"$tmp/cms", Seq("x")).collect()
+    assert(est0.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("x", 0L)))
+    // quantile index over an empty frame: no histogram rows, no report
+    val li0 = Seq.empty[(Long, Double, Double)]
+      .toDF("l_orderkey", "l_quantity", "l_extendedprice")
+    QuantileIndex.writeQuantileIndex(li0, s"$tmp/quant")
+    assert(QuantileIndex.quantilesFromIndex(spark, s"$tmp/quant").isEmpty)
+    // pageRank with no extractable transitions (all props malformed, or
+    // single-event users): empty rank table, both branches
+    val evNone = Seq((1L, new java.sql.Timestamp(1000L), 1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(EventAnalytics.pageRankQ(evNone).isEmpty)
+    PipelineCaches.release(spark)
+    assert(EventAnalytics.pageRankQ(evNone, maxEdgesLocal = 0).isEmpty)
+    PipelineCaches.release(spark)
+    // PQ: a corpus without the codebook id window fails LOUDLY (clean
+    // requirement, not a wrong answer)
+    val few = Seq((0L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimSearch.pqTopKQ(few).collect()
+    }
+    assert(e.getMessage.contains("codebook"))
+    PipelineCaches.release(spark)
+    // edge index on events with no transitions: empty fold, empty ranks
+    EdgeIndex.writeEdgeIndex(evNone, s"$tmp/edges")
+    assert(EdgeIndex.edgesFromIndex(spark, s"$tmp/edges").isEmpty)
+    assert(EdgeIndex.pageRankFromIndex(spark, s"$tmp/edges").isEmpty)
+    PipelineCaches.release(spark)
+  }
 }
