@@ -314,6 +314,9 @@ object SparkEntry {
     "q_winnow_incr" -> ((s, d) => Dedup.incrementalWinnowQ(s, d)),
     // CCNet-style bigram-LM log-perplexity quality scores (en-trained)
     "q_ngram_lm" -> ((s, d) => Scoring.ngramLmQ(Tables.documents(s, d))),
+    // the THIRTEENTH persisted index: additive bigram-LM count
+    // partials (doc-complete batches), perplexity scored under the fold
+    "q_ngram_lm_incr" -> ((s, d) => graft.ops.LmIndex.ngramLmIncrQ(s, d)),
     // linear fasttext-style keep/drop classifier: hashed-bucket features,
     // integer-milli weight table broadcast, exact order-free logit
     "q_quality_clf" -> ((s, d) => Scoring.qualityClassifierQ(Tables.documents(s, d))),
@@ -476,6 +479,32 @@ object SparkEntry {
       |FROM top CROSS JOIN ds)
       |SELECT pr.token, pr.n_exact, CAST(min(sk.c) AS BIGINT) AS n_est
       |FROM pr JOIN sk USING (d, bucket) GROUP BY 1, 2""".stripMargin
+
+  /** Shared by q_ngram_lm and q_ngram_lm_incr (the folded count
+    * partials equal the batch grouping-sets model — additivity law). */
+  private val NgramLmOracleSql: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+      |FROM documents),
+      |tr AS (SELECT toks[i] AS a, toks[i+1] AS b
+      |FROM (SELECT toks, unnest(range(1, len(toks)+1)) AS i FROM t WHERE lang = 'en') z),
+      |uni AS (SELECT a, count(*) AS n_u FROM tr GROUP BY a),
+      |bi AS (SELECT a, b, count(*) AS n_ab FROM tr WHERE b IS NOT NULL GROUP BY a, b),
+      |vs AS (SELECT count(*) AS v FROM uni),
+      |sc AS (SELECT doc_id, lang, toks[i] AS ra, toks[i+1] AS rb
+      |FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+      |FROM t WHERE len(toks) >= 2) z),
+      |m AS (SELECT doc_id, lang,
+      |CASE WHEN ua.a IS NULL THEN '<unk>' ELSE sc.ra END AS a,
+      |CASE WHEN ub.a IS NULL THEN '<unk>' ELSE sc.rb END AS b
+      |FROM sc LEFT JOIN uni ua ON sc.ra = ua.a LEFT JOIN uni ub ON sc.rb = ub.a),
+      |pr AS (SELECT doc_id, lang,
+      |(coalesce(bi.n_ab, 0) + 0.1) / (coalesce(uni.n_u, 0) + 0.1 * (v + 1)) AS prob
+      |FROM m LEFT JOIN bi ON m.a = bi.a AND m.b = bi.b
+      |LEFT JOIN uni ON m.a = uni.a, vs)
+      |SELECT doc_id, lang, count(*) AS n_bigrams,
+      |round(-avg(ln(prob)), 6) AS logppl
+      |FROM pr GROUP BY doc_id, lang""".stripMargin
 
   private val CorpusReportOracleSql: String =
     """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS n_chars,
@@ -2084,29 +2113,10 @@ object SparkEntry {
     // Bigram-LM perplexity: add-0.1 smoothing, en-trained, <unk> OOV
     // mapping; tr's range runs one past the end so unigram counts cover
     // the last position (toks[i+1] out of bounds -> NULL successor).
-    "q_ngram_lm" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
-        |FROM documents),
-        |tr AS (SELECT toks[i] AS a, toks[i+1] AS b
-        |FROM (SELECT toks, unnest(range(1, len(toks)+1)) AS i FROM t WHERE lang = 'en') z),
-        |uni AS (SELECT a, count(*) AS n_u FROM tr GROUP BY a),
-        |bi AS (SELECT a, b, count(*) AS n_ab FROM tr WHERE b IS NOT NULL GROUP BY a, b),
-        |vs AS (SELECT count(*) AS v FROM uni),
-        |sc AS (SELECT doc_id, lang, toks[i] AS ra, toks[i+1] AS rb
-        |FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
-        |FROM t WHERE len(toks) >= 2) z),
-        |m AS (SELECT doc_id, lang,
-        |CASE WHEN ua.a IS NULL THEN '<unk>' ELSE sc.ra END AS a,
-        |CASE WHEN ub.a IS NULL THEN '<unk>' ELSE sc.rb END AS b
-        |FROM sc LEFT JOIN uni ua ON sc.ra = ua.a LEFT JOIN uni ub ON sc.rb = ub.a),
-        |pr AS (SELECT doc_id, lang,
-        |(coalesce(bi.n_ab, 0) + 0.1) / (coalesce(uni.n_u, 0) + 0.1 * (v + 1)) AS prob
-        |FROM m LEFT JOIN bi ON m.a = bi.a AND m.b = bi.b
-        |LEFT JOIN uni ON m.a = uni.a, vs)
-        |SELECT doc_id, lang, count(*) AS n_bigrams,
-        |round(-avg(ln(prob)), 6) AS logppl
-        |FROM pr GROUP BY doc_id, lang""".stripMargin,
+    // the incremental form folds persisted count partials over the same
+    // en train slice — additivity makes the SAME batch LM its ground truth
+    "q_ngram_lm_incr" -> NgramLmOracleSql,
+    "q_ngram_lm" -> NgramLmOracleSql,
     // Linear quality classifier: 1024 hashed buckets, integer-milli
     // weights wm = md5_60('w:'||bucket) % 2001 - 1000; the per-doc sum
     // is exact integer arithmetic, one double division at the end.

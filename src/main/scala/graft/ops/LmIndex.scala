@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The THIRTEENTH persisted index: the bigram-LM sufficient statistics
+  * behind [[Scoring.ngramLmQ]], kept incrementally.
+  *
+  * The CCNet-style perplexity filter retrains as target-language text
+  * accumulates; the model is ONE grouping-sets aggregate whose every
+  * row is an additive count — (gid=0: bigram C(a,b); gid=1: unigram
+  * C(a), with vocabulary size V = the distinct-ra count of that
+  * level). So the index is pure ReportIndex discipline: per-batch
+  * partial files (any DOC-COMPLETE batch — pairs are within-document,
+  * so arbitrary document slices fold exactly), reader re-aggregates,
+  * [[DirSwap]] compaction to one file per hash bucket. Scoring reads
+  * the folded model and runs the shared [[Scoring.lmScore]] pass —
+  * corpus-sized work happens once per batch at append time, a model
+  * refresh never re-touches raw training text. */
+object LmIndex {
+
+  private val CountsSchema = StructType(Seq(
+    StructField("gid", IntegerType), StructField("ra", StringType),
+    StructField("rb", StringType), StructField("n", LongType),
+    StructField("bkt", IntegerType)))
+
+  // 16, not the ReportIndex 64: the model READ is always full-table
+  // (scoring needs the whole model), so buckets only buy compaction
+  // parallelism — and the per-dir listing/footer floor on the read
+  // (~3 ms/dir × files) is the measured fixture cost. A 100 TB corpus
+  // vocabulary is ~1e8 rows ≈ 2 GB of counts — 16 buckets keeps every
+  // bucket comfortably task-sized.
+  private val HashBuckets = 16
+
+  private def partials(docs: DataFrame, trainLang: String): DataFrame =
+    Scoring.lmTrainCounts(docs, trainLang)
+      .withColumn("gid", col("gid").cast("int"))
+      .withColumn("bkt", pmod(abs(hash(col("ra"))), lit(HashBuckets)).cast("int"))
+      .select(col("gid"), col("ra"), col("rb"), col("n"), col("bkt"))
+
+  def writeLmIndex(docs: DataFrame, dir: String,
+      trainLang: String = "en"): Unit =
+    partials(docs, trainLang)
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/counts")
+
+  /** Fold newly ingested documents in — additive partial-file appends
+    * (doc-complete batches; the reader re-aggregates). */
+  def appendToLmIndex(newDocs: DataFrame, dir: String,
+      trainLang: String = "en"): Unit =
+    partials(newDocs, trainLang)
+      .repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/counts")
+
+  /** Collapse per-batch partials to one file per bucket ([[DirSwap]]). */
+  def compactLmIndex(spark: SparkSession, dir: String): Unit =
+    DirSwap(spark, s"$dir/counts") { out =>
+      spark.read.schema(CountsSchema).parquet(s"$dir/counts")
+        .groupBy(col("gid"), col("ra"), col("rb"), col("bkt"))
+        .agg(sum(col("n")).as("n"))
+        .select(col("gid"), col("ra"), col("rb"), col("n"), col("bkt"))
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(out)
+    }
+
+  /** The folded model (partials summed). */
+  def modelFromIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(CountsSchema).parquet(s"$dir/counts")
+      .groupBy(col("gid"), col("ra"), col("rb"))
+      .agg(sum(col("n")).as("n"))
+
+  /** Perplexity-score a document frame under the index's model — the
+    * steady-state read. */
+  def scoreFromIndex(spark: SparkSession, dir: String, docs: DataFrame,
+      alpha: Double = 0.1): DataFrame = {
+    val model = PipelineCaches.track(modelFromIndex(spark, dir))
+    val uni = model.filter(col("gid") === 1)
+      .select(col("ra").as("u_tok"), col("n").as("n_u"))
+    val bi = model.filter(col("gid") === 0 && col("rb").isNotNull)
+      .select(col("ra").as("bi_a"), col("rb").as("bi_b"), col("n").as("n_ab"))
+    val vsz = model.filter(col("gid") === 1).agg(count(lit(1)).as("v"))
+    Scoring.lmScore(docs, uni, bi, vsz, alpha)
+  }
+
+  /** Declared query q_ngram_lm_incr: the en train slice indexed in two
+    * doc-complete batches (doc_id % 20 split), every document scored
+    * under the FOLDED model — which must equal the batch
+    * [[Scoring.ngramLmQ]] over the same corpus (count additivity; the
+    * shared oracle text is the law). */
+  def ngramLmIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_lm_idx", dir)
+    BuildOnce(spark, idxDir) {
+      writeLmIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
+      appendToLmIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+    }
+    scoreFromIndex(spark, idxDir, docs)
+  }
+}

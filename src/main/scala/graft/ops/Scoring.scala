@@ -137,31 +137,41 @@ object Scoring {
     * model tables are VOCAB-bounded and broadcast (Catalyst's call —
     * beyond broadcast size the joins degrade to token-keyed shuffles);
     * the one corpus-sized shuffle is the final per-doc aggregate. */
-  def ngramLmQ(docs: DataFrame, trainLang: String = "en",
-               alpha: Double = 0.1): DataFrame = {
-    val toksF = graft.sources.Tables.fanout(docs)
+  /** (doc_id, lang, toks) tokenized frame — the LM pipeline's shared
+    * first projection. */
+  private[ops] def lmToksFrame(docs: DataFrame): DataFrame =
+    graft.sources.Tables.fanout(docs)
       .select(col("doc_id"), col("lang"),
         filter(split(lower(trim(col("text"))), "\\s+"), t => t =!= "").as("toks"))
-    def pairsOf(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), col("lang"),
-        explode(transform(col("toks"), (t, i) =>
-          struct(t.as("ra"),
-            when(i < size(col("toks")) - 1, col("toks")(i + 1)).as("rb")))).as("p"))
-      .select(col("doc_id"), col("lang"), col("p.ra"), col("p.rb"))
-    val model = PipelineCaches.trackCheckpointed(
-      pairsOf(toksF.filter(col("lang") === trainLang))
-        .groupingSets(Seq(Seq(col("ra"), col("rb")), Seq(col("ra"))),
-          col("ra"), col("rb"))
-        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
-        .localCheckpoint())
-    val uni = model.filter(col("gid") === 1)
-      .select(col("ra").as("u_tok"), col("n").as("n_u"))
-    val bi = model.filter(col("gid") === 0 && col("rb").isNotNull)
-      .select(col("ra").as("bi_a"), col("rb").as("bi_b"), col("n").as("n_ab"))
-    val vsz = model.filter(col("gid") === 1).agg(count(lit(1)).as("v"))
+
+  /** In-row successor pairs; each row's LAST token carries a null
+    * successor (the unigram lane of the grouping-sets train). */
+  private[ops] def lmPairsOf(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), col("lang"),
+      explode(transform(col("toks"), (t, i) =>
+        struct(t.as("ra"),
+          when(i < size(col("toks")) - 1, col("toks")(i + 1)).as("rb")))).as("p"))
+    .select(col("doc_id"), col("lang"), col("p.ra"), col("p.rb"))
+
+  /** The LM's sufficient statistics from a train slice: ONE
+    * GROUPING SETS ((a,b),(a)) aggregate — (gid, ra, rb, n) rows.
+    * Every row is an ADDITIVE count (the (a) level counts token
+    * instances, V falls out as the distinct-ra count of that level),
+    * which is what makes the model a valid persisted index
+    * ([[LmIndex]]). */
+  private[ops] def lmTrainCounts(docs: DataFrame, trainLang: String): DataFrame =
+    lmPairsOf(lmToksFrame(docs).filter(col("lang") === trainLang))
+      .groupingSets(Seq(Seq(col("ra"), col("rb")), Seq(col("ra"))),
+        col("ra"), col("rb"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+
+  /** Score every document under a (uni, bi, V) model — the shared
+    * second half of the batch and index-read forms. */
+  private[ops] def lmScore(docs: DataFrame, uni: DataFrame, bi: DataFrame,
+      vsz: DataFrame, alpha: Double): DataFrame = {
     // score every doc: drop each row's null-successor tail pair, map
     // out-of-vocab tokens to <unk>, look up the smoothed probability
-    val mapped = pairsOf(toksF).filter(col("rb").isNotNull)
+    val mapped = lmPairsOf(lmToksFrame(docs)).filter(col("rb").isNotNull)
       .join(uni.select(col("u_tok").as("ra"), lit(1).as("_ina")), Seq("ra"), "left")
       .join(uni.select(col("u_tok").as("rb"), lit(1).as("_inb")), Seq("rb"), "left")
       .select(col("doc_id"), col("lang"),
@@ -178,6 +188,18 @@ object Scoring {
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(-avg(log(col("prob"))), 6).as("logppl"))
+  }
+
+  def ngramLmQ(docs: DataFrame, trainLang: String = "en",
+               alpha: Double = 0.1): DataFrame = {
+    val model = PipelineCaches.trackCheckpointed(
+      lmTrainCounts(docs, trainLang).localCheckpoint())
+    val uni = model.filter(col("gid") === 1)
+      .select(col("ra").as("u_tok"), col("n").as("n_u"))
+    val bi = model.filter(col("gid") === 0 && col("rb").isNotNull)
+      .select(col("ra").as("bi_a"), col("rb").as("bi_b"), col("n").as("n_ab"))
+    val vsz = model.filter(col("gid") === 1).agg(count(lit(1)).as("v"))
+    lmScore(docs, uni, bi, vsz, alpha)
   }
 
   /** Linear fasttext-style quality classifier (q_quality_clf): the

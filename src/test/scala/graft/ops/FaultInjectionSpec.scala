@@ -171,6 +171,18 @@ class FaultInjectionSpec extends SparkSuite {
       () => EdgeIndex.compactEdgeIndex(spark, dir))
   }
 
+  test("LM index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_lm")
+    val d = docsDF(1L to 30L).withColumn("lang", lit("en"))
+    LmIndex.writeLmIndex(d, dir)
+    LmIndex.appendToLmIndex(
+      docsDF(31L to 40L).withColumn("lang", lit("en")), dir)
+    drill("lm",
+      () => LmIndex.scoreFromIndex(spark, dir,
+        docsDF(Seq(900L)).withColumn("lang", lit("en"))),
+      () => LmIndex.compactLmIndex(spark, dir))
+  }
+
   test("mid-write crash (partial temp on disk): live untouched, retry converges") {
     val dir = tmp("fi_partial")
     Dedup.writeNearDupIndex(docsDF(1L to 30L), dir)

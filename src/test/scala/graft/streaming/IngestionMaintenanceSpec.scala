@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{CmsIndex, Dedup, MultiModal, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, SimSearch, TextIndex}
+import graft.ops.{CmsIndex, Dedup, LmIndex, MultiModal, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, SimSearch, TextIndex}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -14,10 +14,10 @@ case class IngestDoc(doc_id: Long, text: String)
 /** The production maintenance cadence the index scaladocs describe, run
   * as ONE loop instead of five isolated specs: a single MemoryStream of
   * documents drives foreachBatch; every micro-batch is appended into
-  * all eleven persisted indexes (near-dup bands, span frequencies, IVF
+  * all twelve persisted indexes (near-dup bands, span frequencies, IVF
   * cells, profile sketches, winnow fingerprints, substring gram counts,
   * image dHash bands, the corpus data card, BM25 postings, CMS counters,
-  * quantile histogram triples — the
+  * quantile histogram triples, bigram-LM counts — the
   * embedding and lineitem shapes derived deterministically from the
   * same rows),
   * compaction runs on a cadence,
@@ -65,7 +65,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       substring(col("text"), 1, 1).as("l_returnflag"),
       lit("O").as("l_linestatus"))
 
-  test("one MemoryStream loop: append all ELEVEN indexes per batch, compact on cadence, probe == rebuild") {
+  test("one MemoryStream loop: append all TWELVE indexes per batch, compact on cadence, probe == rebuild") {
     val nearDir = tmp("ingest_near")
     val spanDir = tmp("ingest_span")
     val ivfDir = tmp("ingest_ivf")
@@ -78,6 +78,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     val txtDir = tmp("ingest_txt")
     val cmsDir = tmp("ingest_cms")
     val quantDir = tmp("ingest_quant")
+    val lmDir = tmp("ingest_lm")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
@@ -91,6 +92,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     TextIndex.writeTextIndex(seed, txtDir)
     CmsIndex.writeCmsIndex(seed, cmsDir)
     QuantileIndex.writeQuantileIndex(liOf(seed), quantDir)
+    LmIndex.writeLmIndex(repOf(seed), lmDir)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
     // contract) — rebuilds reuse the stored centroids
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
@@ -127,8 +129,10 @@ class IngestionMaintenanceSpec extends SparkSuite {
         Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
       val quant = QuantileIndex.quantilesFromIndex(spark, quantDir)
         .collect().map(_.toString).sorted.toSeq
+      val lm = LmIndex.scoreFromIndex(spark, lmDir, repOf(probes))
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -141,6 +145,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val t2 = tmp("rb_txt")
       val c2 = tmp("rb_cms")
       val q2 = tmp("rb_quant")
+      val l2 = tmp("rb_lm")
       Dedup.writeNearDupIndex(all, n2)
       Dedup.writeWinnowIndex(all, w2)
       Dedup.writeSpanIndex(all, s2, w = 4)
@@ -152,6 +157,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       TextIndex.writeTextIndex(all, t2)
       CmsIndex.writeCmsIndex(all, c2)
       QuantileIndex.writeQuantileIndex(liOf(all), q2)
+      LmIndex.writeLmIndex(repOf(all), l2)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
         .collect().map(_.toString).sorted.toSeq
       val span = Dedup.spanDedupAgainstIndex(spark, probes, s2, cap = 2)
@@ -176,11 +182,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
         Seq("alpha", "token7", "v1")).collect().map(_.toString).sorted.toSeq
       val quant = QuantileIndex.quantilesFromIndex(spark, q2)
         .collect().map(_.toString).sorted.toSeq
+      val lm = LmIndex.scoreFromIndex(spark, l2, repOf(probes))
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -195,6 +203,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       assert(live(names.indexOf("text")).nonEmpty, s"bm25 probe empty $when")
       assert(live(names.indexOf("cms")).nonEmpty, s"cms estimate read empty $when")
       assert(live(names.indexOf("quantile")).nonEmpty, s"quantile read empty $when")
+      assert(live(names.indexOf("lm")).nonEmpty, s"lm score read empty $when")
     }
 
     val stream = MemoryStream[IngestDoc](spark)
@@ -214,6 +223,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         TextIndex.appendToTextIndex(batch, txtDir)
         CmsIndex.appendToCmsIndex(batch, cmsDir)
         QuantileIndex.appendToQuantileIndex(liOf(batch), quantDir)
+        LmIndex.appendToLmIndex(repOf(batch), lmDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -227,6 +237,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           TextIndex.compactTextIndex(spark, txtDir)
           CmsIndex.compactCmsIndex(spark, cmsDir)
           QuantileIndex.compactQuantileIndex(spark, quantDir)
+          LmIndex.compactLmIndex(spark, lmDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
