@@ -170,6 +170,10 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextOps.tfidfQ(Tables.documents(s, d))),
     "q_ngram_counts" -> ((s, d) => TextOps.ngramCountsQ(Tables.documents(s, d))),
     "q_redact" -> ((s, d) => TextOps.redactQ(Tables.documents(s, d))),
+    // C4-style heuristic line-filter battery over a deterministic
+    // synthesized line structure (the redactQ precedent) — per-doc
+    // verdicts + cleaned text, all map-side
+    "q_c4_filters" -> ((s, d) => TextOps.c4FiltersQ(Tables.documents(s, d))),
     "q_bloom_join" -> ((s, d) => BloomJoin.bloomJoinQ(s, d)),
     "q_skew_agg" -> ((s, d) => Skew.skewAggQ(s, d)),
     "q_skew_join" -> ((s, d) => Skew.skewJoinQ(s, d)),
@@ -1290,6 +1294,39 @@ object SparkEntry {
         |len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
         |len(regexp_extract_all(t, '\b\d{9,}\b')) AS n_id
         |FROM aug""".stripMargin,
+    // Same deterministic line synthesis (6-token lines, punct on 3/4
+    // lines, javascript on every 11th (doc,line), lorem on %37 docs,
+    // brace on %41 docs), same rule battery, same verdict precedence.
+    "q_c4_filters" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        |FROM documents),
+        |l0 AS (SELECT doc_id,
+        |CASE WHEN len(tk) > 0 THEN
+        |list_transform(range(0, CAST(ceil(len(tk)/6.0) AS BIGINT)), i ->
+        |(CASE WHEN (doc_id*31 + i) % 11 = 0
+        |THEN array_to_string(tk[i*6+1 : i*6+6], ' ') || ' javascript'
+        |ELSE array_to_string(tk[i*6+1 : i*6+6], ' ') END)
+        ||| (CASE WHEN (doc_id + i) % 4 <> 0 THEN '.' ELSE '' END))
+        |ELSE CAST([] AS VARCHAR[]) END AS lines0 FROM t),
+        |l1 AS (SELECT doc_id, lines0
+        ||| (CASE WHEN doc_id % 37 = 0 THEN ['lorem ipsum dolor sit amet.'] ELSE CAST([] AS VARCHAR[]) END)
+        ||| (CASE WHEN doc_id % 41 = 0 THEN ['function() { return 0; }.'] ELSE CAST([] AS VARCHAR[]) END) AS lines
+        |FROM l0),
+        |k AS (SELECT doc_id, lines,
+        |list_filter(lines, l -> l LIKE '%.' AND len(string_split(l, ' ')) >= 5
+        |AND NOT contains(l, 'javascript')) AS kept FROM l1),
+        |r AS (SELECT doc_id,
+        |CAST(len(lines) AS BIGINT) AS n_lines,
+        |CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |CASE WHEN len(list_filter(lines, l -> contains(l, 'lorem ipsum'))) > 0 THEN 'lorem_ipsum'
+        |WHEN len(list_filter(lines, l -> contains(l, '{'))) > 0 THEN 'brace'
+        |WHEN len(kept) < 3 THEN 'too_few_lines'
+        |ELSE 'keep' END AS reason, kept FROM k)
+        |SELECT doc_id, n_lines, n_kept_lines, reason,
+        |CAST(reason = 'keep' AS BIGINT) AS keep,
+        |CASE WHEN reason = 'keep' THEN array_to_string(kept, ' ') ELSE '' END AS cleaned_text
+        |FROM r""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderpriority, sum(l_quantity) AS total_qty, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

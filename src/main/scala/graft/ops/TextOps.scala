@@ -464,6 +464,73 @@ object TextOps {
       .select("doc_id", "text", "n_email", "n_ip", "n_phone", "n_id")
   }
 
+  /** C4-style heuristic line-filter battery (q_c4_filters) — the
+    * rule-based cleaning pass of the C4/RefinedWeb lineage, applied at
+    * line granularity with doc-level kill rules:
+    *
+    *  line rules (a line survives only if ALL hold):
+    *   1. ends with terminal punctuation ('.')
+    *   2. has ≥ 5 words
+    *   3. does not contain the token "javascript"
+    *  doc rules (first match wins, checked before line counting):
+    *   4. any line contains "lorem ipsum"  → drop (reason lorem_ipsum)
+    *   5. any line contains '{'            → drop (reason brace)
+    *   6. fewer than 3 surviving lines     → drop (reason too_few_lines)
+    *
+    * The fixture corpus is punctuation-free word soup, so — like
+    * [[redactQ]]'s PII synthesis — the query first builds a
+    * deterministic line structure per document (6-token lines; a
+    * terminal '.' on 3 of every 4 lines, a "javascript" token on every
+    * 11th (doc, line) key, a lorem-ipsum line on every 37th doc, a
+    * brace line on every 41st doc — all pure functions of (doc_id,
+    * line_id), identically constructed in the oracle), so every rule
+    * fires on real rows and the full verdict frame is hash-gated.
+    *
+    * Scale shape: pure per-row array expressions end-to-end — one
+    * tokenize, the line build, the rule filters and the verdict all
+    * happen inside a single codegen'd projection; no shuffle, no UDF,
+    * no aggregate. The 100 TB form is embarrassingly parallel. */
+  def c4FiltersQ(docs: DataFrame): DataFrame = {
+    val toksA = filter(toks(col("text")), t => t =!= "")
+    val nLines = ceil(size(col("__toks")).cast("double") / 6.0).cast("int")
+    // guard: sequence(0, -1) would build a DESCENDING range (the
+    // round-5 inverted-interval trap) — empty docs get an empty array
+    val baseLines = when(size(col("__toks")) > 0,
+      transform(sequence(lit(0), nLines - 1), i => {
+        val line = concat_ws(" ", slice(col("__toks"), i * 6 + 1, lit(6)))
+        val withJs = when((col("doc_id") * 31 + i) % 11 === 0,
+          concat(line, lit(" javascript"))).otherwise(line)
+        when((col("doc_id") + i) % 4 =!= 0, concat(withJs, lit(".")))
+          .otherwise(withJs)
+      })).otherwise(array().cast("array<string>"))
+    val withLorem = when(col("doc_id") % 37 === 0,
+      concat(col("__lines"), array(lit("lorem ipsum dolor sit amet."))))
+      .otherwise(col("__lines"))
+    val withBrace = when(col("doc_id") % 41 === 0,
+      concat(col("__lines"), array(lit("function() { return 0; }."))))
+      .otherwise(col("__lines"))
+    val kept = filter(col("__lines"), l =>
+      l.endsWith(".") && size(split(l, " ")) >= 5 && !l.contains("javascript"))
+    graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"), toksA.as("__toks"))
+      .withColumn("__lines", baseLines).drop("__toks")
+      .withColumn("__lines", withLorem)
+      .withColumn("__lines", withBrace)
+      .withColumn("__kept", kept)
+      .select(col("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept_lines"),
+        when(exists(col("__lines"), l => l.contains("lorem ipsum")), lit("lorem_ipsum"))
+          .when(exists(col("__lines"), l => l.contains("{")), lit("brace"))
+          .when(size(col("__kept")) < 3, lit("too_few_lines"))
+          .otherwise(lit("keep")).as("reason"),
+        col("__kept").as("__kept"))
+      .withColumn("keep", (col("reason") === "keep").cast("long"))
+      .withColumn("cleaned_text",
+        when(col("keep") === 1L, concat_ws(" ", col("__kept"))).otherwise(lit("")))
+      .drop("__kept")
+  }
+
   /** Per-source corpus data card (q_corpus_report) — the one-page
     * summary a curation run publishes per ingested source: document and
     * character volume, language spread, token budget, and the

@@ -400,4 +400,31 @@ class EdgeCaseSpec extends SparkSuite {
     assert(EdgeIndex.pageRankFromIndex(spark, s"$tmp/edges").isEmpty)
     PipelineCaches.release(spark)
   }
+  test("c4 filter battery: precedence, degenerate docs, keep math") {
+    // 24 tokens -> 4 six-token lines; 18 tokens -> 3; "" -> 0 base lines
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = docs((0L, words(24)), (1L, ""), (2L, words(18)), (3L, words(24)))
+    val out = TextOps.c4FiltersQ(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0: 0 % 37 == 0 AND 0 % 41 == 0 -> both kill lines appended;
+    // lorem_ipsum wins the declared precedence over brace
+    assert(out(0L).getAs[String]("reason") == "lorem_ipsum")
+    assert(out(0L).getAs[Long]("n_lines") == 6) // 4 base + lorem + brace
+    assert(out(0L).getAs[Long]("keep") == 0)
+    assert(out(0L).getAs[String]("cleaned_text") == "")
+    // doc 1: empty text -> zero base lines (no descending-sequence trap)
+    assert(out(1L).getAs[Long]("n_lines") == 0)
+    assert(out(1L).getAs[String]("reason") == "too_few_lines")
+    // doc 2: lines 0,1 punctuated and kept, line 2 unpunctuated -> 2 < 3
+    assert(out(2L).getAs[Long]("n_kept_lines") == 2)
+    assert(out(2L).getAs[String]("reason") == "too_few_lines")
+    // doc 3: (3 + i) % 4 != 0 for i in {0,2,3} -> 3 kept lines -> keep;
+    // cleaned text is exactly those lines joined in order
+    assert(out(3L).getAs[String]("reason") == "keep")
+    assert(out(3L).getAs[Long]("keep") == 1)
+    val toks = words(24).split(" ")
+    val line = (i: Int) => toks.slice(i * 6, i * 6 + 6).mkString(" ") + "."
+    assert(out(3L).getAs[String]("cleaned_text") ==
+      Seq(line(0), line(2), line(3)).mkString(" "))
+  }
 }
