@@ -183,6 +183,12 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedQ(Tables.documents(s, d))),
     "q_shard" -> ((s, d) => Sampling.shardQ(Tables.documents(s, d))),
     "q_pack" -> ((s, d) => Sampling.packQ(Tables.documents(s, d))),
+    // quality-tier-major curriculum order: per-doc global position via
+    // the pack-style (tier, sub) slice prefix sums — no global sort
+    "q_curriculum" -> ((s, d) => Sampling.curriculumQ(Tables.documents(s, d))),
+    // greedy selection under a 60%-of-corpus token budget in
+    // curriculum order (per-tier summary)
+    "q_token_budget" -> ((s, d) => Sampling.tokenBudgetQ(Tables.documents(s, d))),
     "q_dedup_fuzzy" -> ((s, d) => Dedup.fuzzyMatchQ(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => Dedup.contaminationQ(Tables.documents(s, d))),
     // the same decontamination with a bloom prefilter on the corpus
@@ -1450,6 +1456,42 @@ object SparkEntry {
         |CAST(count(DISTINCT CAST(floor((cum - n_tok) / 512.0) AS BIGINT)) AS BIGINT) AS n_seqs,
         |CAST(max(CAST(floor((cum - n_tok) / 512.0) AS BIGINT)) AS BIGINT) AS last_seq
         |FROM c GROUP BY shard""".stripMargin,
+    // Curriculum order: stopword-ratio tier grid, then the q_shard
+    // order hash — the engine's distributed slice prefix sums must
+    // equal one global row_number over (tier, ok, doc_id).
+    "q_curriculum" ->
+      """WITH s AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5('order:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS ok,
+        |regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+        |t AS (SELECT doc_id, ok, CASE WHEN r >= 0.15 THEN 0
+        |WHEN r >= 0.05 THEN 1 ELSE 2 END AS tier FROM
+        |(SELECT doc_id, ok, CAST(len(list_filter(tk,
+        |x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE)
+        |/ len(tk) AS r FROM s) z),
+        |p AS (SELECT doc_id, CAST(tier AS BIGINT) AS tier,
+        |CAST(row_number() OVER (ORDER BY tier, ok, doc_id) - 1 AS BIGINT) AS pos FROM t)
+        |SELECT doc_id, tier, pos,
+        |CAST(floor(pos / 32.0) AS BIGINT) AS step FROM p""".stripMargin,
+    // Token-budget selection: same curriculum order, cumulative token
+    // prefix, keep docs whose whole span fits under floor(0.6 * total).
+    "q_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5('order:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS ok,
+        |regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+        |t AS (SELECT doc_id, ok, CAST(len(tk) AS BIGINT) AS n_tok,
+        |CASE WHEN r >= 0.15 THEN 0 WHEN r >= 0.05 THEN 1 ELSE 2 END AS tier FROM
+        |(SELECT doc_id, ok, tk, CAST(len(list_filter(tk,
+        |x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE)
+        |/ len(tk) AS r FROM s) z),
+        |c AS (SELECT doc_id, tier, n_tok,
+        |row_number() OVER (ORDER BY tier, ok, doc_id) - 1 AS pos,
+        |sum(n_tok) OVER (ORDER BY tier, ok, doc_id
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT CAST(tier AS BIGINT) AS tier, count(*) AS n_docs,
+        |CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |CAST(max(pos) AS BIGINT) AS last_pos
+        |FROM c WHERE cum <= (SELECT CAST(floor(sum(len(tk)) * 0.6) AS BIGINT) FROM s)
+        |GROUP BY tier""".stripMargin,
     // Same banded-minhash blocking as q_dedup_near, restricted to the
     // probe set, then byte==char Levenshtein on the ASCII fixture (the
     // engine's code-point semantics vs DuckDB's byte semantics only

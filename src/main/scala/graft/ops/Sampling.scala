@@ -393,6 +393,110 @@ object Sampling {
         (col("col.score") + lit(0.0)).as("key"))
   }
 
+  /** Quality-tier-major curriculum ordering — the training-order step
+    * of a curriculum-learning pipeline: documents are ranked best-tier
+    * first (tier from the stopword-ratio quality grid: ≥ 0.15 → 0,
+    * ≥ 0.05 → 1, else 2), within a tier in the deterministic
+    * hash-shuffled order of [[assignShards]] — so the global position
+    * is a pure property of the data: any engine replays the identical
+    * curriculum, and a training run can resume mid-stream by position.
+    *
+    * Returns per doc: tier, 0-based global `pos`, and 0-based global
+    * token `start` offset (the exclusive prefix sum of n_tok in
+    * curriculum order — [[tokenBudgetQ]]'s selection key).
+    *
+    * Scale shape — the [[packSequences]] slice discipline, keyed by
+    * (tier, sub): the order hash is uniform on [0, 2^60), so each
+    * tier's stream splits into order-aligned slices by PURE ARITHMETIC
+    * on the key (no sampling range exchange), local rank and token
+    * prefix run per slice (parallelism = 3 tiers × subSplits), slice
+    * totals are a METADATA-sized aggregate whose within-tier prefix
+    * gives slice offsets, and the ≤ 3 tier totals fold into ONE row of
+    * conditional sums (broadcast — no global-order window anywhere).
+    * The one data shuffle carries (doc_id, tier, ok, n_tok), never
+    * text. */
+  def curriculumRanked(docs: DataFrame, subSplits: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    val k = math.max(1, if (subSplits > 0) subSplits
+      else 2 * spark.sparkContext.defaultParallelism / 3)
+    val chunk = math.max(1L, (1L << 60) / k)
+    val tk = split(lower(trim(col("text"))), "\\s+")
+    val ratio = size(filter(tk, t => t.isin(TextOps.EnStopwords: _*)))
+      .cast("double") / size(tk)
+    val base = graft.sources.Tables.fanout(docs).select(col("doc_id"),
+        saltedHash(col("doc_id"), "order:").as("ok"),
+        size(tk).cast("long").as("n_tok"),
+        when(ratio >= 0.15, lit(0L)).when(ratio >= 0.05, lit(1L))
+          .otherwise(lit(2L)).as("tier"))
+      .withColumn("sub", floor(col("ok") / chunk).cast("long"))
+    val w = Window.partitionBy(col("tier"), col("sub"))
+      .orderBy(col("ok").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cached: the slice-stats aggregate and the final join both consume
+    // it (same lifetime contract as packSequences — caller releases)
+    val local = PipelineCaches.track(base
+      .withColumn("lrn", count(lit(1)).over(w))
+      .withColumn("ltok", sum(col("n_tok")).over(w)))
+    // slice totals: ≤ 3·k rows — metadata; within-tier prefix windows
+    // run over this tiny frame only
+    val stats = local.groupBy(col("tier"), col("sub"))
+      .agg(count(lit(1)).as("cnt_s"), sum(col("n_tok")).as("tok_s"))
+    val inTier = Window.partitionBy(col("tier")).orderBy(col("sub").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = stats
+      .withColumn("off", sum(col("cnt_s")).over(inTier) - col("cnt_s"))
+      .withColumn("toff", sum(col("tok_s")).over(inTier) - col("tok_s"))
+      .select(col("tier").as("__tier"), col("sub").as("__sub"),
+        col("off"), col("toff"))
+    // tier-level offsets as ONE row of conditional sums: tier 2's
+    // offset = c0 + c1 etc. — no empty-partition-spec global window
+    val tierTot = stats.agg(
+      coalesce(sum(when(col("tier") === 0L, col("cnt_s"))), lit(0L)).as("c0"),
+      coalesce(sum(when(col("tier") === 1L, col("cnt_s"))), lit(0L)).as("c1"),
+      coalesce(sum(when(col("tier") === 0L, col("tok_s"))), lit(0L)).as("t0"),
+      coalesce(sum(when(col("tier") === 1L, col("tok_s"))), lit(0L)).as("t1"))
+    local
+      .join(broadcast(offs),
+        col("tier") === col("__tier") && col("sub") === col("__sub"))
+      .crossJoin(broadcast(tierTot))
+      .select(col("doc_id"), col("tier"), col("n_tok"),
+        (when(col("tier") === 0L, lit(0L)).when(col("tier") === 1L, col("c0"))
+          .otherwise(col("c0") + col("c1")) +
+          col("off") + col("lrn") - 1L).as("pos"),
+        (when(col("tier") === 0L, lit(0L)).when(col("tier") === 1L, col("t0"))
+          .otherwise(col("t0") + col("t1")) +
+          col("toff") + col("ltok") - col("n_tok")).as("start"))
+  }
+
+  /** Declared query q_curriculum: the per-doc curriculum assignment —
+    * tier, global position, and the training step (batch index at
+    * batch size 32) the document lands in. Fully deterministic, so the
+    * whole frame hash-gates against the oracle's single row_number
+    * spelling. */
+  def curriculumQ(docs: DataFrame): DataFrame =
+    curriculumRanked(docs)
+      .select(col("doc_id"), col("tier"), col("pos"),
+        floor(col("pos") / 32.0).cast("long").as("step"))
+
+  /** Declared query q_token_budget: greedy data selection under a
+    * total token budget — "train on the best 60% of the corpus's
+    * tokens": documents are taken in curriculum order until the budget
+    * is exhausted (a doc is selected iff its whole token span fits:
+    * start + n_tok ≤ ⌊0.6·total⌋). The budget derives from the corpus
+    * itself (one-row aggregate, broadcast scalar), so the query is
+    * scale-invariant — at any corpus size the cut lands mid-corpus.
+    * Emits the per-tier selection summary a curation run logs. */
+  def tokenBudgetQ(docs: DataFrame): DataFrame = {
+    val ranked = curriculumRanked(docs)
+    val budget = ranked.agg(
+      floor(sum(col("n_tok")).cast("double") * 0.6).cast("long").as("b"))
+    ranked.crossJoin(broadcast(budget))
+      .filter(col("start") + col("n_tok") <= col("b"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        max(col("pos")).as("last_pos"))
+  }
+
   /** Declared query q_domain_cap: per-domain document cap — the
     * CommonCrawl-pipeline governance step that stops one dominant host
     * from swamping a training mix ("keep at most k docs per domain,

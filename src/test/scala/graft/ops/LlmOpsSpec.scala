@@ -428,4 +428,43 @@ class LlmOpsSpec extends SparkSuite {
       .select("lang").distinct().count()
     assert(stats.count() == langs)
   }
+  test("curriculum order: slice prefix sums equal one global rank, any slicing") {
+    import org.apache.spark.sql.expressions.Window
+    // reference: one global row_number / running token sum (fine on a
+    // test fixture; the operator exists to avoid exactly this plan)
+    val tk = split(lower(trim(col("text"))), "\\s+")
+    val ratio = size(filter(tk, t => t.isin(TextOps.EnStopwords: _*)))
+      .cast("double") / size(tk)
+    val w = Window.orderBy(col("tier").asc, col("ok").asc, col("doc_id").asc)
+    val expected = docsDf.select(col("doc_id"),
+        conv(substring(md5(concat(lit("order:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+          .cast("long").as("ok"),
+        size(tk).cast("long").as("n_tok"),
+        when(ratio >= 0.15, lit(0L)).when(ratio >= 0.05, lit(1L))
+          .otherwise(lit(2L)).as("tier"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .withColumn("start", sum(col("n_tok")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tok"))
+      .select("doc_id", "tier", "n_tok", "pos", "start")
+    // slice counts that do NOT divide the corpus evenly, incl. k = 1
+    for (k <- Seq(1, 7)) {
+      val got = Sampling.curriculumRanked(docsDf, subSplits = k)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+        s"distributed curriculum rank must equal the global sort at subSplits=$k")
+      PipelineCaches.release(spark)
+    }
+    // budget selection is a prefix of the curriculum: last selected pos
+    // + 1 = number selected (no holes), and adding any next doc would
+    // overshoot the 60% budget
+    val sel = Sampling.tokenBudgetQ(docsDf)
+      .agg(sum(col("n_docs")).as("n"), max(col("last_pos")).as("lp"),
+        sum(col("n_tokens")).as("tt")).head()
+    PipelineCaches.release(spark)
+    assert(sel.getLong(1) == sel.getLong(0) - 1, "selection must be a contiguous prefix")
+    val totals = expected.agg(sum(col("n_tok"))).head().getLong(0)
+    val budget = math.floor(totals * 0.6).toLong
+    assert(sel.getLong(2) <= budget)
+    val nextTok = expected.filter(col("pos") === sel.getLong(0)).head().getLong(2)
+    assert(sel.getLong(2) + nextTok > budget, "greedy prefix must be maximal")
+  }
 }
