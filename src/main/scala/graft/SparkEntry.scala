@@ -300,6 +300,11 @@ object SparkEntry {
     // token-hash bucketed) + additive (N, total_dl) partials; retrieval
     // reads ONLY the query terms' buckets and must equal batch BM25
     "q_bm25_incr" -> ((s, d) => graft.ops.TextIndex.incrementalBm25Q(s, d)),
+    // exact phrase search: positional postings + slot-adjacency match
+    "q_phrase_search" -> ((s, d) => graft.ops.PhraseIndex.phraseSearchQ(Tables.documents(s, d))),
+    // the FOURTEENTH persisted index: positional inverted index, corpus
+    // indexed once + delta appended, phrases served bucket-pruned
+    "q_phrase_search_incr" -> ((s, d) => graft.ops.PhraseIndex.phraseIncrQ(s, d)),
     "q_dsir" -> ((s, d) => Scoring.dsirQ(s, Tables.documents(s, d))),
     // RAG-style sliding-window chunking: map-side, one Generate
     "q_chunk" -> ((s, d) => TextOps.chunkQ(Tables.documents(s, d))),
@@ -465,6 +470,26 @@ object SparkEntry {
       |/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
       |FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id), st
       |GROUP BY doc_id""".stripMargin
+
+  /** The phrase-search oracle — shared by the batch q_phrase_search
+    * and the positional-index read q_phrase_search_incr (postings over
+    * corpus ∪ delta must match identically to the batch adjacency pass
+    * over all documents). Gram list per (doc, phrase length), exact
+    * string equality, 1-based first position. */
+  private val PhraseOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+      |regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
+      |p AS (SELECT unnest(['table scan','hash join','sort merge','sort merge join']) AS phrase),
+      |g AS (SELECT doc_id, phrase, len(string_split(phrase, ' ')) AS m, tk
+      |FROM t CROSS JOIN p),
+      |r AS (SELECT phrase, doc_id,
+      |list_transform(range(1, len(tk) - m + 2),
+      |i -> array_to_string(tk[i : i + m - 1], ' ')) AS grams
+      |FROM g WHERE len(tk) >= m)
+      |SELECT phrase, doc_id,
+      |CAST(len(list_filter(grams, x -> x = phrase)) AS BIGINT) AS n_matches,
+      |CAST(list_position(grams, phrase) AS BIGINT) AS first_pos
+      |FROM r WHERE list_position(grams, phrase) > 0""".stripMargin
 
   /** The per-source data-card oracle — shared by the batch
     * q_corpus_report and the index-read q_corpus_report_incr (the
@@ -2012,6 +2037,9 @@ object SparkEntry {
     // the index read must equal the batch scorer over the union —
     // q_bm25's oracle text verbatim IS the incremental gate
     "q_bm25_incr" -> Bm25OracleSql,
+    "q_phrase_search" -> PhraseOracleSql,
+    // the positional index is invisible to semantics: same oracle
+    "q_phrase_search_incr" -> PhraseOracleSql,
     // Same 60-bit md5 token hash as the dedup lanes; add-one smoothing
     // over 256 buckets; candidates are the non-target docs.
     "q_dsir" ->

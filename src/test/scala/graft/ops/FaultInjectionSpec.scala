@@ -183,6 +183,16 @@ class FaultInjectionSpec extends SparkSuite {
       () => LmIndex.compactLmIndex(spark, dir))
   }
 
+  test("phrase index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_phrase")
+    PhraseIndex.writePhraseIndex(docsDF(1L to 30L), dir)
+    PhraseIndex.appendToPhraseIndex(docsDF(31L to 40L), dir)
+    drill("phrase",
+      () => PhraseIndex.phrasesFromIndex(spark, dir,
+        Seq("alpha beta gamma", "common tail")),
+      () => PhraseIndex.compactPhraseIndex(spark, dir))
+  }
+
   test("mid-write crash (partial temp on disk): live untouched, retry converges") {
     val dir = tmp("fi_partial")
     Dedup.writeNearDupIndex(docsDF(1L to 30L), dir)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{CmsIndex, Dedup, LmIndex, MultiModal, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, SimSearch, TextIndex}
+import graft.ops.{CmsIndex, Dedup, LmIndex, MultiModal, PhraseIndex, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, SimSearch, TextIndex}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -65,7 +65,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       substring(col("text"), 1, 1).as("l_returnflag"),
       lit("O").as("l_linestatus"))
 
-  test("one MemoryStream loop: append all TWELVE indexes per batch, compact on cadence, probe == rebuild") {
+  test("one MemoryStream loop: append all THIRTEEN indexes per batch, compact on cadence, probe == rebuild") {
     val nearDir = tmp("ingest_near")
     val spanDir = tmp("ingest_span")
     val ivfDir = tmp("ingest_ivf")
@@ -79,6 +79,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     val cmsDir = tmp("ingest_cms")
     val quantDir = tmp("ingest_quant")
     val lmDir = tmp("ingest_lm")
+    val phrDir = tmp("ingest_phr")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
@@ -93,6 +94,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     CmsIndex.writeCmsIndex(seed, cmsDir)
     QuantileIndex.writeQuantileIndex(liOf(seed), quantDir)
     LmIndex.writeLmIndex(repOf(seed), lmDir)
+    PhraseIndex.writePhraseIndex(seed, phrDir)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
     // contract) — rebuilds reuse the stored centroids
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
@@ -131,8 +133,11 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val lm = LmIndex.scoreFromIndex(spark, lmDir, repOf(probes))
         .collect().map(_.toString).sorted.toSeq
+      val phr = PhraseIndex.phrasesFromIndex(spark, phrDir,
+        Seq("alpha beta gamma", "common tail", "beta alpha"))
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -146,6 +151,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val c2 = tmp("rb_cms")
       val q2 = tmp("rb_quant")
       val l2 = tmp("rb_lm")
+      val ph2 = tmp("rb_phr")
       Dedup.writeNearDupIndex(all, n2)
       Dedup.writeWinnowIndex(all, w2)
       Dedup.writeSpanIndex(all, s2, w = 4)
@@ -158,6 +164,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       CmsIndex.writeCmsIndex(all, c2)
       QuantileIndex.writeQuantileIndex(liOf(all), q2)
       LmIndex.writeLmIndex(repOf(all), l2)
+      PhraseIndex.writePhraseIndex(all, ph2)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
         .collect().map(_.toString).sorted.toSeq
       val span = Dedup.spanDedupAgainstIndex(spark, probes, s2, cap = 2)
@@ -184,11 +191,14 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val lm = LmIndex.scoreFromIndex(spark, l2, repOf(probes))
         .collect().map(_.toString).sorted.toSeq
+      val phr = PhraseIndex.phrasesFromIndex(spark, ph2,
+        Seq("alpha beta gamma", "common tail", "beta alpha"))
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm", "phrase")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -204,6 +214,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       assert(live(names.indexOf("cms")).nonEmpty, s"cms estimate read empty $when")
       assert(live(names.indexOf("quantile")).nonEmpty, s"quantile read empty $when")
       assert(live(names.indexOf("lm")).nonEmpty, s"lm score read empty $when")
+      assert(live(names.indexOf("phrase")).nonEmpty, s"phrase read empty $when")
     }
 
     val stream = MemoryStream[IngestDoc](spark)
@@ -224,6 +235,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         CmsIndex.appendToCmsIndex(batch, cmsDir)
         QuantileIndex.appendToQuantileIndex(liOf(batch), quantDir)
         LmIndex.appendToLmIndex(repOf(batch), lmDir)
+        PhraseIndex.appendToPhraseIndex(batch, phrDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -238,6 +250,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           CmsIndex.compactCmsIndex(spark, cmsDir)
           QuantileIndex.compactQuantileIndex(spark, quantDir)
           LmIndex.compactLmIndex(spark, lmDir)
+          PhraseIndex.compactPhraseIndex(spark, phrDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
