@@ -153,6 +153,25 @@ object ScaleSmoke {
               / 48.5 - 1.0).cast("float")).as("embedding"))))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // C4 filter battery: pure per-row codegen, no shuffle — must be
+      // embarrassingly linear in the corpus
+      run("c4", graft.ops.TextOps.c4FiltersQ(docs))
+      spark.sharedState.cacheManager.clearCache()
+      // curriculum rank: one narrow (tier, sub) shuffle + metadata
+      // slice offsets — wall clock must track the token count (the
+      // tier signal is the tokenize), never the doc count alone
+      run("curriculum", graft.ops.Sampling.curriculumQ(docs))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      run("token_budget", graft.ops.Sampling.tokenBudgetQ(docs))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // phrase search: per-copy phrases (amplify prefixes every token
+      // with c{c}q) keep matches inside copies, so output per unit
+      // input is constant and the probe measures the postings join
+      run("phrase", graft.ops.PhraseIndex.phraseSearchQ(docs,
+        (0 until k).map(c => s"c${c}qtable c${c}qscan")))
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }
