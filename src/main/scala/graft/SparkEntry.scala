@@ -200,6 +200,8 @@ object SparkEntry {
     // broadcast; probes score candidates off their precomputed nano
     // distance tables — integer sums, bit-replayable
     "q_sim_topk_pq" -> ((s, d) => SimSearch.pqTopKQ(s, d)),
+    // hybrid retrieval: BM25 top-k + cosine top-k fused by RRF (k=60)
+    "q_hybrid_rrf" -> ((s, d) => SimSearch.hybridRrfQ(s, d)),
     // sign-bucket blocking is DECLARED semantics (both engines compute
     // identical buckets — same construction q_embed_neardup gates), so
     // the LSH top-k is deterministic and fully hash-checked
@@ -2040,6 +2042,44 @@ object SparkEntry {
     "q_phrase_search" -> PhraseOracleSql,
     // the positional index is invisible to semantics: same oracle
     "q_phrase_search_incr" -> PhraseOracleSql,
+    // Hybrid RRF: the Bm25 oracle's per-doc score feeds the text list,
+    // the SimTopK dot-product spelling feeds the vector list, each cut
+    // at 50 (score desc, id asc), fused at 1/(60+rank) on the 9-dp grid.
+    "q_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+        |WHERE token IN ('data', 'query', 'engine', 'fast') GROUP BY token),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |WHERE token IN ('data', 'query', 'engine', 'fast') GROUP BY doc_id, token),
+        |bm AS (SELECT doc_id,
+        |round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2
+        |/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
+        |FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id), st
+        |GROUP BY doc_id),
+        |ttop AS (SELECT doc_id, bm25 FROM bm
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 50),
+        |tr AS (SELECT doc_id, CAST(row_number() OVER
+        |(ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS r_text FROM ttop),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings) e WHERE list_dot_product(v, v) > 0),
+        |p AS (SELECT v AS pv, nrm AS pn FROM n WHERE vec_id = 0),
+        |cos AS (SELECT vec_id AS doc_id,
+        |list_dot_product(v, pv)/(nrm*pn) AS cos_sim
+        |FROM n, p WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, doc_id ASC LIMIT 50),
+        |vr AS (SELECT doc_id, CAST(row_number() OVER
+        |(ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) AS r_vec FROM cos),
+        |f AS (SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, r_text, r_vec,
+        |round(coalesce(1.0/(60.0+r_text), 0) + coalesce(1.0/(60.0+r_vec), 0), 9) AS rrf
+        |FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id),
+        |top AS (SELECT * FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
+        |doc_id, r_text, r_vec, rrf FROM top""".stripMargin,
     // Same 60-bit md5 token hash as the dedup lanes; add-one smoothing
     // over 256 buckets; candidates are the non-target docs.
     "q_dsir" ->

@@ -26,5 +26,8 @@ object PlanAllowances {
     // curriculumRanked's ONE-row tier-offset conditional sums (both
     // consumers), plus q_token_budget's ONE-row budget scalar
     "q_curriculum", "q_token_budget",
+    // hybrid RRF: one-row probe vector, bm25's stats scalar, and the
+    // three post-limit count scalars partitioning the rank windows
+    "q_hybrid_rrf",
     "q_corpus_clean")
 }

@@ -467,4 +467,25 @@ class LlmOpsSpec extends SparkSuite {
     val nextTok = expected.filter(col("pos") === sel.getLong(0)).head().getLong(2)
     assert(sel.getLong(2) + nextTok > budget, "greedy prefix must be maximal")
   }
+  test("hybrid RRF: dense final ranks, non-increasing fused score, exact rank law") {
+    val out = SimSearch.hybridRrfQ(spark, sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    PipelineCaches.release(spark)
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq,
+      "final ranks must be dense 1..n")
+    val scores = out.map(_.getAs[Double]("rrf"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "fused score must be non-increasing in rank")
+    // the fused score is an exact function of the two source ranks
+    out.foreach { r =>
+      val rt = Option(r.getAs[java.lang.Long]("r_text")).map(_.toLong)
+      val rv = Option(r.getAs[java.lang.Long]("r_vec")).map(_.toLong)
+      assert(rt.isDefined || rv.isDefined, "a fused row must come from somewhere")
+      val want = BigDecimal(rt.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        rv.map(x => 1.0 / (60.0 + x)).getOrElse(0.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("rrf") == want, s"rrf law broken at $r")
+    }
+  }
 }
