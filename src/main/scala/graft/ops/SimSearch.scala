@@ -979,56 +979,54 @@ object SimSearch {
     * rounded-score grid); the vector system scores every embedding by
     * cosine against the vec_id-0 probe (the q_sim_topk dot-product
     * spelling — bit-identical across engines). Each system keeps its
-    * top `kEach` (deterministic cut: score desc, doc_id asc), the two
-    * lists full-outer join on doc_id, and Reciprocal Rank Fusion
-    * (k = 60, the published constant) fuses the ranks:
-    * rrf = Σ_systems 1 / (60 + rank), absent-list systems contribute
-    * 0. Output: the fused top `kOut` with both source ranks.
+    * top `kEach` (deterministic cut: score desc, doc_id asc), and
+    * Reciprocal Rank Fusion (k = 60, the published constant) fuses the
+    * ranks: rrf = Σ_systems 1 / (60 + rank), absent-list systems
+    * contribute 0. Output: the fused top `kOut` with both source ranks.
     *
-    * Scale shape: each system's global cut is a
-    * TakeOrderedAndProject (heap per partition, k·partitions merge —
-    * no full sort); every rank window runs post-limit over ≤ kEach
-    * rows, partitioned on the one-row count scalar (the vocabQ
-    * constant-partition idiom — bounded by construction, never by
-    * corpus size); the fusion join is kEach × kEach rows. Rank fusion
-    * only ever needs each system's top-k — nothing corpus-sized
-    * crosses systems. */
+    * Scale shape: each system's global cut is a TakeOrderedAndProject
+    * (heap per partition, k·partitions merge — no full sort) — the
+    * ONLY corpus-sized work. The fusion itself is a pure function of
+    * two ≤ kEach-row rank lists, i.e. METADATA — it runs driver-side
+    * (the PQ distance-table precedent: exact, bit-replayable driver
+    * arithmetic on collected metadata), replacing three window+scalar
+    * distributed stages whose per-job dispatch floor dominated the
+    * measured cost (1.9 s → the two top-k jobs alone). The rounding is
+    * the q_pmi 9-dp grid, HALF_UP on both engines. */
   def hybridRrfQ(spark: org.apache.spark.sql.SparkSession, dir: String,
       kEach: Int = 50, kOut: Int = 20): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val text = Scoring.bm25Q(docs).select(col("doc_id"), col("bm25"))
+    // distributed part 1: BM25 top-kEach (TakeOrderedAndProject)
+    val textTop: Seq[Long] = Scoring.bm25Q(docs)
+      .select(col("doc_id"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc).limit(kEach)
-    val nText = text.agg(count(lit(1)).as("n_text"))
-    val wT = Window.partitionBy(col("n_text"))
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-    val textRanked = text.crossJoin(broadcast(nText))
-      .select(col("doc_id"), row_number().over(wT).cast("long").as("r_text"))
+      .collect().map(_.getLong(0)).toSeq
+    // distributed part 2: cosine-vs-probe top-kEach
     val n = normed(emb)
     val probe = n.filter(col("vec_id") === 0)
       .select(col("v").as("pv"), col("nrm").as("pn"))
-    val cos = n.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+    val vecTop: Seq[Long] = n.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
       .select(col("vec_id").as("doc_id"),
         (ndot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(kEach)
-    val nVec = cos.agg(count(lit(1)).as("n_vec"))
-    val wV = Window.partitionBy(col("n_vec"))
-      .orderBy(col("cos_sim").desc, col("doc_id").asc)
-    val vecRanked = cos.crossJoin(broadcast(nVec))
-      .select(col("doc_id"), row_number().over(wV).cast("long").as("r_vec"))
-    // RRF on the 9-dp grid (the q_pmi rounded-cut convention): the
-    // addends are exact functions of two small-integer ranks, summed
-    // text-then-vector on both engines
-    val fused = textRanked.join(vecRanked, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"), col("r_text"), col("r_vec"),
-        round(coalesce(lit(1.0) / (lit(60.0) + col("r_text")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)), 9).as("rrf"))
-      .orderBy(col("rrf").desc, col("doc_id").asc).limit(kOut)
-    val nF = fused.agg(count(lit(1)).as("n_f"))
-    val wF = Window.partitionBy(col("n_f"))
-      .orderBy(col("rrf").desc, col("doc_id").asc)
-    fused.crossJoin(broadcast(nF))
-      .select(row_number().over(wF).cast("long").as("rank"),
-        col("doc_id"), col("r_text"), col("r_vec"), col("rrf"))
+      .collect().map(_.getLong(0)).toSeq
+    // metadata fusion: ranks are list positions (1-based); the fused
+    // score is an exact double function of the two small-integer ranks
+    val rText = textTop.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val rVec = vecTop.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
+    val fused = (rText.keySet ++ rVec.keySet).toSeq.map { d =>
+      val (rt, rv) = (rText.get(d), rVec.get(d))
+      val raw = rt.map(r => 1.0 / (60.0 + r)).getOrElse(0.0) +
+        rv.map(r => 1.0 / (60.0 + r)).getOrElse(0.0)
+      val rrf = BigDecimal(raw)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (d, rt, rv, rrf)
+    }.sortBy { case (d, _, _, rrf) => (-rrf, d) }.take(kOut)
+    import spark.implicits._
+    fused.zipWithIndex.map { case ((d, rt, rv, rrf), i) =>
+      (i + 1L, d, rt, rv, rrf)
+    }.toDF("rank", "doc_id", "r_text", "r_vec", "rrf")
   }
 }
