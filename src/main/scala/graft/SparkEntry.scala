@@ -202,6 +202,8 @@ object SparkEntry {
     "q_sim_topk_pq" -> ((s, d) => SimSearch.pqTopKQ(s, d)),
     // hybrid retrieval: BM25 top-k + cosine top-k fused by RRF (k=60)
     "q_hybrid_rrf" -> ((s, d) => SimSearch.hybridRrfQ(s, d)),
+    // margin-based bitext mining (exact integer-nano margins)
+    "q_bitext_mine" -> ((s, d) => SimSearch.bitextMineQ(Tables.embeddings(s, d))),
     // sign-bucket blocking is DECLARED semantics (both engines compute
     // identical buckets — same construction q_embed_neardup gates), so
     // the LSH top-k is deterministic and fully hash-checked
@@ -2080,6 +2082,39 @@ object SparkEntry {
         |top AS (SELECT * FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 20)
         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
         |doc_id, r_text, r_vec, rrf FROM top""".stripMargin,
+    // Bitext mining: identical nano-grid cosines (floor of the same
+    // IEEE double), identical (c desc, id asc) k-NN cuts, exact long
+    // margin arithmetic 2k·c − Σ_NNk(x) − Σ_NNk(y) with k = 4.
+    "q_bitext_mine" ->
+      """WITH base AS (SELECT vec_id, label,
+        |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |FROM base WHERE list_dot_product(v, v) > 0),
+        |xs AS (SELECT * FROM n WHERE label % 2 = 0),
+        |ys AS (SELECT * FROM n WHERE label % 2 = 1),
+        |pr AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM xs WHERE vec_id < 50),
+        |xy AS (SELECT probe_id, ys.vec_id AS y_id,
+        |CAST(floor(list_dot_product(ys.v, pv)/(ys.nrm*pn)*1e9) AS BIGINT) AS c_nano
+        |FROM ys, pr),
+        |xyr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |ORDER BY c_nano DESC, y_id ASC) AS r FROM xy),
+        |topxy AS (SELECT probe_id, y_id, c_nano FROM xyr WHERE r <= 4),
+        |sx AS (SELECT probe_id, CAST(sum(c_nano) AS BIGINT) AS sx FROM topxy GROUP BY probe_id),
+        |cand AS (SELECT DISTINCT y_id FROM topxy),
+        |yx AS (SELECT ys2.vec_id AS y_id, xs.vec_id AS x_id,
+        |CAST(floor(list_dot_product(xs.v, ys2.v)/(xs.nrm*ys2.nrm)*1e9) AS BIGINT) AS c
+        |FROM ys ys2 JOIN cand ON ys2.vec_id = cand.y_id CROSS JOIN xs),
+        |yxr AS (SELECT *, row_number() OVER (PARTITION BY y_id
+        |ORDER BY c DESC, x_id ASC) AS r FROM yx),
+        |sy AS (SELECT y_id, CAST(sum(c) AS BIGINT) AS sy FROM yxr WHERE r <= 4 GROUP BY y_id),
+        |m AS (SELECT t.probe_id, t.y_id, t.c_nano,
+        |CAST(8*t.c_nano - sx.sx - sy.sy AS BIGINT) AS margin_nano,
+        |CAST(800*t.c_nano > 110*(sx.sx + sy.sy) AS INT) AS keep
+        |FROM topxy t JOIN sx USING (probe_id) JOIN sy USING (y_id)),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |ORDER BY margin_nano DESC, y_id ASC) AS r FROM m)
+        |SELECT y_id, probe_id, c_nano, margin_nano FROM best
+        |WHERE r = 1 AND keep = 1""".stripMargin,
     // Same 60-bit md5 token hash as the dedup lanes; add-one smoothing
     // over 256 buckets; candidates are the non-target docs.
     "q_dsir" ->

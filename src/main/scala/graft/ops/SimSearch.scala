@@ -973,6 +973,96 @@ object SimSearch {
   def pqTopKQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     pqTopKQ(graft.sources.Tables.embeddings(spark, dir))
 
+  /** Declared query q_bitext_mine: margin-based bitext (parallel-pair)
+    * mining — the LASER/CCMatrix op that assembles translation training
+    * pairs from two unaligned embedding pools. For probe x (pool X) and
+    * candidate y (pool Y), the raw cosine is unreliable (hubness);
+    * the published fix scores pairs by MARGIN against each side's
+    * k-NN neighborhood. This query uses the absolute-margin form in
+    * EXACT integer arithmetic: cosines drop to the nano grid
+    * (c = ⌊cos·10⁹⌋, identical doubles → identical floor on any
+    * engine), and margin_nano = 2k·c(x,y) − Σ_{NNk(x)}c − Σ_{NNk(y)}c
+    * — long sums, bit-replayable, positive iff the pair beats the
+    * average of its two neighborhoods. Per probe the best candidate
+    * (margin desc, id asc) with positive margin is the mined pair.
+    *
+    * Pools: even labels = X, odd labels = Y (the fixture's label
+    * column); probes = X with vec_id < nProbes.
+    *
+    * Scale shape: two corpus scans, both map-side against broadcast
+    * small sides — (1) pool Y streams once against the broadcast probe
+    * vectors, top-k per probe on the BOUNDED-BUFFER TopKAgg (shuffle ≤
+    * k·|probes| rows); (2) pool X streams once against the broadcast
+    * candidate vectors (≤ k·|probes| candidates by construction —
+    * metadata-sized, the probe-cells collect precedent) for the
+    * reverse neighborhoods. Nothing all-pairs, nothing corpus-keyed
+    * shuffles; at larger probe sets the candidate generation composes
+    * with the IVF/LSH blocking the other ANN paths use. */
+  def bitextMineQ(embeddings: DataFrame, k: Int = 4, nProbes: Int = 50): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.DotProductDouble.register(spark)
+    // normalized corpus is read four times (each pool feeds one scan
+    // and one broadcast build) — tracked cache keeps it at one parquet
+    // scan + one norm pass
+    val base = PipelineCaches.track(embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .filter(col("nrm") > 0))
+    val xs = base.filter(pmod(col("label"), lit(2)) === 0)
+    val ys = base.filter(pmod(col("label"), lit(2)) === 1)
+    val probes = xs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val fn = udaf(new graft.functions.Aggregators.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Aggregators.Scored]())
+    // distributed pass 1: Y streams once against the broadcast probes,
+    // bounded-buffer top-k per probe (shuffle ≤ k·|probes| rows); nano
+    // cosines are exact in the aggregate's double score (≤ 1e9 ≪ 2^53)
+    val topX: Map[Long, Seq[(Long, Long)]] = ys.crossJoin(broadcast(probes))
+      .select(col("probe_id"), col("vec_id").as("y_id"),
+        floor(ndot(col("v"), col("pv")) / (col("nrm") * col("pn")) * 1e9)
+          .cast("long").as("c_nano"))
+      .groupBy(col("probe_id"))
+      .agg(fn(col("c_nano").cast("double"), col("y_id")).as("top"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(1), s.getDouble(0).toLong)).toSeq
+      }.toMap
+    val candIds = topX.values.flatMap(_.map(_._1)).toSeq.distinct
+    if (candIds.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("probe_id", "y_id", "c_nano", "margin_nano")
+    }
+    // distributed pass 2: X streams once against the ≤ k·|probes|
+    // candidate vectors (metadata-sized by construction — the
+    // probe-cells collect precedent); Σ top-k per candidate
+    val sy: Map[Long, Long] = xs.crossJoin(broadcast(
+        ys.filter(col("vec_id").isInCollection(candIds))
+          .select(col("vec_id").as("y_id"), col("v").as("yv"), col("nrm").as("yn"))))
+      .select(col("y_id"),
+        floor(ndot(col("v"), col("yv")) / (col("nrm") * col("yn")) * 1e9)
+          .cast("long").as("c"), col("vec_id").as("x_id"))
+      .groupBy(col("y_id"))
+      .agg(fn(col("c").cast("double"), col("x_id")).as("top"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(_.getDouble(0).toLong).sum
+      }.toMap
+    // metadata fusion (the hybrid-RRF precedent): exact long margins
+    // over the collected rank lists, best pair per probe, ratio-1.10
+    // acceptance — 2k·c·100 > 110·(Σx + Σy), pure integer arithmetic
+    val mined = topX.toSeq.flatMap { case (pid, top) =>
+      val sx = top.map(_._2).sum
+      top.map { case (y, c) =>
+        (pid, y, c, 2L * k * c - sx - sy(y), 100L * 2 * k * c > 110L * (sx + sy(y)))
+      }.sortBy { case (_, y, _, m, _) => (-m, y) }.headOption
+        .filter(_._5).map { case (p, y, c, m, _) => (p, y, c, m) }
+    }.sortBy(_._1)
+    import spark.implicits._
+    mined.toDF("probe_id", "y_id", "c_nano", "margin_nano")
+  }
+
   /** Declared query q_hybrid_rrf: HYBRID retrieval — the RAG-era
     * fusion of lexical and vector search. The text system scores every
     * document by BM25 over the standard query terms ([[Scoring.bm25Q]],

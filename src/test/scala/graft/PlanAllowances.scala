@@ -29,5 +29,8 @@ object PlanAllowances {
     // hybrid RRF: one-row probe vector, bm25's stats scalar, and the
     // three post-limit count scalars partitioning the rank windows
     "q_hybrid_rrf",
+    // bitext mining: probe vectors and the ≤ k·|probes| candidate
+    // vectors broadcast against one pool scan each
+    "q_bitext_mine",
     "q_corpus_clean")
 }

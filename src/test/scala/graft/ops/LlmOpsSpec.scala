@@ -488,4 +488,46 @@ class LlmOpsSpec extends SparkSuite {
       assert(r.getAs[Double]("rrf") == want, s"rrf law broken at $r")
     }
   }
+  test("bitext mining: identical twin wins, margin law exact, acceptance prunes") {
+    import spark.implicits._
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 31 + i * 17) % 13) - 6).toFloat / 6f)
+    // X pool (even labels): probe 0 has an identical twin in Y; probe 2
+    // is a lone direction. Y pool (odd labels): the twin + 4 noise docs.
+    val rows = Seq(
+      (0L, vec(5), 0), (2L, vec(9), 2),
+      (101L, vec(5), 1), (103L, vec(1), 1), (105L, vec(2), 1),
+      (107L, vec(3), 3), (109L, vec(4), 3))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = SimSearch.bitextMineQ(emb, k = 4, nProbes = 50).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    PipelineCaches.release(spark)
+    // probe 0's twin must be the mined pair; its cosine is 1 up to the
+    // last ulp of the normalization (floor lands on 1e9 - 1 or 1e9 --
+    // whichever, identically on both engines)
+    assert(out.contains(0L), "identical twin must be mined")
+    assert(out(0L).getAs[Long]("y_id") == 101L)
+    assert(out(0L).getAs[Long]("c_nano") >= 999999999L)
+    // margin law: margin = 2k*c - sx - sy recomputed from the declared
+    // nano cosines (driver replica over the tiny fixture)
+    def nano(a: Array[Float], b: Array[Float]): Long = {
+      def d(x: Array[Double], y: Array[Double]) =
+        x.zip(y).foldLeft(0.0) { case (s, (p, q)) => s + p * q }
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      math.floor(d(ad, bd) / (math.sqrt(d(ad, ad)) * math.sqrt(d(bd, bd))) * 1e9).toLong
+    }
+    val xsV = Map(0L -> vec(5), 2L -> vec(9))
+    val ysV = Map(101L -> vec(5), 103L -> vec(1), 105L -> vec(2),
+      107L -> vec(3), 109L -> vec(4))
+    out.foreach { case (pid, r) =>
+      val y = r.getAs[Long]("y_id")
+      val sx = ysV.values.map(nano(xsV(pid), _)).toSeq.sorted.reverse.take(4).sum
+      val sy = xsV.values.map(nano(ysV(y), _)).toSeq.sorted.reverse
+        .take(4).sum // |X| = 2 < k: sum over all of X
+      val c = r.getAs[Long]("c_nano")
+      assert(r.getAs[Long]("margin_nano") == 8 * c - sx - sy,
+        s"margin law broken for probe $pid")
+      assert(800L * c > 110L * (sx + sy), "accepted pair must clear the ratio bar")
+    }
+  }
 }
