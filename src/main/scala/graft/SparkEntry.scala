@@ -333,6 +333,8 @@ object SparkEntry {
     "q_winnow_incr" -> ((s, d) => Dedup.incrementalWinnowQ(s, d)),
     // CCNet-style bigram-LM log-perplexity quality scores (en-trained)
     "q_ngram_lm" -> ((s, d) => Scoring.ngramLmQ(Tables.documents(s, d))),
+    // CCNet head/middle/tail perplexity terciles per language
+    "q_ccnet_buckets" -> ((s, d) => Scoring.ccnetBucketsQ(Tables.documents(s, d))),
     // the THIRTEENTH persisted index: additive bigram-LM count
     // partials (doc-complete batches), perplexity scored under the fold
     "q_ngram_lm_incr" -> ((s, d) => graft.ops.LmIndex.ngramLmIncrQ(s, d)),
@@ -2298,6 +2300,17 @@ object SparkEntry {
     // the incremental form folds persisted count partials over the same
     // en train slice — additivity makes the SAME batch LM its ground truth
     "q_ngram_lm_incr" -> NgramLmOracleSql,
+    // CCNet buckets: the LM oracle wrapped in rank terciles (ntile on
+    // the 6-dp grid, doc_id tie-break) + per-bucket summary
+    "q_ccnet_buckets" ->
+      s"""WITH lm AS ($NgramLmOracleSql),
+        |b AS (SELECT lang, logppl, n_bigrams,
+        |CASE ntile(3) OVER (PARTITION BY lang ORDER BY logppl ASC, doc_id ASC)
+        |WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM lm)
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |min(logppl) AS lo_logppl, max(logppl) AS hi_logppl,
+        |CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams
+        |FROM b GROUP BY lang, bucket""".stripMargin,
     "q_ngram_lm" -> NgramLmOracleSql,
     // Linear quality classifier: 1024 hashed buckets, integer-milli
     // weights wm = md5_60('w:'||bucket) % 2001 - 1000; the per-doc sum

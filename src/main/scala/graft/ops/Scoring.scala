@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Retrieval and data-selection scoring over the document corpus:
@@ -247,5 +248,34 @@ object Scoring {
       .select(col("doc_id"), col("n_tokens"),
         (col("swm").cast("double") / (col("n_tokens") * 1000.0)).as("logit"),
         (col("swm") >= 0L).cast("long").as("keep"))
+  }
+  /** CCNet perplexity bucketing (q_ccnet_buckets): per language, rank
+    * every scored document by its bigram-LM log-perplexity
+    * ([[ngramLmQ]]) and cut the population into the published
+    * head / middle / tail terciles — the step CCNet uses to keep the
+    * "head" (fluent) slice of a crawl and drop or down-weight the
+    * tail. Rank terciles (ntile over the 6-dp score grid with the
+    * doc_id tie-break) are exactly reproducible across engines, unlike
+    * value cutoffs interpolated from quantiles.
+    *
+    * Scale shape: the scorer is the shared one-pass lmScore; the
+    * tercile window shuffles only (doc_id, lang, score) — narrow rows,
+    * parallel across languages. At a 100 TB corpus with few giant
+    * languages, swap the exact rank window for the quantile-histogram
+    * cutoff (q_quantile's scale branch) and bucket map-side; the
+    * declared fixture form keeps the exact-rank semantics the oracle
+    * can replay. Output: per (lang, bucket) population summary. */
+  def ccnetBucketsQ(docs: DataFrame): DataFrame = {
+    val scored = ngramLmQ(docs)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("logppl").asc, col("doc_id").asc)
+    scored
+      .withColumn("bucket", element_at(
+        array(lit("head"), lit("middle"), lit("tail")), ntile(3).over(w)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("logppl")).as("lo_logppl"),
+        max(col("logppl")).as("hi_logppl"),
+        sum(col("n_bigrams")).as("total_bigrams"))
   }
 }

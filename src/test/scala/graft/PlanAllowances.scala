@@ -23,6 +23,8 @@ object PlanAllowances {
     // the incremental LM shares q_ngram_lm's ONE-row vocab-size scalar
     // broadcast (LmIndex.scoreFromIndex → Scoring.lmScore)
     "q_ngram_lm_incr",
+    // ccnet buckets ride ngramLmQ and its one-row vocab-size scalar
+    "q_ccnet_buckets",
     // curriculumRanked's ONE-row tier-offset conditional sums (both
     // consumers), plus q_token_budget's ONE-row budget scalar
     "q_curriculum", "q_token_budget",
