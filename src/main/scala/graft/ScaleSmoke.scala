@@ -172,6 +172,24 @@ object ScaleSmoke {
       run("phrase", graft.ops.PhraseIndex.phraseSearchQ(docs,
         (0 until k).map(c => s"c${c}qtable c${c}qscan")))
       spark.sharedState.cacheManager.clearCache()
+      // bitext mining: pool Y grows ~k (synthetic deterministic
+      // vectors), probes fixed — pass 1 linear in |Y|, pass 2 linear
+      // in |X| with the bounded candidate broadcast
+      run("bitext", graft.ops.SimSearch.bitextMineQ(
+        docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(col("doc_id") * 41 + i * 13, lit(89)).cast("double")
+              / 44.5 - 1.0).cast("float")).as("embedding"),
+          (col("doc_id") % 4).cast("int").as("label"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // ccnet buckets: the LM scorer pass + a narrow tercile window —
+      // wall clock must track the token stream like ngram_lm's
+      run("ccnet", graft.ops.Scoring.ccnetBucketsQ(
+        docs.withColumn("lang",
+          when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

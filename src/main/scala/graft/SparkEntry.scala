@@ -304,6 +304,9 @@ object SparkEntry {
     // token-hash bucketed) + additive (N, total_dl) partials; retrieval
     // reads ONLY the query terms' buckets and must equal batch BM25
     "q_bm25_incr" -> ((s, d) => graft.ops.TextIndex.incrementalBm25Q(s, d)),
+    // boolean retrieval (data AND query AND NOT fast) from the same
+    // per-dir inverted index, bucket-pruned + anti-join exclusion
+    "q_bool_search" -> ((s, d) => graft.ops.TextIndex.boolSearchQ(s, d)),
     // exact phrase search: positional postings + slot-adjacency match
     "q_phrase_search" -> ((s, d) => graft.ops.PhraseIndex.phraseSearchQ(Tables.documents(s, d))),
     // the FOURTEENTH persisted index: positional inverted index, corpus
@@ -2043,6 +2046,18 @@ object SparkEntry {
     // the index read must equal the batch scorer over the union —
     // q_bm25's oracle text verbatim IS the incremental gate
     "q_bm25_incr" -> Bm25OracleSql,
+    // Boolean retrieval: all must-terms present (distinct count), no
+    // mustNot term; tf_sum = total must-term hits.
+    "q_bool_search" ->
+      """WITH tok AS (SELECT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok
+        |WHERE token IN ('data', 'query') GROUP BY doc_id, token),
+        |pos AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS tf_sum
+        |FROM tf GROUP BY doc_id HAVING count(*) = 2)
+        |SELECT doc_id, tf_sum FROM pos
+        |WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM tok WHERE token = 'fast')""".stripMargin,
     "q_phrase_search" -> PhraseOracleSql,
     // the positional index is invisible to semantics: same oracle
     "q_phrase_search_incr" -> PhraseOracleSql,

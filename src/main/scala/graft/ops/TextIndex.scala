@@ -157,6 +157,52 @@ object TextIndex {
       .agg(count(lit(1)).as("n_terms_matched"), round(sum(col("s")), 6).as("bm25"))
   }
 
+  /** Boolean term query from the index — the curation filter form
+    * ("docs containing ALL of `must` and NONE of `mustNot`"). Reads
+    * only the mentioned terms' buckets (partition-pruned, token filter
+    * pushed); the positive side is one doc-keyed aggregate over
+    * matching rows (all-terms-present = distinct-token count), the
+    * negative side a LEFT ANTI join on the exclusion term's postings —
+    * never a corpus scan, never a NOT over the full doc set. Output:
+    * (doc_id, tf_sum) — total hits of the must terms per surviving
+    * doc. */
+  def boolSearchFromIndex(spark: SparkSession, dir: String,
+      must: Seq[String] = Seq("data", "query"),
+      mustNot: Seq[String] = Seq("fast")): DataFrame = {
+    require(must.nonEmpty, "need at least one required term")
+    val buckets = readBuckets(spark, dir)
+    val terms = (must ++ mustNot).distinct
+    val bkts = spark.createDataset(terms)(
+        org.apache.spark.sql.Encoders.STRING)
+      .select(pmod(abs(hash(col("value"))), lit(buckets)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val matched = spark.read.schema(PostingsSchema)
+      .parquet(s"$dir/postings")
+      .filter(col("bkt").isInCollection(bkts) &&
+        col("token").isInCollection(terms))
+    val pos = matched.filter(col("token").isInCollection(must))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("token")).as("nt"), sum(col("tf")).as("tf_sum"))
+      .filter(col("nt") === must.size)
+    val neg = matched.filter(col("token").isInCollection(mustNot))
+      .select(col("doc_id")).distinct()
+    pos.join(neg, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("tf_sum"))
+  }
+
+  /** Declared query q_bool_search: boolean retrieval over the SAME
+    * per-dir index q_bm25_incr builds (the BuildOnce memo makes the
+    * build cost shared) — data AND query AND NOT fast. */
+  def boolSearchQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_text_idx", dir)
+    BuildOnce(spark, idxDir) {
+      writeTextIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
+      appendToTextIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+    }
+    boolSearchFromIndex(spark, idxDir)
+  }
+
   /** Declared query q_bm25_incr: corpus (doc_id % 20 ≠ 0) indexed
     * once, the delta (doc_id % 20 = 0) folded in as a micro-batch
     * append, scores served from the index — which must equal the batch

@@ -530,4 +530,24 @@ class LlmOpsSpec extends SparkSuite {
       assert(800L * c > 110L * (sx + sy), "accepted pair must clear the ratio bar")
     }
   }
+  test("ccnet buckets: tercile law per language — sizes within 1, boundaries ordered") {
+    val rows = Scoring.ccnetBucketsQ(docsDf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    PipelineCaches.release(spark)
+    assert(rows.nonEmpty)
+    val langs = rows.keys.map(_._1).toSeq.distinct
+    langs.foreach { l =>
+      val got = Seq("head", "middle", "tail").flatMap(b => rows.get((l, b)))
+      // every scored language splits into all three buckets whose sizes
+      // differ by at most one (the ntile contract)
+      assert(got.size == 3, s"$l must have all three buckets")
+      val sizes = got.map(_._1)
+      assert(sizes.max - sizes.min <= 1, s"$l tercile sizes $sizes")
+      // score boundaries are ordered: head's worst <= middle's best, etc.
+      val Seq(h, m, t) = got
+      assert(h._3 <= m._2 + 1e-9 && m._3 <= t._2 + 1e-9,
+        s"$l bucket boundaries out of order: $got")
+    }
+  }
 }
