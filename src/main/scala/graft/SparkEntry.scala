@@ -163,6 +163,9 @@ object SparkEntry {
     // the apply side: vocab segmented under the learned merges (train
     // once + one map-side fold stack, no extra shuffle)
     "q_bpe_encode" -> ((s, d) => graft.ops.Bpe.bpeEncodeQ(s, d)),
+    // end-to-end export: train BPE -> encode corpus -> pack encoded
+    // stream into 512-token sequences (per-shard summary)
+    "q_tokenize_pack" -> ((s, d) => graft.ops.Bpe.tokenizePackQ(s, d)),
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextOps.repetitionScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
@@ -1251,6 +1254,28 @@ object SparkEntry {
     "q_bpe_encode" -> bpeOracleSql(6,
       """SELECT word, n, CAST(len(sym) AS BIGINT) AS n_sym,
         |array_to_string(sym, ' ') AS bpe FROM seg6""".stripMargin),
+    // End-to-end export: the BPE train chain (seg6) feeds per-doc
+    // encoded lengths, packed with q_pack's exact shard/order/prefix
+    // spelling on enc_len. The leading comma CONTINUES the generated
+    // WITH chain.
+    "q_tokenize_pack" -> bpeOracleSql(6,
+      """,enc AS (SELECT word, CAST(len(sym) AS BIGINT) AS n_sym FROM seg6),
+        |dt AS (SELECT doc_id, t AS word FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |dl AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS enc_len
+        |FROM dt JOIN enc USING (word) GROUP BY doc_id),
+        |sh AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5('shard:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS shard,
+        |CAST(('0x'||substr(md5('order:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS ok,
+        |enc_len FROM dl),
+        |c AS (SELECT shard, doc_id, enc_len,
+        |sum(enc_len) OVER (PARTITION BY shard ORDER BY ok ASC, doc_id ASC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)
+        |SELECT shard, count(*) AS n_docs, CAST(sum(enc_len) AS BIGINT) AS total_enc_tokens,
+        |CAST(count(DISTINCT CAST(floor((cum - enc_len) / 512.0) AS BIGINT)) AS BIGINT) AS n_seqs,
+        |CAST(max(CAST(floor((cum - enc_len) / 512.0) AS BIGINT)) AS BIGINT) AS last_seq
+        |FROM c GROUP BY shard""".stripMargin),
     "q_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
         |CAST(length(text) AS DOUBLE)/n_tok AS avg_tok_len,

@@ -132,4 +132,41 @@ object Bpe {
       size(sym).cast("long").as("n_sym"),
       concat_ws(" ", sym).as("bpe"))
   }
+
+  /** Declared query q_tokenize_pack — the END-TO-END export path a
+    * pretraining pipeline actually runs: train the tokenizer (k merge
+    * rounds), ENCODE the corpus under it, and pack the encoded token
+    * stream into fixed 512-token training sequences in the
+    * deterministic shard order. Composition surface: the encoded
+    * per-doc length comes from joining each doc's words to the
+    * vocab-bounded segmentation table (broadcast — the vocab is the
+    * model, never corpus-sized), and the packing is
+    * [[Sampling.packSequencesOn]] over that length — the identical
+    * slice-parallel prefix sums q_pack gates, just on post-BPE
+    * lengths. Per-shard summary (docs, encoded tokens, sequences,
+    * last sequence id) — every bin assignment participates in the
+    * hash through the distinct-bin count. */
+  def tokenizePackQ(spark: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 6, tokenBudget: Int = 512): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val words = wordCounts(docs)
+    val rules = trainMerges(words, k)
+    PipelineCaches.release(spark)
+    graft.functions.BpeSegment.register(spark)
+    val sym = segmented("word", rules.toList.map(t => (t._2, t._3)))
+    val enc = words.select(col("word"), size(sym).cast("long").as("n_sym"))
+    val encLens = graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("enc_len"))
+    Sampling.packSequencesOn(encLens, col("enc_len"), tokenBudget)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_enc_tokens"),
+        count_distinct(col("bin")).as("n_seqs"),
+        max(col("bin")).as("last_seq"))
+  }
 }

@@ -208,7 +208,17 @@ object Sampling {
     * (order_key, id) tie-break stays inside one window. The one
     * shuffle carries (id, shard, sub, key, tokens) — never text. */
   def packSequences(docs: DataFrame, tokenBudget: Int = 512,
-      nShards: Int = 16, idCol: String = "doc_id", subSplits: Int = 0): DataFrame = {
+      nShards: Int = 16, idCol: String = "doc_id", subSplits: Int = 0): DataFrame =
+    packSequencesOn(docs,
+      size(split(lower(trim(col("text"))), "\\s+")).cast("long"),
+      tokenBudget, nShards, idCol, subSplits)
+
+  /** [[packSequences]] generalized over the per-row token-count
+    * expression — the seam [[graft.ops.Bpe.tokenizePackQ]] uses to
+    * pack ENCODED (post-BPE) lengths instead of whitespace counts. */
+  def packSequencesOn(docs: DataFrame, tokCount: Column,
+      tokenBudget: Int = 512, nShards: Int = 16, idCol: String = "doc_id",
+      subSplits: Int = 0): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
     val spark = docs.sparkSession
     // default: ~2 slices per core across all shards, floor 1 per shard
@@ -216,8 +226,7 @@ object Sampling {
       else 2 * spark.sparkContext.defaultParallelism / nShards)
     val chunk = math.max(1L, (1L << 60) / k)
     val sharded = assignShards(docs, nShards, idCol)
-      .withColumn("n_tok",
-        size(split(lower(trim(col("text"))), "\\s+")).cast("long"))
+      .withColumn("n_tok", tokCount.cast("long"))
       .withColumn("sub", floor(col("order_key") / chunk).cast("long"))
     val w = Window.partitionBy(col("shard"), col("sub"))
       .orderBy(col("order_key").asc, col(idCol).asc)
