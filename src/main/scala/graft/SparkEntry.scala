@@ -207,6 +207,11 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, d) => SimSearch.hybridRrfQ(s, d)),
     // margin-based bitext mining (exact integer-nano margins)
     "q_bitext_mine" -> ((s, d) => SimSearch.bitextMineQ(Tables.embeddings(s, d))),
+    // DPO preference-pair assembly: quality-ranked chosen/rejected
+    "q_pref_pairs" -> ((s, d) => graft.ops.SftOps.prefPairsQ(Tables.documents(s, d))),
+    // chat-transcript flattening: serialize -> from_json -> (prompt,
+    // response) SFT pairs, losslessness gated by the token oracle
+    "q_chat_turns" -> ((s, d) => graft.ops.SftOps.chatTurnsQ(Tables.documents(s, d))),
     // sign-bucket blocking is DECLARED semantics (both engines compute
     // identical buckets — same construction q_embed_neardup gates), so
     // the LSH top-k is deterministic and fully hash-checked
@@ -2073,6 +2078,74 @@ object SparkEntry {
     "q_bm25_incr" -> Bm25OracleSql,
     // Boolean retrieval: all must-terms present (distinct count), no
     // mustNot term; tf_sum = total must-term hits.
+    // Preference pairs: same 6-dp stopword-ratio grid, rank within the
+    // doc_id-div-2 bucket (score DESC, doc_id DESC), complete pairs only.
+    "q_pref_pairs" ->
+      """WITH s AS (SELECT doc_id, doc_id // 2 AS pair_id,
+        |round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE)
+        |/ len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS score FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY pair_id
+        |ORDER BY score DESC, doc_id DESC) AS rn,
+        |count(*) OVER (PARTITION BY pair_id) AS np FROM s)
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
+        |max(CASE WHEN rn=1 THEN doc_id END) AS chosen_id,
+        |max(CASE WHEN rn=2 THEN doc_id END) AS rejected_id,
+        |max(CASE WHEN rn=1 THEN score END) AS chosen_score,
+        |max(CASE WHEN rn=2 THEN score END) AS rejected_score,
+        |round(max(CASE WHEN rn=1 THEN score END) - max(CASE WHEN rn=2 THEN score END), 6) AS margin
+        |FROM r WHERE np = 2 GROUP BY pair_id""".stripMargin,
+    // Chat turns: the oracle derives the (prompt, response) pairs from
+    // the token stream directly — gating that the engine's
+    // serialize -> from_json -> flatten path is lossless.
+    "q_chat_turns" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        |FROM documents),
+        |g AS (SELECT doc_id, tk, CAST(ceil(len(tk)/8.0) AS BIGINT) AS n_turns
+        |FROM t WHERE len(tk) > 0),
+        |p AS (SELECT doc_id, unnest(range(0, n_turns // 2)) AS i, tk
+        |FROM g WHERE n_turns >= 2),
+        |r AS (SELECT doc_id, i,
+        |array_to_string(tk[i*16+1 : i*16+8], ' ') AS prompt,
+        |array_to_string(tk[i*16+9 : i*16+16], ' ') AS response FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS pair_idx, prompt, response,
+        |CAST(len(string_split(prompt, ' ')) AS BIGINT) AS n_prompt_tok,
+        |CAST(len(string_split(response, ' ')) AS BIGINT) AS n_response_tok FROM r""".stripMargin,
+    // Preference pairs: same 6-dp stopword-ratio grid, rank within the
+    // doc_id-div-2 bucket (score DESC, doc_id DESC), complete pairs only.
+    "q_pref_pairs" ->
+      """WITH s AS (SELECT doc_id, doc_id // 2 AS pair_id,
+        |round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE)
+        |/ len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS score FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY pair_id
+        |ORDER BY score DESC, doc_id DESC) AS rn,
+        |count(*) OVER (PARTITION BY pair_id) AS np FROM s)
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
+        |max(CASE WHEN rn=1 THEN doc_id END) AS chosen_id,
+        |max(CASE WHEN rn=2 THEN doc_id END) AS rejected_id,
+        |max(CASE WHEN rn=1 THEN score END) AS chosen_score,
+        |max(CASE WHEN rn=2 THEN score END) AS rejected_score,
+        |round(max(CASE WHEN rn=1 THEN score END) - max(CASE WHEN rn=2 THEN score END), 6) AS margin
+        |FROM r WHERE np = 2 GROUP BY pair_id""".stripMargin,
+    // Chat turns: the oracle derives the (prompt, response) pairs from
+    // the token stream directly — gating that the engine's
+    // serialize -> from_json -> flatten path is lossless.
+    "q_chat_turns" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        |FROM documents),
+        |g AS (SELECT doc_id, tk, CAST(ceil(len(tk)/8.0) AS BIGINT) AS n_turns
+        |FROM t WHERE len(tk) > 0),
+        |p AS (SELECT doc_id, unnest(range(0, n_turns // 2)) AS i, tk
+        |FROM g WHERE n_turns >= 2),
+        |r AS (SELECT doc_id, i,
+        |array_to_string(tk[i*16+1 : i*16+8], ' ') AS prompt,
+        |array_to_string(tk[i*16+9 : i*16+16], ' ') AS response FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS pair_idx, prompt, response,
+        |CAST(len(string_split(prompt, ' ')) AS BIGINT) AS n_prompt_tok,
+        |CAST(len(string_split(response, ' ')) AS BIGINT) AS n_response_tok FROM r""".stripMargin,
     "q_bool_search" ->
       """WITH tok AS (SELECT doc_id, t AS token FROM
         |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
