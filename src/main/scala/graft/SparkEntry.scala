@@ -181,6 +181,9 @@ object SparkEntry {
     "q_skew_agg" -> ((s, d) => Skew.skewAggQ(s, d)),
     "q_skew_join" -> ((s, d) => Skew.skewJoinQ(s, d)),
     "q_split" -> ((s, d) => Sampling.splitQ(Tables.documents(s, d))),
+    // eval-contamination audit: near-dup pairs straddling splits under
+    // the naive hash split vs the leak-free cluster split
+    "q_split_leak_audit" -> ((s, d) => Sampling.splitLeakAuditQ(Tables.documents(s, d))),
     "q_sample" -> ((s, d) => Sampling.sampleQ(Tables.documents(s, d))),
     "q_mixture" -> ((s, d) => Sampling.mixtureQ(Tables.documents(s, d))),
     "q_sample_stratified" -> ((s, d) => Sampling.stratifiedQ(Tables.documents(s, d))),
@@ -1001,6 +1004,65 @@ object SparkEntry {
         |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
         |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
         |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin,
+    // Leak audit: the q_dedup_near pairs pipeline joined to both split
+    // assignments (q_split's exact hash spellings), one audit row each.
+    // Leak audit: the q_dedup_near pairs pipeline joined to the naive
+    // hash split and to the NEAR-dup-cluster split (the cluster oracle
+    // nested as a CTE, the q_dedup_best precedent); the cluster row's
+    // zero cross count is the by-construction law the audit proves.
+    "q_split_leak_audit" ->
+      s"""WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |sig AS (SELECT doc_id,
+        |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
+        |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
+        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
+        |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
+        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
+        |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
+        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
+        |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
+        |FROM tok GROUP BY doc_id),
+        |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
+        |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+        |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+        |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
+        |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+        |AND a.doc_id < b.doc_id),
+        |tokh AS (SELECT DISTINCT doc_id,
+        |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),
+        |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
+        |JOIN tokh ta ON ta.doc_id = c.doc_a
+        |JOIN tokh tb ON tb.doc_id = c.doc_b AND tb.th = ta.th
+        |GROUP BY c.doc_a, c.doc_b),
+        |pairs AS (SELECT c.doc_a, c.doc_b
+        |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a
+        |JOIN sizes sb ON sb.doc_id = c.doc_b
+        |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5),
+        |nv AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+        |ELSE 'test' END AS s FROM (SELECT doc_id,
+        |CAST(('0x'||substr(md5('split:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+        |FROM documents) z),
+        |cl AS (
+        |${dupClusterOracleSql(docsCte = "", src = "documents")}
+        |),
+        |cs AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'valid'
+        |ELSE 'test' END AS s FROM (SELECT d.doc_id,
+        |CAST(('0x'||substr(md5('split:' || CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)),1,15)) AS BIGINT) % 100 AS b
+        |FROM documents d LEFT JOIN cl c ON c.doc_id = d.doc_id) z),
+        |a1 AS (SELECT 'naive_hash' AS scheme, count(*) AS n_pairs,
+        |CAST(sum(CASE WHEN na.s <> nb.s THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+        |FROM pairs p JOIN nv na ON na.doc_id = p.doc_a JOIN nv nb ON nb.doc_id = p.doc_b),
+        |a2 AS (SELECT 'cluster' AS scheme, count(*) AS n_pairs,
+        |CAST(sum(CASE WHEN la.s <> lb.s THEN 1 ELSE 0 END) AS BIGINT) AS n_cross
+        |FROM pairs p JOIN cs la ON la.doc_id = p.doc_a JOIN cs lb ON lb.doc_id = p.doc_b)
+        |SELECT scheme, n_pairs, n_cross,
+        |round(CAST(n_cross AS DOUBLE)/nullif(n_pairs, 0), 6) AS leak_rate FROM a1
+        |UNION ALL SELECT scheme, n_pairs, n_cross,
+        |round(CAST(n_cross AS DOUBLE)/nullif(n_pairs, 0), 6) AS leak_rate FROM a2""".stripMargin,
     // The minhash estimator readout: the q_dedup_near pipeline's pairs
     // enriched with the signature-agreement estimate (exact multiples
     // of 1/8 in both engines) and its absolute error.
@@ -1121,6 +1183,8 @@ object SparkEntry {
         |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
         |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
         |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin,
+    // Leak audit: the q_dedup_near pairs pipeline joined to both split
+    // assignments (q_split's exact hash spellings), one audit row each.
     // The incremental fuzzy shape: q_dedup_incr's banded blocking over
     // corpus ∪ re-keyed delta, restricted to (delta, corpus) pairs, with
     // the edit-distance verify of q_dedup_fuzzy.

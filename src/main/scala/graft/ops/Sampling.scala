@@ -506,6 +506,58 @@ object Sampling {
         max(col("pos")).as("last_pos"))
   }
 
+  /** Declared query q_split_leak_audit: the evaluation-contamination
+    * audit — how many NEAR-dup pairs straddle a train/valid/test
+    * boundary under (a) the naive per-doc hash split and (b) the
+    * NEAR-dup-cluster split (assignment keyed on the connected-
+    * component label over the same pair list, singletons on their own
+    * id). The cluster scheme's cross count is zero BY CONSTRUCTION —
+    * the audit proves it end-to-end (components ∘ assignment ∘ pair
+    * join agree), while the naive row reports the leak rate a dataset
+    * card should publish before anyone trusts a held-out score.
+    * ([[leakFreeSplit]]'s exact-dup scheme is not the comparator here:
+    * the fixture corpus has no exact duplicates, so it would read
+    * identically to the naive row — vacuous.)
+    *
+    * Scale shape: the pair list is the banded near-dup pipeline
+    * (never all-pairs); the two assignment frames are map-side hash
+    * expressions joined to the pairs on narrow doc-id keys; each audit
+    * is one count/conditional-sum aggregate. The pair frame is tracked
+    * (two consumers). */
+  def splitLeakAuditQ(docs: DataFrame): DataFrame = {
+    val pairs = PipelineCaches.track(
+      Dedup.nearDupPairs(docs).select(col("doc_a"), col("doc_b")))
+    val clusters = Components
+      .connectedComponents(pairs, "doc_a", "doc_b")
+    // ONE assignment frame carries BOTH schemes' splits, so the pair
+    // list joins its two sides exactly once and a single aggregate
+    // produces both audit rows (explode of a 2-struct array) — half
+    // the join work of auditing the schemes separately
+    val asg = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        bucketToSplit(pmod(idHash(col("doc_id")), lit(100)), 90, 5).as("s_naive"),
+        bucketToSplit(pmod(idHash(coalesce(col("cluster"), col("doc_id"))),
+          lit(100)), 90, 5).as("s_cluster"))
+    val a = asg.select(col("doc_id").as("doc_a"),
+      col("s_naive").as("na"), col("s_cluster").as("ca"))
+    val b = asg.select(col("doc_id").as("doc_b"),
+      col("s_naive").as("nb"), col("s_cluster").as("cb"))
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum((col("na") =!= col("nb")).cast("long")).as("x_naive"),
+        sum((col("ca") =!= col("cb")).cast("long")).as("x_cluster"))
+      .select(explode(array(
+        struct(lit("naive_hash").as("scheme"), col("n_pairs"),
+          col("x_naive").as("n_cross")),
+        struct(lit("cluster").as("scheme"), col("n_pairs"),
+          col("x_cluster").as("n_cross")))).as("r"))
+      .select(col("r.scheme").as("scheme"), col("r.n_pairs").as("n_pairs"),
+        col("r.n_cross").as("n_cross"),
+        round(col("r.n_cross").cast("double") /
+          nullif(col("r.n_pairs"), lit(0L)), 6).as("leak_rate"))
+  }
+
   /** Declared query q_domain_cap: per-domain document cap — the
     * CommonCrawl-pipeline governance step that stops one dominant host
     * from swamping a training mix ("keep at most k docs per domain,
