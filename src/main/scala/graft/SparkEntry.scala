@@ -1004,8 +1004,6 @@ object SparkEntry {
         |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
         |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
         |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin,
-    // Leak audit: the q_dedup_near pairs pipeline joined to both split
-    // assignments (q_split's exact hash spellings), one audit row each.
     // Leak audit: the q_dedup_near pairs pipeline joined to the naive
     // hash split and to the NEAR-dup-cluster split (the cluster oracle
     // nested as a CTE, the q_dedup_best precedent); the cluster row's
@@ -1183,8 +1181,6 @@ object SparkEntry {
         |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
         |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
         |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin,
-    // Leak audit: the q_dedup_near pairs pipeline joined to both split
-    // assignments (q_split's exact hash spellings), one audit row each.
     // The incremental fuzzy shape: q_dedup_incr's banded blocking over
     // corpus ∪ re-keyed delta, restricted to (delta, corpus) pairs, with
     // the edit-distance verify of q_dedup_fuzzy.
@@ -2140,76 +2136,42 @@ object SparkEntry {
     // the index read must equal the batch scorer over the union —
     // q_bm25's oracle text verbatim IS the incremental gate
     "q_bm25_incr" -> Bm25OracleSql,
+    // Preference pairs: same 6-dp stopword-ratio grid, rank within the
+    // doc_id-div-2 bucket (score DESC, doc_id DESC), complete pairs only.
+    "q_pref_pairs" ->
+      """WITH s AS (SELECT doc_id, doc_id // 2 AS pair_id,
+        |round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE)
+        |/ len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS score FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY pair_id
+        |ORDER BY score DESC, doc_id DESC) AS rn,
+        |count(*) OVER (PARTITION BY pair_id) AS np FROM s)
+        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
+        |max(CASE WHEN rn=1 THEN doc_id END) AS chosen_id,
+        |max(CASE WHEN rn=2 THEN doc_id END) AS rejected_id,
+        |max(CASE WHEN rn=1 THEN score END) AS chosen_score,
+        |max(CASE WHEN rn=2 THEN score END) AS rejected_score,
+        |round(max(CASE WHEN rn=1 THEN score END) - max(CASE WHEN rn=2 THEN score END), 6) AS margin
+        |FROM r WHERE np = 2 GROUP BY pair_id""".stripMargin,
+    // Chat turns: the oracle derives the (prompt, response) pairs from
+    // the token stream directly — gating that the engine's
+    // serialize -> from_json -> flatten path is lossless.
+    "q_chat_turns" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        |FROM documents),
+        |g AS (SELECT doc_id, tk, CAST(ceil(len(tk)/8.0) AS BIGINT) AS n_turns
+        |FROM t WHERE len(tk) > 0),
+        |p AS (SELECT doc_id, unnest(range(0, n_turns // 2)) AS i, tk
+        |FROM g WHERE n_turns >= 2),
+        |r AS (SELECT doc_id, i,
+        |array_to_string(tk[i*16+1 : i*16+8], ' ') AS prompt,
+        |array_to_string(tk[i*16+9 : i*16+16], ' ') AS response FROM p)
+        |SELECT doc_id, CAST(i AS BIGINT) AS pair_idx, prompt, response,
+        |CAST(len(string_split(prompt, ' ')) AS BIGINT) AS n_prompt_tok,
+        |CAST(len(string_split(response, ' ')) AS BIGINT) AS n_response_tok FROM r""".stripMargin,
     // Boolean retrieval: all must-terms present (distinct count), no
     // mustNot term; tf_sum = total must-term hits.
-    // Preference pairs: same 6-dp stopword-ratio grid, rank within the
-    // doc_id-div-2 bucket (score DESC, doc_id DESC), complete pairs only.
-    "q_pref_pairs" ->
-      """WITH s AS (SELECT doc_id, doc_id // 2 AS pair_id,
-        |round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE)
-        |/ len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS score FROM documents),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY pair_id
-        |ORDER BY score DESC, doc_id DESC) AS rn,
-        |count(*) OVER (PARTITION BY pair_id) AS np FROM s)
-        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
-        |max(CASE WHEN rn=1 THEN doc_id END) AS chosen_id,
-        |max(CASE WHEN rn=2 THEN doc_id END) AS rejected_id,
-        |max(CASE WHEN rn=1 THEN score END) AS chosen_score,
-        |max(CASE WHEN rn=2 THEN score END) AS rejected_score,
-        |round(max(CASE WHEN rn=1 THEN score END) - max(CASE WHEN rn=2 THEN score END), 6) AS margin
-        |FROM r WHERE np = 2 GROUP BY pair_id""".stripMargin,
-    // Chat turns: the oracle derives the (prompt, response) pairs from
-    // the token stream directly — gating that the engine's
-    // serialize -> from_json -> flatten path is lossless.
-    "q_chat_turns" ->
-      """WITH t AS (SELECT doc_id,
-        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
-        |FROM documents),
-        |g AS (SELECT doc_id, tk, CAST(ceil(len(tk)/8.0) AS BIGINT) AS n_turns
-        |FROM t WHERE len(tk) > 0),
-        |p AS (SELECT doc_id, unnest(range(0, n_turns // 2)) AS i, tk
-        |FROM g WHERE n_turns >= 2),
-        |r AS (SELECT doc_id, i,
-        |array_to_string(tk[i*16+1 : i*16+8], ' ') AS prompt,
-        |array_to_string(tk[i*16+9 : i*16+16], ' ') AS response FROM p)
-        |SELECT doc_id, CAST(i AS BIGINT) AS pair_idx, prompt, response,
-        |CAST(len(string_split(prompt, ' ')) AS BIGINT) AS n_prompt_tok,
-        |CAST(len(string_split(response, ' ')) AS BIGINT) AS n_response_tok FROM r""".stripMargin,
-    // Preference pairs: same 6-dp stopword-ratio grid, rank within the
-    // doc_id-div-2 bucket (score DESC, doc_id DESC), complete pairs only.
-    "q_pref_pairs" ->
-      """WITH s AS (SELECT doc_id, doc_id // 2 AS pair_id,
-        |round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |x -> list_contains(['the','a','an','and','of','to','in','is','on','for'], x))) AS DOUBLE)
-        |/ len(regexp_split_to_array(lower(trim(text)), '\s+')), 6) AS score FROM documents),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY pair_id
-        |ORDER BY score DESC, doc_id DESC) AS rn,
-        |count(*) OVER (PARTITION BY pair_id) AS np FROM s)
-        |SELECT CAST(pair_id AS BIGINT) AS pair_id,
-        |max(CASE WHEN rn=1 THEN doc_id END) AS chosen_id,
-        |max(CASE WHEN rn=2 THEN doc_id END) AS rejected_id,
-        |max(CASE WHEN rn=1 THEN score END) AS chosen_score,
-        |max(CASE WHEN rn=2 THEN score END) AS rejected_score,
-        |round(max(CASE WHEN rn=1 THEN score END) - max(CASE WHEN rn=2 THEN score END), 6) AS margin
-        |FROM r WHERE np = 2 GROUP BY pair_id""".stripMargin,
-    // Chat turns: the oracle derives the (prompt, response) pairs from
-    // the token stream directly — gating that the engine's
-    // serialize -> from_json -> flatten path is lossless.
-    "q_chat_turns" ->
-      """WITH t AS (SELECT doc_id,
-        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
-        |FROM documents),
-        |g AS (SELECT doc_id, tk, CAST(ceil(len(tk)/8.0) AS BIGINT) AS n_turns
-        |FROM t WHERE len(tk) > 0),
-        |p AS (SELECT doc_id, unnest(range(0, n_turns // 2)) AS i, tk
-        |FROM g WHERE n_turns >= 2),
-        |r AS (SELECT doc_id, i,
-        |array_to_string(tk[i*16+1 : i*16+8], ' ') AS prompt,
-        |array_to_string(tk[i*16+9 : i*16+16], ' ') AS response FROM p)
-        |SELECT doc_id, CAST(i AS BIGINT) AS pair_idx, prompt, response,
-        |CAST(len(string_split(prompt, ' ')) AS BIGINT) AS n_prompt_tok,
-        |CAST(len(string_split(response, ' ')) AS BIGINT) AS n_response_tok FROM r""".stripMargin,
     "q_bool_search" ->
       """WITH tok AS (SELECT doc_id, t AS token FROM
         |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t

@@ -125,7 +125,10 @@ object Bpe {
       k: Int = 6): DataFrame = {
     val words = wordCounts(graft.sources.Tables.documents(spark, dir))
     val rules = trainMerges(words, k)
-    PipelineCaches.release(spark)
+    // do NOT release here: trainMerges tracked the word-count table and
+    // the returned frame reads it again at execution — releasing early
+    // recomputes the corpus tokenize+shuffle (the caller releases, the
+    // packSequencesOn lifetime contract)
     graft.functions.BpeSegment.register(spark)
     val sym = segmented("word", rules.toList.map(t => (t._2, t._3)))
     words.select(col("word"), col("n"),
@@ -151,7 +154,8 @@ object Bpe {
     val docs = graft.sources.Tables.documents(spark, dir)
     val words = wordCounts(docs)
     val rules = trainMerges(words, k)
-    PipelineCaches.release(spark)
+    // no release here — enc re-reads the tracked word-count table at
+    // execution (see bpeEncodeQ); the caller releases
     graft.functions.BpeSegment.register(spark)
     val sym = segmented("word", rules.toList.map(t => (t._2, t._3)))
     val enc = words.select(col("word"), size(sym).cast("long").as("n_sym"))

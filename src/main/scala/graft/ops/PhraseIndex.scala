@@ -55,7 +55,9 @@ object PhraseIndex {
     require(phrases.nonEmpty && phrases.forall(_.trim.nonEmpty),
       "need at least one non-empty phrase")
     val rows = phrases.flatMap { p =>
-      val ts = p.split(" ").toSeq
+      // \\s+ split: a double-space or tab in a phrase must not mint an
+      // empty slot token that can never match a posting
+      val ts = p.trim.split("\\s+").toSeq
       ts.zipWithIndex.map { case (t, i) => (p, ts.size.toLong, i.toLong, t) }
     }
     import spark.implicits._
@@ -148,13 +150,8 @@ object PhraseIndex {
   def phrasesFromIndex(spark: SparkSession, dir: String,
       phrases: Seq[String] = DefaultPhrases): DataFrame = {
     val buckets = readBuckets(spark, dir)
-    val terms = phrases.flatMap(_.split(" ")).distinct
-    // term → bucket under the ENGINE's hash (the partition layout's
-    // function): one metadata-sized local job, the TextIndex idiom
-    val bkts = spark.createDataset(terms)(
-        org.apache.spark.sql.Encoders.STRING)
-      .select(pmod(abs(hash(col("value"))), lit(buckets)).cast("int"))
-      .collect().map(_.getInt(0)).distinct.toSeq
+    val terms = phrases.flatMap(_.trim.split("\\s+")).distinct
+    val bkts = TextIndex.termBuckets(spark, terms, buckets)
     val matched = spark.read.schema(PostingsSchema)
       .parquet(s"$dir/postings")
       .filter(col("bkt").isInCollection(bkts) &&

@@ -430,8 +430,9 @@ object Sampling {
       else 2 * spark.sparkContext.defaultParallelism / 3)
     val chunk = math.max(1L, (1L << 60) / k)
     val tk = split(lower(trim(col("text"))), "\\s+")
-    val ratio = size(filter(tk, t => t.isin(TextOps.EnStopwords: _*)))
-      .cast("double") / size(tk)
+    // the ONE quality-signal definition (TextOps.stopwordRatio): the
+    // curriculum tiers must not drift from the quality queries
+    val ratio = TextOps.stopwordRatio(col("text"))
     val base = graft.sources.Tables.fanout(docs).select(col("doc_id"),
         saltedHash(col("doc_id"), "order:").as("ok"),
         size(tk).cast("long").as("n_tok"),

@@ -26,9 +26,8 @@ object SftOps {
     * conditional aggregate on the same key — no join, no second
     * exchange. */
   def prefPairsQ(docs: DataFrame): DataFrame = {
-    val tk = split(lower(trim(col("text"))), "\\s+")
-    val ratio = size(filter(tk, t => t.isin(TextOps.EnStopwords: _*)))
-      .cast("double") / size(tk)
+    // the ONE quality-signal definition (TextOps.stopwordRatio)
+    val ratio = TextOps.stopwordRatio(col("text"))
     val scored = graft.sources.Tables.fanout(docs)
       .select(col("doc_id"), expr("doc_id div 2").as("pair_id"),
         round(ratio, 6).as("score"))

@@ -90,6 +90,18 @@ object TextIndex {
   private def readBuckets(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/meta").head().getInt(0)
 
+  /** Resolve terms to their on-disk bucket ids under the ENGINE's hash
+    * (the partition layout's function) — one metadata-sized local job.
+    * The ONE definition of the bucket function shared by every
+    * token-bucketed index read (BM25, boolean, phrase): three verbatim
+    * copies drifted apart would silently desynchronize a read path
+    * from its persisted layout. */
+  private[ops] def termBuckets(spark: SparkSession, terms: Seq[String],
+      buckets: Int): Seq[Int] =
+    spark.createDataset(terms)(org.apache.spark.sql.Encoders.STRING)
+      .select(pmod(abs(hash(col("value"))), lit(buckets)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+
   /** Fold newly ingested documents in — additive file appends on both
     * tables, one file per touched bucket per batch. Contract: new
     * doc_ids only (the single-writer ingestion discipline). */
@@ -129,14 +141,7 @@ object TextIndex {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
     val buckets = readBuckets(spark, dir)
-    // term → bucket under the ENGINE's hash (the partition layout's
-    // function): resolved with one metadata-sized local job rather
-    // than reimplementing murmur3 driver-side
-    import scala.jdk.CollectionConverters._
-    val bkts = spark.createDataset(terms)(
-        org.apache.spark.sql.Encoders.STRING)
-      .select(pmod(abs(hash(col("value"))), lit(buckets)).cast("int"))
-      .collect().map(_.getInt(0)).distinct.toSeq
+    val bkts = termBuckets(spark, terms, buckets)
     val matched = spark.read.schema(PostingsSchema)
       .parquet(s"$dir/postings")
       .filter(col("bkt").isInCollection(bkts) &&
@@ -170,20 +175,21 @@ object TextIndex {
       must: Seq[String] = Seq("data", "query"),
       mustNot: Seq[String] = Seq("fast")): DataFrame = {
     require(must.nonEmpty, "need at least one required term")
+    // dedup BEFORE sizing the all-present check: a duplicated must
+    // term would make count_distinct(token) == must.size unsatisfiable
+    // and silently empty the result
+    val mustD = must.distinct
     val buckets = readBuckets(spark, dir)
-    val terms = (must ++ mustNot).distinct
-    val bkts = spark.createDataset(terms)(
-        org.apache.spark.sql.Encoders.STRING)
-      .select(pmod(abs(hash(col("value"))), lit(buckets)).cast("int"))
-      .collect().map(_.getInt(0)).distinct.toSeq
+    val terms = (mustD ++ mustNot).distinct
+    val bkts = termBuckets(spark, terms, buckets)
     val matched = spark.read.schema(PostingsSchema)
       .parquet(s"$dir/postings")
       .filter(col("bkt").isInCollection(bkts) &&
         col("token").isInCollection(terms))
-    val pos = matched.filter(col("token").isInCollection(must))
+    val pos = matched.filter(col("token").isInCollection(mustD))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("token")).as("nt"), sum(col("tf")).as("tf_sum"))
-      .filter(col("nt") === must.size)
+      .filter(col("nt") === mustD.size)
     val neg = matched.filter(col("token").isInCollection(mustNot))
       .select(col("doc_id")).distinct()
     pos.join(neg, Seq("doc_id"), "left_anti")
