@@ -427,4 +427,29 @@ class EdgeCaseSpec extends SparkSuite {
     assert(out(3L).getAs[String]("cleaned_text") ==
       Seq(line(0), line(2), line(3)).mkString(" "))
   }
+  test("round-12 continuation ops degrade gracefully on empty input") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.c4FiltersQ(empty).isEmpty)
+    assert(Sampling.curriculumQ(empty).isEmpty)
+    PipelineCaches.release(spark)
+    assert(Sampling.tokenBudgetQ(empty).isEmpty)
+    PipelineCaches.release(spark)
+    assert(PhraseIndex.phraseSearchQ(empty, Seq("a b")).isEmpty)
+    assert(SftOps.prefPairsQ(empty).isEmpty)
+    assert(SftOps.chatTurnsQ(empty).isEmpty)
+    // leak audit on an empty corpus: both audit rows survive with zero
+    // pairs and a null rate (nullif guards the division)
+    val audit = Sampling.splitLeakAuditQ(empty).collect()
+    PipelineCaches.release(spark)
+    assert(audit.length == 2 && audit.forall(_.getLong(1) == 0L))
+    assert(audit.forall(_.isNullAt(3)), "0/0 leak rate must be null, not a crash")
+    // bitext with an empty pool: no candidates -> typed empty frame
+    val noVecs = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    val bt = SimSearch.bitextMineQ(noVecs)
+    assert(bt.isEmpty && bt.columns.toSeq ==
+      Seq("probe_id", "y_id", "c_nano", "margin_nano"))
+    PipelineCaches.release(spark)
+  }
 }
