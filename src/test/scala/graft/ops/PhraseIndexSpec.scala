@@ -75,4 +75,30 @@ class PhraseIndexSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
       "phrase read must carry a bkt partition filter")
   }
+  test("randomized parity: slot-adjacency match equals the naive gram scan") {
+    import spark.implicits._
+    // tiny alphabet -> dense overlaps, repeats, and self-overlapping
+    // phrases ("a a") — the adversarial regime for positional math
+    val rnd = new scala.util.Random(12)
+    val alpha = Vector("a", "b", "c")
+    val docs = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, Vector.fill(n)(alpha(rnd.nextInt(alpha.size))).mkString(" "))
+    }
+    val phrases = Seq("a", "a b", "b a", "a a", "c c b", "a b c")
+    val got = PhraseIndex.phraseSearchQ(docs.toDF("doc_id", "text"), phrases)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = (for {
+      (id, text) <- docs
+      ph <- phrases
+      toks = text.split(" ").toSeq
+      pts = ph.split(" ").toSeq
+      starts = (0 to toks.size - pts.size)
+        .filter(p => toks.slice(p, p + pts.size) == pts)
+      if starts.nonEmpty
+    } yield (ph, id) -> (starts.size.toLong, starts.min + 1L)).toMap
+    assert(got == want, s"diff: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    assert(want.nonEmpty, "the fixture must actually produce matches")
+  }
 }
