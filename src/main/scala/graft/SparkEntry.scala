@@ -139,6 +139,9 @@ object SparkEntry {
     // incoming re-encodes deduped against the persisted dHash band
     // index (the seventh index): bucket-pruned read, inline hamming
     "q_image_dedup_incr" -> ((s, d) => MultiModal.imageDedupIncrQ(s, d)),
+    // frame-fingerprint video near-dup: fixed-stride frames, per-frame
+    // dHash60, pairs sharing >= 3 distinct frame fingerprints
+    "q_video_dedup" -> ((s, d) => MultiModal.videoFrameDedupQ(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     // per-source data card: volume, language spread, token budget,
     // corpus-wide exact-dup counts — two-exchange budget, hash-key shuffle
@@ -1267,6 +1270,33 @@ object SparkEntry {
     // variant (doc_id + 100000); full O(n^2) pairwise scan at hamming
     // <= 3 — the banded join must equal it exactly (pigeonhole).
     "q_image_dedup" -> imageOracleSql(""),
+    // Video frame dedup: same variant synthesis and dHash sampling
+    // formula as the image oracle, applied per fixed-stride frame;
+    // df cap 2..50 and the >= 3 shared-frame bar are declared semantics.
+    "q_video_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
+        |v AS (SELECT doc_id + 100000 AS doc_id,
+        |substr(text, 1, greatest(1, CAST(floor(length(text)/2) AS INT)) - 1) || '~' ||
+        |substr(text, greatest(1, CAST(floor(length(text)/2) AS INT)) + 1, length(text)) AS text
+        |FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM v),
+        |fr AS (SELECT doc_id, substr(text, CAST(i*12 + 1 AS INT), 16) AS frame
+        |FROM (SELECT doc_id, text, unnest(range(0,
+        |1 + CAST(floor((length(text) - 16) / 12.0) AS BIGINT))) AS i
+        |FROM u WHERE length(text) >= 16) z),
+        |c AS (SELECT doc_id, frame, list_transform(range(0, 61), i ->
+        |unicode(substr(frame, CAST(floor(i*(length(frame)-1)/60) AS INT) + 1, 1))) AS cs
+        |FROM fr),
+        |f AS (SELECT DISTINCT doc_id, CAST(list_sum(list_transform(range(0, 60), j ->
+        |CASE WHEN cs[j+1] < cs[j+2] THEN (1::BIGINT << j) ELSE 0::BIGINT END)) AS BIGINT) AS fp
+        |FROM c),
+        |sz AS (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY fp),
+        |p AS (SELECT a.doc_id AS vid_a, b.doc_id AS vid_b, count(*) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |JOIN sz ON sz.fp = a.fp AND sz.df BETWEEN 2 AND 50
+        |GROUP BY 1, 2)
+        |SELECT vid_a, vid_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM p WHERE n_shared >= 3""".stripMargin,
     // the incremental lookup's oracle is the SAME pairwise text
     // restricted to (indexed base, delta variant) pairs — exactly the
     // delta-vs-index contract the pruned lookup computes

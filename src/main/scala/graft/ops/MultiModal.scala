@@ -379,4 +379,52 @@ object MultiModal {
         }
       }(Encoders.product[MMFeature])
   }
+  /** Declared query q_video_dedup: frame-fingerprint video near-dup —
+    * the video-corpus sibling of [[imageDedupQ]]. A "video" is the
+    * decoded payload stream cut into fixed frames (16 chars every 12 —
+    * the stub decode, same contract stance as [[decodeFeatures]]);
+    * each frame fingerprints with the native [[graft.functions.DHash60]]
+    * and two videos pair when they share ≥ `minShared` DISTINCT frame
+    * fingerprints — the shot-level fingerprint matching of a video
+    * dedup pipeline (frame-exact, unlike the image path's hamming
+    * bands: a video pair is evidenced by repeated whole frames, not by
+    * one near-miss). The fixture unions a mid-corrupted re-encode
+    * variant per video (the [[imageDedupQ]] design), so every (base,
+    * variant) pair shares all frames clear of the corrupted byte.
+    *
+    * Scale shape: frames explode map-side (one Generate), fingerprints
+    * are one O(frame) native pass each, and pairing is ONE fp-keyed
+    * shuffle with the in-row ordered-pair expansion (the sourceOverlap
+    * spelling) under a df cap — a degenerate frame shared by half the
+    * corpus (black frames, title cards) is dropped by DECLARED
+    * semantics instead of exploding candidate pairs; never all-pairs. */
+  def videoFrameDedupQ(docs: DataFrame, frameLen: Int = 16, stride: Int = 12,
+      minShared: Int = 3, dfCap: Int = 50): DataFrame = {
+    require(frameLen > 0 && stride > 0 && minShared > 0 && dfCap >= 2)
+    graft.functions.DHash60.register(docs.sparkSession)
+    val base = docs.filter(length(col("text")) >= frameLen)
+      .select(col("doc_id"), col("text"))
+    val vids = base.union(reencodeVariants(base))
+      .filter(length(col("text")) >= frameLen)
+    val nF = (lit(1) +
+      floor((length(col("text")) - frameLen).cast("double") / stride)).cast("int")
+    val frames = graft.sources.Tables.fanout(vids)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), nF - 1),
+        i => col("text").substr(i * stride + 1, lit(frameLen)))).as("frame"))
+    val fps = frames
+      .select(col("doc_id"),
+        expr(s"${graft.functions.DHash60.FnName}(frame)").as("fp"))
+      .distinct()
+    // fp-keyed fold + in-row C(n,2) ordered pairs (bounded by dfCap)
+    fps.groupBy(col("fp"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("vs"))
+      .filter(size(col("vs")) >= 2 && size(col("vs")) <= dfCap)
+      .select(explode(flatten(transform(col("vs"), (a, i) =>
+        transform(slice(col("vs"), i + 2, size(col("vs"))),
+          b => struct(a.as("vid_a"), b.as("vid_b")))))).as("p"))
+      .select(col("p.vid_a"), col("p.vid_b"))
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

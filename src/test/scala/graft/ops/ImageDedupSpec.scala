@@ -158,4 +158,26 @@ class ImageDedupSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+  test("video frame dedup: variant pairs surface, frames gate the bar, df cap prunes") {
+    import spark.implicits._
+    // 64-char distinct-prefix texts -> 5 frames each; the mid-corrupted
+    // variant shares the frames clear of the corrupted byte
+    val d = (0L to 3L).map(i =>
+      (i, s"doc$i " + (1 to 12).map(k => f"w$i%02d$k%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = MultiModal.videoFrameDedupQ(d, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every (base, variant) pair present. (Cross-doc pairs MAY also
+    // surface: dHash is a gradient hash, so structurally identical
+    // frames with shifted alphabets legitimately share fingerprints —
+    // collision semantics are part of the declared operator, and the
+    // oracle replays them exactly.)
+    assert((0L to 3L).forall(i => out.contains((i, i + 100000L))),
+      s"variant pairs missing: ${out.keySet}")
+    // a frame shared by MORE than dfCap videos is dropped by declared
+    // semantics: every doc identical -> single shared frame set, cap 3
+    // excludes the 8-video fingerprint groups entirely
+    val same = (0L to 3L).map(i => (i, "x " * 40)).toDF("doc_id", "text")
+    assert(MultiModal.videoFrameDedupQ(same, minShared = 1, dfCap = 3).isEmpty)
+  }
 }
