@@ -166,6 +166,10 @@ object ScaleSmoke {
       run("token_budget", graft.ops.Sampling.tokenBudgetQ(docs))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // video frame dedup: frames grow ~k; the fp-keyed fold and the
+      // df cap bound pair expansion regardless of collisions
+      run("video", graft.ops.MultiModal.videoFrameDedupQ(docs))
+      spark.sharedState.cacheManager.clearCache()
       // phrase search: per-copy phrases (amplify prefixes every token
       // with c{c}q) keep matches inside copies, so output per unit
       // input is constant and the probe measures the postings join
