@@ -213,6 +213,8 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, d) => SimSearch.hybridRrfQ(s, d)),
     // margin-based bitext mining (exact integer-nano margins)
     "q_bitext_mine" -> ((s, d) => SimSearch.bitextMineQ(Tables.embeddings(s, d))),
+    // MMR diversity re-ranking: greedy 7*rel - 3*maxsim in exact nanos
+    "q_mmr" -> ((s, d) => SimSearch.mmrQ(Tables.embeddings(s, d))),
     // DPO preference-pair assembly: quality-ranked chosen/rejected
     "q_pref_pairs" -> ((s, d) => graft.ops.SftOps.prefPairsQ(Tables.documents(s, d))),
     // chat-transcript flattening: serialize -> from_json -> (prompt,
@@ -475,6 +477,40 @@ object SparkEntry {
     * rationale at the q_dup_clusters registration). `docsCte` prepends
     * an optional CTE (e.g. the re-keyed corpus ∪ delta union) and `src`
     * names the table the tokenizer reads. */
+  /** The MMR oracle: the greedy diversity re-rank unrolled as `kOut`
+    * argmax CTEs (the PageRank unrolled-rounds structure) over the
+    * identical nano-grid relevance and pairwise-sim tables — step 1 is
+    * the pure relevance argmax (no selected set), step t maximizes
+    * 7·rel − 3·max_{selected} sim with the vec_id tie-break. */
+  private def mmrOracleSql(nCand: Int, kOut: Int): String = {
+    val head =
+      s"""WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings) e WHERE list_dot_product(v, v) > 0),
+        |p AS (SELECT v AS pv, nrm AS pn FROM n WHERE vec_id = 0),
+        |cand AS (SELECT vec_id,
+        |CAST(floor(list_dot_product(v, pv)/(nrm*pn)*1e9) AS BIGINT) AS rel, v, nrm
+        |FROM n, p WHERE vec_id <> 0 ORDER BY rel DESC, vec_id ASC LIMIT $nCand),
+        |sims AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |CAST(floor(list_dot_product(a.v, b.v)/(a.nrm*b.nrm)*1e9) AS BIGINT) AS s
+        |FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+        |s1 AS (SELECT vec_id, rel, CAST(7*rel AS BIGINT) AS mmr FROM cand
+        |ORDER BY rel DESC, vec_id ASC LIMIT 1),
+        |sel1 AS (SELECT vec_id FROM s1)""".stripMargin
+    val steps = (2 to kOut).map { t =>
+      s"""s$t AS (SELECT c.vec_id, c.rel,
+        |CAST(7*c.rel - 3*(SELECT max(s) FROM sims
+        |WHERE ia = c.vec_id AND ib IN (SELECT vec_id FROM sel${t - 1})) AS BIGINT) AS mmr
+        |FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+        |ORDER BY mmr DESC, c.vec_id ASC LIMIT 1),
+        |sel$t AS (SELECT vec_id FROM sel${t - 1} UNION ALL SELECT vec_id FROM s$t)""".stripMargin
+    }
+    val out = (1 to kOut).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS rank, vec_id, rel AS rel_nano, mmr AS mmr_nano FROM s$t")
+      .mkString("\nUNION ALL ")
+    (head +: steps).mkString(",\n") + "\n" + out
+  }
+
   /** The BM25 oracle — shared by the batch q_bm25 and the inverted-
     * index read q_bm25_incr (postings over corpus ∪ delta must score
     * identically to the batch pass over all documents). */
@@ -2253,6 +2289,7 @@ object SparkEntry {
         |top AS (SELECT * FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 20)
         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
         |doc_id, r_text, r_vec, rrf FROM top""".stripMargin,
+    "q_mmr" -> mmrOracleSql(10, 5),
     // Bitext mining: identical nano-grid cosines (floor of the same
     // IEEE double), identical (c desc, id asc) k-NN cuts, exact long
     // margin arithmetic 2k·c − Σ_NNk(x) − Σ_NNk(y) with k = 4.

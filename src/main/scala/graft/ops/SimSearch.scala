@@ -1063,6 +1063,71 @@ object SimSearch {
     mined.toDF("probe_id", "y_id", "c_nano", "margin_nano")
   }
 
+  /** Declared query q_mmr: Maximal Marginal Relevance re-ranking — the
+    * diversity-aware selection step of a RAG retrieval stack
+    * (Carbonell & Goldstein): from the probe's top-`nCand` relevance
+    * list, greedily pick `kOut` items maximizing
+    * λ·rel(i) − (1−λ)·max_{j∈selected} sim(i, j), so near-duplicate
+    * passages stop crowding the context window. λ = 0.7 on the nano
+    * grid makes every step EXACT integer arithmetic:
+    * mmr_nano = 7·rel_nano − 3·maxsim_nano (ties → smaller id; step 1
+    * has no selected set and is the pure relevance argmax).
+    *
+    * Scale shape: the distributed work is the relevance top-`nCand`
+    * cut (one corpus pass against the broadcast probe, the q_sim_topk
+    * spelling) plus one `nCand`-row vector collect; the greedy loop is
+    * a pure function of the `nCand` candidates (≤ nCand² driver dot
+    * products on the SAME left-to-right fold the engine's native
+    * expression uses — bit-identical) — metadata by construction, the
+    * hybrid-RRF/PQ precedent. The oracle replays the greedy as
+    * `kOut` unrolled argmax CTEs over the identical nano sims. */
+  def mmrQ(embeddings: DataFrame, nCand: Int = 10, kOut: Int = 5): DataFrame = {
+    require(kOut > 0 && nCand >= kOut, s"need nCand >= kOut > 0")
+    val spark = embeddings.sparkSession
+    graft.functions.DotProductDouble.register(spark)
+    val n = normed(embeddings)
+    val probe = n.filter(col("vec_id") === 0)
+      .select(col("v").as("pv"), col("nrm").as("pn"))
+    // distributed: relevance top-nCand (nano grid, id tie-break), the
+    // candidates' vectors ride the same collect
+    val cand = n.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        floor(ndot(col("v"), col("pv")) / (col("nrm") * col("pn")) * 1e9)
+          .cast("long").as("rel_nano"), col("v"), col("nrm"))
+      .orderBy(col("rel_nano").desc, col("vec_id").asc).limit(nCand)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+    // metadata greedy: nano sims from the same sequential fold
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def simNano(a: (Long, Long, Array[Double], Double),
+        b: (Long, Long, Array[Double], Double)): Long =
+      math.floor(ddot(a._3, b._3) / (a._4 * b._4) * 1e9).toLong
+    val selected = scala.collection.mutable.ListBuffer
+      .empty[(Long, Long, Long)] // (id, mmr_nano, rel_nano)
+    var remaining = cand.toList
+    while (selected.size < kOut && remaining.nonEmpty) {
+      val chosen = remaining.map { c =>
+        val maxSim = if (selected.isEmpty) 0L
+          else selected.map(s => simNano(c,
+            cand.find(_._1 == s._1).get)).max
+        val mmr = if (selected.isEmpty) 7L * c._2
+          else 7L * c._2 - 3L * maxSim
+        (c, mmr)
+      }.minBy { case (c, mmr) => (-mmr, c._1) }
+      selected += ((chosen._1._1, chosen._2, chosen._1._2))
+      remaining = remaining.filterNot(_._1 == chosen._1._1)
+    }
+    import spark.implicits._
+    selected.toList.zipWithIndex.map { case ((id, mmr, rel), i) =>
+      (i + 1L, id, rel, mmr)
+    }.toDF("rank", "vec_id", "rel_nano", "mmr_nano")
+  }
+
   /** Declared query q_hybrid_rrf: HYBRID retrieval — the RAG-era
     * fusion of lexical and vector search. The text system scores every
     * document by BM25 over the standard query terms ([[Scoring.bm25Q]],

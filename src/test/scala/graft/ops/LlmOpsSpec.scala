@@ -550,4 +550,22 @@ class LlmOpsSpec extends SparkSuite {
         s"$l bucket boundaries out of order: $got")
     }
   }
+  test("MMR: the near-duplicate of the top hit is deferred, ranks exact") {
+    import spark.implicits._
+    // probe 0; candidate 2 is a near-twin of top hit 1 (sim ~0.9998,
+    // slightly less relevant); 3 and 4 match 1's relevance but live on
+    // diverse axes (sim ~0.51 to everything selected) — at lambda 0.7
+    // the twin's penalty (3 * 0.9998) buries it: MMR picks 1, 3, 4
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.71f, 0.70f, 0f, 0f)),
+      (2L, Array(0.70f, 0.71f, 0f, 0f)),
+      (3L, Array(0.71f, 0f, 0.70f, 0f)),
+      (4L, Array(0.71f, 0f, 0f, 0.70f))).toDF("vec_id", "embedding")
+    val out = SimSearch.mmrQ(rows, nCand = 4, kOut = 3).collect()
+      .sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    PipelineCaches.release(spark)
+    assert(out == Seq(1L, 3L, 4L),
+      s"the near-twin must be deferred behind both diverse axes, got $out")
+  }
 }
