@@ -451,7 +451,13 @@ object SparkEntry {
     * re-encode variant (doc_id + 100000); full O(n²) pairwise scan at
     * hamming ≤ 3 — the banded join must equal it exactly (pigeonhole).
     * `pairCond` restricts the pair set (the incremental gate keeps only
-    * base × variant pairs, the delta-vs-index contract). */
+    * base × variant pairs, the delta-vs-index contract).
+    *
+    * ASCII-payload contract: the oracle samples code points (DuckDB
+    * unicode()) where the engine's native DHash60 records Spark ascii()
+    * semantics (signed first UTF-8 byte) — identical on the fixture's
+    * guaranteed-ASCII payloads; a multibyte corpus would need the oracle
+    * to sample the character's first byte instead. */
   private def imageOracleSql(pairCond: String): String =
     s"""WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
       |v AS (SELECT doc_id + 100000 AS doc_id,
@@ -1309,6 +1315,12 @@ object SparkEntry {
     // Video frame dedup: same variant synthesis and dHash sampling
     // formula as the image oracle, applied per fixed-stride frame;
     // df cap 2..50 and the >= 3 shared-frame bar are declared semantics.
+    // ASCII-payload contract (same as the image oracle): the oracle
+    // samples code points (DuckDB unicode()) where the engine's native
+    // DHash60 records Spark ascii() semantics (signed first UTF-8 byte)
+    // — they agree exactly on ASCII payloads, which the documents
+    // fixture guarantees; a multibyte corpus would need the oracle to
+    // sample the first byte of the character instead.
     "q_video_dedup" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 16),
         |v AS (SELECT doc_id + 100000 AS doc_id,

@@ -112,11 +112,23 @@ object BpeSegment {
   private val RuleSep = '\u001e' // record separator between rules
   private val PairSep = '\u001f' // unit separator between a and b
 
-  /** Encode a rule list for the SQL literal argument. */
-  def encodeRules(rules: Seq[(String, String)]): String =
+  /** Encode a rule list for the SQL literal argument.
+    *
+    * The separators are control characters a whitespace-tokenized corpus
+    * word can still contain (Java's \s does NOT match U+001E/U+001F), so
+    * a hostile corpus could smuggle them into a merge symbol and corrupt
+    * the encoded rule list — fail loudly at encode time instead of
+    * mis-splitting at decode. */
+  def encodeRules(rules: Seq[(String, String)]): String = {
+    rules.foreach { case (a, b) =>
+      require(!a.exists(c => c == RuleSep || c == PairSep) &&
+          !b.exists(c => c == RuleSep || c == PairSep),
+        s"$FnName: merge symbol contains reserved separator U+001E/U+001F")
+    }
     Base64.getEncoder.encodeToString(
       rules.map { case (a, b) => s"$a$PairSep$b" }.mkString(RuleSep.toString)
         .getBytes(UTF_8))
+  }
 
   private def decodeRules(b64: String): Seq[(String, String)] =
     if (b64.isEmpty) Seq.empty

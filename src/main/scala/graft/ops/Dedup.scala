@@ -1077,6 +1077,9 @@ object Dedup {
     // other's eval set before the lazy scalar-subquery bloom executes.
     val evalView = s"graft_eval_shingles_${bloomViewSeq.incrementAndGet()}"
     evalSet.createOrReplaceTempView(evalView)
+    // dropped by PipelineCaches.release — the unique names otherwise
+    // accumulate catalog entries without bound in long-lived sessions
+    PipelineCaches.trackView(spark, evalView)
     // DIRECT-generator spelling both passes (explode of the array
     // EXPRESSION): staging the array through a named column and
     // exploding the column re-evaluates the ~300-hash array per

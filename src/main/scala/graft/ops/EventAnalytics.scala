@@ -260,13 +260,16 @@ object EventAnalytics {
     * — see [[pageRankQ]] for semantics and the size dispatch. */
   def rankEdges(edges: DataFrame, iters: Int = 5, k: Int = 20,
       maxEdgesLocal: Int = 1 << 20): DataFrame = {
-    val nEdges = edges.count()
-    if (nEdges <= maxEdgesLocal) {
+    // size gate = ONE limit-collect (max+1 rows), not a count() job plus
+    // a second full collect: when the graph is local-sized the gate rows
+    // ARE the edge set; when it is not, the driver held at most max+1
+    // transient rows before taking the distributed branch
+    val gate = edges.limit(maxEdgesLocal + 1).collect()
+    if (gate.length <= maxEdgesLocal) {
       // LOCAL CONTRACTION: the contracted graph is metadata-sized —
       // run the identical integer loop on the driver, zero iteration
       // shuffles (the Components union-find gate, same adjudication)
-      val es = edges.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val es = gate.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       val wout = es.groupBy(_._1).map { case (s2, g) => s2 -> g.map(_._3).sum }
       val nodeSet = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
       var r = nodeSet.map(_ -> 1000000000L).toMap

@@ -35,6 +35,13 @@ object PipelineCaches {
   // after the consuming action, per the contract above.
   private val liveRdds =
     new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]]()
+  // per-call unique temp views (the bloom-decontamination eval set):
+  // without release they accumulate catalog entries without bound in
+  // long-lived sessions (streaming maintenance loops, repeated bench
+  // runs). DataFrames are analyzed eagerly, so dropping the view after
+  // the frame is built never breaks a pending plan.
+  private val liveViews =
+    new ConcurrentHashMap[SparkSession, ConcurrentLinkedQueue[String]]()
 
   // A weak map cannot work here: the tracked DataFrames strongly
   // reference their session, so weakly-keyed entries would never
@@ -50,6 +57,16 @@ object PipelineCaches {
     liveRdds.keySet.forEach { s =>
       if (s.sparkContext.isStopped) { liveRdds.remove(s); () }
     }
+    liveViews.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) { liveViews.remove(s); () }
+    }
+  }
+
+  /** Register a per-call temp view for the session-wide [[release]]. */
+  private[ops] def trackView(spark: SparkSession, name: String): Unit = {
+    purgeStopped()
+    liveViews.computeIfAbsent(spark,
+      _ => new ConcurrentLinkedQueue[String]).add(name)
   }
 
   /** Register a localCheckpoint'd frame's backing blocks for the
@@ -94,5 +111,7 @@ object PipelineCaches {
     if (q != null) q.forEach(df => { df.unpersist(blocking = false); () })
     val r = liveRdds.remove(spark)
     if (r != null) r.forEach(rdd => { rdd.unpersist(blocking = false); () })
+    val v = liveViews.remove(spark)
+    if (v != null) v.forEach(name => { spark.catalog.dropTempView(name); () })
   }
 }

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec,
+  GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+
+/** Plan guard for the driver-fused query pattern (hybrid RRF, bitext
+  * mining, MMR, the PQ codebook head): those operators execute their
+  * distributed cuts at plan-build time and return a LocalRelation, so
+  * the global plan sweeps (PlanGuardSpec / PlanSweepSpec) never see the
+  * stages that actually touch data. This guard closes that hole at the
+  * collect boundary itself: every pre-collect frame must EXPLAIN to a
+  * shape that is bounded below data scale, or the operator fails loudly
+  * — in production as well as in the sweep, which executes every
+  * declared query and therefore executes these assertions.
+  *
+  * The three declared bounded-cut shapes:
+  *   - [[TopKCut]]: the frame ends in a global top-k (TakeOrderedAndProject
+  *     / CollectLimit / GlobalLimit) — a per-partition heap + k·partitions
+  *     merge, never a full sort — and every root→scan path crosses that
+  *     cut (or an aggregate) before file data, so the collect moves ≤ k
+  *     rows regardless of corpus size.
+  *   - [[KeyedAggCut]]: the frame ends in a keyed aggregate with MAP-SIDE
+  *     partial aggregation present (the bounded-buffer TopKAgg contract:
+  *     each map task ships at most one partial buffer per key, so the
+  *     exchange carries |keys|-scale partials, not corpus rows), and every
+  *     root→scan path crosses an aggregate or limit.
+  *   - [[KeyFilterCut]]: the collect is bounded by a selective key
+  *     predicate instead of a plan operator (the PQ codebook head:
+  *     vec_id < const). The plan cannot prove the row bound, but it CAN
+  *     prove the predicate reached the scan — every file scan must carry
+  *     pushed data/partition filters, so the collect reads a pruned scan,
+  *     not the raw corpus.
+  *
+  * All shapes additionally reject CartesianProduct anywhere in the tree
+  * (the PlanSweepSpec rule, re-checked here because these subtrees are
+  * invisible to it). */
+object PlanPin {
+
+  sealed trait CutShape
+  /** Global top-k cut: TakeOrderedAndProject / CollectLimit / GlobalLimit. */
+  case object TopKCut extends CutShape
+  /** Keyed aggregate with partial (map-side) aggregation present. */
+  case object KeyedAggCut extends CutShape
+  /** Every file scan carries pushed filters (key-predicate bound). */
+  case object KeyFilterCut extends CutShape
+
+  /** All nodes of the physical plan, descending AQE wrappers, reused
+    * exchanges, cached-plan interiors, and subqueries (the PlanSweepSpec
+    * walk). */
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val deeper = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case r: ReusedExchangeExec => walk(r.child)
+      case im: InMemoryTableScanExec => walk(im.relation.cachedPlan)
+      case other =>
+        other.children.flatMap(walk) ++ other.subqueries.flatMap(walk)
+    }
+    p +: deeper
+  }
+
+  /** True when every path from `p` down to a FileSourceScan crosses an
+    * aggregate or a limit — the frame is reduced below data scale before
+    * the root could collect it. */
+  private def reducedBeforeScan(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => true
+    case _: LocalLimitExec | _: GlobalLimitExec => true
+    case _: CollectLimitExec | _: TakeOrderedAndProjectExec => true
+    case _: FileSourceScanExec => false
+    case a: AdaptiveSparkPlanExec => reducedBeforeScan(a.executedPlan)
+    case r: ReusedExchangeExec => reducedBeforeScan(r.child)
+    case im: InMemoryTableScanExec => reducedBeforeScan(im.relation.cachedPlan)
+    case other =>
+      (other.children ++ other.subqueries).forall(reducedBeforeScan)
+  }
+
+  /** Assert `df`'s physical plan matches the declared bounded-cut shape;
+    * throws IllegalStateException (naming `what`) on violation. */
+  def assertBounded(df: DataFrame, shape: CutShape, what: String): Unit = {
+    val root = df.queryExecution.executedPlan
+    val nodes = walk(root)
+    def fail(msg: String): Nothing =
+      throw new IllegalStateException(
+        s"PlanPin[$what]: $msg\n${root.toString.take(4000)}")
+    if (nodes.exists(_.getClass.getSimpleName == "CartesianProductExec"))
+      fail("CartesianProduct in a pre-collect frame")
+    shape match {
+      case TopKCut =>
+        val hasCut = nodes.exists {
+          case _: TakeOrderedAndProjectExec | _: CollectLimitExec |
+               _: GlobalLimitExec => true
+          case _ => false
+        }
+        if (!hasCut) fail("expected a global top-k cut " +
+          "(TakeOrderedAndProject/CollectLimit/GlobalLimit), found none")
+        if (!reducedBeforeScan(root))
+          fail("a root->scan path reaches file data without crossing " +
+            "the top-k cut or an aggregate")
+      case KeyedAggCut =>
+        val aggs = nodes.collect { case a: BaseAggregateExec => a }
+        val hasPartial = aggs.exists(
+          _.aggregateExpressions.exists(_.mode == Partial))
+        val hasFinal = aggs.exists(a =>
+          a.aggregateExpressions.exists(_.mode == Final) ||
+            a.aggregateExpressions.isEmpty)
+        if (!(hasPartial && hasFinal))
+          fail("expected a partial+final keyed aggregate pair " +
+            "(map-side bounded-buffer partials), found " +
+            s"partial=$hasPartial final=$hasFinal")
+        if (!reducedBeforeScan(root))
+          fail("a root->scan path reaches file data without crossing " +
+            "an aggregate or limit")
+      case KeyFilterCut =>
+        val unpruned = nodes.collect {
+          case s: FileSourceScanExec
+              if s.dataFilters.isEmpty && s.partitionFilters.isEmpty => s
+        }
+        if (unpruned.nonEmpty)
+          fail("expected every file scan key-filtered, but " +
+            s"${unpruned.size} scan(s) carry no pushed filters")
+    }
+  }
+
+  /** Guarded collect: assert the bounded-cut shape, then collect. */
+  def boundedCollect(df: DataFrame, shape: CutShape, what: String): Array[Row] = {
+    assertBounded(df, shape, what)
+    df.collect()
+  }
+}

@@ -907,8 +907,10 @@ object SimSearch {
     // the compressed representation PQ exists to produce.
     // ONE metadata collect serves both the codebook rows and the probe
     // vectors (ids < nProbes and ids in the codebook window)
-    val head = raw.filter(col("vec_id") < math.max(nProbes, PqCellFrom + PqCells))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val head = PlanPin.boundedCollect(
+      raw.filter(col("vec_id") < math.max(nProbes, PqCellFrom + PqCells)),
+      PlanPin.KeyFilterCut, "pq codebook head")
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val cb: Array[Array[Array[Double]]] = {
       val rows = head.filter(r =>
@@ -1018,13 +1020,14 @@ object SimSearch {
     // distributed pass 1: Y streams once against the broadcast probes,
     // bounded-buffer top-k per probe (shuffle ≤ k·|probes| rows); nano
     // cosines are exact in the aggregate's double score (≤ 1e9 ≪ 2^53)
-    val topX: Map[Long, Seq[(Long, Long)]] = ys.crossJoin(broadcast(probes))
+    val topX: Map[Long, Seq[(Long, Long)]] = PlanPin.boundedCollect(
+      ys.crossJoin(broadcast(probes))
       .select(col("probe_id"), col("vec_id").as("y_id"),
         floor(ndot(col("v"), col("pv")) / (col("nrm") * col("pn")) * 1e9)
           .cast("long").as("c_nano"))
       .groupBy(col("probe_id"))
-      .agg(fn(col("c_nano").cast("double"), col("y_id")).as("top"))
-      .collect().map { r =>
+      .agg(fn(col("c_nano").cast("double"), col("y_id")).as("top")),
+      PlanPin.KeyedAggCut, "bitext forward k-NN cut").map { r =>
         r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
           .map(s => (s.getLong(1), s.getDouble(0).toLong)).toSeq
       }.toMap
@@ -1037,15 +1040,16 @@ object SimSearch {
     // distributed pass 2: X streams once against the ≤ k·|probes|
     // candidate vectors (metadata-sized by construction — the
     // probe-cells collect precedent); Σ top-k per candidate
-    val sy: Map[Long, Long] = xs.crossJoin(broadcast(
+    val sy: Map[Long, Long] = PlanPin.boundedCollect(
+      xs.crossJoin(broadcast(
         ys.filter(col("vec_id").isInCollection(candIds))
           .select(col("vec_id").as("y_id"), col("v").as("yv"), col("nrm").as("yn"))))
       .select(col("y_id"),
         floor(ndot(col("v"), col("yv")) / (col("nrm") * col("yn")) * 1e9)
           .cast("long").as("c"), col("vec_id").as("x_id"))
       .groupBy(col("y_id"))
-      .agg(fn(col("c").cast("double"), col("x_id")).as("top"))
-      .collect().map { r =>
+      .agg(fn(col("c").cast("double"), col("x_id")).as("top")),
+      PlanPin.KeyedAggCut, "bitext reverse k-NN cut").map { r =>
         r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
           .map(_.getDouble(0).toLong).sum
       }.toMap
@@ -1090,12 +1094,13 @@ object SimSearch {
       .select(col("v").as("pv"), col("nrm").as("pn"))
     // distributed: relevance top-nCand (nano grid, id tie-break), the
     // candidates' vectors ride the same collect
-    val cand = n.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
+    val cand = PlanPin.boundedCollect(
+      n.filter(col("vec_id") =!= 0).crossJoin(broadcast(probe))
       .select(col("vec_id"),
         floor(ndot(col("v"), col("pv")) / (col("nrm") * col("pn")) * 1e9)
           .cast("long").as("rel_nano"), col("v"), col("nrm"))
-      .orderBy(col("rel_nano").desc, col("vec_id").asc).limit(nCand)
-      .collect()
+      .orderBy(col("rel_nano").desc, col("vec_id").asc).limit(nCand),
+      PlanPin.TopKCut, "mmr relevance cut")
       .map(r => (r.getLong(0), r.getLong(1),
         r.getSeq[Double](2).toArray, r.getDouble(3)))
     // metadata greedy: nano sims from the same sequential fold
@@ -1153,20 +1158,22 @@ object SimSearch {
     val docs = graft.sources.Tables.documents(spark, dir)
     val emb = graft.sources.Tables.embeddings(spark, dir)
     // distributed part 1: BM25 top-kEach (TakeOrderedAndProject)
-    val textTop: Seq[Long] = Scoring.bm25Q(docs)
+    val textTop: Seq[Long] = PlanPin.boundedCollect(
+      Scoring.bm25Q(docs)
       .select(col("doc_id"), col("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id").asc).limit(kEach)
-      .collect().map(_.getLong(0)).toSeq
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(kEach),
+      PlanPin.TopKCut, "hybrid RRF text cut").map(_.getLong(0)).toSeq
     // distributed part 2: cosine-vs-probe top-kEach
     val n = normed(emb)
     val probe = n.filter(col("vec_id") === 0)
       .select(col("v").as("pv"), col("nrm").as("pn"))
-    val vecTop: Seq[Long] = n.filter(col("vec_id") =!= 0)
+    val vecTop: Seq[Long] = PlanPin.boundedCollect(
+      n.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(probe))
       .select(col("vec_id").as("doc_id"),
         (ndot(col("v"), col("pv")) / (col("nrm") * col("pn"))).as("cos_sim"))
-      .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(kEach)
-      .collect().map(_.getLong(0)).toSeq
+      .orderBy(col("cos_sim").desc, col("doc_id").asc).limit(kEach),
+      PlanPin.TopKCut, "hybrid RRF vector cut").map(_.getLong(0)).toSeq
     // metadata fusion: ranks are list positions (1-based); the fused
     // score is an exact double function of the two small-integer ranks
     val rText = textTop.zipWithIndex.map { case (d, i) => d -> (i + 1L) }.toMap
