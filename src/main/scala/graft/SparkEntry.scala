@@ -213,6 +213,10 @@ object SparkEntry {
     "q_hybrid_rrf" -> ((s, d) => SimSearch.hybridRrfQ(s, d)),
     // margin-based bitext mining (exact integer-nano margins)
     "q_bitext_mine" -> ((s, d) => SimSearch.bitextMineQ(Tables.embeddings(s, d))),
+    // the 100 TB form: both pools cell-blocked on sampled centroids
+    // (declared semantics the oracle recomputes), candidates and
+    // reverse neighborhoods restricted to the probe's/candidate's cell
+    "q_bitext_mine_ivf" -> ((s, d) => SimSearch.bitextMineIvfQ(Tables.embeddings(s, d))),
     // MMR diversity re-ranking: greedy 7*rel - 3*maxsim in exact nanos
     "q_mmr" -> ((s, d) => SimSearch.mmrQ(Tables.embeddings(s, d))),
     // DPO preference-pair assembly: quality-ranked chosen/rejected
@@ -2334,6 +2338,52 @@ object SparkEntry {
         |best AS (SELECT *, row_number() OVER (PARTITION BY probe_id
         |ORDER BY margin_nano DESC, y_id ASC) AS r FROM m)
         |SELECT y_id, probe_id, c_nano, margin_nano FROM best
+        |WHERE r = 1 AND keep = 1""".stripMargin,
+    // IVF-blocked bitext: the same nano-grid margin law with BOTH pools
+    // assigned to sampled centroids (vec_ids [5,21), argmax sim-then-
+    // lowest-cell — the q_knn_clf_ivf spelling) and every candidate /
+    // reverse-neighborhood join restricted to the cell; neighborhoods
+    // can run short of k, so margins use actual counts (nx+ny)·c.
+    "q_bitext_mine_ivf" ->
+      """WITH base AS (SELECT vec_id, label,
+        |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |FROM base WHERE list_dot_product(v, v) > 0),
+        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM n
+        |WHERE vec_id >= 5 AND vec_id < 21),
+        |asg AS (SELECT vec_id, label, v, nrm, cell FROM (
+        |SELECT a.vec_id, a.label, a.v, a.nrm, c.cell,
+        |row_number() OVER (PARTITION BY a.vec_id
+        |ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell ASC) AS rn
+        |FROM n a CROSS JOIN cents c) t WHERE rn = 1),
+        |xs AS (SELECT * FROM asg WHERE label % 2 = 0),
+        |ys AS (SELECT * FROM asg WHERE label % 2 = 1),
+        |pr AS (SELECT vec_id AS probe_id, cell, v AS pv, nrm AS pn
+        |FROM xs WHERE vec_id < 50),
+        |xy AS (SELECT probe_id, ys.vec_id AS y_id,
+        |CAST(floor(list_dot_product(ys.v, pv)/(ys.nrm*pn)*1e9) AS BIGINT) AS c_nano
+        |FROM ys JOIN pr ON ys.cell = pr.cell),
+        |xyr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |ORDER BY c_nano DESC, y_id ASC) AS r FROM xy),
+        |topxy AS (SELECT probe_id, y_id, c_nano FROM xyr WHERE r <= 4),
+        |sx AS (SELECT probe_id, CAST(sum(c_nano) AS BIGINT) AS sx,
+        |CAST(count(*) AS BIGINT) AS nx FROM topxy GROUP BY probe_id),
+        |cand AS (SELECT DISTINCT y_id FROM topxy),
+        |yx AS (SELECT y2.vec_id AS y_id, xs.vec_id AS x_id,
+        |CAST(floor(list_dot_product(xs.v, y2.v)/(xs.nrm*y2.nrm)*1e9) AS BIGINT) AS c
+        |FROM ys y2 JOIN cand ON y2.vec_id = cand.y_id
+        |JOIN xs ON xs.cell = y2.cell),
+        |yxr AS (SELECT *, row_number() OVER (PARTITION BY y_id
+        |ORDER BY c DESC, x_id ASC) AS r FROM yx),
+        |sy AS (SELECT y_id, CAST(sum(c) AS BIGINT) AS sy,
+        |CAST(count(*) AS BIGINT) AS ny FROM yxr WHERE r <= 4 GROUP BY y_id),
+        |m AS (SELECT t.probe_id, t.y_id, t.c_nano,
+        |CAST((sx.nx + sy.ny)*t.c_nano - sx.sx - sy.sy AS BIGINT) AS margin_nano,
+        |CAST(100*(sx.nx + sy.ny)*t.c_nano > 110*(sx.sx + sy.sy) AS INT) AS keep
+        |FROM topxy t JOIN sx USING (probe_id) JOIN sy USING (y_id)),
+        |best AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |ORDER BY margin_nano DESC, y_id ASC) AS r FROM m)
+        |SELECT probe_id, y_id, c_nano, margin_nano FROM best
         |WHERE r = 1 AND keep = 1""".stripMargin,
     // Same 60-bit md5 token hash as the dedup lanes; add-one smoothing
     // over 256 buckets; candidates are the non-target docs.

@@ -1067,6 +1067,109 @@ object SimSearch {
     mined.toDF("probe_id", "y_id", "c_nano", "margin_nano")
   }
 
+  /** Declared query q_bitext_mine_ivf: IVF-blocked bitext mining — the
+    * 100 TB form of [[bitextMineQ]]. The plain form streams pool Y once
+    * against EVERY broadcast probe vector (map-side cost |Y|·|probes|
+    * dot products) — fine for a metadata-sized probe batch, quadratic
+    * for a production probe set. Here BOTH pools are first assigned to
+    * their nearest deterministic sampled centroid (the argmax
+    * [[clusterProfile]] gates — blocking as DECLARED semantics the
+    * oracle recomputes, the q_knn_clf_ivf construction), and a probe
+    * only scores Y vectors IN ITS OWN CELL; the reverse neighborhoods
+    * are likewise restricted to the candidate's cell. A probe whose
+    * cell holds no Y vector is absent from the output (declared: the
+    * production loop widens to multi-cell probes for those).
+    *
+    * Margin law: cell-pruned neighborhoods can run short of k, so the
+    * margin uses the ACTUAL neighborhood sizes —
+    * margin_nano = (nx+ny)·c − Σ_NN(x)c − Σ_NN(y)c, acceptance
+    * 100·(nx+ny)·c > 110·(Σx+Σy) — exact long arithmetic, reducing to
+    * the plain form's 2k·c law when both neighborhoods are full.
+    *
+    * Scale shape: one corpus scan against the broadcast centroids, the
+    * vec_id argmax shuffle, then two CELL-KEYED equi-joins (per-cell
+    * candidate volume, never |Y|·|probes|) each cut by the
+    * bounded-buffer TopKAgg (shuffle ≤ k·|keys| rows) — both collects
+    * plan-pinned via [[PlanPin.KeyedAggCut]]; the fusion over the
+    * ≤ k·|probes| rank lists is metadata, driver-side. */
+  def bitextMineIvfQ(embeddings: DataFrame, k: Int = 4, nProbes: Int = 50,
+      nCells: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    graft.functions.DotProductDouble.register(spark)
+    val base = embeddings
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val cents = sampledCentroids(embeddings, nCells, 5)
+    // nearest-centroid assignment, argmax folded map-side (the
+    // assignCells shape, keeping label); tracked — xs/ys both read it
+    val withCell = PipelineCaches.track(
+      base.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"), col("cell"),
+          (ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cell"), struct(col("cs"), (-col("cell")).as("nc"))).as("cell"),
+          first(col("label")).as("label"), first(col("v")).as("v"),
+          first(col("nrm")).as("nrm")))
+    val xs = withCell.filter(pmod(col("label"), lit(2)) === 0)
+    val ys = withCell.filter(pmod(col("label"), lit(2)) === 1)
+    val probes = xs.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("cell"),
+        col("v").as("pv"), col("nrm").as("pn"))
+    val fn = udaf(new graft.functions.Aggregators.TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Aggregators.Scored]())
+    // forward pass: Y scans once, candidates restricted to the probe's
+    // cell (broadcast hash join on cell), bounded-buffer top-k per probe
+    val topX: Map[Long, Seq[(Long, Long)]] = PlanPin.boundedCollect(
+      ys.join(broadcast(probes), Seq("cell"))
+        .select(col("probe_id"), col("vec_id").as("y_id"),
+          floor(ndot(col("v"), col("pv")) / (col("nrm") * col("pn")) * 1e9)
+            .cast("long").as("c_nano"))
+        .groupBy(col("probe_id"))
+        .agg(fn(col("c_nano").cast("double"), col("y_id")).as("top")),
+      PlanPin.KeyedAggCut, "bitext-ivf forward k-NN cut").map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(1), s.getDouble(0).toLong)).toSeq
+      }.toMap
+    val candIds = topX.values.flatMap(_.map(_._1)).toSeq.distinct
+    import spark.implicits._
+    if (candIds.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("probe_id", "y_id", "c_nano", "margin_nano")
+    // reverse pass: X scans once against the ≤ k·|probes| candidate
+    // vectors (cell-keyed — a candidate only meets X vectors in its
+    // own cell), Σ + count of top-k per candidate
+    val candY = ys.filter(col("vec_id").isInCollection(candIds))
+      .select(col("vec_id").as("y_id"), col("cell"),
+        col("v").as("yv"), col("nrm").as("yn"))
+    val sy: Map[Long, (Long, Int)] = PlanPin.boundedCollect(
+      xs.join(broadcast(candY), Seq("cell"))
+        .select(col("y_id"),
+          floor(ndot(col("v"), col("yv")) / (col("nrm") * col("yn")) * 1e9)
+            .cast("long").as("c"), col("vec_id").as("x_id"))
+        .groupBy(col("y_id"))
+        .agg(fn(col("c").cast("double"), col("x_id")).as("top")),
+      PlanPin.KeyedAggCut, "bitext-ivf reverse k-NN cut").map { r =>
+        val top = r.getSeq[org.apache.spark.sql.Row](1)
+        r.getLong(0) -> (top.map(_.getDouble(0).toLong).sum, top.size)
+      }.toMap
+    // metadata fusion: exact long margins with ACTUAL neighborhood
+    // sizes, best pair per probe, ratio-1.10 acceptance
+    val mined = topX.toSeq.flatMap { case (pid, top) =>
+      val nx = top.size
+      val sx = top.map(_._2).sum
+      top.map { case (y, c) =>
+        val (syy, ny) = sy(y)
+        (pid, y, c, (nx + ny).toLong * c - sx - syy,
+          100L * (nx + ny) * c > 110L * (sx + syy))
+      }.sortBy { case (_, y, _, m, _) => (-m, y) }.headOption
+        .filter(_._5).map { case (p, y, c, m, _) => (p, y, c, m) }
+    }.sortBy(_._1)
+    mined.toDF("probe_id", "y_id", "c_nano", "margin_nano")
+  }
+
   /** Declared query q_mmr: Maximal Marginal Relevance re-ranking — the
     * diversity-aware selection step of a RAG retrieval stack
     * (Carbonell & Goldstein): from the probe's top-`nCand` relevance

@@ -34,5 +34,9 @@ object PlanAllowances {
     // bitext mining: probe vectors and the ≤ k·|probes| candidate
     // vectors broadcast against one pool scan each
     "q_bitext_mine",
+    // the IVF-blocked form adds the 16-row centroid table broadcast
+    // for the cell assignment (the q_knn_clf_ivf precedent); the pool
+    // joins themselves are cell-keyed broadcast HASH joins
+    "q_bitext_mine_ivf",
     "q_corpus_clean")
 }

@@ -488,6 +488,41 @@ class LlmOpsSpec extends SparkSuite {
       assert(r.getAs[Double]("rrf") == want, s"rrf law broken at $r")
     }
   }
+  test("bitext mining IVF-blocked: twin mined within its cell, pairs share cells") {
+    import spark.implicits._
+    // centroids (ids 5..20) are orthogonal one-hots e_i in 32 dims, so
+    // every corpus vector has an unambiguous cell; probe 0 (X pool) and
+    // its identical twin 1 (Y pool) sit OFF-axis at e_25 + 0.3*e_5 ->
+    // both land in cell 5, where the only other member is centroid 5
+    // itself (odd id -> Y pool) at cosine ~ 0.287 -- margins stay
+    // positive (identical-vector hubs would zero them; margin mining
+    // by design rejects hubs)
+    def oneHot(i: Int): Array[Float] =
+      Array.tabulate(32)(j => if (j == i) 1f else 0f)
+    val twin = Array.tabulate(32)(j =>
+      if (j == 25) 1f else if (j == 5) 0.3f else 0f)
+    val rows = Seq((0L, twin, 0), (1L, twin, 1)) ++
+      (5L to 20L).map(i => (i, oneHot(i.toInt), (i % 2).toInt))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = SimSearch.bitextMineIvfQ(emb, k = 4, nProbes = 50)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    PipelineCaches.release(spark)
+    assert(out.contains(0L), "identical twin must be mined despite blocking")
+    assert(out(0L).getAs[Long]("y_id") == 1L)
+    assert(out(0L).getAs[Long]("c_nano") >= 999999999L)
+    // blocking contract: nothing outside a shared cell can be mined --
+    // the even one-hot centroids are probes too, but their cells hold
+    // no Y vectors, so probe 0's pair is the ONLY output row
+    assert(out.size == 1, s"expected exactly one mined pair, got $out")
+    // margin law with actual neighborhood sizes: forward = {twin,
+    // centroid5}, reverse = {probe} -> margin = 3*c - (c + c5) - c
+    // (0.3f -> double is NOT 0.3 — replicate the engine's widening)
+    val x = 0.3f.toDouble
+    val c5 = math.floor(x / math.sqrt(1.0 + x * x) * 1e9).toLong
+    val c = out(0L).getAs[Long]("c_nano")
+    assert(out(0L).getAs[Long]("margin_nano") == 3 * c - (c + c5) - c,
+      "margin must use actual (nx, ny) neighborhood sizes")
+  }
   test("bitext mining: identical twin wins, margin law exact, acceptance prunes") {
     import spark.implicits._
     def vec(seed: Int): Array[Float] =
