@@ -219,6 +219,9 @@ object SparkEntry {
     "q_bitext_mine_ivf" -> ((s, d) => SimSearch.bitextMineIvfQ(Tables.embeddings(s, d))),
     // MMR diversity re-ranking: greedy 7*rel - 3*maxsim in exact nanos
     "q_mmr" -> ((s, d) => SimSearch.mmrQ(Tables.embeddings(s, d))),
+    // the batch form a RAG stack runs: per-probe greedy over a grouped
+    // bounded-buffer relevance cut (one corpus scan for ALL probes)
+    "q_mmr_batch" -> ((s, d) => SimSearch.mmrBatchQ(Tables.embeddings(s, d))),
     // DPO preference-pair assembly: quality-ranked chosen/rejected
     "q_pref_pairs" -> ((s, d) => graft.ops.SftOps.prefPairsQ(Tables.documents(s, d))),
     // chat-transcript flattening: serialize -> from_json -> (prompt,
@@ -517,6 +520,56 @@ object SparkEntry {
     }
     val out = (1 to kOut).map(t =>
       s"SELECT CAST($t AS BIGINT) AS rank, vec_id, rel AS rel_nano, mmr AS mmr_nano FROM s$t")
+      .mkString("\nUNION ALL ")
+    (head +: steps).mkString(",\n") + "\n" + out
+  }
+
+  /** The multi-probe MMR oracle: the [[mmrOracleSql]] greedy unrolled
+    * per step but computed for ALL probes at once — each step's argmax
+    * is a row_number over probe_id, the maxsim subquery correlates on
+    * (probe_id, candidate), and sel_t accumulates (probe_id, vec_id)
+    * pairs. Probes = vec_id < nProbes; candidates per probe = that
+    * probe's top-nCand relevance list (corpus minus the probe). */
+  private def mmrBatchOracleSql(nProbes: Int, nCand: Int, kOut: Int): String = {
+    val head =
+      s"""WITH n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings) e WHERE list_dot_product(v, v) > 0),
+        |p AS (SELECT vec_id AS probe_id, v AS pv, nrm AS pn FROM n
+        |WHERE vec_id < $nProbes),
+        |cand0 AS (SELECT probe_id, n.vec_id AS vec_id,
+        |CAST(floor(list_dot_product(n.v, pv)/(n.nrm*pn)*1e9) AS BIGINT) AS rel,
+        |n.v AS v, n.nrm AS nrm
+        |FROM n CROSS JOIN p WHERE n.vec_id <> p.probe_id),
+        |cand AS (SELECT probe_id, vec_id, rel, v, nrm FROM (
+        |SELECT *, row_number() OVER (PARTITION BY probe_id
+        |ORDER BY rel DESC, vec_id ASC) AS rn FROM cand0) t WHERE rn <= $nCand),
+        |sims AS (SELECT a.probe_id, a.vec_id AS ia, b.vec_id AS ib,
+        |CAST(floor(list_dot_product(a.v, b.v)/(a.nrm*b.nrm)*1e9) AS BIGINT) AS s
+        |FROM cand a JOIN cand b
+        |ON a.probe_id = b.probe_id AND a.vec_id <> b.vec_id),
+        |s1 AS (SELECT probe_id, vec_id, rel, CAST(7*rel AS BIGINT) AS mmr FROM (
+        |SELECT *, row_number() OVER (PARTITION BY probe_id
+        |ORDER BY rel DESC, vec_id ASC) AS rn FROM cand) t WHERE rn = 1),
+        |sel1 AS (SELECT probe_id, vec_id FROM s1)""".stripMargin
+    val steps = (2 to kOut).map { t =>
+      s"""s$t AS (SELECT probe_id, vec_id, rel, mmr FROM (
+        |SELECT *, row_number() OVER (PARTITION BY probe_id
+        |ORDER BY mmr DESC, vec_id ASC) AS rn FROM (
+        |SELECT c.probe_id, c.vec_id, c.rel,
+        |CAST(7*c.rel - 3*(SELECT max(s) FROM sims
+        |WHERE sims.probe_id = c.probe_id AND sims.ia = c.vec_id
+        |AND sims.ib IN (SELECT vec_id FROM sel${t - 1} sl
+        |WHERE sl.probe_id = c.probe_id)) AS BIGINT) AS mmr
+        |FROM cand c WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} sl2
+        |WHERE sl2.probe_id = c.probe_id AND sl2.vec_id = c.vec_id)) u) t
+        |WHERE rn = 1),
+        |sel$t AS (SELECT probe_id, vec_id FROM sel${t - 1}
+        |UNION ALL SELECT probe_id, vec_id FROM s$t)""".stripMargin
+    }
+    val out = (1 to kOut).map(t =>
+      s"SELECT probe_id, CAST($t AS BIGINT) AS rank, vec_id, " +
+        s"rel AS rel_nano, mmr AS mmr_nano FROM s$t")
       .mkString("\nUNION ALL ")
     (head +: steps).mkString(",\n") + "\n" + out
   }
@@ -2306,6 +2359,7 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rank,
         |doc_id, r_text, r_vec, rrf FROM top""".stripMargin,
     "q_mmr" -> mmrOracleSql(10, 5),
+    "q_mmr_batch" -> mmrBatchOracleSql(3, 8, 3),
     // Bitext mining: identical nano-grid cosines (floor of the same
     // IEEE double), identical (c desc, id asc) k-NN cuts, exact long
     // margin arithmetic 2k·c − Σ_NNk(x) − Σ_NNk(y) with k = 4.

