@@ -41,6 +41,11 @@ object ExtensionsSmoke {
       .selectExpr("dot_double(x, y) AS d").head().getDouble(0)
     require(dp == 11.0, s"dot_double mismatch: $dp")
     println(s"[extensions-smoke] OK dot_double resolved natively, value=$dp")
+    // 48 identical samples: one window pair, all gradients flat -> [0]
+    val cf = Seq("a" * 48).toDF("s")
+      .selectExpr("chroma_fp(s) AS f").head().getSeq[Long](0)
+    require(cf == Seq(0L), s"chroma_fp mismatch: $cf")
+    println(s"[extensions-smoke] OK chroma_fp resolved natively, value=$cf")
     spark.stop()
   }
 }

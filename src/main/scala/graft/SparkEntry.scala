@@ -142,6 +142,10 @@ object SparkEntry {
     // frame-fingerprint video near-dup: fixed-stride frames, per-frame
     // dHash60, pairs sharing >= 3 distinct frame fingerprints
     "q_video_dedup" -> ((s, d) => MultiModal.videoFrameDedupQ(Tables.documents(s, d))),
+    // chromaprint-style audio near-dup: native per-window band-energy
+    // difference fingerprints (ChromaFp), >= 3 shared distinct windows
+    // under a df cap — the video pairing shape on the audio decode stub
+    "q_audio_dedup" -> ((s, d) => MultiModal.audioFingerprintDedupQ(Tables.documents(s, d))),
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     // per-source data card: volume, language spread, token budget,
     // corpus-wide exact-dup counts — two-exchange budget, hash-key shuffle
@@ -1401,6 +1405,43 @@ object SparkEntry {
         |JOIN sz ON sz.fp = a.fp AND sz.df BETWEEN 2 AND 50
         |GROUP BY 1, 2)
         |SELECT vid_a, vid_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM p WHERE n_shared >= 3""".stripMargin,
+    // Audio chroma dedup: per-window band-energy difference bits over
+    // the stub-decoded sample stream (windows of 32 at hop 16, 8 bands
+    // of 4 — band width divides the hop, so every band energy is one of
+    // the non-overlapping 4-sample partial sums b4; window t>=1 bits:
+    // 7 spectral E(t,b)>E(t,b+1) + 8 temporal E(t,b)>E(t-1,b)), same
+    // variant synthesis, df cap and >= 3 shared bar as the video
+    // oracle. ASCII-payload contract as image/video (unicode vs ascii).
+    "q_audio_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 48),
+        |v AS (SELECT doc_id + 100000 AS doc_id,
+        |substr(text, 1, greatest(1, CAST(floor(length(text)/2) AS INT)) - 1) || '~' ||
+        |substr(text, greatest(1, CAST(floor(length(text)/2) AS INT)) + 1, length(text)) AS text
+        |FROM base),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM v),
+        |a AS (SELECT doc_id,
+        |list_transform(range(0, CAST(floor(length(text)/4) AS BIGINT)), j ->
+        |CAST(unicode(substr(text, CAST(4*j+1 AS INT), 1))
+        |+ unicode(substr(text, CAST(4*j+2 AS INT), 1))
+        |+ unicode(substr(text, CAST(4*j+3 AS INT), 1))
+        |+ unicode(substr(text, CAST(4*j+4 AS INT), 1)) AS BIGINT)) AS b4,
+        |CAST(1 + floor((length(text) - 32)/16) AS BIGINT) AS nw FROM u),
+        |w AS (SELECT doc_id, b4, unnest(range(1, nw)) AS t FROM a),
+        |f AS (SELECT DISTINCT doc_id, CAST(
+        |list_sum(list_transform(range(0, 7), b ->
+        |CASE WHEN b4[4*t+b+1] > b4[4*t+b+2]
+        |THEN (1::BIGINT << b) ELSE 0::BIGINT END)) +
+        |list_sum(list_transform(range(0, 8), b ->
+        |CASE WHEN b4[4*t+b+1] > b4[4*t+b-3]
+        |THEN (1::BIGINT << (7+b)) ELSE 0::BIGINT END))
+        |AS BIGINT) AS fp FROM w),
+        |sz AS (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY fp),
+        |p AS (SELECT a.doc_id AS aud_a, b.doc_id AS aud_b, count(*) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |JOIN sz ON sz.fp = a.fp AND sz.df BETWEEN 2 AND 50
+        |GROUP BY 1, 2)
+        |SELECT aud_a, aud_b, CAST(n_shared AS BIGINT) AS n_shared
         |FROM p WHERE n_shared >= 3""".stripMargin,
     // the incremental lookup's oracle is the SAME pairwise text
     // restricted to (indexed base, delta variant) pairs — exactly the

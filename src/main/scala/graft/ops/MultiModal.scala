@@ -427,4 +427,54 @@ object MultiModal {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Declared query q_audio_dedup: chromaprint-style audio near-dup —
+    * the audio member of the multimodal dedup family (image
+    * [[imageDedupQ]], video [[videoFrameDedupQ]]). The stub-decoded
+    * payload stream is fingerprinted per 32-sample window at hop 16 by
+    * the native [[graft.functions.ChromaFp]] expression (8 band
+    * energies per window; 15 difference bits — 7 spectral gradients
+    * within the window + 8 temporal gradients against the previous
+    * window, the Chromaprint bit construction: gain-invariant, local
+    * corruption flips only the windows whose bands straddle it). Two
+    * audio payloads pair when they share ≥ `minShared` DISTINCT window
+    * fingerprints under a df cap — the q_video_dedup shuffle shape
+    * (fingerprint-exact matching; a pair is evidenced by repeated
+    * whole windows). The fixture unions a mid-corrupted re-encode
+    * variant per payload (the [[imageDedupQ]] design): the corruption
+    * touches one sample, so only the ≤ 4 windows whose bands cover it
+    * (plus their temporal successors) can differ — every (base,
+    * variant) pair keeps far more than `minShared` shared windows.
+    *
+    * Scale shape: fingerprinting is ONE native O(n) pass per payload
+    * (one Generate explodes the per-window array), and pairing is ONE
+    * fp-keyed shuffle with the in-row ordered-pair expansion under the
+    * df cap — a degenerate fingerprint (silence, constant tones)
+    * shared by half the corpus is dropped by DECLARED semantics
+    * instead of exploding candidate pairs; never all-pairs. */
+  def audioFingerprintDedupQ(docs: DataFrame, minShared: Int = 3,
+      dfCap: Int = 50): DataFrame = {
+    require(minShared > 0 && dfCap >= 2)
+    graft.functions.ChromaFp.register(docs.sparkSession)
+    // ChromaFp needs >= 48 samples (window 32 + hop 16) for one
+    // temporal-diff fingerprint
+    val base = docs.filter(length(col("text")) >= 48)
+      .select(col("doc_id"), col("text"))
+    val auds = base.union(reencodeVariants(base))
+    val fps = graft.sources.Tables.fanout(auds)
+      .select(col("doc_id"),
+        explode(expr(s"${graft.functions.ChromaFp.FnName}(text)")).as("fp"))
+      .distinct()
+    // fp-keyed fold + in-row C(n,2) ordered pairs (bounded by dfCap)
+    fps.groupBy(col("fp"))
+      .agg(array_sort(collect_set(col("doc_id"))).as("vs"))
+      .filter(size(col("vs")) >= 2 && size(col("vs")) <= dfCap)
+      .select(explode(flatten(transform(col("vs"), (a, i) =>
+        transform(slice(col("vs"), i + 2, size(col("vs"))),
+          b => struct(a.as("aud_a"), b.as("aud_b")))))).as("p"))
+      .select(col("p.aud_a"), col("p.aud_b"))
+      .groupBy(col("aud_a"), col("aud_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -67,4 +67,47 @@ class MultiModalSpec extends SparkSuite {
     val scan = df.queryExecution.executedPlan.toString
     assert(!scan.contains("text"), s"text column must be pruned:\n$scan")
   }
+
+  test("audio chroma fingerprints: window count law, gain invariance, variant pairs") {
+    import spark.implicits._
+    graft.functions.ChromaFp.register(spark)
+    def fps(s: String): Seq[Long] =
+      Seq(s).toDF("t").selectExpr("chroma_fp(t) AS f")
+        .collect().head.getSeq[Long](0).toSeq
+    // deterministic pseudo-audio with varied "samples"
+    def tone(n: Int, seed: Int): String =
+      new String(Array.tabulate(n)(i =>
+        ('a' + ((seed * 31 + i * i * 7 + i * 13) % 26)).toChar))
+    // window count: n samples -> (1 + (n-32)/16) windows, first silent
+    assert(fps(tone(47, 1)).isEmpty, "below 48 samples nothing fingerprints")
+    assert(fps(tone(48, 1)).size == 1)
+    assert(fps(tone(160, 1)).size == (1 + (160 - 32) / 16) - 1)
+    // gain invariance: shifting EVERY sample by a constant shifts every
+    // band energy equally — all difference bits unchanged (the
+    // chromaprint invariance the stub preserves)
+    val base = tone(160, 3)
+    val gained = base.map(c => (c + 5).toChar)
+    assert(fps(base) == fps(gained), "difference bits must ignore global gain")
+    // corruption is LOCAL by construction: sample 80 lives in band
+    // group 20, covered by windows 4..5 (spectral bits) and compared
+    // against by window 6 (temporal bits) — every other window's
+    // fingerprint is bit-identical (robustness to local edits is the
+    // fingerprint's defining property; whether the straddling windows
+    // themselves flip depends on the gradient margins)
+    val corrupted = base.updated(80, ' ')
+    val (fb, fc) = (fps(base), fps(corrupted))
+    assert(fb.size == fc.size)
+    val affected = Set(3, 4, 5) // array index = t - 1 for windows 4..6
+    fb.indices.filterNot(affected).foreach(i =>
+      assert(fb(i) == fc(i), s"window ${i + 1} cannot see sample 80"))
+    // end-to-end: every base doc pairs with its re-encode variant
+    val docs = (0L to 9L).map(i => (i, tone(200, i.toInt + 10)))
+      .toDF("doc_id", "text")
+    val pairs = MultiModal.audioFingerprintDedupQ(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L to 9L).foreach { i =>
+      assert(pairs.contains((i, i + 100000L)),
+        s"base $i must pair with its corrupted re-encode variant")
+    }
+  }
 }
