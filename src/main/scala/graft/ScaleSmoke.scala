@@ -194,6 +194,42 @@ object ScaleSmoke {
           when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // split-leak audit: the COMPOSED near-dup + components + two-join
+      // sum — its components probe sublinear individually; this pins
+      // the composition (disjoint copy vocabularies keep leak pairs
+      // inside copies, so output per unit input stays constant)
+      run("leak_audit", graft.ops.Sampling.splitLeakAuditQ(docs))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // tokenize+pack: BPE train (vocab grows ~k, rounds stay 6) +
+      // encode (one corpus pass vs the broadcast segmentation table) +
+      // slice-parallel prefix-sum packing — the composed export sum
+      run("tokenize_pack", graft.ops.Bpe.tokenizePack(docs))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // audio chroma dedup: native O(n) fingerprint pass + the video
+      // pairing shape — must track the sample stream
+      run("audio", graft.ops.MultiModal.audioFingerprintDedupQ(docs))
+      spark.sharedState.cacheManager.clearCache()
+      // IVF-blocked bitext: assignment scan grows ~k, cell-keyed joins
+      // bound candidates per cell — same synthetic pools as "bitext"
+      run("bitext_ivf", graft.ops.SimSearch.bitextMineIvfQ(
+        docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(col("doc_id") * 41 + i * 13, lit(89)).cast("double")
+              / 44.5 - 1.0).cast("float")).as("embedding"),
+          (col("doc_id") % 4).cast("int").as("label"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // batch MMR: one corpus relevance scan (grows ~k) against a fixed
+      // probe batch, grouped bounded-buffer cut, driver greedy fixed
+      run("mmr_batch", graft.ops.SimSearch.mmrBatchQ(
+        docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(col("doc_id") * 37 + i * 17, lit(97)).cast("double")
+              / 48.5 - 1.0).cast("float")).as("embedding"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

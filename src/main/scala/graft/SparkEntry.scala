@@ -146,6 +146,9 @@ object SparkEntry {
     // difference fingerprints (ChromaFp), >= 3 shared distinct windows
     // under a df cap — the video pairing shape on the audio decode stub
     "q_audio_dedup" -> ((s, d) => MultiModal.audioFingerprintDedupQ(Tables.documents(s, d))),
+    // the FIFTEENTH persisted index: bucketed chroma fingerprints,
+    // corpus indexed once + variant delta probed through the pruned read
+    "q_audio_dedup_incr" -> ((s, d) => MultiModal.audioDedupIncrQ(s, d)),
     "q_text_stats" -> ((s, d) => TextOps.textStats(Tables.documents(s, d))),
     // per-source data card: volume, language spread, token budget,
     // corpus-wide exact-dup counts — two-exchange budget, hash-key shuffle
@@ -456,6 +459,54 @@ object SparkEntry {
       |i -> NOT list_contains(coalesce(cv.covs, []), i)),
       |i -> t.toks[i]), ' '), '') AS clean_text
       |FROM t LEFT JOIN cv USING (doc_id) $where""".stripMargin
+
+  /** The audio chroma-dedup oracle: per-window band-energy difference
+    * fingerprints (windows of 32 samples at hop 16, 8 bands of 4 — band
+    * width divides the hop, so every band energy is one of the
+    * non-overlapping 4-sample partial sums b4; window t >= 1 bits: 7
+    * spectral E(t,b) > E(t,b+1) + 8 temporal E(t,b) > E(t-1,b)) over
+    * each payload and its one-sample-corrupted re-encode variant
+    * (doc_id + 100000); pairs share >= 3 distinct fingerprints under
+    * the 2..50 df cap. `pairCond` restricts the pair set (the
+    * incremental gate keeps only base x variant pairs, the
+    * delta-vs-index contract). ASCII-payload contract as image/video
+    * (DuckDB unicode() vs Spark ascii() agree only on ASCII). */
+  private def audioOracleSql(pairCond: String): String =
+    s"""WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 48),
+      |v AS (SELECT doc_id + 100000 AS doc_id,
+      |substr(text, 1, greatest(1, CAST(floor(length(text)/2) AS INT)) - 1) || '~' ||
+      |substr(text, greatest(1, CAST(floor(length(text)/2) AS INT)) + 1, length(text)) AS text
+      |FROM base),
+      |u AS (SELECT * FROM base UNION ALL SELECT * FROM v),
+      |a AS (SELECT doc_id,
+      |list_transform(range(0, CAST(floor(length(text)/4) AS BIGINT)), j ->
+      |CAST(unicode(substr(text, CAST(4*j+1 AS INT), 1))
+      |+ unicode(substr(text, CAST(4*j+2 AS INT), 1))
+      |+ unicode(substr(text, CAST(4*j+3 AS INT), 1))
+      |+ unicode(substr(text, CAST(4*j+4 AS INT), 1)) AS BIGINT)) AS b4,
+      |CAST(1 + floor((length(text) - 32)/16) AS BIGINT) AS nw FROM u),
+      |w AS (SELECT doc_id, b4, unnest(range(1, nw)) AS t FROM a),
+      |f AS (SELECT DISTINCT doc_id, CAST(
+      |list_sum(list_transform(range(0, 7), b ->
+      |CASE WHEN b4[4*t+b+1] > b4[4*t+b+2]
+      |THEN (1::BIGINT << b) ELSE 0::BIGINT END)) +
+      |list_sum(list_transform(range(0, 8), b ->
+      |CASE WHEN b4[4*t+b+1] > b4[4*t+b-3]
+      |THEN (1::BIGINT << (7+b)) ELSE 0::BIGINT END)) +
+      |list_sum(list_transform(range(0, 7), b ->
+      |CASE WHEN abs(b4[4*t+b+1] - b4[4*t+b+2]) > 16
+      |THEN (1::BIGINT << (15+b)) ELSE 0::BIGINT END)) +
+      |list_sum(list_transform(range(0, 8), b ->
+      |CASE WHEN abs(b4[4*t+b+1] - b4[4*t+b-3]) > 16
+      |THEN (1::BIGINT << (22+b)) ELSE 0::BIGINT END))
+      |AS BIGINT) AS fp FROM w),
+      |sz AS (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY fp),
+      |p AS (SELECT a.doc_id AS aud_a, b.doc_id AS aud_b, count(*) AS n_shared
+      |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id $pairCond
+      |JOIN sz ON sz.fp = a.fp AND sz.df BETWEEN 2 AND 50
+      |GROUP BY 1, 2)
+      |SELECT aud_a, aud_b, CAST(n_shared AS BIGINT) AS n_shared
+      |FROM p WHERE n_shared >= 3""".stripMargin
 
   /** The perceptual-dedup oracle: 60-bit dHash over the decoded (stub:
     * code-point) sequence of each payload and its one-byte-corrupted
@@ -1413,36 +1464,13 @@ object SparkEntry {
     // 7 spectral E(t,b)>E(t,b+1) + 8 temporal E(t,b)>E(t-1,b)), same
     // variant synthesis, df cap and >= 3 shared bar as the video
     // oracle. ASCII-payload contract as image/video (unicode vs ascii).
-    "q_audio_dedup" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 48),
-        |v AS (SELECT doc_id + 100000 AS doc_id,
-        |substr(text, 1, greatest(1, CAST(floor(length(text)/2) AS INT)) - 1) || '~' ||
-        |substr(text, greatest(1, CAST(floor(length(text)/2) AS INT)) + 1, length(text)) AS text
-        |FROM base),
-        |u AS (SELECT * FROM base UNION ALL SELECT * FROM v),
-        |a AS (SELECT doc_id,
-        |list_transform(range(0, CAST(floor(length(text)/4) AS BIGINT)), j ->
-        |CAST(unicode(substr(text, CAST(4*j+1 AS INT), 1))
-        |+ unicode(substr(text, CAST(4*j+2 AS INT), 1))
-        |+ unicode(substr(text, CAST(4*j+3 AS INT), 1))
-        |+ unicode(substr(text, CAST(4*j+4 AS INT), 1)) AS BIGINT)) AS b4,
-        |CAST(1 + floor((length(text) - 32)/16) AS BIGINT) AS nw FROM u),
-        |w AS (SELECT doc_id, b4, unnest(range(1, nw)) AS t FROM a),
-        |f AS (SELECT DISTINCT doc_id, CAST(
-        |list_sum(list_transform(range(0, 7), b ->
-        |CASE WHEN b4[4*t+b+1] > b4[4*t+b+2]
-        |THEN (1::BIGINT << b) ELSE 0::BIGINT END)) +
-        |list_sum(list_transform(range(0, 8), b ->
-        |CASE WHEN b4[4*t+b+1] > b4[4*t+b-3]
-        |THEN (1::BIGINT << (7+b)) ELSE 0::BIGINT END))
-        |AS BIGINT) AS fp FROM w),
-        |sz AS (SELECT fp, count(DISTINCT doc_id) AS df FROM f GROUP BY fp),
-        |p AS (SELECT a.doc_id AS aud_a, b.doc_id AS aud_b, count(*) AS n_shared
-        |FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |JOIN sz ON sz.fp = a.fp AND sz.df BETWEEN 2 AND 50
-        |GROUP BY 1, 2)
-        |SELECT aud_a, aud_b, CAST(n_shared AS BIGINT) AS n_shared
-        |FROM p WHERE n_shared >= 3""".stripMargin,
+    "q_audio_dedup" -> audioOracleSql(""),
+    // delta-vs-index contract: only (indexed base, incoming variant)
+    // pairs; the df cap is computed over the same base+variant union
+    // as the batch form (the pruned buckets see complete posting
+    // lists, so the engine's df is exact — see audioNearDupsAgainstIndex)
+    "q_audio_dedup_incr" ->
+      audioOracleSql("AND a.doc_id < 100000 AND b.doc_id >= 100000"),
     // the incremental lookup's oracle is the SAME pairwise text
     // restricted to (indexed base, delta variant) pairs — exactly the
     // delta-vs-index contract the pruned lookup computes

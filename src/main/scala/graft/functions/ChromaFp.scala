@@ -25,13 +25,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * band energy E(t,b) = sum of the band's 4 samples. Because the band
   * width divides the hop, every E(t,b) is one of the non-overlapping
   * 4-sample partial sums b4[4t+b] — computed once, O(n) total.
-  * Fingerprint of window t ≥ 1 (15 bits):
-  *   bit b   (b = 0..6): E(t,b) > E(t,b+1)   — spectral gradient
-  *   bit 7+b (b = 0..7): E(t,b) > E(t−1,b)   — temporal gradient
-  * Window 0 emits nothing (no predecessor), so payloads need
-  * n ≥ W + H = 48 samples to fingerprint at all. Difference-only bits
-  * make the fingerprint invariant to global gain shifts — the audio
-  * analogue of dHash's brightness invariance. */
+  * Fingerprint of window t ≥ 1 (30 bits — Chromaprint's 2-bit
+  * quantization per filter: a sign bit and a magnitude bit):
+  *   bit b    (b = 0..6): E(t,b) > E(t,b+1)          — spectral sign
+  *   bit 7+b  (b = 0..7): E(t,b) > E(t−1,b)          — temporal sign
+  *   bit 15+b (b = 0..6): |E(t,b) − E(t,b+1)| > 16   — spectral magnitude
+  *   bit 22+b (b = 0..7): |E(t,b) − E(t−1,b)| > 16   — temporal magnitude
+  * The magnitude bits double the entropy (a 15-bit sign-only space
+  * saturates under a df cap around a million windows — measured in
+  * ScaleSmoke: the cap started dropping real pairs at 16× sf0.1);
+  * 30 bits keeps expected df ~1 far past that. Window 0 emits nothing
+  * (no predecessor), so payloads need n ≥ W + H = 48 samples to
+  * fingerprint at all. All bits are functions of energy DIFFERENCES,
+  * so the fingerprint is invariant to global (additive) gain shifts —
+  * the audio analogue of dHash's brightness invariance. */
 case class ChromaFp(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -64,6 +71,7 @@ object ChromaFpEval {
   private val Hop = 16
   private val Bands = 8
   private val BandW = 4 // = Window / Bands; divides Hop — see Scaladoc
+  private val MagThresh = 16L // |ΔE| quantization bar for the magnitude bits
 
   def eval(s: UTF8String): GenericArrayData = {
     val bytes = s.getBytes
@@ -106,12 +114,16 @@ object ChromaFpEval {
       var fp = 0L
       var b = 0
       while (b < Bands - 1) {
-        if (b4(o + b) > b4(o + b + 1)) fp |= (1L << b)
+        val d = b4(o + b) - b4(o + b + 1)
+        if (d > 0) fp |= (1L << b)
+        if (d > MagThresh || d < -MagThresh) fp |= (1L << (15 + b))
         b += 1
       }
       b = 0
       while (b < Bands) {
-        if (b4(o + b) > b4(p + b)) fp |= (1L << (Bands - 1 + b))
+        val d = b4(o + b) - b4(p + b)
+        if (d > 0) fp |= (1L << (Bands - 1 + b))
+        if (d > MagThresh || d < -MagThresh) fp |= (1L << (22 + b))
         b += 1
       }
       out(t - 1) = fp

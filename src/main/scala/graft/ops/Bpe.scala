@@ -150,8 +150,14 @@ object Bpe {
     * last sequence id) — every bin assignment participates in the
     * hash through the distinct-bin count. */
   def tokenizePackQ(spark: org.apache.spark.sql.SparkSession, dir: String,
-      k: Int = 6, tokenBudget: Int = 512): DataFrame = {
-    val docs = graft.sources.Tables.documents(spark, dir)
+      k: Int = 6, tokenBudget: Int = 512): DataFrame =
+    tokenizePack(graft.sources.Tables.documents(spark, dir), k, tokenBudget)
+
+  /** [[tokenizePackQ]] over an arbitrary documents frame (the
+    * ScaleSmoke amplification entry point). */
+  def tokenizePack(docs: DataFrame, k: Int = 6,
+      tokenBudget: Int = 512): DataFrame = {
+    val spark = docs.sparkSession
     val words = wordCounts(docs)
     val rules = trainMerges(words, k)
     // no release here — enc re-reads the tracked word-count table at

@@ -477,4 +477,131 @@ object MultiModal {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** Per-payload DISTINCT chroma fingerprints — the row set both the
+    * batch pairing and the persisted index store. */
+  private def audioFps(docs: DataFrame): DataFrame = {
+    graft.functions.ChromaFp.register(docs.sparkSession)
+    graft.sources.Tables.fanout(docs.filter(length(col("text")) >= 48)
+        .select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        explode(expr(s"${graft.functions.ChromaFp.FnName}(text)")).as("fp"))
+      .distinct()
+  }
+
+  /** On-disk schema of the audio fingerprint index — explicit for the
+    * same empty-corpus / footer-skip reasons as the other indexes. */
+  private val AudioFpsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id LONG, fp LONG, bkt LONG")
+
+  private case class AudioMeta(fpBuckets: Int)
+
+  private val audioMeta = new Dedup.MetaMemo[String, AudioMeta]
+
+  private def readAudioMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): AudioMeta =
+    audioMeta.getOrRead(spark, dir, Dedup.metaStamp(spark, dir)) {
+      AudioMeta(spark.read.parquet(s"$dir/meta").first()
+        .getAs[Int]("fp_buckets"))
+    }
+
+  /** The FIFTEENTH persisted index — chroma fingerprints for
+    * incremental audio dedup: `<dir>/fps` = (doc_id, fp) partitioned
+    * by bkt = fp mod fpBuckets (one file per bucket); `<dir>/meta` =
+    * the bucket count so appended rows land in the layout the pruned
+    * lookup relies on. The audio sibling of [[writeImageIndex]], same
+    * ingestion-loop discipline (append per micro-batch, compact on
+    * cadence). */
+  def writeAudioIndex(docs: DataFrame, dir: String,
+      fpBuckets: Int = 256): Unit = {
+    require(fpBuckets > 0, s"fpBuckets must be positive, got $fpBuckets")
+    audioFps(docs)
+      .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
+      .repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/fps")
+    docs.sparkSession.range(1)
+      .select(lit(fpBuckets).as("fp_buckets"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
+    audioMeta.invalidate(docs.sparkSession)(_ == dir)
+  }
+
+  def appendToAudioIndex(docs: DataFrame, dir: String): Unit = {
+    val fpBuckets = readAudioMeta(docs.sparkSession, dir).fpBuckets
+    audioFps(docs)
+      .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
+      .repartition(col("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/fps")
+  }
+
+  /** Compact: collapse the per-batch file accumulation back to one file
+    * per bucket (rows are immutable — no re-aggregation needed). */
+  def compactAudioIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    DirSwap(spark, s"$dir/fps") { out =>
+      spark.read.schema(AudioFpsSchema).parquet(s"$dir/fps")
+        .repartition(col("bkt"))
+        .write.partitionBy("bkt").parquet(out)
+    }
+
+  /** Audio near-dup pairs between a delta of NEW payloads and the
+    * persisted index: (aud_a = indexed id, aud_b = new id, n_shared ≥
+    * minShared). Ids must be disjoint (the crawl-delta contract).
+    *
+    * df-cap consistency with the batch form: every payload sharing a
+    * fingerprint lives in that fingerprint's ONE bucket, so the pruned
+    * read sees the fingerprint's complete index-side posting list —
+    * df over index ∪ delta is EXACT from the touched buckets alone,
+    * and the cap drops the same degenerate fingerprints the batch
+    * query drops (declared semantics, oracle-recomputed).
+    *
+    * Scale shape: the delta's fingerprints are delta-sized; the index
+    * read is partition-PRUNED to the buckets the delta's fps hash into
+    * (metadata-sized driver round-trip); one fp-keyed join, pair counts
+    * ≥ minShared — no index-wide shuffle ever. */
+  def audioNearDupsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      deltaDocs: DataFrame, dir: String, minShared: Int = 3,
+      dfCap: Int = 50): DataFrame = {
+    require(minShared > 0 && dfCap >= 2)
+    val meta = readAudioMeta(spark, dir)
+    val deltaFps = PipelineCaches.track(audioFps(deltaDocs))
+    val touched = deltaFps
+      .select(pmod(col("fp"), lit(meta.fpBuckets.toLong)).as("bkt"))
+      .distinct().collect().map(_.getLong(0))
+    val idx = PipelineCaches.track(
+      spark.read.schema(AudioFpsSchema).parquet(s"$dir/fps")
+        .filter(col("bkt").isin(touched.toSeq: _*))
+        .select(col("doc_id"), col("fp")))
+    // exact df per candidate fp from the pruned buckets (see Scaladoc)
+    val df = idx.unionAll(deltaFps).groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= dfCap)
+    idx.select(col("doc_id").as("aud_a"), col("fp"))
+      .join(deltaFps.select(col("doc_id").as("aud_b"), col("fp")), Seq("fp"))
+      .join(df, Seq("fp"), "left_semi")
+      .groupBy(col("aud_a"), col("aud_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Declared incremental workload (q_audio_dedup_incr): the standing
+    * index holds the base corpus payloads; the delta is the re-encoded
+    * variants (the q_audio_dedup fixture's doc_id + 100000 one-sample
+    * corruptions) — "dedupe incoming re-encodes against the audio
+    * index". BuildOnce keys the index build on the directory. */
+  def audioDedupIncrQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = graft.sources.Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 48)
+      .select(col("doc_id"), col("text"))
+    val idxDir = BuildOnce.tempDirFor("graft_audio_idx", dir)
+    BuildOnce(spark, idxDir) {
+      // bucket count sized to the corpus (÷64, clamped) — the image
+      // index rule: per-dir listing cost floors tiny fixtures, fine
+      // pruning pays at corpus scale
+      val nDocs = base.count()
+      val buckets = math.max(64L, math.min(65536L, nDocs / 64)).toInt
+      writeAudioIndex(base, idxDir, fpBuckets = buckets)
+    }
+    audioNearDupsAgainstIndex(spark, reencodeVariants(base), idxDir)
+  }
 }

@@ -124,6 +124,20 @@ class FaultInjectionSpec extends SparkSuite {
       () => MultiModal.compactImageIndex(spark, dir))
   }
 
+  test("audio (chroma fp) index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_aud")
+    // longer payloads so every doc carries several window fingerprints
+    def audText(i: Long) = (docText(i) + " ") * 5
+    def audDocs(ids: Seq[Long]): DataFrame =
+      ids.map(i => (i, audText(i))).toDF("doc_id", "text")
+    MultiModal.writeAudioIndex(audDocs(1L to 30L), dir)
+    MultiModal.appendToAudioIndex(audDocs(31L to 40L), dir)
+    val delta = Seq((900L, audText(7L).updated(100, '~'))).toDF("doc_id", "text")
+    drill("audio",
+      () => MultiModal.audioNearDupsAgainstIndex(spark, delta, dir),
+      () => MultiModal.compactAudioIndex(spark, dir))
+  }
+
   test("profile index: compaction killed before swap -> old generation; retry converges") {
     val dir = tmp("fi_prof")
     ProfileIndex.writeProfileSketches(liOf(docsDF(1L to 30L)), dir)

@@ -65,7 +65,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       substring(col("text"), 1, 1).as("l_returnflag"),
       lit("O").as("l_linestatus"))
 
-  test("one MemoryStream loop: append all THIRTEEN indexes per batch, compact on cadence, probe == rebuild") {
+  test("one MemoryStream loop: append all FOURTEEN indexes per batch, compact on cadence, probe == rebuild") {
     val nearDir = tmp("ingest_near")
     val spanDir = tmp("ingest_span")
     val ivfDir = tmp("ingest_ivf")
@@ -80,6 +80,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     val quantDir = tmp("ingest_quant")
     val lmDir = tmp("ingest_lm")
     val phrDir = tmp("ingest_phr")
+    val audDir = tmp("ingest_aud")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
@@ -95,6 +96,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     QuantileIndex.writeQuantileIndex(liOf(seed), quantDir)
     LmIndex.writeLmIndex(repOf(seed), lmDir)
     PhraseIndex.writePhraseIndex(seed, phrDir)
+    MultiModal.writeAudioIndex(seed, audDir)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
     // contract) — rebuilds reuse the stored centroids
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
@@ -136,8 +138,12 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val phr = PhraseIndex.phrasesFromIndex(spark, phrDir,
         Seq("alpha beta gamma", "common tail", "beta alpha"))
         .collect().map(_.toString).sorted.toSeq
+      // minShared=1: the ~49-char fixture docs carry exactly ONE chroma
+      // window fingerprint each (the winnow precedent)
+      val aud = MultiModal.audioNearDupsAgainstIndex(spark, probes, audDir,
+        minShared = 1).collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -152,6 +158,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val q2 = tmp("rb_quant")
       val l2 = tmp("rb_lm")
       val ph2 = tmp("rb_phr")
+      val a2 = tmp("rb_aud")
       Dedup.writeNearDupIndex(all, n2)
       Dedup.writeWinnowIndex(all, w2)
       Dedup.writeSpanIndex(all, s2, w = 4)
@@ -165,6 +172,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       QuantileIndex.writeQuantileIndex(liOf(all), q2)
       LmIndex.writeLmIndex(repOf(all), l2)
       PhraseIndex.writePhraseIndex(all, ph2)
+      MultiModal.writeAudioIndex(all, a2)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
         .collect().map(_.toString).sorted.toSeq
       val span = Dedup.spanDedupAgainstIndex(spark, probes, s2, cap = 2)
@@ -194,11 +202,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val phr = PhraseIndex.phrasesFromIndex(spark, ph2,
         Seq("alpha beta gamma", "common tail", "beta alpha"))
         .collect().map(_.toString).sorted.toSeq
+      val aud = MultiModal.audioNearDupsAgainstIndex(spark, probes, a2,
+        minShared = 1).collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm", "phrase")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm", "phrase", "audio")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -215,6 +225,8 @@ class IngestionMaintenanceSpec extends SparkSuite {
       assert(live(names.indexOf("quantile")).nonEmpty, s"quantile read empty $when")
       assert(live(names.indexOf("lm")).nonEmpty, s"lm score read empty $when")
       assert(live(names.indexOf("phrase")).nonEmpty, s"phrase read empty $when")
+      // doc 900 is a verbatim copy of seed doc 7 -> shares its window fp
+      assert(live(names.indexOf("audio")).nonEmpty, s"audio probe empty $when")
     }
 
     val stream = MemoryStream[IngestDoc](spark)
@@ -236,6 +248,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         QuantileIndex.appendToQuantileIndex(liOf(batch), quantDir)
         LmIndex.appendToLmIndex(repOf(batch), lmDir)
         PhraseIndex.appendToPhraseIndex(batch, phrDir)
+        MultiModal.appendToAudioIndex(batch, audDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -251,6 +264,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           QuantileIndex.compactQuantileIndex(spark, quantDir)
           LmIndex.compactLmIndex(spark, lmDir)
           PhraseIndex.compactPhraseIndex(spark, phrDir)
+          MultiModal.compactAudioIndex(spark, audDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
