@@ -216,6 +216,10 @@ object SparkEntry {
     // broadcast; probes score candidates off their precomputed nano
     // distance tables — integer sums, bit-replayable
     "q_sim_topk_pq" -> ((s, d) => SimSearch.pqTopKQ(s, d)),
+    // FAISS's IVFADC composition: cell pruning picks WHICH codes are
+    // read (sampled-centroid argmax, oracle-recomputed), PQ's ADC
+    // scores them — identical integer arithmetic to the full scan
+    "q_sim_topk_pq_ivf" -> ((s, d) => SimSearch.pqIvfTopKQ(s, d)),
     // hybrid retrieval: BM25 top-k + cosine top-k fused by RRF (k=60)
     "q_hybrid_rrf" -> ((s, d) => SimSearch.hybridRrfQ(s, d)),
     // margin-based bitext mining (exact integer-nano margins)
@@ -1876,6 +1880,48 @@ object SparkEntry {
         |sc AS (SELECT pd.probe_id, c.vec_id AS neighbor_id,
         |CAST(sum(pd.qd) AS BIGINT) AS score_nano
         |FROM codes c JOIN pd ON pd.m = c.m AND pd.code = c.code
+        |WHERE c.vec_id <> pd.probe_id GROUP BY 1, 2)
+        |SELECT probe_id, neighbor_id, score_nano, rnk FROM (
+        |SELECT probe_id, neighbor_id, score_nano,
+        |CAST(row_number() OVER (PARTITION BY probe_id
+        |ORDER BY score_nano DESC, neighbor_id ASC) AS BIGINT) AS rnk
+        |FROM sc) z WHERE rnk <= 5""".stripMargin,
+    // IVFADC: the q_sim_topk_pq CTEs + the q_knn_clf_ivf assignment —
+    // candidates restricted to the probe's top-2 centroid cells, same
+    // ADC integer sums (blocking never changes a score)
+    "q_sim_topk_pq_ivf" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings),
+        |ms AS (SELECT unnest([0,1,2,3]) AS m),
+        |cb AS (SELECT m, vec_id AS cell, list_slice(v, m*16+1, m*16+16) AS cv
+        |FROM e CROSS JOIN ms WHERE vec_id >= 5 AND vec_id < 13),
+        |enc AS (SELECT c.vec_id, cb.m, cb.cell,
+        |CAST(floor(list_dot_product(list_slice(c.v, cb.m*16+1, cb.m*16+16), cb.cv) * 1000000.0) AS BIGINT) AS dn
+        |FROM e c CROSS JOIN cb),
+        |codes AS (SELECT vec_id, m, cell AS code FROM (
+        |SELECT vec_id, m, cell, row_number() OVER (PARTITION BY vec_id, m
+        |ORDER BY dn DESC, cell ASC) AS rn FROM enc) t WHERE rn = 1),
+        |pd AS (SELECT p.vec_id AS probe_id, cb.m, cb.cell AS code,
+        |CAST(floor(list_dot_product(list_slice(p.v, cb.m*16+1, cb.m*16+16), cb.cv) * 1000000.0) AS BIGINT) AS qd
+        |FROM e p CROSS JOIN cb WHERE p.vec_id < 5),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |FROM e WHERE list_dot_product(v, v) > 0),
+        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+        |WHERE vec_id >= 5 AND vec_id < 21),
+        |asg AS (SELECT vec_id, cell FROM (
+        |SELECT a.vec_id, c.cell, row_number() OVER (PARTITION BY a.vec_id
+        |ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell ASC) AS rn
+        |FROM nn a CROSS JOIN cents c) t WHERE rn = 1),
+        |pcells AS (SELECT probe_id, cell FROM (
+        |SELECT p.vec_id AS probe_id, c.cell,
+        |row_number() OVER (PARTITION BY p.vec_id
+        |ORDER BY list_dot_product(p.v, c.cv)/(p.nrm*c.cn) DESC, c.cell ASC) AS cr
+        |FROM nn p CROSS JOIN cents c WHERE p.vec_id < 5) t WHERE cr <= 2),
+        |sc AS (SELECT pd.probe_id, c.vec_id AS neighbor_id,
+        |CAST(sum(pd.qd) AS BIGINT) AS score_nano
+        |FROM codes c JOIN asg a ON a.vec_id = c.vec_id
+        |JOIN pcells pc ON pc.cell = a.cell
+        |JOIN pd ON pd.m = c.m AND pd.code = c.code AND pd.probe_id = pc.probe_id
         |WHERE c.vec_id <> pd.probe_id GROUP BY 1, 2)
         |SELECT probe_id, neighbor_id, score_nano, rnk FROM (
         |SELECT probe_id, neighbor_id, score_nano,

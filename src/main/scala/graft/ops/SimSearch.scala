@@ -893,7 +893,12 @@ object SimSearch {
     * IVF cell pruning (encode per cell) — declared here as the
     * brute-force ADC scan, the honest baseline the pruned variants are
     * measured against. */
-  def pqTopKQ(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5): DataFrame = {
+  /** Shared PQ machinery: the literal codebook from the sampled-row
+    * window, the materialized (tracked) code frame, and the
+    * driver-computed probe ADC distance tables — see [[pqTopKQ]] for
+    * the full discipline notes. */
+  private def pqCodesAndTables(embeddings: DataFrame,
+      nProbes: Int): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     graft.functions.DotProductDouble.register(spark)
     val raw = embeddings
@@ -952,6 +957,11 @@ object SimSearch {
           cb(m)(ci)) * 1000000.0).toLong).toSeq)
       (pid, qd(0), qd(1), qd(2), qd(3))
     }.toSeq.toDF("probe_id", "qd_0", "qd_1", "qd_2", "qd_3")
+    (codes, probesDf)
+  }
+
+  def pqTopKQ(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val (codes, probesDf) = pqCodesAndTables(embeddings, nProbes)
     // scoring: nProbes-row broadcast against one pass over the code
     // frame — Σ_m element_at(probe table, code) exact integer sums,
     // map-side; only the per-probe rank window shuffles
@@ -970,6 +980,62 @@ object SimSearch {
       .select(col("probe_id"), col("neighbor_id"),
         col("score_nano"), col("rnk"))
   }
+
+  /** Declared query q_sim_topk_pq_ivf: the IVF × PQ composition —
+    * FAISS's IVFADC, the form a 100 TB vector corpus actually deploys:
+    * cell pruning decides WHICH codes are read, PQ compression decides
+    * how cheaply each is scored. Every corpus vector carries both its
+    * nearest-sampled-centroid cell (the argmax q_cluster gates —
+    * blocking as DECLARED semantics the oracle recomputes) and its 4
+    * PQ codes; a probe ranks the centroid table, keeps its top
+    * `nProbeCells` cells, and ADC-scores ONLY the codes in those cells
+    * against its precomputed distance table. Scores are identical to
+    * [[pqTopKQ]]'s full scan (blocking removes candidates, never
+    * changes arithmetic); exact integer nanos throughout.
+    *
+    * Scale shape: one assignment scan (broadcast centroids, map-side
+    * argmax), the corpus encoded ONCE (the shared tracked code frame),
+    * then a cell-keyed equi-join against the broadcast (probe ×
+    * probed-cell) distance tables — per-cell candidate volume, never
+    * the whole code frame per probe; in the persisted deployment the
+    * codes are written partitioned BY cell, making the probed-cell
+    * read partition-pruned I/O (the ivfTopKFromIndex precedent). */
+  def pqIvfTopKQ(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5,
+      nCells: Int = 16, nProbeCells: Int = 2): DataFrame = {
+    val (codes, probesDf) = pqCodesAndTables(embeddings, nProbes)
+    val n = normed(embeddings)
+    val cents = sampledCentroids(embeddings, nCells, 5)
+    val cellAsg = assignCells(n, cents).select(col("vec_id"), col("cell"))
+    val probeCells = n.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+      .crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("cell"),
+        (ndot(col("pv"), col("cv")) / (col("pn") * col("cn"))).as("cell_sim"))
+      .withColumn("cr", row_number().over(Window.partitionBy(col("probe_id"))
+        .orderBy(col("cell_sim").desc, col("cell").asc)))
+      .filter(col("cr") <= nProbeCells)
+      .select(col("probe_id"), col("cell"))
+    val probeTbl = probesDf.join(probeCells, Seq("probe_id"))
+    val scored = codes.join(cellAsg, Seq("vec_id"))
+      .join(broadcast(probeTbl), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        (0 until PqM).map(m =>
+          element_at(col(s"qd_$m"), col(s"ci_$m") + 1)).reduce(_ + _)
+          .as("score_nano"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("score_nano").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("neighbor_id"),
+        col("score_nano"), col("rnk"))
+  }
+
+  /** Declared query q_sim_topk_pq_ivf over the embeddings table. */
+  def pqIvfTopKQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    pqIvfTopKQ(graft.sources.Tables.embeddings(spark, dir))
 
   /** Declared query q_sim_topk_pq over the embeddings table. */
   def pqTopKQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =

@@ -16,6 +16,9 @@ object PlanAllowances {
     "q_density_sample",
     // nProbes-row ADC distance tables against the PQ code frame
     "q_sim_topk_pq",
+    // the IVFADC composition adds the 16-row centroid broadcast for
+    // the cell assignment; the code-frame join itself is cell-keyed
+    "q_sim_topk_pq_ivf",
     // ONE-row aggregate scalars / arrays broadcast onto a scored frame
     "q_dedup_ngram", "q_tfidf", "q_profile_approx", "q_profile",
     "q_profile_incr", "q_line_dedup", "q_line_dedup_incr", "q_vocab",

@@ -70,4 +70,41 @@ class PqSpec extends SparkSuite {
       assert(g.forall(x => x._2 != x._1))
     }
   }
+
+  test("IVFADC: cell blocking only prunes — scores identical, neighbors in probed cells") {
+    val df = synth(60)
+    val ivf = SimSearch.pqIvfTopKQ(df, nProbes = 3, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    PipelineCaches.release(spark)
+    // driver replay of the blocking: normalized argmax cell (sim desc,
+    // cell asc) over centroids 5..20; probe keeps its top-2 cells
+    val vs = (0L until 60L).map { i =>
+      i -> (0 until 64).map(j =>
+        ((((i * 31 + j * 17) % 97).toFloat - 48f) / 48f).toDouble).toArray
+    }.toMap
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: Long, b: Long) =
+      dot(vs(a), vs(b)) / (math.sqrt(dot(vs(a), vs(a))) * math.sqrt(dot(vs(b), vs(b))))
+    val cents = (5L until 21L).toSeq
+    def cellOf(i: Long): Long =
+      cents.map(c => (c, cos(i, c))).maxBy { case (c, s) => (s, -c) }._1
+    def probeCells(p: Long): Set[Long] =
+      cents.map(c => (c, cos(p, c))).sortBy { case (c, s) => (-s, c) }
+        .take(2).map(_._1).toSet
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (p, nb, _) =>
+      assert(probeCells(p).contains(cellOf(nb)),
+        s"neighbor $nb of probe $p must sit in a probed cell")
+    }
+    // blocking never changes a score: every (probe, neighbor) the IVF
+    // form returns carries the SAME ADC integer the full scan computes
+    val fullScores = SimSearch.pqTopKQ(df, nProbes = 3, k = 59)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    PipelineCaches.release(spark)
+    ivf.foreach { case (p, nb, s) =>
+      assert(fullScores((p, nb)) == s,
+        s"ADC score for ($p, $nb) diverged between full and blocked scans")
+    }
+  }
 }
