@@ -230,6 +230,26 @@ object ScaleSmoke {
               / 48.5 - 1.0).cast("float")).as("embedding"))))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // nano k-means: 3 assignment scans (grow ~k) + (cell, dim)-keyed
+      // mean aggregates bounded by nCells·dim — wall clock must track
+      // the corpus scan, never the model
+      run("kmeans", graft.ops.SimSearch.kmeansNanoQ(
+        docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(col("doc_id") * 37 + i * 17, lit(97)).cast("double")
+              / 48.5 - 1.0).cast("float")).as("embedding"))))
+      spark.sharedState.cacheManager.clearCache()
+      // adjacent-repeat collapse: pure map-side array exprs, the
+      // embarrassingly-linear floor every probe above sits on
+      run("collapse", graft.ops.TextOps.collapseRepeatsQ(docs))
+      spark.sharedState.cacheManager.clearCache()
+      // exact AUC: the classifier scan grows ~k; the rank tail is one
+      // narrow grouped table + a single-partition running sum over
+      // distinct scores (the declared exact form's documented cost)
+      run("auc", graft.ops.Scoring.aucQ(
+        docs.withColumn("lang",
+          when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

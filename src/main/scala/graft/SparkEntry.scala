@@ -131,6 +131,9 @@ object SparkEntry {
     // sixth index): totals = index counts + the delta's own counts
     "q_substring_dedup_incr" -> ((s, d) => Dedup.incrementalSubstringQ(s, d)),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    // asymmetric containment (|∩|/min) over the same shingle lane —
+    // catches a document pasted inside a longer one, which Jaccard dilutes
+    "q_dedup_containment" -> ((s, d) => Dedup.containmentPairs(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => Dedup.fingerprints(Tables.documents(s, d))),
     "q_multimodal" -> ((s, d) => MultiModal.payloadFeatures(Tables.documents(s, d))),
     // perceptual (dHash) near-dup over payloads + re-encoded variants:
@@ -177,6 +180,11 @@ object SparkEntry {
     // stream into 512-token sequences (per-shard summary)
     "q_tokenize_pack" -> ((s, d) => graft.ops.Bpe.tokenizePackQ(s, d)),
     "q_text_quality" -> ((s, d) => TextOps.qualityScores(Tables.documents(s, d))),
+    // consecutive-duplicate-token collapse (OCR/ASR stutter cleanup) —
+    // a pure map-side transform, zero shuffles at any corpus size
+    "q_collapse_repeats" -> ((s, d) => TextOps.collapseRepeatsQ(Tables.documents(s, d))),
+    // the Gopher doc-level rule battery, all-integer thresholds
+    "q_gopher_rules" -> ((s, d) => TextOps.gopherRulesQ(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextOps.repetitionScores(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "q_top_tokens" -> ((s, d) => TextOps.topTokens(Tables.documents(s, d))),
@@ -211,6 +219,9 @@ object SparkEntry {
     // shingle stream — shares q_decontaminate's oracle (bloom invisible)
     "q_decontaminate_bloom" -> ((s, d) => Dedup.contaminationBloomQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
+    // recall@k of the IVF search against the exact ground truth — the
+    // serving-side index acceptance audit, exact set arithmetic
+    "q_ann_recall" -> ((s, d) => SimSearch.annRecallQ(Tables.embeddings(s, d))),
     // product-quantization ANN (ADC, inner-product metric): corpus
     // encoded once as M=4 one-byte codes via a 32-row codebook
     // broadcast; probes score candidates off their precomputed nano
@@ -264,6 +275,10 @@ object SparkEntry {
     // sim-then-lowest-cell tie-break) under the hash gate in isolation
     // — the building block the IVF oracles above compose
     "q_cluster" -> ((s, d) => SimSearch.clusterProfileQ(s, d)),
+    // spherical k-means, BOTH steps gated: q_cluster's argmax E-step +
+    // an integer-nano M-step (exact sums, one rounded division per
+    // (cell, dim)) unrolled for 2 iterations
+    "q_kmeans" -> ((s, d) => SimSearch.kmeansNanoQ(Tables.embeddings(s, d))),
     // per-cluster outlier flags in exact integer-nano arithmetic (the
     // SemDeDup prune step; no distributed double mean anywhere)
     "q_embed_outlier" -> ((s, d) => SimSearch.embedOutlierQ(s, d)),
@@ -378,6 +393,12 @@ object SparkEntry {
     // linear fasttext-style keep/drop classifier: hashed-bucket features,
     // integer-milli weight table broadcast, exact order-free logit
     "q_quality_clf" -> ((s, d) => Scoring.qualityClassifierQ(Tables.documents(s, d))),
+    // exact tie-corrected ROC-AUC of the classifier logits against the
+    // lang='en' weak label — grouped Mann-Whitney, all-integer until
+    // the one final division
+    "q_auc" -> ((s, d) => Scoring.aucQ(Tables.documents(s, d))),
+    // the bounded-histogram scale form: same fold over ≤ 1024 bins
+    "q_auc_binned" -> ((s, d) => Scoring.aucBinnedQ(Tables.documents(s, d))),
     // temperature-flattened (alpha=0.5) source rebalancing, min-anchored
     "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d))),
     // exact-k deterministic per-stratum sample on the bounded-buffer
@@ -869,6 +890,32 @@ object SparkEntry {
       |sims AS (SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
       |list_dot_product(c.v, p.v)/(c.nrm*p.nrm) AS cos_sim
       |FROM n c JOIN n p ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
+      |SELECT * FROM (SELECT probe_id, neighbor_id, cos_sim,
+      |CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
+      |FROM sims) t WHERE rnk <= 5""".stripMargin
+
+  /** The sampled-centroid IVF oracle — declared for q_sim_topk_ivf and
+    * reused by q_ann_recall (the recall audit joins it against the
+    * exact [[SimTopKOracleSql]] ranking). */
+  private val IvfTopKOracleSql: String =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+      |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
+      |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
+      |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+      |WHERE vec_id >= 5 AND vec_id < 21),
+      |asg AS (SELECT vec_id, v, nrm, cell FROM (
+      |SELECT a.vec_id, a.v, a.nrm, c.cell, row_number() OVER (PARTITION BY a.vec_id
+      |ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell ASC) AS rn
+      |FROM nn a CROSS JOIN cents c) t WHERE rn = 1),
+      |pc AS (SELECT probe_id, pv, pn, cell FROM (
+      |SELECT p.vec_id AS probe_id, p.v AS pv, p.nrm AS pn, c.cell,
+      |row_number() OVER (PARTITION BY p.vec_id
+      |ORDER BY list_dot_product(p.v, c.cv)/(p.nrm*c.cn) DESC, c.cell ASC) AS cr
+      |FROM nn p CROSS JOIN cents c WHERE p.vec_id < 5) t WHERE cr <= 2),
+      |sims AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,
+      |list_dot_product(a.v, pc.pv)/(a.nrm*pc.pn) AS cos_sim
+      |FROM asg a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
       |SELECT * FROM (SELECT probe_id, neighbor_id, cos_sim,
       |CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
       |FROM sims) t WHERE rnk <= 5""".stripMargin
@@ -1409,6 +1456,22 @@ object SparkEntry {
         |CAST(c.n_common AS DOUBLE)/(sa.n_sh + sb.n_sh - c.n_common) AS jaccard
         |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
         |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_sh + sb.n_sh - c.n_common) >= 0.3""".stripMargin,
+    // same shingle lane, asymmetric measure: |∩| / min(|A|, |B|) ≥ 0.6
+    "q_dedup_containment" ->
+      """WITH sh AS (SELECT DISTINCT doc_id,
+        |unnest(list_transform(range(0, greatest(len(toks)-2, 0)),
+        |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+3], ' ')),1,15)) AS BIGINT))) AS shingle
+        |FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |FROM documents) t WHERE len(toks) >= 3),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 50),
+        |shf AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+        |sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b,
+        |CAST(c.n_common AS DOUBLE)/least(sa.n_sh, sb.n_sh) AS containment
+        |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+        |WHERE CAST(c.n_common AS DOUBLE)/least(sa.n_sh, sb.n_sh) >= 0.6""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, list_aggregate(list_transform(range(0, greatest(len(toks)-5, 0)+1),
         |i -> md5(array_to_string(toks[i+1:i+5], ' '))), 'min') AS fp
@@ -1549,6 +1612,45 @@ object SparkEntry {
         |CAST(count(DISTINCT CAST(floor((cum - enc_len) / 512.0) AS BIGINT)) AS BIGINT) AS n_seqs,
         |CAST(max(CAST(floor((cum - enc_len) / 512.0) AS BIGINT)) AS BIGINT) AS last_seq
         |FROM c GROUP BY shard""".stripMargin),
+    // Gopher doc-level battery: every threshold in integer
+    // cross-multiplied form, so the flags are exact in any engine
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        |FROM documents),
+        |b AS (SELECT doc_id,
+        |CAST(len(tk) AS BIGINT) AS n_words,
+        |CAST(coalesce(list_sum(list_transform(tk, x -> length(x))), 0) AS BIGINT) AS sum_word_len,
+        |CAST((length(text) - length(replace(text, '...', ''))) // 3
+        |+ (length(text) - length(replace(text, '#', ''))) AS BIGINT) AS n_symbols,
+        |CAST(len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+        |CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |s -> list_contains(tk, s))) AS BIGINT) AS n_stop_hits
+        |FROM t)
+        |SELECT doc_id, n_words, sum_word_len, n_symbols, n_alpha_words, n_stop_hits,
+        |CAST(n_words >= 50 AND n_words <= 100000 AS BIGINT) AS r_word_count,
+        |CAST(sum_word_len >= 3*n_words AND sum_word_len <= 10*n_words AND n_words > 0 AS BIGINT) AS r_mean_word_len,
+        |CAST(10*n_symbols <= n_words AND n_words > 0 AS BIGINT) AS r_symbol_ratio,
+        |CAST(5*n_alpha_words >= 4*n_words AND n_words > 0 AS BIGINT) AS r_alpha_words,
+        |CAST(n_stop_hits >= 2 AS BIGINT) AS r_stopwords,
+        |CAST(r_word_count + r_mean_word_len + r_symbol_ratio
+        |+ r_alpha_words + r_stopwords = 5 AS BIGINT) AS keep
+        |FROM b""".stripMargin,
+    // adjacent-duplicate collapse: keep token i iff first or ≠ token i−1
+    "q_collapse_repeats" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        |FROM documents),
+        |u AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(1, len(tk)+1)) AS pos FROM t),
+        |k AS (SELECT doc_id, tok, pos,
+        |lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM u),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |FROM k WHERE prev IS NULL OR tok <> prev GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+        |coalesce(kept.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN kept ON kept.doc_id = t.doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, CAST(n_tok AS BIGINT) AS n_tokens,
         |CAST(length(text) AS DOUBLE)/n_tok AS avg_tok_len,
@@ -1991,28 +2093,57 @@ object SparkEntry {
         |SELECT * FROM (SELECT probe_id, neighbor_id, cos_sim,
         |CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
         |FROM sims) t WHERE rnk <= 5""".stripMargin,
-    "q_sim_topk_ivf" ->
+    "q_sim_topk_ivf" -> IvfTopKOracleSql,
+    // recall@5 of the IVF ranking against the exact one — both CTEs are
+    // the two gated operators' own oracle texts, so the audit replays
+    // byte-identical ground truth
+    "q_ann_recall" ->
+      s"""WITH ex AS (SELECT probe_id, neighbor_id FROM ($SimTopKOracleSql) e),
+         |ap AS (SELECT probe_id, neighbor_id FROM ($IvfTopKOracleSql) a),
+         |h AS (SELECT probe_id, count(*) AS n_hits
+         |FROM ap JOIN ex USING (probe_id, neighbor_id) GROUP BY probe_id)
+         |SELECT p.probe_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5.0, 6) AS recall_at_k
+         |FROM (SELECT DISTINCT probe_id FROM ex) p
+         |LEFT JOIN h ON h.probe_id = p.probe_id""".stripMargin,
+    // spherical k-means, 2 unrolled Lloyd iterations: argmax E-step
+    // (cosine desc, cell asc) + integer-nano M-step (exact BIGINT sums,
+    // one correctly-rounded double division per (cell, dim))
+    "q_kmeans" ->
       """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
         |list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0),
         |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n),
-        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
-        |WHERE vec_id >= 5 AND vec_id < 21),
-        |asg AS (SELECT vec_id, v, nrm, cell FROM (
-        |SELECT a.vec_id, a.v, a.nrm, c.cell, row_number() OVER (PARTITION BY a.vec_id
+        |c0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+        |WHERE vec_id >= 5 AND vec_id < 13),
+        |a1 AS (SELECT vec_id, v, cell FROM (
+        |SELECT a.vec_id, a.v, c.cell, row_number() OVER (PARTITION BY a.vec_id
         |ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell ASC) AS rn
-        |FROM nn a CROSS JOIN cents c) t WHERE rn = 1),
-        |pc AS (SELECT probe_id, pv, pn, cell FROM (
-        |SELECT p.vec_id AS probe_id, p.v AS pv, p.nrm AS pn, c.cell,
-        |row_number() OVER (PARTITION BY p.vec_id
-        |ORDER BY list_dot_product(p.v, c.cv)/(p.nrm*c.cn) DESC, c.cell ASC) AS cr
-        |FROM nn p CROSS JOIN cents c WHERE p.vec_id < 5) t WHERE cr <= 2),
-        |sims AS (SELECT pc.probe_id, a.vec_id AS neighbor_id,
-        |list_dot_product(a.v, pc.pv)/(a.nrm*pc.pn) AS cos_sim
-        |FROM asg a JOIN pc ON a.cell = pc.cell AND a.vec_id <> pc.probe_id)
-        |SELECT * FROM (SELECT probe_id, neighbor_id, cos_sim,
-        |CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) AS rnk
-        |FROM sims) t WHERE rnk <= 5""".stripMargin,
+        |FROM nn a CROSS JOIN c0 c) t WHERE rn = 1),
+        |e1 AS (SELECT cell, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a1),
+        |m1 AS (SELECT cell, pos, CAST(sum(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |/ CAST(count(*) * 1000000000 AS DOUBLE) AS mv FROM e1 GROUP BY cell, pos),
+        |c1 AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM
+        |(SELECT cell, list(mv ORDER BY pos) AS cv FROM m1 GROUP BY cell) t
+        |WHERE list_dot_product(cv, cv) > 0),
+        |a2 AS (SELECT vec_id, v, cell FROM (
+        |SELECT a.vec_id, a.v, c.cell, row_number() OVER (PARTITION BY a.vec_id
+        |ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell ASC) AS rn
+        |FROM nn a CROSS JOIN c1 c) t WHERE rn = 1),
+        |e2 AS (SELECT cell, unnest(v) AS x, unnest(range(1, len(v)+1)) AS pos FROM a2),
+        |m2 AS (SELECT cell, pos, CAST(sum(CAST(round(x * 1000000000.0) AS BIGINT)) AS DOUBLE)
+        |/ CAST(count(*) * 1000000000 AS DOUBLE) AS mv FROM e2 GROUP BY cell, pos),
+        |c2 AS (SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM
+        |(SELECT cell, list(mv ORDER BY pos) AS cv FROM m2 GROUP BY cell) t
+        |WHERE list_dot_product(cv, cv) > 0),
+        |af AS (SELECT vec_id, cell FROM (
+        |SELECT a.vec_id, c.cell, row_number() OVER (PARTITION BY a.vec_id
+        |ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell ASC) AS rn
+        |FROM nn a CROSS JOIN c2 c) t WHERE rn = 1)
+        |SELECT af.cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |round(any_value(list_sum(c2.cv)), 6) AS cv_sum,
+        |round(any_value(c2.cn), 6) AS cv_norm
+        |FROM af JOIN c2 ON c2.cell = af.cell GROUP BY af.cell""".stripMargin,
     // trained-IVF recall gate: the ground truth is the exact top-k CTE;
     // the law booleans replay as literal TRUE
     "q_sim_topk_ivf_trained" ->
@@ -2764,6 +2895,53 @@ object SparkEntry {
         |CAST(sum(wm) AS DOUBLE) / (count(*) * 1000.0) AS logit,
         |CAST(sum(wm) >= 0 AS BIGINT) AS keep
         |FROM tk JOIN w USING (bucket) GROUP BY doc_id""".stripMargin,
+    // grouped Mann-Whitney: u2 = Σ_g pos_g·(2·cum_neg_below + neg_g)
+    // (×2 keeps the ½ tie credit integral); scores on the 6-dp grid
+    "q_auc" ->
+      """WITH w AS (SELECT j AS bucket,
+        |CAST(('0x'||substr(md5('w:'||j),1,15)) AS BIGINT) % 2001 - 1000 AS wm
+        |FROM (SELECT unnest(range(0, 1024)) AS j) z),
+        |tk AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1024 AS bucket FROM
+        |(SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> x <> '')) AS tok FROM documents) u),
+        |sc AS (SELECT doc_id, CAST(sum(wm) AS DOUBLE) / (count(*) * 1000.0) AS logit
+        |FROM tk JOIN w USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT s.logit AS score,
+        |CAST(coalesce(d.lang = 'en', FALSE) AS BIGINT) AS label
+        |FROM sc s JOIN documents d ON d.doc_id = s.doc_id),
+        |g AS (SELECT score, sum(label) AS pos, sum(1 - label) AS neg FROM lab GROUP BY score),
+        |c AS (SELECT pos, neg, coalesce(sum(neg) OVER (ORDER BY score ASC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg FROM g)
+        |SELECT CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+        |CAST(sum(pos * (2*cum_neg + neg)) AS BIGINT) AS u2,
+        |CASE WHEN sum(pos) * sum(neg) = 0 THEN NULL
+        |ELSE round(CAST(sum(pos * (2*cum_neg + neg)) AS DOUBLE) / (2.0 * sum(pos) * sum(neg)), 6)
+        |END AS auc FROM c""".stripMargin,
+    // the fixed-1024-bin histogram form: bin = ⌊(logit+1)·512⌋ clamped,
+    // same fold over the bounded bin table
+    "q_auc_binned" ->
+      """WITH w AS (SELECT j AS bucket,
+        |CAST(('0x'||substr(md5('w:'||j),1,15)) AS BIGINT) % 2001 - 1000 AS wm
+        |FROM (SELECT unnest(range(0, 1024)) AS j) z),
+        |tk AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1024 AS bucket FROM
+        |(SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> x <> '')) AS tok FROM documents) u),
+        |sc AS (SELECT doc_id, CAST(sum(wm) AS DOUBLE) / (count(*) * 1000.0) AS logit
+        |FROM tk JOIN w USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT least(1023, CAST(floor((s.logit + 1.0) * 512.0) AS BIGINT)) AS bin,
+        |CAST(coalesce(d.lang = 'en', FALSE) AS BIGINT) AS label
+        |FROM sc s JOIN documents d ON d.doc_id = s.doc_id),
+        |g AS (SELECT bin, sum(label) AS pos, sum(1 - label) AS neg FROM lab GROUP BY bin),
+        |c AS (SELECT pos, neg, coalesce(sum(neg) OVER (ORDER BY bin ASC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins_used,
+        |CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+        |CAST(sum(pos * (2*cum_neg + neg)) AS BIGINT) AS u2,
+        |CASE WHEN sum(pos) * sum(neg) = 0 THEN NULL
+        |ELSE round(CAST(sum(pos * (2*cum_neg + neg)) AS DOUBLE) / (2.0 * sum(pos) * sum(neg)), 6)
+        |END AS auc_binned FROM c""".stripMargin,
     // Temperature sampling: rate_s = sqrt(n_min / n_s) — one IEEE
     // division + one correctly-rounded sqrt per stratum, so the
     // millionths thresholds are bit-identical across engines (no

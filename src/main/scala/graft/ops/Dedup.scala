@@ -85,8 +85,20 @@ object Dedup {
     * and the shuffle carries only the (tiny) surviving result instead of
     * the full candidate stream. */
   private def jaccardVerify(cand: DataFrame, sets: DataFrame, setCol: String,
-      threshold: Double, mode: String, dedupAfter: Boolean = false): DataFrame = {
+      threshold: Double, mode: String, dedupAfter: Boolean = false,
+      measure: String = "jaccard"): DataFrame = {
     SortedLongIntersectCount.register(cand.sparkSession)
+    // the two set-overlap measures this lane serves: symmetric Jaccard
+    // (|∩| / |∪|, the near-dup default) and CONTAINMENT
+    // (|∩| / min(|A|, |B|) — catches a document embedded inside a
+    // larger one, where the union in Jaccard's denominator dilutes the
+    // overlap below any usable threshold)
+    val score = measure match {
+      case "containment" =>
+        col("n_common").cast("double") / least(col("na"), col("nb"))
+      case _ =>
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
+    }
     val verified = attachSet(attachSet(cand, sets, "doc_a", setCol, "set_a", mode),
         sets, "doc_b", setCol, "set_b", mode)
       .select(col("doc_a"), col("doc_b"),
@@ -94,11 +106,10 @@ object Dedup {
         // SortedLongIntersectCount for why array_intersect loses here
         expr("sorted_intersect_count(set_a, set_b)").as("n_common"),
         size(col("set_a")).as("na"), size(col("set_b")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), score.as(measure))
+      .filter(col(measure) >= threshold)
     if (dedupAfter)
-      verified.groupBy(col("doc_a"), col("doc_b")).agg(first(col("jaccard")).as("jaccard"))
+      verified.groupBy(col("doc_a"), col("doc_b")).agg(first(col(measure)).as(measure))
     else verified
   }
 
@@ -1191,6 +1202,36 @@ object Dedup {
       maxDf: Int = 50, threshold: Double = 0.3,
       verifyMode: String = VerifyBroadcast,
       maxFrequentBroadcast: Long = 4096L): DataFrame = {
+    val (cand, shSets) = shingleCandidates(docs, n, maxDf, maxFrequentBroadcast)
+    jaccardVerify(cand, shSets, "shs", threshold, verifyMode)
+  }
+
+  /** Containment near-dup pairs (q_dedup_containment) — the asymmetric
+    * sibling of [[ngramJaccardPairs]]: score = |A∩B| / min(|A|, |B|)
+    * over the same df-capped distinct-shingle sets. This is the measure
+    * that catches SUB-DOCUMENT duplication — a short document pasted
+    * whole into a much longer one scores containment ≈ 1 while its
+    * Jaccard collapses toward |A|/|B| (the union dilutes it below any
+    * near-dup threshold), so a Jaccard-only dedup pass ships the copy.
+    * Blocking, df cap, candidate dedup and the verify modes are all
+    * shared with the Jaccard lane (one declared semantics for the
+    * shingle pipeline, one oracle spelling), so the scale posture is
+    * identical: banded by shared rare shingles, never all-pairs. */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      maxDf: Int = 50, threshold: Double = 0.6,
+      verifyMode: String = VerifyBroadcast,
+      maxFrequentBroadcast: Long = 4096L): DataFrame = {
+    val (cand, shSets) = shingleCandidates(docs, n, maxDf, maxFrequentBroadcast)
+    jaccardVerify(cand, shSets, "shs", threshold, verifyMode,
+      measure = "containment")
+  }
+
+  /** Shared front half of the shingle near-dup lane: per-doc df-capped
+    * distinct-shingle sets plus the deduplicated candidate pairs that
+    * share ≥ 1 rare shingle. Both returned frames ride the pipeline
+    * cache (lifetime: caller's PipelineCaches.release). */
+  private def shingleCandidates(docs: DataFrame, n: Int, maxDf: Int,
+      maxFrequentBroadcast: Long): (DataFrame, DataFrame) = {
     // Per-doc DISTINCT shingle arrays in ONE map-side pass (shingles are
     // 60-bit md5-prefix longs, mirrored in the oracle): shingle sets are
     // per-document, so deduplication is array_distinct inside the row —
@@ -1268,7 +1309,7 @@ object Dedup {
     // partial-aggregated map-side (measured ≈1.1× amplification at
     // sf0.1, but unbounded adversarially), so dedup-first is the shape
     // that survives 100 TB.
-    jaccardVerify(candRaw.distinct(), shSets, "shs", threshold, verifyMode)
+    (candRaw.distinct(), shSets)
   }
 
   /** Span-level corpus dedup — the C4/CCNet "line dedup" adapted to a

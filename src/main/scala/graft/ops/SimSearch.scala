@@ -488,6 +488,55 @@ object SimSearch {
     cents
   }
 
+  /** Spherical k-means on the nano grid (q_kmeans) — [[trainIvfCentroids]]'
+    * E/M loop with the one change that puts the M-STEP under the DuckDB
+    * hash gate: per-(cell, dim) means are computed over integer NANOS
+    * (round(x·1e9) per element — exact longs, so the sums are
+    * order-free under any partitioning) and the mean itself is the one
+    * correctly-rounded double division nano_sum / (n·1e9) — bit-identical
+    * in every engine, where trainIvfCentroids' double `avg` is
+    * reduction-order noise the oracle cannot replay. Assignment is
+    * q_cluster's gated argmax (cosine desc, cell asc). Cells that lose
+    * every member drop out, exactly as in training.
+    *
+    * Scale shape per iteration: one corpus exchange for the assignment
+    * argmax, one (cell, dim)-keyed partial+final aggregate for the
+    * means (nCells·dim rows out — model-sized), centroids broadcast
+    * back. The declared form keeps the loop UNCACHED (2 fixed
+    * iterations: the corpus is re-scanned once per round inside one
+    * pure plan the oracle can unroll); the deployment path for deep
+    * loops is trainIvfCentroids' per-round materialization. Output:
+    * per surviving cell, final-assignment population + centroid
+    * checksum (element sum + norm on the 6-dp grid). */
+  def kmeansNanoQ(embeddings: DataFrame, nCells: Int = 8, iters: Int = 2,
+      seedFrom: Int = 5): DataFrame = {
+    val emb = normed(embeddings)
+    var cents = emb
+      .filter(col("vec_id") >= seedFrom && col("vec_id") < seedFrom + nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 1 to iters) {
+      cents = assignCells(emb, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(round(col("x") * lit(1000000000.0)).cast("long")).as("s"),
+          count(lit(1)).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"),
+          (col("s").cast("double") /
+            (col("m") * lit(1000000000L)).cast("double")).as("mv")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), x => x.getField("mv")).as("cv"))
+        .withColumn("cn", sqrt(ndot(col("cv"), col("cv"))))
+        .filter(col("cn") > 0)
+    }
+    assignCells(emb, cents)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(cents.select(col("cell"),
+        round(aggregate(col("cv"), lit(0.0), (a, x) => a + x), 6).as("cv_sum"),
+        round(col("cn"), 6).as("cv_norm")), Seq("cell"))
+      .select(col("cell"), col("n_vecs"), col("cv_sum"), col("cv_norm"))
+  }
+
   /** IVF top-k with an explicit centroid table (cell, cv, cn) — from
     * [[sampledCentroids]] or [[trainIvfCentroids]]. */
   def ivfTopKWith(embeddings: DataFrame, centroids: DataFrame,
@@ -522,6 +571,41 @@ object SimSearch {
       nCells: Int = 16, nProbeCells: Int = 2): DataFrame =
     ivfTopKWith(embeddings, sampledCentroids(embeddings, nCells, nProbes),
       nProbes, k, nProbeCells)
+
+  /** ANN index-quality audit (q_ann_recall): recall@k of the IVF
+    * approximate search against the exact brute-force ground truth —
+    * the acceptance gate a serving team runs before routing traffic to
+    * an index (tune nProbeCells until measured recall clears the SLA,
+    * re-run after every rebuild). Per probe: how many of the exact
+    * top-k neighbors did the cell-pruned search return?
+    *
+    * Both rankings are the declared deterministic operators
+    * ([[cosineTopK]], [[ivfTopK]] — identical tie-breaks), so the hit
+    * count is exact set arithmetic the oracle replays, not a sampled
+    * estimate. Probes that lose every true neighbor to an unprobed
+    * cell still emit a row (n_hits = 0) — silent dropout is exactly
+    * what the audit exists to catch.
+    *
+    * Scale shape: the two searches are the audited operators
+    * themselves (each bounded by its own declared posture); the audit
+    * tail joins two k·|probes|-row frames on (probe_id, neighbor_id)
+    * and aggregates — audit-side work is O(k·|probes|), independent of
+    * corpus size. */
+  def annRecallQ(embeddings: DataFrame, nProbes: Int = 5, k: Int = 5,
+      nCells: Int = 16, nProbeCells: Int = 2): DataFrame = {
+    val exact = cosineTopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val approx = ivfTopK(embeddings, nProbes, k, nCells, nProbeCells)
+      .select(col("probe_id"), col("neighbor_id"))
+    val hits = approx.join(exact, Seq("probe_id", "neighbor_id"), "left_semi")
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("h"))
+    exact.select(col("probe_id")).distinct()
+      .join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        coalesce(col("h"), lit(0L)).as("n_hits"),
+        round(coalesce(col("h"), lit(0L)).cast("double") / k, 6)
+          .as("recall_at_k"))
+  }
 
   /** Persist the inverted file for IVF search: every corpus vector
     * assigned to its nearest centroid, written PARTITIONED BY cell id

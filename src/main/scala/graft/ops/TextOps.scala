@@ -560,4 +560,88 @@ object TextOps {
         sum(col("n_tok")).as("total_tokens"),
         sum(when(col("n_h") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
   }
+
+  /** The Gopher document-quality rule battery (q_gopher_rules — Rae et
+    * al. 2021, Appendix A): the doc-LEVEL companion to the line-level
+    * [[c4FiltersQ]] and the ratio-scoring [[qualityScores]]. Five
+    * rules, each emitted as its own flag so a curation run can audit
+    * which rule fired before trusting the combined keep:
+    *   word count ∈ [50, 100 000]; mean word length ∈ [3, 10];
+    *   symbol-to-word ratio ('#' + '…'-as-'...') ≤ 0.1; ≥ 80% of words
+    *   contain an alphabetic character; ≥ 2 distinct stop words from
+    *   the published 8-word set.
+    * Every threshold is evaluated in INTEGER cross-multiplied form
+    * (3n ≤ Σlen ≤ 10n, 10·symbols ≤ n, 5·alpha ≥ 4·n) — no double
+    * division anywhere, so the flags are exact in any engine and the
+    * zero-word degenerate fails the bounds rules instead of dividing
+    * by zero.
+    *
+    * Pure per-row codegen over one scan — no shuffle at any corpus
+    * size (same posture as [[c4FiltersQ]]). */
+  def gopherRulesQ(docs: DataFrame): DataFrame = {
+    val stopSet = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val tk = filter(toks(col("text")), t => t =!= "")
+    val nWords = col("n_words")
+    val ellipses = (length(col("text"))
+      - length(call_function("replace", col("text"), lit("..."), lit("")))) / 3
+    val hashes = (length(col("text"))
+      - length(call_function("replace", col("text"), lit("#"), lit(""))))
+    docs
+      .select(col("doc_id"), col("text"), tk.as("__tk"))
+      .select(col("doc_id"),
+        size(col("__tk")).cast("long").as("n_words"),
+        aggregate(col("__tk"), lit(0L), (a, x) => a + length(x)).as("sum_word_len"),
+        (ellipses + hashes).cast("long").as("n_symbols"),
+        size(filter(col("__tk"), x => regexp_like(x, lit("[a-z]"))))
+          .cast("long").as("n_alpha_words"),
+        size(filter(array(stopSet.map(lit): _*),
+          s => array_contains(col("__tk"), s))).cast("long").as("n_stop_hits"))
+      .withColumn("r_word_count",
+        (nWords >= 50L && nWords <= 100000L).cast("long"))
+      .withColumn("r_mean_word_len",
+        (col("sum_word_len") >= lit(3L) * nWords &&
+          col("sum_word_len") <= lit(10L) * nWords && nWords > 0L).cast("long"))
+      .withColumn("r_symbol_ratio",
+        (lit(10L) * col("n_symbols") <= nWords && nWords > 0L).cast("long"))
+      .withColumn("r_alpha_words",
+        (lit(5L) * col("n_alpha_words") >= lit(4L) * nWords && nWords > 0L)
+          .cast("long"))
+      .withColumn("r_stopwords", (col("n_stop_hits") >= 2L).cast("long"))
+      .withColumn("keep",
+        (col("r_word_count") + col("r_mean_word_len") + col("r_symbol_ratio")
+          + col("r_alpha_words") + col("r_stopwords") === 5L).cast("long"))
+  }
+
+  /** Consecutive-duplicate-token collapse (q_collapse_repeats) — the
+    * stutter cleanup OCR/ASR-sourced corpora run before tokenization:
+    * a run of k identical adjacent tokens collapses to one ("the the
+    * the" → "the"), non-adjacent repeats untouched (that is
+    * [[repetitionScores]]' territory). A transform, not a filter: the
+    * cleaned text is the output, with before/after counts so the
+    * caller can audit how much was stutter.
+    *
+    * Pure per-row array expressions — tokenize, keep token i iff it is
+    * the first or differs from token i−1 (the index-aware lambda
+    * `filter`, codegen'd), re-join. NO shuffle anywhere: the operator
+    * is map-side over the document scan at any corpus size, the ideal
+    * 100 TB shape. Empty/whitespace-only docs pass through with zero
+    * counts. */
+  def collapseRepeatsQ(docs: DataFrame): DataFrame = {
+    val tokArr = filter(toks(col("text")), t => t =!= "")
+    docs
+      .select(col("doc_id"), tokArr.as("tk"))
+      .select(col("doc_id"),
+        col("tk"),
+        // element_at is 1-based, so position i IS the previous token of
+        // 0-based lambda index i; the greatest() guard keeps the index
+        // legal at i = 0 (OR does not short-circuit in codegen — an
+        // element_at(tk, 0) would throw INVALID_ARRAY_INDEX), where the
+        // i === 0 arm decides anyway
+        filter(col("tk"), (t, i) =>
+          (i === 0) || (t =!= element_at(col("tk"), greatest(i, lit(1))))).as("kept"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
 }

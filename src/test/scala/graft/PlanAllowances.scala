@@ -14,6 +14,13 @@ object PlanAllowances {
     "q_sim_topk", "q_sim_topk_ivf", "q_sim_topk_ivf_trained",
     "q_cluster", "q_knn_clf", "q_knn_clf_ivf", "q_embed_outlier",
     "q_density_sample",
+    // nano k-means: the per-iteration centroid table (≤ nCells rows)
+    // broadcast for each unrolled E-step; the recall audit composes
+    // q_sim_topk's probe broadcast with q_sim_topk_ivf's centroid one
+    "q_kmeans", "q_ann_recall",
+    // containment rides the ngram shingle lane and its one-row
+    // frequent-set broadcast (shared shingleCandidates core)
+    "q_dedup_containment",
     // nProbes-row ADC distance tables against the PQ code frame
     "q_sim_topk_pq",
     // the IVFADC composition adds the 16-row centroid broadcast for
