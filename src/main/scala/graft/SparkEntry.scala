@@ -399,6 +399,12 @@ object SparkEntry {
     "q_auc" -> ((s, d) => Scoring.aucQ(Tables.documents(s, d))),
     // the bounded-histogram scale form: same fold over ≤ 1024 bins
     "q_auc_binned" -> ((s, d) => Scoring.aucBinnedQ(Tables.documents(s, d))),
+    // precision/recall/F1 at every distinct-logit threshold — exact
+    // BIGINT confusion counts from descending running sums
+    "q_pr_curve" -> ((s, d) => Scoring.prCurveQ(Tables.documents(s, d))),
+    // expected calibration error: integer-micro confidences, 10 bins,
+    // one final division
+    "q_ece" -> ((s, d) => Scoring.eceQ(Tables.documents(s, d))),
     // temperature-flattened (alpha=0.5) source rebalancing, min-anchored
     "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d))),
     // exact-k deterministic per-stratum sample on the bounded-buffer
@@ -2942,6 +2948,60 @@ object SparkEntry {
         |CASE WHEN sum(pos) * sum(neg) = 0 THEN NULL
         |ELSE round(CAST(sum(pos * (2*cum_neg + neg)) AS DOUBLE) / (2.0 * sum(pos) * sum(neg)), 6)
         |END AS auc_binned FROM c""".stripMargin,
+    // PR sweep: tp/fp are DESCENDING running sums over the grouped
+    // score table; fn = P - tp; one rounded division per metric
+    "q_pr_curve" ->
+      """WITH w AS (SELECT j AS bucket,
+        |CAST(('0x'||substr(md5('w:'||j),1,15)) AS BIGINT) % 2001 - 1000 AS wm
+        |FROM (SELECT unnest(range(0, 1024)) AS j) z),
+        |tk AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1024 AS bucket FROM
+        |(SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> x <> '')) AS tok FROM documents) u),
+        |sc AS (SELECT doc_id, CAST(sum(wm) AS DOUBLE) / (count(*) * 1000.0) AS logit
+        |FROM tk JOIN w USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT s.logit AS threshold,
+        |CAST(coalesce(d.lang = 'en', FALSE) AS BIGINT) AS label
+        |FROM sc s JOIN documents d ON d.doc_id = s.doc_id),
+        |g AS (SELECT threshold, sum(label) AS pos, sum(1 - label) AS neg
+        |FROM lab GROUP BY threshold),
+        |c AS (SELECT threshold,
+        |sum(pos) OVER (ORDER BY threshold DESC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |sum(neg) OVER (ORDER BY threshold DESC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+        |sum(pos) OVER () - sum(pos) OVER (ORDER BY threshold DESC
+        |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fn FROM g)
+        |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |CAST(fn AS BIGINT) AS fn,
+        |round(CAST(tp AS DOUBLE) / (tp + fp), 6) AS "precision",
+        |CASE WHEN tp + fn = 0 THEN NULL
+        |ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+        |round(2.0 * tp / CAST(2*tp + fp + fn AS DOUBLE), 6) AS f1
+        |FROM c""".stripMargin,
+    // ECE: integer-micro confidences p_micro = ⌊(swm+1000n)·10⁶/(2000n)⌋,
+    // 10 equal-width bins, gap |10⁶·Σlabel − Σp_micro| stays integral
+    "q_ece" ->
+      """WITH w AS (SELECT j AS bucket,
+        |CAST(('0x'||substr(md5('w:'||j),1,15)) AS BIGINT) % 2001 - 1000 AS wm
+        |FROM (SELECT unnest(range(0, 1024)) AS j) z),
+        |tk AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1024 AS bucket FROM
+        |(SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> x <> '')) AS tok FROM documents) u),
+        |sc AS (SELECT doc_id,
+        |CAST((sum(wm) + 1000*count(*)) * 1000000 // (2000*count(*)) AS BIGINT) AS p_micro
+        |FROM tk JOIN w USING (bucket) GROUP BY doc_id),
+        |lab AS (SELECT least(9, p_micro // 100000) AS bin,
+        |CAST(coalesce(d.lang = 'en', FALSE) AS BIGINT) AS label, p_micro
+        |FROM sc s JOIN documents d ON d.doc_id = s.doc_id),
+        |g AS (SELECT bin, count(*) AS n, sum(label) AS s_label,
+        |sum(p_micro) AS s_conf FROM lab GROUP BY bin)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+        |CAST(count(*) AS BIGINT) AS n_bins_used,
+        |CAST(sum(abs(1000000*s_label - s_conf)) AS BIGINT) AS gap_sum,
+        |round(CAST(sum(abs(1000000*s_label - s_conf)) AS DOUBLE) / (1000000.0 * sum(n)), 6) AS ece
+        |FROM g""".stripMargin,
     // Temperature sampling: rate_s = sqrt(n_min / n_s) — one IEEE
     // division + one correctly-rounded sqrt per stratum, so the
     // millionths thresholds are bit-identical across engines (no

@@ -372,4 +372,103 @@ object Scoring {
           .otherwise(round(col("u2").cast("double") /
             (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc_binned"))
   }
+
+  /** Precision/recall/F1 threshold sweep (q_pr_curve) — the operating-
+    * point readout that turns [[aucQ]]'s single ranking number into a
+    * deployable keep/drop threshold: for every candidate threshold t
+    * (each distinct classifier logit), predict keep when logit ≥ t and
+    * report the confusion counts and derived metrics at that cut.
+    *
+    * Same exactness discipline as the AUC fold: group docs by the raw
+    * bit-identical logit, then tp/fp at each threshold are DESCENDING
+    * running sums over the grouped table — exact BIGINTs, order-free —
+    * and precision = tp/(tp+fp), recall = tp/P, f1 = 2tp/(2tp+fp+fn)
+    * are each ONE correctly-rounded double division at the end.
+    *
+    * Scale shape: scoring is the classifier's broadcast join + per-doc
+    * aggregate; the sweep shuffles one narrow row per DISTINCT score
+    * and the running sums are a global ordered window over that grouped
+    * table — the same declared exact-rank form as [[aucQ]], with the
+    * same published scale branch (swap the grouping key to the fixed
+    * 1024-bin histogram and the sweep is bounded whatever the corpus). */
+  def prCurveQ(docs: DataFrame): DataFrame = {
+    val scored = qualityClassifierQ(docs)
+    val labeled = scored.join(
+      docs.select(col("doc_id"),
+        coalesce(col("lang") === "en", lit(false)).cast("long").as("label")),
+      Seq("doc_id"))
+    val byScore = labeled
+      .groupBy(col("logit").as("threshold"))
+      .agg(sum(col("label")).as("pos"), sum(lit(1L) - col("label")).as("neg"))
+    val atOrAbove = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byScore
+      .select(col("threshold"),
+        sum(col("pos")).over(atOrAbove).as("tp"),
+        sum(col("neg")).over(atOrAbove).as("fp"),
+        (sum(col("pos")).over(whole) - sum(col("pos")).over(atOrAbove)).as("fn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") / (col("tp") + col("fp")), 6).as("precision"),
+        when(col("tp") + col("fn") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+          .as("recall"),
+        round(lit(2.0) * col("tp") /
+          (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+          .as("f1"))
+  }
+
+  /** Expected calibration error (q_ece, Naeini 2015 / Guo 2017) — the
+    * companion readout to [[aucQ]]: AUC says the scorer RANKS well, ECE
+    * says whether its confidence means what it claims, which decides if
+    * the keep threshold can be read as a probability when mixing
+    * filtered corpora. Confidence is the declared affine calibration of
+    * the linear score, p = (logit + 1)/2 ∈ [0,1] (the logit is a mean
+    * of [-1,1] milli-weights so the map is total — and unlike a sigmoid
+    * it needs no transcendental whose last ulp differs across engines).
+    *
+    * Exactness: each doc's confidence is materialized as an integer
+    * MICRO value, p_micro = ⌊(swm + 1000·n_tok)·10⁶ / (2000·n_tok)⌋ —
+    * the floor of an exact rational, identical in every engine — and
+    * every per-bin statistic is a BIGINT sum of those. The 10-bin
+    * equal-width histogram bins on p_micro div 100000 (clamped to 9),
+    * the per-bin calibration gap is |10⁶·Σlabel − Σp_micro| (still
+    * integral), and ece = Σ_b gap_b / (10⁶·N) is one final division.
+    *
+    * Scale shape: one broadcast model join + one per-doc aggregate
+    * (shared with the classifier), then a 10-row bin aggregate — the
+    * whole calibration tail is bounded by construction. */
+  def eceQ(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Md5Bits.register(spark)
+    val weights = qualityClassifierWeights(spark)
+    val bucketed = graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("doc_id"),
+        pmod(call_function(graft.functions.Md5Bits.FnName,
+          col("token"), lit(0), lit(15)), lit(1024L)).as("bucket"))
+    val scored = bucketed.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wm")).as("swm"))
+      .select(col("doc_id"),
+        expr("(swm + 1000 * n_tokens) * 1000000 div (2000 * n_tokens)")
+          .as("p_micro"))
+    val labeled = scored.join(
+      docs.select(col("doc_id"),
+        coalesce(col("lang") === "en", lit(false)).cast("long").as("label")),
+      Seq("doc_id"))
+    labeled
+      .groupBy(least(lit(nBins - 1L),
+        expr(s"p_micro div ${1000000 / nBins}")).as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("label")).as("s_label"),
+        sum(col("p_micro")).as("s_conf"))
+      .agg(count(lit(1)).as("n_bins_used"), sum(col("n")).as("n_docs"),
+        sum(abs(lit(1000000L) * col("s_label") - col("s_conf"))).as("gap_sum"))
+      .select(col("n_docs"), col("n_bins_used"), col("gap_sum"),
+        round(col("gap_sum").cast("double") / (lit(1e6) * col("n_docs")), 6)
+          .as("ece"))
+  }
 }
