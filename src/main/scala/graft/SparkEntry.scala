@@ -353,6 +353,12 @@ object SparkEntry {
     // token-hash bucketed) + additive (N, total_dl) partials; retrieval
     // reads ONLY the query terms' buckets and must equal batch BM25
     "q_bm25_incr" -> ((s, d) => graft.ops.TextIndex.incrementalBm25Q(s, d)),
+    // right-to-be-forgotten: doc_id ≡ 0 (mod 17) tombstoned at request
+    // time, BM25 served through the tombstone anti-join
+    "q_forget" -> ((s, d) => graft.ops.TextIndex.forgetQ(s, d)),
+    // same request, physically purged at compaction (tombstones
+    // cleared) — the reader must not be able to tell
+    "q_forget_purge" -> ((s, d) => graft.ops.TextIndex.forgetPurgeQ(s, d)),
     // boolean retrieval (data AND query AND NOT fast) from the same
     // per-dir inverted index, bucket-pruned + anti-join exclusion
     "q_bool_search" -> ((s, d) => graft.ops.TextIndex.boolSearchQ(s, d)),
@@ -663,11 +669,14 @@ object SparkEntry {
   /** The BM25 oracle — shared by the batch q_bm25 and the inverted-
     * index read q_bm25_incr (postings over corpus ∪ delta must score
     * identically to the batch pass over all documents). */
-  private val Bm25OracleSql: String =
-    """WITH tok AS (SELECT doc_id, t AS token FROM
-      |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
-      |FROM documents) u WHERE t <> ''),
-      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+  /** The BM25 oracle text, optionally over a filtered corpus slice
+    * (q_forget/q_forget_purge score the index after deletion, which
+    * must equal the batch scorer over the SURVIVING docs). */
+  private def bm25OracleSqlOver(where: String): String =
+    s"""WITH tok AS (SELECT doc_id, t AS token FROM
+      |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+      |FROM documents $where) u WHERE t <> ''),""".stripMargin + "\n" +
+    """dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
       |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
       |dfx AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
       |WHERE token IN ('data', 'query', 'engine', 'fast') GROUP BY token),
@@ -678,6 +687,8 @@ object SparkEntry {
       |/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
       |FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id), st
       |GROUP BY doc_id""".stripMargin
+
+  private val Bm25OracleSql: String = bm25OracleSqlOver("")
 
   /** The phrase-search oracle — shared by the batch q_phrase_search
     * and the positional-index read q_phrase_search_incr (postings over
@@ -2523,6 +2534,11 @@ object SparkEntry {
     // the index read must equal the batch scorer over the union —
     // q_bm25's oracle text verbatim IS the incremental gate
     "q_bm25_incr" -> Bm25OracleSql,
+    // deletion propagation: the index after forgetting doc_id % 17 = 0
+    // must equal the batch scorer over the surviving corpus — for both
+    // the tombstone read and the post-purge read
+    "q_forget" -> bm25OracleSqlOver("WHERE doc_id % 17 <> 0"),
+    "q_forget_purge" -> bm25OracleSqlOver("WHERE doc_id % 17 <> 0"),
     // Preference pairs: same 6-dp stopword-ratio grid, rank within the
     // doc_id-div-2 bucket (score DESC, doc_id DESC), complete pairs only.
     "q_pref_pairs" ->

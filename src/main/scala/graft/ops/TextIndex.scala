@@ -90,6 +90,74 @@ object TextIndex {
   private def readBuckets(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/meta").head().getInt(0)
 
+  private val DeletesSchema = StructType(Seq(StructField("doc_id", LongType)))
+
+  /** The tombstone table, if any forget request ever landed on this
+    * index. Absence is the steady state — the FS check costs no Spark
+    * job, and an index that never saw a delete keeps its exact
+    * pre-forget read plans (no extra join). */
+  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.schema(DeletesSchema).parquet(p.toString))
+    else None
+  }
+
+  private def minusTombstones(spark: SparkSession, dir: String,
+      rows: DataFrame): DataFrame =
+    tombstones(spark, dir).fold(rows)(del =>
+      rows.join(broadcast(del), Seq("doc_id"), "left_anti"))
+
+  /** Right-to-be-forgotten propagation (q_forget): make the index
+    * answer every future read as if `victims` were never ingested —
+    * WITHOUT rewriting the corpus-sized postings on the request path.
+    * Two-phase, the way production stores honor deletion SLAs:
+    *
+    *  1. REQUEST TIME (this method, cheap): append the victim ids to a
+    *     `deletes` tombstone table, and append a NEGATIVE stats partial
+    *     (−n_docs, −Σdl, recovered from the victims' own denormalized
+    *     posting rows) so the additive (N, avgdl) fold stays exact.
+    *     Readers anti-join their pruned postings against the broadcast
+    *     tombstone set — delete batches are request-sized, never
+    *     corpus-sized, so the broadcast is bounded by contract.
+    *  2. COMPACTION TIME ([[compactTextIndex]], the rewrite the
+    *     maintenance loop already pays): physically drop tombstoned
+    *     rows from every bucket and clear the tombstone table — after
+    *     which reads carry no residue of the deleted docs (the actual
+    *     erasure obligation) and no anti-join either.
+    *
+    *  Idempotent: re-forgetting an already-tombstoned id contributes
+    *  neither a duplicate tombstone nor a second stats subtraction
+    *  (the fresh set is anti-joined against existing tombstones
+    *  first). Unknown ids tombstone harmlessly (no posting rows → zero
+    *  stats delta). Forgotten ids must never be re-ingested (the
+    *  single-writer new-ids-only append contract all indexes share).
+    *
+    *  The one non-request-sized cost here is the victim-posting scan:
+    *  doc_id is not the partition key, so recovering the victims' dl
+    *  reads all buckets with the `doc_id IN set` filter PUSHED to
+    *  parquet (row-group stats skip almost everything). That scan is
+    *  what denormalized dl costs; the alternative (a doc-keyed side
+    *  table) would tax every read join instead of the rare delete. */
+  def forgetFromTextIndex(spark: SparkSession, dir: String,
+      victims: DataFrame): Unit = {
+    val fresh0 = victims.select(col("doc_id").cast("long")).distinct()
+    val fresh = tombstones(spark, dir)
+      .fold(fresh0)(del => fresh0.join(broadcast(del), Seq("doc_id"), "left_anti"))
+      .cache()
+    val victimRows = spark.read.schema(PostingsSchema)
+      .parquet(s"$dir/postings")
+      .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+    val negStats = victimRows
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+      .agg((-count(lit(1))).as("n_docs"),
+        coalesce(-sum(col("dl")), lit(0L)).as("total_dl"))
+    negStats.coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    fresh.coalesce(1).write.mode("append").parquet(s"$dir/deletes")
+    fresh.unpersist()
+    ()
+  }
+
   /** Resolve terms to their on-disk bucket ids under the ENGINE's hash
     * (the partition layout's function) — one metadata-sized local job.
     * The ONE definition of the bucket function shared by every
@@ -116,10 +184,15 @@ object TextIndex {
 
   /** Collapse per-batch files: postings to one file per bucket (pure
     * layout — rows are unique by the append contract), stats to one
-    * row. */
+    * row. When tombstones exist ([[forgetFromTextIndex]]), this is
+    * also the PURGE: deleted docs' rows are dropped from the rewrite
+    * (the stats fold already carries their negative partials), then
+    * the tombstone table is cleared — physical erasure rides the
+    * rewrite the maintenance loop pays anyway. */
   def compactTextIndex(spark: SparkSession, dir: String): Unit = {
     DirSwap(spark, s"$dir/postings") { out =>
-      spark.read.schema(PostingsSchema).parquet(s"$dir/postings")
+      minusTombstones(spark, dir,
+        spark.read.schema(PostingsSchema).parquet(s"$dir/postings"))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
@@ -128,6 +201,9 @@ object TextIndex {
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
         .coalesce(1).write.parquet(out)
     }
+    val del = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    del.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(del, true)
+    ()
   }
 
   /** BM25 scores for every indexed doc matching ≥ 1 query term — the
@@ -142,10 +218,11 @@ object TextIndex {
     require(terms.nonEmpty, "need at least one query term")
     val buckets = readBuckets(spark, dir)
     val bkts = termBuckets(spark, terms, buckets)
-    val matched = spark.read.schema(PostingsSchema)
-      .parquet(s"$dir/postings")
-      .filter(col("bkt").isInCollection(bkts) &&
-        col("token").isInCollection(terms))
+    val matched = minusTombstones(spark, dir,
+      spark.read.schema(PostingsSchema)
+        .parquet(s"$dir/postings")
+        .filter(col("bkt").isInCollection(bkts) &&
+          col("token").isInCollection(terms)))
     val dfx = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val st = spark.read.schema(StatsSchema).parquet(s"$dir/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
@@ -182,10 +259,11 @@ object TextIndex {
     val buckets = readBuckets(spark, dir)
     val terms = (mustD ++ mustNot).distinct
     val bkts = termBuckets(spark, terms, buckets)
-    val matched = spark.read.schema(PostingsSchema)
-      .parquet(s"$dir/postings")
-      .filter(col("bkt").isInCollection(bkts) &&
-        col("token").isInCollection(terms))
+    val matched = minusTombstones(spark, dir,
+      spark.read.schema(PostingsSchema)
+        .parquet(s"$dir/postings")
+        .filter(col("bkt").isInCollection(bkts) &&
+          col("token").isInCollection(terms)))
     val pos = matched.filter(col("token").isInCollection(mustD))
       .groupBy(col("doc_id"))
       .agg(count_distinct(col("token")).as("nt"), sum(col("tf")).as("tf_sum"))
@@ -219,6 +297,45 @@ object TextIndex {
     BuildOnce(spark, idxDir) {
       writeTextIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToTextIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+    }
+    bm25FromIndex(spark, idxDir)
+  }
+
+  /** Declared query q_forget: the tombstone read path. Corpus indexed
+    * (build + one append batch), every doc_id ≡ 0 (mod 17) forgotten
+    * at request time, BM25 served through the tombstone anti-join —
+    * which must equal the batch scorer over the SURVIVING corpus (the
+    * q_bm25 oracle with the victims filtered out at the source). Own
+    * index dir: forgetting mutates state, so it must never share the
+    * q_bm25_incr artifact. */
+  def forgetQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_text_idx_forget", dir)
+    BuildOnce(spark, idxDir) {
+      writeTextIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
+      appendToTextIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+      forgetFromTextIndex(spark, idxDir,
+        docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")))
+    }
+    bm25FromIndex(spark, idxDir)
+  }
+
+  /** Declared query q_forget_purge: the erasure path. Same forget
+    * request, then [[compactTextIndex]] physically purges the
+    * tombstoned rows and clears the tombstone table — the read below
+    * runs WITHOUT any anti-join (no deletes dir left) and must still
+    * equal the surviving-corpus oracle. Same answer as [[forgetQ]] by
+    * design: logical and physical deletion are indistinguishable to a
+    * reader, which is exactly the contract under audit. */
+  def forgetPurgeQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_text_idx_purge", dir)
+    BuildOnce(spark, idxDir) {
+      writeTextIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
+      appendToTextIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+      forgetFromTextIndex(spark, idxDir,
+        docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")))
+      compactTextIndex(spark, idxDir)
     }
     bm25FromIndex(spark, idxDir)
   }

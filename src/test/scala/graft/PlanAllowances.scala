@@ -30,6 +30,9 @@ object PlanAllowances {
     "q_dedup_ngram", "q_tfidf", "q_profile_approx", "q_profile",
     "q_profile_incr", "q_line_dedup", "q_line_dedup_incr", "q_vocab",
     "q_bm25", "q_bm25_incr", "q_dsir", "q_pmi", "q_ngram_lm",
+    // forget twins read through bm25FromIndex and its one-row
+    // (N, avgdl) stats scalar broadcast
+    "q_forget", "q_forget_purge",
     // the incremental LM shares q_ngram_lm's ONE-row vocab-size scalar
     // broadcast (LmIndex.scoreFromIndex → Scoring.lmScore)
     "q_ngram_lm_incr",

@@ -78,4 +78,50 @@ class TextIndexSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L))
   }
+
+  test("forget: tombstone read == batch over survivors; purge erases " +
+    "physically; idempotent; boolean read honors tombstones") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val victims = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+    val want = rows(Scoring.bm25Q(survivors))
+
+    val dir = tmp("ti_forget")
+    TextIndex.writeTextIndex(docs, dir)
+    TextIndex.forgetFromTextIndex(spark, dir, victims)
+    assert(rows(TextIndex.bm25FromIndex(spark, dir)) == want,
+      "tombstone read must equal the batch scorer over survivors")
+    val bs = rows(TextIndex.boolSearchFromIndex(spark, dir))
+    assert(bs.nonEmpty && bs.forall(_.getLong(0) % 7 != 0L),
+      "boolean read must never surface a forgotten doc")
+
+    // double-forget: no duplicate tombstones, no double stats
+    // subtraction — the read is unchanged
+    TextIndex.forgetFromTextIndex(spark, dir, victims)
+    assert(rows(TextIndex.bm25FromIndex(spark, dir)) == want,
+      "re-forgetting the same ids must be a no-op")
+    // forgetting an id the index never saw: harmless
+    TextIndex.forgetFromTextIndex(spark, dir,
+      Seq(987654321L).toDF("doc_id"))
+    assert(rows(TextIndex.bm25FromIndex(spark, dir)) == want)
+
+    // purge: same answer, victims physically absent, tombstones gone
+    TextIndex.compactTextIndex(spark, dir)
+    assert(rows(TextIndex.bm25FromIndex(spark, dir)) == want,
+      "post-purge read must be indistinguishable")
+    assert(!new java.io.File(s"$dir/deletes").exists(),
+      "purge must clear the tombstone table")
+    val residue = spark.read.parquet(s"$dir/postings")
+      .filter(col("doc_id") % 7 === 0).count()
+    assert(residue == 0L, "purge must physically erase the victims' rows")
+    // stats collapsed to one exact row: N == survivor docs with tokens
+    val st = spark.read.parquet(s"$dir/stats").collect()
+    assert(st.length == 1)
+    val expectedN = survivors
+      .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))
+      .select(explode(col("tk")).as("t"), col("doc_id"))
+      .filter(col("t") =!= "").select("doc_id").distinct().count()
+    assert(st.head.getLong(0) == expectedN,
+      "negative partials must leave N exactly at the survivor count")
+  }
 }
