@@ -336,6 +336,10 @@ object SparkEntry {
     // list aggregated once, 5 damped iterations in integer nano-rank
     // arithmetic (bit-replayable — no distributed double sums)
     "q_pagerank" -> ((s, d) => EventAnalytics.pageRankQ(Tables.events(s, d))),
+    // synchronous label-propagation communities over the symmetrized
+    // transition graph: 2 fixed rounds, max-weight label, min-label
+    // tie-break — (community, size) histogram
+    "q_label_prop" -> ((s, d) => EventAnalytics.labelPropQ(Tables.events(s, d))),
     // the TWELFTH persisted index: additive transition-edge partials
     // (user-complete batches), ranks recomputed on read from the fold
     "q_pagerank_incr" -> ((s, d) => graft.ops.EdgeIndex.pageRankIncrQ(s, d)),
@@ -809,6 +813,34 @@ object SparkEntry {
     }.mkString(",\n")
     s"$base,\n$its\n" +
       s"SELECT node, r AS rank_nano FROM r$iters ORDER BY r DESC, node ASC LIMIT 20"
+  }
+
+  /** Synchronous LPA over the symmetrized transition graph — the same
+    * edge-derivation CTE as the PageRank oracle, then `iters` unrolled
+    * relabel rounds (max incident weight, min-label tie-break). */
+  private def labelPropOracleSql(iters: Int): String = {
+    val base =
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS node
+        |FROM events WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''),
+        |tr AS (SELECT lag(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |node AS dst FROM ev),
+        |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr
+        |WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+        |sym AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM
+        |(SELECT src, dst, w FROM edges
+        |UNION ALL SELECT dst AS src, src AS dst, w FROM edges) u GROUP BY 1, 2),
+        |l0 AS (SELECT dst AS node, dst AS lab FROM (SELECT DISTINCT dst FROM sym) d)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""l$i AS (SELECT dst AS node, lab FROM (
+         |SELECT e.dst, l.lab, row_number() OVER (PARTITION BY e.dst
+         |ORDER BY sum(e.w) DESC, l.lab ASC) AS rn
+         |FROM sym e JOIN l${i - 1} l ON l.node = e.src
+         |GROUP BY e.dst, l.lab) z WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$its\n" +
+      s"SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_nodes " +
+      s"FROM l$iters GROUP BY lab"
   }
 
   private def bpeOracleSql(k: Int): String = bpeOracleSql(k,
@@ -2502,6 +2534,9 @@ object SparkEntry {
     // full event table — edge-count additivity (user-complete batches)
     // makes the SAME batch replay its ground truth
     "q_pagerank_incr" -> pageRankOracleSql(5),
+    // LPA communities: 2 unrolled synchronous rounds over the
+    // symmetrized edge CTE, exact integer weights, min-label ties
+    "q_label_prop" -> labelPropOracleSql(2),
     // Running coverage over the top-k only; the (n DESC, token ASC) order
     // key is unique per row, so the default RANGE frame has no peers and
     // both engines' running sums agree row-by-row.

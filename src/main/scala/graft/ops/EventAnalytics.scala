@@ -302,4 +302,92 @@ object EventAnalytics {
         .select(col("node"), col("r").as("rank_nano"))
     }
   }
+
+  /** Undirected view of a (src, dst, w) edge aggregate: both
+    * directions unioned, weights re-summed — (a,b) and (b,a) directed
+    * counts fold into one symmetric weight. Shared by the community
+    * ops that treat transitions as affinity, not flow. */
+  private[ops] def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src"), col("dst"), col("w"))
+      .unionByName(edges.select(
+        col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+
+  /** Community detection by synchronous label propagation (q_label_prop,
+    * Raghavan–Albert–Kumara 2007) — the third graph readout beside
+    * connected components (reachability) and PageRank (centrality):
+    * LPA finds DENSELY-linked page communities in the transition graph
+    * even when the whole graph is one component, which is what a
+    * crawl-curation pipeline clusters domains by.
+    *
+    * Semantics, declared exactly so the oracle replays bit-for-bit:
+    * the graph is the [[transitionEdges]] aggregate symmetrized
+    * (communities are affinity, not flow); every node starts labeled
+    * with itself; each of `iters` SYNCHRONOUS rounds (default 2: the
+    * dense weighted transition graph collapses to ONE community by
+    * round 3 under min-label ties — two rounds is where the community
+    * structure is actually visible, 23/7 communities at sf0.01/0.1) relabels every
+    * node with the label carrying the max total incident edge weight
+    * among its neighbors, ties to the SMALLEST label. Fixed iteration
+    * count, integer weights, deterministic tie-break — no convergence
+    * test, no randomized visit order (the classic async variant is
+    * irreproducible by construction; the synchronous form can
+    * oscillate on bipartite structures, which the fixed-round contract
+    * simply reports as-is). Output: (community, n_nodes) — the label
+    * histogram after the last round.
+    *
+    * Scale shape: each round is one edge⋈label join on src (label
+    * table is node-sized, edges shuffle on their natural key) + one
+    * (dst, lab) weight aggregate + one per-dst argmax window
+    * (partitioned — parallel, narrow rows). Same size dispatch as
+    * [[rankEdges]]: a fixture-sized aggregated edge list collects once
+    * and loops driver-side with identical arithmetic (the gate rows
+    * ARE the edge set); past the gate the distributed loop runs,
+    * branch parity pinned in EventAnalyticsSpec. */
+  def labelPropQ(events: DataFrame, iters: Int = 2,
+      maxEdgesLocal: Int = 1 << 20): DataFrame =
+    propagateLabels(
+      PipelineCaches.track(symmetrize(transitionEdges(events))),
+      iters, maxEdgesLocal)
+
+  def propagateLabels(edges: DataFrame, iters: Int = 2,
+      maxEdgesLocal: Int = 1 << 20): DataFrame = {
+    val spark = edges.sparkSession
+    val gate = edges.limit(maxEdgesLocal + 1).collect()
+    if (gate.length <= maxEdgesLocal) {
+      val es = gate.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nodeSet = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      // symmetric edge list: every node occurs as dst, so the incident
+      // map is total over nodeSet
+      val inc = es.groupBy(_._2)
+      var lab = nodeSet.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        val next = nodeSet.map { v =>
+          val scores = inc(v).groupBy(e => lab(e._1))
+            .map { case (l, g) => (l, g.map(_._3).sum) }
+          v -> scores.minBy { case (l, s) => (-s, l) }._1
+        }.toMap
+        lab = next
+      }
+      import spark.implicits._
+      lab.values.groupBy(identity).map { case (l, g) => (l, g.size.toLong) }
+        .toSeq.toDF("community", "n_nodes")
+    } else {
+      val nodes = PipelineCaches.track(
+        edges.select(col("dst").as("node")).distinct())
+      var labs = nodes.select(col("node"), col("node").as("lab"))
+      val byDst = Window.partitionBy(col("dst"))
+        .orderBy(col("s").desc, col("lab").asc)
+      for (_ <- 1 to iters) {
+        labs = edges
+          .join(labs.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst"), col("lab")).agg(sum(col("w")).as("s"))
+          .withColumn("rn", row_number().over(byDst))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("node"), col("lab"))
+      }
+      labs.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+    }
+  }
 }

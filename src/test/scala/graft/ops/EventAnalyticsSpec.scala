@@ -2,7 +2,7 @@ package graft.ops
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, sum}
 
 import graft.SparkSuite
 import graft.sources.Tables
@@ -294,5 +294,47 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(a.length <= 20 && a.nonEmpty)
     assert(a.forall(_._2 >= 150000000L), "base mass floor")
     assert(a == a.sortBy(x => (-x._2, x._1)), "output ordered (rank desc, node asc)")
+  }
+
+  test("label propagation: two weakly-bridged cliques resolve as two " +
+    "communities; branch parity; nodes conserved") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {10,11,12} with heavy internal edges,
+    // one light bridge 3–10: after 2 synchronous min-label rounds the
+    // left triangle carries label 1 and the right label 10
+    val es = Seq(
+      (1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 5L),
+      (10L, 11L, 5L), (11L, 12L, 5L), (10L, 12L, 5L),
+      (3L, 10L, 1L)).toDF("src", "dst", "w")
+    val sym = es.select(col("src"), col("dst"), col("w"))
+      .unionByName(es.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+    val local = EventAnalytics.propagateLabels(sym, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local.values.sum == 6L, "every node labeled exactly once")
+    assert(local.keySet == Set(1L, 10L) && local(1L) == 3L && local(10L) == 3L,
+      s"expected two 3-node communities, got $local")
+    // branch parity: force the distributed loop
+    val dist = EventAnalytics.propagateLabels(sym, iters = 2, maxEdgesLocal = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == local, "distributed branch diverged from local contraction")
+  }
+
+  test("label propagation on real events: deterministic, nodes conserved, " +
+    "branch parity") {
+    val ev = Tables.events(spark, sf)
+    val nNodes = EventAnalytics.transitionEdges(ev)
+      .select(col("src").as("n")).union(
+        EventAnalytics.transitionEdges(ev).select(col("dst").as("n")))
+      .distinct().count()
+    val a = EventAnalytics.labelPropQ(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.PipelineCaches.release(spark)
+    val b = EventAnalytics.labelPropQ(ev, maxEdgesLocal = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.ops.PipelineCaches.release(spark)
+    assert(a == b, "distributed branch diverged from local contraction")
+    assert(a.values.sum == nNodes, "label histogram conserves the node count")
+    assert(a.keySet.nonEmpty && a.keySet.size >= 1)
   }
 }
