@@ -292,6 +292,9 @@ object SparkEntry {
     // matrix regenerated by any engine, driver-materialized into
     // straight-line codegen adds — no per-row md5, no shuffle
     "q_embed_rp" -> ((s, d) => SimSearch.randomProjectQ(Tables.embeddings(s, d))),
+    // dominant principal direction by 3 power-iteration rounds on the
+    // integer micro grid — two corpus folds per round, d rows shipped
+    "q_power_iter" -> ((s, d) => SimSearch.powerIterQ(Tables.embeddings(s, d))),
     // the scale form (corpus-sized bucket width + 2 sign projections):
     // autoBits and both rotation windows are pure functions of the
     // data, so the oracle recomputes the identical blocking from the
@@ -813,6 +816,32 @@ object SparkEntry {
     }.mkString(",\n")
     s"$base,\n$its\n" +
       s"SELECT node, r AS rank_nano FROM r$iters ORDER BY r DESC, node ASC LIMIT 20"
+  }
+
+  /** Power iteration on the micro-quantized embedding matrix — `iters`
+    * unrolled rounds of the exact integer fold (see
+    * SimSearch.powerIterQ): s = sign·(|Σ x·v| div 10⁶) per vector,
+    * w = Σ s·x per dimension, v' = sign(w)·(|w| div max(1, m div 10⁶)). */
+  private def powerIterOracleSql(iters: Int): String = {
+    val base =
+      """WITH e AS (SELECT vec_id, j,
+        |CAST(floor(CAST(embedding[CAST(j AS INT)+1] AS DOUBLE)*1000000) AS BIGINT) AS x
+        |FROM embeddings, unnest(range(0, len(embedding))) AS t(j)),
+        |v0 AS (SELECT DISTINCT j, CAST(1000000 AS BIGINT) AS v FROM e)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""s$i AS (SELECT vec_id,
+         |CAST(CASE WHEN sum(x*v) < 0 THEN -1 ELSE 1 END *
+         |(abs(sum(x*v)) // 1000000) AS BIGINT) AS sr
+         |FROM e JOIN v${i - 1} USING (j) GROUP BY vec_id),
+         |w$i AS (SELECT j, CAST(sum(sr*x) AS BIGINT) AS w
+         |FROM e JOIN s$i USING (vec_id) GROUP BY j),
+         |m$i AS (SELECT greatest(1, max(abs(w)) // 1000000) AS dv FROM w$i),
+         |v$i AS (SELECT j,
+         |CAST(CASE WHEN w < 0 THEN -1 ELSE 1 END * (abs(w) // dv) AS BIGINT) AS v
+         |FROM w$i, m$i)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$its\n" +
+      s"SELECT CAST(j AS BIGINT) AS dim, v AS v_micro FROM v$iters"
   }
 
   /** Synchronous LPA over the symmetrized transition graph — the same
@@ -2249,6 +2278,9 @@ object SparkEntry {
     // generated at oracle-build time from the same coordinate-hash
     // matrix the engine materializes (SimSearch.RandomProject)
     "q_embed_rp" -> graft.ops.SimSearch.randomProjectOracleSql,
+    // power iteration: micro-quantized elements, exact BIGINT folds,
+    // abs/sign divisions, max-norm renorm — 3 unrolled rounds
+    "q_power_iter" -> powerIterOracleSql(3),
     // q_embed_neardup's pair pipeline composed with q_dup_clusters'
     // component resolution (two star-contraction levels + the pruned
     // recursive min-label walk on the residual), then the survivor

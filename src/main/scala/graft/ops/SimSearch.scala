@@ -1533,4 +1533,74 @@ object SimSearch {
       (i + 1L, d, rt, rv, rrf)
     }.toDF("rank", "doc_id", "r_text", "r_vec", "rrf")
   }
+
+  /** Dominant principal direction of the embedding matrix by power
+    * iteration (q_power_iter) — the dimensionality-reduction/whitening
+    * primitive next to [[randomProjectQ]]'s data-independent sketch:
+    * the top right-singular vector is what PCA-based dedup, outlier
+    * whitening, and spectral diagnostics all start from, and at 100 TB
+    * it is THE classic "matrix too tall to materialize" computation —
+    * each iteration touches the corpus exactly twice (x·v per row,
+    * then the s·x fold per dimension) and ships only a d-vector back.
+    *
+    * Exactness: elements are quantized once to integer MICROS
+    * (⌊x·10⁶⌋ — floor, not round: identical in every engine), and both
+    * matrix products are BIGINT folds — order-free under any
+    * partitioning. Per round: s_i = sign·(|Σ_j x_ij·v_j| div 10⁶),
+    * w_j = Σ_i s_i·x_ij, then the max-norm renormalization
+    * v'_j = sign(w_j)·(|w_j| div max(1, m div 10⁶)) with
+    * m = max_j |w_j| — every integer division is spelled abs/sign so
+    * its operands are nonnegative (floor == truncate there; a signed
+    * div would floor in one engine and truncate toward zero in the
+    * other). 3 fixed rounds from the all-ones start, no
+    * convergence test — fixed rounds are what the oracle can unroll.
+    * Convergence RATE is the spectrum's business, (σ₂/σ₁)² per round:
+    * a corpus with a real dominant direction aligns in a handful of
+    * rounds (spec-pinned on a planted-direction fixture); on a
+    * near-isotropic corpus the 3-round output is still the exact
+    * declared fold, just not yet a converged eigenvector — deployment
+    * raises `iters` to match the measured gap.
+    * Overflow budget at the declared scales: |x| ≤ 10⁶ (unit-norm
+    * vectors), |s| ≤ d·10⁶ after the divide, |w| ≤ n·d·10¹² — 10¹⁷ at
+    * sf0.1, comfortably inside BIGINT; the at-scale form raises the
+    * s-divisor with n.
+    *
+    * Scale shape: the micro element table is built once (posexplode,
+    * cached across the 3 passes); each round is one per-vector keyed
+    * aggregate + one per-dimension keyed aggregate (d rows out —
+    * model-sized, collected through [[PlanPin.boundedCollect]]); v
+    * rides back into the next round as a d-element array literal (the
+    * CMS/PQ plan-literal lesson — no join, no broadcast exchange).
+    * Output: (dim, v_micro) — the direction on the micro grid. */
+  def powerIterQ(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val e = PipelineCaches.track(embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "xf")))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        floor(col("xf").cast("double") * lit(1000000.0)).cast("long").as("x")))
+    var v: Array[Long] = Array.fill(d)(1000000L)
+    for (_ <- 1 to iters) {
+      val vlit = lit(v)
+      val sRed = e
+        .select(col("vec_id"),
+          (col("x") * element_at(vlit, (col("j") + 1).cast("int"))).as("xv"))
+        .groupBy(col("vec_id")).agg(sum(col("xv")).as("sn"))
+        .select(col("vec_id"),
+          (signum(col("sn")).cast("long") *
+            expr("abs(sn) div 1000000")).as("sr"))
+      val w = PlanPin.boundedCollect(
+        e.join(sRed, "vec_id")
+          .groupBy(col("j")).agg(sum(col("sr") * col("x")).as("w")),
+        PlanPin.KeyedAggCut, "power-iteration dimension fold")
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val wArr = Array.tabulate(d)(j => w.getOrElse(j.toLong, 0L))
+      val m = wArr.map(math.abs).max
+      val div = math.max(1L, m / 1000000L)
+      v = wArr.map(x => math.signum(x) * (math.abs(x) / div))
+    }
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, j) => (j.toLong, x) }
+      .toSeq.toDF("dim", "v_micro")
+  }
 }
