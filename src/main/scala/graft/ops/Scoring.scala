@@ -166,19 +166,25 @@ object Scoring {
         col("ra"), col("rb"))
       .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
 
+  /** Per-position (doc, a, b) scoring pairs with out-of-vocab tokens
+    * mapped to `<unk>` against the train vocab — shared by every LM
+    * scoring law (add-α, Kneser-Ney). Drops each row's null-successor
+    * tail pair. */
+  private def lmMapped(docs: DataFrame, uni: DataFrame): DataFrame =
+    lmPairsOf(lmToksFrame(docs)).filter(col("rb").isNotNull)
+      .join(uni.select(col("u_tok").as("ra"), lit(1).as("_ina")), Seq("ra"), "left")
+      .join(uni.select(col("u_tok").as("rb"), lit(1).as("_inb")), Seq("rb"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("_ina").isNotNull, col("ra")).otherwise(lit("<unk>")).as("a"),
+        when(col("_inb").isNotNull, col("rb")).otherwise(lit("<unk>")).as("b"))
+
   /** Score every document under a (uni, bi, V) model — the shared
     * second half of the batch and index-read forms. */
   private[ops] def lmScore(docs: DataFrame, uni: DataFrame, bi: DataFrame,
       vsz: DataFrame, alpha: Double): DataFrame = {
     // score every doc: drop each row's null-successor tail pair, map
     // out-of-vocab tokens to <unk>, look up the smoothed probability
-    val mapped = lmPairsOf(lmToksFrame(docs)).filter(col("rb").isNotNull)
-      .join(uni.select(col("u_tok").as("ra"), lit(1).as("_ina")), Seq("ra"), "left")
-      .join(uni.select(col("u_tok").as("rb"), lit(1).as("_inb")), Seq("rb"), "left")
-      .select(col("doc_id"), col("lang"),
-        when(col("_ina").isNotNull, col("ra")).otherwise(lit("<unk>")).as("a"),
-        when(col("_inb").isNotNull, col("rb")).otherwise(lit("<unk>")).as("b"))
-    mapped
+    lmMapped(docs, uni)
       .join(bi, col("a") === col("bi_a") && col("b") === col("bi_b"), "left")
       .join(uni, col("a") === col("u_tok"), "left")
       .crossJoin(broadcast(vsz))
@@ -201,6 +207,65 @@ object Scoring {
       .select(col("ra").as("bi_a"), col("rb").as("bi_b"), col("n").as("n_ab"))
     val vsz = model.filter(col("gid") === 1).agg(count(lit(1)).as("v"))
     lmScore(docs, uni, bi, vsz, alpha)
+  }
+
+  /** Interpolated Kneser-Ney bigram perplexity (q_kneser_ney, Kneser &
+    * Ney 1995 / Chen & Goodman 1998) — the LM-quality scorer the KenLM
+    * filtering stacks actually ship, beside [[ngramLmQ]]'s add-α
+    * baseline: absolute discounting with the CONTINUATION unigram
+    * ("how many contexts does w complete?" — the fix for the
+    * Francisco problem, where raw unigram frequency overrates tokens
+    * that only ever follow one context).
+    *
+    * The law, with every statistic derived from the observed-bigram
+    * table alone (vocab²-bounded, broadcastable):
+    *
+    *   P(w|v) = max(c(vw)−d, 0)/c(v) + d·N1+(v·)/c(v) · Pc(w)
+    *   Pc(w)  = (N1+(·w) + 1) / (N_bb + V + 1)
+    *
+    * d = 0.75 (exactly binary-representable), c(v) = Σ_w c(vw),
+    * N1+(v·)/N1+(·w) the distinct follower/predecessor type counts,
+    * N_bb the bigram type total; Pc carries add-one mass so unseen
+    * continuations (and the <unk> map, shared with add-α) score finite
+    * probability; an unseen CONTEXT backs off to Pc(w) entirely. The
+    * arithmetic is spelled with one fixed association order in both
+    * engines (all inputs exact integers → each double op is identical
+    * IEEE); the per-doc avg(ln p) rides the same round-6 grid as the
+    * add-α scorer.
+    *
+    * Scale shape: identical to [[ngramLmQ]] — one corpus tokenize
+    * pass, model tables bounded by observed bigram types, the scoring
+    * join is per-position lookups + one (doc, lang) aggregate. */
+  def kneserNeyQ(docs: DataFrame, trainLang: String = "en",
+      discount: Double = 0.75): DataFrame = {
+    val model = PipelineCaches.trackCheckpointed(
+      lmTrainCounts(docs, trainLang).localCheckpoint())
+    val uni = model.filter(col("gid") === 1)
+      .select(col("ra").as("u_tok"), col("n").as("n_u"))
+    val bi = model.filter(col("gid") === 0 && col("rb").isNotNull)
+      .select(col("ra").as("bi_a"), col("rb").as("bi_b"), col("n").as("n_ab"))
+    val ctx = bi.groupBy(col("bi_a").as("c_a"))
+      .agg(sum(col("n_ab")).as("cv"), count(lit(1)).as("n1f"))
+    val pred = bi.groupBy(col("bi_b").as("p_b"))
+      .agg(count(lit(1)).as("n1p"))
+    val scal = bi.agg(count(lit(1)).as("nbb"))
+      .crossJoin(uni.agg(count(lit(1)).as("v")))
+    val pc = (coalesce(col("n1p"), lit(0L)).cast("double") + 1.0) /
+      (col("nbb") + col("v") + 1L).cast("double")
+    val seen =
+      greatest(coalesce(col("n_ab"), lit(0L)).cast("double") - discount, lit(0.0)) /
+        col("cv").cast("double") +
+      lit(discount) * col("n1f").cast("double") / col("cv").cast("double") * pc
+    lmMapped(docs, uni)
+      .join(bi, col("a") === col("bi_a") && col("b") === col("bi_b"), "left")
+      .join(ctx, col("a") === col("c_a"), "left")
+      .join(pred, col("b") === col("p_b"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"), col("lang"),
+        when(col("cv").isNull, pc).otherwise(seen).as("prob"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(log(col("prob"))), 6).as("logppl"))
   }
 
   /** Linear fasttext-style quality classifier (q_quality_clf): the

@@ -36,6 +36,8 @@ object PlanAllowances {
     // the incremental LM shares q_ngram_lm's ONE-row vocab-size scalar
     // broadcast (LmIndex.scoreFromIndex → Scoring.lmScore)
     "q_ngram_lm_incr",
+    // Kneser-Ney's ONE-row (N_bb, V) scalar pair broadcast
+    "q_kneser_ney",
     // ccnet buckets ride ngramLmQ and its one-row vocab-size scalar
     "q_ccnet_buckets",
     // curriculumRanked's ONE-row tier-offset conditional sums (both

@@ -182,4 +182,47 @@ class ScoringSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges <= 1, s"expected <= 1 data shuffle, got $exchanges\n$plan")
   }
+
+  test("kneser-ney: hand-computed probabilities (the Francisco property, " +
+    "seen-context interpolation, unseen-context backoff)") {
+    import spark.implicits._
+    // train (en): 'francisco' is frequent but completes ONE context;
+    // 'day' completes three. Vocab = {san, francisco, a, day, b, c}
+    // (V=6), bigram types = 7, N1+(·francisco)=1, N1+(·day)=3.
+    val docs = Seq(
+      (1L, "san francisco san francisco", "en", "s"),
+      (2L, "a day b day c day", "en", "s"),
+      // probes (fr → out of training): unseen context <unk> backs off
+      // to the continuation unigram alone
+      (3L, "zzz francisco", "fr", "s"),
+      (4L, "zzz day", "fr", "s"),
+      // seen context: interpolated discount law
+      (5L, "san francisco", "fr", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Scoring.kneserNeyQ(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val pcFrancisco = (1.0 + 1.0) / (7 + 6 + 1)
+    val pcDay = (3.0 + 1.0) / (7 + 6 + 1)
+    assert(got(3L)._1 == 1L && got(4L)._1 == 1L)
+    assert(math.abs(got(3L)._2 - (-math.log(pcFrancisco))) < 2e-6,
+      "unseen context must back off to Pc exactly")
+    assert(math.abs(got(4L)._2 - (-math.log(pcDay))) < 2e-6)
+    assert(got(3L)._2 > got(4L)._2,
+      "Francisco property: single-context token scores below multi-context")
+    // seen context san: c=2, c(san,francisco)=2, N1+(san·)=1
+    val pSeen = (2.0 - 0.75) / 2.0 + 0.75 * 1.0 / 2.0 * pcFrancisco
+    assert(math.abs(got(5L)._2 - (-math.log(pSeen))) < 2e-6,
+      "seen context must follow the interpolated discount law")
+  }
+
+  test("kneser-ney on the real corpus: finite scores, population equals " +
+    "the add-alpha scorer's") {
+    val kn = Scoring.kneserNeyQ(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val base = Scoring.ngramLmQ(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(kn.keySet == base.keySet,
+      "both laws score exactly the ≥2-token population")
+    assert(kn.values.forall(v => !v.isNaN && !v.isInfinite && v > 0.0))
+  }
 }
