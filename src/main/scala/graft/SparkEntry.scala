@@ -343,6 +343,9 @@ object SparkEntry {
     // transition graph: 2 fixed rounds, max-weight label, min-label
     // tie-break — (community, size) histogram
     "q_label_prop" -> ((s, d) => EventAnalytics.labelPropQ(Tables.events(s, d))),
+    // HITS hubs/authorities: 3 mutual-reinforcement rounds on the nano
+    // grid with max-norm renorm, top-20 by authority
+    "q_hits" -> ((s, d) => EventAnalytics.hitsQ(Tables.events(s, d))),
     // the TWELFTH persisted index: additive transition-edge partials
     // (user-complete batches), ranks recomputed on read from the fold
     "q_pagerank_incr" -> ((s, d) => graft.ops.EdgeIndex.pageRankIncrQ(s, d)),
@@ -845,6 +848,39 @@ object SparkEntry {
     }.mkString(",\n")
     s"$base,\n$its\n" +
       s"SELECT CAST(j AS BIGINT) AS dim, v AS v_micro FROM v$iters"
+  }
+
+  /** HITS over the transition graph — the PageRank oracle's edge CTE,
+    * then `iters` unrolled (authority, hub) update pairs, each with
+    * max-norm renormalization on the nano grid (all values
+    * nonnegative — truncating div == floor in both engines). */
+  private def hitsOracleSql(iters: Int): String = {
+    val base =
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS node
+        |FROM events WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''),
+        |tr AS (SELECT lag(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |node AS dst FROM ev),
+        |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr
+        |WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
+        |nodes AS (SELECT DISTINCT node FROM
+        |(SELECT src AS node FROM edges UNION SELECT dst FROM edges) u),
+        |h0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS h FROM nodes)""".stripMargin
+    val its = (1 to iters).map { i =>
+      s"""a${i}r AS (SELECT e.dst AS node, sum(h.h * e.w) AS ar
+         |FROM edges e JOIN h${i - 1} h ON h.node = e.src GROUP BY 1),
+         |a${i}m AS (SELECT greatest(1, max(ar) // 1000000000) AS d FROM a${i}r),
+         |a$i AS (SELECT n.node, CAST(coalesce(r.ar, 0) // d AS BIGINT) AS a
+         |FROM nodes n LEFT JOIN a${i}r r ON r.node = n.node, a${i}m),
+         |h${i}r AS (SELECT e.src AS node, sum(a.a * e.w) AS hr
+         |FROM edges e JOIN a$i a ON a.node = e.dst GROUP BY 1),
+         |h${i}m AS (SELECT greatest(1, max(hr) // 1000000000) AS d FROM h${i}r),
+         |h$i AS (SELECT n.node, CAST(coalesce(r.hr, 0) // d AS BIGINT) AS h
+         |FROM nodes n LEFT JOIN h${i}r r ON r.node = n.node, h${i}m)""".stripMargin
+    }.mkString(",\n")
+    s"$base,\n$its\n" +
+      s"SELECT node, a AS auth_nano, h AS hub_nano FROM a$iters JOIN h$iters USING (node) " +
+      s"ORDER BY a DESC, node ASC LIMIT 20"
   }
 
   /** Synchronous LPA over the symmetrized transition graph — the same
@@ -2572,6 +2608,8 @@ object SparkEntry {
     // LPA communities: 2 unrolled synchronous rounds over the
     // symmetrized edge CTE, exact integer weights, min-label ties
     "q_label_prop" -> labelPropOracleSql(2),
+    // HITS: 3 unrolled (authority, hub) rounds, nano max-norm
+    "q_hits" -> hitsOracleSql(3),
     // Running coverage over the top-k only; the (n DESC, token ASC) order
     // key is unique per row, so the default RANGE frame has no peers and
     // both engines' running sums agree row-by-row.

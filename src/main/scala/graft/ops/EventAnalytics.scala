@@ -303,6 +303,89 @@ object EventAnalytics {
     }
   }
 
+  /** HITS hubs & authorities (q_hits, Kleinberg 1999) — the directed
+    * complement to [[pageRankQ]]'s single centrality: authorities are
+    * pages good transitions LAND on, hubs are pages good transitions
+    * LEAVE from, and the two scores reinforce mutually — the classic
+    * link-analysis readout for seed-list curation (find hub pages,
+    * harvest what they point at).
+    *
+    * Declared exactly: `iters` rounds of a(v) = Σ_in h(u)·w(u,v) then
+    * h(u) = Σ_out a(v)·w(u,v), each followed by MAX-norm
+    * renormalization on the integer nano grid — x' = x div max(1,
+    * m div 10⁹) with m the round's max (all values nonnegative, so
+    * truncating div == floor in both engines; the [[SimSearch
+    * .powerIterQ]] discipline, L2 norms would need order-dependent
+    * double sums). Fixed rounds, no convergence test — what the
+    * oracle unrolls. Output: top-k by (authority desc, node asc),
+    * both scores per row.
+    *
+    * Scale shape: per round two rank⋈edge joins + two keyed sums
+    * (rank-table-sized) and two ONE-row max scalars broadcast back
+    * (crossJoin of a 1-row frame — the q_bm25 stats-scalar idiom).
+    * Same size dispatch as [[rankEdges]]; branch parity spec-pinned. */
+  def hitsQ(events: DataFrame, iters: Int = 3, k: Int = 20,
+      maxEdgesLocal: Int = 1 << 20): DataFrame =
+    hitsEdges(PipelineCaches.track(transitionEdges(events)),
+      iters, k, maxEdgesLocal)
+
+  def hitsEdges(edges: DataFrame, iters: Int = 3, k: Int = 20,
+      maxEdgesLocal: Int = 1 << 20): DataFrame = {
+    val spark = edges.sparkSession
+    val gate = edges.limit(maxEdgesLocal + 1).collect()
+    if (gate.length <= maxEdgesLocal) {
+      val es = gate.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nodeSet = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      var h = nodeSet.map(_ -> 1000000000L).toMap
+      var a = Map.empty[Long, Long]
+      for (_ <- 1 to iters) {
+        val ar = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (u, v, w) => ar(v) += h(u) * w }
+        val da = math.max(1L, ar.values.max / 1000000000L)
+        a = nodeSet.map(v => v -> ar(v) / da).toMap
+        val hr = scala.collection.mutable.Map.empty[Long, Long]
+          .withDefaultValue(0L)
+        es.foreach { case (u, v, w) => hr(u) += a(v) * w }
+        val dh = math.max(1L, hr.values.max / 1000000000L)
+        h = nodeSet.map(u => u -> hr(u) / dh).toMap
+      }
+      import spark.implicits._
+      nodeSet.map(v => (v, a(v), h(v))).toSeq
+        .sortBy { case (n, av, _) => (-av, n) }.take(k)
+        .toDF("node", "auth_nano", "hub_nano")
+    } else {
+      val nodes = PipelineCaches.track(
+        edges.select(col("src").as("node"))
+          .union(edges.select(col("dst").as("node"))).distinct())
+      var hdf = nodes.select(col("node"), lit(1000000000L).as("h"))
+      var adf = nodes.select(col("node"), lit(0L).as("a"))
+      for (_ <- 1 to iters) {
+        val araw = edges
+          .join(hdf.withColumnRenamed("node", "src"), "src")
+          .select(col("dst").as("node"), (col("h") * col("w")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("ar"))
+        val da = araw.agg(max(col("ar")).as("m"))
+          .select(greatest(lit(1L), expr("m div 1000000000")).as("da"))
+        adf = nodes.join(araw, Seq("node"), "left")
+          .crossJoin(broadcast(da))
+          .select(col("node"), expr("coalesce(ar, 0L) div da").as("a"))
+        val hraw = edges
+          .join(adf.withColumnRenamed("node", "dst"), "dst")
+          .select(col("src").as("node"), (col("a") * col("w")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("hr"))
+        val dh = hraw.agg(max(col("hr")).as("m"))
+          .select(greatest(lit(1L), expr("m div 1000000000")).as("dh"))
+        hdf = nodes.join(hraw, Seq("node"), "left")
+          .crossJoin(broadcast(dh))
+          .select(col("node"), expr("coalesce(hr, 0L) div dh").as("h"))
+      }
+      adf.join(hdf, "node")
+        .orderBy(col("a").desc, col("node").asc).limit(k)
+        .select(col("node"), col("a").as("auth_nano"), col("h").as("hub_nano"))
+    }
+  }
+
   /** Undirected view of a (src, dst, w) edge aggregate: both
     * directions unioned, weights re-summed — (a,b) and (b,a) directed
     * counts fold into one symmetric weight. Shared by the community

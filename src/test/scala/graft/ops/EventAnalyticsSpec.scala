@@ -320,6 +320,41 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(dist == local, "distributed branch diverged from local contraction")
   }
 
+  test("hits: star fixture separates hubs from authorities; branch parity") {
+    import spark.implicits._
+    // 1,2,3 all point at 9; 9 points nowhere. 9 is the pure authority
+    // (max score by construction), the pointers are pure equal hubs,
+    // and every score the roles forbid is exactly zero.
+    val es = Seq((1L, 9L, 2L), (2L, 9L, 2L), (3L, 9L, 2L)).toDF("src", "dst", "w")
+    val local = EventAnalytics.hitsEdges(es).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val auth = local.map(x => x._1 -> x._2).toMap
+    val hub = local.map(x => x._1 -> x._3).toMap
+    assert(auth(9L) == local.map(_._2).max && auth(9L) > 0L)
+    assert(auth(1L) == 0L && auth(2L) == 0L && auth(3L) == 0L,
+      "no in-edges → zero authority")
+    assert(hub(9L) == 0L, "no out-edges → zero hub")
+    assert(hub(1L) == hub(2L) && hub(2L) == hub(3L) && hub(1L) > 0L,
+      "symmetric pointers are equal hubs")
+    val dist = EventAnalytics.hitsEdges(es, maxEdgesLocal = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(dist.sortBy(_._1).toSeq == local.sortBy(_._1).toSeq,
+      "distributed branch diverged from local contraction")
+  }
+
+  test("hits on real events: deterministic, top-k by authority, branch parity") {
+    val ev = Tables.events(spark, sf)
+    val a = EventAnalytics.hitsQ(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    graft.ops.PipelineCaches.release(spark)
+    val b = EventAnalytics.hitsQ(ev, maxEdgesLocal = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    graft.ops.PipelineCaches.release(spark)
+    assert(a.toSet == b.toSet, "branch parity on the real graph")
+    assert(a.length <= 20 && a.nonEmpty)
+    assert(a == a.sortBy(x => (-x._2, x._1)), "ordered (authority desc, node asc)")
+  }
+
   test("label propagation on real events: deterministic, nodes conserved, " +
     "branch parity") {
     val ev = Tables.events(spark, sf)
