@@ -409,6 +409,9 @@ object SparkEntry {
     // the THIRTEENTH persisted index: additive bigram-LM count
     // partials (doc-complete batches), perplexity scored under the fold
     "q_ngram_lm_incr" -> ((s, d) => graft.ops.LmIndex.ngramLmIncrQ(s, d)),
+    // the SAME persisted count store read under the Kneser-Ney law -
+    // switching smoothing is a reader change, no re-ingestion
+    "q_kneser_ney_incr" -> ((s, d) => graft.ops.LmIndex.kneserNeyIncrQ(s, d)),
     // linear fasttext-style keep/drop classifier: hashed-bucket features,
     // integer-milli weight table broadcast, exact order-free logit
     "q_quality_clf" -> ((s, d) => Scoring.qualityClassifierQ(Tables.documents(s, d))),
@@ -700,6 +703,43 @@ object SparkEntry {
       |/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
       |FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id), st
       |GROUP BY doc_id""".stripMargin
+
+  /** Kneser-Ney oracle text - shared by the batch q_kneser_ney and
+    * the index-read q_kneser_ney_incr (count additivity over
+    * doc-complete batches makes the batch replay the law). */
+  private val KneserNeyOracleSql: String =
+      """WITH t AS (SELECT doc_id, lang,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+        |FROM documents),
+        |tr AS (SELECT toks[i] AS a, toks[i+1] AS b
+        |FROM (SELECT toks, unnest(range(1, len(toks)+1)) AS i FROM t WHERE lang = 'en') z),
+        |uni AS (SELECT a, count(*) AS n_u FROM tr GROUP BY a),
+        |bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM tr
+        |WHERE b IS NOT NULL GROUP BY a, b),
+        |ctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS cv,
+        |CAST(count(*) AS BIGINT) AS n1f FROM bi GROUP BY a),
+        |pred AS (SELECT b, CAST(count(*) AS BIGINT) AS n1p FROM bi GROUP BY b),
+        |sc2 AS (SELECT CAST((SELECT count(*) FROM bi) AS BIGINT) AS nbb,
+        |CAST((SELECT count(*) FROM uni) AS BIGINT) AS v),
+        |sc AS (SELECT doc_id, lang, toks[i] AS ra, toks[i+1] AS rb
+        |FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+        |FROM t WHERE len(toks) >= 2) z),
+        |m AS (SELECT doc_id, lang,
+        |CASE WHEN ua.a IS NULL THEN '<unk>' ELSE sc.ra END AS a,
+        |CASE WHEN ub.a IS NULL THEN '<unk>' ELSE sc.rb END AS b
+        |FROM sc LEFT JOIN uni ua ON sc.ra = ua.a LEFT JOIN uni ub ON sc.rb = ub.a),
+        |pr AS (SELECT doc_id, lang,
+        |CASE WHEN ctx.cv IS NULL
+        |THEN (CAST(coalesce(pred.n1p, 0) AS DOUBLE) + 1.0) / CAST(nbb + v + 1 AS DOUBLE)
+        |ELSE greatest(CAST(coalesce(bi.n_ab, 0) AS DOUBLE) - 0.75, 0.0) / CAST(ctx.cv AS DOUBLE)
+        |+ 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cv AS DOUBLE)
+        |* ((CAST(coalesce(pred.n1p, 0) AS DOUBLE) + 1.0) / CAST(nbb + v + 1 AS DOUBLE))
+        |END AS prob
+        |FROM m LEFT JOIN bi ON m.a = bi.a AND m.b = bi.b
+        |LEFT JOIN ctx ON m.a = ctx.a LEFT JOIN pred ON m.b = pred.b, sc2)
+        |SELECT doc_id, lang, count(*) AS n_bigrams,
+        |round(-avg(ln(prob)), 6) AS logppl
+        |FROM pr GROUP BY doc_id, lang""".stripMargin
 
   private val Bm25OracleSql: String = bm25OracleSqlOver("")
 
@@ -3013,39 +3053,10 @@ object SparkEntry {
     // Kneser-Ney: d=0.75 absolute discount, continuation unigram with
     // add-one mass, unseen context backs off to Pc entirely; one fixed
     // association order so each double op is identical IEEE
-    "q_kneser_ney" ->
-      """WITH t AS (SELECT doc_id, lang,
-        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
-        |FROM documents),
-        |tr AS (SELECT toks[i] AS a, toks[i+1] AS b
-        |FROM (SELECT toks, unnest(range(1, len(toks)+1)) AS i FROM t WHERE lang = 'en') z),
-        |uni AS (SELECT a, count(*) AS n_u FROM tr GROUP BY a),
-        |bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM tr
-        |WHERE b IS NOT NULL GROUP BY a, b),
-        |ctx AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS cv,
-        |CAST(count(*) AS BIGINT) AS n1f FROM bi GROUP BY a),
-        |pred AS (SELECT b, CAST(count(*) AS BIGINT) AS n1p FROM bi GROUP BY b),
-        |sc2 AS (SELECT CAST((SELECT count(*) FROM bi) AS BIGINT) AS nbb,
-        |CAST((SELECT count(*) FROM uni) AS BIGINT) AS v),
-        |sc AS (SELECT doc_id, lang, toks[i] AS ra, toks[i+1] AS rb
-        |FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
-        |FROM t WHERE len(toks) >= 2) z),
-        |m AS (SELECT doc_id, lang,
-        |CASE WHEN ua.a IS NULL THEN '<unk>' ELSE sc.ra END AS a,
-        |CASE WHEN ub.a IS NULL THEN '<unk>' ELSE sc.rb END AS b
-        |FROM sc LEFT JOIN uni ua ON sc.ra = ua.a LEFT JOIN uni ub ON sc.rb = ub.a),
-        |pr AS (SELECT doc_id, lang,
-        |CASE WHEN ctx.cv IS NULL
-        |THEN (CAST(coalesce(pred.n1p, 0) AS DOUBLE) + 1.0) / CAST(nbb + v + 1 AS DOUBLE)
-        |ELSE greatest(CAST(coalesce(bi.n_ab, 0) AS DOUBLE) - 0.75, 0.0) / CAST(ctx.cv AS DOUBLE)
-        |+ 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.cv AS DOUBLE)
-        |* ((CAST(coalesce(pred.n1p, 0) AS DOUBLE) + 1.0) / CAST(nbb + v + 1 AS DOUBLE))
-        |END AS prob
-        |FROM m LEFT JOIN bi ON m.a = bi.a AND m.b = bi.b
-        |LEFT JOIN ctx ON m.a = ctx.a LEFT JOIN pred ON m.b = pred.b, sc2)
-        |SELECT doc_id, lang, count(*) AS n_bigrams,
-        |round(-avg(ln(prob)), 6) AS logppl
-        |FROM pr GROUP BY doc_id, lang""".stripMargin,
+    "q_kneser_ney" -> KneserNeyOracleSql,
+    // the index-read KN twin shares the batch KN oracle outright
+    // (count additivity over doc-complete batches)
+    "q_kneser_ney_incr" -> KneserNeyOracleSql,
     // Linear quality classifier: 1024 hashed buckets, integer-milli
     // weights wm = md5_60('w:'||bucket) % 2001 - 1000; the per-doc sum
     // is exact integer arithmetic, one double division at the end.

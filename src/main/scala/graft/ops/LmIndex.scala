@@ -97,4 +97,34 @@ object LmIndex {
     }
     scoreFromIndex(spark, idxDir, docs)
   }
+
+  /** Kneser-Ney scoring from the SAME index (q_kneser_ney_incr): every
+    * KN statistic — c(v), the follower/predecessor type counts, the
+    * bigram-type total — derives from the folded bigram table, so one
+    * persisted count store serves BOTH smoothing laws; switching the
+    * production filter from add-α to KN is a reader change, no
+    * re-ingestion. Must equal the batch [[Scoring.kneserNeyQ]] over
+    * the same corpus (count additivity over doc-complete batches —
+    * the shared oracle text is the law). */
+  def kneserNeyFromIndex(spark: SparkSession, dir: String,
+      docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val model = PipelineCaches.track(modelFromIndex(spark, dir))
+    val uni = model.filter(col("gid") === 1)
+      .select(col("ra").as("u_tok"), col("n").as("n_u"))
+    val bi = model.filter(col("gid") === 0 && col("rb").isNotNull)
+      .select(col("ra").as("bi_a"), col("rb").as("bi_b"), col("n").as("n_ab"))
+    Scoring.kneserNeyScore(docs, uni, bi, discount)
+  }
+
+  /** Declared query q_kneser_ney_incr: the q_ngram_lm_incr build (same
+    * memoized artifact — BuildOnce shares it), read under the KN law. */
+  def kneserNeyIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_lm_idx", dir)
+    BuildOnce(spark, idxDir) {
+      writeLmIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
+      appendToLmIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+    }
+    kneserNeyFromIndex(spark, idxDir, docs)
+  }
 }

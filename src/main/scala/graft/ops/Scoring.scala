@@ -244,6 +244,15 @@ object Scoring {
       .select(col("ra").as("u_tok"), col("n").as("n_u"))
     val bi = model.filter(col("gid") === 0 && col("rb").isNotNull)
       .select(col("ra").as("bi_a"), col("rb").as("bi_b"), col("n").as("n_ab"))
+    kneserNeyScore(docs, uni, bi, discount)
+  }
+
+  /** The Kneser-Ney scoring tail over (uni, bi) model frames — shared
+    * by the batch form and the persisted-index read ([[LmIndex]]
+    * serves BOTH smoothing laws from the same additive counts: KN's
+    * statistics all derive from the folded bigram table). */
+  private[ops] def kneserNeyScore(docs: DataFrame, uni: DataFrame,
+      bi: DataFrame, discount: Double = 0.75): DataFrame = {
     val ctx = bi.groupBy(col("bi_a").as("c_a"))
       .agg(sum(col("n_ab")).as("cv"), count(lit(1)).as("n1f"))
     val pred = bi.groupBy(col("bi_b").as("p_b"))

@@ -36,8 +36,9 @@ object PlanAllowances {
     // the incremental LM shares q_ngram_lm's ONE-row vocab-size scalar
     // broadcast (LmIndex.scoreFromIndex → Scoring.lmScore)
     "q_ngram_lm_incr",
-    // Kneser-Ney's ONE-row (N_bb, V) scalar pair broadcast
-    "q_kneser_ney",
+    // Kneser-Ney's ONE-row (N_bb, V) scalar pair broadcast (batch and
+    // index-read forms share the scoring tail)
+    "q_kneser_ney", "q_kneser_ney_incr",
     // ccnet buckets ride ngramLmQ and its one-row vocab-size scalar
     "q_ccnet_buckets",
     // curriculumRanked's ONE-row tier-offset conditional sums (both

@@ -58,4 +58,24 @@ class LmIndexSpec extends SparkSuite {
     PipelineCaches.release(spark)
     assert(inc == batch && inc.nonEmpty)
   }
+
+  test("the SAME index serves the Kneser-Ney law: index read == batch " +
+    "kneserNeyQ, before and after compaction") {
+    val dir = tmp("lm_kn")
+    LmIndex.writeLmIndex(docs.filter(col("doc_id") % 4 =!= 0), dir)
+    LmIndex.appendToLmIndex(docs.filter(col("doc_id") % 4 === 0), dir)
+    val batch = Scoring.kneserNeyQ(docs).collect()
+      .map(_.toString).sorted.toSeq
+    PipelineCaches.release(spark)
+    val inc = LmIndex.kneserNeyFromIndex(spark, dir, docs).collect()
+      .map(_.toString).sorted.toSeq
+    PipelineCaches.release(spark)
+    assert(inc == batch && inc.nonEmpty,
+      "KN from the folded count store must equal the batch scorer")
+    LmIndex.compactLmIndex(spark, dir)
+    val post = LmIndex.kneserNeyFromIndex(spark, dir, docs).collect()
+      .map(_.toString).sorted.toSeq
+    PipelineCaches.release(spark)
+    assert(post == batch, "compaction must not change a single KN score")
+  }
 }
