@@ -427,6 +427,8 @@ object SparkEntry {
     // expected calibration error: integer-micro confidences, 10 bins,
     // one final division
     "q_ece" -> ((s, d) => Scoring.eceQ(Tables.documents(s, d))),
+    // Brier score: exact squared micro gaps, one scalar fold
+    "q_brier" -> ((s, d) => Scoring.brierQ(Tables.documents(s, d))),
     // temperature-flattened (alpha=0.5) source rebalancing, min-anchored
     "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d))),
     // exact-k deterministic per-stratum sample on the bounded-buffer
@@ -3172,6 +3174,24 @@ object SparkEntry {
         |CAST(count(*) AS BIGINT) AS n_bins_used,
         |CAST(sum(abs(1000000*s_label - s_conf)) AS BIGINT) AS gap_sum,
         |round(CAST(sum(abs(1000000*s_label - s_conf)) AS DOUBLE) / (1000000.0 * sum(n)), 6) AS ece
+        |FROM g""".stripMargin,
+    // Brier: exact squared micro gaps, one scalar fold
+    "q_brier" ->
+      """WITH w AS (SELECT j AS bucket,
+        |CAST(('0x'||substr(md5('w:'||j),1,15)) AS BIGINT) % 2001 - 1000 AS wm
+        |FROM (SELECT unnest(range(0, 1024)) AS j) z),
+        |tk AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1024 AS bucket FROM
+        |(SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> x <> '')) AS tok FROM documents) u),
+        |sc AS (SELECT doc_id,
+        |CAST((sum(wm) + 1000*count(*)) * 1000000 // (2000*count(*)) AS BIGINT) AS p_micro
+        |FROM tk JOIN w USING (bucket) GROUP BY doc_id),
+        |g AS (SELECT 1000000 * CAST(coalesce(d.lang = 'en', FALSE) AS BIGINT)
+        |- p_micro AS gap FROM sc s JOIN documents d ON d.doc_id = s.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |CAST(sum(gap * gap) AS BIGINT) AS sq_sum,
+        |round(CAST(sum(gap * gap) AS DOUBLE) / (1000000000000.0 * count(*)), 6) AS brier
         |FROM g""".stripMargin,
     // Temperature sampling: rate_s = sqrt(n_min / n_s) — one IEEE
     // division + one correctly-rounded sqrt per stratum, so the

@@ -513,7 +513,10 @@ object Scoring {
     * Scale shape: one broadcast model join + one per-doc aggregate
     * (shared with the classifier), then a 10-row bin aggregate — the
     * whole calibration tail is bounded by construction. */
-  def eceQ(docs: DataFrame, nBins: Int = 10): DataFrame = {
+  /** (doc_id, p_micro, label) — the classifier's affine confidence on
+    * the integer micro grid joined with the weak label; shared by the
+    * calibration readouts (ECE, Brier). */
+  private def confidenceMicro(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     graft.functions.Md5Bits.register(spark)
     val weights = qualityClassifierWeights(spark)
@@ -530,11 +533,14 @@ object Scoring {
       .select(col("doc_id"),
         expr("(swm + 1000 * n_tokens) * 1000000 div (2000 * n_tokens)")
           .as("p_micro"))
-    val labeled = scored.join(
+    scored.join(
       docs.select(col("doc_id"),
         coalesce(col("lang") === "en", lit(false)).cast("long").as("label")),
       Seq("doc_id"))
-    labeled
+  }
+
+  def eceQ(docs: DataFrame, nBins: Int = 10): DataFrame = {
+    confidenceMicro(docs)
       .groupBy(least(lit(nBins - 1L),
         expr(s"p_micro div ${1000000 / nBins}")).as("bin"))
       .agg(count(lit(1)).as("n"), sum(col("label")).as("s_label"),
@@ -545,4 +551,24 @@ object Scoring {
         round(col("gap_sum").cast("double") / (lit(1e6) * col("n_docs")), 6)
           .as("ece"))
   }
+
+  /** Brier score (q_brier, Brier 1950) — the strictly proper scoring
+    * rule beside [[eceQ]]'s binned gap: mean squared error between the
+    * affine confidence and the weak label, sensitive to BOTH
+    * calibration and resolution (a scorer can have zero ECE by being
+    * uselessly uniform; Brier charges it for that). Exact: per doc the
+    * squared micro gap (label·10⁶ − p_micro)² is one BIGINT product,
+    * the corpus sum is order-free, and brier = Σgap²/(10¹²·N) is one
+    * final rounded division. Overflow: gap² ≤ 10¹², so the sum holds
+    * past 9·10⁶ docs in a long; the at-scale form drops to a coarser
+    * grid or per-partition partials into DECIMAL. One broadcast model
+    * join + one per-doc aggregate + one scalar fold — no other shape. */
+  def brierQ(docs: DataFrame): DataFrame =
+    confidenceMicro(docs)
+      .select((lit(1000000L) * col("label") - col("p_micro")).as("gap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("gap") * col("gap")).as("sq_sum"))
+      .select(col("n_docs"), col("sq_sum"),
+        round(col("sq_sum").cast("double") / (lit(1e12) * col("n_docs")), 6)
+          .as("brier"))
 }

@@ -364,5 +364,28 @@ class EvalTransformSpec extends SparkSuite {
       .toDF("doc_id", "text", "lang", "source")
     val row = Scoring.eceQ(docs).collect().head
     assert(row.getLong(2) == 0L && row.getDouble(3) == 0.0)
+    // the proper-scoring-rule distinction: the same fixture is
+    // perfectly CALIBRATED (ece 0) but maximally UNRESOLVED — both
+    // docs sit at confidence 0.5, so Brier charges (0.5)² = 0.25
+    val br = Scoring.brierQ(docs).collect().head
+    assert(br.getLong(0) == 2L &&
+      br.getLong(1) == 2L * 500000L * 500000L && br.getDouble(2) == 0.25,
+      "zero-ECE uniform scorer must still pay full Brier resolution cost")
+  }
+
+  test("brier matches a driver-side exact replay on the real corpus") {
+    val got = Scoring.brierQ(docsDf).collect().head
+    val scored = Scoring.qualityClassifierQ(docsDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val langs = docsDf.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "en")).toMap
+    val sq = scored.map { case (id, n, logit) =>
+      val swm = math.rint(logit * n * 1000).toLong
+      val p = (swm + 1000L * n) * 1000000L / (2000L * n)
+      val gap = (if (langs(id)) 1000000L else 0L) - p
+      gap * gap
+    }.sum
+    assert(got.getLong(0) == scored.length.toLong && got.getLong(1) == sq)
+    assert(got.getDouble(2) >= 0.0 && got.getDouble(2) <= 1.0)
   }
 }
