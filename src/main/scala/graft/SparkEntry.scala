@@ -114,6 +114,9 @@ object SparkEntry {
     // vs exact jaccard per verified pair, absolute error as data
     "q_minhash_est" -> ((s, d) => Dedup.minhashEstQ(Tables.documents(s, d))),
     "q_dedup_incr" -> ((s, d) => Dedup.incrementalNearDupQ(s, d)),
+    // right-to-be-forgotten on the LSH store: indexed doc_id % 13 = 0
+    // tombstoned, the delta lookup can never pair against them
+    "q_dedup_forget" -> ((s, d) => Dedup.forgetNearDupQ(s, d)),
     "q_dedup_fuzzy_incr" -> ((s, d) => Dedup.incrementalFuzzyQ(s, d)),
     "q_dup_clusters" -> ((s, d) => Components.dupClustersQ(s, d)),
     // incremental cluster maintenance: standing corpus labels + delta
@@ -705,6 +708,48 @@ object SparkEntry {
       |/ (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6) AS bm25
       |FROM tf JOIN dfx USING (token) JOIN dl USING (doc_id), st
       |GROUP BY doc_id""".stripMargin
+
+  /** The incremental near-dup oracle, with an optional extra predicate
+    * on the INDEX (b) side of the candidate join — q_dedup_forget
+    * filters the forgotten corpus ids off exactly there. */
+  private def nearDupIncrOracleSql(bFilter: String): String =
+    """WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
+          |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+          |tok AS (SELECT DISTINCT doc_id, t AS token FROM
+          |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+          |FROM docs2) u WHERE t <> ''),
+          |sig AS (SELECT doc_id,
+          |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
+          |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
+          |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
+          |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
+          |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
+          |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
+          |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
+          |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
+          |FROM tok GROUP BY doc_id),
+          |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
+          |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
+          |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
+          |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
+          |delta_ids AS (SELECT doc_id + 100000 AS doc_id FROM documents WHERE doc_id % 20 = 0),
+          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
+          |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+          |WHERE a.doc_id IN (SELECT doc_id FROM delta_ids)
+          |AND b.doc_id NOT IN (SELECT doc_id FROM delta_ids)),
+          |tokh AS (SELECT DISTINCT doc_id,
+          |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
+          |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),
+          |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
+          |JOIN tokh ta ON ta.doc_id = c.doc_a
+          |JOIN tokh tb ON tb.doc_id = c.doc_b AND tb.th = ta.th
+          |GROUP BY c.doc_a, c.doc_b)
+          |SELECT c.doc_a, c.doc_b,
+          |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
+          |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
+          |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin
+      .replace("AND b.doc_id NOT IN (SELECT doc_id FROM delta_ids)",
+        "AND b.doc_id NOT IN (SELECT doc_id FROM delta_ids)" + bFilter)
 
   /** Kneser-Ney oracle text - shared by the batch q_kneser_ney and
     * the index-read q_kneser_ney_incr (count additivity over
@@ -1512,42 +1557,11 @@ object SparkEntry {
     // q_dedup_near, over the corpus (doc_id % 20 <> 0) ∪ re-keyed delta
     // (doc_id % 20 = 0, +100000), restricted to (delta, corpus) cross
     // pairs — exactly what the persisted-index path must return.
-    "q_dedup_incr" ->
-      """WITH docs2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0
-        |UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
-        |tok AS (SELECT DISTINCT doc_id, t AS token FROM
-        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
-        |FROM docs2) u WHERE t <> ''),
-        |sig AS (SELECT doc_id,
-        |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
-        |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
-        |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
-        |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
-        |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
-        |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
-        |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
-        |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
-        |FROM tok GROUP BY doc_id),
-        |bands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM sig
-        |UNION ALL SELECT doc_id, 1, h2, h3 FROM sig
-        |UNION ALL SELECT doc_id, 2, h4, h5 FROM sig
-        |UNION ALL SELECT doc_id, 3, h6, h7 FROM sig),
-        |delta_ids AS (SELECT doc_id + 100000 AS doc_id FROM documents WHERE doc_id % 20 = 0),
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a
-        |JOIN bands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
-        |WHERE a.doc_id IN (SELECT doc_id FROM delta_ids)
-        |AND b.doc_id NOT IN (SELECT doc_id FROM delta_ids)),
-        |tokh AS (SELECT DISTINCT doc_id,
-        |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM tok),
-        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM tokh GROUP BY doc_id),
-        |common AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM cand c
-        |JOIN tokh ta ON ta.doc_id = c.doc_a
-        |JOIN tokh tb ON tb.doc_id = c.doc_b AND tb.th = ta.th
-        |GROUP BY c.doc_a, c.doc_b)
-        |SELECT c.doc_a, c.doc_b,
-        |CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) AS jaccard
-        |FROM common c JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b
-        |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin,
+    "q_dedup_incr" -> nearDupIncrOracleSql(""),
+    // deletion propagation on the LSH store: the delta lookup after
+    // forgetting doc_id % 13 = 0 equals the batch pairs against the
+    // surviving corpus
+    "q_dedup_forget" -> nearDupIncrOracleSql(" AND b.doc_id % 13 <> 0"),
     // The incremental fuzzy shape: q_dedup_incr's banded blocking over
     // corpus ∪ re-keyed delta, restricted to (delta, corpus) pairs, with
     // the edit-distance verify of q_dedup_fuzzy.

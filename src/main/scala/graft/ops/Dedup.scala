@@ -415,7 +415,8 @@ object Dedup {
       targetFileBytes: Long = 128L << 20): Unit = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     DirSwap(spark, s"$dir/bands") { out =>
-      spark.read.schema(BandsSchema).parquet(s"$dir/bands")
+      Tombstones.minus(spark, dir,
+        spark.read.schema(BandsSchema).parquet(s"$dir/bands"))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
@@ -424,10 +425,32 @@ object Dedup {
       val bytes = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(live).getLength
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      spark.read.schema(TokSetsSchema).parquet(s"$dir/toksets")
+      Tombstones.minus(spark, dir,
+        spark.read.schema(TokSetsSchema).parquet(s"$dir/toksets"))
         .repartition(nFiles)
         .write.parquet(out)
     }
+    // compaction is also the PURGE: the rewrites above dropped every
+    // tombstoned row from both tables, so the tombstones retire
+    Tombstones.clear(spark, dir)
+  }
+
+  /** Right-to-be-forgotten on the near-dup index (q_dedup_forget): the
+    * [[TextIndex.forgetFromTextIndex]] two-phase pattern on the LSH
+    * store — tombstones at request time (this method: one request-sized
+    * append, no Spark job over the corpus — unlike BM25 there are no
+    * aggregate stats to correct, bands and token sets are per-doc
+    * rows), physical purge at [[compactNearDupIndex]]. The lookup
+    * ([[nearDupsAgainstIndex]]) anti-joins the INDEX-side band read
+    * against the broadcast tombstone set, so a forgotten document can
+    * never become a candidate — and therefore never reaches the verify
+    * join or the output — while the partition-pruned scan keeps its
+    * PartitionFilters (the anti-join sits above the scan). Forgotten
+    * ids must never be re-ingested (the shared single-writer
+    * new-ids-only contract). */
+  def forgetFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, victims: DataFrame): Unit = {
+    Tombstones.append(dir, Tombstones.fresh(spark, dir, victims))
   }
 
   /** Near-duplicate pairs between a (small) delta of NEW documents and a
@@ -477,7 +500,11 @@ object Dedup {
     val bandsPath = new org.apache.hadoop.fs.Path(s"$dir/bands")
     val indexBytes = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(bandsPath).getLength
-    val bandsRead = spark.read.schema(BandsSchema).parquet(s"$dir/bands")
+    // tombstone exclusion (forgetFromNearDupIndex): a deleted doc's
+    // bands never become candidates; no-op (no extra join) when the
+    // index never saw a delete
+    val bandsRead = Tombstones.minus(spark, dir,
+      spark.read.schema(BandsSchema).parquet(s"$dir/bands"))
     val prunedBands =
       // un-pruned branch: fanout — the one-file-per-bucket layout
       // bin-packs into few scan tasks (openCost packing) and the verify
@@ -537,6 +564,28 @@ object Dedup {
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_neardup_idx", dir)
     BuildOnce(spark, idxDir)(writeNearDupIndex(corpus, idxDir))
+    nearDupsAgainstIndex(spark, delta, idxDir)
+  }
+
+  /** Declared query q_dedup_forget: [[incrementalNearDupQ]]'s shape
+    * with every indexed doc_id ≡ 0 (mod 13) forgotten before the delta
+    * lookup — the lookup must return exactly the batch near-dup pairs
+    * between the delta and the SURVIVING corpus (the q_dedup_incr
+    * oracle with the victims filtered off the b side). Own index dir:
+    * forgetting mutates state. */
+  def forgetNearDupQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val idxDir = BuildOnce.tempDirFor("graft_neardup_idx_forget", dir)
+    BuildOnce(spark, idxDir) {
+      writeNearDupIndex(corpus, idxDir)
+      forgetFromNearDupIndex(spark, idxDir,
+        corpus.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
+    }
     nearDupsAgainstIndex(spark, delta, idxDir)
   }
 

@@ -90,23 +90,8 @@ object TextIndex {
   private def readBuckets(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/meta").head().getInt(0)
 
-  private val DeletesSchema = StructType(Seq(StructField("doc_id", LongType)))
-
-  /** The tombstone table, if any forget request ever landed on this
-    * index. Absence is the steady state — the FS check costs no Spark
-    * job, and an index that never saw a delete keeps its exact
-    * pre-forget read plans (no extra join). */
-  private def tombstones(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.schema(DeletesSchema).parquet(p.toString))
-    else None
-  }
-
   private def minusTombstones(spark: SparkSession, dir: String,
-      rows: DataFrame): DataFrame =
-    tombstones(spark, dir).fold(rows)(del =>
-      rows.join(broadcast(del), Seq("doc_id"), "left_anti"))
+      rows: DataFrame): DataFrame = Tombstones.minus(spark, dir, rows)
 
   /** Right-to-be-forgotten propagation (q_forget): make the index
     * answer every future read as if `victims` were never ingested —
@@ -141,10 +126,7 @@ object TextIndex {
     *  table) would tax every read join instead of the rare delete. */
   def forgetFromTextIndex(spark: SparkSession, dir: String,
       victims: DataFrame): Unit = {
-    val fresh0 = victims.select(col("doc_id").cast("long")).distinct()
-    val fresh = tombstones(spark, dir)
-      .fold(fresh0)(del => fresh0.join(broadcast(del), Seq("doc_id"), "left_anti"))
-      .cache()
+    val fresh = Tombstones.fresh(spark, dir, victims).cache()
     val victimRows = spark.read.schema(PostingsSchema)
       .parquet(s"$dir/postings")
       .join(broadcast(fresh), Seq("doc_id"), "left_semi")
@@ -153,7 +135,7 @@ object TextIndex {
       .agg((-count(lit(1))).as("n_docs"),
         coalesce(-sum(col("dl")), lit(0L)).as("total_dl"))
     negStats.coalesce(1).write.mode("append").parquet(s"$dir/stats")
-    fresh.coalesce(1).write.mode("append").parquet(s"$dir/deletes")
+    Tombstones.append(dir, fresh)
     fresh.unpersist()
     ()
   }
@@ -201,9 +183,7 @@ object TextIndex {
         .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
         .coalesce(1).write.parquet(out)
     }
-    val del = new org.apache.hadoop.fs.Path(s"$dir/deletes")
-    del.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(del, true)
-    ()
+    Tombstones.clear(spark, dir)
   }
 
   /** BM25 scores for every indexed doc matching ≥ 1 query term — the

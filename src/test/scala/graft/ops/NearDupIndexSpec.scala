@@ -181,4 +181,43 @@ class NearDupIndexSpec extends SparkSuite {
       s.sql("DROP TABLE IF EXISTS bkt_toksets")
     }
   }
+
+  test("forget: tombstoned docs never pair; read equals a victim-free " +
+    "index; purge erases both tables; double-forget is a no-op") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup_fg").toString
+    Dedup.writeNearDupIndex(docs, dir)
+    val victims = docs.filter(col("doc_id") % 7 === 0).select("doc_id")
+    Dedup.forgetFromNearDupIndex(spark, dir, victims)
+    val delta = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    def pairs(): Set[(Long, Long)] = {
+      val r = Dedup.nearDupsAgainstIndex(spark, delta, dir).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      PipelineCaches.release(spark)
+      r
+    }
+    val got = pairs()
+    assert(got.nonEmpty && got.forall(_._2 % 7 != 0L),
+      "a forgotten doc must never appear as a match")
+    // ground truth: an index that never held the victims
+    val dirRef = java.nio.file.Files.createTempDirectory("neardup_ref").toString
+    Dedup.writeNearDupIndex(docs.filter(col("doc_id") % 7 =!= 0), dirRef)
+    val want = Dedup.nearDupsAgainstIndex(spark, delta, dirRef).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    PipelineCaches.release(spark)
+    assert(got == want, "tombstone read must equal the victim-free index")
+    // idempotent re-forget
+    Dedup.forgetFromNearDupIndex(spark, dir, victims)
+    assert(pairs() == want)
+    // purge: physical erasure from BOTH tables, tombstones cleared,
+    // reads unchanged
+    Dedup.compactNearDupIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/deletes").exists())
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("doc_id") % 7 === 0).count() == 0L)
+    assert(spark.read.parquet(s"$dir/toksets")
+      .filter(col("doc_id") % 7 === 0).count() == 0L)
+    assert(pairs() == want, "post-purge read must be indistinguishable")
+  }
 }
