@@ -250,6 +250,28 @@ object ScaleSmoke {
         docs.withColumn("lang",
           when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
       spark.sharedState.cacheManager.clearCache()
+      // Kneser-Ney: model tables grow with the OBSERVED bigram types
+      // (disjoint copy vocabularies: ~k), scoring pass linear in the
+      // token stream — same law as the add-α scorer it sits beside
+      run("kneser_ney", graft.ops.Scoring.kneserNeyQ(
+        docs.withColumn("lang",
+          when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // power iteration: 3 rounds × two BIGINT folds over the element
+      // table (grows ~k), d-row collects — embarrassingly linear
+      run("power_iter", graft.ops.SimSearch.powerIterQ(
+        docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(col("doc_id") * 37 + i * 17, lit(97)).cast("double")
+              / 48.5 - 1.0).cast("float")).as("embedding"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // Brier: the classifier scan + one scalar fold — the linear floor
+      run("brier", graft.ops.Scoring.brierQ(
+        docs.withColumn("lang",
+          when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }
