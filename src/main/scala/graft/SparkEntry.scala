@@ -194,6 +194,9 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextOps.tfidfQ(Tables.documents(s, d))),
     "q_ngram_counts" -> ((s, d) => TextOps.ngramCountsQ(Tables.documents(s, d))),
     "q_redact" -> ((s, d) => TextOps.redactQ(Tables.documents(s, d))),
+    // typed entity inventory: one-scan multi-pattern extraction, the
+    // (kind, entity) -> (n_docs, n_occurrences) governance readout
+    "q_entities" -> ((s, d) => TextOps.entitiesQ(Tables.documents(s, d))),
     // C4-style heuristic line-filter battery over a deterministic
     // synthesized line structure (the redactQ precedent) — per-doc
     // verdicts + cleaned text, all map-side
@@ -1907,6 +1910,27 @@ object SparkEntry {
         |len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
         |len(regexp_extract_all(t, '\b\d{9,}\b')) AS n_id
         |FROM aug""".stripMargin,
+    // entity inventory: same augmentation, each pattern extracted
+    // independently off the original text, corpus-wide (kind, entity)
+    // aggregate
+    "q_entities" ->
+      """WITH aug AS (SELECT doc_id,
+        |text || ' contact user' || CAST(doc_id AS VARCHAR)
+        ||| '@mail.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        ||| '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        ||| ' id ' || CAST(doc_id + 100000000 AS VARCHAR)
+        ||| ' phone 555-867-5309' AS t FROM documents),
+        |e AS (SELECT doc_id, 'email' AS kind,
+        |unnest(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS entity FROM aug
+        |UNION ALL SELECT doc_id, 'ip',
+        |unnest(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) FROM aug
+        |UNION ALL SELECT doc_id, 'phone',
+        |unnest(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) FROM aug
+        |UNION ALL SELECT doc_id, 'id',
+        |unnest(regexp_extract_all(t, '\b\d{9,}\b')) FROM aug)
+        |SELECT kind, entity, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM e GROUP BY kind, entity""".stripMargin,
     // Same deterministic line synthesis (6-token lines, punct on 3/4
     // lines, javascript on every 11th (doc,line), lorem on %37 docs,
     // brace on %41 docs), same rule battery, same verdict precedence.

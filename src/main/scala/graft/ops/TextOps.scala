@@ -452,16 +452,49 @@ object TextOps {
     * doc_id, identically constructed in the oracle) and then redacts
     * it — every row exercises all four patterns and the full redacted
     * text is hash-checked, not just counted. */
-  def redactQ(docs: DataFrame): DataFrame = {
-    val withPii = graft.sources.Tables.fanout(docs).select(col("doc_id"),
+  /** The deterministic PII augmentation the digit-free fixture needs
+    * so every pattern fires on real rows — shared by q_redact and
+    * q_entities, identically spelled in both oracles. */
+  private def piiAugmented(docs: DataFrame): DataFrame =
+    graft.sources.Tables.fanout(docs).select(col("doc_id"),
       concat(col("text"),
         lit(" contact user"), col("doc_id").cast("string"),
         lit("@mail.example.com ip 10."), (col("doc_id") % 256).cast("string"),
         lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
         lit(" id "), (col("doc_id") + 100000000L).cast("string"),
         lit(" phone 555-867-5309")).as("text"))
-    redactPii(withPii)
+
+  def redactQ(docs: DataFrame): DataFrame =
+    redactPii(piiAugmented(docs))
       .select("doc_id", "text", "n_email", "n_ip", "n_phone", "n_id")
+
+  /** Typed entity inventory (q_entities) — the audit companion to
+    * [[redactQ]]: where redaction destroys identifiers, the inventory
+    * EXTRACTS them and aggregates corpus-wide — (kind, entity) →
+    * (n_docs, n_occurrences). n_docs > 1 is the governance readout:
+    * identifiers shared across documents (a leaked credential, one
+    * phone number in every scraped page footer) are exactly what a
+    * delete request must chase across the corpus (the [[Tombstones]]
+    * family's discovery step). Each pattern extracts independently off
+    * the ORIGINAL text (no sequential-replace order sensitivity — the
+    * one semantic difference from redaction, declared).
+    *
+    * Scale shape: ONE corpus scan — all four regexp_extract_all arrays
+    * are built and exploded inside a single codegen'd projection (a
+    * per-pattern union would re-scan the corpus 4×) — then one
+    * (kind, entity)-keyed aggregate; distinct-doc counting shuffles
+    * (kind, entity, doc_id) triples, bounded by match count. */
+  def entitiesQ(docs: DataFrame): DataFrame = {
+    val kinds = Seq("email", "ip", "phone", "id").zip(PiiPatterns.map(_._1))
+    piiAugmented(docs)
+      .select(col("doc_id"), explode(flatten(array(kinds.map { case (k, p) =>
+        transform(regexp_extract_all(col("text"), lit(p), lit(0)),
+          e => struct(lit(k).as("kind"), e.as("entity")))
+      }: _*))).as("ke"))
+      .select(col("doc_id"), col("ke.kind").as("kind"), col("ke.entity").as("entity"))
+      .groupBy(col("kind"), col("entity"))
+      .agg(count_distinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
   }
 
   /** C4-style heuristic line-filter battery (q_c4_filters) — the

@@ -112,4 +112,30 @@ class BloomRedactSpec extends SparkSuite {
     assert(twice.select("doc_id", "text").collect().map(_.toString).sorted
       sameElements once.select("doc_id", "text").collect().map(_.toString).sorted)
   }
+
+  test("entity inventory: shared identifiers counted corpus-wide, " +
+    "per-doc identifiers stay n_docs = 1; one corpus scan") {
+    val docsT = graft.sources.Tables.documents(spark, sf)
+    val nDocs = docsT.count()
+    val q = TextOps.entitiesQ(docsT)
+    // ONE scan: all four patterns extract inside a single projection
+    val scans = q.queryExecution.executedPlan.toString
+      .split('\n').count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one corpus scan, saw $scans")
+    val rows = q.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the synthesized footer phone is in EVERY doc — the cross-corpus
+    // identifier the inventory exists to surface
+    val phone = rows.filter(_._1 == "phone")
+    assert(phone.length == 1 && phone.head._2 == "555-867-5309" &&
+      phone.head._3 == nDocs && phone.head._4 == nDocs)
+    // per-doc emails are unique by construction
+    val emails = rows.filter(_._1 == "email")
+    assert(emails.length.toLong == nDocs && emails.forall(_._3 == 1L))
+    // id entities: doc_id + 1e8, one per doc
+    assert(rows.filter(_._1 == "id").forall(e => e._3 == 1L && e._4 == 1L))
+    // ips collide on the (doc_id % 256, (doc_id*7) % 256) grid:
+    // occurrences conserve the corpus count
+    assert(rows.filter(_._1 == "ip").map(_._4).sum == nDocs)
+  }
 }
