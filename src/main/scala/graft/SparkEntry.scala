@@ -435,6 +435,9 @@ object SparkEntry {
     "q_ece" -> ((s, d) => Scoring.eceQ(Tables.documents(s, d))),
     // Brier score: exact squared micro gaps, one scalar fold
     "q_brier" -> ((s, d) => Scoring.brierQ(Tables.documents(s, d))),
+    // ColBERT-style MaxSim: per-query-term best-token integer dot
+    // products, one codegen projection + one doc-keyed aggregate
+    "q_maxsim" -> ((s, d) => Scoring.maxSimQ(Tables.documents(s, d))),
     // temperature-flattened (alpha=0.5) source rebalancing, min-anchored
     "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d))),
     // exact-k deterministic per-stratum sample on the bounded-buffer
@@ -753,6 +756,31 @@ object SparkEntry {
           |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin
       .replace("AND b.doc_id NOT IN (SELECT doc_id FROM delta_ids)",
         "AND b.doc_id NOT IN (SELECT doc_id FROM delta_ids)" + bFilter)
+
+  /** MaxSim oracle: distinct (doc, token) × 16 dims via lateral range,
+    * per-(doc, token) integer dots against each query term's identical
+    * md5-derived vector, per-doc max per term, summed. */
+  private val MaxSimOracleSql: String = {
+    val terms = Seq("data", "query", "engine", "fast")
+    val dotCols = terms.zipWithIndex.map { case (t, i) =>
+      s"sum(vd * (CAST(('0x'||substr(md5('e:$t:'||CAST(j AS VARCHAR)),1,15)) AS BIGINT) % 2001 - 1000)) AS d$i"
+    }.mkString(",\n")
+    val maxCols = terms.indices.map(i => s"max(d$i) AS m$i").mkString(", ")
+    val sumExpr = terms.indices.map(i => s"m$i").mkString(" + ")
+    s"""WITH tok AS (SELECT DISTINCT doc_id, t AS token FROM
+       |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+       |FROM documents) u WHERE t <> ''),
+       |comp AS (SELECT doc_id, token, j,
+       |CAST(('0x'||substr(md5('e:'||token||':'||CAST(j AS VARCHAR)),1,15)) AS BIGINT) % 2001 - 1000 AS vd
+       |FROM tok, unnest(range(0, 16)) t2(j)),
+       |d AS (SELECT doc_id, token,
+       |$dotCols
+       |FROM comp GROUP BY doc_id, token),
+       |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+       |$maxCols FROM d GROUP BY doc_id)
+       |SELECT doc_id, n_distinct_tokens,
+       |CAST($sumExpr AS BIGINT) AS maxsim FROM m""".stripMargin
+  }
 
   /** Kneser-Ney oracle text - shared by the batch q_kneser_ney and
     * the index-read q_kneser_ney_incr (count additivity over
@@ -3213,6 +3241,8 @@ object SparkEntry {
         |CAST(sum(abs(1000000*s_label - s_conf)) AS BIGINT) AS gap_sum,
         |round(CAST(sum(abs(1000000*s_label - s_conf)) AS DOUBLE) / (1000000.0 * sum(n)), 6) AS ece
         |FROM g""".stripMargin,
+    // MaxSim: identical md5-derived token vectors, per-term max dots
+    "q_maxsim" -> MaxSimOracleSql,
     // Brier: exact squared micro gaps, one scalar fold
     "q_brier" ->
       """WITH w AS (SELECT j AS bucket,

@@ -563,6 +563,56 @@ object Scoring {
     * past 9·10⁶ docs in a long; the at-scale form drops to a coarser
     * grid or per-partition partials into DECIMAL. One broadcast model
     * join + one per-doc aggregate + one scalar fold — no other shape. */
+  /** Late-interaction MaxSim retrieval scoring (q_maxsim, ColBERT —
+    * Khattab & Zaharia 2020): score(q, d) = Σ_{t∈q} max_{s∈d}
+    * sim(v_t, v_s) — every query term finds its best-matching document
+    * token and the per-term winners sum. The shape that beats
+    * bag-of-words scoring (BM25) when match quality lives at the token
+    * level; here the token embeddings are the engine's deterministic
+    * stand-in for the model artifact (16-dim integer-milli vectors,
+    * v[j] = md5₆₀("e:"+token+":"+j) % 2001 − 1000 — the
+    * q_quality_clf weight-table discipline, so the oracle rebuilds the
+    * identical "model"), and sim is the raw integer DOT product: every
+    * score is a BIGINT (|dot| ≤ 16·10⁶), bit-identical anywhere.
+    *
+    * Scale shape: ZERO joins — the 16 components are pure expressions
+    * of the token string, materialized once per (doc, token) row
+    * inside one codegen'd projection and reused by all query terms'
+    * dot columns; then ONE doc-keyed aggregate takes the per-term
+    * maxes and their sum. Distinct (doc, token) first: max over
+    * instances equals max over distincts, and the distinct pass
+    * halves the md5 work on repetitive corpora. Query-side vectors
+    * are driver-computed literals (plan constants — the CMS/PQ
+    * lesson). */
+  def maxSimQ(docs: DataFrame,
+      terms: Seq[String] = Seq("data", "query", "engine", "fast"),
+      dims: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Md5Bits.register(spark)
+    def md60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val qvecs: Map[String, Array[Long]] = terms.map(t =>
+      t -> Array.tabulate(dims)(j => md60(s"e:$t:$j") % 2001L - 1000L)).toMap
+    val tok = tokensOf(docs).distinct()
+    val withVd = tok.select(
+      col("doc_id") +: col("token") +: (0 until dims).map(j =>
+        (call_function(graft.functions.Md5Bits.FnName,
+          concat(lit("e:"), col("token"), lit(s":$j")), lit(0), lit(15))
+          % 2001L - 1000L).as(s"vd$j")): _*)
+    val withDots = withVd.select(
+      col("doc_id") +: terms.map(t =>
+        (0 until dims).map(j => col(s"vd$j") * lit(qvecs(t)(j)))
+          .reduce(_ + _).as(s"dot_$t")): _*)
+    withDots.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        terms.map(t => max(col(s"dot_$t")).as(s"max_$t")): _*)
+      .select(col("doc_id"), col("n_distinct_tokens"),
+        terms.map(t => col(s"max_$t")).reduce(_ + _).as("maxsim"))
+  }
+
   def brierQ(docs: DataFrame): DataFrame =
     confidenceMicro(docs)
       .select((lit(1000000L) * col("label") - col("p_micro")).as("gap"))

@@ -215,6 +215,48 @@ class ScoringSpec extends SparkSuite {
       "seen context must follow the interpolated discount law")
   }
 
+  test("maxsim matches a driver-side exact replay; a doc containing a " +
+    "query term scores at least that term's self-dot") {
+    val terms = Seq("data", "query", "engine", "fast")
+    def md60(s: String): Long = {
+      val hex = MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def vec(t: String): Array[Long] =
+      Array.tabulate(16)(j => md60(s"e:$t:$j") % 2001L - 1000L)
+    val qv = terms.map(vec)
+    val perTermMaxes = docs.collect { case (id, text, _, _)
+        if toksOf(text).nonEmpty =>
+      val dtoks = toksOf(text).distinct
+      val maxes = qv.map(q => dtoks.map(s =>
+        vec(s).zip(q).map { case (a, b) => a * b }.sum).max)
+      id -> (dtoks, maxes)
+    }.toMap
+    val want = perTermMaxes.map { case (id, (dtoks, maxes)) =>
+      id -> (dtoks.size.toLong, maxes.sum)
+    }
+    val got = Scoring.maxSimQ(Tables.documents(spark, sf)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, "engine maxsim must replay the integer reference")
+    // presence law: for a doc containing query term t verbatim, the
+    // per-term max is at least t's self-dot (the max ranges over a set
+    // that includes t itself)
+    val selfDots = terms.map(t => vec(t).map(x => x * x).sum)
+    var checked = 0
+    perTermMaxes.foreach { case (_, (dtoks, maxes)) =>
+      terms.zipWithIndex.foreach { case (t, i) =>
+        if (dtoks.contains(t)) {
+          assert(maxes(i) >= selfDots(i),
+            s"term '$t' present but max dot below its self-dot")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 0, "fixture must contain at least one query term")
+  }
+
   test("kneser-ney on the real corpus: finite scores, population equals " +
     "the add-alpha scorer's") {
     val kn = Scoring.kneserNeyQ(Tables.documents(spark, sf)).collect()
