@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{CmsIndex, Dedup, LmIndex, MultiModal, PhraseIndex, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, SimSearch, TextIndex}
+import graft.ops.{CmsIndex, Dedup, LmIndex, MultiModal, PhraseIndex, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, Scoring, SimSearch, TextIndex}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -282,5 +282,78 @@ class IngestionMaintenanceSpec extends SparkSuite {
     assert(batchNo == 2, s"expected 2 micro-batches, saw $batchNo")
     assertParity(seedIds ++ batch1 ++ batch2,
       "after batch 2 + full compaction pass")
+  }
+
+  test("forget rides the ingestion loop: the delete queue drains in the " +
+    "single-writer slot, purge on the compaction cadence, reads equal a " +
+    "victim-free rebuild at every stage") {
+    val txtDir = tmp("fg_txt")
+    val nearDir = tmp("fg_near")
+    val terms = Seq("alpha", "token7", "v1")
+    val seedIds = 1L to 30L
+    TextIndex.writeTextIndex(docsDF(seedIds), txtDir)
+    Dedup.writeNearDupIndex(docsDF(seedIds), nearDir)
+    val probes = Seq(
+      IngestDoc(900L, docText(3L)), // verbatim copy of a doc that gets forgotten
+      IngestDoc(901L, docText(8L))).toDF()
+
+    var batchNo = 0
+    val forgotten = scala.collection.mutable.Set.empty[Long]
+    val stream = MemoryStream[IngestDoc](spark)
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TextIndex.appendToTextIndex(batch, txtDir)
+        Dedup.appendToNearDupIndex(batch, nearDir)
+        batchNo += 1
+        // deletion requests drain in the same single-writer slot the
+        // appends own — batch 1 forgets seeds {3, 7}, batch 2 {6, 14}
+        val victims = Seq(batchNo * 3L, batchNo * 7L)
+        TextIndex.forgetFromTextIndex(spark, txtDir, victims.toDF("doc_id"))
+        Dedup.forgetFromNearDupIndex(spark, nearDir, victims.toDF("doc_id"))
+        forgotten ++= victims
+        if (batchNo % 2 == 0) { // purge cadence
+          TextIndex.compactTextIndex(spark, txtDir)
+          Dedup.compactNearDupIndex(spark, nearDir)
+        }
+      }
+      .option("checkpointLocation", tmp("fg_ckpt"))
+      .start()
+
+    def assertVictimFree(allIds: Seq[Long], when: String): Unit = {
+      val survivors = docsDF(allIds.filterNot(forgotten))
+      val wantBm = Scoring.bm25Q(survivors, terms).collect()
+        .map(_.toString).sorted.toSeq
+      val gotBm = TextIndex.bm25FromIndex(spark, txtDir, terms).collect()
+        .map(_.toString).sorted.toSeq
+      assert(gotBm == wantBm && gotBm.nonEmpty, s"bm25 diverged $when")
+      val refDir = tmp("fg_ref")
+      Dedup.writeNearDupIndex(survivors, refDir)
+      val wantNd = Dedup.nearDupsAgainstIndex(spark, probes, refDir)
+        .collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      val gotNd = Dedup.nearDupsAgainstIndex(spark, probes, nearDir)
+        .collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      assert(gotNd == wantNd && gotNd.nonEmpty, s"near-dup diverged $when")
+      assert(gotNd.forall(r => !forgotten.exists(v => r.contains(s"[$v,") ||
+        r.contains(s",$v,"))), s"a forgotten doc surfaced $when")
+    }
+
+    stream.addData((101L to 104L).map(i => IngestDoc(i, docText(i))))
+    q.processAllAvailable()
+    assertVictimFree(seedIds ++ (101L to 104L),
+      "after batch 1 (tombstone state, pre-purge)")
+
+    stream.addData((201L to 204L).map(i => IngestDoc(i, docText(i))))
+    q.processAllAvailable()
+    q.stop()
+    assert(batchNo == 2)
+    // purge ran: no tombstone table, no victim rows anywhere
+    assert(!new java.io.File(s"$txtDir/deletes").exists())
+    assert(!new java.io.File(s"$nearDir/deletes").exists())
+    assert(spark.read.parquet(s"$nearDir/bands")
+      .filter(col("doc_id").isin(forgotten.toSeq: _*)).count() == 0L)
+    assertVictimFree(seedIds ++ (101L to 104L) ++ (201L to 204L),
+      "after batch 2 + purge")
   }
 }
