@@ -197,6 +197,12 @@ object SparkEntry {
     // typed entity inventory: one-scan multi-pattern extraction, the
     // (kind, entity) -> (n_docs, n_occurrences) governance readout
     "q_entities" -> ((s, d) => TextOps.entitiesQ(Tables.documents(s, d))),
+    // the SIXTEENTH persisted index: inventory folded from per-doc
+    // entity rows over a build + append split
+    "q_entities_incr" -> ((s, d) => graft.ops.EntityIndex.entitiesIncrQ(s, d)),
+    // the delete-request discovery read: one identifier, one pruned
+    // bucket, every holding doc
+    "q_entity_lookup" -> ((s, d) => graft.ops.EntityIndex.entityLookupQ(s, d)),
     // C4-style heuristic line-filter battery over a deterministic
     // synthesized line structure (the redactQ precedent) — per-doc
     // verdicts + cleaned text, all map-side
@@ -756,6 +762,28 @@ object SparkEntry {
           |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5""".stripMargin
       .replace("AND b.doc_id NOT IN (SELECT doc_id FROM delta_ids)",
         "AND b.doc_id NOT IN (SELECT doc_id FROM delta_ids)" + bFilter)
+
+  /** Entity-inventory oracle — shared by the batch q_entities and the
+    * index fold q_entities_incr (per-doc rows additive under
+    * doc-complete batches). */
+  private val EntitiesOracleSql: String =
+    """WITH aug AS (SELECT doc_id,
+        |text || ' contact user' || CAST(doc_id AS VARCHAR)
+        ||| '@mail.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+        ||| '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        ||| ' id ' || CAST(doc_id + 100000000 AS VARCHAR)
+        ||| ' phone 555-867-5309' AS t FROM documents),
+        |e AS (SELECT doc_id, 'email' AS kind,
+        |unnest(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS entity FROM aug
+        |UNION ALL SELECT doc_id, 'ip',
+        |unnest(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) FROM aug
+        |UNION ALL SELECT doc_id, 'phone',
+        |unnest(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) FROM aug
+        |UNION ALL SELECT doc_id, 'id',
+        |unnest(regexp_extract_all(t, '\b\d{9,}\b')) FROM aug)
+        |SELECT kind, entity, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM e GROUP BY kind, entity""".stripMargin
 
   /** MaxSim oracle: distinct (doc, token) × 16 dims via lateral range,
     * per-(doc, token) integer dots against each query term's identical
@@ -1941,24 +1969,19 @@ object SparkEntry {
     // entity inventory: same augmentation, each pattern extracted
     // independently off the original text, corpus-wide (kind, entity)
     // aggregate
-    "q_entities" ->
+    "q_entities" -> EntitiesOracleSql,
+    "q_entities_incr" -> EntitiesOracleSql,
+    "q_entity_lookup" ->
       """WITH aug AS (SELECT doc_id,
         |text || ' contact user' || CAST(doc_id AS VARCHAR)
         ||| '@mail.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
         ||| '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
         ||| ' id ' || CAST(doc_id + 100000000 AS VARCHAR)
         ||| ' phone 555-867-5309' AS t FROM documents),
-        |e AS (SELECT doc_id, 'email' AS kind,
-        |unnest(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS entity FROM aug
-        |UNION ALL SELECT doc_id, 'ip',
-        |unnest(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) FROM aug
-        |UNION ALL SELECT doc_id, 'phone',
-        |unnest(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) FROM aug
-        |UNION ALL SELECT doc_id, 'id',
-        |unnest(regexp_extract_all(t, '\b\d{9,}\b')) FROM aug)
-        |SELECT kind, entity, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |CAST(count(*) AS BIGINT) AS n_occurrences
-        |FROM e GROUP BY kind, entity""".stripMargin,
+        |e AS (SELECT doc_id, 'phone' AS kind,
+        |unnest(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS entity FROM aug)
+        |SELECT doc_id, kind, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM e WHERE entity = '555-867-5309' GROUP BY doc_id, kind""".stripMargin,
     // Same deterministic line synthesis (6-token lines, punct on 3/4
     // lines, javascript on every 11th (doc,line), lorem on %37 docs,
     // brace on %41 docs), same rule battery, same verdict precedence.

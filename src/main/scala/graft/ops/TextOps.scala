@@ -484,7 +484,11 @@ object TextOps {
     * per-pattern union would re-scan the corpus 4×) — then one
     * (kind, entity)-keyed aggregate; distinct-doc counting shuffles
     * (kind, entity, doc_id) triples, bounded by match count. */
-  def entitiesQ(docs: DataFrame): DataFrame = {
+  /** Per-document entity rows (doc_id, kind, entity, n_occ) — the one
+    * extraction pass [[entitiesQ]] aggregates and [[EntityIndex]]
+    * persists (per-doc rows are additive under doc-complete batches,
+    * which is what makes the inventory incrementally maintainable). */
+  private[ops] def entityRows(docs: DataFrame): DataFrame = {
     val kinds = Seq("email", "ip", "phone", "id").zip(PiiPatterns.map(_._1))
     piiAugmented(docs)
       .select(col("doc_id"), explode(flatten(array(kinds.map { case (k, p) =>
@@ -492,10 +496,14 @@ object TextOps {
           e => struct(lit(k).as("kind"), e.as("entity")))
       }: _*))).as("ke"))
       .select(col("doc_id"), col("ke.kind").as("kind"), col("ke.entity").as("entity"))
-      .groupBy(col("kind"), col("entity"))
-      .agg(count_distinct(col("doc_id")).as("n_docs"),
-        count(lit(1)).as("n_occurrences"))
+      .groupBy(col("doc_id"), col("kind"), col("entity"))
+      .agg(count(lit(1)).as("n_occ"))
   }
+
+  def entitiesQ(docs: DataFrame): DataFrame =
+    entityRows(docs)
+      .groupBy(col("kind"), col("entity"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occurrences"))
 
   /** C4-style heuristic line-filter battery (q_c4_filters) — the
     * rule-based cleaning pass of the C4/RefinedWeb lineage, applied at
