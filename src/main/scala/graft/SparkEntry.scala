@@ -59,6 +59,9 @@ object SparkEntry {
     "q_join_semi_anti" -> ((s, d) => Relational.joinSemiAnti(s, d)),
     "q_join_theta" -> ((s, d) => Relational.joinTheta(s, d)),
     "q_join_asof" -> ((s, d) => Relational.asofJoin(s, d)),
+    // staleness-bounded as-of (pandas merge_asof tolerance): latest
+    // order at-or-before AND within 365 days, else null
+    "q_join_asof_tol" -> ((s, d) => Relational.asofJoinTolerance(s, d)),
     "q_join_range" -> ((s, d) => Relational.rangeJoinQ(s, d)),
     "q_setops" -> ((s, d) => Relational.setOps(s, d)),
     "q_pivot" -> ((s, d) => Relational.pivotQ(s, d)),
@@ -1264,6 +1267,13 @@ object SparkEntry {
         |count(o.o_orderkey) AS n_prior_orders
         |FROM events e LEFT JOIN orders o
         |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
+    "q_join_asof_tol" ->
+      """SELECT e.event_id, e.user_id, max(o.o_orderdate) AS asof_orderdate,
+        |count(o.o_orderkey) AS n_recent_orders
+        |FROM events e LEFT JOIN orders o
+        |ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |AND o.o_orderdate >= CAST(e.ts AS DATE) - 365
         |GROUP BY e.event_id, e.user_id""".stripMargin,
     "q_subquery" -> graft.ops.Relational.SubqueryQText,
     "q_lateral" -> graft.ops.Relational.LateralQText,

@@ -606,6 +606,31 @@ object Relational {
         count(col("o_orderkey")).as("n_prior_orders"))
   }
 
+  /** Tolerance-bounded as-of join (q_join_asof_tol) — [[asofJoin]] with
+    * the staleness bound every feature-store read carries (pandas
+    * merge_asof's `tolerance`): the latest order at-or-before the event
+    * AND no older than `tolDays` days. A point-in-time feature older
+    * than the bound is not a feature, it's a leak of stale state — the
+    * join must surface null instead. Tolerance declared on the DATE
+    * grid (o_orderdate ≥ date(ts) − tolDays), exact in both engines.
+    * Same plan as the unbounded form: the shuffle rides the equi key,
+    * the temporal band is a post-join filter — per-key fan-out shrinks
+    * WITH the tolerance, so the bounded form is the cheaper one at
+    * scale (the history beyond the window never survives the filter,
+    * and with date-partitioned order storage it is never even read). */
+  def asofJoinTolerance(spark: SparkSession, dir: String,
+      tolDays: Int = 365): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    e.join(o, col("user_id") === col("o_custkey") &&
+        col("ts") >= col("o_orderdate") &&
+        col("o_orderdate") >= date_sub(col("ts").cast("date"), tolDays), "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(max(col("o_orderdate")).as("asof_orderdate"),
+        count(col("o_orderkey")).as("n_recent_orders"))
+  }
+
   /** Binned range join — point-in-interval with NO equi key, the shape
     * Spark can only plan as a broadcast-nested-loop (or cartesian) join.
     * Discretize instead: each point maps to bucket ⌊p/W⌋; each interval

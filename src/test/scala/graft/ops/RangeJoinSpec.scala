@@ -71,4 +71,38 @@ class RangeJoinSpec extends SparkSuite {
     assert(n > 0)
     assert(q.select("o_orderkey").distinct().count() == n)
   }
+
+  test("asof tolerance law: stale matches flip to null, in-window " +
+    "matches are identical to the unbounded asof") {
+    import org.apache.spark.sql.functions._
+    def dateOf(r: org.apache.spark.sql.Row): Option[java.time.LocalDate] =
+      if (r.isNullAt(2)) None
+      else Some(r.getTimestamp(2).toLocalDateTime.toLocalDate)
+    val unb = Relational.asofJoin(spark, sf).collect()
+      .map(r => r.getLong(0) -> (dateOf(r), r.getLong(3))).toMap
+    val tol = Relational.asofJoinTolerance(spark, sf).collect()
+      .map(r => r.getLong(0) -> (dateOf(r), r.getLong(3))).toMap
+    assert(tol.keySet == unb.keySet, "left semantics: every event emits")
+    val ts = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("ts")).collect()
+      .map(r => r.getLong(0) ->
+        r.getTimestamp(1).toLocalDateTime.toLocalDate).toMap
+    var flipped = 0
+    tol.foreach { case (id, (d, nRecent)) =>
+      val (du, nu) = unb(id)
+      assert(nRecent <= nu, "the window can only shrink the match count")
+      (du, d) match {
+        case (Some(u), Some(b)) =>
+          assert(b == u, "an in-window latest must be THE latest")
+        case (Some(u), None) =>
+          // flipped to null: the unbounded latest was stale
+          assert(u.isBefore(ts(id).minusDays(365)),
+            s"event $id lost a non-stale match")
+          flipped += 1
+        case (None, Some(_)) => fail(s"event $id gained a match from a bound")
+        case (None, None) => ()
+      }
+    }
+    assert(flipped > 0, "fixture must exercise the staleness cut")
+  }
 }
