@@ -361,6 +361,10 @@ object SparkEntry {
     // HITS hubs/authorities: 3 mutual-reinforcement rounds on the nano
     // grid with max-norm renorm, top-20 by authority
     "q_hits" -> ((s, d) => EventAnalytics.hitsQ(Tables.events(s, d))),
+    // HITS and LPA read from the SAME persisted edge store
+    // q_pagerank_incr builds - one edge list, three link analyses
+    "q_hits_incr" -> ((s, d) => graft.ops.EdgeIndex.hitsIncrQ(s, d)),
+    "q_label_prop_incr" -> ((s, d) => graft.ops.EdgeIndex.labelPropIncrQ(s, d)),
     // the TWELFTH persisted index: additive transition-edge partials
     // (user-complete batches), ranks recomputed on read from the fold
     "q_pagerank_incr" -> ((s, d) => graft.ops.EdgeIndex.pageRankIncrQ(s, d)),
@@ -2749,8 +2753,11 @@ object SparkEntry {
     // LPA communities: 2 unrolled synchronous rounds over the
     // symmetrized edge CTE, exact integer weights, min-label ties
     "q_label_prop" -> labelPropOracleSql(2),
-    // HITS: 3 unrolled (authority, hub) rounds, nano max-norm
+    // HITS: 3 unrolled (authority, hub) rounds, nano max-norm; the
+    // edge-index reads share the batch oracles (edge additivity)
     "q_hits" -> hitsOracleSql(3),
+    "q_hits_incr" -> hitsOracleSql(3),
+    "q_label_prop_incr" -> labelPropOracleSql(2),
     // Running coverage over the top-k only; the (n DESC, token ASC) order
     // key is unique per row, so the default RANGE frame has no peers and
     // both engines' running sums agree row-by-row.

@@ -70,13 +70,35 @@ object EdgeIndex {
     * [[EventAnalytics.pageRankQ]] over all events (edge-count
     * additivity under user-complete batches; the shared oracle text
     * is the law). */
-  def pageRankIncrQ(spark: SparkSession, dir: String): DataFrame = {
+  def pageRankIncrQ(spark: SparkSession, dir: String): DataFrame =
+    pageRankFromIndex(spark, builtIndexDir(spark, dir))
+
+  private def builtIndexDir(spark: SparkSession, dir: String): String = {
     val events = graft.sources.Tables.events(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_edge_idx", dir)
     BuildOnce(spark, idxDir) {
       writeEdgeIndex(events.filter(col("user_id") % 5 =!= 0), idxDir)
       appendToEdgeIndex(events.filter(col("user_id") % 5 === 0), idxDir)
     }
-    pageRankFromIndex(spark, idxDir)
+    idxDir
   }
+
+  /** Declared query q_hits_incr: HITS read from the SAME memoized edge
+    * store q_pagerank_incr builds — one persisted edge list serves
+    * every link-analysis readout (ranks, hubs/authorities, communities
+    * below); switching the analysis is a reader change, no
+    * re-ingestion (the LmIndex two-smoothing-laws discipline). Shares
+    * the batch q_hits oracle (edge-count additivity). */
+  def hitsIncrQ(spark: SparkSession, dir: String): DataFrame =
+    EventAnalytics.hitsEdges(PipelineCaches.track(
+      edgesFromIndex(spark, builtIndexDir(spark, dir))))
+
+  /** Declared query q_label_prop_incr: LPA communities from the same
+    * edge store (symmetrized on read — the undirected view is the
+    * READER's business, the store keeps directed counts). Shares the
+    * batch q_label_prop oracle. */
+  def labelPropIncrQ(spark: SparkSession, dir: String): DataFrame =
+    EventAnalytics.propagateLabels(PipelineCaches.track(
+      EventAnalytics.symmetrize(
+        edgesFromIndex(spark, builtIndexDir(spark, dir)))))
 }

@@ -58,4 +58,33 @@ class EdgeIndexSpec extends SparkSuite {
     PipelineCaches.release(spark)
     assert(inc == batch)
   }
+
+  test("one edge store, three link analyses: HITS and LPA reads equal " +
+    "their batch forms, before and after compaction") {
+    val dir = tmp("ei_multi")
+    EdgeIndex.writeEdgeIndex(events.filter(col("user_id") % 2 === 0), dir)
+    EdgeIndex.appendToEdgeIndex(events.filter(col("user_id") % 2 === 1), dir)
+    def hitsRead() = {
+      val r = EventAnalytics.hitsEdges(EdgeIndex.edgesFromIndex(spark, dir))
+        .collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark); r
+    }
+    def lpaRead() = {
+      val r = EventAnalytics.propagateLabels(EventAnalytics.symmetrize(
+        EdgeIndex.edgesFromIndex(spark, dir)))
+        .collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark); r
+    }
+    val wantHits = EventAnalytics.hitsQ(events).collect()
+      .map(_.toString).sorted.toSeq
+    PipelineCaches.release(spark)
+    val wantLpa = EventAnalytics.labelPropQ(events).collect()
+      .map(_.toString).sorted.toSeq
+    PipelineCaches.release(spark)
+    assert(hitsRead() == wantHits && wantHits.nonEmpty)
+    assert(lpaRead() == wantLpa && wantLpa.nonEmpty)
+    EdgeIndex.compactEdgeIndex(spark, dir)
+    assert(hitsRead() == wantHits, "compaction must not move a score")
+    assert(lpaRead() == wantLpa, "compaction must not move a community")
+  }
 }
