@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{CmsIndex, Dedup, LmIndex, MultiModal, PhraseIndex, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, Scoring, SimSearch, TextIndex}
+import graft.ops.{CmsIndex, Dedup, EntityIndex, LmIndex, MultiModal, PhraseIndex, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, Scoring, SimSearch, TextIndex}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -65,7 +65,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       substring(col("text"), 1, 1).as("l_returnflag"),
       lit("O").as("l_linestatus"))
 
-  test("one MemoryStream loop: append all FOURTEEN indexes per batch, compact on cadence, probe == rebuild") {
+  test("one MemoryStream loop: append all FIFTEEN indexes per batch, compact on cadence, probe == rebuild") {
     val nearDir = tmp("ingest_near")
     val spanDir = tmp("ingest_span")
     val ivfDir = tmp("ingest_ivf")
@@ -81,6 +81,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     val lmDir = tmp("ingest_lm")
     val phrDir = tmp("ingest_phr")
     val audDir = tmp("ingest_aud")
+    val entDir = tmp("ingest_ent")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
@@ -97,6 +98,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     LmIndex.writeLmIndex(repOf(seed), lmDir)
     PhraseIndex.writePhraseIndex(seed, phrDir)
     MultiModal.writeAudioIndex(seed, audDir)
+    EntityIndex.writeEntityIndex(seed, entDir)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
     // contract) — rebuilds reuse the stored centroids
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
@@ -142,8 +144,10 @@ class IngestionMaintenanceSpec extends SparkSuite {
       // window fingerprint each (the winnow precedent)
       val aud = MultiModal.audioNearDupsAgainstIndex(spark, probes, audDir,
         minShared = 1).collect().map(_.toString).sorted.toSeq
+      val ent = EntityIndex.inventoryFromIndex(spark, entDir)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud, ent)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -173,6 +177,8 @@ class IngestionMaintenanceSpec extends SparkSuite {
       LmIndex.writeLmIndex(repOf(all), l2)
       PhraseIndex.writePhraseIndex(all, ph2)
       MultiModal.writeAudioIndex(all, a2)
+      val e2 = tmp("rb_ent")
+      EntityIndex.writeEntityIndex(all, e2)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
         .collect().map(_.toString).sorted.toSeq
       val span = Dedup.spanDedupAgainstIndex(spark, probes, s2, cap = 2)
@@ -204,11 +210,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val aud = MultiModal.audioNearDupsAgainstIndex(spark, probes, a2,
         minShared = 1).collect().map(_.toString).sorted.toSeq
+      val ent = EntityIndex.inventoryFromIndex(spark, e2)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud, ent)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm", "phrase", "audio")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm", "phrase", "audio", "entity")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -227,6 +235,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       assert(live(names.indexOf("phrase")).nonEmpty, s"phrase read empty $when")
       // doc 900 is a verbatim copy of seed doc 7 -> shares its window fp
       assert(live(names.indexOf("audio")).nonEmpty, s"audio probe empty $when")
+      assert(live(names.indexOf("entity")).nonEmpty, s"entity inventory empty $when")
     }
 
     val stream = MemoryStream[IngestDoc](spark)
@@ -249,6 +258,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         LmIndex.appendToLmIndex(repOf(batch), lmDir)
         PhraseIndex.appendToPhraseIndex(batch, phrDir)
         MultiModal.appendToAudioIndex(batch, audDir)
+        EntityIndex.appendToEntityIndex(batch, entDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -265,6 +275,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           LmIndex.compactLmIndex(spark, lmDir)
           PhraseIndex.compactPhraseIndex(spark, phrDir)
           MultiModal.compactAudioIndex(spark, audDir)
+          EntityIndex.compactEntityIndex(spark, entDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
