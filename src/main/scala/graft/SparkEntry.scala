@@ -453,6 +453,9 @@ object SparkEntry {
     "q_maxsim" -> ((s, d) => Scoring.maxSimQ(Tables.documents(s, d))),
     // temperature-flattened (alpha=0.5) source rebalancing, min-anchored
     "q_sample_temp" -> ((s, d) => Sampling.temperatureQ(Tables.documents(s, d))),
+    // DP count release: Laplace(1/eps) from a seeded inverse-CDF draw,
+    // per-language, one partition-count aggregate
+    "q_dp_release" -> ((s, d) => Sampling.dpReleaseQ(Tables.documents(s, d))),
     // exact-k deterministic per-stratum sample on the bounded-buffer
     // top-k aggregate (44-bit hash rank, engine-portable)
     "q_sample_k" -> ((s, d) => Sampling.sampleExactKQ(Tables.documents(s, d))),
@@ -3305,6 +3308,18 @@ object SparkEntry {
     // division + one correctly-rounded sqrt per stratum, so the
     // millionths thresholds are bit-identical across engines (no
     // order-sensitive normalizing sum anywhere).
+    // DP release: identical seeded uniform, identical inverse-CDF
+    // spelling, round-6 declared grid for the one libm ln
+    "q_dp_release" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents
+        |WHERE lang IS NOT NULL GROUP BY lang),
+        |u AS (SELECT lang, n,
+        |(CAST(CAST(('0x'||substr(md5('dp:r13:'||lang),1,15)) AS BIGINT) % 1000000 AS DOUBLE) + 0.5)
+        |/ 1000000.0 AS uu FROM c)
+        |SELECT lang,
+        |round(n + (CASE WHEN uu >= 0.5 THEN -1.0 ELSE 1.0 END
+        |* ln(1.0 - 2.0*abs(uu - 0.5))) / 1.0, 6) AS released,
+        |1.0 AS epsilon FROM u""".stripMargin,
     "q_sample_temp" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents
         |WHERE lang IS NOT NULL GROUP BY lang),

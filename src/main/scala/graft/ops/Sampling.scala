@@ -592,4 +592,37 @@ object Sampling {
         col("col.tag").as("doc_id"),
         col("col.score").cast("long").as("n_chars"))
   }
+
+  /** Differentially-private count release (q_dp_release, Dwork 2006) —
+    * the governance step AFTER inventory/forget: publish the corpus
+    * data card's per-language counts with Laplace(1/ε) noise so the
+    * released numbers bound any single document's influence
+    * (add/remove-one sensitivity of a partition count is 1). The noise
+    * draw is the inverse-CDF transform of a SEEDED md5 uniform —
+    * deterministic here so the oracle replays the mechanism
+    * bit-for-bit; a production release rotates the seed per
+    * publication (the privacy property lives in the seed's
+    * freshness, the ENGINE property under test is the
+    * sensitivity-calibrated per-key mechanism). The one impl-defined
+    * libm call (ln) lands on the round-6 declared grid — the
+    * q_sample_weighted precedent.
+    *
+    * Scale shape: one partition-count aggregate (|langs| rows out),
+    * then pure per-row arithmetic. Nothing else. */
+  def dpReleaseQ(docs: DataFrame, epsilon: Double = 1.0,
+      seed: String = "r13"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Md5Bits.register(spark)
+    val uu = (pmod(call_function(graft.functions.Md5Bits.FnName,
+      concat(lit(s"dp:$seed:"), col("lang")), lit(0), lit(15)),
+      lit(1000000L)).cast("double") + 0.5) / 1000000.0
+    val noise = (when(col("uu") >= 0.5, -1.0).otherwise(1.0) *
+      log(lit(1.0) - lit(2.0) * abs(col("uu") - 0.5))) / epsilon
+    docs.filter(col("lang").isNotNull)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .withColumn("uu", uu)
+      .select(col("lang"),
+        round(col("n") + noise, 6).as("released"),
+        lit(epsilon).as("epsilon"))
+  }
 }

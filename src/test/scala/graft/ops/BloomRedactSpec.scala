@@ -113,6 +113,41 @@ class BloomRedactSpec extends SparkSuite {
       sameElements once.select("doc_id", "text").collect().map(_.toString).sorted)
   }
 
+  test("dp release: exact driver replay of the seeded Laplace mechanism; " +
+    "noise is nonzero and sensitivity-scaled") {
+    val docsT = graft.sources.Tables.documents(spark, sf)
+    val truth = docsT.filter(col("lang").isNotNull)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def md60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def lap(lang: String, eps: Double): Double = {
+      val uu = ((md60(s"dp:r13:$lang") % 1000000L).toDouble + 0.5) / 1000000.0
+      (if (uu >= 0.5) -1.0 else 1.0) * math.log(1.0 - 2.0 * math.abs(uu - 0.5)) / eps
+    }
+    val got = Sampling.dpReleaseQ(docsT).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == truth.keySet)
+    got.foreach { case (lang, rel) =>
+      val want = BigDecimal(truth(lang) + lap(lang, 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rel - want) < 2e-6, s"$lang: $rel vs $want")
+      assert(rel != truth(lang).toDouble, s"$lang released the true count")
+    }
+    // sensitivity scaling: a tighter budget means MORE noise, same signs
+    val loose = got
+    val tight = Sampling.dpReleaseQ(docsT, epsilon = 0.1).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    tight.foreach { case (lang, rel) =>
+      val (nl, nt) = (loose(lang) - truth(lang), rel - truth(lang))
+      assert(math.abs(nt) > math.abs(nl), s"$lang: eps=0.1 must be noisier")
+      assert(nl.sign == nt.sign, s"$lang: same seed, same direction")
+    }
+  }
+
   test("entity inventory: shared identifiers counted corpus-wide, " +
     "per-doc identifiers stay n_docs = 1; one corpus scan") {
     val docsT = graft.sources.Tables.documents(spark, sf)
