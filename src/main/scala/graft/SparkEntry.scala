@@ -361,6 +361,9 @@ object SparkEntry {
     // HITS hubs/authorities: 3 mutual-reinforcement rounds on the nano
     // grid with max-norm renorm, top-20 by authority
     "q_hits" -> ((s, d) => EventAnalytics.hitsQ(Tables.events(s, d))),
+    // rolling 30-day distinct users per active day: bounded-replication
+    // explode, equi-keyed distinct count - the sliding-DISTINCT shape
+    "q_mau" -> ((s, d) => EventAnalytics.mauQ(Tables.events(s, d))),
     // HITS and LPA read from the SAME persisted edge store
     // q_pagerank_incr builds - one edge list, three link analyses
     "q_hits_incr" -> ((s, d) => graft.ops.EdgeIndex.hitsIncrQ(s, d)),
@@ -2759,6 +2762,15 @@ object SparkEntry {
     // HITS: 3 unrolled (authority, hub) rounds, nano max-norm; the
     // edge-index reads share the batch oracles (edge additivity)
     "q_hits" -> hitsOracleSql(3),
+    // MAU: the plain BETWEEN spelling over the activity spine
+    "q_mau" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |spine AS (SELECT DISTINCT day AS report_day FROM act)
+        |SELECT CAST(s.report_day AS TIMESTAMP) AS report_day,
+        |CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau
+        |FROM spine s JOIN act a
+        |ON a.day BETWEEN s.report_day - 29 AND s.report_day
+        |GROUP BY s.report_day""".stripMargin,
     "q_hits_incr" -> hitsOracleSql(3),
     "q_label_prop_incr" -> labelPropOracleSql(2),
     // Running coverage over the top-k only; the (n DESC, token ASC) order

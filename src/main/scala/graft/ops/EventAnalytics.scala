@@ -303,6 +303,38 @@ object EventAnalytics {
     }
   }
 
+  /** Rolling 30-day active users (q_mau) — the sliding-DISTINCT
+    * aggregate every product-analytics stack reports and naive SQL
+    * cannot window (COUNT(DISTINCT) OVER a moving frame isn't
+    * mergeable): for every day with activity, how many distinct users
+    * were active in the trailing `windowDays` window.
+    *
+    * The scalable spelling: reduce to distinct (user, day) activity
+    * first (the only corpus-sized aggregate), then each activity day
+    * CONTRIBUTES to the `windowDays` report days it can influence —
+    * an in-row explode with bounded ×windowDays replication — and one
+    * (day, user)-distinct count per report day closes it. Replication
+    * is the declared cost: it buys an EQUI-keyed shuffle where the
+    * join spelling (spine ⋈ BETWEEN) is a range join per report day.
+    * Report days are restricted to days with ≥ 1 event (the activity
+    * spine — deterministic, no calendar table). At 100 TB swap the
+    * exact distinct for per-day HLL sketches unioned over the window
+    * (mergeable, replication-free) — the declared exact form is what
+    * the oracle can replay. */
+  def mauQ(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    val act = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val contrib = act
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1), expr("interval 1 day")))
+        .as("report_day"))
+    val spine = act.select(col("day").as("report_day")).distinct()
+    contrib.join(spine, Seq("report_day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(count_distinct(col("user_id")).as("mau"))
+      .select(col("report_day").cast("timestamp").as("report_day"), col("mau"))
+  }
+
   /** HITS hubs & authorities (q_hits, Kleinberg 1999) — the directed
     * complement to [[pageRankQ]]'s single centrality: authorities are
     * pages good transitions LAND on, hubs are pages good transitions

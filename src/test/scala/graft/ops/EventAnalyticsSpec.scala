@@ -320,6 +320,31 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(dist == local, "distributed branch diverged from local contraction")
   }
 
+  test("mau: driver-side replay; window=1 degenerates to DAU; " +
+    "mau dominates dau everywhere") {
+    val ev = Tables.events(spark, sf)
+    val act = ev.select(col("user_id"), col("ts").cast("date").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = act.map(_._2).distinct
+    val want = days.map { d =>
+      d -> act.filter(a => !a._2.isAfter(d) &&
+        !a._2.isBefore(d.minusDays(29))).map(_._1).distinct.length.toLong
+    }.toMap
+    val got = EventAnalytics.mauQ(ev).collect()
+      .map(r => r.getTimestamp(0).toLocalDateTime.toLocalDate -> r.getLong(1))
+      .toMap
+    assert(got == want, "mau must replay the trailing-30-day distinct count")
+    val dau = EventAnalytics.mauQ(ev, windowDays = 1).collect()
+      .map(r => r.getTimestamp(0).toLocalDateTime.toLocalDate -> r.getLong(1))
+      .toMap
+    val wantDau = days.map(d =>
+      d -> act.filter(_._2 == d).map(_._1).distinct.length.toLong).toMap
+    assert(dau == wantDau, "window=1 is exactly DAU")
+    assert(got.forall { case (d, m) => m >= dau(d) },
+      "a 30-day window can only see more users than its last day")
+  }
+
   test("hits: star fixture separates hubs from authorities; branch parity") {
     import spark.implicits._
     // 1,2,3 all point at 9; 9 points nowhere. 9 is the pure authority
