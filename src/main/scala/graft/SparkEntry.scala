@@ -364,6 +364,9 @@ object SparkEntry {
     // rolling 30-day distinct users per active day: bounded-replication
     // explode, equi-keyed distinct count - the sliding-DISTINCT shape
     "q_mau" -> ((s, d) => EventAnalytics.mauQ(Tables.events(s, d))),
+    // next-event training pairs: trailing-k context window per user,
+    // one exchange, empty-context rows dropped
+    "q_seq_dataset" -> ((s, d) => EventAnalytics.seqDatasetQ(Tables.events(s, d))),
     // HITS and LPA read from the SAME persisted edge store
     // q_pagerank_incr builds - one edge list, three link analyses
     "q_hits_incr" -> ((s, d) => graft.ops.EdgeIndex.hitsIncrQ(s, d)),
@@ -2762,6 +2765,15 @@ object SparkEntry {
     // HITS: 3 unrolled (authority, hub) rounds, nano max-norm; the
     // edge-index reads share the batch oracles (edge additivity)
     "q_hits" -> hitsOracleSql(3),
+    // next-event pairs: identical trailing ROWS frame; empty frames
+    // are NULL in DuckDB where Spark's collect_list is [] - both land
+    // on '' and are filtered
+    "q_seq_dataset" ->
+      """SELECT user_id, event_id, context, label FROM (
+        |SELECT user_id, event_id,
+        |coalesce(array_to_string(list(event_type) OVER (PARTITION BY user_id
+        |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ' '), '') AS context,
+        |event_type AS label FROM events) z WHERE context <> ''""".stripMargin,
     // MAU: the plain BETWEEN spelling over the activity spine
     "q_mau" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

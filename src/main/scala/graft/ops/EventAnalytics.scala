@@ -303,6 +303,32 @@ object EventAnalytics {
     }
   }
 
+  /** Next-event training pairs (q_seq_dataset) — the sequence-dataset
+    * exporter a session-based recommender / next-event model trains
+    * on: for every event with ≥ 1 predecessor, the ordered context of
+    * the user's previous `k` event types and the current type as the
+    * label. The ROWS frame makes the context exactly the trailing
+    * window (ties broken by event_id — a total order, so the list
+    * content is deterministic under any partitioning); events with an
+    * empty context emit nothing (a training pair needs evidence).
+    *
+    * Scale shape: ONE user-keyed exchange + per-partition sort (the
+    * sessionize plan), then per-row bounded-k list materialization
+    * inside the window — no second shuffle, output rows ≤ input rows.
+    * Context serialized as a space-joined string: the export schema a
+    * tokenizer consumes directly, and the form both engines compare
+    * exactly. */
+  def seqDatasetQ(events: DataFrame, k: Int = 3): DataFrame = {
+    val ctx = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-k, -1)
+    events
+      .select(col("user_id"), col("event_id"),
+        concat_ws(" ", collect_list(col("event_type")).over(ctx)).as("context"),
+        col("event_type").as("label"))
+      .filter(col("context") =!= "")
+  }
+
   /** Rolling 30-day active users (q_mau) — the sliding-DISTINCT
     * aggregate every product-analytics stack reports and naive SQL
     * cannot window (COUNT(DISTINCT) OVER a moving frame isn't

@@ -320,6 +320,28 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(dist == local, "distributed branch diverged from local contraction")
   }
 
+  test("seq dataset: exact driver replay of the trailing-k context; " +
+    "population = events with a predecessor; contexts bounded by k") {
+    val ev = Tables.events(spark, sf)
+    val seq = ev.select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getString(3)))
+    val want = seq.groupBy(_._1).values.flatMap { rows =>
+      val ordered = rows.sortBy(r => (r._3.getTime, r._2))
+      ordered.zipWithIndex.collect { case ((_, id, _, label), i) if i > 0 =>
+        val ctx = ordered.slice(math.max(0, i - 3), i).map(_._4).mkString(" ")
+        (id, ctx, label)
+      }
+    }.toSet
+    val got = EventAnalytics.seqDatasetQ(ev).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getString(3))).toSet
+    assert(got == want, "engine pairs must replay the ordered context")
+    assert(got.forall(_._2.split(" ").length <= 3), "context bounded by k")
+    val nWithPred = seq.groupBy(_._1).values.map(_.size - 1).sum
+    assert(got.size == nWithPred,
+      "every event with a predecessor emits exactly one pair")
+  }
+
   test("mau: driver-side replay; window=1 degenerates to DAU; " +
     "mau dominates dau everywhere") {
     val ev = Tables.events(spark, sf)
