@@ -272,6 +272,14 @@ object ScaleSmoke {
         docs.withColumn("lang",
           when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
       spark.sharedState.cacheManager.clearCache()
+      // entity inventory: one multi-pattern scan + one keyed aggregate;
+      // per-copy doc ids keep the per-doc identifiers disjoint, the
+      // shared footer phone's n_docs grows exactly ×k
+      run("entities", graft.ops.TextOps.entitiesQ(docs))
+      spark.sharedState.cacheManager.clearCache()
+      // maxsim: zero joins — distinct (doc, token) pass + one doc agg
+      run("maxsim", graft.ops.Scoring.maxSimQ(docs))
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }
