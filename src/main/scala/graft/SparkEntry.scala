@@ -364,6 +364,9 @@ object SparkEntry {
     // rolling 30-day distinct users per active day: bounded-replication
     // explode, equi-keyed distinct count - the sliding-DISTINCT shape
     "q_mau" -> ((s, d) => EventAnalytics.mauQ(Tables.events(s, d))),
+    // the HLL scale branch: per-day sketches replicate through the
+    // window, exact twin in-query, error law emitted as data
+    "q_mau_approx" -> ((s, d) => EventAnalytics.mauApproxQ(Tables.events(s, d))),
     // next-event training pairs: trailing-k context window per user,
     // one exchange, empty-context rows dropped
     "q_seq_dataset" -> ((s, d) => EventAnalytics.seqDatasetQ(Tables.events(s, d))),
@@ -2774,6 +2777,17 @@ object SparkEntry {
         |coalesce(array_to_string(list(event_type) OVER (PARTITION BY user_id
         |ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), ' '), '') AS context,
         |event_type AS label FROM events) z WHERE context <> ''""".stripMargin,
+    // approx MAU: oracle recomputes the exact side; the HLL law must
+    // hold as a hash-equal TRUE (the q_agg_approx_distinct pattern)
+    "q_mau_approx" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |spine AS (SELECT DISTINCT day AS report_day FROM act)
+        |SELECT CAST(s.report_day AS TIMESTAMP) AS report_day,
+        |CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau_exact,
+        |TRUE AS within_3rsd
+        |FROM spine s JOIN act a
+        |ON a.day BETWEEN s.report_day - 29 AND s.report_day
+        |GROUP BY s.report_day""".stripMargin,
     // MAU: the plain BETWEEN spelling over the activity spine
     "q_mau" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

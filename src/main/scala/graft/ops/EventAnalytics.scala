@@ -361,6 +361,38 @@ object EventAnalytics {
       .select(col("report_day").cast("timestamp").as("report_day"), col("mau"))
   }
 
+  /** The 100 TB MAU branch [[mauQ]]'s scaladoc declares, as its own
+    * gated query (q_mau_approx): per-day HLL user sketches (one
+    * mergeable sketch row per active day — datasketches `hll_sketch_agg`,
+    * the q_agg_approx_distinct machinery) are what replicate through
+    * the window explode instead of raw (user, day) rows, and each
+    * report day UNIONS its ≤ windowDays sketches — replication cost
+    * drops from ×30 on user-activity rows to ×30 on day-sized sketch
+    * rows, independent of user count. Gated the approximate-operator
+    * way: the exact twin rides in-query and the HLL error law
+    * (|est − exact| ≤ 3·rsd·exact + 1 at the default lgK=12,
+    * rsd ≈ 1.6%) is emitted AS DATA — the oracle recomputes the exact
+    * side and the law must hold as a hash-equal TRUE. */
+  def mauApproxQ(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    val act = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val daySk = act.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val contrib = daySk
+      .select(col("sk"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1), expr("interval 1 day")))
+        .as("report_day"))
+    val spine = act.select(col("day").as("report_day")).distinct()
+    val est = contrib.join(spine, Seq("report_day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .select(col("report_day").cast("timestamp").as("report_day"), col("est"))
+    est.join(mauQ(events, windowDays), Seq("report_day"))
+      .select(col("report_day"), col("mau").as("mau_exact"),
+        (abs(col("est") - col("mau")).cast("double") <=
+          col("mau") * 0.049 + 1.0).as("within_3rsd"))
+  }
+
   /** HITS hubs & authorities (q_hits, Kleinberg 1999) — the directed
     * complement to [[pageRankQ]]'s single centrality: authorities are
     * pages good transitions LAND on, hubs are pages good transitions
