@@ -227,6 +227,43 @@ class FaultInjectionSpec extends SparkSuite {
       "retried compaction must clear the partial temp and converge")
   }
 
+  test("entity index: compaction killed before swap -> old generation; retry converges") {
+    val dir = tmp("fi_ent")
+    EntityIndex.writeEntityIndex(docsDF(1L to 30L), dir)
+    EntityIndex.appendToEntityIndex(docsDF(31L to 40L), dir)
+    drill("entity",
+      () => EntityIndex.inventoryFromIndex(spark, dir),
+      () => EntityIndex.compactEntityIndex(spark, dir))
+  }
+
+  test("forget crash window: a kill between the purge rewrite and the " +
+    "tombstone clear leaves reads correct (self-healing)") {
+    // compactTextIndex purges via two DirSwaps THEN clears tombstones;
+    // a crash after the swaps but before the clear leaves purged data
+    // + a lingering tombstone table. The anti-join over already-purged
+    // rows is a no-op, so reads stay exactly right, and the next
+    // compaction retires the tombstones.
+    val docs = docsDF(1L to 30L)
+    val dir = tmp("fi_forget")
+    TextIndex.writeTextIndex(docs, dir)
+    TextIndex.forgetFromTextIndex(spark, dir,
+      docs.filter(col("doc_id") % 5 === 0).select("doc_id"))
+    val want = rows(TextIndex.bm25FromIndex(spark, dir,
+      Seq("alpha", "token7", "v1")))
+    TextIndex.compactTextIndex(spark, dir)
+    // reconstruct the crash state: purged tables + re-created tombstones
+    import spark.implicits._
+    Tombstones.append(dir, (1L to 30L).filter(_ % 5 == 0).toDF("doc_id"))
+    assert(rows(TextIndex.bm25FromIndex(spark, dir,
+      Seq("alpha", "token7", "v1"))) == want,
+      "lingering tombstones over purged data must read identically")
+    TextIndex.compactTextIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/deletes").exists(),
+      "the retry compaction retires the lingering tombstones")
+    assert(rows(TextIndex.bm25FromIndex(spark, dir,
+      Seq("alpha", "token7", "v1"))) == want)
+  }
+
   test("span append crash ordering: stale meta marker + old data reads correctly") {
     // appendToSpanIndex marks n_frequent stale BEFORE moving data; a
     // crash between the two writes leaves (stale meta, old data).
