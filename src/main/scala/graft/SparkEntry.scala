@@ -100,6 +100,9 @@ object SparkEntry {
     "q_map" -> ((s, d) => Relational.mapQ(s, d)),
     "q_array" -> ((s, d) => Relational.arrayQ(s, d)),
     "q_quantile" -> ((s, d) => Relational.quantileQ(s, d)),
+    // winsorized per-group stats: clip at the group's exact 6-dp
+    // [p05, p95], clipped sums exact in DECIMAL
+    "q_winsorize" -> ((s, d) => Relational.winsorizeQ(s, d)),
     // the GK sketch's own rank contract under the hash gate (pure
     // sketch form stays the production path — Relational.quantileApproxQ)
     "q_quantile_approx" -> ((s, d) => Relational.quantileApproxGated(s, d)),
@@ -1360,6 +1363,19 @@ object SparkEntry {
         |CAST(len(embedding) AS BIGINT) AS dim,
         |CAST(list_max(embedding) AS DOUBLE) AS max_dim,
         |CAST(list_min(embedding) AS DOUBLE) AS min_dim FROM embeddings""".stripMargin,
+    // winsorize: cutoffs rounded to 6 dp BEFORE clipping so the
+    // DECIMAL cast is exact on both the raw 2-dp prices and the cutoff
+    "q_winsorize" ->
+      """WITH c AS (SELECT l_returnflag,
+        |round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+        |round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+        |FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |round(CAST(sum(CAST(greatest(lo, least(hi, l_extendedprice)) AS DECIMAL(20,6))) AS DOUBLE)
+        |/ count(*), 6) AS w_mean
+        |FROM lineitem l JOIN c USING (l_returnflag) GROUP BY l.l_returnflag""".stripMargin,
     "q_quantile" ->
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS median_qty,
         |quantile_cont(l_quantity, 0.95) AS p95_qty,

@@ -1110,6 +1110,37 @@ object Relational {
         "l_quantity" -> Seq(0.5 -> "median_qty", 0.95 -> "p95_qty"),
         "l_extendedprice" -> Seq(0.5 -> "median_price")))
 
+  /** Winsorized per-group statistics (q_winsorize) — the robust
+    * numeric-cleaning primitive: clip each group's values at its own
+    * exact [p05, p95] and report the clipped population and mean,
+    * the standard outlier-capping step before any scale-sensitive
+    * downstream (z-scoring, regression, feature export). Cutoffs ride
+    * [[exactPercentiles]] (group-cardinality rows → broadcast) and
+    * are ROUNDED to the 6-dp grid before clipping — the raw
+    * interpolated doubles carry long binary tails whose DECIMAL cast
+    * could round differently across engines, while a clipped value is
+    * then either a raw 2-dp price or the 6-dp cutoff, both exact in
+    * DECIMAL(20,6), so the winsorized sum is order-free. One
+    * percentile pass + one broadcast join + one keyed aggregate. */
+  def winsorizeQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val cuts = exactPercentiles(li, "l_returnflag",
+      Seq("l_extendedprice" -> Seq(0.05 -> "p05", 0.95 -> "p95")))
+      .select(col("l_returnflag"),
+        round(col("p05"), 6).as("lo"), round(col("p95"), 6).as("hi"))
+    li.join(broadcast(cuts), "l_returnflag")
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"),
+        col("lo"), col("hi"),
+        greatest(col("lo"), least(col("hi"), col("l_extendedprice"))).as("w"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("x") < col("lo")).cast("long")).as("n_clip_lo"),
+        sum((col("x") > col("hi")).cast("long")).as("n_clip_hi"),
+        round(sum(col("w").cast("decimal(20,6)")).cast("double") /
+          count(lit(1)), 6).as("w_mean"))
+  }
+
   /** Array scalar surface on the embeddings column: element access,
     * size, elementwise extrema (exact under float→double widening in
     * both engines, unlike order-dependent float sums). */

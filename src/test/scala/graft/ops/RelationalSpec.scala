@@ -568,4 +568,38 @@ class RelationalSpec extends SparkSuite {
     assert(hw.filter(col("bucket") === 9).count() == 1)
     h.unpersist()
   }
+
+  test("winsorize: clip fractions bounded by the percentile definition, " +
+    "mean inside the cut band, exact driver replay") {
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val got = Relational.winsorizeQ(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val byG = li.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == byG.keySet)
+    got.foreach { case (g, (n, cl, ch, wm)) =>
+      val xs = byG(g)
+      assert(n == xs.length.toLong)
+      // percentile definition bounds the clipped tails
+      assert(cl <= math.ceil(0.05 * n).toLong && ch <= math.ceil(0.05 * n).toLong,
+        s"$g clipped more than the tail")
+      assert(cl >= 1 && ch >= 1, s"$g fixture must exercise both clips")
+      // driver replay: interpolated cutoffs on the 6-dp grid, clipped
+      // decimal-exact mean
+      def pct(p: Double): Double = {
+        val pos = p * (xs.length - 1)
+        val lo = math.floor(pos).toInt; val hi = math.ceil(pos).toInt
+        val v = if (lo == hi) xs(lo) else xs(lo) * (hi - pos) + xs(hi) * (pos - lo)
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val (lo6, hi6) = (pct(0.05), pct(0.95))
+      val wsum = xs.map(x => BigDecimal(math.max(lo6, math.min(hi6, x)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val want = (wsum / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(wm - want) < 2e-6, s"$g mean $wm vs $want")
+      assert(wm >= lo6 - 1e-9 && wm <= hi6 + 1e-9, s"$g mean outside the band")
+    }
+  }
 }
