@@ -460,6 +460,9 @@ object SparkEntry {
     "q_ece" -> ((s, d) => Scoring.eceQ(Tables.documents(s, d))),
     // Brier score: exact squared micro gaps, one scalar fold
     "q_brier" -> ((s, d) => Scoring.brierQ(Tables.documents(s, d))),
+    // Spearman rank agreement between the classifier and the LM
+    // scorer: row_number ranks with doc_id ties, all-BIGINT d^2 fold
+    "q_rank_corr" -> ((s, d) => Scoring.rankCorrQ(Tables.documents(s, d))),
     // ColBERT-style MaxSim: per-query-term best-token integer dot
     // products, one codegen projection + one doc-keyed aggregate
     "q_maxsim" -> ((s, d) => Scoring.maxSimQ(Tables.documents(s, d))),
@@ -3338,6 +3341,34 @@ object SparkEntry {
         |CAST(sum(abs(1000000*s_label - s_conf)) AS BIGINT) AS gap_sum,
         |round(CAST(sum(abs(1000000*s_label - s_conf)) AS DOUBLE) / (1000000.0 * sum(n)), 6) AS ece
         |FROM g""".stripMargin,
+    // Spearman: clf CTE + the full LM oracle nested as a CTE (the
+    // q_tokenize_pack WITH-nesting trick); LM rank orders logppl ASC
+    // (high perplexity = bad) so rho > 0 means agreement
+    "q_rank_corr" ->
+      ("""WITH clf AS (
+        |WITH w AS (SELECT j AS bucket,
+        |CAST(('0x'||substr(md5('w:'||j),1,15)) AS BIGINT) % 2001 - 1000 AS wm
+        |FROM (SELECT unnest(range(0, 1024)) AS j) z),
+        |tk AS (SELECT doc_id,
+        |CAST(('0x'||substr(md5(tok),1,15)) AS BIGINT) % 1024 AS bucket FROM
+        |(SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> x <> '')) AS tok FROM documents) u)
+        |SELECT doc_id, CAST(sum(wm) AS DOUBLE) / (count(*) * 1000.0) AS logit
+        |FROM tk JOIN w USING (bucket) GROUP BY doc_id
+        |),
+        |lm AS (
+        |""".stripMargin + NgramLmOracleSql + """
+        |),
+        |j AS (SELECT c.doc_id, c.logit, l.logppl FROM clf c JOIN lm l ON l.doc_id = c.doc_id),
+        |r AS (SELECT doc_id,
+        |row_number() OVER (ORDER BY logit DESC, doc_id ASC) AS r_clf,
+        |row_number() OVER (ORDER BY logppl ASC, doc_id ASC) AS r_lm FROM j)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum((r_clf - r_lm)*(r_clf - r_lm)) AS BIGINT) AS sum_d2,
+        |CASE WHEN count(*) < 2 THEN NULL ELSE
+        |round(1.0 - 6.0 * CAST(sum((r_clf - r_lm)*(r_clf - r_lm)) AS DOUBLE)
+        |/ CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE), 6) END AS spearman_rho
+        |FROM r""".stripMargin),
     // MaxSim: identical md5-derived token vectors, per-term max dots
     "q_maxsim" -> MaxSimOracleSql,
     // Brier: exact squared micro gaps, one scalar fold

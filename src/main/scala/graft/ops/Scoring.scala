@@ -552,6 +552,46 @@ object Scoring {
           .as("ece"))
   }
 
+  /** Spearman rank correlation between two quality scorers
+    * (q_rank_corr) — the meta-evaluation a filtering stack runs before
+    * composing signals: if the fasttext-style classifier and the LM
+    * perplexity rank the corpus the same way, gating on both buys
+    * nothing; if they disagree, the ensemble has information. Both
+    * scores are rank-stable by construction (the classifier logit is
+    * bit-identical everywhere, the LM logppl lives on the round-6
+    * grid), ranks are row_number with the doc_id tie-break (declared
+    * spelling — deterministic and replayable, where average-rank ties
+    * would need an extra windowed mean), and
+    * ρ = 1 − 6·Σd²/(n·(n²−1)) stays all-BIGINT until the one final
+    * division. Population: docs BOTH scorers cover (≥ 2 tokens).
+    * Note the sign convention: high logit = good, high logppl = BAD,
+    * so the LM rank orders logppl ASCENDING — ρ > 0 means agreement.
+    *
+    * Scale shape: the two scoring passes (shared machinery), one
+    * doc-keyed join, two global rank windows over narrow (score,
+    * doc_id) rows — the exact-rank declared form (q_auc's documented
+    * single-partition cost; the scale branch buckets scores first),
+    * then one scalar fold. */
+  def rankCorrQ(docs: DataFrame): DataFrame = {
+    val clf = qualityClassifierQ(docs).select(col("doc_id"), col("logit"))
+    val lm = ngramLmQ(docs).select(col("doc_id"), col("logppl"))
+    val joined = clf.join(lm, "doc_id")
+    val byClf = Window.orderBy(col("logit").desc, col("doc_id").asc)
+    val byLm = Window.orderBy(col("logppl").asc, col("doc_id").asc)
+    joined
+      .select(col("doc_id"),
+        row_number().over(byClf).cast("long").as("r_clf"),
+        row_number().over(byLm).cast("long").as("r_lm"))
+      .select(((col("r_clf") - col("r_lm")) *
+        (col("r_clf") - col("r_lm"))).as("d2"))
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("sum_d2"))
+      .select(col("n"), col("sum_d2"),
+        when(col("n") < 2L, lit(null).cast("double"))
+          .otherwise(round(lit(1.0) - lit(6.0) * col("sum_d2") /
+            (col("n") * (col("n") * col("n") - 1L)).cast("double"), 6))
+          .as("spearman_rho"))
+  }
+
   /** Brier score (q_brier, Brier 1950) — the strictly proper scoring
     * rule beside [[eceQ]]'s binned gap: mean squared error between the
     * affine confidence and the weak label, sensitive to BOTH

@@ -267,4 +267,28 @@ class ScoringSpec extends SparkSuite {
       "both laws score exactly the ≥2-token population")
     assert(kn.values.forall(v => !v.isNaN && !v.isInfinite && v > 0.0))
   }
+
+  test("rank correlation: exact driver replay; sign convention means " +
+    "agreement is positive") {
+    val docsT = Tables.documents(spark, sf)
+    val clf = Scoring.qualityClassifierQ(docsT).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val lm = Scoring.ngramLmQ(docsT).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    graft.ops.PipelineCaches.release(spark)
+    val ids = clf.keySet.intersect(lm.keySet).toSeq
+    val rClf = ids.sortBy(id => (-clf(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val rLm = ids.sortBy(id => (lm(id), id)).zipWithIndex
+      .map { case (id, i) => id -> (i + 1L) }.toMap
+    val d2 = ids.map(id => { val d = rClf(id) - rLm(id); d * d }).sum
+    val n = ids.size.toLong
+    val want = BigDecimal(1.0 - 6.0 * d2.toDouble / (n * (n * n - 1)).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Scoring.rankCorrQ(docsT).collect().head
+    graft.ops.PipelineCaches.release(spark)
+    assert(got.getLong(0) == n && got.getLong(1) == d2)
+    assert(math.abs(got.getDouble(2) - want) < 2e-6)
+    assert(got.getDouble(2) > -1.0 && got.getDouble(2) < 1.0)
+  }
 }
