@@ -39,6 +39,8 @@ object PlanAllowances {
     // Kneser-Ney's ONE-row (N_bb, V) scalar pair broadcast (batch and
     // index-read forms share the scoring tail)
     "q_kneser_ney", "q_kneser_ney_incr",
+    // rank agreement rides ngramLmQ and its one-row vocab-size scalar
+    "q_rank_corr",
     // ccnet buckets ride ngramLmQ and its one-row vocab-size scalar
     "q_ccnet_buckets",
     // curriculumRanked's ONE-row tier-offset conditional sums (both
