@@ -2,29 +2,87 @@ package graft.ops
 
 import org.apache.spark.sql.SparkSession
 
-/** Run a named build step once per (session, key) — the
-  * Catalog.registerAll memo pattern shared by the declared queries that
-  * build a persisted artifact (near-dup inverted file, trained IVF
-  * index) before querying it: the FIRST call pays the build, repeat
-  * calls measure the steady-state probe cost the production loop pays.
-  * The memo is set only AFTER the build succeeds (a failure leaves it
-  * unset so a retry rebuilds), the whole check+build runs under one
-  * lock, and the map is weakly keyed so stopped sessions don't pin.
+/** Run a named artifact build once per artifact DIRECTORY — across
+  * sessions AND across JVMs — the memo pattern shared by the declared
+  * queries that build a persisted artifact (near-dup inverted file,
+  * trained IVF index) before querying it: the FIRST call anywhere pays
+  * the build, repeat calls measure the steady-state probe cost the
+  * production loop pays.
+  *
+  * Two layers:
+  *  - a per-session memo (the fast path — no FS touch on repeat calls
+  *    inside one session);
+  *  - a `_GRAFT_BUILT` completion marker INSIDE the artifact dir,
+  *    stamped only after the build body returns. A fresh JVM that finds
+  *    a matching marker SKIPS the rebuild outright; a dir without one
+  *    (or with a stale format version) is a crashed/foreign leftover
+  *    and is WIPED before the rebuild. The wipe is what makes rebuilds
+  *    safe: a build body that appends or forgets over prior state
+  *    (e.g. [[TextIndex.forgetFromTextIndex]]'s tombstone table) must
+  *    never replay over a half-populated dir — round 13's one red query
+  *    was exactly a fresh JVM re-running a forget build over a leftover
+  *    dir whose tombstone table survived the data overwrite.
+  *
+  * The marker is underscore-prefixed, so Spark/Hadoop input listing
+  * ignores it even when the artifact dir itself is read as a table
+  * (the CSV/ORC/JSONL format seams). The memo is set only AFTER the
+  * build succeeds (a failure leaves it unset AND the marker absent, so
+  * a retry wipes and rebuilds), and the whole check+build runs under
+  * one lock. Single-writer discipline across JVMs is the callers'
+  * contract (the same one every index's maintenance loop documents) —
+  * the bench/verify drivers never run two engines concurrently.
   */
 private[graft] object BuildOnce {
   private val done =
     new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Set[String]]
 
-  def apply(spark: SparkSession, key: String)(build: => Unit): Unit =
+  private val MarkerName = "_GRAFT_BUILT"
+
+  /** Bump when any persisted artifact layout changes incompatibly: a
+    * new engine version then treats every old /tmp artifact as foreign
+    * and rebuilds from scratch instead of misreading it. */
+  private[graft] val FormatVersion = "graft-idx-v14"
+
+  def apply(spark: SparkSession, dir: String)(build: => Unit): Unit =
     done.synchronized {
       val built = Option(done.get(spark)).getOrElse {
         val s = scala.collection.mutable.Set.empty[String]
         done.put(spark, s); s
       }
-      if (!built.contains(key)) {
-        build
-        built.add(key)
+      if (!built.contains(dir)) {
+        val path = new org.apache.hadoop.fs.Path(dir)
+        val marker = new org.apache.hadoop.fs.Path(path, MarkerName)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!markerMatches(fs, marker, dir)) {
+          fs.delete(path, true)
+          build
+          val out = fs.create(marker, true)
+          try out.write(stamp(dir).getBytes("UTF-8")) finally out.close()
+        }
+        built.add(dir)
       }
+    }
+
+  private def stamp(dir: String): String = FormatVersion + "\n" + dir
+
+  private def markerMatches(fs: org.apache.hadoop.fs.FileSystem,
+      marker: org.apache.hadoop.fs.Path, dir: String): Boolean =
+    try {
+      fs.exists(marker) && {
+        val len = fs.getFileStatus(marker).getLen.toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(marker)
+        try in.readFully(buf) finally in.close()
+        new String(buf, "UTF-8") == stamp(dir)
+      }
+    } catch { case _: java.io.IOException => false }
+
+  /** TEST-ONLY: drop the per-session memo so a re-invocation exercises
+    * the cross-JVM path (marker check, wipe-and-rebuild) inside one
+    * suite — the replay drill the round-13 q_forget bug needed. */
+  private[graft] def resetMemo(spark: SparkSession): Unit =
+    done.synchronized {
+      Option(done.get(spark)).foreach(_.clear())
     }
 
   /** Deterministic per-data-dir temp path: readable sanitized prefix +

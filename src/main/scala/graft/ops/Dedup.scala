@@ -335,6 +335,10 @@ object Dedup {
   def writeNearDupIndex(docs: DataFrame, dir: String,
       bandBuckets: Int = 256): Unit = {
     require(bandBuckets > 0, s"bandBuckets must be positive, got $bandBuckets")
+    // from-scratch build: a leftover tombstone table must not survive
+    // the data overwrite (it would silently re-forget docs the new
+    // corpus contains — the round-13 TextIndex rebuild bug class)
+    Tombstones.clear(docs.sparkSession, dir)
     val tok = tokens(spread(docs)).cache()
     try {
       // doc_id normalized to long so the fixed reader schema holds for

@@ -41,6 +41,9 @@ object EntityIndex {
   def writeEntityIndex(docs: DataFrame, dir: String,
       buckets: Int = HashBuckets): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // from-scratch build: drop any leftover tombstones — they must not
+    // re-forget docs the new corpus contains (round-13 bug class)
+    Tombstones.clear(docs.sparkSession, dir)
     partials(docs, buckets)
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/rows")

@@ -51,6 +51,15 @@ object TextIndex {
   private val StatsSchema = StructType(Seq(
     StructField("n_docs", LongType), StructField("total_dl", LongType)))
 
+  /** This index's tombstone rows carry the victim's doc length next to
+    * its id (null when the victim had no postings — unknown ids and
+    * whitespace docs), so ONE tombstone append is the whole forget
+    * commit: readers derive the (N, avgdl) correction from the
+    * tombstone table itself instead of a separately-appended negative
+    * stats partial whose crash window round 13's ADVICE flagged. */
+  private val DeletesSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType)))
+
   val DefaultTerms: Seq[String] = Seq("data", "query", "engine", "fast")
 
   /** (postings, stats) partials for one batch. The (doc, token) tf
@@ -74,6 +83,11 @@ object TextIndex {
 
   def writeTextIndex(docs: DataFrame, dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // A from-scratch build must not inherit a leftover tombstone table:
+    // the data overwrite below resets postings/stats, and stale
+    // tombstones would silently re-forget (and re-correct) docs the new
+    // corpus legitimately contains — round 13's one red query.
+    Tombstones.clear(docs.sparkSession, dir)
     val (postings, stats, done) = partials(docs, buckets)
     postings.repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/postings")
@@ -99,22 +113,30 @@ object TextIndex {
     * Two-phase, the way production stores honor deletion SLAs:
     *
     *  1. REQUEST TIME (this method, cheap): append the victim ids to a
-    *     `deletes` tombstone table, and append a NEGATIVE stats partial
-    *     (−n_docs, −Σdl, recovered from the victims' own denormalized
-    *     posting rows) so the additive (N, avgdl) fold stays exact.
-    *     Readers anti-join their pruned postings against the broadcast
-    *     tombstone set — delete batches are request-sized, never
-    *     corpus-sized, so the broadcast is bounded by contract.
+    *     `deletes` tombstone table, each row carrying the victim's doc
+    *     length (recovered from its own denormalized posting rows; null
+    *     for ids with no postings). That ONE append is the whole commit:
+    *     readers anti-join their pruned postings against the broadcast
+    *     tombstone set AND derive the (N, avgdl) correction from the
+    *     same rows ([[statsScalar]]) — so a crash anywhere in this
+    *     method either commits the full request or none of it, and a
+    *     retry recomputes fresh victims against whatever committed
+    *     (no double subtraction is possible: the correction lives ON
+    *     the tombstone rows, appended exactly once per fresh id).
+    *     Delete batches are request-sized, never corpus-sized, so the
+    *     broadcasts are bounded by contract.
     *  2. COMPACTION TIME ([[compactTextIndex]], the rewrite the
     *     maintenance loop already pays): physically drop tombstoned
-    *     rows from every bucket and clear the tombstone table — after
-    *     which reads carry no residue of the deleted docs (the actual
-    *     erasure obligation) and no anti-join either.
+    *     rows from every bucket, RECOMPUTE the stats partials from the
+    *     surviving postings (self-healing — any historical stats drift
+    *     dies at the next compaction), and clear the tombstone table —
+    *     after which reads carry no residue of the deleted docs (the
+    *     actual erasure obligation) and no anti-join either.
     *
     *  Idempotent: re-forgetting an already-tombstoned id contributes
-    *  neither a duplicate tombstone nor a second stats subtraction
+    *  neither a duplicate tombstone nor a second stats correction
     *  (the fresh set is anti-joined against existing tombstones
-    *  first). Unknown ids tombstone harmlessly (no posting rows → zero
+    *  first). Unknown ids tombstone harmlessly (null dl → zero
     *  stats delta). Forgotten ids must never be re-ingested (the
     *  single-writer new-ids-only append contract all indexes share).
     *
@@ -127,17 +149,38 @@ object TextIndex {
   def forgetFromTextIndex(spark: SparkSession, dir: String,
       victims: DataFrame): Unit = {
     val fresh = Tombstones.fresh(spark, dir, victims).cache()
-    val victimRows = spark.read.schema(PostingsSchema)
+    val victimDl = spark.read.schema(PostingsSchema)
       .parquet(s"$dir/postings")
       .join(broadcast(fresh), Seq("doc_id"), "left_semi")
-    val negStats = victimRows
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-      .agg((-count(lit(1))).as("n_docs"),
-        coalesce(-sum(col("dl")), lit(0L)).as("total_dl"))
-    negStats.coalesce(1).write.mode("append").parquet(s"$dir/stats")
-    Tombstones.append(dir, fresh)
+    Tombstones.append(dir, fresh.join(victimDl, Seq("doc_id"), "left"))
     fresh.unpersist()
     ()
+  }
+
+  /** The folded (N, avgdl) scalar every index read broadcasts: the
+    * additive base partials minus the tombstoned docs' contributions,
+    * which ride on the tombstone rows themselves (see
+    * [[forgetFromTextIndex]] — `count(dl)` skips the null-dl rows of
+    * victims that never had postings). Steady state (no deletes dir)
+    * is one FS existence check, no extra job. */
+  private def statsScalar(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.schema(StatsSchema).parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val net =
+      if (!fs.exists(p)) base
+      else {
+        val corr = spark.read.schema(DeletesSchema).parquet(p.toString)
+          .agg(count(col("dl")).as("d_docs"),
+            coalesce(sum(col("dl")), lit(0L)).as("d_dl"))
+        base.crossJoin(broadcast(corr))
+          .select((col("n_docs") - col("d_docs")).as("n_docs"),
+            (col("total_dl") - col("d_dl")).as("total_dl"))
+      }
+    net.select(col("n_docs"),
+      (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
   }
 
   /** Resolve terms to their on-disk bucket ids under the ENGINE's hash
@@ -167,10 +210,20 @@ object TextIndex {
   /** Collapse per-batch files: postings to one file per bucket (pure
     * layout — rows are unique by the append contract), stats to one
     * row. When tombstones exist ([[forgetFromTextIndex]]), this is
-    * also the PURGE: deleted docs' rows are dropped from the rewrite
-    * (the stats fold already carries their negative partials), then
-    * the tombstone table is cleared — physical erasure rides the
-    * rewrite the maintenance loop pays anyway. */
+    * also the PURGE: deleted docs' rows are dropped from the rewrite,
+    * the stats row is RECOMPUTED from the surviving postings
+    * (self-healing — it cannot inherit any historical partial drift),
+    * then the tombstone table is cleared — physical erasure rides the
+    * rewrite the maintenance loop pays anyway.
+    *
+    * Crash discipline (the DirSwap contract all compactions share,
+    * single-writer, retry-until-clean): a crash before or between the
+    * two swaps leaves reads EXACT (purged postings + base stats +
+    * live tombstones still derive the right correction); the one
+    * stale window is between the stats swap and the tombstone clear —
+    * two FS ops apart — where the correction would double-count, and
+    * a retried compaction converges it (FaultInjectionSpec drills the
+    * pre-swap and retry laws). */
   def compactTextIndex(spark: SparkSession, dir: String): Unit = {
     DirSwap(spark, s"$dir/postings") { out =>
       minusTombstones(spark, dir,
@@ -179,8 +232,10 @@ object TextIndex {
         .write.partitionBy("bkt").parquet(out)
     }
     DirSwap(spark, s"$dir/stats") { out =>
-      spark.read.schema(StatsSchema).parquet(s"$dir/stats")
-        .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
+      spark.read.schema(PostingsSchema).parquet(s"$dir/postings")
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
         .coalesce(1).write.parquet(out)
     }
     Tombstones.clear(spark, dir)
@@ -204,10 +259,7 @@ object TextIndex {
         .filter(col("bkt").isInCollection(bkts) &&
           col("token").isInCollection(terms)))
     val dfx = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val st = spark.read.schema(StatsSchema).parquet(s"$dir/stats")
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
-      .select(col("n_docs"),
-        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val st = statsScalar(spark, dir)
     val score =
       log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
         col("tf") * (k1 + 1) /

@@ -50,7 +50,17 @@ private[ops] object Tombstones {
       v.join(broadcast(del), Seq("doc_id"), "left_anti"))
   }
 
+  /** TEST-ONLY failpoint (FaultInjectionSpec): fires right BEFORE the
+    * tombstone append — the request-time crash window. The append is
+    * the forget request's single commit point (any per-index correction
+    * rides ON the appended rows, e.g. TextIndex's dl column), so the
+    * law under drill is: a crash here commits NOTHING — reads are
+    * bit-identical to pre-request — and a retry lands the full request
+    * exactly once. Production code never sets it. */
+  private[ops] var crashBeforeAppend: Option[String => Unit] = None
+
   def append(dir: String, freshVictims: DataFrame): Unit = {
+    crashBeforeAppend.foreach(f => f(dir))
     freshVictims.coalesce(1).write.mode("append").parquet(s"$dir/deletes")
     ()
   }

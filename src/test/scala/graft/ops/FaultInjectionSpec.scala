@@ -264,6 +264,34 @@ class FaultInjectionSpec extends SparkSuite {
       Seq("alpha", "token7", "v1"))) == want)
   }
 
+  test("forget request-time crash window: a kill before the tombstone " +
+    "append commits NOTHING; the retry lands the full request once") {
+    // The forget request's single commit point is the tombstone append
+    // (the stats correction rides ON the appended rows — round-14
+    // redesign after the r13 ADVICE found the old two-append sequence
+    // could double-subtract on retry). Kill right before the append:
+    // reads must be bit-identical to pre-request, and the retried
+    // request must equal the survivor-corpus scorer with no residue of
+    // the crashed attempt.
+    val docs = docsDF(1L to 30L)
+    val dir = tmp("fi_forget_req")
+    TextIndex.writeTextIndex(docs, dir)
+    val terms = Seq("alpha", "token7", "v1")
+    val before = rows(TextIndex.bm25FromIndex(spark, dir, terms))
+    val victims = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+    Tombstones.crashBeforeAppend = Some(_ => throw Killed())
+    try {
+      intercept[Killed](TextIndex.forgetFromTextIndex(spark, dir, victims))
+    } finally Tombstones.crashBeforeAppend = None
+    assert(rows(TextIndex.bm25FromIndex(spark, dir, terms)) == before,
+      "a crashed forget request must commit nothing")
+    TextIndex.forgetFromTextIndex(spark, dir, victims)
+    val want = rows(Scoring.bm25Q(
+      docsDF((1L to 30L).filterNot(_ % 5 == 0)), terms))
+    assert(rows(TextIndex.bm25FromIndex(spark, dir, terms)) == want,
+      "the retried request must land exactly once (no double correction)")
+  }
+
   test("span append crash ordering: stale meta marker + old data reads correctly") {
     // appendToSpanIndex marks n_frequent stale BEFORE moving data; a
     // crash between the two writes leaves (stale meta, old data).
