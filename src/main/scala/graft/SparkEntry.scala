@@ -408,6 +408,9 @@ object SparkEntry {
     // the FOURTEENTH persisted index: positional inverted index, corpus
     // indexed once + delta appended, phrases served bucket-pruned
     "q_phrase_search_incr" -> ((s, d) => graft.ops.PhraseIndex.phraseIncrQ(s, d)),
+    // right-to-be-forgotten on the positional index: tombstone read
+    // must equal the batch phrase search over the surviving corpus
+    "q_phrase_forget" -> ((s, d) => graft.ops.PhraseIndex.phraseForgetQ(s, d)),
     "q_dsir" -> ((s, d) => Scoring.dsirQ(s, Tables.documents(s, d))),
     // RAG-style sliding-window chunking: map-side, one Generate
     "q_chunk" -> ((s, d) => TextOps.chunkQ(Tables.documents(s, d))),
@@ -430,6 +433,9 @@ object SparkEntry {
     // delta vs persisted winnow-fingerprint index (the fifth index's
     // pruned-read lookup; build memoized per session+dir)
     "q_winnow_incr" -> ((s, d) => Dedup.incrementalWinnowQ(s, d)),
+    // right-to-be-forgotten on the winnow index: forgotten corpus docs
+    // neither pair with the delta nor count toward the df cap
+    "q_winnow_forget" -> ((s, d) => Dedup.winnowForgetQ(s, d)),
     // CCNet-style bigram-LM log-perplexity quality scores (en-trained)
     "q_ngram_lm" -> ((s, d) => Scoring.ngramLmQ(Tables.documents(s, d))),
     // interpolated Kneser-Ney bigram perplexity: absolute discounting
@@ -443,6 +449,9 @@ object SparkEntry {
     // the SAME persisted count store read under the Kneser-Ney law -
     // switching smoothing is a reader change, no re-ingestion
     "q_kneser_ney_incr" -> ((s, d) => graft.ops.LmIndex.kneserNeyIncrQ(s, d)),
+    // right-to-be-forgotten on an ADDITIVE-count index: the victims'
+    // negative count ledger nets the model; survivors scored under it
+    "q_lm_forget" -> ((s, d) => graft.ops.LmIndex.lmForgetQ(s, d)),
     // linear fasttext-style keep/drop classifier: hashed-bucket features,
     // integer-milli weight table broadcast, exact order-free logit
     "q_quality_clf" -> ((s, d) => Scoring.qualityClassifierQ(Tables.documents(s, d))),
@@ -879,10 +888,10 @@ object SparkEntry {
     * corpus ∪ delta must match identically to the batch adjacency pass
     * over all documents). Gram list per (doc, phrase length), exact
     * string equality, 1-based first position. */
-  private val PhraseOracleSql: String =
-    """WITH t AS (SELECT doc_id,
-      |regexp_split_to_array(lower(trim(text)), '\s+') AS tk FROM documents),
-      |p AS (SELECT unnest(['table scan','hash join','sort merge','sort merge join']) AS phrase),
+  private def phraseOracleSqlOver(where: String): String =
+    s"""WITH t AS (SELECT doc_id,
+      |regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents $where),""".stripMargin + "\n" +
+    """p AS (SELECT unnest(['table scan','hash join','sort merge','sort merge join']) AS phrase),
       |g AS (SELECT doc_id, phrase, len(string_split(phrase, ' ')) AS m, tk
       |FROM t CROSS JOIN p),
       |r AS (SELECT phrase, doc_id,
@@ -893,6 +902,8 @@ object SparkEntry {
       |CAST(len(list_filter(grams, x -> x = phrase)) AS BIGINT) AS n_matches,
       |CAST(list_position(grams, phrase) AS BIGINT) AS first_pos
       |FROM r WHERE list_position(grams, phrase) > 0""".stripMargin
+
+  private val PhraseOracleSql: String = phraseOracleSqlOver("")
 
   /** The per-source data-card oracle — shared by the batch
     * q_corpus_report and the index-read q_corpus_report_incr (the
@@ -919,12 +930,14 @@ object SparkEntry {
       |FROM pr JOIN sk USING (d, bucket) GROUP BY 1, 2""".stripMargin
 
   /** Shared by q_ngram_lm and q_ngram_lm_incr (the folded count
-    * partials equal the batch grouping-sets model — additivity law). */
-  private val NgramLmOracleSql: String =
-    """WITH t AS (SELECT doc_id, lang,
-      |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
-      |FROM documents),
-      |tr AS (SELECT toks[i] AS a, toks[i+1] AS b
+    * partials equal the batch grouping-sets model — additivity law);
+    * the `where` parametrization serves q_lm_forget (train AND score
+    * over the surviving corpus only). */
+  private def ngramLmOracleSqlOver(where: String): String =
+    s"""WITH t AS (SELECT doc_id, lang,
+      |list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+      |FROM documents $where),""".stripMargin + "\n" +
+    """tr AS (SELECT toks[i] AS a, toks[i+1] AS b
       |FROM (SELECT toks, unnest(range(1, len(toks)+1)) AS i FROM t WHERE lang = 'en') z),
       |uni AS (SELECT a, count(*) AS n_u FROM tr GROUP BY a),
       |bi AS (SELECT a, b, count(*) AS n_ab FROM tr WHERE b IS NOT NULL GROUP BY a, b),
@@ -943,6 +956,8 @@ object SparkEntry {
       |SELECT doc_id, lang, count(*) AS n_bigrams,
       |round(-avg(ln(prob)), 6) AS logppl
       |FROM pr GROUP BY doc_id, lang""".stripMargin
+
+  private val NgramLmOracleSql: String = ngramLmOracleSqlOver("")
 
   private val CorpusReportOracleSql: String =
     """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS n_chars,
@@ -2904,6 +2919,8 @@ object SparkEntry {
     "q_phrase_search" -> PhraseOracleSql,
     // the positional index is invisible to semantics: same oracle
     "q_phrase_search_incr" -> PhraseOracleSql,
+    // forget: same adjacency text over the surviving corpus only
+    "q_phrase_forget" -> phraseOracleSqlOver("WHERE doc_id % 17 <> 0"),
     // Hybrid RRF: the Bm25 oracle's per-doc score feeds the text list,
     // the SimTopK dot-product spelling feeds the vector list, each cut
     // at 50 (score desc, id asc), fused at 1/(60+rank) on the 9-dp grid.
@@ -3200,12 +3217,24 @@ object SparkEntry {
       """d AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id + 100000
         |ELSE doc_id END AS doc_id, text FROM documents), """.stripMargin,
       "d", "a.doc_id >= 100000 AND b.doc_id < 100000"),
+    // forget: the SAME incremental text with the forgotten corpus docs
+    // (doc_id % 17 = 0 on the index side; the re-keyed delta keeps all
+    // its rows) filtered at the source — they must neither pair nor
+    // count toward the df cap
+    "q_winnow_forget" -> winnowOracleSql(
+      """d AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id + 100000
+        |ELSE doc_id END AS doc_id, text FROM documents
+        |WHERE doc_id % 20 = 0 OR doc_id % 17 <> 0), """.stripMargin,
+      "d", "a.doc_id >= 100000 AND b.doc_id < 100000"),
     // Bigram-LM perplexity: add-0.1 smoothing, en-trained, <unk> OOV
     // mapping; tr's range runs one past the end so unigram counts cover
     // the last position (toks[i+1] out of bounds -> NULL successor).
     // the incremental form folds persisted count partials over the same
     // en train slice — additivity makes the SAME batch LM its ground truth
     "q_ngram_lm_incr" -> NgramLmOracleSql,
+    // forget: the SAME LM text trained AND scored over survivors only
+    // (victims leave the counts and the vocabulary)
+    "q_lm_forget" -> ngramLmOracleSqlOver("WHERE doc_id % 17 <> 0"),
     // CCNet buckets: the LM oracle wrapped in rank terciles (ntile on
     // the 6-dp grid, doc_id tie-break) + per-bucket summary
     "q_ccnet_buckets" ->

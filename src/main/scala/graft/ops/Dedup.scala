@@ -888,6 +888,8 @@ object Dedup {
   def writeWinnowIndex(docs: DataFrame, dir: String,
       k: Int = 4, w: Int = 5, fpBuckets: Int = 256): Unit = {
     require(fpBuckets > 0, s"fpBuckets must be positive, got $fpBuckets")
+    // from-scratch build: drop leftover tombstones (round-13 bug class)
+    Tombstones.clear(docs.sparkSession, dir)
     // repartition on bkt before the partitioned write: without it every
     // map task writes a file into every bucket dir (tasks × buckets tiny
     // files — measured ~3x on the whole lookup), with it the bulk build
@@ -924,17 +926,29 @@ object Dedup {
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/fps")
   }
 
+  /** Right-to-be-forgotten request on the winnow index (the shared
+    * [[Tombstones]] lifecycle): per-doc fingerprint rows need no
+    * aggregate correction — tombstone append, anti-joined reads,
+    * purge at the next compaction. */
+  def forgetFromWinnowIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, victims: DataFrame): Unit =
+    Tombstones.append(dir, Tombstones.fresh(spark, dir, victims))
+
   /** Maintenance half: collapse each bkt partition's accumulated
     * append files into one (lookup latency degrades by file count, not
-    * data size). Same non-atomic delete+rename swap discipline as
-    * [[compactNearDupIndex]] — single writer between batches. */
+    * data size); also the PURGE when tombstones exist. Same non-atomic
+    * delete+rename swap discipline as [[compactNearDupIndex]] — single
+    * writer between batches. */
   def compactWinnowIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
+      dir: String): Unit = {
     DirSwap(spark, s"$dir/fps") { out =>
-      spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps")
+      Tombstones.minus(spark, dir,
+        spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps"))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
+    Tombstones.clear(spark, dir)
+  }
 
   /** Substring-dup candidates between a delta of NEW documents and a
     * persisted [[writeWinnowIndex]] corpus: (doc_a = new id, doc_b =
@@ -963,7 +977,10 @@ object Dedup {
     val fpsPath = new org.apache.hadoop.fs.Path(s"$dir/fps")
     val indexBytes = fpsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(fpsPath).getLength
-    val fpsRead = spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps")
+    // tombstone anti-join BEFORE the df count: a forgotten doc's
+    // fingerprints must neither pair nor inflate the df cap
+    val fpsRead = Tombstones.minus(spark, dir,
+      spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps"))
     val pruned =
       // NO fanout here, unlike nearDupsAgainstIndex: this lookup's
       // post-scan work is hash joins and counts (no per-row DP), so the
@@ -1014,6 +1031,29 @@ object Dedup {
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_winnow_idx", dir)
     BuildOnce(spark, idxDir)(writeWinnowIndex(corpus, idxDir))
+    winnowAgainstIndex(spark, delta, idxDir)
+  }
+
+  /** Declared query q_winnow_forget: the q_winnow_incr build in its
+    * OWN dir (forgetting mutates state), every corpus doc_id ≡ 0
+    * (mod 17) forgotten at request time, the delta matched through the
+    * tombstone anti-join — must equal the incremental lookup against
+    * the SURVIVING corpus (the q_winnow_incr oracle with victims
+    * filtered at the source: forgotten docs neither pair nor count
+    * toward the df cap). */
+  def winnowForgetQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val idxDir = BuildOnce.tempDirFor("graft_winnow_idx_forget", dir)
+    BuildOnce(spark, idxDir) {
+      writeWinnowIndex(corpus, idxDir)
+      forgetFromWinnowIndex(spark, idxDir,
+        corpus.filter(col("doc_id") % 17 === 0).select(col("doc_id")))
+    }
     winnowAgainstIndex(spark, delta, idxDir)
   }
 

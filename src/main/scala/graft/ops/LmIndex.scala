@@ -25,6 +25,28 @@ object LmIndex {
     StructField("rb", StringType), StructField("n", LongType),
     StructField("bkt", IntegerType)))
 
+  /** Forget ledger schema — the aggregate-index generalization of the
+    * TextIndex tombstone (there the correction is a scalar riding on
+    * the victim row; here it is the victims' whole count contribution):
+    * registry rows (doc_id, gid = −1, n = 0) record WHICH docs were
+    * forgotten (request idempotence); correction rows (doc_id = null,
+    * gid/ra/rb/n) carry their NEGATIVE counts. Both land in ONE
+    * parquet append — the single commit point a crash cannot split.
+    *
+    * The ledger lives INSIDE the counts dir (`counts/_deletes` — the
+    * underscore keeps it invisible to the parquet listing of the
+    * counts themselves), so [[compactLmIndex]]'s ONE DirSwap of
+    * `counts` retires base partials and ledger together: there is no
+    * separate clear step whose crash window could double-apply the
+    * corrections on a retry, and a from-scratch overwrite build wipes
+    * it with the rest of the dir. */
+  private val DeletesSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("gid", IntegerType),
+    StructField("ra", StringType), StructField("rb", StringType),
+    StructField("n", LongType), StructField("bkt", IntegerType)))
+
+  private def ledgerPath(dir: String) = s"$dir/counts/_deletes"
+
   // 16, not the ReportIndex 64: the model READ is always full-table
   // (scoring needs the whole model), so buckets only buy compaction
   // parallelism — and the per-dir listing/footer floor on the read
@@ -41,9 +63,69 @@ object LmIndex {
 
   def writeLmIndex(docs: DataFrame, dir: String,
       trainLang: String = "en"): Unit =
+    // static-overwrite wipes the whole counts dir — any leftover
+    // forget ledger (which lives inside it) dies with it, so a
+    // from-scratch build cannot inherit stale corrections (r13 class)
     partials(docs, trainLang)
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/counts")
+
+  /** Right-to-be-forgotten on an ADDITIVE-count index: the victims'
+    * own training contribution, negated, lands in the in-dir forget
+    * ledger in one append — registry rows for idempotence, correction
+    * rows the model fold nets out ([[modelFromIndex]]). Callers pass
+    * the victim DOCUMENTS (a delete request holds the content until
+    * erasure); ids already forgotten are dropped first, so re-requests
+    * cannot double-subtract, and victims that contributed nothing
+    * (wrong language, empty text) just register. Contract: victims
+    * must be docs previously ingested into THIS index with the same
+    * text — a count store cannot recover per-doc contributions by
+    * itself (unlike the TextIndex dl, which rides on posting rows).
+    * Physical erasure of the netted counts rides [[compactLmIndex]]. */
+  def forgetFromLmIndex(spark: SparkSession, dir: String,
+      victimDocs: DataFrame, trainLang: String = "en"): Unit = {
+    val v = victimDocs.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val lp = new org.apache.hadoop.fs.Path(ledgerPath(dir))
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fresh = (if (!fs.exists(lp)) v
+      else v.join(broadcast(
+        spark.read.schema(DeletesSchema).parquet(lp.toString)
+          .filter(col("gid") === -1).select(col("doc_id"))),
+        Seq("doc_id"), "left_anti")).cache()
+    val freshDocs = victimDocs
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+    val neg = partials(freshDocs, trainLang)
+      .select(lit(null).cast("long").as("doc_id"), col("gid"), col("ra"),
+        col("rb"), col("n"), col("bkt"))
+    val reg = fresh.select(col("doc_id"), lit(-1).as("gid"),
+      lit(null).cast("string").as("ra"), lit(null).cast("string").as("rb"),
+      lit(0L).as("n"), lit(0).as("bkt"))
+    Tombstones.appendRaw(ledgerPath(dir), reg.unionByName(neg))
+    fresh.unpersist()
+    ()
+  }
+
+  /** The folded (gid, ra, rb, bkt) → n table: base partials plus the
+    * forget ledger's negative corrections, zero-count rows dropped (a
+    * token alive only in forgotten docs must leave the vocabulary, or
+    * V would overcount). Steady state (no ledger) adds no job. */
+  private def foldCounts(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.schema(CountsSchema).parquet(s"$dir/counts")
+    val lp = new org.apache.hadoop.fs.Path(ledgerPath(dir))
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all =
+      if (!fs.exists(lp)) base
+      else base.unionByName(
+        spark.read.schema(DeletesSchema).parquet(lp.toString)
+          .filter(col("gid") >= 0)
+          .select(col("gid"), col("ra"), col("rb"),
+            (-col("n")).as("n"), col("bkt")))
+    all.groupBy(col("gid"), col("ra"), col("rb"), col("bkt"))
+      .agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("gid"), col("ra"), col("rb"), col("n"), col("bkt"))
+  }
 
   /** Fold newly ingested documents in — additive partial-file appends
     * (doc-complete batches; the reader re-aggregates). */
@@ -53,20 +135,23 @@ object LmIndex {
       .repartition(col("bkt"))
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/counts")
 
-  /** Collapse per-batch partials to one file per bucket ([[DirSwap]]). */
+  /** Collapse per-batch partials to one file per bucket ([[DirSwap]]);
+    * when a forget ledger exists this is also the PURGE — the rewrite
+    * bakes the negative corrections in (zero-count grams physically
+    * gone), and because the ledger lives INSIDE the counts dir, the
+    * same swap retires it: one commit, so a crashed compaction retried
+    * from the top converges without ever double-applying a
+    * correction. */
   def compactLmIndex(spark: SparkSession, dir: String): Unit =
     DirSwap(spark, s"$dir/counts") { out =>
-      spark.read.schema(CountsSchema).parquet(s"$dir/counts")
-        .groupBy(col("gid"), col("ra"), col("rb"), col("bkt"))
-        .agg(sum(col("n")).as("n"))
-        .select(col("gid"), col("ra"), col("rb"), col("n"), col("bkt"))
+      foldCounts(spark, dir)
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
 
-  /** The folded model (partials summed). */
+  /** The folded model (partials summed, forget corrections netted). */
   def modelFromIndex(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(CountsSchema).parquet(s"$dir/counts")
+    foldCounts(spark, dir)
       .groupBy(col("gid"), col("ra"), col("rb"))
       .agg(sum(col("n")).as("n"))
 
@@ -126,5 +211,23 @@ object LmIndex {
       appendToLmIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }
     kneserNeyFromIndex(spark, idxDir, docs)
+  }
+
+  /** Declared query q_lm_forget: the forget path on an ADDITIVE-count
+    * index — the q_ngram_lm_incr build in its OWN dir (forgetting
+    * mutates state), every doc_id ≡ 0 (mod 17) forgotten via the
+    * negative-count ledger, SURVIVORS scored under the netted model —
+    * which must equal the batch [[Scoring.ngramLmQ]] over the
+    * surviving corpus alone (victims leave the training counts AND
+    * the vocabulary). */
+  def lmForgetQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_lm_idx_forget", dir)
+    BuildOnce(spark, idxDir) {
+      writeLmIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
+      appendToLmIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+      forgetFromLmIndex(spark, idxDir, docs.filter(col("doc_id") % 17 === 0))
+    }
+    scoreFromIndex(spark, idxDir, docs.filter(col("doc_id") % 17 =!= 0))
   }
 }

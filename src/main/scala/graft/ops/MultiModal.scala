@@ -228,6 +228,8 @@ object MultiModal {
   def writeImageIndex(payloads: DataFrame, dir: String,
       bandBuckets: Int = 256): Unit = {
     require(bandBuckets > 0, s"bandBuckets must be positive, got $bandBuckets")
+    // from-scratch build: drop leftover tombstones (round-13 bug class)
+    Tombstones.clear(payloads.sparkSession, dir)
     dHashBands(payloads)
       .withColumn("doc_id", col("doc_id").cast("long"))
       .withColumn("bkt", pmod(col("bandval"), lit(bandBuckets.toLong)))
@@ -248,16 +250,28 @@ object MultiModal {
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/bands")
   }
 
+  /** Right-to-be-forgotten request on the image index (the shared
+    * [[Tombstones]] lifecycle): per-doc band rows need no aggregate
+    * correction — tombstone append, anti-joined reads, purge at the
+    * next compaction. */
+  def forgetFromImageIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, victims: DataFrame): Unit =
+    Tombstones.append(dir, Tombstones.fresh(spark, dir, victims))
+
   /** Compact: collapse the per-batch file accumulation back to one file
     * per bucket (rows are immutable — no re-aggregation needed, unlike
-    * the additive count indexes). */
+    * the additive count indexes); also the PURGE when tombstones
+    * exist. */
   def compactImageIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
+      dir: String): Unit = {
     DirSwap(spark, s"$dir/bands") { out =>
-      spark.read.schema(ImageBandsSchema).parquet(s"$dir/bands")
+      Tombstones.minus(spark, dir,
+        spark.read.schema(ImageBandsSchema).parquet(s"$dir/bands"))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
+    Tombstones.clear(spark, dir)
+  }
 
   /** Perceptual near-dup pairs between a delta of NEW payloads and the
     * persisted image index: (doc_a = indexed id, doc_b = new id,
@@ -279,8 +293,9 @@ object MultiModal {
     val touched = deltaBands
       .select(pmod(col("bandval"), lit(meta.bandBuckets.toLong)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
-    val idx = spark.read.schema(ImageBandsSchema).parquet(s"$dir/bands")
-      .filter(col("bkt").isin(touched.toSeq: _*))
+    val idx = Tombstones.minus(spark, dir,
+        spark.read.schema(ImageBandsSchema).parquet(s"$dir/bands")
+          .filter(col("bkt").isin(touched.toSeq: _*)))
       .select(col("band"), col("bandval"),
         col("doc_id").as("doc_a"), col("fp").as("fp_a"))
     idx.join(deltaBands.select(col("band"), col("bandval"),
@@ -515,6 +530,8 @@ object MultiModal {
   def writeAudioIndex(docs: DataFrame, dir: String,
       fpBuckets: Int = 256): Unit = {
     require(fpBuckets > 0, s"fpBuckets must be positive, got $fpBuckets")
+    // from-scratch build: drop leftover tombstones (round-13 bug class)
+    Tombstones.clear(docs.sparkSession, dir)
     audioFps(docs)
       .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
       .repartition(col("bkt"))
@@ -533,15 +550,27 @@ object MultiModal {
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/fps")
   }
 
+  /** Right-to-be-forgotten request on the audio index (the shared
+    * [[Tombstones]] lifecycle): per-doc fingerprint rows need no
+    * aggregate correction — tombstone append, anti-joined reads, purge
+    * at the next compaction. */
+  def forgetFromAudioIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, victims: DataFrame): Unit =
+    Tombstones.append(dir, Tombstones.fresh(spark, dir, victims))
+
   /** Compact: collapse the per-batch file accumulation back to one file
-    * per bucket (rows are immutable — no re-aggregation needed). */
+    * per bucket (rows are immutable — no re-aggregation needed); also
+    * the PURGE when tombstones exist. */
   def compactAudioIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Unit =
+      dir: String): Unit = {
     DirSwap(spark, s"$dir/fps") { out =>
-      spark.read.schema(AudioFpsSchema).parquet(s"$dir/fps")
+      Tombstones.minus(spark, dir,
+        spark.read.schema(AudioFpsSchema).parquet(s"$dir/fps"))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
+    Tombstones.clear(spark, dir)
+  }
 
   /** Audio near-dup pairs between a delta of NEW payloads and the
     * persisted index: (aud_a = indexed id, aud_b = new id, n_shared ≥
@@ -567,10 +596,12 @@ object MultiModal {
     val touched = deltaFps
       .select(pmod(col("fp"), lit(meta.fpBuckets.toLong)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
-    val idx = PipelineCaches.track(
+    // tombstone anti-join BEFORE the df count: a forgotten doc's
+    // fingerprints must neither pair nor inflate the df cap
+    val idx = PipelineCaches.track(Tombstones.minus(spark, dir,
       spark.read.schema(AudioFpsSchema).parquet(s"$dir/fps")
-        .filter(col("bkt").isin(touched.toSeq: _*))
-        .select(col("doc_id"), col("fp")))
+        .filter(col("bkt").isin(touched.toSeq: _*)))
+      .select(col("doc_id"), col("fp")))
     // exact df per candidate fp from the pruned buckets (see Scaladoc)
     val df = idx.unionAll(deltaFps).groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))

@@ -114,6 +114,8 @@ object PhraseIndex {
 
   def writePhraseIndex(docs: DataFrame, dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    // from-scratch build: drop leftover tombstones (round-13 bug class)
+    Tombstones.clear(docs.sparkSession, dir)
     partials(docs, buckets).repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/postings")
     docs.sparkSession.createDataFrame(
@@ -135,27 +137,41 @@ object PhraseIndex {
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
   }
 
+  /** Right-to-be-forgotten request (the shared [[Tombstones]]
+    * lifecycle): per-doc position rows need no aggregate correction —
+    * the tombstone append IS the whole commit; reads anti-join, the
+    * next compaction purges. */
+  def forgetFromPhraseIndex(spark: SparkSession, dir: String,
+      victims: DataFrame): Unit =
+    Tombstones.append(dir, Tombstones.fresh(spark, dir, victims))
+
   /** Collapse per-batch files to one file per bucket (pure layout —
-    * rows are unique by the append contract). */
-  def compactPhraseIndex(spark: SparkSession, dir: String): Unit =
+    * rows are unique by the append contract); also the PURGE when
+    * tombstones exist ([[forgetFromPhraseIndex]]). */
+  def compactPhraseIndex(spark: SparkSession, dir: String): Unit = {
     DirSwap(spark, s"$dir/postings") { out =>
-      spark.read.schema(PostingsSchema).parquet(s"$dir/postings")
+      Tombstones.minus(spark, dir,
+        spark.read.schema(PostingsSchema).parquet(s"$dir/postings"))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
+    Tombstones.clear(spark, dir)
+  }
 
   /** Phrase occurrences served from the index — the steady-state read.
     * Touches only the phrase terms' buckets (partition-pruned scan,
-    * token filter pushed). */
+    * token filter pushed); honors [[Tombstones]] (a forgotten doc's
+    * phrases vanish without a rewrite). */
   def phrasesFromIndex(spark: SparkSession, dir: String,
       phrases: Seq[String] = DefaultPhrases): DataFrame = {
     val buckets = readBuckets(spark, dir)
     val terms = phrases.flatMap(_.trim.split("\\s+")).distinct
     val bkts = TextIndex.termBuckets(spark, terms, buckets)
-    val matched = spark.read.schema(PostingsSchema)
-      .parquet(s"$dir/postings")
-      .filter(col("bkt").isInCollection(bkts) &&
-        col("token").isInCollection(terms))
+    val matched = Tombstones.minus(spark, dir,
+      spark.read.schema(PostingsSchema)
+        .parquet(s"$dir/postings")
+        .filter(col("bkt").isInCollection(bkts) &&
+          col("token").isInCollection(terms)))
     matchPhrases(matched, phrases)
   }
 
@@ -170,6 +186,24 @@ object PhraseIndex {
     BuildOnce(spark, idxDir) {
       writePhraseIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToPhraseIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+    }
+    phrasesFromIndex(spark, idxDir)
+  }
+
+  /** Declared query q_phrase_forget: the q_phrase_search_incr build in
+    * its OWN dir (forgetting mutates state), every doc_id ≡ 0 (mod 17)
+    * forgotten at request time, phrases served through the tombstone
+    * anti-join — must equal the batch [[phraseSearchQ]] over the
+    * SURVIVING corpus (the shared oracle with victims filtered at the
+    * source). */
+  def phraseForgetQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_phrase_idx_forget", dir)
+    BuildOnce(spark, idxDir) {
+      writePhraseIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
+      appendToPhraseIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+      forgetFromPhraseIndex(spark, idxDir,
+        docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")))
     }
     phrasesFromIndex(spark, idxDir)
   }

@@ -625,10 +625,24 @@ object SimSearch {
     * trained inverted file, serve probes off the pruned partitions. */
   def writeIvfIndexWith(embeddings: DataFrame, centroids: DataFrame,
       dir: String): Unit = {
+    // from-scratch build: drop leftover tombstones (round-13 bug class)
+    Tombstones.clear(embeddings.sparkSession, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     assignCells(normed(embeddings), centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
   }
+
+  /** Right-to-be-forgotten request on the IVF index (the shared
+    * [[Tombstones]] lifecycle, keyed on `vec_id`): per-vector cell rows
+    * need no aggregate correction — tombstone append, anti-joined
+    * probes, purge at the next compaction. The centroid table is
+    * aggregate geometry, not per-vector content — a forgotten vector's
+    * influence on the trained centroids retires at the next offline
+    * retrain (the declared rebuild path), matching how production ANN
+    * stores honor deletion SLAs. */
+  def forgetFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, victims: DataFrame): Unit =
+    Tombstones.append(dir, Tombstones.fresh(spark, dir, victims, "vec_id"))
 
   /** Append new vectors to a persisted IVF index — the ingestion half
     * every other persisted index (near-dup bands, span frequencies,
@@ -652,12 +666,14 @@ object SimSearch {
     * degrades by file count, not data size). Same temp-dir swap as the
     * other index compactions: the live index stays readable until the
     * rename. */
-  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     DirSwap(spark, s"$dir/cells") { out =>
-      spark.read.parquet(s"$dir/cells")
+      Tombstones.minus(spark, dir, spark.read.parquet(s"$dir/cells"), "vec_id")
         .repartition(col("cell"))
         .write.partitionBy("cell").parquet(out)
     }
+    Tombstones.clear(spark, dir)
+  }
 
   /** Declared trained-IVF workload (q_sim_topk_ivf_trained): k-means
     * centroids (2 Lloyd iterations — the declared query pins the
@@ -736,8 +752,9 @@ object SimSearch {
       .filter(col("cr") <= nProbeCells)
       .select(col("probe_id"), col("pv"), col("pn"), col("cell"))
     val cells = probeCells.select("cell").distinct().collect().map(_.getLong(0))
-    val idx = spark.read.parquet(s"$dir/cells")
-      .filter(col("cell").isin(cells: _*))
+    val idx = Tombstones.minus(spark, dir,
+      spark.read.parquet(s"$dir/cells")
+        .filter(col("cell").isin(cells: _*)), "vec_id")
     val sims = idx.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),

@@ -35,17 +35,22 @@ private[ops] object Tombstones {
     else None
   }
 
-  /** `rows` minus the tombstoned docs (on `doc_id`); `rows` unchanged
-    * when no tombstone table exists. */
-  def minus(spark: SparkSession, dir: String, rows: DataFrame): DataFrame =
+  /** `rows` minus the tombstoned docs (anti-join on `key`, default
+    * `doc_id` — the IVF index keys on `vec_id`); `rows` unchanged when
+    * no tombstone table exists. The on-disk column is always `doc_id`
+    * (the normalized victim id), whatever the index calls its key. */
+  def minus(spark: SparkSession, dir: String, rows: DataFrame,
+      key: String = "doc_id"): DataFrame =
     read(spark, dir).fold(rows)(del =>
-      rows.join(broadcast(del), Seq("doc_id"), "left_anti"))
+      rows.join(broadcast(del.withColumnRenamed("doc_id", key)),
+        Seq(key), "left_anti"))
 
   /** The victim ids NOT already tombstoned — distinct, normalized to
     * long. Callers derive any index-specific correction (negative
     * stats partials) from THIS set, then [[append]] it. */
-  def fresh(spark: SparkSession, dir: String, victims: DataFrame): DataFrame = {
-    val v = victims.select(col("doc_id").cast("long").as("doc_id")).distinct()
+  def fresh(spark: SparkSession, dir: String, victims: DataFrame,
+      key: String = "doc_id"): DataFrame = {
+    val v = victims.select(col(key).cast("long").as("doc_id")).distinct()
     read(spark, dir).fold(v)(del =>
       v.join(broadcast(del), Seq("doc_id"), "left_anti"))
   }
@@ -59,9 +64,15 @@ private[ops] object Tombstones {
     * exactly once. Production code never sets it. */
   private[ops] var crashBeforeAppend: Option[String => Unit] = None
 
-  def append(dir: String, freshVictims: DataFrame): Unit = {
-    crashBeforeAppend.foreach(f => f(dir))
-    freshVictims.coalesce(1).write.mode("append").parquet(s"$dir/deletes")
+  def append(dir: String, freshVictims: DataFrame): Unit =
+    appendRaw(s"$dir/deletes", freshVictims)
+
+  /** Append to an EXPLICIT ledger path — the aggregate-count indexes
+    * keep their forget ledger inside the data dir so one compaction
+    * swap retires data and ledger together (see [[LmIndex]]). */
+  def appendRaw(path: String, rows: DataFrame): Unit = {
+    crashBeforeAppend.foreach(f => f(path))
+    rows.coalesce(1).write.mode("append").parquet(path)
     ()
   }
 

@@ -36,6 +36,9 @@ object PlanAllowances {
     // the incremental LM shares q_ngram_lm's ONE-row vocab-size scalar
     // broadcast (LmIndex.scoreFromIndex → Scoring.lmScore)
     "q_ngram_lm_incr",
+    // the LM forget read is the same scorer over the ledger-netted
+    // model (same ONE-row vocab scalar broadcast)
+    "q_lm_forget",
     // Kneser-Ney's ONE-row (N_bb, V) scalar pair broadcast (batch and
     // index-read forms share the scoring tail)
     "q_kneser_ney", "q_kneser_ney_incr",

