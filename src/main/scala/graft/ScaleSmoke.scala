@@ -280,6 +280,36 @@ object ScaleSmoke {
       // maxsim: zero joins — distinct (doc, token) pass + one doc agg
       run("maxsim", graft.ops.Scoring.maxSimQ(docs))
       spark.sharedState.cacheManager.clearCache()
+      // composed cleaning verdicts: one fused corpus pass + the
+      // norm-hash window — per-copy eval splits keep the contamination
+      // rate constant per unit input, so wall clock tracks the scan
+      run("corpus_clean", graft.ops.Cleaning.cleanVerdictsOf(
+        docs.filter(col("doc_id") % 10_000_000L < 50)
+          .withColumn("lang", lit("en")),
+        docs.filter(col("doc_id") % 10_000_000L >= 50)
+          .withColumn("lang",
+            when(col("doc_id") % 5 === 0, "en").otherwise("xx")))
+        .groupBy(col("reason"))
+        .agg(count(lit(1)).as("n_docs")))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // Spearman scorer agreement: two linear scorer passes + one
+      // doc-keyed rank join — both model tables vocab-bounded (~k)
+      run("rank_corr", graft.ops.Scoring.rankCorrQ(
+        docs.withColumn("lang",
+          when(col("doc_id") % 5 === 0, "en").otherwise("xx"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // the END-TO-END pipeline composition (clean -> near-dup ->
+      // excise -> BPE-encode -> pack): the sum of its components'
+      // probes — per-copy eval splits, disjoint vocabularies, so the
+      // keep-rate and pack volume stay proportional to the corpus
+      run("e2e_corpus", graft.ops.Cleaning.e2eCorpusOf(
+        docs.withColumn("lang",
+          when(col("doc_id") % 5 === 0, "en").otherwise("xx")),
+        col("doc_id") % 10_000_000L < 50))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

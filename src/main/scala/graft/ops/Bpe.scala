@@ -153,6 +153,30 @@ object Bpe {
       k: Int = 6, tokenBudget: Int = 512): DataFrame =
     tokenizePack(graft.sources.Tables.documents(spark, dir), k, tokenBudget)
 
+  /** Per-doc encoded length of `docs` under merges trained on
+    * `trainDocs` — the train/apply split the composed pipeline needs
+    * (tokenizer induced on the raw corpus, applied to the cleaned
+    * survivors). `docs`' tokens must be a subset of the training
+    * vocabulary (true whenever `docs` derives from `trainDocs` by
+    * filtering/excision); a doc with no encodable tokens emits no row.
+    * Output: (doc_id, enc_len). */
+  def encodedLengths(trainDocs: DataFrame, docs: DataFrame,
+      k: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    val words = wordCounts(trainDocs)
+    val rules = trainMerges(words, k)
+    graft.functions.BpeSegment.register(spark)
+    val sym = segmented("word", rules.toList.map(t => (t._2, t._3)))
+    val enc = words.select(col("word"), size(sym).cast("long").as("n_sym"))
+    graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("enc_len"))
+  }
+
   /** [[tokenizePackQ]] over an arbitrary documents frame (the
     * ScaleSmoke amplification entry point). */
   def tokenizePack(docs: DataFrame, k: Int = 6,

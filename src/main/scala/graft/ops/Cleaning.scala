@@ -40,10 +40,27 @@ object Cleaning {
     * corpus exchange is the dup rank's window min over the norm-hash
     * (narrow verdict columns, no self-join, never the text) feeding
     * the final reason aggregate; nothing here is all-pairs. */
-  def corpusCleanQ(spark: SparkSession, dir: String): DataFrame = {
+  def corpusCleanQ(spark: SparkSession, dir: String): DataFrame =
+    cleanVerdicts(spark, dir)
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+
+  /** The per-document first-failing-stage verdict frame behind
+    * [[corpusCleanQ]] — (doc_id, n_chars, reason) — exposed so the
+    * end-to-end pipeline ([[e2eCorpusQ]]) can consume the keep set
+    * downstream instead of re-deriving the stages. */
+  private[ops] def cleanVerdicts(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val evalDocs = docs.filter(col("doc_id") < 50)
-    val corpus = docs.filter(col("doc_id") >= 50)
+    cleanVerdictsOf(docs.filter(col("doc_id") < 50),
+      docs.filter(col("doc_id") >= 50))
+  }
+
+  /** [[cleanVerdicts]] over explicit eval/corpus frames — the ScaleSmoke
+    * amplification entry point (per-copy eval splits keep contamination
+    * rates constant per unit input). */
+  private[graft] def cleanVerdictsOf(evalDocs: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
 
     // top-token concentration IN-ROW (round-11 fusion): the per-(doc,
     // token) aggregate chain the standalone operator uses is the right
@@ -102,14 +119,92 @@ object Cleaning {
       // verdict's coalesce defaults it to keep
       .withColumn("r_keep", when(col("top_token_frac").isNotNull,
         (col("top_token_frac") < 0.2 && col("dup_2gram_frac") < 0.2).cast("long")))
-      .select(col("n_chars"),
+      .select(col("doc_id"), col("n_chars"),
         when(col("lang") =!= "en", lit("lang"))
           .when(col("q_keep") === 0L, lit("quality"))
           .when(coalesce(col("r_keep"), lit(1L)) === 0L, lit("repetition"))
           .when(col("is_dup"), lit("duplicate"))
           .when(col("is_contam"), lit("contaminated"))
           .otherwise(lit("keep")).as("reason"))
+  }
+
+  /** Declared query q_e2e_corpus — the WHOLE training-data pipeline as
+    * ONE declared DAG, the artifact a data team actually ships:
+    *
+    *   clean (lang → quality → repetition) → dedup (exact, then
+    *   MinHash near-dup) → decontaminate → substring-excise the
+    *   survivors → BPE-tokenize → pack to the token budget → shard,
+    *
+    * with every dropped document attributed to its FIRST failing stage
+    * and the kept corpus emitted as the per-shard packing manifest.
+    * Stage logic is the declared operators' own ([[cleanVerdicts]],
+    * [[Dedup.nearDupPairs]], [[Dedup.substringDedup]],
+    * [[graft.ops.Bpe]] train/encode, [[Sampling.packSequencesOn]]) —
+    * this query is the composition surface, not a re-implementation.
+    *
+    * Semantics pinned by the oracle:
+    *  - near-dup victims are pair RIGHT sides (doc_b at Jaccard ≥ 0.5;
+    *    the lower id survives), checked after exact dedup and before
+    *    contamination in the first-fail order;
+    *  - the boilerplate gram table (occurrence ≥ 2) is computed over
+    *    the KEEP set — post-dedup, the order a real pipeline runs
+    *    excision in;
+    *  - the BPE tokenizer (k = 6 merges) trains on the RAW corpus (the
+    *    q_tokenize_pack model — tokenizer induction precedes
+    *    filtering) and is APPLIED to the cleaned survivors' excised
+    *    text; a doc whose every token was excised packs nothing;
+    *  - packing (budget 512) and sharding (md5 mod 16) are the
+    *    q_tokenize_pack/q_pack spellings verbatim.
+    *
+    * Output: one row per drop reason (stage = 'drop', n_docs, total =
+    * chars dropped) plus one row per shard (stage = 'pack', n_docs,
+    * total = encoded tokens, n_seqs, last_seq).
+    *
+    * Scale shape: the composition adds NO new shuffle class — each
+    * stage keeps its own audited plan (one corpus pass for the clean
+    * signals, band-keyed LSH never all-pairs, gram-hash shuffle for
+    * excision, vocab-bounded broadcast for encode, one shard-keyed
+    * window for packing); the keep-set joins are doc-keyed and
+    * filter-reduced. First-fail short-circuiting means the expensive
+    * stages only ever see survivors. */
+  def e2eCorpusQ(spark: SparkSession, dir: String): DataFrame =
+    e2eCorpusOf(Tables.documents(spark, dir), col("doc_id") < 50)
+
+  /** [[e2eCorpusQ]] over an explicit documents frame with an explicit
+    * eval-split predicate — the ScaleSmoke amplification entry point. */
+  private[graft] def e2eCorpusOf(docs: DataFrame, evalPred: org.apache.spark.sql.Column): DataFrame = {
+    val spark = docs.sparkSession
+    val corpus = docs.filter(!evalPred)
+    val verdicts = PipelineCaches.track(
+      cleanVerdictsOf(docs.filter(evalPred), corpus))
+    // near-dup stage: refine docs that PASSED lang/quality/repetition/
+    // exact-dup (reason keep or contaminated — contamination is checked
+    // after near-dup in the first-fail order)
+    val victims = Dedup.nearDupPairs(corpus).select(col("doc_b").as("doc_id")).distinct()
+    val staged = PipelineCaches.track(verdicts
+      .join(victims.withColumn("is_nd", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("reason").isin("keep", "contaminated") && col("is_nd"),
+          lit("near_duplicate")).otherwise(col("reason")).as("reason")))
+    val drops = staged.filter(col("reason") =!= "keep")
       .groupBy(col("reason"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total"))
+      .select(lit("drop").as("stage"), col("reason").as("key"),
+        col("n_docs"), col("total"),
+        lit(null).cast("long").as("n_seqs"), lit(null).cast("long").as("last_seq"))
+    // survivors: substring-excised text, encoded under the raw-corpus
+    // BPE model, packed and sharded
+    val keepers = corpus.join(
+      staged.filter(col("reason") === "keep").select("doc_id"), Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.substringDedup(keepers)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val encLens = graft.ops.Bpe.encodedLengths(docs, cleaned, k = 6)
+    val packs = Sampling.packSequencesOn(encLens, col("enc_len"), 512)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total"),
+        count_distinct(col("bin")).as("n_seqs"), max(col("bin")).as("last_seq"))
+      .select(lit("pack").as("stage"), col("shard").cast("string").as("key"),
+        col("n_docs"), col("total"), col("n_seqs"), col("last_seq"))
+    drops.unionByName(packs)
   }
 }
