@@ -139,6 +139,9 @@ object SparkEntry {
     // delta excised against the persisted gram-frequency index (the
     // sixth index): totals = index counts + the delta's own counts
     "q_substring_dedup_incr" -> ((s, d) => Dedup.incrementalSubstringQ(s, d)),
+    // right-to-be-forgotten on the gram-count index: victims' grams
+    // leave the duplicate table via the negative-count ledger
+    "q_substring_forget" -> ((s, d) => Dedup.substringForgetQ(s, d)),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     // asymmetric containment (|∩|/min) over the same shingle lane —
     // catches a document pasted inside a longer one, which Jaccard dilutes
@@ -3326,6 +3329,13 @@ object SparkEntry {
     "q_substring_dedup_incr" -> substringOracleSql(
       """d AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id + 200000
         |ELSE doc_id END AS doc_id, text FROM documents), """.stripMargin,
+      "d", "WHERE t.doc_id >= 200000"),
+    // forget: the SAME incremental text with the forgotten corpus docs
+    // filtered at the source (the re-keyed delta keeps all its rows)
+    "q_substring_forget" -> substringOracleSql(
+      """d AS (SELECT CASE WHEN doc_id % 20 = 0 THEN doc_id + 200000
+        |ELSE doc_id END AS doc_id, text FROM documents
+        |WHERE doc_id % 20 = 0 OR doc_id % 17 <> 0), """.stripMargin,
       "d", "WHERE t.doc_id >= 200000"),
     // Winnowing: k=4 token grams, w=5 window minima, 60-bit md5 hashes
     // (the md5-hex spelling Md5Bits is bit-identical to), df cap 50,

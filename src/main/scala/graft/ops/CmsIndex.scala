@@ -119,18 +119,48 @@ object CmsIndex {
       .coalesce(1).write.mode("append").parquet(s"$dir/sketch")
   }
 
-  /** Collapse per-batch partials to one counter file ([[DirSwap]]). */
+  /** Right-to-be-forgotten on the sketch (ADDITIVE cells — the
+    * [[ForgetLedger]] pattern): the victims' own cell contributions
+    * land in the in-dir ledger in one append; the fold nets them out
+    * (count-min subtraction of a PREVIOUSLY-ADDED contribution is
+    * exact per cell, so the one-sided error law survives), and
+    * [[compactCmsIndex]]'s one swap retires cells and ledger together.
+    * Contract: victims must be previously-ingested docs with their
+    * ingested text. */
+  def forgetFromCmsIndex(spark: SparkSession, dir: String,
+      victimDocs: DataFrame): Unit = {
+    val fresh = ForgetLedger.fresh(spark, s"$dir/sketch",
+      victimDocs.select("doc_id")).cache()
+    val freshDocs = victimDocs
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+    ForgetLedger.commit(s"$dir/sketch", fresh,
+      sketchOf(termCounts(freshDocs))
+        .select(SketchSchema.fieldNames.toSeq.map(col): _*))
+    fresh.unpersist()
+    ()
+  }
+
+  /** Collapse per-batch partials to one counter file ([[DirSwap]]);
+    * forget-ledger contributions baked in, zeroed cells dropped,
+    * ledger retired by the same swap. */
   def compactCmsIndex(spark: SparkSession, dir: String): Unit =
     DirSwap(spark, s"$dir/sketch") { out =>
-      spark.read.schema(SketchSchema).parquet(s"$dir/sketch")
-        .groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c"))
+      sketchFromIndex(spark, dir)
+        .filter(col("c") =!= 0)
         .coalesce(1).write.parquet(out)
     }
 
-  /** The folded counter table (partials summed). */
-  def sketchFromIndex(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(SketchSchema).parquet(s"$dir/sketch")
+  /** The folded counter table (partials summed, forget-ledger
+    * contributions netted; absent cells read as zero downstream). */
+  def sketchFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.schema(SketchSchema).parquet(s"$dir/sketch")
+    ForgetLedger.contributions(spark, s"$dir/sketch", SketchSchema)
+      .fold(base)(c => base.unionByName(
+        c.withColumn("c", -col("c"))
+          .select(SketchSchema.fieldNames.toSeq.map(col): _*)))
       .groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c"))
+  }
 
   /** Estimates for an ad-hoc probe token list against the index —
     * the steady-state lookup the sketch exists for. */

@@ -1639,12 +1639,52 @@ object Dedup {
     * pin. */
   private val spanFreq = new MetaMemo[(String, Long), Array[Long]]
 
+  /** The span count rows with any [[ForgetLedger]] contributions
+    * negated in — the ONE read every span-index consumer (frequent
+    * table, pruned delta lookup, compaction rewrite) goes through so
+    * forgotten docs' spans stop counting everywhere at once. */
+  private def spanCountRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
+    ForgetLedger.contributions(spark, s"$dir/spans", SpanIndexSchema)
+      .fold(base)(c => base.unionByName(
+        c.withColumn("c", -col("c"))
+          .select(SpanIndexSchema.fieldNames.toSeq.map(col): _*)))
+  }
+
+  /** Right-to-be-forgotten on the span-frequency index (ADDITIVE
+    * counts — the [[ForgetLedger]] pattern): the victims' own span
+    * counts land in the in-dir ledger in one append; every read nets
+    * them out; [[compactSpanIndex]]'s spans swap retires counts and
+    * ledger together. The frequent-set cardinality is stale-marked
+    * FIRST (the [[appendToSpanIndex]] crash ordering — meta claiming
+    * less is always safe), which also invalidates the resident
+    * boilerplate memo. Contract: victims must be previously-ingested
+    * docs with their ingested text. */
+  def forgetFromSpanIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, victimDocs: DataFrame): Unit = {
+    val meta = readSpanMeta(spark, dir)
+    if (meta.nFrequent >= 0)
+      writeSpanMeta(spark, dir, meta.copy(nFrequent = -1L))
+    val fresh = ForgetLedger.fresh(spark, s"$dir/spans",
+      victimDocs.select("doc_id")).cache()
+    val freshDocs = victimDocs
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+    val contrib = spanCounts(withSpansOf(freshDocs, meta.w))
+      .withColumn("bkt", pmod(col("h"), lit(meta.spanBuckets.toLong)))
+      .select(SpanIndexSchema.fieldNames.toSeq.map(col): _*)
+    ForgetLedger.commit(s"$dir/spans", fresh, contrib)
+    fresh.unpersist()
+    ()
+  }
+
   /** Global frequent-span table (h LONG) of a (possibly multi-batch)
     * spans dir at `cap` — sum(c) first so appended partial counts
-    * merge. */
+    * merge (forget-ledger contributions netted). */
   private def freqTableFor(spark: org.apache.spark.sql.SparkSession,
       dir: String, cap: Long): DataFrame =
-    spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
+    spanCountRows(spark, dir)
       .groupBy(col("h")).agg(sum(col("c")).as("c"))
       .filter(col("c") >= cap).select("h")
 
@@ -1713,8 +1753,12 @@ object Dedup {
   def compactSpanIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     val meta = readSpanMeta(spark, dir)
     DirSwap(spark, s"$dir/spans") { out =>
-      spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
+      // forget-ledger contributions baked in; spans alive only in
+      // forgotten docs (netted to ≤ 0) are physically erased, and the
+      // in-dir ledger dies with this one swap — retry-safe
+      spanCountRows(spark, dir)
         .groupBy(col("h"), col("bkt")).agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0)
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
@@ -1779,7 +1823,7 @@ object Dedup {
     val spansPath = new org.apache.hadoop.fs.Path(s"$dir/spans")
     val indexBytes = spansPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(spansPath).getLength
-    val spansRead = spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
+    val spansRead = spanCountRows(spark, dir)
     val (withSpans, pruned) =
       if (indexBytes < smallIndexBytes) (withSpansOf(delta, w), spansRead)
       else {
@@ -1953,15 +1997,54 @@ object Dedup {
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/grams")
   }
 
+  /** The gram count rows with any [[ForgetLedger]] contributions
+    * negated in — the ONE read the delta lookup and the compaction
+    * rewrite share. */
+  private def gramCountRows(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val base = spark.read.schema(GramIndexSchema).parquet(s"$dir/grams")
+    ForgetLedger.contributions(spark, s"$dir/grams", GramIndexSchema)
+      .fold(base)(c => base.unionByName(
+        c.withColumn("c", -col("c"))
+          .select(GramIndexSchema.fieldNames.toSeq.map(col): _*)))
+  }
+
+  /** Right-to-be-forgotten on the substring-gram index (ADDITIVE
+    * counts — the [[ForgetLedger]] pattern): the victims' own gram
+    * counts land in the in-dir ledger in one append; reads net them
+    * out (a gram duplicated only because a forgotten doc repeated it
+    * stops excising), and [[compactSubstringIndex]]'s one swap retires
+    * counts and ledger together. Contract: victims must be
+    * previously-ingested docs with their ingested text. */
+  def forgetFromSubstringIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, victimDocs: DataFrame): Unit = {
+    val meta = readGramMeta(spark, dir)
+    val fresh = ForgetLedger.fresh(spark, s"$dir/grams",
+      victimDocs.select("doc_id")).cache()
+    val freshDocs = victimDocs
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .join(broadcast(fresh), Seq("doc_id"), "left_semi")
+    val contrib = substrGramsOf(substrToksOf(freshDocs), meta.minLen)
+      .groupBy(col("gh").as("h")).agg(count(lit(1)).as("c"))
+      .withColumn("bkt", pmod(col("h"), lit(meta.gramBuckets.toLong)))
+      .select(GramIndexSchema.fieldNames.toSeq.map(col): _*)
+    ForgetLedger.commit(s"$dir/grams", fresh, contrib)
+    fresh.unpersist()
+    ()
+  }
+
   /** Compact a gram index in place: re-aggregate per-batch partial
-    * counts, one file per bucket, same DirSwap discipline (and the
-    * same FaultInjectionSpec crash drills) as every index here. */
+    * counts (forget-ledger contributions baked in, netted-out grams
+    * physically erased, ledger retired by the same swap), one file per
+    * bucket, same DirSwap discipline (and the same FaultInjectionSpec
+    * crash drills) as every index here. */
   def compactSubstringIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): Unit = {
     val meta = readGramMeta(spark, dir)
     DirSwap(spark, s"$dir/grams") { out =>
-      spark.read.schema(GramIndexSchema).parquet(s"$dir/grams")
+      gramCountRows(spark, dir)
         .groupBy(col("h"), col("bkt")).agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0)
         .select(col("h"), col("c"), col("bkt"))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
@@ -1991,7 +2074,7 @@ object Dedup {
     val gramsPath = new org.apache.hadoop.fs.Path(s"$dir/grams")
     val indexBytes = gramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(gramsPath).getLength
-    val gramsRead = spark.read.schema(GramIndexSchema).parquet(s"$dir/grams")
+    val gramsRead = gramCountRows(spark, dir)
     val pruned =
       if (indexBytes < smallIndexBytes) gramsRead
       else {
@@ -2021,6 +2104,29 @@ object Dedup {
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_gram_idx", dir)
     BuildOnce(spark, idxDir)(writeSubstringIndex(corpus, idxDir))
+    substringDedupAgainstIndex(spark, delta, idxDir)
+  }
+
+  /** Declared query q_substring_forget: the q_substring_dedup_incr
+    * build in its OWN dir (forgetting mutates state), every corpus
+    * doc_id ≡ 0 (mod 17) forgotten via the negative-count ledger, the
+    * delta excised through the netted counts — must equal the
+    * incremental lookup against the SURVIVING corpus (a gram
+    * duplicated only because a forgotten doc held it stops
+    * excising). */
+  def substringForgetQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") % 20 =!= 0)
+    val delta = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val idxDir = BuildOnce.tempDirFor("graft_gram_idx_forget", dir)
+    BuildOnce(spark, idxDir) {
+      writeSubstringIndex(corpus, idxDir)
+      forgetFromSubstringIndex(spark, idxDir,
+        corpus.filter(col("doc_id") % 17 === 0))
+    }
     substringDedupAgainstIndex(spark, delta, idxDir)
   }
 }

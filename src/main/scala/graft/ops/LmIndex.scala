@@ -25,27 +25,6 @@ object LmIndex {
     StructField("rb", StringType), StructField("n", LongType),
     StructField("bkt", IntegerType)))
 
-  /** Forget ledger schema — the aggregate-index generalization of the
-    * TextIndex tombstone (there the correction is a scalar riding on
-    * the victim row; here it is the victims' whole count contribution):
-    * registry rows (doc_id, gid = −1, n = 0) record WHICH docs were
-    * forgotten (request idempotence); correction rows (doc_id = null,
-    * gid/ra/rb/n) carry their NEGATIVE counts. Both land in ONE
-    * parquet append — the single commit point a crash cannot split.
-    *
-    * The ledger lives INSIDE the counts dir (`counts/_deletes` — the
-    * underscore keeps it invisible to the parquet listing of the
-    * counts themselves), so [[compactLmIndex]]'s ONE DirSwap of
-    * `counts` retires base partials and ledger together: there is no
-    * separate clear step whose crash window could double-apply the
-    * corrections on a retry, and a from-scratch overwrite build wipes
-    * it with the rest of the dir. */
-  private val DeletesSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("gid", IntegerType),
-    StructField("ra", StringType), StructField("rb", StringType),
-    StructField("n", LongType), StructField("bkt", IntegerType)))
-
-  private def ledgerPath(dir: String) = s"$dir/counts/_deletes"
 
   // 16, not the ReportIndex 64: the model READ is always full-table
   // (scoring needs the whole model), so buckets only buy compaction
@@ -70,57 +49,41 @@ object LmIndex {
       .repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/counts")
 
-  /** Right-to-be-forgotten on an ADDITIVE-count index: the victims'
-    * own training contribution, negated, lands in the in-dir forget
-    * ledger in one append — registry rows for idempotence, correction
-    * rows the model fold nets out ([[modelFromIndex]]). Callers pass
-    * the victim DOCUMENTS (a delete request holds the content until
-    * erasure); ids already forgotten are dropped first, so re-requests
-    * cannot double-subtract, and victims that contributed nothing
-    * (wrong language, empty text) just register. Contract: victims
-    * must be docs previously ingested into THIS index with the same
-    * text — a count store cannot recover per-doc contributions by
-    * itself (unlike the TextIndex dl, which rides on posting rows).
-    * Physical erasure of the netted counts rides [[compactLmIndex]]. */
+  /** Right-to-be-forgotten on an ADDITIVE-count index via the shared
+    * [[ForgetLedger]] (one in-dir append: registry rows for
+    * idempotence + the victims' own count contribution, which
+    * [[modelFromIndex]]'s fold nets out). Callers pass the victim
+    * DOCUMENTS (a delete request holds the content until erasure);
+    * ids already forgotten are dropped first, so re-requests cannot
+    * double-subtract, and victims that contributed nothing (wrong
+    * language, empty text) just register. Contract: victims must be
+    * docs previously ingested into THIS index with the same text — a
+    * count store cannot recover per-doc contributions by itself
+    * (unlike the TextIndex dl, which rides on posting rows). Physical
+    * erasure of the netted counts rides [[compactLmIndex]]'s one
+    * swap. */
   def forgetFromLmIndex(spark: SparkSession, dir: String,
       victimDocs: DataFrame, trainLang: String = "en"): Unit = {
-    val v = victimDocs.select(col("doc_id").cast("long").as("doc_id")).distinct()
-    val lp = new org.apache.hadoop.fs.Path(ledgerPath(dir))
-    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fresh = (if (!fs.exists(lp)) v
-      else v.join(broadcast(
-        spark.read.schema(DeletesSchema).parquet(lp.toString)
-          .filter(col("gid") === -1).select(col("doc_id"))),
-        Seq("doc_id"), "left_anti")).cache()
+    val fresh = ForgetLedger.fresh(spark, s"$dir/counts",
+      victimDocs.select("doc_id")).cache()
     val freshDocs = victimDocs
       .withColumn("doc_id", col("doc_id").cast("long"))
       .join(broadcast(fresh), Seq("doc_id"), "left_semi")
-    val neg = partials(freshDocs, trainLang)
-      .select(lit(null).cast("long").as("doc_id"), col("gid"), col("ra"),
-        col("rb"), col("n"), col("bkt"))
-    val reg = fresh.select(col("doc_id"), lit(-1).as("gid"),
-      lit(null).cast("string").as("ra"), lit(null).cast("string").as("rb"),
-      lit(0L).as("n"), lit(0).as("bkt"))
-    Tombstones.appendRaw(ledgerPath(dir), reg.unionByName(neg))
+    ForgetLedger.commit(s"$dir/counts", fresh, partials(freshDocs, trainLang))
     fresh.unpersist()
     ()
   }
 
-  /** The folded (gid, ra, rb, bkt) → n table: base partials plus the
-    * forget ledger's negative corrections, zero-count rows dropped (a
-    * token alive only in forgotten docs must leave the vocabulary, or
-    * V would overcount). Steady state (no ledger) adds no job. */
+  /** The folded (gid, ra, rb, bkt) → n table: base partials minus the
+    * forget ledger's contributions, zero-count rows dropped (a token
+    * alive only in forgotten docs must leave the vocabulary, or V
+    * would overcount). Steady state (no ledger) adds no job. */
   private def foldCounts(spark: SparkSession, dir: String): DataFrame = {
     val base = spark.read.schema(CountsSchema).parquet(s"$dir/counts")
-    val lp = new org.apache.hadoop.fs.Path(ledgerPath(dir))
-    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all =
-      if (!fs.exists(lp)) base
-      else base.unionByName(
-        spark.read.schema(DeletesSchema).parquet(lp.toString)
-          .filter(col("gid") >= 0)
-          .select(col("gid"), col("ra"), col("rb"),
-            (-col("n")).as("n"), col("bkt")))
+    val all = ForgetLedger.contributions(spark, s"$dir/counts", CountsSchema)
+      .fold(base)(c => base.unionByName(
+        c.withColumn("n", -col("n"))
+          .select(CountsSchema.fieldNames.toSeq.map(col): _*)))
     all.groupBy(col("gid"), col("ra"), col("rb"), col("bkt"))
       .agg(sum(col("n")).as("n"))
       .filter(col("n") > 0)

@@ -82,3 +82,66 @@ private[ops] object Tombstones {
     ()
   }
 }
+
+/** In-dir forget ledger for the ADDITIVE-count indexes (LM bigrams,
+  * span frequencies, substring grams, CMS cells) — the aggregate-index
+  * generalization of the [[Tombstones]] lifecycle. A count store cannot
+  * recover a victim's contribution from the aggregate, so the forget
+  * request carries it: registry rows (the victim ids, correction
+  * columns null — request idempotence) and correction rows (doc_id
+  * null, the victims' OWN positive contribution, which readers negate)
+  * land in ONE parquet append under `<dataDir>/_deletes`. The ledger
+  * lives INSIDE the dir the index's single compaction DirSwap rewrites,
+  * so the purge retires counts and ledger in one swap — a crashed
+  * compaction retried from the top can never double-apply a correction
+  * — the underscore prefix hides it from the data's own parquet
+  * listing, and a from-scratch overwrite build wipes it with the dir.
+  * Contract (shared with [[LmIndex.forgetFromLmIndex]]): victims must
+  * be docs previously ingested into THIS index with the same text. */
+private[ops] object ForgetLedger {
+
+  def path(dataDir: String): String = s"$dataDir/_deletes"
+
+  private def fsPath(spark: SparkSession, dataDir: String) = {
+    val p = new org.apache.hadoop.fs.Path(path(dataDir))
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  /** The victim ids NOT already registered — distinct, long. */
+  def fresh(spark: SparkSession, dataDir: String,
+      victims: DataFrame): DataFrame = {
+    val v = victims.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    val (p, fs) = fsPath(spark, dataDir)
+    if (!fs.exists(p)) v
+    else v.join(broadcast(
+      spark.read.schema(StructType(Seq(StructField("doc_id", LongType))))
+        .parquet(p.toString).filter(col("doc_id").isNotNull)),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** ONE-append commit: the fresh registry ids plus their positive
+    * contribution rows. `contrib` must not contain a doc_id column. */
+  def commit(dataDir: String, freshIds: DataFrame,
+      contrib: DataFrame): Unit = {
+    val reg = freshIds.select(col("doc_id") +:
+      contrib.schema.fields.toSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    val neg = contrib.select(lit(null).cast("long").as("doc_id") +:
+      contrib.columns.toSeq.map(col): _*)
+    Tombstones.appendRaw(path(dataDir), reg.unionByName(neg))
+  }
+
+  /** The ledger's contribution rows under `corrSchema` (correction
+    * columns only, still POSITIVE — callers negate), or None when no
+    * ledger exists (the steady state: one FS check, no job). */
+  def contributions(spark: SparkSession, dataDir: String,
+      corrSchema: StructType): Option[DataFrame] = {
+    val (p, fs) = fsPath(spark, dataDir)
+    if (!fs.exists(p)) None
+    else Some(spark.read
+      .schema(StructType(StructField("doc_id", LongType) +: corrSchema.fields))
+      .parquet(p.toString)
+      .filter(col("doc_id").isNull)
+      .select(corrSchema.fieldNames.toSeq.map(col): _*))
+  }
+}

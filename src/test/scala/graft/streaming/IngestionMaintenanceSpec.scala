@@ -421,6 +421,92 @@ class IngestionMaintenanceSpec extends SparkSuite {
     ()
   }
 
+  test("forget on the additive-count indexes (span/gram/CMS): ledger " +
+    "read == victim-free rebuild; the one-swap purge bakes the " +
+    "corrections, erases netted rows and retires the ledger") {
+    val allIds = 1L to 30L
+    val victims = Seq(3L, 7L)
+    val survivors = allIds.filterNot(victims.contains)
+    val all = docsDF(allIds)
+    val surv = docsDF(survivors)
+    val victimDocs = docsDF(victims)
+    val probes = Seq(
+      IngestDoc(900L, docText(3L)),
+      IngestDoc(901L, docText(8L))).toDF()
+
+    case class CDrill(name: String,
+        build: (DataFrame, String) => Unit,
+        forget: String => Unit,
+        read: String => DataFrame,
+        fold: String => DataFrame,
+        compact: String => Unit,
+        ledger: String => String)
+    val drills = Seq(
+      // cap = 29: the global span ("gamma delta common tail", count 30)
+      // sits exactly one forget away from losing boilerplate status —
+      // forgetting 2 docs MUST flip the probe's clean output
+      CDrill("span",
+        (d, dir) => Dedup.writeSpanIndex(d, dir, w = 4),
+        dir => Dedup.forgetFromSpanIndex(spark, dir, victimDocs),
+        dir => Dedup.spanDedupAgainstIndex(spark, probes, dir, cap = 29),
+        dir => spark.read.parquet(s"$dir/spans")
+          .groupBy(col("h")).agg(sum(col("c")).as("c")),
+        dir => Dedup.compactSpanIndex(spark, dir),
+        dir => s"$dir/spans/_deletes"),
+      CDrill("gram",
+        (d, dir) => Dedup.writeSubstringIndex(d, dir, minLen = 4),
+        dir => Dedup.forgetFromSubstringIndex(spark, dir, victimDocs),
+        dir => Dedup.substringDedupAgainstIndex(spark, probes, dir),
+        dir => spark.read.parquet(s"$dir/grams")
+          .groupBy(col("h")).agg(sum(col("c")).as("c")),
+        dir => Dedup.compactSubstringIndex(spark, dir),
+        dir => s"$dir/grams/_deletes"),
+      CDrill("cms",
+        (d, dir) => CmsIndex.writeCmsIndex(d, dir),
+        dir => CmsIndex.forgetFromCmsIndex(spark, dir, victimDocs),
+        dir => CmsIndex.estimatesFromIndex(spark, dir,
+          Seq("alpha", "token3", "token7", "v1")),
+        dir => spark.read.parquet(s"$dir/sketch")
+          .groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c"))
+          .filter(col("c") =!= 0),
+        dir => CmsIndex.compactCmsIndex(spark, dir),
+        dir => s"$dir/sketch/_deletes"))
+
+    drills.foreach { dr =>
+      val live = tmp(s"fgc_${dr.name}")
+      val ref = tmp(s"fgc_${dr.name}_ref")
+      dr.build(all, live)
+      val before = dr.read(live).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      dr.forget(live)
+      dr.build(surv, ref)
+      val want = dr.read(ref).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      val got = dr.read(live).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      assert(got == want, s"${dr.name}: ledger read != victim-free rebuild")
+      assert(before != want, s"${dr.name}: drill is vacuous")
+      dr.forget(live) // re-forget: request idempotence
+      val again = dr.read(live).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      assert(again == want, s"${dr.name}: re-forget must not change the read")
+      // one-swap purge: read unchanged, ledger gone, and the PHYSICAL
+      // count table equals the victim-free rebuild's fold — no netted
+      // residue of the victims' contributions survives on disk
+      dr.compact(live)
+      val post = dr.read(live).collect().map(_.toString).sorted.toSeq
+      PipelineCaches.release(spark)
+      assert(post == want, s"${dr.name}: purge changed the read")
+      assert(!new java.io.File(dr.ledger(live)).exists(),
+        s"${dr.name}: the compaction swap must retire the ledger")
+      val liveFold = dr.fold(live).collect().map(_.toString).sorted.toSeq
+      val refFold = dr.fold(ref).collect().map(_.toString).sorted.toSeq
+      assert(liveFold == refFold,
+        s"${dr.name}: purged counts must equal a victim-free rebuild's")
+      ()
+    }
+  }
+
   test("forget rides the ingestion loop: the delete queue drains in the " +
     "single-writer slot, purge on the compaction cadence, reads equal a " +
     "victim-free rebuild at every stage") {
