@@ -387,6 +387,9 @@ object SparkEntry {
     // the TWELFTH persisted index: additive transition-edge partials
     // (user-complete batches), ranks recomputed on read from the fold
     "q_pagerank_incr" -> ((s, d) => graft.ops.EdgeIndex.pageRankIncrQ(s, d)),
+    // GDPR user-forget on the edge store: ranks as if the forgotten
+    // users never browsed, served from the netted edge fold
+    "q_pagerank_forget" -> ((s, d) => graft.ops.EdgeIndex.pageRankForgetQ(s, d)),
     // tokenizer-design readout: top-k vocabulary + cumulative coverage
     "q_vocab" -> ((s, d) => TextOps.vocabQ(Tables.documents(s, d))),
     // L2 normalization: the map-side preprocessing of every cosine pipeline
@@ -992,12 +995,13 @@ object SparkEntry {
     * `iters` UNROLLED damped-update CTEs r1..rN, each reading the
     * previous — all in integer nano-rank arithmetic (`//` truncating
     * division on non-negative operands == Spark's DIV). */
-  private def pageRankOracleSql(iters: Int): String = {
+  private def pageRankOracleSql(iters: Int,
+      extraWhere: String = ""): String = {
     val base =
-      """WITH ev AS (SELECT user_id, ts, event_id,
-        |CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS node
-        |FROM events WHERE regexp_extract(props, '"k":\s*(\d+)', 1) <> ''),
-        |tr AS (SELECT lag(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+        |CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS node
+        |FROM events WHERE regexp_extract(props, '"k":\\s*(\\d+)', 1) <> '' $extraWhere),""".stripMargin + "\n" +
+      """tr AS (SELECT lag(node) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
         |node AS dst FROM ev),
         |edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr
         |WHERE src IS NOT NULL AND src <> dst GROUP BY 1, 2),
@@ -2921,6 +2925,8 @@ object SparkEntry {
     // full event table — edge-count additivity (user-complete batches)
     // makes the SAME batch replay its ground truth
     "q_pagerank_incr" -> pageRankOracleSql(5),
+    // user-forget: the SAME unrolled rank text over surviving users
+    "q_pagerank_forget" -> pageRankOracleSql(5, "AND user_id % 7 <> 0"),
     // LPA communities: 2 unrolled synchronous rounds over the
     // symmetrized edge CTE, exact integer weights, min-label ties
     "q_label_prop" -> labelPropOracleSql(2),

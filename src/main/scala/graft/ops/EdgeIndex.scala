@@ -45,18 +45,51 @@ object EdgeIndex {
     EventAnalytics.transitionEdges(newEvents)
       .coalesce(1).write.mode("append").parquet(s"$dir/edges")
 
-  /** Collapse per-batch partials ([[DirSwap]]). */
+  /** Right-to-be-forgotten for a USER — the GDPR delete-my-activity
+    * case (victims here are users, not documents): the users' own
+    * transition contributions, derived from their complete event
+    * histories (the delete request carries them — the same
+    * user-complete contract appends rely on), land in the in-dir
+    * [[ForgetLedger]] in one append. The edge fold nets them out, so
+    * EVERY downstream link-analysis readout — ranks, hubs/authorities,
+    * communities — answers as if the user never browsed, without
+    * touching the shared edge store's files; [[compactEdgeIndex]]'s
+    * one swap bakes the corrections and retires the ledger. */
+  def forgetFromEdgeIndex(spark: SparkSession, dir: String,
+      victimEvents: DataFrame): Unit = {
+    val fresh = ForgetLedger.fresh(spark, s"$dir/edges",
+      victimEvents.select(col("user_id").cast("long").as("doc_id"))).cache()
+    val freshEvents = victimEvents.join(
+      broadcast(fresh.select(col("doc_id").as("user_id"))),
+      Seq("user_id"), "left_semi")
+    ForgetLedger.commit(s"$dir/edges",
+      fresh, EventAnalytics.transitionEdges(freshEvents)
+        .select(EdgeSchema.fieldNames.toSeq.map(col): _*))
+    fresh.unpersist()
+    ()
+  }
+
+  /** Collapse per-batch partials ([[DirSwap]]); forget-ledger
+    * contributions baked in, zero-weight edges physically erased, the
+    * ledger retired by the same swap — retry-safe. */
   def compactEdgeIndex(spark: SparkSession, dir: String): Unit =
     DirSwap(spark, s"$dir/edges") { out =>
-      spark.read.schema(EdgeSchema).parquet(s"$dir/edges")
-        .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      edgesFromIndex(spark, dir)
         .coalesce(1).write.parquet(out)
     }
 
-  /** The folded edge list (partials summed). */
-  def edgesFromIndex(spark: SparkSession, dir: String): DataFrame =
-    spark.read.schema(EdgeSchema).parquet(s"$dir/edges")
+  /** The folded edge list (partials summed, forget-ledger
+    * contributions netted — edges held only by forgotten users
+    * vanish). */
+  def edgesFromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.schema(EdgeSchema).parquet(s"$dir/edges")
+    ForgetLedger.contributions(spark, s"$dir/edges", EdgeSchema)
+      .fold(base)(c => base.unionByName(
+        c.withColumn("w", -col("w"))
+          .select(EdgeSchema.fieldNames.toSeq.map(col): _*)))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .filter(col("w") > 0)
+  }
 
   /** PageRank read from the index. */
   def pageRankFromIndex(spark: SparkSession, dir: String,
@@ -101,4 +134,21 @@ object EdgeIndex {
     EventAnalytics.propagateLabels(PipelineCaches.track(
       EventAnalytics.symmetrize(
         edgesFromIndex(spark, builtIndexDir(spark, dir)))))
+
+  /** Declared query q_pagerank_forget: the q_pagerank_incr build in
+    * its OWN dir (forgetting mutates state), every user_id ≡ 0 (mod 7)
+    * forgotten via the edge ledger, ranks read from the netted fold —
+    * must equal the batch PageRank over the SURVIVING users' events
+    * (the shared oracle with victims filtered at the source). */
+  def pageRankForgetQ(spark: SparkSession, dir: String): DataFrame = {
+    val events = graft.sources.Tables.events(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_edge_idx_forget", dir)
+    BuildOnce(spark, idxDir) {
+      writeEdgeIndex(events.filter(col("user_id") % 5 =!= 0), idxDir)
+      appendToEdgeIndex(events.filter(col("user_id") % 5 === 0), idxDir)
+      forgetFromEdgeIndex(spark, idxDir,
+        events.filter(col("user_id") % 7 === 0))
+    }
+    pageRankFromIndex(spark, idxDir)
+  }
 }

@@ -59,6 +59,48 @@ class EdgeIndexSpec extends SparkSuite {
     assert(inc == batch)
   }
 
+  test("user-forget: netted reads equal a victim-free rebuild across all " +
+    "three analyses; re-forget is a no-op; the compaction swap bakes " +
+    "the ledger and erases victim-only edges") {
+    val victims = events.filter(col("user_id") % 7 === 0)
+    val survivors = events.filter(col("user_id") % 7 =!= 0)
+    val live = tmp("ei_fg")
+    EdgeIndex.writeEdgeIndex(events.filter(col("user_id") % 2 === 0), live)
+    EdgeIndex.appendToEdgeIndex(events.filter(col("user_id") % 2 === 1), live)
+    val before = EdgeIndex.pageRankFromIndex(spark, live)
+      .collect().map(_.toString).sorted.toSeq
+    PipelineCaches.release(spark)
+    EdgeIndex.forgetFromEdgeIndex(spark, live, victims)
+    val ref = tmp("ei_fg_ref")
+    EdgeIndex.writeEdgeIndex(survivors, ref)
+    def reads(dir: String): Seq[Seq[String]] = {
+      val edges = PipelineCaches.track(EdgeIndex.edgesFromIndex(spark, dir))
+      val r = Seq(
+        EventAnalytics.rankEdges(edges).collect().map(_.toString).sorted.toSeq,
+        EventAnalytics.hitsEdges(edges).collect().map(_.toString).sorted.toSeq,
+        EventAnalytics.propagateLabels(EventAnalytics.symmetrize(edges))
+          .collect().map(_.toString).sorted.toSeq)
+      PipelineCaches.release(spark)
+      r
+    }
+    val want = reads(ref)
+    assert(reads(live) == want,
+      "netted reads must equal the victim-free rebuild on all analyses")
+    assert(want.head != before, "drill is vacuous — forgetting moved nothing")
+    EdgeIndex.forgetFromEdgeIndex(spark, live, victims)
+    assert(reads(live) == want, "re-forget must be a no-op")
+    EdgeIndex.compactEdgeIndex(spark, live)
+    assert(reads(live) == want, "the purge must not move a score")
+    assert(!new java.io.File(s"$live/edges/_deletes").exists(),
+      "the compaction swap must retire the ledger")
+    val liveEdges = EdgeIndex.edgesFromIndex(spark, live)
+      .collect().map(_.toString).sorted.toSeq
+    val refEdges = EdgeIndex.edgesFromIndex(spark, ref)
+      .collect().map(_.toString).sorted.toSeq
+    assert(liveEdges == refEdges,
+      "purged edge table must equal a victim-free rebuild's")
+  }
+
   test("one edge store, three link analyses: HITS and LPA reads equal " +
     "their batch forms, before and after compaction") {
     val dir = tmp("ei_multi")
