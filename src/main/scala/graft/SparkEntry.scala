@@ -240,6 +240,9 @@ object SparkEntry {
     // shingle stream — shares q_decontaminate's oracle (bloom invisible)
     "q_decontaminate_bloom" -> ((s, d) => Dedup.contaminationBloomQ(Tables.documents(s, d))),
     "q_sim_topk" -> ((s, d) => SimSearch.cosineTopK(Tables.embeddings(s, d))),
+    // contrastive-training pair mining: top-k nearest neighbors with a
+    // DIFFERENT label per anchor (similar-looking, semantically wrong)
+    "q_hard_negatives" -> ((s, d) => SimSearch.hardNegativesQ(Tables.embeddings(s, d))),
     // recall@k of the IVF search against the exact ground truth — the
     // serving-side index acceptance audit, exact set arithmetic
     "q_ann_recall" -> ((s, d) => SimSearch.annRecallQ(Tables.embeddings(s, d))),
@@ -432,6 +435,17 @@ object SparkEntry {
     "q_entropy" -> ((s, d) => TextOps.entropyQ(Tables.documents(s, d))),
     // cross-slice vocabulary overlap (jaccard of token sets per source pair)
     "q_source_overlap" -> ((s, d) => TextOps.sourceOverlapQ(Tables.documents(s, d))),
+    // the 100 TB branch of q_source_overlap: KMV bottom-k sketches per
+    // slice (map-side-combine bounded aggregate), union/jaccard/
+    // intersection estimated from the sketches alone — deterministic
+    // md5 hashes, so the estimates hash-gate exactly
+    "q_source_overlap_kmv" -> ((s, d) => TextOps.kmvOverlapQ(Tables.documents(s, d))),
+    // Zipf rank-frequency OLS fit per source (slope ≈ −1 for natural text)
+    "q_zipf" -> ((s, d) => TextOps.zipfQ(Tables.documents(s, d))),
+    // Heaps vocabulary-growth curve at 100 doc_id-range checkpoints
+    "q_heaps" -> ((s, d) => TextOps.heapsQ(Tables.documents(s, d))),
+    // Flesch reading-ease per doc, banded on the rounded score
+    "q_readability" -> ((s, d) => TextOps.readabilityQ(Tables.documents(s, d))),
     // collocations: top-k bigrams by PMI with a min-count guard
     "q_pmi" -> ((s, d) => TextOps.pmiQ(Tables.documents(s, d))),
     // two-proportion z-test between deterministic user variants
@@ -2399,6 +2413,22 @@ object SparkEntry {
         |FROM v
         |WHERE CASE WHEN max_len = 0 THEN 1.0 ELSE 1.0 - CAST(edit_dist AS DOUBLE)/max_len END >= 0.8""".stripMargin,
     "q_sim_topk" -> SimTopKOracleSql,
+    // the exact brute-force oracle with the label-differs predicate —
+    // same dot-product spelling and tie-break as q_sim_topk
+    "q_hard_negatives" ->
+      """WITH n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        |FROM (SELECT vec_id, label,
+        |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings) e WHERE list_dot_product(v, v) > 0),
+        |sims AS (SELECT p.vec_id AS anchor_id, CAST(p.label AS BIGINT) AS anchor_label,
+        |c.vec_id AS neg_id, CAST(c.label AS BIGINT) AS neg_label,
+        |list_dot_product(c.v, p.v)/(c.nrm*p.nrm) AS cos_sim
+        |FROM n c JOIN n p ON p.vec_id < 20 AND c.vec_id <> p.vec_id
+        |AND c.label <> p.label)
+        |SELECT * FROM (SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim,
+        |CAST(row_number() OVER (PARTITION BY anchor_id
+        |ORDER BY cos_sim DESC, neg_id ASC) AS BIGINT) AS rnk
+        |FROM sims) t WHERE rnk <= 5""".stripMargin,
     // PQ replay: same codebook sampling, argmax encode (dn DESC, cell
     // ASC), nano distance tables, integer ADC sums
     "q_sim_topk_pq" ->
@@ -3259,6 +3289,88 @@ object SparkEntry {
         |round(CAST(n_common AS DOUBLE) / CAST(za.n_tok + zb.n_tok - n_common AS DOUBLE), 6)
         |AS jaccard
         |FROM i JOIN sz za ON za.slice = i.slice_a JOIN sz zb ON zb.slice = i.slice_b""".stripMargin,
+    // KMV sketches rebuilt with the same 52-bit md5-prefix hashes (13
+    // nibbles — Double-exact, matching the engine's bounded-buffer
+    // ordering); every estimate is a pure function of the data, so the
+    // gate is a plain hash match. Nested select so the est columns can
+    // compose without lateral-alias reliance.
+    "q_source_overlap_kmv" ->
+      """WITH tok AS (SELECT DISTINCT source AS slice,
+        |CAST(('0x'||substr(md5(t),1,13)) AS BIGINT) AS th FROM
+        |(SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |sig AS (SELECT slice, list(th ORDER BY th) AS sig, max(n_exact) AS n_exact
+        |FROM (SELECT slice, th,
+        |CAST(count(*) OVER (PARTITION BY slice) AS BIGINT) AS n_exact,
+        |row_number() OVER (PARTITION BY slice ORDER BY th) AS rn FROM tok) r
+        |WHERE rn <= 256 GROUP BY slice),
+        |p AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+        |a.sig AS sa, b.sig AS sb, a.n_exact AS n_a_exact, b.n_exact AS n_b_exact
+        |FROM sig a JOIN sig b ON a.slice < b.slice),
+        |m AS (SELECT slice_a, slice_b, n_a_exact, n_b_exact, sa, sb,
+        |list_sort(list_distinct(list_concat(sa, sb)))[1:256] AS merged FROM p),
+        |e AS (SELECT slice_a, slice_b, n_a_exact, n_b_exact,
+        |CAST(len(merged) AS BIGINT) AS k_used,
+        |CAST(len(list_intersect(list_intersect(merged, sa), sb)) AS BIGINT) AS n_match,
+        |round(CASE WHEN len(merged) < 256 THEN CAST(len(merged) AS DOUBLE)
+        |ELSE 255.0 * 4503599627370496.0 / CAST(merged[256] AS DOUBLE) END, 3) AS union_est
+        |FROM m)
+        |SELECT slice_a, slice_b, n_a_exact, n_b_exact, k_used, n_match, union_est,
+        |round(CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
+        |round(round(CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE), 6) * union_est, 3)
+        |AS inter_est FROM e""".stripMargin,
+    // ln(count) on ln(rank) OLS over the min-count-filtered type table;
+    // rank tie-break on token keeps the x-values identical on both sides
+    "q_zipf" ->
+      """WITH c AS (SELECT source AS slice, t AS token, count(*) AS c FROM
+        |(SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> '' GROUP BY 1, 2 HAVING count(*) >= 5),
+        |r AS (SELECT slice, c,
+        |CAST(row_number() OVER (PARTITION BY slice ORDER BY c DESC, token ASC) AS BIGINT) AS rnk
+        |FROM c)
+        |SELECT slice, CAST(count(*) AS BIGINT) AS n_types,
+        |CAST(sum(c) AS BIGINT) AS n_tokens,
+        |round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+        |round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_intercept,
+        |round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_r2
+        |FROM r GROUP BY slice""".stripMargin,
+    // integer-exact bucket arithmetic (// both sides); new-type credit
+    // lands on the bucket of the type's first doc_id
+    "q_heaps" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |tok AS (SELECT doc_id, t AS token FROM
+        |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |tb AS (SELECT least(doc_id * 100 // (max_id + 1), 99) AS bucket,
+        |CAST(count(*) AS BIGINT) AS n_tok FROM tok, mx GROUP BY 1),
+        |fb AS (SELECT least(first_id * 100 // (max_id + 1), 99) AS bucket,
+        |CAST(count(*) AS BIGINT) AS n_new FROM
+        |(SELECT token, min(doc_id) AS first_id FROM tok GROUP BY token) f, mx
+        |GROUP BY 1)
+        |SELECT CAST(tb.bucket AS BIGINT) AS bucket,
+        |CAST(sum(tb.n_tok) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_tokens,
+        |CAST(sum(coalesce(fb.n_new, 0)) OVER (ORDER BY tb.bucket) AS BIGINT) AS cum_vocab
+        |FROM tb LEFT JOIN fb ON fb.bucket = tb.bucket""".stripMargin,
+    // the declared sentence/syllable heuristics, banded on the ROUNDED
+    // score so the cut line is stable on both sides
+    "q_readability" ->
+      """WITH f AS (SELECT doc_id,
+        |CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |x -> x <> '')) AS BIGINT) AS n_words,
+        |greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+        |CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |FROM documents),
+        |s AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+        |CASE WHEN n_words > 0 THEN round(206.835
+        |- 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |- 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) END AS flesch
+        |FROM f)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+        |CASE WHEN flesch IS NULL THEN 'empty'
+        |WHEN flesch >= 70.0 THEN 'easy'
+        |WHEN flesch >= 50.0 THEN 'standard'
+        |WHEN flesch >= 30.0 THEN 'difficult'
+        |ELSE 'very_difficult' END AS band FROM s""".stripMargin,
     // Same rounded-PMI ordering + (tok_a, tok_b) tie-break as the engine,
     // so the top-k cut line is deterministic on both sides.
     "q_pmi" ->

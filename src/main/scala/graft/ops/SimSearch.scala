@@ -220,6 +220,40 @@ object SimSearch {
     sims.withColumn("rnk", row_number().over(w).cast("long")).filter(col("rnk") <= k)
   }
 
+  /** Hard-negative mining for embedding-model training (q_hard_negatives):
+    * for each anchor vector, the top-k most-COSINE-similar vectors whose
+    * label DIFFERS — the pairs contrastive training actually wants
+    * (similar-looking, semantically wrong; random negatives are too easy
+    * to teach anything). Same deterministic contract as [[cosineTopK]]
+    * (anchors = vec_id < nAnchors, tie-break sim desc then neg_id asc);
+    * the label-differs predicate rides the broadcast anchor join, so the
+    * corpus is scanned once with the anchor block resident — at 100 TB
+    * the IVF-blocked variant ([[ivfTopK]] with a label filter) is the
+    * same substitution q_sim_topk makes. Emits both labels so the
+    * downstream pair-writer needs no re-join. */
+  def hardNegativesQ(embeddings: DataFrame, nAnchors: Int = 20,
+      k: Int = 5): DataFrame = {
+    graft.functions.DotProductDouble.register(embeddings.sparkSession)
+    val emb = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val anchors = emb.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("v").as("av"), col("nrm").as("an"))
+    val sims = emb.crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id") &&
+        col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        (ndot(col("v"), col("av")) / (col("nrm") * col("an"))).as("cos_sim"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("neg_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Sign-projection bucket column for rotation `rot`: bit i is the sign
     * of dimension (rot·bits + i) mod d. Rotation 0 reads the first `bits`
     * dims (the declared, oracle-mirrored default — pmod(i, d) = i there);

@@ -653,6 +653,189 @@ object TextOps {
           + col("r_alpha_words") + col("r_stopwords") === 5L).cast("long"))
   }
 
+  /** Flesch reading-ease per document (q_readability) — the classic
+    * readability score, the quality-scoring family's "how hard is this
+    * prose" axis next to [[textQualityQ]]'s ratio battery (education-
+    * level filtering and curriculum bucketing both key on it).
+    * Declared heuristics, mirrored exactly in the oracle: sentences =
+    * runs of `[.!?]` (min 1 — headlines score as one sentence);
+    * syllables = vowel-group runs `[aeiouy]+` over the lowercased text
+    * (the standard cheap proxy; no dictionary). Score =
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * rounded to 4 dp, then banded on the ROUNDED value so the band cut
+    * is oracle-stable. Wordless docs get a null score and the 'empty'
+    * band. Pure per-row codegen expressions — zero shuffle, map-side
+    * over the document scan at any corpus size. */
+  def readabilityQ(docs: DataFrame): DataFrame = {
+    val nWords = size(filter(toks(col("text")), t => t =!= "")).cast("long")
+    val nSents = greatest(
+      regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+    val nSyll = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"), nWords.as("n_words"), nSents.as("n_sentences"),
+        nSyll.as("n_syllables"))
+      .withColumn("flesch", when(col("n_words") > 0L,
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 4)))
+      .withColumn("band",
+        when(col("flesch").isNull, lit("empty"))
+          .when(col("flesch") >= 70.0, lit("easy"))
+          .when(col("flesch") >= 50.0, lit("standard"))
+          .when(col("flesch") >= 30.0, lit("difficult"))
+          .otherwise(lit("very_difficult")))
+  }
+
+  /** Zipf's-law fit per corpus slice (q_zipf) — the rank–frequency
+    * power-law readout (Zipf 1949): natural corpora show
+    * ln(freq) ≈ intercept + slope·ln(rank) with slope ≈ −1; a slope
+    * far from −1 or a low R² flags template/boilerplate or synthetic
+    * sources the same way [[entropyQ]]'s collapsing entropy does, from
+    * the complementary angle (shape of the distribution, not its
+    * mass). OLS via the built-in `regr_*` aggregates over
+    * (ln rank, ln count) with `minCount` suppressing the hapax tail
+    * (where the discrete staircase breaks the power law and the type
+    * table explodes).
+    *
+    * Scale shape: one corpus-sized tokenize+count shuffle to the
+    * (slice, type) table, then the rank window sorts ONLY that
+    * vocab-bounded table per slice (never the corpus), and the regr
+    * aggregates reduce it to |slices| rows. regr_slope/r2 use stable
+    * co-moment updates in both engines; rounding at 6 dp absorbs the
+    * partial-aggregation order variance. */
+  def zipfQ(docs: DataFrame, sliceCol: String = "source",
+      minCount: Int = 5): DataFrame = {
+    val counts = graft.sources.Tables.fanout(docs)
+      .select(col(sliceCol).as("slice"),
+        explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+      .groupBy(col("slice"), col("token"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val w = Window.partitionBy(col("slice"))
+      .orderBy(col("c").desc, col("token").asc)
+    val lnC = log(col("c").cast("double"))
+    val lnR = log(col("rnk").cast("double"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("c")).as("n_tokens"),
+        round(regr_slope(lnC, lnR), 6).as("zipf_slope"),
+        round(regr_intercept(lnC, lnR), 6).as("zipf_intercept"),
+        round(regr_r2(lnC, lnR), 6).as("zipf_r2"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve (q_heaps) — distinct-type
+    * count as a function of tokens seen, in doc_id order, at
+    * `nBuckets` checkpoints: the "is more data still buying new
+    * vocabulary" readout that sizes tokenizer vocabularies and flags
+    * corpus exhaustion (a flattening curve) or contamination by
+    * synthetic repetition (a too-flat curve from the start).
+    *
+    * Scale shape — the reason this emits BUCKET checkpoints, not a
+    * per-doc curve: a per-doc cumulative needs a global ordered window
+    * (one task holding the corpus). Instead each token row maps to a
+    * doc_id-range bucket (integer arithmetic, exact in both engines),
+    * new-type credit lands on the bucket of the type's FIRST doc
+    * (min(doc_id) per type — one vocab-bounded aggregate), and the
+    * cumulative window runs over nBuckets rows — driver-trivial by
+    * construction. All counts integer, zero FP in the gate. */
+  def heapsQ(docs: DataFrame, nBuckets: Int = 100): DataFrame = {
+    val d = graft.sources.Tables.fanout(docs)
+    val mx = d.agg(max(col("doc_id")).as("max_id"))
+    val tok = d.select(col("doc_id"),
+      explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+    def bucketOf(idCol: String): Column =
+      least(expr(s"$idCol * $nBuckets div (max_id + 1)"),
+        lit(nBuckets - 1L)).cast("long")
+    val tokPerB = tok.crossJoin(broadcast(mx))
+      .groupBy(bucketOf("doc_id").as("bucket"))
+      .agg(count(lit(1)).as("n_tok"))
+    val firstB = tok.groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_id"))
+      .crossJoin(broadcast(mx))
+      .groupBy(bucketOf("first_id").as("bucket"))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokPerB.join(firstB, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new"))
+      .select(col("bucket"),
+        sum(col("n_tok")).over(w).as("cum_tokens"),
+        sum(col("n_new")).over(w).as("cum_vocab"))
+  }
+
+  /** KMV (k-minimum-values) sketch overlap between corpus slices
+    * (q_source_overlap_kmv) — the 100 TB branch of [[sourceOverlapQ]]:
+    * the exact form shuffles the full (slice, token) vocabulary and
+    * expands per-token slice pairs; this one reduces each slice to a
+    * k-value sketch (Bar-Yossef et al. 2002, "Counting distinct
+    * elements in a data stream") and estimates distinct counts, union
+    * sizes, Jaccard and intersection from the sketches alone —
+    * mergeable, bounded, and computed with a MAP-SIDE-COMBINE bounded
+    * aggregate (the [[graft.functions.Aggregators.TopKAgg]] buffer
+    * over negated hashes), so the one shuffle carries ≤ k rows per
+    * slice no matter the corpus.
+    *
+    * Determinism: the hash is the 52-bit md5 prefix (13 nibbles —
+    * exactly representable as Double, so the bounded buffer's score
+    * ordering is lossless), identical to the oracle's
+    * `('0x'||substr(md5(t),1,13))::BIGINT` spelling; the sketch, and
+    * hence every estimate, is a pure function of the data — the gate
+    * is a plain hash match, no probabilistic bound needed. Estimators:
+    * distinct(slice) is exact here (the same aggregate counts it for
+    * the audit columns); union_est = (k−1)·2^52 / h_k over the merged
+    * bottom-k (exact when the union has < k values); jaccard_est =
+    * |bottom-k(A∪B) ∩ A ∩ B| / k_used; inter_est = jaccard·union.
+    * Emits each unordered pair once (slice_a < slice_b; the pair join
+    * is a broadcast theta-join over |slices| sketch rows). */
+  def kmvOverlapQ(docs: DataFrame, sliceCol: String = "source",
+      k: Int = 256): DataFrame = {
+    import graft.functions.Aggregators.{Scored, TopKAgg}
+    val spark = docs.sparkSession
+    graft.functions.Md5Bits.register(spark)
+    val two52 = 4503599627370496.0 // 2^52: hash space for the KMV estimator
+    val hashed = graft.sources.Tables.fanout(docs)
+      .select(col(sliceCol).as("slice"),
+        explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+      .select(col("slice"),
+        call_function(graft.functions.Md5Bits.FnName,
+          col("token"), lit(0), lit(13)).as("th"))
+      .distinct()
+    val bottomK = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    val sigs = hashed
+      .groupBy(col("slice"))
+      .agg(bottomK(-col("th").cast("double"), col("th")).as("topk"),
+        count(lit(1)).as("n_exact"))
+      // score desc = −th desc = th asc: tags come out ascending
+      .select(col("slice"), transform(col("topk"), e => e("tag")).as("sig"),
+        col("n_exact"))
+    val a = sigs.select(col("slice").as("slice_a"), col("sig").as("sig_a"),
+      col("n_exact").as("n_a_exact"))
+    val b = sigs.select(col("slice").as("slice_b"), col("sig").as("sig_b"),
+      col("n_exact").as("n_b_exact"))
+    a.join(broadcast(b), col("slice_a") < col("slice_b"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("sig_a"), col("sig_b"))), 1, k))
+      .withColumn("k_used", size(col("merged")).cast("long"))
+      .withColumn("n_match",
+        size(array_intersect(array_intersect(col("merged"), col("sig_a")),
+          col("sig_b"))).cast("long"))
+      .withColumn("union_est",
+        round(when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(two52) /
+            element_at(col("merged"), k).cast("double")), 3))
+      .withColumn("jaccard_est",
+        round(col("n_match").cast("double") / col("k_used").cast("double"), 6))
+      .withColumn("inter_est",
+        round(col("jaccard_est") * col("union_est"), 3))
+      .select(col("slice_a"), col("slice_b"), col("n_a_exact"),
+        col("n_b_exact"), col("k_used"), col("n_match"), col("union_est"),
+        col("jaccard_est"), col("inter_est"))
+  }
+
   /** Consecutive-duplicate-token collapse (q_collapse_repeats) — the
     * stutter cleanup OCR/ASR-sourced corpora run before tokenization:
     * a run of k identical adjacent tokens collapses to one ("the the

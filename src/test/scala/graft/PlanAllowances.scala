@@ -59,5 +59,18 @@ object PlanAllowances {
     // for the cell assignment (the q_knn_clf_ivf precedent); the pool
     // joins themselves are cell-keyed broadcast HASH joins
     "q_bitext_mine_ivf",
-    "q_corpus_clean")
+    "q_corpus_clean",
+    // the end-to-end DAG composes corpusClean (its one-row eval-shingle
+    // broadcast) plus the BPE-train scalar broadcasts — same declared
+    // shapes, one query
+    "q_e2e_corpus",
+    // hard-negative mining is q_sim_topk's anchor-block broadcast with
+    // the label-differs predicate riding the same join
+    "q_hard_negatives",
+    // KMV overlap: |slices| k-bounded sketch rows theta-joined
+    // (slice_a < slice_b) — metadata × metadata, never a corpus side
+    "q_source_overlap_kmv",
+    // Heaps curve: the ONE-row max(doc_id) scalar broadcast onto the
+    // token stream for the bucket arithmetic
+    "q_heaps")
 }
