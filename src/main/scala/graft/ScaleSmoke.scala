@@ -310,6 +310,17 @@ object ScaleSmoke {
         col("doc_id") % 10_000_000L < 50))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // KMV sketch overlap: the one shuffle carries <= k rows per slice
+      // no matter the corpus (bounded map-side-combine aggregate) — the
+      // probe's job is showing wall clock tracks the token scan, not
+      // the pair arithmetic. amplify strips source — resynthesize one.
+      run("kmv", graft.ops.TextOps.kmvOverlapQ(
+        docs.withColumn("source", concat(lit("s"), col("doc_id") % 4))))
+      spark.sharedState.cacheManager.clearCache()
+      // Heaps curve: two corpus-token aggregates + a 100-row window —
+      // must track the token count with no global per-doc sort
+      run("heaps", graft.ops.TextOps.heapsQ(docs))
+      spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
   }

@@ -440,6 +440,9 @@ object SparkEntry {
     // intersection estimated from the sketches alone — deterministic
     // md5 hashes, so the estimates hash-gate exactly
     "q_source_overlap_kmv" -> ((s, d) => TextOps.kmvOverlapQ(Tables.documents(s, d))),
+    // Jensen–Shannon divergence between per-source unigram
+    // distributions — the distribution-shift audit data-mixing keys on
+    "q_source_drift" -> ((s, d) => TextOps.sourceDriftQ(Tables.documents(s, d))),
     // Zipf rank-frequency OLS fit per source (slope ≈ −1 for natural text)
     "q_zipf" -> ((s, d) => TextOps.zipfQ(Tables.documents(s, d))),
     // Heaps vocabulary-growth curve at 100 doc_id-range checkpoints
@@ -3319,6 +3322,35 @@ object SparkEntry {
         |round(CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
         |round(round(CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE), 6) * union_est, 3)
         |AS inter_est FROM e""".stripMargin,
+    // JS = H(M) − (H(P)+H(Q))/2 via the same common-tokens + one-sided
+    // tails decomposition as the engine: the common-token join carries
+    // both counts; per-slice S_half/H scalars come from the c·ln c
+    // identity; js_bits derives from the UNROUNDED nats on both sides
+    "q_source_drift" ->
+      """WITH st AS (SELECT source AS slice, t AS token, count(*) AS c FROM
+        |(SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> '' GROUP BY 1, 2),
+        |sz AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY slice),
+        |per AS (SELECT st.slice, max(sz.n) AS n,
+        |sum((CAST(c AS DOUBLE)/sz.n/2) * ln(CAST(c AS DOUBLE)/sz.n/2)) AS s_half,
+        |ln(CAST(max(sz.n) AS DOUBLE))
+        |- sum(CAST(c AS DOUBLE)*ln(CAST(c AS DOUBLE)))/max(sz.n) AS h
+        |FROM st JOIN sz ON sz.slice = st.slice GROUP BY st.slice),
+        |pr AS (SELECT a.slice AS slice_a, b.slice AS slice_b, a.c AS ca, b.c AS cb,
+        |za.n AS n_a, zb.n AS n_b
+        |FROM st a JOIN st b ON a.token = b.token AND a.slice < b.slice
+        |JOIN sz za ON za.slice = a.slice JOIN sz zb ON zb.slice = b.slice),
+        |d AS (SELECT slice_a, slice_b, CAST(count(*) AS BIGINT) AS n_common_types,
+        |sum(((CAST(ca AS DOUBLE)/n_a + CAST(cb AS DOUBLE)/n_b)/2)
+        |* ln((CAST(ca AS DOUBLE)/n_a + CAST(cb AS DOUBLE)/n_b)/2)
+        |- (CAST(ca AS DOUBLE)/n_a/2)*ln(CAST(ca AS DOUBLE)/n_a/2)
+        |- (CAST(cb AS DOUBLE)/n_b/2)*ln(CAST(cb AS DOUBLE)/n_b/2)) AS dd
+        |FROM pr GROUP BY 1, 2)
+        |SELECT d.slice_a, d.slice_b, pa.n AS n_a, pb.n AS n_b, d.n_common_types,
+        |round(-(d.dd + pa.s_half + pb.s_half) - (pa.h + pb.h)/2, 6) AS js_nats,
+        |round((-(d.dd + pa.s_half + pb.s_half) - (pa.h + pb.h)/2) / ln(2), 6) AS js_bits
+        |FROM d JOIN per pa ON pa.slice = d.slice_a
+        |JOIN per pb ON pb.slice = d.slice_b""".stripMargin,
     // ln(count) on ln(rank) OLS over the min-count-filtered type table;
     // rank tie-break on token keeps the x-values identical on both sides
     "q_zipf" ->

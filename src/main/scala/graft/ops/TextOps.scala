@@ -836,6 +836,83 @@ object TextOps {
         col("jaccard_est"), col("inter_est"))
   }
 
+  /** Jensen–Shannon divergence between per-slice unigram distributions
+    * (q_source_drift) — the distribution-SHIFT audit next to
+    * [[sourceOverlapQ]]'s set overlap and [[entropyQ]]'s within-slice
+    * diversity: JS(P,Q) = H(M) − (H(P)+H(Q))/2 with M = (P+Q)/2,
+    * bounded in [0, ln 2], symmetric, finite even on disjoint support —
+    * the metric data-mixing weights and crawl-drift monitors key on
+    * (a source whose JS against its previous snapshot jumps changed
+    * content distribution, not just vocabulary).
+    *
+    * Decomposition that keeps everything relational (no per-pair
+    * full-outer joins): Σ_union m·ln m splits into the COMMON-token sum
+    * (both counts present — exactly [[sourceOverlapQ]]'s in-row C(s,2)
+    * pair expansion, carrying counts) plus per-slice one-sided tails
+    * Σ_t (p/2)·ln(p/2) over ALL of each slice's tokens, corrected by
+    * subtracting the common rows' one-sided terms in the same pair
+    * aggregate. So: ONE token-keyed shuffle for the pair rows, one
+    * slice-keyed aggregate for the (S_half, H) scalars, broadcast
+    * enrichment joins — |slices|²-bounded output, corpus scanned once.
+    * Pairs sharing zero vocabulary are omitted (their JS is exactly
+    * ln 2 by construction — same emission rule as sourceOverlapQ).
+    * Entropies via the c·ln c identity (the [[entropyQ]] precedent);
+    * 6-dp rounding absorbs summation-order variance. */
+  def sourceDriftQ(docs: DataFrame, sliceCol: String = "source"): DataFrame = {
+    val st = PipelineCaches.track(
+      graft.sources.Tables.fanout(docs)
+        .select(col(sliceCol).as("slice"),
+          explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+        .groupBy(col("slice"), col("token"))
+        .agg(count(lit(1)).as("c")))
+    val sizes = st.groupBy(col("slice")).agg(sum(col("c")).as("n"))
+    // per-slice scalars: S_half = Σ (p/2)·ln(p/2) over the slice's own
+    // tokens (the one-sided tail of the mixture sum), H = ln n − Σ c·ln c / n
+    val p = col("c").cast("double") / col("n").cast("double")
+    val per = st.join(broadcast(sizes), Seq("slice"))
+      .groupBy(col("slice"))
+      .agg(max(col("n")).as("n"),
+        sum((p / 2) * log(p / 2)).as("s_half"),
+        (log(max(col("n")).cast("double")) -
+          sum(col("c").cast("double") * log(col("c").cast("double"))) /
+            max(col("n")).cast("double")).as("h"))
+    // common tokens: the sourceOverlapQ in-row pair expansion, counts
+    // riding the structs (slice unique per token-group, sort is total)
+    val pairs = st.groupBy(col("token"))
+      .agg(array_sort(collect_list(struct(col("slice"), col("c")))).as("ss"))
+      .select(explode(flatten(transform(col("ss"), (a, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))), b =>
+          struct(a("slice").as("slice_a"), b("slice").as("slice_b"),
+            a("c").as("ca"), b("c").as("cb")))))).as("pr"))
+      .select(col("pr.slice_a"), col("pr.slice_b"), col("pr.ca"), col("pr.cb"))
+      .join(broadcast(sizes.select(col("slice").as("slice_a"),
+        col("n").as("n_a"))), Seq("slice_a"))
+      .join(broadcast(sizes.select(col("slice").as("slice_b"),
+        col("n").as("n_b"))), Seq("slice_b"))
+    val pa = col("ca").cast("double") / col("n_a").cast("double")
+    val pb = col("cb").cast("double") / col("n_b").cast("double")
+    val m = (pa + pb) / 2
+    // per-pair: Σ [ m·ln m − (pa/2)·ln(pa/2) − (pb/2)·ln(pb/2) ] over
+    // common tokens; adding back S_half_a + S_half_b yields Σ_union m·ln m
+    val d = pairs
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(count(lit(1)).as("n_common_types"),
+        sum(m * log(m) - (pa / 2) * log(pa / 2) -
+          (pb / 2) * log(pb / 2)).as("dd"))
+    val js = -(col("dd") + col("s_a") + col("s_b")) -
+      (col("h_a") + col("h_b")) / 2
+    d.join(broadcast(per.select(col("slice").as("slice_a"),
+        col("n").as("n_a"), col("s_half").as("s_a"), col("h").as("h_a"))),
+        Seq("slice_a"))
+      .join(broadcast(per.select(col("slice").as("slice_b"),
+        col("n").as("n_b"), col("s_half").as("s_b"), col("h").as("h_b"))),
+        Seq("slice_b"))
+      .select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        col("n_common_types"),
+        round(js, 6).as("js_nats"),
+        round(js / math.log(2.0), 6).as("js_bits"))
+  }
+
   /** Consecutive-duplicate-token collapse (q_collapse_repeats) — the
     * stutter cleanup OCR/ASR-sourced corpora run before tokenization:
     * a run of k identical adjacent tokens collapses to one ("the the

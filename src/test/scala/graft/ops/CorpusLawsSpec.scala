@@ -116,6 +116,39 @@ class CorpusLawsSpec extends SparkSuite {
     PipelineCaches.release(spark)
   }
 
+  test("sourceDriftQ matches a direct driver-side Jensen-Shannon computation, in [0, ln 2]") {
+    val docs = Tables.documents(spark, sf)
+    val counts = docs.select("source", "text").collect()
+      .flatMap(r => wsToks(r.getString(1)).map(t => (r.getString(0), t)))
+      .groupBy(_._1).map { case (s, g) =>
+        s -> g.map(_._2).groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+      }
+    def js(a: Map[String, Long], b: Map[String, Long]): Double = {
+      val (na, nb) = (a.values.sum.toDouble, b.values.sum.toDouble)
+      def h(m: Map[String, Double]): Double =
+        -m.values.filter(_ > 0).map(p => p * math.log(p)).sum
+      val pa = a.map { case (t, c) => t -> c / na }
+      val pb = b.map { case (t, c) => t -> c / nb }
+      val mix = (pa.keySet ++ pb.keySet).map(t =>
+        t -> (pa.getOrElse(t, 0.0) + pb.getOrElse(t, 0.0)) / 2).toMap
+      h(mix) - (h(pa) + h(pb)) / 2
+    }
+    val got = TextOps.sourceDriftQ(docs).collect()
+    val slices = counts.keySet.toSeq.sorted
+    assert(got.length == slices.combinations(2).length)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      assert(r.getLong(2) == counts(a).values.sum && r.getLong(3) == counts(b).values.sum)
+      assert(r.getLong(4) == (counts(a).keySet & counts(b).keySet).size.toLong)
+      val want = js(counts(a), counts(b))
+      assert(math.abs(r.getDouble(5) - want) < 5e-7, s"js($a,$b): ${r.getDouble(5)} vs $want")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= math.log(2.0) + 1e-9)
+      assert(math.abs(r.getDouble(6) - want / math.log(2.0)) < 5e-7)
+    }
+    PipelineCaches.release(spark)
+  }
+
   test("hardNegativesQ: dense per-anchor ranks, label always differs, top-1 is the true max") {
     val emb = Tables.embeddings(spark, sf)
     val vecs = emb.collect().map { r =>
