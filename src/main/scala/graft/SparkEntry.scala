@@ -479,6 +479,12 @@ object SparkEntry {
     // right-to-be-forgotten on an ADDITIVE-count index: the victims'
     // negative count ledger nets the model; survivors scored under it
     "q_lm_forget" -> ((s, d) => graft.ops.LmIndex.lmForgetQ(s, d)),
+    // JS drift of the newest shard against the PERSISTED corpus
+    // distribution — the LM index's third reader law (no base re-scan)
+    "q_drift_incr" -> ((s, d) => graft.ops.LmIndex.driftIncrQ(s, d)),
+    // two-sample Kolmogorov-Smirnov over per-source length
+    // distributions — the nonparametric drift detector
+    "q_ks_test" -> ((s, d) => Scoring.ksTestQ(Tables.documents(s, d))),
     // linear fasttext-style keep/drop classifier: hashed-bucket features,
     // integer-milli weight table broadcast, exact order-free logit
     "q_quality_clf" -> ((s, d) => Scoring.qualityClassifierQ(Tables.documents(s, d))),
@@ -3517,6 +3523,64 @@ object SparkEntry {
     // forget: the SAME LM text trained AND scored over survivors only
     // (victims leave the counts and the vocabulary)
     "q_lm_forget" -> ngramLmOracleSqlOver("WHERE doc_id % 17 <> 0"),
+    // drift-vs-index: P is the index content law (unigram counts over
+    // ALL en docs — base written + delta appended), Q is the delta
+    // shard's own counts; one full-outer token join, the same JS
+    // spelling as q_source_drift, js_bits from the UNROUNDED nats
+    "q_drift_incr" ->
+      """WITH ptok AS (SELECT t AS token, count(*) AS np FROM
+        |(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents WHERE lang = 'en') u WHERE t <> '' GROUP BY t),
+        |qtok AS (SELECT t AS token, count(*) AS nq FROM
+        |(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents WHERE lang = 'en' AND doc_id % 20 = 0) u
+        |WHERE t <> '' GROUP BY t),
+        |tp AS (SELECT CAST(sum(np) AS BIGINT) AS n_base,
+        |CAST(count(*) AS BIGINT) AS n_base_types FROM ptok),
+        |tq AS (SELECT CAST(sum(nq) AS BIGINT) AS n_delta,
+        |CAST(count(*) AS BIGINT) AS n_delta_types FROM qtok),
+        |j AS (SELECT np, nq, coalesce(np, 0) AS np0, coalesce(nq, 0) AS nq0
+        |FROM ptok FULL JOIN qtok USING (token)),
+        |s AS (SELECT
+        |CAST(sum(CASE WHEN np IS NOT NULL AND nq IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |AS n_common_types,
+        |sum(((CAST(np0 AS DOUBLE)/n_base + CAST(nq0 AS DOUBLE)/n_delta)/2)
+        |* ln((CAST(np0 AS DOUBLE)/n_base + CAST(nq0 AS DOUBLE)/n_delta)/2)) AS mlnm,
+        |sum(CASE WHEN np IS NOT NULL
+        |THEN (CAST(np AS DOUBLE)/n_base)*ln(CAST(np AS DOUBLE)/n_base) ELSE 0 END) AS plnp,
+        |sum(CASE WHEN nq IS NOT NULL
+        |THEN (CAST(nq AS DOUBLE)/n_delta)*ln(CAST(nq AS DOUBLE)/n_delta) ELSE 0 END) AS qlnq
+        |FROM j, tp, tq)
+        |SELECT tp.n_base, tq.n_delta, tp.n_base_types, tq.n_delta_types,
+        |s.n_common_types,
+        |round(-(s.mlnm) + (s.plnp + s.qlnq)/2, 6) AS js_nats,
+        |round((-(s.mlnm) + (s.plnp + s.qlnq)/2) / ln(2), 6) AS js_bits
+        |FROM s, tp, tq""".stripMargin,
+    // KS over the (slice, n_chars) count grid: every pair sees the
+    // union of x values (absent side 0), CDFs via one window per pair,
+    // reject boolean on the ROUNDED statistic and threshold
+    "q_ks_test" ->
+      """WITH vx AS (SELECT source AS slice, n_chars AS x, count(*) AS c
+        |FROM documents GROUP BY 1, 2),
+        |sz AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n FROM vx GROUP BY slice),
+        |pr AS (SELECT least(v.slice, o.slice) AS slice_a,
+        |greatest(v.slice, o.slice) AS slice_b, v.x,
+        |sum(CASE WHEN v.slice < o.slice THEN v.c ELSE 0 END) AS ca,
+        |sum(CASE WHEN v.slice > o.slice THEN v.c ELSE 0 END) AS cb
+        |FROM vx v JOIN sz o ON v.slice <> o.slice GROUP BY 1, 2, 3),
+        |cum AS (SELECT slice_a, slice_b, x,
+        |sum(ca) OVER (PARTITION BY slice_a, slice_b ORDER BY x) AS cum_a,
+        |sum(cb) OVER (PARTITION BY slice_a, slice_b ORDER BY x) AS cum_b FROM pr),
+        |d AS (SELECT c.slice_a, c.slice_b, za.n AS n_a, zb.n AS n_b,
+        |max(abs(CAST(cum_a AS DOUBLE)/za.n - CAST(cum_b AS DOUBLE)/zb.n)) AS d
+        |FROM cum c JOIN sz za ON za.slice = c.slice_a
+        |JOIN sz zb ON zb.slice = c.slice_b GROUP BY 1, 2, 3, 4)
+        |SELECT slice_a, slice_b, n_a, n_b, round(d, 6) AS ks_stat,
+        |round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)/CAST(n_a * n_b AS DOUBLE)), 6)
+        |AS ks_crit_05,
+        |round(d, 6) >
+        |round(1.358 * sqrt(CAST(n_a + n_b AS DOUBLE)/CAST(n_a * n_b AS DOUBLE)), 6)
+        |AS differs FROM d""".stripMargin,
     // CCNet buckets: the LM oracle wrapped in rank terciles (ntile on
     // the 6-dp grid, doc_id tie-break) + per-bucket summary
     "q_ccnet_buckets" ->

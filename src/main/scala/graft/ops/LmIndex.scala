@@ -193,4 +193,60 @@ object LmIndex {
     }
     scoreFromIndex(spark, idxDir, docs.filter(col("doc_id") % 17 =!= 0))
   }
+
+  /** Jensen–Shannon drift of an incoming shard against the PERSISTED
+    * corpus distribution (q_drift_incr) — crawl-over-crawl monitoring
+    * without re-scanning the base corpus: the index's folded unigram
+    * counts (gid = 1 — the (a)-level rows of the grouping-sets train)
+    * ARE the baseline distribution P, so the only corpus-sized work is
+    * counting the delta shard's own tokens Q. Third reader law on the
+    * ONE count store (add-α scoring, Kneser-Ney, now drift) — adding a
+    * monitoring readout is a reader change, no re-ingestion.
+    *
+    * Same JS as [[TextOps.sourceDriftQ]] but with ONE pair the
+    * full-outer token join is the natural shape (vocab-bounded,
+    * token-keyed): Σ m·ln m, Σ p·ln p, Σ q·ln q in one aggregate,
+    * totals as ONE-row broadcast scalars. Output one row:
+    * JS(P_index, Q_shard) in nats and bits, with the type/token counts
+    * for the audit columns. */
+  def driftIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_lm_idx", dir)
+    BuildOnce(spark, idxDir) {
+      writeLmIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
+      appendToLmIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+    }
+    val p = PipelineCaches.track(modelFromIndex(spark, idxDir)
+      .filter(col("gid") === 1)
+      .select(col("ra").as("token"), col("n").as("np")))
+    val q = PipelineCaches.track(
+      Scoring.lmTrainCounts(docs.filter(col("doc_id") % 20 === 0), "en")
+        .filter(col("gid") === 1)
+        .select(col("ra").as("token"), col("n").as("nq")))
+    val totP = p.agg(sum(col("np")).as("n_base"),
+      count(lit(1)).as("n_base_types"))
+    val totQ = q.agg(sum(col("nq")).as("n_delta"),
+      count(lit(1)).as("n_delta_types"))
+    val joined = p.join(q, Seq("token"), "full_outer")
+      .crossJoin(broadcast(totP)).crossJoin(broadcast(totQ))
+    val pp = coalesce(col("np"), lit(0L)).cast("double") /
+      col("n_base").cast("double")
+    val pq = coalesce(col("nq"), lit(0L)).cast("double") /
+      col("n_delta").cast("double")
+    val m = (pp + pq) / 2
+    val agg = joined.agg(
+      max(col("n_base")).as("n_base"), max(col("n_delta")).as("n_delta"),
+      max(col("n_base_types")).as("n_base_types"),
+      max(col("n_delta_types")).as("n_delta_types"),
+      sum(when(col("np").isNotNull && col("nq").isNotNull, lit(1L))
+        .otherwise(lit(0L))).as("n_common_types"),
+      sum(m * log(m)).as("mlnm"),
+      sum(when(col("np").isNotNull, pp * log(pp)).otherwise(lit(0.0))).as("plnp"),
+      sum(when(col("nq").isNotNull, pq * log(pq)).otherwise(lit(0.0))).as("qlnq"))
+    val js = -col("mlnm") + (col("plnp") + col("qlnq")) / 2
+    agg.select(col("n_base"), col("n_delta"), col("n_base_types"),
+      col("n_delta_types"), col("n_common_types"),
+      round(js, 6).as("js_nats"),
+      round(js / math.log(2.0), 6).as("js_bits"))
+  }
 }

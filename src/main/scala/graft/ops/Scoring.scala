@@ -661,4 +661,63 @@ object Scoring {
       .select(col("n_docs"), col("sq_sum"),
         round(col("sq_sum").cast("double") / (lit(1e12) * col("n_docs")), 6)
           .as("brier"))
+
+  /** Two-sample Kolmogorov–Smirnov test between per-slice value
+    * distributions (q_ks_test) — the NONPARAMETRIC drift detector next
+    * to [[TextOps.sourceDriftQ]]'s vocabulary JS: did source B's
+    * document-length distribution shift against source A's?
+    * KS = max_x |F_a(x) − F_b(x)| over the pooled empirical CDFs, with
+    * the classic large-sample α = 0.05 threshold
+    * c(α)·√((n_a+n_b)/(n_a·n_b)), c(0.05) = 1.358, and the reject
+    * boolean computed on the 6-dp ROUNDED statistic and threshold so
+    * the cut is oracle-stable.
+    *
+    * Scale shape: values collapse to the (slice, x) count grid first
+    * (integer-valued metrics like n_chars are already a grid; bin
+    * continuous scores upstream), each grid row fans out against the
+    * |slices|-row broadcast so every pair sees the UNION of x values
+    * (absent side contributes 0 — the full-outer-per-pair this
+    * replaces), and the CDF window sorts only |pairs|·|grid| rows, never
+    * documents. One corpus-sized count shuffle; everything after is
+    * grid-bounded. */
+  def ksTestQ(docs: DataFrame, sliceCol: String = "source",
+      valueCol: String = "n_chars"): DataFrame = {
+    val vx = graft.sources.Tables.fanout(docs)
+      .select(col(sliceCol).as("slice"), col(valueCol).cast("long").as("x"))
+      .groupBy(col("slice"), col("x")).agg(count(lit(1)).as("c"))
+    val sizes = vx.groupBy(col("slice")).agg(sum(col("c")).as("n"))
+    // fan each grid row out against every OTHER slice (|slices| rows
+    // broadcast), emitting the unordered pair with this row's count on
+    // its own side — per (pair, x) the aggregate then holds both sides'
+    // counts, 0 where a side never saw x
+    val pairRows = vx
+      .join(broadcast(sizes.select(col("slice").as("other"))),
+        col("slice") =!= col("other"))
+      .select(least(col("slice"), col("other")).as("slice_a"),
+        greatest(col("slice"), col("other")).as("slice_b"),
+        col("x"),
+        when(col("slice") < col("other"), col("c")).otherwise(lit(0L)).as("ca"),
+        when(col("slice") > col("other"), col("c")).otherwise(lit(0L)).as("cb"))
+      .groupBy(col("slice_a"), col("slice_b"), col("x"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val w = Window.partitionBy(col("slice_a"), col("slice_b"))
+      .orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ks = pairRows
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .join(broadcast(sizes.select(col("slice").as("slice_a"),
+        col("n").as("n_a"))), Seq("slice_a"))
+      .join(broadcast(sizes.select(col("slice").as("slice_b"),
+        col("n").as("n_b"))), Seq("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cum_a").cast("double") / col("n_a").cast("double") -
+          col("cum_b").cast("double") / col("n_b").cast("double"))).as("d"))
+    ks.select(col("slice_a"), col("slice_b"), col("n_a"), col("n_b"),
+        round(col("d"), 6).as("ks_stat"),
+        round(lit(1.358) * sqrt((col("n_a") + col("n_b")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")), 6).as("ks_crit_05"))
+      .withColumn("differs", col("ks_stat") > col("ks_crit_05"))
+  }
 }

@@ -72,5 +72,11 @@ object PlanAllowances {
     "q_source_overlap_kmv",
     // Heaps curve: the ONE-row max(doc_id) scalar broadcast onto the
     // token stream for the bucket arithmetic
-    "q_heaps")
+    "q_heaps",
+    // drift-vs-index: two ONE-row total scalars broadcast onto the
+    // vocab-bounded full-outer token join
+    "q_drift_incr",
+    // KS: the |slices|-row size table broadcast against the count grid
+    // (the <> fan-out that gives every pair the union of x values)
+    "q_ks_test")
 }

@@ -149,6 +149,58 @@ class CorpusLawsSpec extends SparkSuite {
     PipelineCaches.release(spark)
   }
 
+  test("ksTestQ matches a driver-side two-sample KS over the length grid") {
+    val docs = Tables.documents(spark, sf)
+    val vals = docs.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sorted }
+    def ks(a: Seq[Long], b: Seq[Long]): Double = {
+      val grid = (a ++ b).distinct.sorted
+      grid.map(x => math.abs(
+        a.count(_ <= x).toDouble / a.length -
+          b.count(_ <= x).toDouble / b.length)).max
+    }
+    val got = Scoring.ksTestQ(docs).collect()
+    val slices = vals.keySet.toSeq.sorted
+    assert(got.length == slices.combinations(2).length)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      assert(r.getLong(2) == vals(a).length.toLong && r.getLong(3) == vals(b).length.toLong)
+      val want = ks(vals(a), vals(b))
+      assert(math.abs(r.getDouble(4) - want) < 5e-7, s"ks($a,$b): ${r.getDouble(4)} vs $want")
+      val crit = 1.358 * math.sqrt((vals(a).length + vals(b).length).toDouble /
+        (vals(a).length.toLong * vals(b).length))
+      assert(math.abs(r.getDouble(5) - crit) < 5e-7)
+      assert(r.getBoolean(6) == (r.getDouble(4) > r.getDouble(5)))
+    }
+  }
+
+  test("driftIncrQ: JS of the delta shard against the index distribution matches a driver replay") {
+    val docs = Tables.documents(spark, sf)
+    val base = docs.filter("lang = 'en'").select("text").collect()
+      .flatMap(r => wsToks(r.getString(0)))
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val delta = docs.filter("lang = 'en' and doc_id % 20 = 0").select("text").collect()
+      .flatMap(r => wsToks(r.getString(0)))
+      .groupBy(identity).map { case (t, g) => t -> g.length.toLong }
+    val (np, nq) = (base.values.sum.toDouble, delta.values.sum.toDouble)
+    def h(m: Map[String, Double]): Double =
+      -m.values.filter(_ > 0).map(p => p * math.log(p)).sum
+    val pa = base.map { case (t, c) => t -> c / np }
+    val pb = delta.map { case (t, c) => t -> c / nq }
+    val mix = (pa.keySet ++ pb.keySet).map(t =>
+      t -> (pa.getOrElse(t, 0.0) + pb.getOrElse(t, 0.0)) / 2).toMap
+    val want = h(mix) - (h(pa) + h(pb)) / 2
+    val r = graft.ops.LmIndex.driftIncrQ(spark, sf).head
+    assert(r.getLong(0) == np.toLong && r.getLong(1) == nq.toLong)
+    assert(r.getLong(2) == base.size.toLong && r.getLong(3) == delta.size.toLong)
+    assert(r.getLong(4) == (base.keySet & delta.keySet).size.toLong)
+    assert(math.abs(r.getDouble(5) - want) < 5e-7, s"js ${r.getDouble(5)} vs $want")
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= math.log(2.0) + 1e-9)
+    PipelineCaches.release(spark)
+  }
+
   test("hardNegativesQ: dense per-anchor ranks, label always differs, top-1 is the true max") {
     val emb = Tables.embeddings(spark, sf)
     val vecs = emb.collect().map { r =>
