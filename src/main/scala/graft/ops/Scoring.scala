@@ -682,9 +682,11 @@ object Scoring {
     * grid-bounded. */
   def ksTestQ(docs: DataFrame, sliceCol: String = "source",
       valueCol: String = "n_chars"): DataFrame = {
-    val vx = graft.sources.Tables.fanout(docs)
+    // the grid is read three times (sizes + the pair fan-out) — the
+    // tracked cache keeps the corpus at one scan
+    val vx = PipelineCaches.track(graft.sources.Tables.fanout(docs)
       .select(col(sliceCol).as("slice"), col(valueCol).cast("long").as("x"))
-      .groupBy(col("slice"), col("x")).agg(count(lit(1)).as("c"))
+      .groupBy(col("slice"), col("x")).agg(count(lit(1)).as("c")))
     val sizes = vx.groupBy(col("slice")).agg(sum(col("c")).as("n"))
     // fan each grid row out against every OTHER slice (|slices| rows
     // broadcast), emitting the unordered pair with this row's count on

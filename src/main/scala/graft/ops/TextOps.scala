@@ -744,16 +744,23 @@ object TextOps {
   def heapsQ(docs: DataFrame, nBuckets: Int = 100): DataFrame = {
     val d = graft.sources.Tables.fanout(docs)
     val mx = d.agg(max(col("doc_id")).as("max_id"))
-    val tok = d.select(col("doc_id"),
-      explode(filter(toks(col("text")), t => t =!= "")).as("token"))
     def bucketOf(idCol: String): Column =
       least(expr(s"$idCol * $nBuckets div (max_id + 1)"),
         lit(nBuckets - 1L)).cast("long")
-    val tokPerB = tok.crossJoin(broadcast(mx))
-      .groupBy(bucketOf("doc_id").as("bucket"))
-      .agg(count(lit(1)).as("n_tok"))
-    val firstB = tok.groupBy(col("token"))
-      .agg(min(col("doc_id")).as("first_id"))
+    // ONE corpus scan → one token-keyed shuffle to the vocab-bounded
+    // (token, bucket) table carrying both sufficient statistics (count
+    // + min doc_id); the per-bucket totals and the first-seen credit
+    // are cheap re-aggregations of THAT table, never the corpus again
+    val grouped = PipelineCaches.track(
+      d.select(col("doc_id"),
+          explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+        .crossJoin(broadcast(mx))
+        .groupBy(col("token"), bucketOf("doc_id").as("bucket"))
+        .agg(count(lit(1)).as("c"), min(col("doc_id")).as("min_id")))
+    val tokPerB = grouped.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_tok"))
+    val firstB = grouped.groupBy(col("token"))
+      .agg(min(col("min_id")).as("first_id"))
       .crossJoin(broadcast(mx))
       .groupBy(bucketOf("first_id").as("bucket"))
       .agg(count(lit(1)).as("n_new"))
@@ -805,10 +812,12 @@ object TextOps {
       .distinct()
     val bottomK = udaf(new TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
-    val sigs = hashed
+    // |slices| sketch rows read by BOTH sides of the pair join — the
+    // tracked cache keeps the corpus at one scan
+    val sigs = PipelineCaches.track(hashed
       .groupBy(col("slice"))
       .agg(bottomK(-col("th").cast("double"), col("th")).as("topk"),
-        count(lit(1)).as("n_exact"))
+        count(lit(1)).as("n_exact")))
       // score desc = −th desc = th asc: tags come out ascending
       .select(col("slice"), transform(col("topk"), e => e("tag")).as("sig"),
         col("n_exact"))
