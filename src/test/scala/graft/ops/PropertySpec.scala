@@ -339,4 +339,55 @@ class PropertySpec extends SparkSuite {
       }
     assert(whole == merged, "fixed-bound histograms must merge by addition")
   }
+
+  test("law: KMV overlap on constructed slices — exact below k, bounded error above") {
+    import spark.implicits._
+    // slice pA/pB share exactly `shared` tokens out of `each` per side.
+    // Below k = 256 distinct values per slice the sketch IS the set:
+    // union/jaccard/intersection estimates must be EXACT. A larger
+    // constructed universe must stay inside the 3/sqrt(k) law.
+    for ((each, shared) <- Seq((100, 40), (2000, 500))) {
+      val docs = (
+        (0 until shared).map(i => ("pA", s"sh_$i")) ++
+          (0 until each - shared).map(i => ("pA", s"a_$i")) ++
+          (0 until shared).map(i => ("pB", s"sh_$i")) ++
+          (0 until each - shared).map(i => ("pB", s"b_$i")))
+        .groupBy(_._1)
+        .map { case (s, ts) => (s.hashCode.toLong, ts.map(_._2).mkString(" "), "en", s, 1L) }
+        .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      val r = TextOps.kmvOverlapQ(docs).head
+      val unionTrue = 2 * each - shared
+      val jaccTrue = shared.toDouble / unionTrue
+      if (each <= 128) {
+        assert(r.getDouble(6) == unionTrue.toDouble, "exact below k")
+        assert(math.abs(r.getDouble(7) - jaccTrue) < 1e-6)
+      } else {
+        assert(math.abs(r.getDouble(6) - unionTrue) <= 3.0 / math.sqrt(256) * unionTrue,
+          s"union_est ${r.getDouble(6)} vs $unionTrue")
+        assert(math.abs(r.getDouble(7) - jaccTrue) <= 3.0 / math.sqrt(256))
+      }
+      PipelineCaches.release(spark)
+    }
+  }
+
+  test("law: JS divergence — zero on identical slices, ln 2 - epsilon on near-disjoint, symmetric in content") {
+    import spark.implicits._
+    val mk = (s: String, texts: Seq[String]) =>
+      texts.zipWithIndex.map { case (t, i) =>
+        (s.hashCode.toLong * 1000 + i, t, "en", s, t.length.toLong)
+      }
+    // identical content → JS = 0 exactly (same distribution)
+    val same = (mk("pA", Seq("x y z x", "y z")) ++ mk("pB", Seq("x y z x", "y z")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r0 = TextOps.sourceDriftQ(same).head
+    assert(r0.getDouble(5) == 0.0 && r0.getDouble(6) == 0.0)
+    PipelineCaches.release(spark)
+    // one shared hapax in otherwise-disjoint vocabularies → JS near ln 2
+    val far = (mk("pA", Seq("a1 a2 a3 a4 a5 a6 a7 bridge")) ++
+      mk("pB", Seq("b1 b2 b3 b4 b5 b6 b7 bridge")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = TextOps.sourceDriftQ(far).head
+    assert(r1.getDouble(5) > 0.8 * math.log(2.0) && r1.getDouble(5) <= math.log(2.0))
+    PipelineCaches.release(spark)
+  }
 }
