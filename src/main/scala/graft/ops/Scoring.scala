@@ -682,18 +682,17 @@ object Scoring {
     * grid-bounded. */
   def ksTestQ(docs: DataFrame, sliceCol: String = "source",
       valueCol: String = "n_chars"): DataFrame = {
-    // the grid is read three times (sizes + the pair fan-out) — the
+    // the grid is read twice (the pair fan-out's two inputs) — the
     // tracked cache keeps the corpus at one scan
     val vx = PipelineCaches.track(graft.sources.Tables.fanout(docs)
       .select(col(sliceCol).as("slice"), col(valueCol).cast("long").as("x"))
       .groupBy(col("slice"), col("x")).agg(count(lit(1)).as("c")))
-    val sizes = vx.groupBy(col("slice")).agg(sum(col("c")).as("n"))
     // fan each grid row out against every OTHER slice (|slices| rows
     // broadcast), emitting the unordered pair with this row's count on
     // its own side — per (pair, x) the aggregate then holds both sides'
     // counts, 0 where a side never saw x
     val pairRows = vx
-      .join(broadcast(sizes.select(col("slice").as("other"))),
+      .join(broadcast(vx.select(col("slice").as("other")).distinct()),
         col("slice") =!= col("other"))
       .select(least(col("slice"), col("other")).as("slice_a"),
         greatest(col("slice"), col("other")).as("slice_b"),
@@ -702,16 +701,19 @@ object Scoring {
         when(col("slice") > col("other"), col("c")).otherwise(lit(0L)).as("cb"))
       .groupBy(col("slice_a"), col("slice_b"), col("x"))
       .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    // ONE pair-keyed sort serves both window shapes: the running CDF
+    // counts and the per-pair totals (every (slice, x) grid row of a
+    // slice reaches each of its pairs, so the partition-total of ca IS
+    // n_a) — no separate sizes aggregate, no enrichment joins
     val w = Window.partitionBy(col("slice_a"), col("slice_b"))
       .orderBy(col("x"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("slice_a"), col("slice_b"))
     val ks = pairRows
       .withColumn("cum_a", sum(col("ca")).over(w))
       .withColumn("cum_b", sum(col("cb")).over(w))
-      .join(broadcast(sizes.select(col("slice").as("slice_a"),
-        col("n").as("n_a"))), Seq("slice_a"))
-      .join(broadcast(sizes.select(col("slice").as("slice_b"),
-        col("n").as("n_b"))), Seq("slice_b"))
+      .withColumn("n_a", sum(col("ca")).over(wAll))
+      .withColumn("n_b", sum(col("cb")).over(wAll))
       .groupBy(col("slice_a"), col("slice_b"))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         max(abs(col("cum_a").cast("double") / col("n_a").cast("double") -
