@@ -216,11 +216,20 @@ object LmIndex {
       writeLmIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToLmIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }
-    val p = PipelineCaches.track(modelFromIndex(spark, idxDir)
+    driftFromIndex(spark, idxDir, docs.filter(col("doc_id") % 20 === 0))
+  }
+
+  /** The drift READER — JS of `delta`'s unigram distribution against
+    * the index's folded one (shared by [[driftIncrQ]] and the
+    * ingestion-loop parity drill: drift over an appended/forgotten
+    * index must equal drift over a survivor rebuild). */
+  def driftFromIndex(spark: SparkSession, dir: String,
+      delta: DataFrame): DataFrame = {
+    val p = PipelineCaches.track(modelFromIndex(spark, dir)
       .filter(col("gid") === 1)
       .select(col("ra").as("token"), col("n").as("np")))
     val q = PipelineCaches.track(
-      Scoring.lmTrainCounts(docs.filter(col("doc_id") % 20 === 0), "en")
+      Scoring.lmTrainCounts(delta, "en")
         .filter(col("gid") === 1)
         .select(col("ra").as("token"), col("n").as("nq")))
     val totP = p.agg(sum(col("np")).as("n_base"),

@@ -146,8 +146,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
         minShared = 1).collect().map(_.toString).sorted.toSeq
       val ent = EntityIndex.inventoryFromIndex(spark, entDir)
         .collect().map(_.toString).sorted.toSeq
+      // the LM store's drift reader: its JS against a fixed probe shard
+      // is a pure function of the folded counts, so append/forget
+      // parity on it pins the whole distribution, not just the scores
+      val drift = LmIndex.driftFromIndex(spark, lmDir, repOf(probes))
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud, ent)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud, ent, drift)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -212,11 +217,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
         minShared = 1).collect().map(_.toString).sorted.toSeq
       val ent = EntityIndex.inventoryFromIndex(spark, e2)
         .collect().map(_.toString).sorted.toSeq
+      val drift = LmIndex.driftFromIndex(spark, l2, repOf(probes))
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud, ent)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud, ent, drift)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm", "phrase", "audio", "entity")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm", "phrase", "audio", "entity", "drift")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
