@@ -375,6 +375,16 @@ class IngestionMaintenanceSpec extends SparkSuite {
         // unigram rows must be physically gone from the counts
         dir => spark.read.parquet(s"$dir/counts")
           .filter(col("ra").isin(victims.map(v => s"token$v"): _*)).count(),
+        dir => s"$dir/counts/_deletes"),
+      // the SAME store through its drift reader: the victims' tokens
+      // leave the baseline distribution, so the JS against a fixed
+      // probe shard must move to the survivor-rebuild value exactly
+      Drill("lm-drift",
+        (d, dir) => LmIndex.writeLmIndex(repOf(d), dir),
+        dir => LmIndex.forgetFromLmIndex(spark, dir, repOf(docsDF(victims))),
+        dir => LmIndex.driftFromIndex(spark, dir, repOf(probes)),
+        dir => spark.read.parquet(s"$dir/counts")
+          .filter(col("ra").isin(victims.map(v => s"token$v"): _*)).count(),
         dir => s"$dir/counts/_deletes"))
 
     drills.foreach { dr =>
@@ -407,7 +417,8 @@ class IngestionMaintenanceSpec extends SparkSuite {
       "image" -> (d => MultiModal.compactImageIndex(spark, d)),
       "audio" -> (d => MultiModal.compactAudioIndex(spark, d)),
       "ivf" -> (d => SimSearch.compactIvfIndex(spark, d)),
-      "lm" -> (d => LmIndex.compactLmIndex(spark, d)))
+      "lm" -> (d => LmIndex.compactLmIndex(spark, d)),
+      "lm-drift" -> (d => LmIndex.compactLmIndex(spark, d)))
     drills.foreach { dr =>
       val live = tmp(s"fgp_${dr.name}")
       dr.build(all, live)
