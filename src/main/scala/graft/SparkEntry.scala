@@ -243,6 +243,9 @@ object SparkEntry {
     // contrastive-training pair mining: top-k nearest neighbors with a
     // DIFFERENT label per anchor (similar-looking, semantically wrong)
     "q_hard_negatives" -> ((s, d) => SimSearch.hardNegativesQ(Tables.embeddings(s, d))),
+    // the IVF-blocked 100 TB form: anchors only score their own
+    // centroid cell (blocking as declared semantics, fully hash-gated)
+    "q_hard_negatives_ivf" -> ((s, d) => SimSearch.hardNegativesIvfQ(Tables.embeddings(s, d))),
     // recall@k of the IVF search against the exact ground truth — the
     // serving-side index acceptance audit, exact set arithmetic
     "q_ann_recall" -> ((s, d) => SimSearch.annRecallQ(Tables.embeddings(s, d))),
@@ -2434,6 +2437,32 @@ object SparkEntry {
         |list_dot_product(c.v, p.v)/(c.nrm*p.nrm) AS cos_sim
         |FROM n c JOIN n p ON p.vec_id < 20 AND c.vec_id <> p.vec_id
         |AND c.label <> p.label)
+        |SELECT * FROM (SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim,
+        |CAST(row_number() OVER (PARTITION BY anchor_id
+        |ORDER BY cos_sim DESC, neg_id ASC) AS BIGINT) AS rnk
+        |FROM sims) t WHERE rnk <= 5""".stripMargin,
+    // the blocked form: the IVF cell assignment (centroids = vec_id in
+    // [20, 36), argmax with the sim-desc/cell-asc tie) recomputed
+    // verbatim, then the brute oracle restricted to same-cell pairs
+    "q_hard_negatives_ivf" ->
+      """WITH n AS (SELECT vec_id, label,
+        |list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |nn AS (SELECT vec_id, CAST(label AS BIGINT) AS label, v,
+        |sqrt(list_dot_product(v, v)) AS nrm FROM n WHERE list_dot_product(v, v) > 0),
+        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+        |WHERE vec_id >= 20 AND vec_id < 36),
+        |asg AS (SELECT vec_id, label, v, nrm, cell FROM (
+        |SELECT a.vec_id, a.label, a.v, a.nrm, c.cell,
+        |row_number() OVER (PARTITION BY a.vec_id
+        |ORDER BY list_dot_product(a.v, c.cv)/(a.nrm*c.cn) DESC, c.cell ASC) AS rn
+        |FROM nn a CROSS JOIN cents c) t WHERE rn = 1),
+        |anch AS (SELECT vec_id AS anchor_id, label AS anchor_label,
+        |v AS pv, nrm AS pn, cell FROM asg WHERE vec_id < 20),
+        |sims AS (SELECT p.anchor_id, p.anchor_label, c.vec_id AS neg_id,
+        |c.label AS neg_label,
+        |list_dot_product(c.v, p.pv)/(c.nrm*p.pn) AS cos_sim
+        |FROM asg c JOIN anch p ON c.cell = p.cell
+        |AND c.vec_id <> p.anchor_id AND c.label <> p.anchor_label)
         |SELECT * FROM (SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim,
         |CAST(row_number() OVER (PARTITION BY anchor_id
         |ORDER BY cos_sim DESC, neg_id ASC) AS BIGINT) AS rnk

@@ -254,6 +254,55 @@ object SimSearch {
       .filter(col("rnk") <= k)
   }
 
+  /** Cell-pruned hard-negative mining — [[hardNegativesQ]]'s 100 TB
+    * form, the same substitution q_knn_clf_ivf makes for q_knn_clf:
+    * both sides are assigned to their nearest deterministic sampled
+    * centroid and an anchor only scores candidates IN ITS OWN CELL —
+    * the IVF blocking step as DECLARED semantics, so the oracle
+    * recomputes the identical cells and the result is fully
+    * hash-checked. The label-differs predicate and the sim-then-id
+    * tie-break are the brute form's, unchanged; an anchor whose cell
+    * holds no different-label vector is absent from the output
+    * (declared: the production loop widens to multi-cell probes).
+    *
+    * Scale shape: one corpus scan against the broadcast centroid
+    * table with the argmax folded map-side, then a cell-keyed
+    * equi-join — per-cell candidate volume, never |corpus|·|anchors|. */
+  def hardNegativesIvfQ(embeddings: DataFrame, nAnchors: Int = 20,
+      k: Int = 5, nCells: Int = 16): DataFrame = {
+    graft.functions.DotProductDouble.register(embeddings.sparkSession)
+    val emb = embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(ndot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val cents = sampledCentroids(embeddings, nCells, nAnchors)
+    val withCell = PipelineCaches.track(
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+          col("cell"),
+          (ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cs"))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cell"),
+            struct(col("cs"), (-col("cell")).as("nc"))).as("cell"),
+          first(col("label")).as("label"), first(col("v")).as("v"),
+          first(col("nrm")).as("nrm")))
+    val anchors = withCell.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+        col("cell"), col("v").as("av"), col("nrm").as("an"))
+    val sims = withCell.join(anchors, "cell")
+      .filter(col("vec_id") =!= col("anchor_id") &&
+        col("label") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        (ndot(col("v"), col("av")) / (col("nrm") * col("an"))).as("cos_sim"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("neg_id").asc)
+    sims.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Sign-projection bucket column for rotation `rot`: bit i is the sign
     * of dimension (rot·bits + i) mod d. Rotation 0 reads the first `bits`
     * dims (the declared, oracle-mirrored default — pmod(i, d) = i there);

@@ -65,8 +65,10 @@ object PlanAllowances {
     // shapes, one query
     "q_e2e_corpus",
     // hard-negative mining is q_sim_topk's anchor-block broadcast with
-    // the label-differs predicate riding the same join
-    "q_hard_negatives",
+    // the label-differs predicate riding the same join; the IVF form
+    // adds the 16-row centroid broadcast for the cell assignment (the
+    // q_knn_clf_ivf precedent — the candidate join itself is cell-keyed)
+    "q_hard_negatives", "q_hard_negatives_ivf",
     // KMV overlap: |slices| k-bounded sketch rows theta-joined
     // (slice_a < slice_b) — metadata × metadata, never a corpus side
     "q_source_overlap_kmv",

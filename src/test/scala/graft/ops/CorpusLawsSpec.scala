@@ -201,6 +201,41 @@ class CorpusLawsSpec extends SparkSuite {
     PipelineCaches.release(spark)
   }
 
+  test("hardNegativesIvfQ equals the brute miner restricted to same-cell candidates") {
+    val emb = Tables.embeddings(spark, sf)
+    val vecs = emb.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      (r.getLong(0), r.getInt(2).toLong, v, math.sqrt(v.map(x => x * x).sum))
+    }.filter(_._4 > 0)
+    def cos(a: Array[Double], an: Double, b: Array[Double], bn: Double) =
+      a.zip(b).map(p => p._1 * p._2).sum / (an * bn)
+    // driver-side cell assignment: centroids are vec_id in [20, 36),
+    // argmax sim with ties to the smaller cell
+    val cents = vecs.filter(v => v._1 >= 20 && v._1 < 36)
+    val cellOf = vecs.map { case (id, _, v, n) =>
+      id -> cents.map(c => (c._1, cos(v, n, c._3, c._4)))
+        .maxBy { case (cid, s) => (s, -cid) }._1
+    }.toMap
+    val got = SimSearch.hardNegativesIvfQ(emb).collect()
+    got.foreach { r =>
+      assert(cellOf(r.getLong(0)) == cellOf(r.getLong(2)),
+        s"pair (${r.getLong(0)}, ${r.getLong(2)}) must share a cell")
+      assert(r.getLong(1) != r.getLong(3), "label must differ")
+    }
+    // per anchor: the engine's list IS the brute top-k over same-cell
+    // different-label candidates
+    got.groupBy(_.getLong(0)).foreach { case (aid, rows) =>
+      val (_, alab, av, an) = vecs.find(_._1 == aid).get
+      val want = vecs
+        .filter(v => v._1 != aid && v._2 != alab && cellOf(v._1) == cellOf(aid))
+        .map(v => (v._1, cos(v._3, v._4, av, an)))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+      assert(rows.sortBy(_.getLong(5)).map(_.getLong(2)).toSeq == want.toSeq,
+        s"anchor $aid blocked top-k")
+    }
+    PipelineCaches.release(spark)
+  }
+
   test("hardNegativesQ: dense per-anchor ranks, label always differs, top-1 is the true max") {
     val emb = Tables.embeddings(spark, sf)
     val vecs = emb.collect().map { r =>
