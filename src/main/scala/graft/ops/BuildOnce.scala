@@ -41,9 +41,22 @@ private[graft] object BuildOnce {
   /** Bump when any persisted artifact layout changes incompatibly: a
     * new engine version then treats every old /tmp artifact as foreign
     * and rebuilds from scratch instead of misreading it. */
-  private[graft] val FormatVersion = "graft-idx-v14"
+  private[graft] val FormatVersion = "graft-idx-v15"
 
-  def apply(spark: SparkSession, dir: String)(build: => Unit): Unit =
+  /** @param srcDirs the BUILD INPUTS — the source data dirs the build
+    *   body reads. Their content summary (per-dir recursive file count,
+    *   total bytes, max mtime) is folded into the completion stamp, so
+    *   source parquet regenerated IN PLACE under the same path makes
+    *   the marker stale and forces a wipe-and-rebuild in the next JVM —
+    *   a path-only stamp would silently serve the artifact of the OLD
+    *   data (the round-13 stale-auxiliary-state bug class, one level
+    *   up). The summary costs one recursive listing per source dir per
+    *   JVM — metadata-scale, the same cost any read's file listing
+    *   pays. Within one session the memo still short-circuits: a
+    *   session that already built an artifact keeps serving it (the
+    *   single-writer contract says nobody rewrites sources mid-run). */
+  def apply(spark: SparkSession, dir: String,
+      srcDirs: Seq[String] = Nil)(build: => Unit): Unit =
     done.synchronized {
       val built = Option(done.get(spark)).getOrElse {
         val s = scala.collection.mutable.Set.empty[String]
@@ -52,28 +65,53 @@ private[graft] object BuildOnce {
       if (!built.contains(dir)) {
         val path = new org.apache.hadoop.fs.Path(dir)
         val marker = new org.apache.hadoop.fs.Path(path, MarkerName)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (!markerMatches(fs, marker, dir)) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val fs = path.getFileSystem(conf)
+        val want = stamp(conf, dir, srcDirs)
+        if (!markerMatches(fs, marker, want)) {
           fs.delete(path, true)
           build
           val out = fs.create(marker, true)
-          try out.write(stamp(dir).getBytes("UTF-8")) finally out.close()
+          try out.write(want.getBytes("UTF-8")) finally out.close()
         }
         built.add(dir)
       }
     }
 
-  private def stamp(dir: String): String = FormatVersion + "\n" + dir
+  private def stamp(conf: org.apache.hadoop.conf.Configuration,
+      dir: String, srcDirs: Seq[String]): String =
+    (FormatVersion +: dir +:
+      srcDirs.map(s => s + "|" + srcSummary(conf, s))).mkString("\n")
+
+  /** `files:bytes:maxMtime` over a source dir tree (0:0:0 when the dir
+    * does not exist — a build whose input appears later then restamps). */
+  private def srcSummary(conf: org.apache.hadoop.conf.Configuration,
+      srcDir: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(srcDir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) "0:0:0"
+      else {
+        var nFiles = 0L; var nBytes = 0L; var maxM = 0L
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          nFiles += 1; nBytes += st.getLen
+          if (st.getModificationTime > maxM) maxM = st.getModificationTime
+        }
+        s"$nFiles:$nBytes:$maxM"
+      }
+    } catch { case _: java.io.IOException => "0:0:0" }
 
   private def markerMatches(fs: org.apache.hadoop.fs.FileSystem,
-      marker: org.apache.hadoop.fs.Path, dir: String): Boolean =
+      marker: org.apache.hadoop.fs.Path, want: String): Boolean =
     try {
       fs.exists(marker) && {
         val len = fs.getFileStatus(marker).getLen.toInt
         val buf = new Array[Byte](len)
         val in = fs.open(marker)
         try in.readFully(buf) finally in.close()
-        new String(buf, "UTF-8") == stamp(dir)
+        new String(buf, "UTF-8") == want
       }
     } catch { case _: java.io.IOException => false }
 

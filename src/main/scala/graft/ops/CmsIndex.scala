@@ -180,7 +180,7 @@ object CmsIndex {
   def cmsIncrQ(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_cms_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeCmsIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToCmsIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }

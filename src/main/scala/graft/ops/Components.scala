@@ -333,9 +333,9 @@ object Components {
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     // the same index q_dedup_incr stands up (same BuildOnce key)
     val idxDir = BuildOnce.tempDirFor("graft_neardup_idx", dir)
-    BuildOnce(spark, idxDir)(Dedup.writeNearDupIndex(corpus, idxDir))
+    BuildOnce(spark, idxDir, Seq(dir))(Dedup.writeNearDupIndex(corpus, idxDir))
     val labDir = BuildOnce.tempDirFor("graft_cluster_labels", dir)
-    BuildOnce(spark, labDir)(
+    BuildOnce(spark, labDir, Seq(dir))(
       connectedComponents(Dedup.nearDupPairs(corpus, dedupPairs = false))
         .write.mode("overwrite").parquet(labDir))
     val labels = spark.read.parquet(labDir)

@@ -567,7 +567,7 @@ object Dedup {
     val delta = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_neardup_idx", dir)
-    BuildOnce(spark, idxDir)(writeNearDupIndex(corpus, idxDir))
+    BuildOnce(spark, idxDir, Seq(dir))(writeNearDupIndex(corpus, idxDir))
     nearDupsAgainstIndex(spark, delta, idxDir)
   }
 
@@ -585,7 +585,7 @@ object Dedup {
     val delta = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_neardup_idx_forget", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeNearDupIndex(corpus, idxDir)
       forgetFromNearDupIndex(spark, idxDir,
         corpus.filter(col("doc_id") % 13 === 0).select(col("doc_id")))
@@ -780,7 +780,7 @@ object Dedup {
     val delta = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_neardup_idx", dir)
-    BuildOnce(spark, idxDir)(writeNearDupIndex(corpus, idxDir))
+    BuildOnce(spark, idxDir, Seq(dir))(writeNearDupIndex(corpus, idxDir))
     fuzzyMatchAgainstIndex(spark, delta, idxDir, corpus)
   }
 
@@ -1030,7 +1030,7 @@ object Dedup {
     val delta = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_winnow_idx", dir)
-    BuildOnce(spark, idxDir)(writeWinnowIndex(corpus, idxDir))
+    BuildOnce(spark, idxDir, Seq(dir))(writeWinnowIndex(corpus, idxDir))
     winnowAgainstIndex(spark, delta, idxDir)
   }
 
@@ -1049,7 +1049,7 @@ object Dedup {
     val delta = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_winnow_idx_forget", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeWinnowIndex(corpus, idxDir)
       forgetFromWinnowIndex(spark, idxDir,
         corpus.filter(col("doc_id") % 17 === 0).select(col("doc_id")))
@@ -1853,7 +1853,7 @@ object Dedup {
     val delta = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_span_idx", dir)
-    BuildOnce(spark, idxDir)(writeSpanIndex(corpus, idxDir))
+    BuildOnce(spark, idxDir, Seq(dir))(writeSpanIndex(corpus, idxDir))
     spanDedupAgainstIndex(spark, delta, idxDir)
   }
 
@@ -2103,7 +2103,7 @@ object Dedup {
     val delta = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_gram_idx", dir)
-    BuildOnce(spark, idxDir)(writeSubstringIndex(corpus, idxDir))
+    BuildOnce(spark, idxDir, Seq(dir))(writeSubstringIndex(corpus, idxDir))
     substringDedupAgainstIndex(spark, delta, idxDir)
   }
 
@@ -2122,7 +2122,7 @@ object Dedup {
     val delta = docs.filter(col("doc_id") % 20 === 0)
       .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_gram_idx_forget", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeSubstringIndex(corpus, idxDir)
       forgetFromSubstringIndex(spark, idxDir,
         corpus.filter(col("doc_id") % 17 === 0))

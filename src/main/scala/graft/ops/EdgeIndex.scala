@@ -109,7 +109,7 @@ object EdgeIndex {
   private def builtIndexDir(spark: SparkSession, dir: String): String = {
     val events = graft.sources.Tables.events(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_edge_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeEdgeIndex(events.filter(col("user_id") % 5 =!= 0), idxDir)
       appendToEdgeIndex(events.filter(col("user_id") % 5 === 0), idxDir)
     }
@@ -143,7 +143,7 @@ object EdgeIndex {
   def pageRankForgetQ(spark: SparkSession, dir: String): DataFrame = {
     val events = graft.sources.Tables.events(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_edge_idx_forget", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeEdgeIndex(events.filter(col("user_id") % 5 =!= 0), idxDir)
       appendToEdgeIndex(events.filter(col("user_id") % 5 === 0), idxDir)
       forgetFromEdgeIndex(spark, idxDir,

@@ -115,7 +115,7 @@ object EntityIndex {
   def entitiesIncrQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_entity_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeEntityIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToEntityIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }
@@ -128,7 +128,7 @@ object EntityIndex {
   def entityLookupQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_entity_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeEntityIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToEntityIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }

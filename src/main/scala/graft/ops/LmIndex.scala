@@ -139,7 +139,7 @@ object LmIndex {
   def ngramLmIncrQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_lm_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeLmIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToLmIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }
@@ -169,7 +169,7 @@ object LmIndex {
   def kneserNeyIncrQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_lm_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeLmIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToLmIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }
@@ -186,7 +186,7 @@ object LmIndex {
   def lmForgetQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_lm_idx_forget", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeLmIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToLmIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
       forgetFromLmIndex(spark, idxDir, docs.filter(col("doc_id") % 17 === 0))
@@ -212,7 +212,7 @@ object LmIndex {
   def driftIncrQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_lm_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeLmIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToLmIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }

@@ -320,7 +320,7 @@ object MultiModal {
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_image_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       // Bucket count sized to the corpus (÷64, clamped to [64, 65536]):
       // each bucket is a partition dir, and the probe's floor is the
       // per-dir listing/footer cost — 256 dirs for a 5k-doc fixture
@@ -625,7 +625,7 @@ object MultiModal {
       .filter(length(col("text")) >= 48)
       .select(col("doc_id"), col("text"))
     val idxDir = BuildOnce.tempDirFor("graft_audio_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       // bucket count sized to the corpus (÷64, clamped) — the image
       // index rule: per-dir listing cost floors tiny fixtures, fine
       // pruning pays at corpus scale

@@ -183,7 +183,7 @@ object PhraseIndex {
   def phraseIncrQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_phrase_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writePhraseIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToPhraseIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }
@@ -199,7 +199,7 @@ object PhraseIndex {
   def phraseForgetQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_phrase_idx_forget", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writePhraseIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToPhraseIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
       forgetFromPhraseIndex(spark, idxDir,

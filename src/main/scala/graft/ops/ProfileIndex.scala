@@ -132,7 +132,7 @@ object ProfileIndex {
     * invariance are pinned in ProfileIndexSpec. */
   def profileIncrQ(spark: SparkSession, dir: String): DataFrame = {
     val idxDir = BuildOnce.tempDirFor("profile_sketches", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       val li = Tables.lineitem(spark, dir)
       writeProfileSketches(li.filter(col("l_orderkey") % 20 =!= 0), idxDir)
       appendProfileSketches(li.filter(col("l_orderkey") % 20 === 0), idxDir)

@@ -120,7 +120,7 @@ object QuantileIndex {
   def quantileIncrQ(spark: SparkSession, dir: String): DataFrame = {
     val li = graft.sources.Tables.lineitem(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_quant_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeQuantileIndex(li.filter(col("l_orderkey") % 20 =!= 0), idxDir)
       appendToQuantileIndex(li.filter(col("l_orderkey") % 20 === 0), idxDir)
     }

@@ -139,7 +139,7 @@ object ReportIndex {
   def incrementalReportQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_report_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeReportIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToReportIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }

@@ -772,7 +772,7 @@ object SimSearch {
       dir: String): DataFrame = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_ivf_trained_idx", dir)
-    BuildOnce(spark, idxDir)(
+    BuildOnce(spark, idxDir, Seq(dir))(
       writeIvfIndexWith(emb, trainIvfCentroids(emb, iters = 2), idxDir))
     ivfTopKFromIndex(spark, idxDir,
       emb.filter(col("vec_id") < 5)

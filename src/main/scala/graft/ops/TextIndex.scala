@@ -312,7 +312,7 @@ object TextIndex {
   def boolSearchQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_text_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeTextIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToTextIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }
@@ -326,7 +326,7 @@ object TextIndex {
   def incrementalBm25Q(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_text_idx", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeTextIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToTextIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
     }
@@ -343,7 +343,7 @@ object TextIndex {
   def forgetQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_text_idx_forget", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeTextIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToTextIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
       forgetFromTextIndex(spark, idxDir,
@@ -362,7 +362,7 @@ object TextIndex {
   def forgetPurgeQ(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.sources.Tables.documents(spark, dir)
     val idxDir = BuildOnce.tempDirFor("graft_text_idx_purge", dir)
-    BuildOnce(spark, idxDir) {
+    BuildOnce(spark, idxDir, Seq(dir)) {
       writeTextIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
       appendToTextIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
       forgetFromTextIndex(spark, idxDir,

@@ -26,7 +26,7 @@ object Formats {
     * scanner. */
   def orcLineitem(spark: SparkSession, dir: String): DataFrame = {
     val orcDir = graft.ops.BuildOnce.tempDirFor("graft_orc_lineitem", dir)
-    graft.ops.BuildOnce(spark, orcDir) {
+    graft.ops.BuildOnce(spark, orcDir, Seq(dir)) {
       Tables.lineitem(spark, dir).write.mode("overwrite").orc(orcDir)
     }
     spark.read.orc(orcDir)
@@ -54,7 +54,7 @@ object Formats {
   def csvLineitem(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.lineitem(spark, dir).schema
     val csvDir = graft.ops.BuildOnce.tempDirFor("graft_csv_lineitem", dir)
-    graft.ops.BuildOnce(spark, csvDir) {
+    graft.ops.BuildOnce(spark, csvDir, Seq(dir)) {
       Tables.lineitem(spark, dir).write.mode("overwrite")
         .option("header", "true").csv(csvDir)
     }
@@ -83,7 +83,7 @@ object Formats {
   def jsonlDocuments(spark: SparkSession, dir: String): DataFrame = {
     val schema = Tables.documents(spark, dir).schema
     val jDir = graft.ops.BuildOnce.tempDirFor("graft_jsonl_documents", dir)
-    graft.ops.BuildOnce(spark, jDir) {
+    graft.ops.BuildOnce(spark, jDir, Seq(dir)) {
       Tables.documents(spark, dir).write.mode("overwrite").json(jDir)
     }
     spark.read.schema(schema).json(jDir)

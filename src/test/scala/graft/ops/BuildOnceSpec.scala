@@ -88,6 +88,54 @@ class BuildOnceSpec extends SparkSuite {
     assert(builds == 2, "a version-mismatched marker must not be trusted")
   }
 
+  test("regenerated SOURCE data under the same path stales the marker: " +
+    "wipe and rebuild (round-14 verdict: the stamp must fingerprint " +
+    "build INPUTS, not just the artifact path)") {
+    // a fake source dir standing in for /root/testdata/sfX
+    val srcDir = java.nio.file.Files.createTempDirectory("bo_src")
+    val srcFile = srcDir.resolve("data.parquet")
+    java.nio.file.Files.write(srcFile, "generation-one".getBytes("UTF-8"))
+
+    val dir = tmp("bo_input_fp")
+    var builds = 0
+    def run(): Unit = BuildOnce(spark, dir, Seq(srcDir.toString)) {
+      builds += 1; buildForget(dir)
+    }
+
+    run()
+    assert(builds == 1)
+
+    // fresh JVM, sources untouched → the marker holds, no rebuild
+    BuildOnce.resetMemo(spark)
+    run()
+    assert(builds == 1, "unchanged sources must keep the marker valid")
+
+    // the driver regenerates the source parquet IN PLACE (different
+    // bytes, same path) — a fresh JVM must see a stale stamp and
+    // wipe-and-rebuild instead of serving the old data's artifact
+    java.nio.file.Files.write(srcFile,
+      "generation-two, regenerated in place".getBytes("UTF-8"))
+    BuildOnce.resetMemo(spark)
+    run()
+    assert(builds == 2, "rewritten source data must force a rebuild")
+    assert(rows(TextIndex.bm25FromIndex(spark, dir)) ==
+      rows(Scoring.bm25Q(docs.filter(col("doc_id") % 17 =!= 0))))
+
+    // a new file appearing in the source dir is also a change
+    java.nio.file.Files.write(srcDir.resolve("extra.parquet"),
+      "late-arriving shard".getBytes("UTF-8"))
+    BuildOnce.resetMemo(spark)
+    run()
+    assert(builds == 3, "an added source file must force a rebuild")
+
+    // within ONE session the memo still short-circuits even after a
+    // source rewrite (single-writer contract: nobody rewrites sources
+    // mid-run; the fingerprint is a cross-JVM defense)
+    java.nio.file.Files.write(srcFile, "generation-three".getBytes("UTF-8"))
+    run()
+    assert(builds == 3, "the in-session memo must not re-stat sources")
+  }
+
   test("a failed build leaves no marker; the retry starts from a clean dir") {
     val dir = tmp("bo_crash")
     case class Boom() extends RuntimeException("injected build crash")
