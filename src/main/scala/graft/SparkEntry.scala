@@ -171,6 +171,7 @@ object SparkEntry {
     // the EIGHTH persisted index: additive data-card stats + content-
     // hash frequency, corpus indexed once + delta appended, report-on-read
     "q_corpus_report_incr" -> ((s, d) => graft.ops.ReportIndex.incrementalReportQ(s, d)),
+    "q_corpus_report_forget" -> ((s, d) => graft.ops.ReportIndex.reportForgetQ(s, d)),
     // the ELEVENTH persisted index: additive (count, min, max) bucket
     // histogram over the lineitem numeric lanes, quantile ENCLOSURE
     // read from the folded partials (portable floor(v/16) bucketing)
@@ -995,16 +996,20 @@ object SparkEntry {
 
   private val NgramLmOracleSql: String = ngramLmOracleSqlOver("")
 
-  private val CorpusReportOracleSql: String =
-    """WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS n_chars,
-      |CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
-      |md5(text) AS h FROM documents),
+  /** The `where` parametrization serves q_corpus_report_forget (the
+    * survivor-corpus card IS the forgotten index's ground truth). */
+  private def corpusReportOracleSqlOver(where: String = ""): String =
+    s"""WITH d AS (SELECT source, lang, CAST(length(text) AS BIGINT) AS n_chars,
+      |CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok,
+      |md5(text) AS h FROM documents $where),
       |dh AS (SELECT h, count(*) AS n_h FROM d GROUP BY h)
       |SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
       |CAST(sum(n_tok) AS BIGINT) AS total_tokens,
       |CAST(sum(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
       |FROM d JOIN dh USING (h) GROUP BY source""".stripMargin
+
+  private val CorpusReportOracleSql: String = corpusReportOracleSqlOver()
 
   /** The BPE-training oracle, generated per round count: word counts →
     * char segmentation, then k rounds of (pair count, argmax, greedy
@@ -1998,6 +2003,10 @@ object SparkEntry {
     // the incremental form reads the persisted additive index over the
     // same full corpus — the SAME report text is its ground truth
     "q_corpus_report_incr" -> CorpusReportOracleSql,
+    // deletion propagation on the data card: the index after forgetting
+    // doc_id % 17 = 0 must equal the survivor-corpus batch report
+    "q_corpus_report_forget" ->
+      corpusReportOracleSqlOver("WHERE doc_id % 17 <> 0"),
     // replay of the additive histogram enclosure: same floor(v/16)
     // buckets, same rank bracketing — additivity makes the full-table
     // replay the incremental read's ground truth

@@ -41,7 +41,7 @@ private[graft] object BuildOnce {
   /** Bump when any persisted artifact layout changes incompatibly: a
     * new engine version then treats every old /tmp artifact as foreign
     * and rebuilds from scratch instead of misreading it. */
-  private[graft] val FormatVersion = "graft-idx-v15"
+  private[graft] val FormatVersion = "graft-idx-v16"
 
   /** @param srcDirs the BUILD INPUTS — the source data dirs the build
     *   body reads. Their content summary (per-dir recursive file count,

@@ -8,8 +8,11 @@ import graft.SparkSuite
 /** Laws for the eighth persisted index (incremental corpus data card):
   * any append sequence equals the batch report over the union,
   * compaction preserves the answer and collapses the per-batch file
-  * accumulation, and a crash before a compaction swap leaves the old
-  * generation readable. */
+  * accumulation, a crash before a compaction swap leaves the old
+  * generation readable, and (round 15) right-to-be-forgotten via the
+  * in-dir negative-count ledger: forget → read == victim-free rebuild,
+  * re-forgetting is idempotent, and compaction purges ledger + zeroed
+  * rows in one swap. */
 class ReportIndexSpec extends SparkSuite {
 
   private def reportOf(df: DataFrame): Set[(String, Long, Long, Long, Long, Long)] =
@@ -43,7 +46,7 @@ class ReportIndexSpec extends SparkSuite {
     ReportIndex.compactReportIndex(spark, dir)
     assert(reportOf(ReportIndex.reportFromIndex(spark, dir)) == before)
     // one data file per touched bucket after compaction
-    val bktDirs = new java.io.File(dir + "/hashes").listFiles()
+    val bktDirs = new java.io.File(dir + "/data").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
     assert(bktDirs.nonEmpty)
     bktDirs.foreach { b =>
@@ -73,6 +76,70 @@ class ReportIndexSpec extends SparkSuite {
     val got = reportOf(ReportIndex.incrementalReportQ(spark, sf))
     val want = reportOf(TextOps.corpusReportQ(
       graft.sources.Tables.documents(spark, sf)))
+    assert(got == want)
+  }
+
+  test("forget law: netted card == victim-free rebuild; idempotent; " +
+    "compaction purges ledger and zeroed rows in one swap") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val victims = docs.filter(col("doc_id") % 17 === 0)
+    val survivors = docs.filter(col("doc_id") % 17 =!= 0)
+    assert(victims.limit(1).count() == 1, "fixture must have victims")
+    val want = reportOf(TextOps.corpusReportQ(survivors))
+
+    val dir = tmp()
+    ReportIndex.writeReportIndex(docs.filter(col("doc_id") % 2 === 0), dir,
+      hashBuckets = 8)
+    ReportIndex.appendToReportIndex(docs.filter(col("doc_id") % 2 === 1), dir)
+    ReportIndex.forgetFromReportIndex(spark, dir, victims)
+    assert(reportOf(ReportIndex.reportFromIndex(spark, dir)) == want,
+      "forgotten docs must leave totals, language inventory, and dup counts")
+
+    // idempotence: re-forgetting the same victims (plus an id never
+    // ingested) changes nothing — the registry drops them
+    ReportIndex.forgetFromReportIndex(spark, dir,
+      victims.unionByName(docs.limit(0)))
+    assert(reportOf(ReportIndex.reportFromIndex(spark, dir)) == want,
+      "a re-request must not double-subtract")
+
+    // purge: one compaction bakes corrections in and retires the ledger
+    ReportIndex.compactReportIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/data/_deletes").exists(),
+      "compaction must retire the forget ledger")
+    assert(reportOf(ReportIndex.reportFromIndex(spark, dir)) == want,
+      "the purged card must read identically")
+    // and post-purge appends keep working
+    ReportIndex.appendToReportIndex(victims, dir)
+    assert(reportOf(ReportIndex.reportFromIndex(spark, dir)) ==
+      reportOf(TextOps.corpusReportQ(docs)),
+      "re-ingesting the victims restores the full-corpus card")
+  }
+
+  test("forget request-time crash window: a kill before the ledger " +
+    "append commits NOTHING; the retry lands the full request once") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val victims = docs.filter(col("doc_id") % 17 === 0)
+    val dir = tmp()
+    ReportIndex.writeReportIndex(docs, dir, hashBuckets = 8)
+    val before = reportOf(ReportIndex.reportFromIndex(spark, dir))
+    case class Killed() extends RuntimeException("injected crash")
+    Tombstones.crashBeforeAppend = Some(_ => throw Killed())
+    try intercept[Killed](
+      ReportIndex.forgetFromReportIndex(spark, dir, victims))
+    finally Tombstones.crashBeforeAppend = None
+    assert(reportOf(ReportIndex.reportFromIndex(spark, dir)) == before,
+      "a crashed forget request must commit nothing")
+    ReportIndex.forgetFromReportIndex(spark, dir, victims)
+    assert(reportOf(ReportIndex.reportFromIndex(spark, dir)) ==
+      reportOf(TextOps.corpusReportQ(docs.filter(col("doc_id") % 17 =!= 0))),
+      "the retried request must land exactly once (no double correction)")
+  }
+
+  test("reportForgetQ equals the batch query over the survivors") {
+    val got = reportOf(ReportIndex.reportForgetQ(spark, sf))
+    val want = reportOf(TextOps.corpusReportQ(
+      graft.sources.Tables.documents(spark, sf)
+        .filter(col("doc_id") % 17 =!= 0)))
     assert(got == want)
   }
 }
