@@ -3021,15 +3021,31 @@ object SparkEntry {
         |event_type AS label FROM events) z WHERE context <> ''""".stripMargin,
     // approx MAU: oracle recomputes the exact side; the HLL law must
     // hold as a hash-equal TRUE (the q_agg_approx_distinct pattern)
+    // KMV replay: the merged bottom-k of per-day sketches over a
+    // trailing window EQUALS the k smallest distinct hashes of the
+    // whole window (any union-minimum is its own day's minimum), so
+    // the oracle computes the window sketch directly — estimate and
+    // relative error are deterministic data, not a probabilistic bound
     "q_mau_approx" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
-        |spine AS (SELECT DISTINCT day AS report_day FROM act)
-        |SELECT CAST(s.report_day AS TIMESTAMP) AS report_day,
-        |CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau_exact,
-        |TRUE AS within_3rsd
-        |FROM spine s JOIN act a
-        |ON a.day BETWEEN s.report_day - 29 AND s.report_day
-        |GROUP BY s.report_day""".stripMargin,
+        |spine AS (SELECT DISTINCT day AS report_day FROM act),
+        |ex AS (SELECT s.report_day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS mau_exact
+        |FROM spine s JOIN act a ON a.day BETWEEN s.report_day - 29 AND s.report_day
+        |GROUP BY s.report_day),
+        |wh AS (SELECT DISTINCT s.report_day,
+        |CAST(('0x'||substr(md5(CAST(a.user_id AS VARCHAR)),1,13)) AS BIGINT) AS uh
+        |FROM spine s JOIN act a ON a.day BETWEEN s.report_day - 29 AND s.report_day),
+        |rk AS (SELECT report_day, uh,
+        |row_number() OVER (PARTITION BY report_day ORDER BY uh) AS r,
+        |count(*) OVER (PARTITION BY report_day) AS nh FROM wh),
+        |sk AS (SELECT report_day, CAST(least(nh, 256) AS BIGINT) AS k_used,
+        |CASE WHEN nh < 256 THEN CAST(least(nh, 256) AS DOUBLE)
+        |ELSE 255e0 * 4503599627370496e0 / CAST(max(CASE WHEN r = 256 THEN uh END) AS DOUBLE) END AS est
+        |FROM rk WHERE r <= 256 GROUP BY report_day, nh)
+        |SELECT CAST(e.report_day AS TIMESTAMP) AS report_day, e.mau_exact,
+        |s.k_used, round(s.est, 3) AS mau_est,
+        |round(abs(s.est - e.mau_exact) / e.mau_exact, 6) AS rel_err
+        |FROM ex e JOIN sk s USING (report_day)""".stripMargin,
     // MAU: the plain BETWEEN spelling over the activity spine
     "q_mau" ->
       """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -371,44 +371,62 @@ object EventAnalytics {
   }
 
   /** The 100 TB MAU branch [[mauQ]]'s scaladoc declares, as its own
-    * gated query (q_mau_approx): per-day HLL user sketches (one
-    * mergeable sketch row per active day — datasketches `hll_sketch_agg`,
-    * the q_agg_approx_distinct machinery) are what replicate through
-    * the window explode instead of raw (user, day) rows, and each
-    * report day UNIONS its ≤ windowDays sketches — replication cost
-    * drops from ×30 on user-activity rows to ×30 on day-sized sketch
-    * rows, independent of user count. Gated the approximate-operator
-    * way: the exact twin rides in-query and the HLL error law
-    * (|est − exact| ≤ 3·rsd·exact + 1 at the default lgK=12,
-    * rsd ≈ 1.6%) is emitted AS DATA — the oracle recomputes the exact
-    * side and the law must hold as a hash-equal TRUE.
+    * gated query (q_mau_approx): per-day KMV (bottom-k) user sketches
+    * are what replicate through the window explode instead of raw
+    * (user, day) rows, and each report day MERGES its ≤ windowDays
+    * sketches (distinct-union of the hash arrays, keep the k
+    * smallest — a valid bottom-k of the window's user set, since any
+    * of the union's k smallest is among its own day's k smallest) —
+    * replication cost drops from ×windowDays on user-activity rows to
+    * ×windowDays on k-sized sketch rows, independent of user count.
     *
-    * Re-gating caveat (round-14 ADVICE): 3·rsd + 1 is a ~99.7%
-    * PROBABILISTIC bound per report day, so a NEW fixture or scale
-    * factor can legitimately produce a day outside it with no engine
-    * bug (deterministic per dataset — never flaky in CI, brittle only
-    * to fixture changes). If the gate reddens after a testdata
-    * regeneration, first check whether |est − exact| sits just past
-    * the bound on isolated days; if so the fix is re-calibrating the
-    * bound (or lgK), not the operator. */
-  def mauApproxQ(events: DataFrame, windowDays: Int = 30): DataFrame = {
+    * KMV over datasketches HLL is deliberate (round-14 ADVICE closed
+    * here): the sketch is the [[TextOps.kmvOverlapQ]] convention —
+    * 52-bit md5 prefixes (exact in Double, so the bounded-buffer
+    * ordering is lossless) with the estimator (k−1)·2^52 / h_k, exact
+    * k_used when the window holds < k hashes — a pure function of the
+    * data that DuckDB reproduces bit-identically. So the estimate AND
+    * its relative error are emitted as rounded, hash-gated DATA; no
+    * probabilistic per-day boolean remains to redden the gate on a
+    * fixture change. The error LAW (rsd ≈ 1/√(k−2) ≈ 6.3% at k=256)
+    * is pinned in EventAnalyticsSpec, not in the gate. Per-day
+    * sketches build with one map-side-combine bounded aggregate
+    * ([[graft.functions.Aggregators.TopKAgg]] over negated hashes). */
+  def mauApproxQ(events: DataFrame, windowDays: Int = 30,
+      k: Int = 256): DataFrame = {
+    import graft.functions.Aggregators.{Scored, TopKAgg}
+    graft.functions.Md5Bits.register(events.sparkSession)
+    val two52 = 4503599627370496.0 // 2^52: hash space for the KMV estimator
     val act = events
       .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
-    val daySk = act.groupBy(col("day"))
-      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val hashed = act.select(col("day"),
+      call_function(graft.functions.Md5Bits.FnName,
+        col("user_id").cast("string"), lit(0), lit(13)).as("uh"))
+    val bottomK = udaf(new TopKAgg(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
+    val daySk = hashed.groupBy(col("day"))
+      .agg(bottomK(-col("uh").cast("double"), col("uh")).as("topk"))
+      .select(col("day"), transform(col("topk"), e => e("tag")).as("sig"))
     val contrib = daySk
-      .select(col("sk"), explode(sequence(col("day"),
+      .select(col("sig"), explode(sequence(col("day"),
         date_add(col("day"), windowDays - 1), expr("interval 1 day")))
         .as("report_day"))
     val spine = act.select(col("day").as("report_day")).distinct()
     val est = contrib.join(spine, Seq("report_day"), "left_semi")
       .groupBy(col("report_day"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
-      .select(col("report_day").cast("timestamp").as("report_day"), col("est"))
+      .agg(slice(array_sort(array_distinct(flatten(
+        collect_list(col("sig"))))), 1, k).as("merged"))
+      .withColumn("k_used", size(col("merged")).cast("long"))
+      .withColumn("est",
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(two52) /
+            element_at(col("merged"), k).cast("double")))
+      .select(col("report_day").cast("timestamp").as("report_day"),
+        col("k_used"), col("est"))
     est.join(mauQ(events, windowDays), Seq("report_day"))
-      .select(col("report_day"), col("mau").as("mau_exact"),
-        (abs(col("est") - col("mau")).cast("double") <=
-          col("mau") * 0.049 + 1.0).as("within_3rsd"))
+      .select(col("report_day"), col("mau").as("mau_exact"), col("k_used"),
+        round(col("est"), 3).as("mau_est"),
+        round(abs(col("est") - col("mau")) / col("mau"), 6).as("rel_err"))
   }
 
   /** HITS hubs & authorities (q_hits, Kleinberg 1999) — the directed

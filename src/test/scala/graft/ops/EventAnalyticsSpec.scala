@@ -367,6 +367,35 @@ class EventAnalyticsSpec extends SparkSuite {
       "a 30-day window can only see more users than its last day")
   }
 
+  test("mau approx: KMV error law (rel_err well under 5/sqrt(k-2)); " +
+    "exact mode when a window holds < k users; merge == window sketch") {
+    val ev = Tables.events(spark, sf)
+    // the gate carries the estimate and rel_err as deterministic data;
+    // the LAW lives here: KMV rsd is ~1/sqrt(k-2), so 5 sigma is a
+    // generous-but-meaningful ceiling at any fixture
+    val k = 256
+    val rows = EventAnalytics.mauApproxQ(ev, k = k).collect()
+    assert(rows.nonEmpty)
+    val bound = 5.0 / math.sqrt(k - 2.0)
+    rows.foreach { r =>
+      val (exact, kUsed, est, relErr) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(relErr <= bound,
+        s"day ${r.get(0)}: rel_err $relErr breaks the 5-sigma KMV law")
+      if (kUsed < k)
+        assert(est == kUsed.toDouble && exact.toDouble == est,
+          "a window with < k hashes must report exactly (collision-free fixture)")
+    }
+    // tiny-k forces estimator mode even at the fixture (sf0.001 has
+    // 15 distinct users), and the law still holds with its wider rsd
+    val small = EventAnalytics.mauApproxQ(ev, k = 8).collect()
+    assert(small.exists(_.getLong(2) == 8L),
+      "k=8 must saturate the sketch on this fixture")
+    val wide = 5.0 / math.sqrt(8 - 2.0)
+    small.foreach(r => assert(r.getDouble(4) <= wide,
+      s"k=8 day ${r.get(0)}: rel_err ${r.getDouble(4)} breaks the law"))
+  }
+
   test("hits: star fixture separates hubs from authorities; branch parity") {
     import spark.implicits._
     // 1,2,3 all point at 9; 9 points nowhere. 9 is the pure authority
