@@ -3362,23 +3362,23 @@ object SparkEntry {
         |CAST(('0x'||substr(md5(t),1,13)) AS BIGINT) AS th FROM
         |(SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
         |FROM documents) u WHERE t <> ''),
-        |sig AS (SELECT slice, list(th ORDER BY th) AS sig, max(n_exact) AS n_exact
+        |sig AS (SELECT slice, list(th ORDER BY th) AS sig, max(n_hashes) AS n_hashes
         |FROM (SELECT slice, th,
-        |CAST(count(*) OVER (PARTITION BY slice) AS BIGINT) AS n_exact,
+        |CAST(count(*) OVER (PARTITION BY slice) AS BIGINT) AS n_hashes,
         |row_number() OVER (PARTITION BY slice ORDER BY th) AS rn FROM tok) r
         |WHERE rn <= 256 GROUP BY slice),
         |p AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
-        |a.sig AS sa, b.sig AS sb, a.n_exact AS n_a_exact, b.n_exact AS n_b_exact
+        |a.sig AS sa, b.sig AS sb, a.n_hashes AS n_a_hashes, b.n_hashes AS n_b_hashes
         |FROM sig a JOIN sig b ON a.slice < b.slice),
-        |m AS (SELECT slice_a, slice_b, n_a_exact, n_b_exact, sa, sb,
+        |m AS (SELECT slice_a, slice_b, n_a_hashes, n_b_hashes, sa, sb,
         |list_sort(list_distinct(list_concat(sa, sb)))[1:256] AS merged FROM p),
-        |e AS (SELECT slice_a, slice_b, n_a_exact, n_b_exact,
+        |e AS (SELECT slice_a, slice_b, n_a_hashes, n_b_hashes,
         |CAST(len(merged) AS BIGINT) AS k_used,
         |CAST(len(list_intersect(list_intersect(merged, sa), sb)) AS BIGINT) AS n_match,
         |round(CASE WHEN len(merged) < 256 THEN CAST(len(merged) AS DOUBLE)
         |ELSE 255.0 * 4503599627370496.0 / CAST(merged[256] AS DOUBLE) END, 3) AS union_est
         |FROM m)
-        |SELECT slice_a, slice_b, n_a_exact, n_b_exact, k_used, n_match, union_est,
+        |SELECT slice_a, slice_b, n_a_hashes, n_b_hashes, k_used, n_match, union_est,
         |round(CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
         |round(round(CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE), 6) * union_est, 3)
         |AS inter_est FROM e""".stripMargin,
@@ -3615,7 +3615,7 @@ object SparkEntry {
     // reject boolean on the ROUNDED statistic and threshold
     "q_ks_test" ->
       """WITH vx AS (SELECT source AS slice, n_chars AS x, count(*) AS c
-        |FROM documents GROUP BY 1, 2),
+        |FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
         |sz AS (SELECT slice, CAST(sum(c) AS BIGINT) AS n FROM vx GROUP BY slice),
         |pr AS (SELECT least(v.slice, o.slice) AS slice_a,
         |greatest(v.slice, o.slice) AS slice_b, v.x,

@@ -683,9 +683,14 @@ object Scoring {
   def ksTestQ(docs: DataFrame, sliceCol: String = "source",
       valueCol: String = "n_chars"): DataFrame = {
     // the grid is read twice (the pair fan-out's two inputs) — the
-    // tracked cache keeps the corpus at one scan
+    // tracked cache keeps the corpus at one scan. Null x is dropped
+    // on BOTH sides of the gate (round-14 ADVICE): an empirical CDF
+    // has no place for "no value", and Spark's NULLS FIRST window
+    // order vs DuckDB's NULLS LAST sum() OVER default would otherwise
+    // silently diverge the cumulative counts on a nullable valueCol.
     val vx = PipelineCaches.track(graft.sources.Tables.fanout(docs)
       .select(col(sliceCol).as("slice"), col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
       .groupBy(col("slice"), col("x")).agg(count(lit(1)).as("c")))
     // fan each grid row out against every OTHER slice (|slices| rows
     // broadcast), emitting the unordered pair with this row's count on

@@ -790,9 +790,12 @@ object TextOps {
     * ordering is lossless), identical to the oracle's
     * `('0x'||substr(md5(t),1,13))::BIGINT` spelling; the sketch, and
     * hence every estimate, is a pure function of the data — the gate
-    * is a plain hash match, no probabilistic bound needed. Estimators:
-    * distinct(slice) is exact here (the same aggregate counts it for
-    * the audit columns); union_est = (k−1)·2^52 / h_k over the merged
+    * is a plain hash match, no probabilistic bound needed. The audit
+    * columns n_a_hashes/n_b_hashes count DISTINCT 52-BIT PREFIXES, not
+    * distinct tokens (round-14 ADVICE: at ~2^26-token vocabularies
+    * birthday collisions start deflating them — the name says what the
+    * number is; the oracle computes identically either way). Estimators:
+    * union_est = (k−1)·2^52 / h_k over the merged
     * bottom-k (exact when the union has < k values); jaccard_est =
     * |bottom-k(A∪B) ∩ A ∩ B| / k_used; inter_est = jaccard·union.
     * Emits each unordered pair once (slice_a < slice_b; the pair join
@@ -817,14 +820,14 @@ object TextOps {
     val sigs = PipelineCaches.track(hashed
       .groupBy(col("slice"))
       .agg(bottomK(-col("th").cast("double"), col("th")).as("topk"),
-        count(lit(1)).as("n_exact")))
+        count(lit(1)).as("n_hashes")))
       // score desc = −th desc = th asc: tags come out ascending
       .select(col("slice"), transform(col("topk"), e => e("tag")).as("sig"),
-        col("n_exact"))
+        col("n_hashes"))
     val a = sigs.select(col("slice").as("slice_a"), col("sig").as("sig_a"),
-      col("n_exact").as("n_a_exact"))
+      col("n_hashes").as("n_a_hashes"))
     val b = sigs.select(col("slice").as("slice_b"), col("sig").as("sig_b"),
-      col("n_exact").as("n_b_exact"))
+      col("n_hashes").as("n_b_hashes"))
     a.join(broadcast(b), col("slice_a") < col("slice_b"))
       .withColumn("merged",
         slice(array_sort(array_union(col("sig_a"), col("sig_b"))), 1, k))
@@ -840,8 +843,8 @@ object TextOps {
         round(col("n_match").cast("double") / col("k_used").cast("double"), 6))
       .withColumn("inter_est",
         round(col("jaccard_est") * col("union_est"), 3))
-      .select(col("slice_a"), col("slice_b"), col("n_a_exact"),
-        col("n_b_exact"), col("k_used"), col("n_match"), col("union_est"),
+      .select(col("slice_a"), col("slice_b"), col("n_a_hashes"),
+        col("n_b_hashes"), col("k_used"), col("n_match"), col("union_est"),
         col("jaccard_est"), col("inter_est"))
   }
 

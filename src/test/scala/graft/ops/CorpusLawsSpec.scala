@@ -87,7 +87,7 @@ class CorpusLawsSpec extends SparkSuite {
     got.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
-  test("kmvOverlapQ: exact audit columns match; estimates within the KMV error law") {
+  test("kmvOverlapQ: hash-count audit columns match; estimates within the KMV error law") {
     val docs = Tables.documents(spark, sf)
     val sets = docs.select("source", "text").collect()
       .flatMap(r => wsToks(r.getString(1)).map(t => (r.getString(0), t)))
@@ -100,8 +100,8 @@ class CorpusLawsSpec extends SparkSuite {
       assert(a < b, "pair emitted once, ordered")
       // exact per-slice counts ride the same aggregate (52-bit hash
       // collisions would collapse counts — none on this vocab)
-      assert(r.getLong(2) == sets(a).size.toLong, s"n_a_exact for ($a,$b)")
-      assert(r.getLong(3) == sets(b).size.toLong, s"n_b_exact for ($a,$b)")
+      assert(r.getLong(2) == sets(a).size.toLong, s"n_a_hashes for ($a,$b)")
+      assert(r.getLong(3) == sets(b).size.toLong, s"n_b_hashes for ($a,$b)")
       val kUsed = r.getLong(4)
       assert(kUsed <= 256L && r.getLong(5) <= kUsed)
       val unionTrue = (sets(a) ++ sets(b)).size.toDouble
