@@ -362,6 +362,7 @@ object SparkEntry {
     // decontaminate -> substring-excise -> BPE-encode -> pack -> shard,
     // drop rows first-fail attributed, keep set as the shard manifest
     "q_e2e_corpus" -> ((s, d) => Cleaning.e2eCorpusQ(s, d)),
+    "q_e2e_corpus_incr" -> ((s, d) => Cleaning.e2eCorpusIncrQ(s, d)),
     // event-log analytics: the ordered per-user family the reference's
     // windowed counts generalize to — each pays the user_id exchange once
     "q_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables.events(s, d))),
@@ -1144,10 +1145,11 @@ object SparkEntry {
       s"SELECT CAST($r AS BIGINT) AS round, sym_a, sym_b, n_pair FROM m$r")
       .mkString("\nUNION ALL "))
 
-  private def bpeOracleSql(k: Int, finalSelect: String): String = {
+  private def bpeOracleSql(k: Int, finalSelect: String,
+      trainWhere: String = ""): String = {
     val head =
-      """w AS MATERIALIZED (SELECT t AS word, count(*) AS n FROM
-        |(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t FROM documents) u
+      s"""w AS MATERIALIZED (SELECT t AS word, count(*) AS n FROM
+        |(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents $trainWhere) u
         |WHERE t <> '' GROUP BY t),
         |seg0 AS MATERIALIZED (SELECT word, n,
         |list_transform(range(1, length(word)+1), i -> substr(word, i, 1)) AS sym FROM w)""".stripMargin
@@ -1265,6 +1267,129 @@ object SparkEntry {
       |keepers AS MATERIALIZED (SELECT c.doc_id, c.text FROM corpus c
       |JOIN lab2 USING (doc_id) WHERE lab2.reason = 'keep'),""".stripMargin + "\n" +
     s"sx AS MATERIALIZED (\n${substringOracleSql("", "keepers", "")}\n)," + "\n" +
+    """dt AS (SELECT doc_id, t AS word FROM
+      |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(clean_text)), '\s+')) AS t
+      |FROM sx) u WHERE t <> ''),
+      |dl AS MATERIALIZED (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS enc_len
+      |FROM dt JOIN enc USING (word) GROUP BY doc_id),
+      |sh AS (SELECT doc_id,
+      |CAST(('0x'||substr(md5('shard:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 16 AS shard,
+      |CAST(('0x'||substr(md5('order:' || CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) AS ok,
+      |enc_len FROM dl),
+      |pc AS (SELECT shard, doc_id, enc_len,
+      |sum(enc_len) OVER (PARTITION BY shard ORDER BY ok ASC, doc_id ASC
+      |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sh)
+      |SELECT 'drop' AS stage, reason AS key, count(*) AS n_docs,
+      |CAST(sum(n_chars) AS BIGINT) AS total,
+      |CAST(NULL AS BIGINT) AS n_seqs, CAST(NULL AS BIGINT) AS last_seq
+      |FROM lab2 WHERE reason <> 'keep' GROUP BY reason
+      |UNION ALL
+      |SELECT 'pack', CAST(shard AS VARCHAR), count(*), CAST(sum(enc_len) AS BIGINT),
+      |CAST(count(DISTINCT CAST(floor((cum - enc_len) / 512.0) AS BIGINT)) AS BIGINT),
+      |CAST(max(CAST(floor((cum - enc_len) / 512.0) AS BIGINT)) AS BIGINT)
+      |FROM pc GROUP BY shard""".stripMargin
+
+  /** The q_e2e_corpus_incr oracle tail — the steady-state replay:
+    * `corpus` is the DELTA shard only (doc_id % 20 = 0), the clean /
+    * exact-dup / contamination chains run over it unchanged, the
+    * near-dup stage spans base ∪ delta with the incremental victim
+    * rule (a delta doc pairing a base doc yields; within-delta pairs
+    * keep higher-id-yields; base–base pairs are skipped), boilerplate
+    * grams count over base ∪ delta-keepers with only keepers excised,
+    * and seg6 is the BASE-trained tokenizer (trainWhere on the BPE
+    * chain). Same output schema as the batch tail. */
+  private def e2eCorpusIncrOracleTail: String =
+    """,enc AS (SELECT word, CAST(len(sym) AS BIGINT) AS n_sym FROM seg6),
+      |corpus AS MATERIALIZED (SELECT doc_id, text, lang FROM documents
+      |WHERE doc_id >= 50 AND doc_id % 20 = 0),
+      |q AS (SELECT doc_id, CAST((n_tok >= 10
+      |AND CAST(punct AS DOUBLE)/nullif(length(text), 0) < 0.3
+      |AND CAST(stop_hits AS DOUBLE)/n_tok > 0.01) AS BIGINT) AS q_keep
+      |FROM (SELECT doc_id, text,
+      |len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tok,
+      |len(regexp_extract_all(lower(text), '[^a-z0-9\s]')) AS punct,
+      |len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |x -> x IN ('the','a','an','and','of','to','in','is','on','for'))) AS stop_hits
+      |FROM corpus) t),
+      |rtoks AS MATERIALIZED (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |FROM corpus),
+      |r2 AS (SELECT doc_id, CASE WHEN len(toks) >= 2 THEN 1.0 -
+      |CAST(len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+      |/ (len(toks) - 1) ELSE 0.0 END AS dup2 FROM rtoks),
+      |tc AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_nonempty FROM (
+      |SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS tok FROM rtoks) u
+      |WHERE tok <> '' GROUP BY doc_id, tok) g GROUP BY doc_id),
+      |r AS (SELECT r2.doc_id,
+      |CAST((CAST(top_c AS DOUBLE)/n_nonempty < 0.2 AND dup2 < 0.2) AS BIGINT) AS r_keep
+      |FROM r2 JOIN tc ON tc.doc_id = r2.doc_id),
+      |d AS (SELECT doc_id, CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY
+      |md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) THEN 1 ELSE 0 END AS is_dup
+      |FROM corpus),
+      |ev AS (SELECT DISTINCT
+      |unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+      |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+8], ' ')),1,15)) AS BIGINT))) AS shingle
+      |FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |FROM documents WHERE doc_id < 50) t WHERE len(toks) >= 8),
+      |corp AS (SELECT DISTINCT doc_id,
+      |unnest(list_transform(range(0, greatest(len(toks)-7, 0)),
+      |i -> CAST(('0x'||substr(md5(array_to_string(toks[i+1:i+8], ' ')),1,15)) AS BIGINT))) AS shingle
+      |FROM rtoks WHERE len(toks) >= 8),
+      |ct AS (SELECT doc_id FROM corp GROUP BY doc_id
+      |HAVING CAST(sum(CASE WHEN shingle IN (SELECT shingle FROM ev) THEN 1 ELSE 0 END) AS DOUBLE)
+      |/count(*) >= 0.05),
+      |lab AS MATERIALIZED (SELECT c.doc_id, length(c.text) AS n_chars,
+      |CASE WHEN c.lang <> 'en' THEN 'lang'
+      |WHEN q.q_keep = 0 THEN 'quality'
+      |WHEN coalesce(r.r_keep, 1) = 0 THEN 'repetition'
+      |WHEN d.is_dup = 1 THEN 'duplicate'
+      |WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+      |ELSE 'keep' END AS reason
+      |FROM corpus c JOIN q USING (doc_id) LEFT JOIN r USING (doc_id)
+      |JOIN d USING (doc_id) LEFT JOIN ct USING (doc_id)),
+      |ndtok AS MATERIALIZED (SELECT DISTINCT doc_id, t AS token FROM
+      |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      |FROM documents WHERE doc_id >= 50) u WHERE t <> ''),
+      |ndsig AS (SELECT doc_id,
+      |min(CAST(('0x'||substr(md5('0:' || token),1,15)) AS BIGINT)) AS h0,
+      |min(CAST(('0x'||substr(md5('0:' || token),17,15)) AS BIGINT)) AS h1,
+      |min(CAST(('0x'||substr(md5('1:' || token),1,15)) AS BIGINT)) AS h2,
+      |min(CAST(('0x'||substr(md5('1:' || token),17,15)) AS BIGINT)) AS h3,
+      |min(CAST(('0x'||substr(md5('2:' || token),1,15)) AS BIGINT)) AS h4,
+      |min(CAST(('0x'||substr(md5('2:' || token),17,15)) AS BIGINT)) AS h5,
+      |min(CAST(('0x'||substr(md5('3:' || token),1,15)) AS BIGINT)) AS h6,
+      |min(CAST(('0x'||substr(md5('3:' || token),17,15)) AS BIGINT)) AS h7
+      |FROM ndtok GROUP BY doc_id),
+      |ndbands AS (SELECT doc_id, 0 AS band, h0 AS b0, h1 AS b1 FROM ndsig
+      |UNION ALL SELECT doc_id, 1, h2, h3 FROM ndsig
+      |UNION ALL SELECT doc_id, 2, h4, h5 FROM ndsig
+      |UNION ALL SELECT doc_id, 3, h6, h7 FROM ndsig),
+      |ndcand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM ndbands a
+      |JOIN ndbands b ON a.band = b.band AND a.b0 = b.b0 AND a.b1 = b.b1
+      |AND a.doc_id < b.doc_id
+      |WHERE a.doc_id % 20 = 0 OR b.doc_id % 20 = 0),
+      |ndtokh AS MATERIALIZED (SELECT DISTINCT doc_id,
+      |CAST(('0x'||substr(md5(token),1,15)) AS BIGINT) AS th FROM ndtok),
+      |ndsizes AS (SELECT doc_id, count(*) AS n_tok FROM ndtokh GROUP BY doc_id),
+      |ndcommon AS MATERIALIZED (SELECT c.doc_a, c.doc_b, count(*) AS n_common FROM ndcand c
+      |JOIN ndtokh ta ON ta.doc_id = c.doc_a
+      |JOIN ndtokh tb ON tb.doc_id = c.doc_b AND tb.th = ta.th
+      |GROUP BY c.doc_a, c.doc_b),
+      |ndvict AS MATERIALIZED (SELECT DISTINCT vic AS doc_id FROM (
+      |SELECT CASE WHEN c.doc_a % 20 = 0 AND c.doc_b % 20 <> 0 THEN c.doc_a
+      |WHEN c.doc_b % 20 = 0 AND c.doc_a % 20 <> 0 THEN c.doc_b
+      |ELSE c.doc_b END AS vic FROM ndcommon c
+      |JOIN ndsizes sa ON sa.doc_id = c.doc_a JOIN ndsizes sb ON sb.doc_id = c.doc_b
+      |WHERE CAST(c.n_common AS DOUBLE)/(sa.n_tok + sb.n_tok - c.n_common) >= 0.5) v
+      |WHERE vic % 20 = 0),
+      |lab2 AS MATERIALIZED (SELECT lab.doc_id, lab.n_chars,
+      |CASE WHEN lab.reason IN ('keep','contaminated') AND v.doc_id IS NOT NULL
+      |THEN 'near_duplicate' ELSE lab.reason END AS reason
+      |FROM lab LEFT JOIN ndvict v USING (doc_id)),
+      |keepers AS MATERIALIZED (SELECT c.doc_id, c.text FROM corpus c
+      |JOIN lab2 USING (doc_id) WHERE lab2.reason = 'keep'),""".stripMargin + "\n" +
+    s"sx AS MATERIALIZED (\n${substringOracleSql(
+      "sxsrc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 50 AND doc_id % 20 <> 0 UNION ALL SELECT doc_id, text FROM keepers),",
+      "sxsrc", "WHERE t.doc_id % 20 = 0")}\n)," + "\n" +
     """dt AS (SELECT doc_id, t AS word FROM
       |(SELECT doc_id, unnest(regexp_split_to_array(lower(trim(clean_text)), '\s+')) AS t
       |FROM sx) u WHERE t <> ''),
@@ -2050,6 +2175,11 @@ object SparkEntry {
     // the clean-verdict, near-dup, excision and pack tails (see
     // e2eCorpusOracleTail) — every stage text reused from its own gate
     "q_e2e_corpus" -> bpeOracleSql(6, e2eCorpusOracleTail),
+    // the steady-state replay: delta-only report, base-trained
+    // tokenizer, near-dup over the union with the incremental victim
+    // rule, grams over base + keepers
+    "q_e2e_corpus_incr" -> bpeOracleSql(6, e2eCorpusIncrOracleTail,
+      "WHERE doc_id >= 50 AND doc_id % 20 <> 0"),
     "q_tokenize_pack" -> bpeOracleSql(6,
       """,enc AS (SELECT word, CAST(len(sym) AS BIGINT) AS n_sym FROM seg6),
         |dt AS (SELECT doc_id, t AS word FROM

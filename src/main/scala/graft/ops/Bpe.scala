@@ -177,6 +177,46 @@ object Bpe {
       .agg(sum(col("n_sym")).as("enc_len"))
   }
 
+  /** Persist the frozen-tokenizer artifact: the (word → n_sym) encode
+    * table under merges trained on `trainDocs`. This is what makes a
+    * production delta batch's encode cost independent of the training
+    * corpus — induction (one corpus shuffle + k vocab-bounded rounds)
+    * happens once at write time; every later batch broadcasts the
+    * vocab-bounded table ([[encodedLengthsFromIndex]]) and never
+    * touches the training text again. Same OOV convention as
+    * [[encodedLengths]]: a word absent from the training vocabulary
+    * contributes nothing (the declared engine-side stand-in for
+    * byte-fallback). */
+  def writeEncoder(trainDocs: DataFrame, dir: String, k: Int = 6): Unit = {
+    val spark = trainDocs.sparkSession
+    val words = wordCounts(trainDocs)
+    val rules = trainMerges(words, k)
+    graft.functions.BpeSegment.register(spark)
+    val sym = segmented("word", rules.toList.map(t => (t._2, t._3)))
+    words.select(col("word"), size(sym).cast("long").as("n_sym"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/enc")
+  }
+
+  /** Per-doc encoded length of `docs` under the persisted encoder —
+    * the steady-state read: one broadcast of the vocab-bounded table,
+    * no training-corpus access. */
+  def encodedLengthsFromIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, docs: DataFrame): DataFrame = {
+    val enc = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_sym",
+        org.apache.spark.sql.types.LongType))))
+      .parquet(s"$dir/enc")
+    graft.sources.Tables.fanout(docs)
+      .select(col("doc_id"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("enc_len"))
+  }
+
   /** [[tokenizePackQ]] over an arbitrary documents frame (the
     * ScaleSmoke amplification entry point). */
   def tokenizePack(docs: DataFrame, k: Int = 6,

@@ -207,4 +207,93 @@ object Cleaning {
         col("n_docs"), col("total"), col("n_seqs"), col("last_seq"))
     drops.unionByName(packs)
   }
+
+  /** Declared query q_e2e_corpus_incr — the STEADY-STATE form of
+    * [[e2eCorpusQ]], the artifact a production crawl actually runs: a
+    * new shard (doc_id % 20 = 0) arrives and emits the same drop/pack
+    * report for the delta only, riding three persisted artifacts built
+    * once over the base crawl (doc_id % 20 ≠ 0):
+    *
+    *  - the MinHash near-dup inverted file (q_dedup_incr's index) —
+    *    cross near-dups via the bucket-pruned [[Dedup.nearDupsAgainstIndex]]
+    *    lookup; a delta doc pairing with ANY base doc yields (the base
+    *    is already shipped), within-delta pairs keep the batch
+    *    higher-id-yields rule;
+    *  - the substring gram-frequency index (q_substring_dedup_incr's) —
+    *    boilerplate totals = base gram counts + the delta survivors'
+    *    own, excision via [[Dedup.substringDedupAgainstIndex]];
+    *  - the frozen BPE encoder ([[Bpe.writeEncoder]]) — the tokenizer
+    *    is induced on the base crawl once and APPLIED to every later
+    *    shard (vocab-bounded broadcast; an OOV word contributes
+    *    nothing, the declared convention).
+    *
+    * Attribution-order deltas vs the batch form, both forced by
+    * incrementality: 'duplicate' covers only WITHIN-shard exact dups
+    * (a delta text exactly duplicating a base doc is caught as
+    * 'near_duplicate' — identical token sets share every band, so the
+    * index lookup reports it at Jaccard 1.0; the batch corpus-wide
+    * norm-hash window would need a base re-scan), and the tokenizer is
+    * base-trained rather than raw-union-trained.
+    *
+    * Scale shape: every delta-time stage is shard-sized or
+    * artifact-lookup-sized — per-row clean signals in one delta scan,
+    * LSH and gram lookups bucket-pruned above the size gate, the
+    * encode table vocab-bounded — and the base DOCUMENTS are never
+    * re-read (CleaningSpec pins that structurally: the report's input
+    * files exclude the base docs source). Delta cost is therefore
+    * independent of how much corpus the loop already shipped. */
+  def e2eCorpusIncrQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs
+      .filter(col("doc_id") >= 50 && col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val ndDir = BuildOnce.tempDirFor("graft_e2e_nd_idx", dir)
+    BuildOnce(spark, ndDir, Seq(dir))(Dedup.writeNearDupIndex(base, ndDir))
+    val gramDir = BuildOnce.tempDirFor("graft_e2e_gram_idx", dir)
+    BuildOnce(spark, gramDir, Seq(dir))(Dedup.writeSubstringIndex(base, gramDir))
+    val bpeDir = BuildOnce.tempDirFor("graft_e2e_bpe", dir)
+    BuildOnce(spark, bpeDir, Seq(dir))(Bpe.writeEncoder(base, bpeDir, k = 6))
+    e2eCorpusIncrOf(docs.filter(col("doc_id") < 50),
+      docs.filter(col("doc_id") >= 50 && col("doc_id") % 20 === 0),
+      ndDir, gramDir, bpeDir)
+  }
+
+  /** [[e2eCorpusIncrQ]]'s delta pass over explicit frames and artifact
+    * dirs — the CleaningSpec no-base-rescan entry point. */
+  private[graft] def e2eCorpusIncrOf(evalDocs: DataFrame, delta: DataFrame,
+      ndDir: String, gramDir: String, bpeDir: String): DataFrame = {
+    val spark = delta.sparkSession
+    val verdicts = PipelineCaches.track(cleanVerdictsOf(evalDocs, delta))
+    val cross = Dedup.nearDupsAgainstIndex(spark,
+      delta.select(col("doc_id"), col("text")), ndDir)
+      .select(col("doc_a").as("doc_id"))
+    val internal = Dedup.nearDupPairs(delta.select(col("doc_id"), col("text")))
+      .select(col("doc_b").as("doc_id"))
+    val victims = cross.unionByName(internal).distinct()
+    val staged = PipelineCaches.track(verdicts
+      .join(victims.withColumn("is_nd", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        when(col("reason").isin("keep", "contaminated") && col("is_nd"),
+          lit("near_duplicate")).otherwise(col("reason")).as("reason")))
+    val drops = staged.filter(col("reason") =!= "keep")
+      .groupBy(col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total"))
+      .select(lit("drop").as("stage"), col("reason").as("key"),
+        col("n_docs"), col("total"),
+        lit(null).cast("long").as("n_seqs"), lit(null).cast("long").as("last_seq"))
+    val keepers = delta.join(
+      staged.filter(col("reason") === "keep").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.substringDedupAgainstIndex(spark,
+      keepers.select(col("doc_id"), col("text")), gramDir)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val encLens = Bpe.encodedLengthsFromIndex(spark, bpeDir, cleaned)
+    val packs = Sampling.packSequencesOn(encLens, col("enc_len"), 512)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("total"),
+        count_distinct(col("bin")).as("n_seqs"), max(col("bin")).as("last_seq"))
+      .select(lit("pack").as("stage"), col("shard").cast("string").as("key"),
+        col("n_docs"), col("total"), col("n_seqs"), col("last_seq"))
+    drops.unionByName(packs)
+  }
 }
