@@ -363,6 +363,12 @@ object SparkEntry {
     // drop rows first-fail attributed, keep set as the shard manifest
     "q_e2e_corpus" -> ((s, d) => Cleaning.e2eCorpusQ(s, d)),
     "q_e2e_corpus_incr" -> ((s, d) => Cleaning.e2eCorpusIncrQ(s, d)),
+    // tombstone-debt observability across the persisted indexes: pure
+    // driver-side metadata (footer row counts + null stats), zero Spark
+    // jobs. No oracleSql on purpose — the readout is engine-internal
+    // state (artifact files, timestamps); exact debt laws are pinned in
+    // ForgetAuditSpec, the driver records the rows-only check.
+    "q_forget_audit" -> ((s, d) => graft.ops.ForgetAudit.forgetAuditQ(s, d)),
     // event-log analytics: the ordered per-user family the reference's
     // windowed counts generalize to — each pays the user_id exchange once
     "q_sessionize" -> ((s, d) => EventAnalytics.sessionize(Tables.events(s, d))),

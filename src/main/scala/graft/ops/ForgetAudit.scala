@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Tombstone-debt observability across the persisted indexes
+  * (round-15, VERDICT item 7): one call answers "how much forget debt
+  * is outstanding, per index?" so an operator can schedule compactions
+  * from a dashboard instead of spelunking /tmp dirs.
+  *
+  * PURE METADATA READS — no Spark job, no data-dir scan: file listings
+  * ride the driver-side FS client, row counts come from parquet FOOTER
+  * block metadata, and the victim/correction split comes from the
+  * footer's per-column null-count statistics on the ledger's `doc_id`
+  * column (registry rows carry the victim id, correction rows a null —
+  * the [[ForgetLedger]] contract). Ledgers are request-sized and data
+  * dirs are compaction-bounded, so the whole audit is O(files), the
+  * same cost class as the listing any read pays.
+  *
+  * Layout autodetection keeps it index-agnostic across both forget
+  * families: a `deletes` subdir is a [[Tombstones]] table (every row a
+  * victim), a `_deletes` dir anywhere under the index is an in-dir
+  * negative-correction [[ForgetLedger]]; everything else under the
+  * index dir is live data. Reading the debt:
+  *  - `tombstoned_victims` / `correction_rows` > 0 → a compaction of
+  *    that index will purge (physical erasure is owed);
+  *  - a wide `oldest_live_ts` → `newest_live_ts` gap → appends have
+  *    accumulated since the last compaction (compaction rewrites every
+  *    file, so right after one the gap is ~0 — the oldest timestamp IS
+  *    the last-compaction proxy).
+  */
+object ForgetAudit {
+
+  private case class Row1(index: String, live_files: Long, live_bytes: Long,
+      live_rows: Long, tombstoned_victims: Long, correction_rows: Long,
+      ledger_bytes: Long, oldest_live_ts: Long, newest_live_ts: Long)
+
+  /** Footer row count + doc_id null count of one parquet file. */
+  private def footerCounts(conf: org.apache.hadoop.conf.Configuration,
+      p: Path): (Long, Long) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks
+      var rows = 0L; var nulls = 0L
+      val it = blocks.iterator()
+      while (it.hasNext) {
+        val b = it.next()
+        rows += b.getRowCount
+        val cit = b.getColumns.iterator()
+        while (cit.hasNext) {
+          val c = cit.next()
+          if (c.getPath.toDotString == "doc_id") {
+            val st = c.getStatistics
+            if (st != null && st.isNumNullsSet) nulls += st.getNumNulls
+          }
+        }
+      }
+      (rows, nulls)
+    } finally r.close()
+  }
+
+  /** Audit one index dir; absent dir → all-zero row (an index that
+    * never built is healthy, not an error). */
+  private def auditOne(spark: SparkSession, name: String,
+      dir: String): Row1 = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root))
+      return Row1(name, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    var liveFiles = 0L; var liveBytes = 0L; var liveRows = 0L
+    var victims = 0L; var corrections = 0L; var ledgerBytes = 0L
+    var oldest = Long.MaxValue; var newest = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val s = p.toString
+      val inTombstones = s.contains("/deletes/")
+      val inLedger = s.contains("/_deletes/")
+      if (p.getName.endsWith(".parquet") || inTombstones || inLedger) {
+        if (inTombstones || inLedger) {
+          ledgerBytes += st.getLen
+          if (p.getName.endsWith(".parquet")) {
+            val (rows, nulls) = footerCounts(conf, p)
+            // tombstone tables have no null ids; ledger registry rows
+            // carry the id, correction rows a null — one rule covers both
+            victims += rows - nulls
+            corrections += nulls
+          }
+        } else {
+          liveFiles += 1; liveBytes += st.getLen
+          val (rows, _) = footerCounts(conf, p)
+          liveRows += rows
+          if (st.getModificationTime < oldest) oldest = st.getModificationTime
+          if (st.getModificationTime > newest) newest = st.getModificationTime
+        }
+      }
+    }
+    Row1(name, liveFiles, liveBytes, liveRows, victims, corrections,
+      ledgerBytes, if (oldest == Long.MaxValue) 0L else oldest, newest)
+  }
+
+  /** The audit frame: one row per (name, dir), columns as in [[Row1]].
+    * Driver-side construction — the result is a LocalRelation whose
+    * size is |indexes|, never data-scale. */
+  def forgetAudit(spark: SparkSession,
+      indexes: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    indexes.map { case (n, d) => auditOne(spark, n, d) }
+      .toDF("index", "live_files", "live_bytes", "live_rows",
+        "tombstoned_victims", "correction_rows", "ledger_bytes",
+        "oldest_live_ts", "newest_live_ts")
+  }
+
+  /** Declared query q_forget_audit (rows-only gate — timestamps and
+    * byte counts are environment-dependent): stand up one index from
+    * each forget family over the fixture corpus — the BM25 text index
+    * (tombstone family) and the bigram-LM count store (in-dir
+    * negative-correction family) — forget doc_id % 17 = 0 on both, and
+    * audit. The numeric debt columns are pinned exactly in
+    * ForgetAuditSpec; this query is the operator-facing readout. */
+  def forgetAuditQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val victims = docs.filter(
+      org.apache.spark.sql.functions.col("doc_id") % 17 === 0)
+    val txtDir = BuildOnce.tempDirFor("graft_audit_text", dir)
+    BuildOnce(spark, txtDir, Seq(dir)) {
+      TextIndex.writeTextIndex(docs, txtDir)
+      TextIndex.forgetFromTextIndex(spark, txtDir, victims.select("doc_id"))
+    }
+    val lmDir = BuildOnce.tempDirFor("graft_audit_lm", dir)
+    BuildOnce(spark, lmDir, Seq(dir)) {
+      LmIndex.writeLmIndex(docs, lmDir)
+      LmIndex.forgetFromLmIndex(spark, lmDir, victims)
+    }
+    forgetAudit(spark, Seq("text_bm25" -> txtDir, "lm_bigram" -> lmDir))
+  }
+}
