@@ -31,6 +31,30 @@ object ScaleSmoke {
         regexp_replace(lower(col("text")), "(\\S+)", s"c${c}q$$1").as("text"))
     }.reduce(_ unionAll _)
 
+  /** Survivable synthetic corpus for the e2e pack-tail probes: per doc
+    * 30 pseudo-random picks from a 997-word shared vocabulary (expected
+    * pairwise Jaccard ≈ 0.02 — near-dup keeps everything), one leading
+    * stopword (quality passes), and one fixed 10-token boilerplate
+    * sentence every doc shares (the substring stage excises real work
+    * without creating near-dups: 11 shared of ~70 union stays « 0.5).
+    * Copies get disjoint id ranges; the first 50 ids of each copy are
+    * the per-copy eval split (the existing amplification convention). */
+  def survivableCorpus(spark: SparkSession, nPerCopy: Long, k: Int): DataFrame =
+    (0 until k).map { c =>
+      spark.range(nPerCopy).select(
+        (col("id") + lit(c.toLong * 10_000_000L)).as("doc_id"))
+        .select(col("doc_id"), concat_ws(" ",
+          (lit("the") +: (0 until 30).map(i =>
+            concat(lit("w"), pmod(hash(col("doc_id"), lit(i)), lit(997))))) :+
+            // the eval split must NOT carry the boilerplate run, or its
+            // shingles would flag every corpus doc contaminated
+            when(col("doc_id") % 10_000_000L >= 50,
+              lit("standard legal boilerplate footer text applies to " +
+                "every document published here")).otherwise(lit("")): _*)
+          .as("text"),
+        lit("en").as("lang"))
+    }.reduce(_ unionAll _)
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val ks = args.drop(1).headOption.getOrElse("1,4,16").split(",").map(_.toInt)
@@ -310,6 +334,45 @@ object ScaleSmoke {
         col("doc_id") % 10_000_000L < 50))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // e2e PACK TAIL under amplification (round-15, closes the r14
+      // evidence gap): the fixture corpus is so self-similar that every
+      // amplified doc drops before packing, so the tail stages ran on
+      // ~nothing. This probe generates a SURVIVABLE corpus — per-doc
+      // pseudo-random token picks from a shared vocab (pairwise J « 0.5,
+      // so near-dup keeps them) plus one fixed boilerplate sentence in
+      // every doc (the gram stage excises real work) — and the pack/
+      // shard stages therefore process ~the whole corpus at every k.
+      run("e2e_pack", graft.ops.Cleaning.e2eCorpusOf(
+        survivableCorpus(spark, 5000L, k),
+        col("doc_id") % 10_000_000L < 50))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // e2e STEADY STATE: artifacts built over the k-scaled base
+      // (untimed — that cost is the once-per-crawl induction), then the
+      // SAME fixed-size delta shard reported against each k's
+      // artifacts. Flat wall clock across k is the delta-cost-
+      // independent-of-base-size evidence for q_e2e_corpus_incr.
+      if (only.forall(_.contains("e2e_incr"))) {
+        val surv = survivableCorpus(spark, 5000L, k)
+        val evalD = surv.filter(col("doc_id") % 10_000_000L < 50)
+        val delta = surv.filter(col("doc_id") >= 50 && col("doc_id") < 550)
+        val baseD = surv.filter(col("doc_id") % 10_000_000L >= 50)
+          .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("text"))
+        val r = s"/tmp/graft_scale_e2e_incr_k$k"
+        val fs = new org.apache.hadoop.fs.Path(r)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(r), true)
+        Dedup.writeNearDupIndex(baseD, s"$r/nd")
+        Dedup.writeSubstringIndex(baseD, s"$r/gram")
+        graft.ops.Bpe.writeEncoder(baseD, s"$r/bpe", k = 6)
+        graft.ops.PipelineCaches.release(spark)
+        spark.sharedState.cacheManager.clearCache()
+        run("e2e_incr", graft.ops.Cleaning.e2eCorpusIncrOf(
+          evalD, delta, s"$r/nd", s"$r/gram", s"$r/bpe"))
+        graft.ops.PipelineCaches.release(spark)
+        spark.sharedState.cacheManager.clearCache()
+      }
       // KMV sketch overlap: the one shuffle carries <= k rows per slice
       // no matter the corpus (bounded map-side-combine aggregate) — the
       // probe's job is showing wall clock tracks the token scan, not
@@ -320,6 +383,21 @@ object ScaleSmoke {
       // Heaps curve: two corpus-token aggregates + a 100-row window —
       // must track the token count with no global per-doc sort
       run("heaps", graft.ops.TextOps.heapsQ(docs))
+      spark.sharedState.cacheManager.clearCache()
+      // KS two-sample: the corpus collapses to the (slice, x) count
+      // grid in one shuffle; the CDF windows then sort |pairs|·|grid|
+      // rows, never documents — wall clock must track the scan
+      run("ks_test", graft.ops.Scoring.ksTestQ(
+        docs.withColumn("source", concat(lit("s"), col("doc_id") % 4))
+          .withColumn("n_chars", length(col("text")).cast("long"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // JS source drift: one token-keyed shuffle for the common-token
+      // pair rows + slice-keyed scalar aggregates (no per-pair
+      // full-outer joins) — same must-track-the-scan posture
+      run("source_drift", graft.ops.TextOps.sourceDriftQ(
+        docs.withColumn("source", concat(lit("s"), col("doc_id") % 4))))
+      graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
     }
     spark.stop()
