@@ -32,25 +32,33 @@ object ScaleSmoke {
     }.reduce(_ unionAll _)
 
   /** Survivable synthetic corpus for the e2e pack-tail probes: per doc
-    * 30 pseudo-random picks from a 997-word shared vocabulary (expected
-    * pairwise Jaccard ≈ 0.02 — near-dup keeps everything), one leading
-    * stopword (quality passes), and one fixed 10-token boilerplate
-    * sentence every doc shares (the substring stage excises real work
-    * without creating near-dups: 11 shared of ~70 union stays « 0.5).
-    * Copies get disjoint id ranges; the first 50 ids of each copy are
-    * the per-copy eval split (the existing amplification convention). */
+    * 30 pseudo-random picks from a per-copy 997-word vocabulary
+    * (expected pairwise Jaccard ≈ 0.02 within a copy — near-dup keeps
+    * everything), one leading stopword (quality passes), and one fixed
+    * per-copy 10-token boilerplate sentence (the substring stage
+    * excises real work without creating near-dups: 11 shared of ~70
+    * union stays « 0.5). Random AND boilerplate tokens are COPY-
+    * PREFIXED — the amplify() disjoint-vocab convention — or minhash
+    * band collisions between copies grow the candidate set
+    * quadratically in k (first cut of this probe measured exactly
+    * that: 6× wall for 4× data). The shared bare stopword is safe:
+    * P(it is the min for both docs) ≈ (1/41)² per hash. Copies get
+    * disjoint id ranges; the first 50 ids of each copy are the
+    * per-copy eval split, generated WITHOUT the boilerplate run (its
+    * shingles would flag every corpus doc contaminated). */
   def survivableCorpus(spark: SparkSession, nPerCopy: Long, k: Int): DataFrame =
     (0 until k).map { c =>
+      val bp = ("standard legal boilerplate footer text applies to " +
+        "every document published here").split(" ")
+        .map(w => s"c${c}q$w").mkString(" ")
       spark.range(nPerCopy).select(
         (col("id") + lit(c.toLong * 10_000_000L)).as("doc_id"))
         .select(col("doc_id"), concat_ws(" ",
           (lit("the") +: (0 until 30).map(i =>
-            concat(lit("w"), pmod(hash(col("doc_id"), lit(i)), lit(997))))) :+
-            // the eval split must NOT carry the boilerplate run, or its
-            // shingles would flag every corpus doc contaminated
-            when(col("doc_id") % 10_000_000L >= 50,
-              lit("standard legal boilerplate footer text applies to " +
-                "every document published here")).otherwise(lit("")): _*)
+            concat(lit(s"c${c}qw"),
+              pmod(hash(col("doc_id"), lit(i)), lit(997))))) :+
+            when(col("doc_id") % 10_000_000L >= 50, lit(bp))
+              .otherwise(lit("")): _*)
           .as("text"),
         lit("en").as("lang"))
     }.reduce(_ unionAll _)

@@ -64,6 +64,10 @@ object PlanAllowances {
     // broadcast) plus the BPE-train scalar broadcasts — same declared
     // shapes, one query
     "q_e2e_corpus",
+    // the steady-state form keeps corpusClean's one-row eval-shingle
+    // broadcast on the DELTA scan; the artifact lookups are equi-keyed
+    // (bands/grams/vocab joins), no new BNLJ class
+    "q_e2e_corpus_incr",
     // hard-negative mining is q_sim_topk's anchor-block broadcast with
     // the label-differs predicate riding the same join; the IVF form
     // adds the 16-row centroid broadcast for the cell assignment (the
