@@ -451,6 +451,10 @@ object SparkEntry {
     // intersection estimated from the sketches alone — deterministic
     // md5 hashes, so the estimates hash-gate exactly
     "q_source_overlap_kmv" -> ((s, d) => TextOps.kmvOverlapQ(Tables.documents(s, d))),
+    // the SEVENTEENTH persisted index: per-slice bottom-k sketches,
+    // overlap read from the store (merge law: bottom-k of a union ==
+    // k smallest of the shards' bottom-k union)
+    "q_source_overlap_incr" -> ((s, d) => graft.ops.KmvIndex.sourceOverlapIncrQ(s, d)),
     // Jensen–Shannon divergence between per-source unigram
     // distributions — the distribution-shift audit data-mixing keys on
     "q_source_drift" -> ((s, d) => TextOps.sourceDriftQ(Tables.documents(s, d))),
@@ -3515,6 +3519,38 @@ object SparkEntry {
         |ELSE 255.0 * 4503599627370496.0 / CAST(merged[256] AS DOUBLE) END, 3) AS union_est
         |FROM m)
         |SELECT slice_a, slice_b, n_a_hashes, n_b_hashes, k_used, n_match, union_est,
+        |round(CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
+        |round(round(CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE), 6) * union_est, 3)
+        |AS inter_est FROM e""".stripMargin,
+    // the index replay: per-slice k-smallest over the FULL corpus (the
+    // merge law makes that the ground truth for any doc-complete
+    // append split), per-slice cardinality as the KMV estimate
+    // (n_a_est/n_b_est — the store never re-touches raw text), then
+    // the same pair estimators as q_source_overlap_kmv
+    "q_source_overlap_incr" ->
+      """WITH tok AS (SELECT DISTINCT source AS slice,
+        |CAST(('0x'||substr(md5(t),1,13)) AS BIGINT) AS th FROM
+        |(SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> ''),
+        |rk AS (SELECT slice, th,
+        |row_number() OVER (PARTITION BY slice ORDER BY th) AS rn,
+        |count(*) OVER (PARTITION BY slice) AS nh FROM tok),
+        |sig AS (SELECT slice, list(th ORDER BY th) AS sig,
+        |round(CASE WHEN max(nh) < 256 THEN CAST(max(nh) AS DOUBLE)
+        |ELSE 255e0 * 4503599627370496e0 / CAST(max(CASE WHEN rn = 256 THEN th END) AS DOUBLE) END, 3) AS n_est
+        |FROM rk WHERE rn <= 256 GROUP BY slice),
+        |p AS (SELECT a.slice AS slice_a, b.slice AS slice_b,
+        |a.sig AS sa, b.sig AS sb, a.n_est AS n_a_est, b.n_est AS n_b_est
+        |FROM sig a JOIN sig b ON a.slice < b.slice),
+        |m AS (SELECT slice_a, slice_b, n_a_est, n_b_est, sa, sb,
+        |list_sort(list_distinct(list_concat(sa, sb)))[1:256] AS merged FROM p),
+        |e AS (SELECT slice_a, slice_b, n_a_est, n_b_est,
+        |CAST(len(merged) AS BIGINT) AS k_used,
+        |CAST(len(list_intersect(list_intersect(merged, sa), sb)) AS BIGINT) AS n_match,
+        |round(CASE WHEN len(merged) < 256 THEN CAST(len(merged) AS DOUBLE)
+        |ELSE 255e0 * 4503599627370496e0 / CAST(merged[256] AS DOUBLE) END, 3) AS union_est
+        |FROM m)
+        |SELECT slice_a, slice_b, n_a_est, n_b_est, k_used, n_match, union_est,
         |round(CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE), 6) AS jaccard_est,
         |round(round(CAST(n_match AS DOUBLE) / CAST(k_used AS DOUBLE), 6) * union_est, 3)
         |AS inter_est FROM e""".stripMargin,
