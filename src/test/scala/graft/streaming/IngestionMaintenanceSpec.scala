@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{CmsIndex, Dedup, EntityIndex, LmIndex, MultiModal, PhraseIndex, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, Scoring, SimSearch, TextIndex}
+import graft.ops.{CmsIndex, Dedup, EntityIndex, KmvIndex, LmIndex, MultiModal, PhraseIndex, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, Scoring, SimSearch, TextIndex}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -65,7 +65,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       substring(col("text"), 1, 1).as("l_returnflag"),
       lit("O").as("l_linestatus"))
 
-  test("one MemoryStream loop: append all FIFTEEN indexes per batch, compact on cadence, probe == rebuild") {
+  test("one MemoryStream loop: append all SIXTEEN mergeable indexes per batch, compact on cadence, probe == rebuild") {
     val nearDir = tmp("ingest_near")
     val spanDir = tmp("ingest_span")
     val ivfDir = tmp("ingest_ivf")
@@ -82,6 +82,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
     val phrDir = tmp("ingest_phr")
     val audDir = tmp("ingest_aud")
     val entDir = tmp("ingest_ent")
+    val kmvDir = tmp("ingest_kmv")
     val seedIds = 1L to 30L
     val seed = docsDF(seedIds)
     Dedup.writeNearDupIndex(seed, nearDir)
@@ -99,6 +100,8 @@ class IngestionMaintenanceSpec extends SparkSuite {
     PhraseIndex.writePhraseIndex(seed, phrDir)
     MultiModal.writeAudioIndex(seed, audDir)
     EntityIndex.writeEntityIndex(seed, entDir)
+    // k=16 so the tiny fixture saturates the sketch (estimator mode)
+    KmvIndex.writeKmvIndex(repOf(seed), kmvDir, k = 16)
     // cell geometry must stay FIXED across the loop (appendToIvfIndex's
     // contract) — rebuilds reuse the stored centroids
     val centroids = spark.read.parquet(s"$ivfDir/centroids")
@@ -151,8 +154,10 @@ class IngestionMaintenanceSpec extends SparkSuite {
       // parity on it pins the whole distribution, not just the scores
       val drift = LmIndex.driftFromIndex(spark, lmDir, repOf(probes))
         .collect().map(_.toString).sorted.toSeq
+      val kmv = KmvIndex.overlapFromIndex(spark, kmvDir)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud, ent, drift)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud, ent, drift, kmv)
     }
 
     def rebuildAndProbe(allIds: Seq[Long]): Seq[Seq[String]] = {
@@ -184,6 +189,8 @@ class IngestionMaintenanceSpec extends SparkSuite {
       MultiModal.writeAudioIndex(all, a2)
       val e2 = tmp("rb_ent")
       EntityIndex.writeEntityIndex(all, e2)
+      val kv2 = tmp("rb_kmv")
+      KmvIndex.writeKmvIndex(repOf(all), kv2, k = 16)
       val near = Dedup.nearDupsAgainstIndex(spark, probes, n2)
         .collect().map(_.toString).sorted.toSeq
       val span = Dedup.spanDedupAgainstIndex(spark, probes, s2, cap = 2)
@@ -219,11 +226,13 @@ class IngestionMaintenanceSpec extends SparkSuite {
         .collect().map(_.toString).sorted.toSeq
       val drift = LmIndex.driftFromIndex(spark, l2, repOf(probes))
         .collect().map(_.toString).sorted.toSeq
+      val kmv = KmvIndex.overlapFromIndex(spark, kv2)
+        .collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
-      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud, ent, drift)
+      Seq(near, span, ivf, prof, win, gram, img, rep, txt, cms, quant, lm, phr, aud, ent, drift, kmv)
     }
 
-    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm", "phrase", "audio", "entity", "drift")
+    val names = Seq("near-dup", "span", "ivf", "profile", "winnow", "gram", "image", "report", "text", "cms", "quantile", "lm", "phrase", "audio", "entity", "drift", "kmv")
     def assertParity(allIds: Seq[Long], when: String): Unit = {
       val live = probeAll()
       val rebuilt = rebuildAndProbe(allIds)
@@ -243,6 +252,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       // doc 900 is a verbatim copy of seed doc 7 -> shares its window fp
       assert(live(names.indexOf("audio")).nonEmpty, s"audio probe empty $when")
       assert(live(names.indexOf("entity")).nonEmpty, s"entity inventory empty $when")
+      assert(live(names.indexOf("kmv")).nonEmpty, s"kmv overlap read empty $when")
     }
 
     val stream = MemoryStream[IngestDoc](spark)
@@ -266,6 +276,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
         PhraseIndex.appendToPhraseIndex(batch, phrDir)
         MultiModal.appendToAudioIndex(batch, audDir)
         EntityIndex.appendToEntityIndex(batch, entDir)
+        KmvIndex.appendToKmvIndex(repOf(batch), kmvDir)
         batchNo += 1
         if (batchNo % 2 == 0) { // maintenance cadence: every 2nd batch
           Dedup.compactNearDupIndex(spark, nearDir)
@@ -283,6 +294,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
           PhraseIndex.compactPhraseIndex(spark, phrDir)
           MultiModal.compactAudioIndex(spark, audDir)
           EntityIndex.compactEntityIndex(spark, entDir)
+          KmvIndex.compactKmvIndex(spark, kmvDir)
         }
       }
       .option("checkpointLocation", tmp("ingest_ckpt"))
