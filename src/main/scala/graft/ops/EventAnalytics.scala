@@ -356,9 +356,17 @@ object EventAnalytics {
     * exact distinct for per-day HLL sketches unioned over the window
     * (mergeable, replication-free) — the declared exact form is what
     * the oracle can replay. */
-  def mauQ(events: DataFrame, windowDays: Int = 30): DataFrame = {
-    val act = events
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+  def mauQ(events: DataFrame, windowDays: Int = 30): DataFrame =
+    mauOverActivity(PipelineCaches.track(activityOf(events)), windowDays)
+
+  /** The distinct (user, day) activity frame — the ONE corpus-sized
+    * reduction both MAU forms and both of their consumers (window
+    * explode + report-day spine) derive from; callers track it so the
+    * events table is scanned once however many readers compose. */
+  private def activityOf(events: DataFrame): DataFrame =
+    events.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+
+  private def mauOverActivity(act: DataFrame, windowDays: Int): DataFrame = {
     val contrib = act
       .select(col("user_id"), explode(sequence(col("day"),
         date_add(col("day"), windowDays - 1), expr("interval 1 day")))
@@ -397,8 +405,10 @@ object EventAnalytics {
     import graft.functions.Aggregators.{Scored, TopKAgg}
     graft.functions.Md5Bits.register(events.sparkSession)
     val two52 = 4503599627370496.0 // 2^52: hash space for the KMV estimator
-    val act = events
-      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    // ONE tracked activity frame feeds the sketch build, the spine, AND
+    // the in-query exact twin — the events table is scanned once
+    // (the untracked form scanned it four times, round-15 plan audit)
+    val act = PipelineCaches.track(activityOf(events))
     val hashed = act.select(col("day"),
       call_function(graft.functions.Md5Bits.FnName,
         col("user_id").cast("string"), lit(0), lit(13)).as("uh"))
@@ -423,7 +433,7 @@ object EventAnalytics {
             element_at(col("merged"), k).cast("double")))
       .select(col("report_day").cast("timestamp").as("report_day"),
         col("k_used"), col("est"))
-    est.join(mauQ(events, windowDays), Seq("report_day"))
+    est.join(mauOverActivity(act, windowDays), Seq("report_day"))
       .select(col("report_day"), col("mau").as("mau_exact"), col("k_used"),
         round(col("est"), 3).as("mau_est"),
         round(abs(col("est") - col("mau")) / col("mau"), 6).as("rel_err"))

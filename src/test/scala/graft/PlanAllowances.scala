@@ -74,8 +74,9 @@ object PlanAllowances {
     // q_knn_clf_ivf precedent — the candidate join itself is cell-keyed)
     "q_hard_negatives", "q_hard_negatives_ivf",
     // KMV overlap: |slices| k-bounded sketch rows theta-joined
-    // (slice_a < slice_b) — metadata × metadata, never a corpus side
-    "q_source_overlap_kmv",
+    // (slice_a < slice_b) — metadata × metadata, never a corpus side;
+    // the index-read form pairs the same merged sketch rows
+    "q_source_overlap_kmv", "q_source_overlap_incr",
     // Heaps curve: the ONE-row max(doc_id) scalar broadcast onto the
     // token stream for the bucket arithmetic
     "q_heaps",
