@@ -260,9 +260,14 @@ object Cleaning {
 
   /** [[e2eCorpusIncrQ]]'s delta pass over explicit frames and artifact
     * dirs — the CleaningSpec no-base-rescan entry point. */
-  private[graft] def e2eCorpusIncrOf(evalDocs: DataFrame, delta: DataFrame,
+  private[graft] def e2eCorpusIncrOf(evalDocs: DataFrame, deltaIn: DataFrame,
       ndDir: String, gramDir: String, bpeDir: String): DataFrame = {
-    val spark = delta.sparkSession
+    val spark = deltaIn.sparkSession
+    // one tracked read of the shard: the verdict pass, the LSH lookup's
+    // tokens, the keepers join and the excision toks all consume it —
+    // untracked, the plan audit showed four shard scans (shard-sized by
+    // the micro-batch contract, so caching it is bounded)
+    val delta = PipelineCaches.track(deltaIn)
     val verdicts = PipelineCaches.track(cleanVerdictsOf(evalDocs, delta))
     val cross = Dedup.nearDupsAgainstIndex(spark,
       delta.select(col("doc_id"), col("text")), ndDir)
