@@ -212,6 +212,7 @@ object SparkEntry {
     "q_entities_incr" -> ((s, d) => graft.ops.EntityIndex.entitiesIncrQ(s, d)),
     // the delete-request discovery read: one identifier, one pruned
     // bucket, every holding doc
+    "q_entity_forget" -> ((s, d) => graft.ops.EntityIndex.entityForgetQ(s, d)),
     "q_entity_lookup" -> ((s, d) => graft.ops.EntityIndex.entityLookupQ(s, d)),
     // C4-style heuristic line-filter battery over a deterministic
     // synthesized line structure (the redactQ precedent) — per-doc
@@ -848,24 +849,28 @@ object SparkEntry {
   /** Entity-inventory oracle — shared by the batch q_entities and the
     * index fold q_entities_incr (per-doc rows additive under
     * doc-complete batches). */
-  private val EntitiesOracleSql: String =
-    """WITH aug AS (SELECT doc_id,
+  /** The `where` parametrization serves q_entity_forget (the
+    * survivor-corpus inventory IS the forgotten index's ground truth). */
+  private def entitiesOracleSqlOver(where: String = ""): String =
+    s"""WITH aug AS (SELECT doc_id,
         |text || ' contact user' || CAST(doc_id AS VARCHAR)
         ||| '@mail.example.com ip 10.' || CAST(doc_id % 256 AS VARCHAR)
         ||| '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
         ||| ' id ' || CAST(doc_id + 100000000 AS VARCHAR)
-        ||| ' phone 555-867-5309' AS t FROM documents),
+        ||| ' phone 555-867-5309' AS t FROM documents $where),
         |e AS (SELECT doc_id, 'email' AS kind,
-        |unnest(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS entity FROM aug
+        |unnest(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS entity FROM aug
         |UNION ALL SELECT doc_id, 'ip',
-        |unnest(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) FROM aug
+        |unnest(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) FROM aug
         |UNION ALL SELECT doc_id, 'phone',
-        |unnest(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) FROM aug
+        |unnest(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) FROM aug
         |UNION ALL SELECT doc_id, 'id',
-        |unnest(regexp_extract_all(t, '\b\d{9,}\b')) FROM aug)
+        |unnest(regexp_extract_all(t, '\\b\\d{9,}\\b')) FROM aug)
         |SELECT kind, entity, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |CAST(count(*) AS BIGINT) AS n_occurrences
         |FROM e GROUP BY kind, entity""".stripMargin
+
+  private val EntitiesOracleSql: String = entitiesOracleSqlOver()
 
   /** MaxSim oracle: distinct (doc, token) × 16 dims via lateral range,
     * per-(doc, token) integer dots against each query term's identical
@@ -2335,6 +2340,9 @@ object SparkEntry {
     // aggregate
     "q_entities" -> EntitiesOracleSql,
     "q_entities_incr" -> EntitiesOracleSql,
+    // GDPR on the PII-bearing index: the inventory after forgetting
+    // doc_id % 17 = 0 must equal the survivor-corpus batch scan
+    "q_entity_forget" -> entitiesOracleSqlOver("WHERE doc_id % 17 <> 0"),
     "q_entity_lookup" ->
       """WITH aug AS (SELECT doc_id,
         |text || ' contact user' || CAST(doc_id AS VARCHAR)

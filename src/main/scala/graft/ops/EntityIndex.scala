@@ -122,6 +122,28 @@ object EntityIndex {
     inventoryFromIndex(spark, idxDir)
   }
 
+  /** Declared query q_entity_forget: right-to-be-forgotten on the
+    * index that holds the SHARPEST per-document content of all
+    * seventeen — extracted emails/IPs/ids/phones per doc_id, exactly
+    * what a GDPR request targets. The q_entities_incr build in its OWN
+    * dir (forgetting mutates state), every doc_id ≡ 0 (mod 17)
+    * tombstoned, the inventory read must equal the batch entity scan
+    * over the SURVIVING corpus alone — the victims' identifiers leave
+    * the doc counts, the occurrence counts, AND the inventory rows
+    * they alone carried. Physical erasure rides compaction as
+    * everywhere (IngestionMaintenanceSpec drills it). */
+  def entityForgetQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_entity_idx_forget", dir)
+    BuildOnce(spark, idxDir, Seq(dir)) {
+      writeEntityIndex(docs.filter(col("doc_id") % 20 =!= 0), idxDir)
+      appendToEntityIndex(docs.filter(col("doc_id") % 20 === 0), idxDir)
+      forgetFromEntityIndex(spark, idxDir,
+        docs.filter(col("doc_id") % 17 === 0).select(col("doc_id")))
+    }
+    inventoryFromIndex(spark, idxDir)
+  }
+
   /** Declared query q_entity_lookup: the discovery read for the
     * corpus-wide footer phone — every doc, each with one occurrence —
     * from the same memoized index artifact. */
