@@ -189,6 +189,8 @@ object SparkEntry {
     // the apply side: vocab segmented under the learned merges (train
     // once + one map-side fold stack, no extra shuffle)
     "q_bpe_encode" -> ((s, d) => graft.ops.Bpe.bpeEncodeQ(s, d)),
+    // tokenizer-eval readout: per-source fertility + compression
+    "q_tokenizer_fertility" -> ((s, d) => graft.ops.Bpe.tokenizerFertilityQ(s, d)),
     // end-to-end export: train BPE -> encode corpus -> pack encoded
     // stream into 512-token sequences (per-shard summary)
     "q_tokenize_pack" -> ((s, d) => graft.ops.Bpe.tokenizePackQ(s, d)),
@@ -2190,6 +2192,19 @@ object SparkEntry {
     // the clean-verdict, near-dup, excision and pack tails (see
     // e2eCorpusOracleTail) — every stage text reused from its own gate
     "q_e2e_corpus" -> bpeOracleSql(6, e2eCorpusOracleTail),
+    // per-source word stream joined to the seg6 encode table; ratios
+    // are single divisions of exact BIGINT sums, 6 dp
+    "q_tokenizer_fertility" -> bpeOracleSql(6,
+      """,enc AS (SELECT word, CAST(len(sym) AS BIGINT) AS n_sym FROM seg6),
+        |dw AS (SELECT source, t AS word FROM
+        |(SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |FROM documents) u WHERE t <> '')
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+        |CAST(sum(n_sym) AS BIGINT) AS n_tokens,
+        |CAST(sum(length(word)) AS BIGINT) AS n_chars,
+        |round(CAST(sum(n_sym) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility,
+        |round(CAST(sum(length(word)) AS DOUBLE) / CAST(sum(n_sym) AS DOUBLE), 6) AS chars_per_token
+        |FROM dw JOIN enc USING (word) GROUP BY source""".stripMargin),
     // the steady-state replay: delta-only report, base-trained
     // tokenizer, near-dup over the union with the incremental victim
     // rule, grams over base + keepers

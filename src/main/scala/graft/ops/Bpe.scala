@@ -177,6 +177,41 @@ object Bpe {
       .agg(sum(col("n_sym")).as("enc_len"))
   }
 
+  /** Declared query q_tokenizer_fertility — the tokenizer-EVAL readout
+    * every vocab decision is judged by (fertility = encoded tokens per
+    * word; compression = chars per encoded token), broken out per
+    * source so a mixing decision can see which slices the tokenizer
+    * serves poorly. The model is the q_bpe_encode tokenizer (k merges
+    * over the full corpus); stats fold in ONE per-source aggregate
+    * over the word stream joined to the vocab-bounded broadcast encode
+    * table — the corpus is scanned once for training (wordCounts) and
+    * once for the stats, nothing all-pairs. Ratios are single
+    * divisions of exact BIGINT sums, rounded 6 dp — deterministic in
+    * both engines. */
+  def tokenizerFertilityQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int = 6): DataFrame = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val words = wordCounts(docs)
+    val rules = trainMerges(words, k)
+    graft.functions.BpeSegment.register(spark)
+    val sym = segmented("word", rules.toList.map(t => (t._2, t._3)))
+    val enc = words.select(col("word"), size(sym).cast("long").as("n_sym"))
+    graft.sources.Tables.fanout(docs)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(enc), Seq("word"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(col("n_tokens").cast("double") /
+          col("n_words").cast("double"), 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_tokens").cast("double"), 6).as("chars_per_token"))
+  }
+
   /** Persist the frozen-tokenizer artifact: the (word → n_sym) encode
     * table under merges trained on `trainDocs`. This is what makes a
     * production delta batch's encode cost independent of the training
