@@ -83,25 +83,38 @@ private[graft] object BuildOnce {
     (FormatVersion +: dir +:
       srcDirs.map(s => s + "|" + srcSummary(conf, s))).mkString("\n")
 
-  /** `files:bytes:maxMtime` over a source dir tree (0:0:0 when the dir
-    * does not exist — a build whose input appears later then restamps). */
+  /** `files:bytes:md5(per-file name|len|mtime, sorted)` over a source
+    * dir tree — `absent` when the dir does not exist (a build whose
+    * input appears later then restamps). The per-file fold (round-15
+    * ADVICE) catches an in-place regeneration that happens to preserve
+    * the aggregate count/bytes/max-mtime; sorting makes the digest
+    * independent of FS listing order, so two JVMs stamping the same
+    * state agree. A transient listing failure gets ONE retry and then
+    * PROPAGATES — it must fail the build, not stamp an absent-looking
+    * summary that wipes and rebuilds a good artifact. */
   private def srcSummary(conf: org.apache.hadoop.conf.Configuration,
-      srcDir: String): String =
-    try {
+      srcDir: String): String = {
+    def attempt(): String = {
       val p = new org.apache.hadoop.fs.Path(srcDir)
       val fs = p.getFileSystem(conf)
-      if (!fs.exists(p)) "0:0:0"
+      if (!fs.exists(p)) "absent"
       else {
-        var nFiles = 0L; var nBytes = 0L; var maxM = 0L
+        var nFiles = 0L; var nBytes = 0L
+        val lines = scala.collection.mutable.ArrayBuffer.empty[String]
         val it = fs.listFiles(p, true)
         while (it.hasNext) {
           val st = it.next()
           nFiles += 1; nBytes += st.getLen
-          if (st.getModificationTime > maxM) maxM = st.getModificationTime
+          lines += s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}"
         }
-        s"$nFiles:$nBytes:$maxM"
+        val md = java.security.MessageDigest.getInstance("MD5")
+        lines.sorted.foreach(l => md.update((l + "\n").getBytes("UTF-8")))
+        s"$nFiles:$nBytes:" + md.digest().map("%02x".format(_)).mkString
       }
-    } catch { case _: java.io.IOException => "0:0:0" }
+    }
+    try attempt()
+    catch { case _: java.io.IOException => attempt() }
+  }
 
   private def markerMatches(fs: org.apache.hadoop.fs.FileSystem,
       marker: org.apache.hadoop.fs.Path, want: String): Boolean =

@@ -352,7 +352,7 @@ object Dedup {
         .withColumn("doc_id", col("doc_id").cast("long"))
         .withColumn("bkt", pmod(col("b0"), lit(bandBuckets.toLong)))
         .repartition(col("bkt"))
-        .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
+        .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/bands")
       tokSetsOf(tok)
         .withColumn("doc_id", col("doc_id").cast("long"))
         .write.mode("overwrite").parquet(s"$dir/toksets")
@@ -896,7 +896,7 @@ object Dedup {
     // lands in the one-file-per-bucket layout compaction would produce
     bucketedWinnowFps(docs, k, w, fpBuckets)
       .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/fps")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/fps")
     docs.sparkSession.range(1)
       .select(lit(fpBuckets).as("fp_buckets"), lit(k).as("k"), lit(w).as("w"))
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -1709,7 +1709,7 @@ object Dedup {
     spanCounts(withSpansOf(docs, w))
       .withColumn("bkt", pmod(col("h"), lit(spanBuckets.toLong)))
       .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/spans")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/spans")
     val spark = docs.sparkSession
     writeSpanMeta(spark, dir,
       SpanMeta(w, spanBuckets, freqCap, countFrequent(spark, dir, freqCap)))
@@ -1980,7 +1980,7 @@ object Dedup {
       .groupBy(col("gh").as("h")).agg(count(lit(1)).as("c"))
       .withColumn("bkt", pmod(col("h"), lit(gramBuckets.toLong)))
       .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/grams")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/grams")
     writeGramMeta(docs.sparkSession, dir, GramMeta(minLen, gramBuckets))
   }
 

@@ -46,7 +46,7 @@ object EntityIndex {
     Tombstones.clear(docs.sparkSession, dir)
     partials(docs, buckets)
       .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/rows")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/rows")
     docs.sparkSession.range(1).select(lit(buckets).as("buckets"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }

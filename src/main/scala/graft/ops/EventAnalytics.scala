@@ -409,9 +409,15 @@ object EventAnalytics {
     // the in-query exact twin — the events table is scanned once
     // (the untracked form scanned it four times, round-15 plan audit)
     val act = PipelineCaches.track(activityOf(events))
+    // distinct BEFORE the bottom-k: two users whose 52-bit prefixes
+    // collide on one day would otherwise occupy two sketch slots and a
+    // saturated day's bottom-k could hold < k DISTINCT minima — the
+    // oracle's DISTINCT-hash bottom-k would diverge (TopKAgg's unique-tag
+    // contract; KmvIndex.sketchRows does the same, round-15 ADVICE)
     val hashed = act.select(col("day"),
       call_function(graft.functions.Md5Bits.FnName,
         col("user_id").cast("string"), lit(0), lit(13)).as("uh"))
+      .distinct()
     val bottomK = udaf(new TopKAgg(k),
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Scored]())
     val daySk = hashed.groupBy(col("day"))

@@ -67,7 +67,7 @@ object KmvIndex {
     require(k > 1, s"k must be > 1, got $k")
     sketchRows(docs, sliceCol, k)
       .repartition(col("slice"))
-      .write.mode("overwrite").partitionBy("slice").parquet(s"$dir/sketch")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("slice").parquet(s"$dir/sketch")
     val spark = docs.sparkSession
     spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](

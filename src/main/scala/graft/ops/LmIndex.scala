@@ -47,7 +47,7 @@ object LmIndex {
     // from-scratch build cannot inherit stale corrections (r13 class)
     partials(docs, trainLang)
       .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/counts")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/counts")
 
   /** Right-to-be-forgotten on an ADDITIVE-count index via the shared
     * [[ForgetLedger]] (one in-dir append: registry rows for

@@ -234,7 +234,7 @@ object MultiModal {
       .withColumn("doc_id", col("doc_id").cast("long"))
       .withColumn("bkt", pmod(col("bandval"), lit(bandBuckets.toLong)))
       .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/bands")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/bands")
     payloads.sparkSession.range(1)
       .select(lit(bandBuckets).as("band_buckets"))
       .write.mode("overwrite").parquet(s"$dir/meta")
@@ -535,7 +535,7 @@ object MultiModal {
     audioFps(docs)
       .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
       .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/fps")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/fps")
     docs.sparkSession.range(1)
       .select(lit(fpBuckets).as("fp_buckets"))
       .write.mode("overwrite").parquet(s"$dir/meta")

@@ -117,7 +117,7 @@ object PhraseIndex {
     // from-scratch build: drop leftover tombstones (round-13 bug class)
     Tombstones.clear(docs.sparkSession, dir)
     partials(docs, buckets).repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/postings")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/postings")
     docs.sparkSession.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](
         org.apache.spark.sql.Row(buckets)),

@@ -80,10 +80,13 @@ object ReportIndex {
     require(hashBuckets > 0, s"hashBuckets must be positive, got $hashBuckets")
     // static-overwrite wipes the whole data dir — any leftover forget
     // ledger (which lives inside it) dies with it, so a from-scratch
-    // build cannot inherit stale corrections (r13 class)
+    // build cannot inherit stale corrections (r13 class). Pinned
+    // per-write (round-15 ADVICE): a session running under DYNAMIC
+    // partitionOverwriteMode would otherwise only replace the bkt
+    // partitions present in this batch and leave the ledger alive.
     partials(docs, hashBuckets)
       .repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/data")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/data")
     val spark = docs.sparkSession
     spark.createDataFrame(
       java.util.List.of[org.apache.spark.sql.Row](

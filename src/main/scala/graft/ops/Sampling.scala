@@ -169,7 +169,7 @@ object Sampling {
     assignShards(docs, nShards, idCol)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("order_key"))
-      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("shard").parquet(dir)
 
   /** Declared query q_shard: per-shard summary (size, boundary order
     * keys, bytes) of the deterministic assignment — what an export job

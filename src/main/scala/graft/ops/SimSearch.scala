@@ -712,7 +712,7 @@ object SimSearch {
     Tombstones.clear(embeddings.sparkSession, dir)
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     assignCells(normed(embeddings), centroids)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("cell").parquet(s"$dir/cells")
   }
 
   /** Right-to-be-forgotten request on the IVF index (the shared

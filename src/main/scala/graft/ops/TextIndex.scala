@@ -90,7 +90,7 @@ object TextIndex {
     Tombstones.clear(docs.sparkSession, dir)
     val (postings, stats, done) = partials(docs, buckets)
     postings.repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(s"$dir/postings")
+      .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/postings")
     stats.coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     done()
     val spark = docs.sparkSession
