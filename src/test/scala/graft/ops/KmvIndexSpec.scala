@@ -91,6 +91,57 @@ class KmvIndexSpec extends SparkSuite {
     }
   }
 
+  test("rebuild-on-forget erasure drill (SURVEY §2.5 exemption row): the " +
+    "survivor rebuild IS the whole procedure — the rebuilt store equals a " +
+    "never-saw-victims build bit-identically, and no victim token leaves " +
+    "residue the estimator (or anything reading the stored hashes) can " +
+    "surface") {
+    import spark.implicits._
+    val survivors = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text", "source")
+    // victims carry sentinel-unique tokens, so erasure is checkable at
+    // the stored-hash level: md5 is one-way, but equality of the hash
+    // SET against a never-saw-victims build is the strongest observable
+    // statement a sketch store can make — plus an explicit no-victim-
+    // hash-remains sweep
+    val victims = survivors.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(0), lit(40)), i =>
+          concat(lit("victimsentinel"), col("doc_id"), lit("x"), i)))
+          .as("text"),
+        col("source"))
+    val tainted = survivors.unionByName(victims)
+
+    graft.functions.Md5Bits.register(spark)
+    val victimHashes = victims
+      .select(explode(filter(TextOps.toks(col("text")), t => t =!= ""))
+        .as("token"))
+      .select(call_function(graft.functions.Md5Bits.FnName,
+        col("token"), lit(0), lit(13)).as("th"))
+      .distinct().as[Long].collect().toSet
+    def stored(dir: String): Set[(String, Long)] =
+      spark.read.parquet(s"$dir/sketch")
+        .select(col("slice"), col("th")).as[(String, Long)].collect().toSet
+
+    val dir = tmp()
+    KmvIndex.writeKmvIndex(tainted, dir)
+    assert(stored(dir).exists(r => victimHashes(r._2)),
+      "drill setup: victim hashes must occupy sketch slots pre-erasure")
+
+    // the erasure procedure named by the exemption: one survivor rebuild
+    KmvIndex.writeKmvIndex(survivors, dir)
+
+    val never = tmp()
+    KmvIndex.writeKmvIndex(survivors, never)
+    assert(stored(dir) == stored(never),
+      "rebuilt store must be bit-identical to a never-saw-victims build")
+    assert(!stored(dir).exists(r => victimHashes(r._2)),
+      "no victim token hash may survive the rebuild")
+    assert(rows(KmvIndex.overlapFromIndex(spark, dir)) ==
+      rows(KmvIndex.overlapFromIndex(spark, never)),
+      "every estimator readout must equal the never-saw-victims build")
+  }
+
   test("sourceOverlapIncrQ matches the one-shot sketch over the full fixture") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val got = rows(KmvIndex.sourceOverlapIncrQ(spark, sf))

@@ -136,6 +136,28 @@ class ProfileIndexSpec extends SparkSuite {
     }
   }
 
+  test("rebuild-on-forget drill for the HLL lanes (SURVEY §2.5 exemption): " +
+    "registers are not subtractable, so IF a per-row erasure law were ever " +
+    "required the procedure is a survivor rebuild — whose readout equals a " +
+    "never-saw-victims build on every lane") {
+    val victims = li.filter(col("l_orderkey") % 5 === 0)
+    val survivors = li.filter(col("l_orderkey") % 5 =!= 0)
+    def snap(dir: String) = ProfileIndex.profileFromSketches(spark, dir)
+      .collect().map(r => r.toSeq.toList).sortBy(_.head.toString).toSeq
+
+    val dir = tmp()
+    ProfileIndex.writeProfileSketches(li, dir)
+    assert(victims.count() > 0)
+    // the erasure procedure: one survivor rebuild over the same path
+    ProfileIndex.writeProfileSketches(survivors, dir)
+
+    val never = tmp()
+    ProfileIndex.writeProfileSketches(survivors, never)
+    assert(snap(dir) == snap(never),
+      "rebuilt profile must equal a build that never saw the victims — " +
+      "rows, nulls, min/max AND the HLL cardinality estimates")
+  }
+
   test("index stays metadata-scale: rows = appends × shards, and the read plan scans no data table") {
     val idx = tmp()
     ProfileIndex.writeProfileSketches(li, idx, nShards = 4)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.SparkSuite
-import graft.ops.{CmsIndex, Dedup, EntityIndex, KmvIndex, LmIndex, MultiModal, PhraseIndex, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, Scoring, SimSearch, TextIndex}
+import graft.ops.{CmsIndex, Dedup, EdgeIndex, EntityIndex, ForgetAudit, KmvIndex, LmIndex, MultiModal, PhraseIndex, PipelineCaches, ProfileIndex, QuantileIndex, ReportIndex, Scoring, SimSearch, TextIndex}
 
 /** One streamed document row — the single ingestion feed every index
   * derives from. */
@@ -535,6 +535,117 @@ class IngestionMaintenanceSpec extends SparkSuite {
         s"${dr.name}: purged counts must equal a victim-free rebuild's")
       ()
     }
+  }
+
+  test("forget-debt audit spans ALL 14 forget-capable indexes in one " +
+    "call: per-index debt pinned post-forget, zeroed by the purging " +
+    "compaction (round-15 verdict: the audit had only ever run against " +
+    "2 of the 14 live stores)") {
+    val allIds = 1L to 30L
+    val victims = Seq(3L, 7L)
+    val all = docsDF(allIds)
+    val victimDocs = docsDF(victims)
+    // synthesized event stream for the edge store (user-complete: every
+    // victim's WHOLE history rides the delete request, the
+    // forgetFromEdgeIndex contract)
+    val events = allIds.flatMap(u => (0L to 3L).map(i =>
+      (u, i, u * 10 + i, s"""{"k": ${(u + i) % 5}}""")))
+      .toDF("user_id", "ts", "event_id", "props")
+    val victimEvents = events.filter(col("user_id").isin(victims: _*))
+    val centroids = SimSearch.trainIvfCentroids(embOf(all), iters = 1).cache()
+    centroids.count()
+
+    def d(n: String) = tmp(s"audit14_$n")
+    val (txt, phr, ent, near) = (d("txt"), d("phr"), d("ent"), d("near"))
+    val (win, img, aud, ivf) = (d("win"), d("img"), d("aud"), d("ivf"))
+    val (span, gram, cms, lm) = (d("span"), d("gram"), d("cms"), d("lm"))
+    val (rep, edg) = (d("rep"), d("edg"))
+
+    TextIndex.writeTextIndex(all, txt)
+    PhraseIndex.writePhraseIndex(all, phr)
+    EntityIndex.writeEntityIndex(all, ent)
+    Dedup.writeNearDupIndex(all, near)
+    Dedup.writeWinnowIndex(all, win)
+    MultiModal.writeImageIndex(MultiModal.withPayload(all), img)
+    MultiModal.writeAudioIndex(all, aud)
+    SimSearch.writeIvfIndexWith(embOf(all), centroids, ivf)
+    Dedup.writeSpanIndex(all, span, w = 4)
+    Dedup.writeSubstringIndex(all, gram, minLen = 4)
+    CmsIndex.writeCmsIndex(all, cms)
+    LmIndex.writeLmIndex(repOf(all), lm)
+    ReportIndex.writeReportIndex(repOf(all), rep)
+    EdgeIndex.writeEdgeIndex(events, edg)
+
+    TextIndex.forgetFromTextIndex(spark, txt, victims.toDF("doc_id"))
+    PhraseIndex.forgetFromPhraseIndex(spark, phr, victims.toDF("doc_id"))
+    EntityIndex.forgetFromEntityIndex(spark, ent, victims.toDF("doc_id"))
+    Dedup.forgetFromNearDupIndex(spark, near, victims.toDF("doc_id"))
+    Dedup.forgetFromWinnowIndex(spark, win, victims.toDF("doc_id"))
+    MultiModal.forgetFromImageIndex(spark, img, victims.toDF("doc_id"))
+    MultiModal.forgetFromAudioIndex(spark, aud, victims.toDF("doc_id"))
+    SimSearch.forgetFromIvfIndex(spark, ivf, victims.toDF("vec_id"))
+    Dedup.forgetFromSpanIndex(spark, span, victimDocs)
+    Dedup.forgetFromSubstringIndex(spark, gram, victimDocs)
+    CmsIndex.forgetFromCmsIndex(spark, cms, victimDocs)
+    LmIndex.forgetFromLmIndex(spark, lm, repOf(victimDocs))
+    ReportIndex.forgetFromReportIndex(spark, rep, repOf(victimDocs))
+    EdgeIndex.forgetFromEdgeIndex(spark, edg, victimEvents)
+
+    val dirs = Seq("text" -> txt, "phrase" -> phr, "entity" -> ent,
+      "near_dup" -> near, "winnow" -> win, "image" -> img, "audio" -> aud,
+      "ivf" -> ivf, "span" -> span, "substring" -> gram, "cms" -> cms,
+      "lm" -> lm, "report" -> rep, "edges" -> edg)
+    val tombstoneFamily = Set("text", "phrase", "entity", "near_dup",
+      "winnow", "image", "audio", "ivf")
+
+    val t0 = System.nanoTime()
+    val audit = ForgetAudit.forgetAudit(spark, dirs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val auditSecs = (System.nanoTime() - t0) / 1e9
+    val nFiles = audit.values.map(_.getLong(1)).sum
+    info(f"one audit over 14 indexes / $nFiles live files: $auditSecs%.2f s")
+
+    dirs.foreach { case (n, _) =>
+      val r = audit(n)
+      assert(r.getLong(3) > 0L, s"$n: live rows visible from footers")
+      assert(r.getLong(4) == 2L,
+        s"$n: 2 outstanding victims expected, got ${r.getLong(4)}")
+      assert(r.getLong(6) > 0L, s"$n: ledger bytes visible")
+      if (tombstoneFamily(n))
+        assert(r.getLong(5) == 0L,
+          s"$n: a tombstone table carries no correction rows")
+      else
+        assert(r.getLong(5) > 0L,
+          s"$n: the victims' contribution must ride as correction rows")
+    }
+
+    // the purging compaction zeroes every debt column on every index
+    TextIndex.compactTextIndex(spark, txt)
+    PhraseIndex.compactPhraseIndex(spark, phr)
+    EntityIndex.compactEntityIndex(spark, ent)
+    Dedup.compactNearDupIndex(spark, near)
+    Dedup.compactWinnowIndex(spark, win)
+    MultiModal.compactImageIndex(spark, img)
+    MultiModal.compactAudioIndex(spark, aud)
+    SimSearch.compactIvfIndex(spark, ivf)
+    Dedup.compactSpanIndex(spark, span)
+    Dedup.compactSubstringIndex(spark, gram)
+    CmsIndex.compactCmsIndex(spark, cms)
+    LmIndex.compactLmIndex(spark, lm)
+    ReportIndex.compactReportIndex(spark, rep)
+    EdgeIndex.compactEdgeIndex(spark, edg)
+
+    val after = ForgetAudit.forgetAudit(spark, dirs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    dirs.foreach { case (n, _) =>
+      val r = after(n)
+      assert(r.getLong(4) == 0L && r.getLong(5) == 0L && r.getLong(6) == 0L,
+        s"$n: purge must zero victims/corrections/ledger, got " +
+          s"(${r.getLong(4)}, ${r.getLong(5)}, ${r.getLong(6)})")
+      assert(r.getLong(3) > 0L, s"$n: live rows must survive the purge")
+    }
+    centroids.unpersist()
+    ()
   }
 
   test("forget rides the ingestion loop: the delete queue drains in the " +
