@@ -220,6 +220,10 @@ object SparkEntry {
     // synthesized line structure (the redactQ precedent) — per-doc
     // verdicts + cleaned text, all map-side
     "q_c4_filters" -> ((s, d) => TextOps.c4FiltersQ(Tables.documents(s, d))),
+    // HTML/boilerplate extraction over deterministic synthesized page
+    // chrome — the stage ahead of every other cleaning operator
+    "q_html_extract" -> ((s, d) =>
+      graft.ops.Cleaning.htmlExtractQ(Tables.documents(s, d))),
     "q_bloom_join" -> ((s, d) => BloomJoin.bloomJoinQ(s, d)),
     "q_skew_agg" -> ((s, d) => Skew.skewAggQ(s, d)),
     "q_skew_join" -> ((s, d) => Skew.skewJoinQ(s, d)),
@@ -2402,6 +2406,44 @@ object SparkEntry {
         |CAST(reason = 'keep' AS BIGINT) AS keep,
         |CASE WHEN reason = 'keep' THEN array_to_string(kept, ' ') ELSE '' END AS cleaned_text
         |FROM r""".stripMargin,
+    // HTML synthesis + extraction, regex-for-regex the engine's spelling
+    "q_html_extract" ->
+      """WITH t AS (SELECT doc_id,
+        |list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+        |FROM documents),
+        |h AS (SELECT doc_id,
+        |'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |'</title><script>var x = ' || CAST(doc_id AS VARCHAR) ||
+        |';</script><style>body { color: red; }</style></head><body><div class="nav">home | about | contact</div>' ||
+        |(CASE WHEN len(tk) > 0 THEN
+        |array_to_string(list_transform(range(0, CAST(ceil(len(tk)/8.0) AS BIGINT)), i ->
+        |'<p>' || array_to_string(tk[i*8+1 : i*8+8], ' ') || '</p>'), '')
+        |ELSE '' END) ||
+        |(CASE WHEN doc_id % 7 = 0 THEN '<!-- tracking beacon ' || CAST(doc_id AS VARCHAR) || ' -->' ELSE '' END) ||
+        |(CASE WHEN doc_id % 5 = 0 THEN '<script>analytics.track("' || CAST(doc_id AS VARCHAR) || '");</script>' ELSE '' END) ||
+        |'<div class="footer">copyright example corp all rights reserved</div></body></html>' AS html
+        |FROM t),
+        |e AS (SELECT doc_id, html,
+        |regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |'<script[^>]*>.*?</script>', ' ', 'g'),
+        |'<style[^>]*>.*?</style>', ' ', 'g'),
+        |'<!--.*?-->', ' ', 'g'),
+        |'</(p|div|title|h[1-6])>', '@@L@@', 'g'),
+        |'<[^>]*>', ' ', 'g') AS flat FROM h),
+        |l AS (SELECT doc_id, html,
+        |list_transform(string_split(flat, '@@L@@'), s -> trim(regexp_replace(s, '\s+', ' ', 'g'))) AS lines
+        |FROM e),
+        |k AS (SELECT doc_id, html,
+        |list_filter(lines, s -> s <> '') AS nonempty,
+        |list_filter(lines, s -> s <> '' AND NOT contains(s, 'copyright')
+        |AND NOT contains(s, '|') AND len(string_split(s, ' ')) >= 3) AS kept
+        |FROM l)
+        |SELECT doc_id, CAST(length(html) AS BIGINT) AS html_chars,
+        |CAST(len(nonempty) AS BIGINT) AS n_lines,
+        |CAST(len(kept) AS BIGINT) AS n_kept,
+        |array_to_string(kept, ' ') AS text_extracted,
+        |CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS text_chars
+        |FROM k""".stripMargin,
     "q_skew_join" ->
       """SELECT o_orderpriority, sum(l_quantity) AS total_qty, count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -32,6 +32,72 @@ class CleaningSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("html extraction: chrome/boilerplate dropped exactly, content " +
+    "round-trips, and the extraction composes AHEAD of corpusClean " +
+    "(the crawl-ingest order)") {
+    import spark.implicits._
+    // hand fixture: doc 35 gets BOTH the analytics script (%5) and the
+    // tracking comment (%7); 16 tokens = two full 8-token paragraphs
+    val toks16 = (1 to 16).map(i => s"word$i")
+    val hand = Seq(
+      (35L, toks16.mkString(" "), "en"),
+      (36L, "", "en")).toDF("doc_id", "text", "lang")
+    val got = Cleaning.htmlExtractQ(hand)
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val r35 = got(35L)
+    assert(r35.getAs[String]("text_extracted") == toks16.mkString(" "),
+      "full paragraphs must round-trip verbatim")
+    // non-empty lines: title ('doc 35', 2 words), nav, p1, p2, footer
+    assert(r35.getAs[Long]("n_lines") == 5L)
+    assert(r35.getAs[Long]("n_kept") == 2L,
+      "title (<3 words), nav ('|') and footer ('copyright') are boilerplate")
+    Seq("<", ">", "analytics", "var x", "copyright", "tracking")
+      .foreach(frag => assert(!r35.getAs[String]("text_extracted")
+        .contains(frag), s"chrome fragment '$frag' leaked"))
+    val r36 = got(36L)
+    assert(r36.getAs[Long]("n_kept") == 0L &&
+      r36.getAs[String]("text_extracted") == "" &&
+      r36.getAs[Long]("n_lines") == 3L,
+      "empty doc keeps only the chrome lines, none survive")
+
+    // round-trip law over the REAL fixture: any doc whose paragraph
+    // tail has >= 3 words (or none) extracts back to its exact token
+    // stream — extraction in front of the pipeline loses nothing but
+    // declared boilerplate
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val ext = Cleaning.htmlExtractQ(docs)
+    val joined = docs
+      .select(col("doc_id"),
+        concat_ws(" ",
+          filter(TextOps.toks(col("text")), t => t =!= "")).as("want"),
+        (size(filter(TextOps.toks(col("text")), t => t =!= "")) % 8)
+          .as("tail"))
+      .join(ext.select(col("doc_id"), col("text_extracted")), "doc_id")
+    val full = joined.filter(col("tail") === 0 || col("tail") >= 3)
+    assert(full.count() > 0)
+    assert(full.filter(col("want") =!= col("text_extracted")).count() == 0L,
+      "extraction must recover the exact token stream when no tail chunk " +
+        "falls under the min-words rule")
+
+    // composition: extraction output feeds cleanVerdictsOf directly —
+    // the crawl order (extract -> lang -> quality -> ... ) — and the
+    // verdict frame still partitions the corpus
+    val cleanedIn = ext
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("text_extracted").as("text"), col("lang"))
+    val verdicts = Cleaning.cleanVerdictsOf(
+      cleanedIn.filter(col("doc_id") < 50),
+      cleanedIn.filter(col("doc_id") >= 50))
+    val hist = verdicts.groupBy("reason").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist.values.sum == cleanedIn.filter(col("doc_id") >= 50).count(),
+      "composed pipeline must still partition the corpus")
+    assert(hist.getOrElse("keep", 0L) > 0L, "composition must keep docs")
+    assert(hist.keySet.subsetOf(Set("lang", "quality", "repetition",
+      "duplicate", "contaminated", "keep")))
+  }
+
   test("e2e incremental: a survivable delta packs through the frozen " +
     "artifacts (every stage exercised incl. pack) and the delta pass " +
     "never reads the base documents source — the steady-state cost law") {
