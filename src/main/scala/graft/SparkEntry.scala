@@ -466,7 +466,17 @@ object SparkEntry {
     // distributions — the distribution-shift audit data-mixing keys on
     "q_source_drift" -> ((s, d) => TextOps.sourceDriftQ(Tables.documents(s, d))),
     // Zipf rank-frequency OLS fit per source (slope ≈ −1 for natural text)
-    "q_zipf" -> ((s, d) => TextOps.zipfQ(Tables.documents(s, d))),
+    // GATE at 5 dp on the regr_* columns (round-15 verdict #7): the
+    // operator keeps its 6-dp contract; the declared query re-rounds so
+    // a value landing on a 6-dp rounding boundary cannot flip the gate
+    // hash across partitionings (the documented fallback, now live)
+    "q_zipf" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, round}
+      TextOps.zipfQ(Tables.documents(s, d))
+        .withColumn("zipf_slope", round(col("zipf_slope"), 5))
+        .withColumn("zipf_intercept", round(col("zipf_intercept"), 5))
+        .withColumn("zipf_r2", round(col("zipf_r2"), 5))
+    }),
     // Heaps vocabulary-growth curve at 100 doc_id-range checkpoints
     "q_heaps" -> ((s, d) => TextOps.heapsQ(Tables.documents(s, d))),
     // Flesch reading-ease per doc, banded on the rounded score
@@ -3659,9 +3669,9 @@ object SparkEntry {
         |FROM c)
         |SELECT slice, CAST(count(*) AS BIGINT) AS n_types,
         |CAST(sum(c) AS BIGINT) AS n_tokens,
-        |round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
-        |round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_intercept,
-        |round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_r2
+        |round(round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6), 5) AS zipf_slope,
+        |round(round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6), 5) AS zipf_intercept,
+        |round(round(regr_r2(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6), 5) AS zipf_r2
         |FROM r GROUP BY slice""".stripMargin,
     // integer-exact bucket arithmetic (// both sides); new-type credit
     // lands on the bucket of the type's first doc_id
