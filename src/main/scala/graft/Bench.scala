@@ -97,7 +97,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // machine-day calibration (round-16): a FIXED Spark job-floor probe
+    // (dispatch + codegen-cached in-memory agg, zero IO) recorded with
+    // every run, so cross-round ratio moves can be normalized
+    // arithmetically against its drift instead of adjudicated by
+    // worktree A/B prose. min of 6 — the first run pays codegen.
+    val calibSparkFloor = (1 to 6).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 22).selectExpr("sum(id * 31) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","calib_spark_floor":$calibSparkFloor,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // ALSO write the record to a file: the driver captures a stdout
     // TAIL, and with ~100 queries the one-line JSON blob can straddle

@@ -58,8 +58,17 @@ def time_queries(con, oracle, outdir, runs, bench_path):
             print(f"ERROR {name}: {type(ex).__name__}: {ex}")
             times[name] = None
     ok = {k: v for k, v in times.items() if v is not None}
+    # machine-day calibration (round-16): a FIXED DuckDB scan probe
+    # (full lineitem aggregate — IO + page-cache + thread detection)
+    # recorded with every timing run; pairs with Bench's
+    # calib_spark_floor so cross-round ratios normalize arithmetically.
+    calib = round(min(_timed(lambda: con.sql(
+        "SELECT count(*), sum(l_extendedprice), sum(l_quantity) "
+        "FROM lineitem").df()) for _ in range(max(3, runs))), 4)
+    print(f"CALIB duck_scan {calib:.4f} s")
     with open(f"{outdir}/duck_times.json", "w") as f:
         json.dump({"runs": runs, "total_sec": round(sum(ok.values()), 3),
+                   "calib_duck_scan": calib,
                    "queries": times}, f, indent=1, sort_keys=True)
     print(f"== duckdb total {sum(ok.values()):.1f} s over {len(ok)} queries "
           f"(min of {runs}) -> {outdir}/duck_times.json ==")
