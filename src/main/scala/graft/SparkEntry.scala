@@ -322,6 +322,17 @@ object SparkEntry {
     // q_cluster's assignment + exact counts + the portable hash draw
     "q_density_sample" -> ((s, d) => SimSearch.densitySampleQ(s, d)),
     "q_embed_neardup" -> ((s, d) => SimSearch.embedNearDup(Tables.embeddings(s, d))),
+    // embedding-space eval-set decontamination — the semantic
+    // complement of the 13-gram q_decontaminate (catches paraphrased
+    // leakage that shares no shingle): broadcast eval suite, one corpus
+    // scan, map-side max_by argmax so the exchange carries |corpus| rows
+    "q_decontaminate_embed" ->
+      ((s, d) => SimSearch.deconEmbedQ(Tables.embeddings(s, d))),
+    // the 100 TB form: IVF cell blocking (declared semantics — the
+    // oracle recomputes the identical cells); probes read
+    // nProbeCells/nCells of the cell-partitioned inverted file
+    "q_decontaminate_embed_ivf" ->
+      ((s, d) => SimSearch.deconEmbedIvfQ(Tables.embeddings(s, d))),
     "q_embed_quant" -> ((s, d) => SimSearch.quantizeQ(Tables.embeddings(s, d))),
     // sparse random projection (Achlioptas JL, 64→16): coordinate-hash
     // matrix regenerated by any engine, driver-materialized into
@@ -2889,6 +2900,50 @@ object SparkEntry {
         |list_dot_product(a.v, b.v)/(a.nrm*b.nrm) AS cos_sim
         |FROM nn a JOIN nn b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v)/(a.nrm*b.nrm) >= 0.25""".stripMargin,
+    // exact embedding decontamination: brute-force max eval cosine per
+    // corpus vector, argmax tie to the lowest eval id, gate at 0.3
+    "q_decontaminate_embed" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+        |WHERE list_dot_product(v, v) > 0),
+        |ev AS (SELECT vec_id AS eval_id, v AS ev, nrm AS en FROM nn WHERE vec_id % 50 = 0),
+        |c AS (SELECT vec_id, v, nrm FROM nn WHERE vec_id % 50 <> 0),
+        |s AS (SELECT c.vec_id, ev.eval_id,
+        |list_dot_product(c.v, ev.ev)/(c.nrm*ev.en) AS cs FROM c CROSS JOIN ev),
+        |m AS (SELECT vec_id, eval_id, cs, row_number() OVER (
+        |PARTITION BY vec_id ORDER BY cs DESC, eval_id ASC) AS rn FROM s)
+        |SELECT vec_id, eval_id AS nearest_eval, round(cs, 6) AS cos_sim
+        |FROM m WHERE rn = 1 AND cs >= 0.3""".stripMargin,
+    // IVF-blocked decontamination: identical cell assignment (centroids
+    // = corpus vec_id in [1, 17), nearest-cell argmax, 4 probed cells
+    // per eval vector), then the same per-vector argmax + 0.3 gate over
+    // cell-mates only
+    "q_decontaminate_embed_ivf" ->
+      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |FROM embeddings),
+        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+        |WHERE list_dot_product(v, v) > 0),
+        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+        |WHERE vec_id >= 1 AND vec_id < 17),
+        |c AS (SELECT vec_id, v, nrm FROM nn WHERE vec_id % 50 <> 0),
+        |asg AS (SELECT vec_id, v, nrm, cell FROM (
+        |SELECT c.vec_id, c.v, c.nrm, cents.cell, row_number() OVER (
+        |PARTITION BY c.vec_id
+        |ORDER BY list_dot_product(c.v, cents.cv)/(c.nrm*cents.cn) DESC, cents.cell ASC) AS rn
+        |FROM c CROSS JOIN cents) t WHERE rn = 1),
+        |pc AS (SELECT eval_id, ev, en, cell FROM (
+        |SELECT p.vec_id AS eval_id, p.v AS ev, p.nrm AS en, cents.cell,
+        |row_number() OVER (PARTITION BY p.vec_id
+        |ORDER BY list_dot_product(p.v, cents.cv)/(p.nrm*cents.cn) DESC, cents.cell ASC) AS cr
+        |FROM nn p CROSS JOIN cents WHERE p.vec_id % 50 = 0) t WHERE cr <= 4),
+        |s AS (SELECT a.vec_id, pc.eval_id,
+        |list_dot_product(a.v, pc.ev)/(a.nrm*pc.en) AS cs
+        |FROM asg a JOIN pc ON a.cell = pc.cell),
+        |m AS (SELECT vec_id, eval_id, cs, row_number() OVER (
+        |PARTITION BY vec_id ORDER BY cs DESC, eval_id ASC) AS rn FROM s)
+        |SELECT vec_id, eval_id AS nearest_eval, round(cs, 6) AS cos_sim
+        |FROM m WHERE rn = 1 AND cs >= 0.3""".stripMargin,
     // the auto-bits scale form, blocking recomputed from the corpus:
     // bits = clamp(ceil_log2(max(1, n/1024)), 4, 24) — bit_length via
     // floor(log2)+1 (log2 of powers of two is exact in IEEE doubles) —

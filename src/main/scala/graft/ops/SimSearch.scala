@@ -423,6 +423,80 @@ object SimSearch {
     embedNearDup(embeddings, autoBits(embeddings.count(), targetPerBucket),
       threshold, rotations)
 
+  /** Embedding-space eval-set decontamination (q_decontaminate_embed):
+    * flag corpus vectors whose cosine to ANY eval-suite vector clears
+    * the threshold — the semantic complement of the n-gram
+    * [[graft.ops.Dedup.contaminationQ]] (a paraphrased eval answer that
+    * shares no 13-gram still lands next to its source in embedding
+    * space, the leak n-gram decontamination cannot see). Eval
+    * membership is declared (vec_id % evalMod = 0 — the fixture
+    * stand-in for a curated eval-suite table); the eval side is
+    * BROADCAST (eval suites are thousands of rows, never
+    * corpus-sized), and the per-vector argmax folds MAP-SIDE via
+    * max_by partial aggregation, so the one exchange carries |corpus|
+    * rows — never |corpus|·|eval|. Emits one row per contaminated
+    * corpus vector: (vec_id, nearest_eval, cos_sim), ties broken to
+    * the lowest eval id. */
+  def deconEmbedQ(embeddings: DataFrame, evalMod: Int = 50,
+      threshold: Double = 0.3): DataFrame = {
+    val emb = normed(embeddings)
+    val evals = emb.filter(col("vec_id") % evalMod === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
+    deconTail(emb.filter(col("vec_id") % evalMod =!= 0)
+      .crossJoin(broadcast(evals)), threshold)
+  }
+
+  /** Shared argmax tail: per corpus vector, the max eval cosine and its
+    * eval id (map-side max_by partials — the [[assignCells]] shape), a
+    * threshold gate on the unrounded max, 6-dp rounding for the hash
+    * gate. Expects (vec_id, v, nrm, eval_id, ev, en) candidate rows. */
+  private def deconTail(pairs: DataFrame, threshold: Double): DataFrame =
+    pairs
+      .select(col("vec_id"), col("eval_id"),
+        (ndot(col("v"), col("ev")) / (col("nrm") * col("en"))).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(col("cs")).as("mx"),
+        max_by(col("eval_id"),
+          struct(col("cs"), (-col("eval_id")).as("ne"))).as("nearest_eval"))
+      .filter(col("mx") >= threshold)
+      .select(col("vec_id"), col("nearest_eval"),
+        round(col("mx"), 6).as("cos_sim"))
+
+  /** The 100 TB form of [[deconEmbedQ]]: IVF-blocked — corpus vectors
+    * are assigned to their nearest centroid cell (ONE scan against the
+    * broadcast centroid table, the same inverted file
+    * [[writeIvfIndex]] persists), each eval probe searches only its
+    * nProbeCells nearest cells, and only cell-mates can be flagged.
+    * The blocking is declared semantics (the oracle recomputes the
+    * identical cells), so the result is exact-per-definition; vs the
+    * exact form it is the recall trade the [[annRecallQ]] audit
+    * measures — IVF flags ⊆ exact flags, per-vector cos ≤ the exact
+    * max (DeconEmbedSpec pins both). Centroids are the deterministic
+    * corpus sample [[sampledCentroids]] keeps (vec_id ∈ [1, 1+nCells),
+    * corpus rows by construction while nCells < evalMod). At scale a
+    * probe reads |corpus|·nProbeCells/nCells bytes off the
+    * cell-partitioned inverted file instead of the whole corpus. */
+  def deconEmbedIvfQ(embeddings: DataFrame, evalMod: Int = 50,
+      threshold: Double = 0.3, nCells: Int = 16,
+      nProbeCells: Int = 4): DataFrame = {
+    require(nCells < evalMod, "centroid sample must stay inside the corpus")
+    val emb = normed(embeddings)
+    val centroids = sampledCentroids(embeddings, nCells, 1)
+    val assigned = assignCells(emb.filter(col("vec_id") % evalMod =!= 0), centroids)
+    val probeCells = emb.filter(col("vec_id") % evalMod === 0)
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"),
+        col("nrm").as("en"), col("cell"),
+        (ndot(col("v"), col("cv")) / (col("nrm") * col("cn"))).as("cell_sim"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("eval_id"))
+          .orderBy(col("cell_sim").desc, col("cell").asc)))
+      .filter(col("cr") <= nProbeCells)
+      .select(col("eval_id"), col("ev"), col("en"), col("cell"))
+    deconTail(assigned.join(broadcast(probeCells), Seq("cell")), threshold)
+  }
+
   /** IVF (inverted-file) approximate top-k — the standard ANN scale path:
     * partition the corpus into Voronoi cells around centroid vectors,
     * then search only the `nProbeCells` cells nearest each probe.

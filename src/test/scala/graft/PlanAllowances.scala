@@ -85,5 +85,11 @@ object PlanAllowances {
     "q_drift_incr",
     // KS: the |slices|-row size table broadcast against the count grid
     // (the <> fan-out that gives every pair the union of x values)
-    "q_ks_test")
+    "q_ks_test",
+    // embedding decontamination: the eval-suite table (|corpus|/evalMod
+    // rows — an eval suite, never corpus-sized) broadcast against one
+    // corpus scan; the IVF form swaps it for the 16-row centroid
+    // broadcast (the q_knn_clf_ivf precedent — the candidate join is
+    // cell-keyed)
+    "q_decontaminate_embed", "q_decontaminate_embed_ivf")
 }
