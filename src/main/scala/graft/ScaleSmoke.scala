@@ -1,9 +1,35 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Dedup
+
+/** Per-probe stage-metric tally: total shuffle write bytes, the largest
+  * single-stage shuffle write (the "peak shuffle" a 100 TB exchange
+  * would have to carry, scaled), and disk spill. Stage events arrive on
+  * the listener bus after the action returns, so readers pause briefly
+  * before sampling. */
+private final class ProbeMetrics extends SparkListener {
+  val shufWrite = new AtomicLong
+  val shufWritePeakStage = new AtomicLong
+  val diskSpill = new AtomicLong
+  override def onStageCompleted(ev: SparkListenerStageCompleted): Unit = {
+    val m = ev.stageInfo.taskMetrics
+    if (m != null) {
+      val w = m.shuffleWriteMetrics.bytesWritten
+      shufWrite.addAndGet(w)
+      shufWritePeakStage.getAndAccumulate(w, math.max(_, _))
+      diskSpill.addAndGet(m.diskBytesSpilled)
+    }
+  }
+  def reset(): Unit = {
+    shufWrite.set(0); shufWritePeakStage.set(0); diskSpill.set(0)
+  }
+}
 
 /** Scale-stress smoke: run the LSH dedup pipelines over the documents
   * table amplified k× and report wall-clock, to demonstrate the
@@ -75,15 +101,23 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     val base = graft.sources.Tables.documents(spark, dir)
     base.count() // warm
+    val metrics = new ProbeMetrics
+    spark.sparkContext.addSparkListener(metrics)
 
     for (k <- ks) {
       val docs = amplify(base, k)
       def run(label: String, df: => DataFrame): Unit = {
         if (only.exists(!_.contains(label))) return
+        Thread.sleep(300); metrics.reset()
         val t0 = System.nanoTime()
         val n = df.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        println(f"[scale] k=$k%-3d $label%-14s ${dt}%7.1f s   rows=$n")
+        Thread.sleep(300) // drain the listener bus before sampling
+        val gb = 1024.0 * 1024 * 1024
+        println(f"[scale] k=$k%-3d $label%-14s ${dt}%7.1f s   rows=$n   " +
+          f"shufW=${metrics.shufWrite.get / gb}%.2f GiB " +
+          f"(peak stage ${metrics.shufWritePeakStage.get / gb}%.2f) " +
+          f"spill=${metrics.diskSpill.get / gb}%.2f GiB")
       }
       run("near_dup", Dedup.nearDupPairs(docs))
       run("simhash", Dedup.simhashPairs(docs))
@@ -353,6 +387,18 @@ object ScaleSmoke {
       run("e2e_pack", graft.ops.Cleaning.e2eCorpusOf(
         survivableCorpus(spark, 5000L, k),
         col("doc_id") % 10_000_000L < 50))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
+      // e2e pack tail with a FIXED-size eval split (copy 0 only): the
+      // per-copy eval split above grows the eval-shingle set ~k while
+      // the corpus also grows ~k, so the decontamination stage's
+      // per-row sorted-merge (O(|doc| + |eval|), Cleaning.scala:85-92)
+      // acquires a k² FIXTURE term — real deployments decontaminate
+      // against a fixed eval suite. This variant pins the corpus
+      // scaling exponent with |eval| held constant (the r15
+      // shared-vocab lesson applied to the eval side).
+      run("e2e_pack_fixedeval", graft.ops.Cleaning.e2eCorpusOf(
+        survivableCorpus(spark, 5000L, k), col("doc_id") < 50))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
       // e2e STEADY STATE: artifacts built over the k-scaled base
