@@ -401,6 +401,28 @@ object ScaleSmoke {
         survivableCorpus(spark, 5000L, k), col("doc_id") < 50))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // e2e pack tail over a MATERIALIZED corpus (round 16): the two
+      // probes above hand e2eCorpusOf the 64-branch generator
+      // EXPRESSION, which every stage's lineage re-evaluates — at
+      // k=64 the composition re-runs the per-row hash generation many
+      // times over (ProfileE2e2 showed the operators themselves
+      // sublinear once inputs materialize: encode join 3.0 → 9.8 s,
+      // pack 0.9 → 1.9 s for 16×→64×). A real pipeline reads its
+      // corpus from parquet; this probe writes the survivable corpus
+      // to parquet UNTIMED and times the composition over the file
+      // frame — the deployment-shaped e2e scaling row.
+      if (only.forall(_.contains("e2e_pack_parquet"))) {
+        val pdir = s"/tmp/graft_scale_e2e_parq_k$k"
+        val pfs = new org.apache.hadoop.fs.Path(pdir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        pfs.delete(new org.apache.hadoop.fs.Path(pdir), true)
+        survivableCorpus(spark, 5000L, k).write.parquet(pdir)
+        val pdocs = spark.read.parquet(pdir)
+        run("e2e_pack_parquet", graft.ops.Cleaning.e2eCorpusOf(
+          pdocs, col("doc_id") % 10_000_000L < 50))
+        graft.ops.PipelineCaches.release(spark)
+        spark.sharedState.cacheManager.clearCache()
+      }
       // e2e STEADY STATE: artifacts built over the k-scaled base
       // (untimed — that cost is the once-per-crawl induction), then the
       // SAME fixed-size delta shard reported against each k's
