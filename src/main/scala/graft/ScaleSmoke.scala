@@ -296,6 +296,18 @@ object ScaleSmoke {
               / 48.5 - 1.0).cast("float")).as("embedding"))))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // embedding decontamination, IVF form (round 16): corpus vectors
+      // grow ~k (synthetic deterministic embeddings), the eval suite
+      // grows with vec_id density but stays broadcast-sized; cell
+      // assignment is one scan vs the 16-row centroid broadcast, the
+      // probe join cell-keyed — wall clock must track the corpus scan
+      run("decon_ivf", graft.ops.SimSearch.deconEmbedIvfQ(
+        docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(col("doc_id") * 29 + i * 11, lit(83)).cast("double")
+              / 41.5 - 1.0).cast("float")).as("embedding"))))
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
       // nano k-means: 3 assignment scans (grow ~k) + (cell, dim)-keyed
       // mean aggregates bounded by nCells·dim — wall clock must track
       // the corpus scan, never the model
