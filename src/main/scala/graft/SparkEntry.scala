@@ -333,6 +333,12 @@ object SparkEntry {
     // nProbeCells/nCells of the cell-partitioned inverted file
     "q_decontaminate_embed_ivf" ->
       ((s, d) => SimSearch.deconEmbedIvfQ(Tables.embeddings(s, d))),
+    // the steady-state twin: corpus cells read off the PERSISTED
+    // cell-partitioned IVF index (partition-pruned to the probed
+    // cells), eval suite as probes — bit-identical to the in-memory
+    // form, so it shares that oracle text verbatim
+    "q_decontaminate_embed_incr" ->
+      ((s, d) => SimSearch.deconEmbedIncrQ(s, d)),
     "q_embed_quant" -> ((s, d) => SimSearch.quantizeQ(Tables.embeddings(s, d))),
     // sparse random projection (Achlioptas JL, 64→16): coordinate-hash
     // matrix regenerated by any engine, driver-materialized into
@@ -1523,6 +1529,34 @@ object SparkEntry {
   /** The sampled-centroid IVF oracle — declared for q_sim_topk_ivf and
     * reused by q_ann_recall (the recall audit joins it against the
     * exact [[SimTopKOracleSql]] ranking). */
+  /** Shared by q_decontaminate_embed_ivf and its index-backed twin
+    * q_decontaminate_embed_incr (bit-identical declared semantics). */
+  private val DeconEmbedIvfOracleSql: String =
+    """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |FROM embeddings),
+      |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
+      |WHERE list_dot_product(v, v) > 0),
+      |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
+      |WHERE vec_id >= 1 AND vec_id < 17),
+      |c AS (SELECT vec_id, v, nrm FROM nn WHERE vec_id % 50 <> 0),
+      |asg AS (SELECT vec_id, v, nrm, cell FROM (
+      |SELECT c.vec_id, c.v, c.nrm, cents.cell, row_number() OVER (
+      |PARTITION BY c.vec_id
+      |ORDER BY list_dot_product(c.v, cents.cv)/(c.nrm*cents.cn) DESC, cents.cell ASC) AS rn
+      |FROM c CROSS JOIN cents) t WHERE rn = 1),
+      |pc AS (SELECT eval_id, ev, en, cell FROM (
+      |SELECT p.vec_id AS eval_id, p.v AS ev, p.nrm AS en, cents.cell,
+      |row_number() OVER (PARTITION BY p.vec_id
+      |ORDER BY list_dot_product(p.v, cents.cv)/(p.nrm*cents.cn) DESC, cents.cell ASC) AS cr
+      |FROM nn p CROSS JOIN cents WHERE p.vec_id % 50 = 0) t WHERE cr <= 4),
+      |s AS (SELECT a.vec_id, pc.eval_id,
+      |list_dot_product(a.v, pc.ev)/(a.nrm*pc.en) AS cs
+      |FROM asg a JOIN pc ON a.cell = pc.cell),
+      |m AS (SELECT vec_id, eval_id, cs, row_number() OVER (
+      |PARTITION BY vec_id ORDER BY cs DESC, eval_id ASC) AS rn FROM s)
+      |SELECT vec_id, eval_id AS nearest_eval, round(cs, 6) AS cos_sim
+      |FROM m WHERE rn = 1 AND cs >= 0.3""".stripMargin
+
   private val IvfTopKOracleSql: String =
     """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |FROM embeddings WHERE list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
@@ -2919,31 +2953,11 @@ object SparkEntry {
     // = corpus vec_id in [1, 17), nearest-cell argmax, 4 probed cells
     // per eval vector), then the same per-vector argmax + 0.3 gate over
     // cell-mates only
-    "q_decontaminate_embed_ivf" ->
-      """WITH n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |FROM embeddings),
-        |nn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM n
-        |WHERE list_dot_product(v, v) > 0),
-        |cents AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM nn
-        |WHERE vec_id >= 1 AND vec_id < 17),
-        |c AS (SELECT vec_id, v, nrm FROM nn WHERE vec_id % 50 <> 0),
-        |asg AS (SELECT vec_id, v, nrm, cell FROM (
-        |SELECT c.vec_id, c.v, c.nrm, cents.cell, row_number() OVER (
-        |PARTITION BY c.vec_id
-        |ORDER BY list_dot_product(c.v, cents.cv)/(c.nrm*cents.cn) DESC, cents.cell ASC) AS rn
-        |FROM c CROSS JOIN cents) t WHERE rn = 1),
-        |pc AS (SELECT eval_id, ev, en, cell FROM (
-        |SELECT p.vec_id AS eval_id, p.v AS ev, p.nrm AS en, cents.cell,
-        |row_number() OVER (PARTITION BY p.vec_id
-        |ORDER BY list_dot_product(p.v, cents.cv)/(p.nrm*cents.cn) DESC, cents.cell ASC) AS cr
-        |FROM nn p CROSS JOIN cents WHERE p.vec_id % 50 = 0) t WHERE cr <= 4),
-        |s AS (SELECT a.vec_id, pc.eval_id,
-        |list_dot_product(a.v, pc.ev)/(a.nrm*pc.en) AS cs
-        |FROM asg a JOIN pc ON a.cell = pc.cell),
-        |m AS (SELECT vec_id, eval_id, cs, row_number() OVER (
-        |PARTITION BY vec_id ORDER BY cs DESC, eval_id ASC) AS rn FROM s)
-        |SELECT vec_id, eval_id AS nearest_eval, round(cs, 6) AS cos_sim
-        |FROM m WHERE rn = 1 AND cs >= 0.3""".stripMargin,
+    "q_decontaminate_embed_ivf" -> DeconEmbedIvfOracleSql,
+    // the index-backed steady-state form computes the IDENTICAL result
+    // (same cells, probes, argmax, gate) off the persisted inverted
+    // file — same oracle text, the q_corpus_report_incr convention
+    "q_decontaminate_embed_incr" -> DeconEmbedIvfOracleSql,
     // the auto-bits scale form, blocking recomputed from the corpus:
     // bits = clamp(ceil_log2(max(1, n/1024)), 4, 24) — bit_length via
     // floor(log2)+1 (log2 of powers of two is exact in IEEE doubles) —

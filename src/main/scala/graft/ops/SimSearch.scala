@@ -497,6 +497,56 @@ object SimSearch {
     deconTail(assigned.join(broadcast(probeCells), Seq("cell")), threshold)
   }
 
+  /** Steady-state embedding decontamination off the PERSISTED inverted
+    * file (declared q_decontaminate_embed_incr) — the form a crawl loop
+    * actually runs: the corpus's cell assignment is the IVF index
+    * written once ([[writeIvfIndexWith]], cell-partitioned), and each
+    * eval-suite pass reads ONLY the probed cells' partitions
+    * (PartitionFilters — DeconEmbedSpec pins the pruned scan), never
+    * the whole corpus. Cells, probes, and the argmax tail are
+    * bit-identical to [[deconEmbedIvfQ]] (same deterministic centroid
+    * sample, same tie-breaks), so the declared query shares the
+    * in-memory form's oracle text verbatim — the q_corpus_report_incr
+    * same-oracle convention. Forgotten vectors are anti-joined out by
+    * the shared [[Tombstones]] read, so GDPR erasure propagates to
+    * decontamination verdicts with no extra plumbing. */
+  def deconEmbedFromIndexQ(spark: org.apache.spark.sql.SparkSession,
+      idxDir: String, embeddings: DataFrame, evalMod: Int = 50,
+      threshold: Double = 0.3, nProbeCells: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$idxDir/centroids")
+    val probeCells = normed(embeddings).filter(col("vec_id") % evalMod === 0)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
+      .crossJoin(broadcast(centroids))
+      .select(col("eval_id"), col("ev"), col("en"), col("cell"),
+        (ndot(col("ev"), col("cv")) / (col("en") * col("cn"))).as("cell_sim"))
+      .withColumn("cr", row_number().over(
+        Window.partitionBy(col("eval_id"))
+          .orderBy(col("cell_sim").desc, col("cell").asc)))
+      .filter(col("cr") <= nProbeCells)
+      .select(col("eval_id"), col("ev"), col("en"), col("cell"))
+    // ≤ nCells distinct probed cells — the metadata-sized collect the
+    // ivfTopKFromIndex partition-pruned read already uses
+    val cells = probeCells.select("cell").distinct().collect().map(_.getLong(0))
+    val idx = Tombstones.minus(spark, idxDir,
+      spark.read.parquet(s"$idxDir/cells")
+        .filter(col("cell").isin(cells: _*)), "vec_id")
+    deconTail(idx.join(broadcast(probeCells), Seq("cell")), threshold)
+  }
+
+  /** [[deconEmbedFromIndexQ]] with the per-(session, sf-dir) memoized
+    * index build — the declared-query entry point. The index is the
+    * CORPUS side only (eval rows are probes, not index residents), on
+    * the same deterministic centroid sample as [[deconEmbedIvfQ]]. */
+  def deconEmbedIncrQ(spark: org.apache.spark.sql.SparkSession,
+      dir: String, evalMod: Int = 50, nCells: Int = 16): DataFrame = {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val idxDir = BuildOnce.tempDirFor("graft_decon_ivf_idx", dir)
+    BuildOnce(spark, idxDir, Seq(dir))(
+      writeIvfIndexWith(emb.filter(col("vec_id") % evalMod =!= 0),
+        sampledCentroids(emb, nCells, 1), idxDir))
+    deconEmbedFromIndexQ(spark, idxDir, emb, evalMod)
+  }
+
   /** IVF (inverted-file) approximate top-k — the standard ANN scale path:
     * partition the corpus into Voronoi cells around centroid vectors,
     * then search only the `nProbeCells` cells nearest each probe.

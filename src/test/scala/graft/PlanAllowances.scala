@@ -90,6 +90,8 @@ object PlanAllowances {
     // rows — an eval suite, never corpus-sized) broadcast against one
     // corpus scan; the IVF form swaps it for the 16-row centroid
     // broadcast (the q_knn_clf_ivf precedent — the candidate join is
-    // cell-keyed)
-    "q_decontaminate_embed", "q_decontaminate_embed_ivf")
+    // cell-keyed); the index-backed twin keeps the same centroid
+    // broadcast over the eval probes
+    "q_decontaminate_embed", "q_decontaminate_embed_ivf",
+    "q_decontaminate_embed_incr")
 }

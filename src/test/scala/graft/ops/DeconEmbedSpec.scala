@@ -57,6 +57,22 @@ class DeconEmbedSpec extends SparkSuite {
     PipelineCaches.release(spark)
   }
 
+  test("index-backed decon == in-memory IVF form bit-identically; probe scan is cell-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_idx").toString
+    val emb = Tables.embeddings(spark, sf)
+    SimSearch.writeIvfIndexWith(emb.filter(col("vec_id") % 50 =!= 0),
+      SimSearch.sampledCentroids(emb, 16, 1), dir)
+    val fromIdx = SimSearch.deconEmbedFromIndexQ(spark, dir, emb)
+    val plan = fromIdx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cell"),
+      "index read must carry a cell partition filter:\n" + plan.take(700))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(fromIdx) == rows(SimSearch.deconEmbedIvfQ(emb)),
+      "persisted-index decon must equal the in-memory IVF form")
+    PipelineCaches.release(spark)
+  }
+
   test("plan posture: broadcast eval side, map-side max_by partials, no corpus window") {
     val plan = SimSearch.deconEmbedQ(Tables.embeddings(spark, sf))
       .queryExecution.executedPlan.toString
