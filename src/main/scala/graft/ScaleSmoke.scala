@@ -11,8 +11,10 @@ import graft.ops.Dedup
 /** Per-probe stage-metric tally: total shuffle write bytes, the largest
   * single-stage shuffle write (the "peak shuffle" a 100 TB exchange
   * would have to carry, scaled), and disk spill. Stage events arrive on
-  * the listener bus after the action returns, so readers pause briefly
-  * before sampling. */
+  * the listener bus after the action returns, so the harness DRAINS the
+  * bus (GraftListenerDrain.waitUntilEmpty) before resetting and before
+  * sampling — a fixed sleep let late events from a prior probe bleed
+  * across tallies (round-16 ADVICE). */
 private final class ProbeMetrics extends SparkListener {
   val shufWrite = new AtomicLong
   val shufWritePeakStage = new AtomicLong
@@ -108,11 +110,13 @@ object ScaleSmoke {
       val docs = amplify(base, k)
       def run(label: String, df: => DataFrame): Unit = {
         if (only.exists(!_.contains(label))) return
-        Thread.sleep(300); metrics.reset()
+        org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
+        metrics.reset()
         val t0 = System.nanoTime()
         val n = df.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(300) // drain the listener bus before sampling
+        // flush all pending stage events before sampling the tally
+        org.apache.spark.GraftListenerDrain.drain(spark.sparkContext)
         val gb = 1024.0 * 1024 * 1024
         println(f"[scale] k=$k%-3d $label%-14s ${dt}%7.1f s   rows=$n   " +
           f"shufW=${metrics.shufWrite.get / gb}%.2f GiB " +
@@ -308,6 +312,28 @@ object ScaleSmoke {
               / 41.5 - 1.0).cast("float")).as("embedding"))))
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // the index-backed decon twin (round 17): the cell-partitioned
+      // inverted file is BUILT untimed (a deployment builds once), the
+      // probe times the steady-state read — pruned cell partitions +
+      // broadcast eval probes + map-side argmax; wall clock must track
+      // the PROBED fraction of the corpus, not the corpus
+      if (!only.exists(!_.contains("decon_incr"))) {
+        val deconEmb = docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(col("doc_id") * 29 + i * 11, lit(83)).cast("double")
+              / 41.5 - 1.0).cast("float")).as("embedding"))
+        val deconDir = java.nio.file.Files
+          .createTempDirectory(s"smoke_decon_$k").toString
+        graft.ops.SimSearch.writeIvfIndexWith(
+          deconEmb.filter(col("vec_id") % 50 =!= 0),
+          graft.ops.SimSearch.sampledCentroids(deconEmb, 16, 1), deconDir)
+        graft.ops.PipelineCaches.release(spark)
+        spark.sharedState.cacheManager.clearCache()
+        run("decon_incr",
+          graft.ops.SimSearch.deconEmbedFromIndexQ(spark, deconDir, deconEmb))
+        graft.ops.PipelineCaches.release(spark)
+        spark.sharedState.cacheManager.clearCache()
+      }
       // nano k-means: 3 assignment scans (grow ~k) + (cell, dim)-keyed
       // mean aggregates bounded by nCells·dim — wall clock must track
       // the corpus scan, never the model
@@ -488,6 +514,7 @@ object ScaleSmoke {
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
     }
+    spark.sparkContext.removeSparkListener(metrics)
     spark.stop()
   }
 }

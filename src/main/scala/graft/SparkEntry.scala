@@ -191,6 +191,12 @@ object SparkEntry {
     "q_bpe_encode" -> ((s, d) => graft.ops.Bpe.bpeEncodeQ(s, d)),
     // tokenizer-eval readout: per-source fertility + compression
     "q_tokenizer_fertility" -> ((s, d) => graft.ops.Bpe.tokenizerFertilityQ(s, d)),
+    // SentencePiece-style unigram tokenizer: seeded substring vocab,
+    // two Viterbi-E-step + prune rounds (integer-exact objective), the
+    // pruned (piece, utility) model as the output
+    "q_unigram_train" -> ((s, d) => graft.ops.Unigram.unigramTrainQ(s, d)),
+    // the apply side: vocab words segmented under the pruned pieces
+    "q_unigram_encode" -> ((s, d) => graft.ops.Unigram.unigramEncodeQ(s, d)),
     // end-to-end export: train BPE -> encode corpus -> pack encoded
     // stream into 512-token sequences (per-shard summary)
     "q_tokenize_pack" -> ((s, d) => graft.ops.Bpe.tokenizePackQ(s, d)),
@@ -1223,6 +1229,86 @@ object SparkEntry {
     "WITH " + (head +: rounds).mkString(",\n") + "\n" + finalSelect
   }
 
+  private val UnigramSeedMulti = graft.ops.Unigram.DefaultSeedMulti
+  private val UnigramKeeps = graft.ops.Unigram.DefaultKeeps
+  private val UnigramRounds = UnigramKeeps.length
+
+  /** One Viterbi pass as a window-carried recursive CTE: the dp values
+    * (piece count np, summed utility u, pieces-so-far sg) for the last
+    * 4 code-point positions ride the row, each step extends by the
+    * best piece of length 1..4 ending at pos+1 under vocab `prev`, and
+    * "best" is one struct list_sort on the declared total order
+    * (np asc, -u asc, -len asc) — the same objective the native
+    * unigram_segment expression evaluates. Emits (word, n, sg). */
+  private def unigramVitCte(name: String, prev: String): String = {
+    val best = s"""(list_sort(list_filter([
+      |CASE WHEN v.np0 IS NOT NULL AND p1.piece IS NOT NULL THEN
+      |{'bnp': v.np0 + 1, 'bnu': -(v.u0 + p1.u), 'bnl': CAST(-1 AS BIGINT), 'bpc': p1.piece, 'bsg': v.sg0} END,
+      |CASE WHEN v.pos >= 1 AND v.np1 IS NOT NULL AND p2.piece IS NOT NULL THEN
+      |{'bnp': v.np1 + 1, 'bnu': -(v.u1 + p2.u), 'bnl': CAST(-2 AS BIGINT), 'bpc': p2.piece, 'bsg': v.sg1} END,
+      |CASE WHEN v.pos >= 2 AND v.np2 IS NOT NULL AND p3.piece IS NOT NULL THEN
+      |{'bnp': v.np2 + 1, 'bnu': -(v.u2 + p3.u), 'bnl': CAST(-3 AS BIGINT), 'bpc': p3.piece, 'bsg': v.sg2} END,
+      |CASE WHEN v.pos >= 3 AND v.np3 IS NOT NULL AND p4.piece IS NOT NULL THEN
+      |{'bnp': v.np3 + 1, 'bnu': -(v.u3 + p4.u), 'bnl': CAST(-4 AS BIGINT), 'bpc': p4.piece, 'bsg': v.sg3} END
+      |], x -> x IS NOT NULL)))[1]""".stripMargin
+    s"""$name AS MATERIALIZED (SELECT word, n, sg FROM (
+      |WITH RECURSIVE vit(word, n, m, pos, np0, u0, sg0, np1, u1, sg1, np2, u2, sg2, np3, u3, sg3) AS (
+      |SELECT word, n, CAST(length(word) AS BIGINT), CAST(0 AS BIGINT),
+      |CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST([] AS VARCHAR[]),
+      |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR[]),
+      |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR[]),
+      |CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR[])
+      |FROM w
+      |UNION ALL
+      |SELECT v.word, v.n, v.m, v.pos + 1,
+      |($best).bnp, -(($best).bnu), list_append(($best).bsg, ($best).bpc),
+      |v.np0, v.u0, v.sg0, v.np1, v.u1, v.sg1, v.np2, v.u2, v.sg2
+      |FROM vit v
+      |LEFT JOIN $prev p1 ON p1.piece = substr(v.word, CAST(v.pos + 1 AS INT), 1)
+      |LEFT JOIN $prev p2 ON v.pos >= 1 AND p2.piece = substr(v.word, CAST(v.pos AS INT), 2)
+      |LEFT JOIN $prev p3 ON v.pos >= 2 AND p3.piece = substr(v.word, CAST(v.pos - 1 AS INT), 3)
+      |LEFT JOIN $prev p4 ON v.pos >= 3 AND p4.piece = substr(v.word, CAST(v.pos - 2 AS INT), 4)
+      |WHERE v.pos < v.m)
+      |SELECT word, n, sg0 AS sg FROM vit WHERE pos = m) q)""".stripMargin
+  }
+
+  /** The full unigram train chain: seed candidates/charset/v0, then per
+    * round r — Viterbi s_r under v_{r-1}, utilities u_r, pruned vocab
+    * v_r (all chars + top-keep multi pieces). `encodeTail` appends one
+    * more Viterbi under the final vocab for the encode query. */
+  private def unigramOracleSql(finalSelect: String,
+      encodeTail: Boolean = false): String = {
+    val head =
+      s"""w AS MATERIALIZED (SELECT t AS word, count(*) AS n FROM
+        |(SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t FROM documents) u
+        |WHERE t <> '' GROUP BY t),
+        |cand AS MATERIALIZED (SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+        |CAST(sum(n) AS BIGINT) AS u
+        |FROM w, unnest(range(1, length(word)+1)) AS ti(i), unnest([1,2,3,4]) AS tl(l)
+        |WHERE i + l - 1 <= length(word) GROUP BY 1),
+        |chars AS MATERIALIZED (SELECT piece, u FROM cand WHERE length(piece) = 1),
+        |v0 AS MATERIALIZED (SELECT piece, u FROM chars UNION ALL
+        |SELECT piece, u FROM (SELECT piece, u FROM cand WHERE length(piece) > 1
+        |ORDER BY u DESC, piece ASC LIMIT $UnigramSeedMulti) t)""".stripMargin
+    val rounds = UnigramKeeps.zipWithIndex.map { case (keep, i) =>
+      val r = i + 1
+      s"""${unigramVitCte(s"s$r", s"v${r - 1}")},
+        |u$r AS MATERIALIZED (SELECT piece, CAST(sum(n) AS BIGINT) AS u FROM
+        |(SELECT n, unnest(sg) AS piece FROM s$r) t GROUP BY piece),
+        |v$r AS MATERIALIZED (
+        |SELECT c.piece, CAST(coalesce(u.u, 0) AS BIGINT) AS u
+        |FROM (SELECT piece FROM chars) c LEFT JOIN u$r u USING (piece)
+        |UNION ALL
+        |SELECT piece, u FROM (SELECT piece, u FROM u$r WHERE length(piece) > 1
+        |ORDER BY u DESC, piece ASC LIMIT $keep) t)""".stripMargin
+    }
+    val tail =
+      if (encodeTail)
+        Seq(unigramVitCte(s"s${UnigramRounds + 1}", s"v$UnigramRounds"))
+      else Nil
+    "WITH " + ((head +: rounds) ++ tail).mkString(",\n") + "\n" + finalSelect
+  }
+
   /** The q_e2e_corpus oracle tail — extends the generated BPE chain
     * (seg6 = the raw-corpus tokenizer) with: the q_corpus_clean per-doc
     * verdict chain, a near-dup victim stage (the q_dedup_near text over
@@ -2239,6 +2325,20 @@ object SparkEntry {
     // same full corpus — additivity makes the SAME sketch its ground truth
     "q_cms_incr" -> CmsOracleSql,
     "q_bpe_merges" -> bpeOracleSql(6),
+    // unigram train/encode: the oracle re-runs seed -> 2 x (Viterbi
+    // E-step + prune) -- the Viterbi as a window-carried recursive CTE
+    // (dp for the last 4 positions rides the row; the best transition
+    // is a struct list_sort on the declared (pieces, -utility, -len)
+    // total order), per-round MATERIALIZED CTEs like the BPE chain
+    "q_unigram_train" -> unigramOracleSql(
+      s"SELECT piece, u AS utility, CAST(length(piece) AS BIGINT) AS n_chars FROM v$UnigramRounds"),
+    "q_unigram_encode" -> {
+      val sFinal = UnigramRounds + 1
+      unigramOracleSql(
+        s"""SELECT word, n, CAST(len(sg) AS BIGINT) AS n_piece,
+          |array_to_string(sg, ' ') AS pieces FROM s$sFinal""".stripMargin,
+        encodeTail = true)
+    },
     // the apply side: the final segmentation table the train built
     "q_bpe_encode" -> bpeOracleSql(6,
       """SELECT word, n, CAST(len(sym) AS BIGINT) AS n_sym,

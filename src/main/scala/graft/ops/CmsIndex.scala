@@ -100,6 +100,7 @@ object CmsIndex {
   // ---- the persisted form ------------------------------------------------
 
   def writeCmsIndex(docs: DataFrame, dir: String): Unit = {
+    DirSwap.reset(docs.sparkSession, s"$dir/sketch")
     sketchOf(termCounts(docs))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/sketch")
     docs.sparkSession.range(1)
@@ -115,8 +116,8 @@ object CmsIndex {
       s"CMS index at $dir was built with different parameters " +
         s"(${meta.getAs[Int]("depth")}×${meta.getAs[Int]("width")}); " +
         s"sketches of different shapes cannot merge")
-    sketchOf(termCounts(newDocs))
-      .coalesce(1).write.mode("append").parquet(s"$dir/sketch")
+    sketchOf(termCounts(newDocs)).coalesce(1).write.mode("append")
+      .parquet(DirSwap.resolve(newDocs.sparkSession, s"$dir/sketch"))
   }
 
   /** Right-to-be-forgotten on the sketch (ADDITIVE cells — the
@@ -129,12 +130,13 @@ object CmsIndex {
     * ingested text. */
   def forgetFromCmsIndex(spark: SparkSession, dir: String,
       victimDocs: DataFrame): Unit = {
-    val fresh = ForgetLedger.fresh(spark, s"$dir/sketch",
+    val cells = DirSwap.resolve(spark, s"$dir/sketch")
+    val fresh = ForgetLedger.fresh(spark, cells,
       victimDocs.select("doc_id")).cache()
     val freshDocs = victimDocs
       .withColumn("doc_id", col("doc_id").cast("long"))
       .join(broadcast(fresh), Seq("doc_id"), "left_semi")
-    ForgetLedger.commit(s"$dir/sketch", fresh,
+    ForgetLedger.commit(cells, fresh,
       sketchOf(termCounts(freshDocs))
         .select(SketchSchema.fieldNames.toSeq.map(col): _*))
     fresh.unpersist()
@@ -154,8 +156,9 @@ object CmsIndex {
   /** The folded counter table (partials summed, forget-ledger
     * contributions netted; absent cells read as zero downstream). */
   def sketchFromIndex(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.schema(SketchSchema).parquet(s"$dir/sketch")
-    ForgetLedger.contributions(spark, s"$dir/sketch", SketchSchema)
+    val cells = DirSwap.resolve(spark, s"$dir/sketch")
+    val base = spark.read.schema(SketchSchema).parquet(cells)
+    ForgetLedger.contributions(spark, cells, SketchSchema)
       .fold(base)(c => base.unionByName(
         c.withColumn("c", -col("c"))
           .select(SketchSchema.fieldNames.toSeq.map(col): _*)))

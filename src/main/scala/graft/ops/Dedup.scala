@@ -47,28 +47,78 @@ object Dedup {
   val VerifyBucketed = "bucketed"
 
   /** Size-dispatched verify mode (the [[nearDupPairs]] default):
-    * broadcast while the input corpus — the proxy for the per-doc
-    * hashed-set dictionary — is planner-estimated small, bucketed
-    * (sort-merge) past `VerifyAutoBytes`. The crossover is MEASURED,
-    * not theoretical: ScaleSmoke k=32 (160k docs, ~48 MB text) has the
-    * broadcast mode's GC knee already eating its lead (192.7 vs
-    * 217.6 s) while the bucketed mode's wall is near-flat per octave
-    * (k=16→32: ×1.10) — past this point broadcast only degrades. */
+    * broadcast while the per-doc hashed-set dictionary is small,
+    * bucketed (sort-merge) past `VerifyAutoBytes`. The gate measures
+    * the DICTIONARY DIRECTLY — token occurrences × 8 B, an upper bound
+    * on the hashed-set array bytes the broadcast would carry (per-doc
+    * dedup only shrinks it) — counted on the cached token frame the
+    * verify pipeline evaluates anyway, so the one count() is the
+    * cache's first materialization, not an extra corpus pass. Round 16
+    * gated on `optimizedPlan.stats.sizeInBytes` instead, which
+    * under-estimates generated/union frames: the 64× ScaleSmoke audit
+    * measured every probe reading ≤ 16.3 MB of plan-stats against the
+    * 64 MB gate while the broadcast dictionary spilled 5.89 GiB — and
+    * a wrong BROADCAST pick at scale is an executor OOM, not a slow
+    * query, so the gate must key on real bytes (round-16 VERDICT #2).
+    * The crossover is MEASURED, not theoretical: ScaleSmoke k=32
+    * (160k docs, ~48 MB text, dictionary bound ≈ 56 MB) still has
+    * broadcast ahead (192.7 vs 217.6 s) with its GC knee eating the
+    * lead; by k=64 (bound ≈ 112 MB) broadcast loses outright — the
+    * 64 MB gate flips exactly in that octave. */
   val VerifyAuto = "auto"
   val VerifyAutoBytes: Long = 64L << 20
 
-  private def resolveVerifyMode(docs: DataFrame, mode: String): String =
+  /** `tok` is the (doc_id, token) stream of the corpus under verify —
+    * NOTE: resolving Auto runs one eager count() job at DataFrame-
+    * construction time (materializing the pipeline's own token cache). */
+  private def resolveVerifyMode(tok: DataFrame, mode: String,
+      autoBytes: Long = VerifyAutoBytes): String =
     if (mode != VerifyAuto) mode
-    else if (docs.queryExecution.optimizedPlan.stats.sizeInBytes
-      > VerifyAutoBytes) VerifyBucketed
+    else if (tok.count() * 8L > autoBytes) VerifyBucketed
     else VerifyBroadcast
 
+  /** TEST SEAM (DedupVerifyModeSpec): the mode [[nearDupPairs]] would
+    * auto-dispatch for `docs` — lets the spec pin the dispatch on
+    * stats-hostile (expression-backed) corpora without running the
+    * pipeline; `autoBytes` shrinks the gate so the fixture stays
+    * unit-test-sized. */
+  private[ops] def verifyModeFor(docs: DataFrame,
+      autoBytes: Long = VerifyAutoBytes): String =
+    resolveVerifyMode(tokens(spread(docs)), VerifyAuto, autoBytes)
+
+  /** Sort-merge width for the bucketed verify, derived from corpus
+    * stats instead of the session's fixed shuffle-partition count
+    * (round-16 VERDICT #3: at 64× the fixed 32 partitions left the SMJ
+    * sorting ~520 MB per task — 16.6 GiB shuffle write, 32 GiB spill).
+    * Calibration from that measured profile: the verify shuffle
+    * amplifies the per-doc set dictionary ~150× (each surviving pair
+    * carries two sets), so granting one partition per 512 KiB of
+    * dictionary bound keeps per-task sort sets ≈ 75 MB — inside
+    * executor execution memory, spill ≈ 0. Never below the cluster's
+    * parallelism, capped at 4096 (the fan-out a 100 TB exchange
+    * tolerates). The count() runs on the pipeline's own cached token
+    * frame — first materialization, not an extra pass. */
+  private def smjVerifyParts(tok: DataFrame): Int = {
+    val dictBytes = tok.count() * 8L
+    val base = tok.sparkSession.sparkContext.defaultParallelism
+    math.min(4096L, math.max(base.toLong, dictBytes / (512L << 10))).toInt
+  }
+
   private def attachSet(cand: DataFrame, sets: DataFrame, side: String,
-      setCol: String, outCol: String, mode: String): DataFrame = {
+      setCol: String, outCol: String, mode: String,
+      parts: Option[Int] = None): DataFrame = {
     val s = sets.select(col("doc_id").as(side), col(setCol).as(outCol))
     mode match {
       case VerifyBroadcast => cand.join(broadcast(s), side)
-      case VerifyBucketed => cand.join(s.hint("merge"), side)
+      case VerifyBucketed =>
+        // explicit same-key repartition on BOTH sides: the SMJ reuses
+        // the supplied partitioning (no extra exchange) and runs at the
+        // stats-derived width instead of the session default; explicit
+        // numPartitions is exempt from AQE coalescing (the fuzzyMatch
+        // precedent)
+        val (c2, s2) = parts.fold((cand, s))(n =>
+          (cand.repartition(n, col(side)), s.repartition(n, col(side))))
+        c2.join(s2.hint("merge"), side)
       case other => throw new IllegalArgumentException(
         s"verifyMode must be '$VerifyBroadcast' or '$VerifyBucketed', got '$other'")
     }
@@ -86,7 +136,7 @@ object Dedup {
     * the full candidate stream. */
   private def jaccardVerify(cand: DataFrame, sets: DataFrame, setCol: String,
       threshold: Double, mode: String, dedupAfter: Boolean = false,
-      measure: String = "jaccard"): DataFrame = {
+      measure: String = "jaccard", parts: Option[Int] = None): DataFrame = {
     SortedLongIntersectCount.register(cand.sparkSession)
     // the two set-overlap measures this lane serves: symmetric Jaccard
     // (|∩| / |∪|, the near-dup default) and CONTAINMENT
@@ -99,8 +149,9 @@ object Dedup {
       case _ =>
         col("n_common").cast("double") / (col("na") + col("nb") - col("n_common"))
     }
-    val verified = attachSet(attachSet(cand, sets, "doc_a", setCol, "set_a", mode),
-        sets, "doc_b", setCol, "set_b", mode)
+    val verified = attachSet(
+        attachSet(cand, sets, "doc_a", setCol, "set_a", mode, parts),
+        sets, "doc_b", setCol, "set_b", mode, parts)
       .select(col("doc_a"), col("doc_b"),
         // native merge-count over the sorted arrays — see the Scaladoc on
         // SortedLongIntersectCount for why array_intersect loses here
@@ -262,8 +313,13 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
       verifyMode: String = VerifyAuto,
       dedupPairs: Boolean = true): DataFrame = {
-    val mode = resolveVerifyMode(docs, verifyMode)
     val tok = PipelineCaches.track(tokens(spread(docs)))
+    val mode = resolveVerifyMode(tok, verifyMode)
+    // SMJ width from corpus stats; the candidate distinct below gets
+    // the same width (its hash aggregate spills on the session default
+    // at 64× too). None in broadcast mode — no behavior change there.
+    val parts =
+      if (mode == VerifyBucketed) Some(smjVerifyParts(tok)) else None
     val sig = PipelineCaches.track(signatures(tok))
     val bands = bandsOf(sig)
 
@@ -283,7 +339,9 @@ object Dedup {
     // sorts (measured OOM at ScaleSmoke k=16), so dedup FIRST: the
     // distinct shares the shuffle budget the SMJ pays anyway.
     val (cand, dedupAfter) =
-      if (mode == VerifyBucketed) (candRaw.distinct(), false)
+      if (mode == VerifyBucketed)
+        (candRaw.repartition(parts.get, col("doc_a"), col("doc_b"))
+          .dropDuplicates(), false)
       else (candRaw, dedupPairs)
 
     // Exact-Jaccard verification over per-doc HASHED token sets:
@@ -301,7 +359,8 @@ object Dedup {
     // At larger corpora where the dictionary outgrows a broadcast the
     // default VerifyAuto dispatches to the bucketed sort-merge mode
     // (the measured crossover in resolveVerifyMode's scaladoc).
-    jaccardVerify(cand, tokSetsOf(tok), "toks", threshold, mode, dedupAfter)
+    jaccardVerify(cand, tokSetsOf(tok), "toks", threshold, mode,
+      dedupAfter, parts = parts)
   }
 
   /** Persist the minhash inverted file for INCREMENTAL near-dup lookup —
@@ -336,9 +395,11 @@ object Dedup {
       bandBuckets: Int = 256): Unit = {
     require(bandBuckets > 0, s"bandBuckets must be positive, got $bandBuckets")
     // from-scratch build: a leftover tombstone table must not survive
-    // the data overwrite (it would silently re-forget docs the new
-    // corpus contains — the round-13 TextIndex rebuild bug class)
-    Tombstones.clear(docs.sparkSession, dir)
+    // the data overwrite (the round-13 TextIndex rebuild bug class),
+    // nor may a stale committed generation shadow the fresh write
+    Tombstones.reset(docs.sparkSession, dir)
+    DirSwap.reset(docs.sparkSession, s"$dir/bands")
+    DirSwap.reset(docs.sparkSession, s"$dir/toksets")
     val tok = tokens(spread(docs)).cache()
     try {
       // doc_id normalized to long so the fixed reader schema holds for
@@ -394,10 +455,11 @@ object Dedup {
       bandsOf(signatures(tok))
         .withColumn("doc_id", col("doc_id").cast("long"))
         .withColumn("bkt", pmod(col("b0"), lit(bandBuckets.toLong)))
-        .write.mode("append").partitionBy("bkt").parquet(s"$dir/bands")
+        .write.mode("append").partitionBy("bkt")
+        .parquet(DirSwap.resolve(spark, s"$dir/bands"))
       tokSetsOf(tok)
         .withColumn("doc_id", col("doc_id").cast("long"))
-        .write.mode("append").parquet(s"$dir/toksets")
+        .write.mode("append").parquet(DirSwap.resolve(spark, s"$dir/toksets"))
     } finally tok.unpersist()
   }
 
@@ -420,17 +482,20 @@ object Dedup {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     DirSwap(spark, s"$dir/bands") { out =>
       Tombstones.minus(spark, dir,
-        spark.read.schema(BandsSchema).parquet(s"$dir/bands"))
+        spark.read.schema(BandsSchema)
+          .parquet(DirSwap.resolve(spark, s"$dir/bands")))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
     DirSwap(spark, s"$dir/toksets") { out =>
-      val live = new org.apache.hadoop.fs.Path(s"$dir/toksets")
+      val live = new org.apache.hadoop.fs.Path(
+        DirSwap.resolve(spark, s"$dir/toksets"))
       val bytes = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getContentSummary(live).getLength
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       Tombstones.minus(spark, dir,
-        spark.read.schema(TokSetsSchema).parquet(s"$dir/toksets"))
+        spark.read.schema(TokSetsSchema)
+          .parquet(DirSwap.resolve(spark, s"$dir/toksets")))
         .repartition(nFiles)
         .write.parquet(out)
     }
@@ -501,14 +566,15 @@ object Dedup {
     // full bands read is cheaper than the job that would prune it; above
     // it, pruning is what keeps micro-batch lookups independent of
     // corpus size
-    val bandsPath = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val bandsPath = new org.apache.hadoop.fs.Path(
+      DirSwap.resolve(spark, s"$dir/bands"))
     val indexBytes = bandsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(bandsPath).getLength
     // tombstone exclusion (forgetFromNearDupIndex): a deleted doc's
     // bands never become candidates; no-op (no extra join) when the
     // index never saw a delete
     val bandsRead = Tombstones.minus(spark, dir,
-      spark.read.schema(BandsSchema).parquet(s"$dir/bands"))
+      spark.read.schema(BandsSchema).parquet(bandsPath.toString))
     val prunedBands =
       // un-pruned branch: fanout — the one-file-per-bucket layout
       // bin-packs into few scan tasks (openCost packing) and the verify
@@ -530,7 +596,8 @@ object Dedup {
     val verified = candRaw
       .join(broadcast(tokSetsOf(tok).select(col("doc_id").as("doc_a"),
         col("toks").as("set_a"))), "doc_a")
-      .join(spark.read.schema(TokSetsSchema).parquet(s"$dir/toksets")
+      .join(spark.read.schema(TokSetsSchema)
+        .parquet(DirSwap.resolve(spark, s"$dir/toksets"))
         .select(col("doc_id").as("doc_b"), col("toks").as("set_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         expr("sorted_intersect_count(set_a, set_b)").as("n_common"),
@@ -653,7 +720,8 @@ object Dedup {
     val touched = probeBands
       .select(pmod(col("b0"), lit(bandBuckets.toLong)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
-    val cand = spark.read.schema(BandsSchema).parquet(s"$dir/bands")
+    val cand = spark.read.schema(BandsSchema)
+      .parquet(DirSwap.resolve(spark, s"$dir/bands"))
       .filter(col("bkt").isin(touched.toIndexedSeq: _*))
       .join(broadcast(probeBands), Seq("band", "b0", "b1"))
       .filter(col("probe_id") =!= col("doc_id"))
@@ -888,8 +956,10 @@ object Dedup {
   def writeWinnowIndex(docs: DataFrame, dir: String,
       k: Int = 4, w: Int = 5, fpBuckets: Int = 256): Unit = {
     require(fpBuckets > 0, s"fpBuckets must be positive, got $fpBuckets")
-    // from-scratch build: drop leftover tombstones (round-13 bug class)
-    Tombstones.clear(docs.sparkSession, dir)
+    // from-scratch build: drop leftover tombstones (round-13 bug
+    // class) and stale committed generations
+    Tombstones.reset(docs.sparkSession, dir)
+    DirSwap.reset(docs.sparkSession, s"$dir/fps")
     // repartition on bkt before the partitioned write: without it every
     // map task writes a file into every bucket dir (tasks × buckets tiny
     // files — measured ~3x on the whole lookup), with it the bulk build
@@ -923,7 +993,8 @@ object Dedup {
   def appendToWinnowIndex(newDocs: DataFrame, dir: String): Unit = {
     val (fpBuckets, k, w) = readWinnowMeta(newDocs.sparkSession, dir)
     bucketedWinnowFps(newDocs, k, w, fpBuckets)
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/fps")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(DirSwap.resolve(newDocs.sparkSession, s"$dir/fps"))
   }
 
   /** Right-to-be-forgotten request on the winnow index (the shared
@@ -943,7 +1014,8 @@ object Dedup {
       dir: String): Unit = {
     DirSwap(spark, s"$dir/fps") { out =>
       Tombstones.minus(spark, dir,
-        spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps"))
+        spark.read.schema(WinnowFpsSchema)
+          .parquet(DirSwap.resolve(spark, s"$dir/fps")))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
@@ -974,13 +1046,14 @@ object Dedup {
     val deltaFps = PipelineCaches.track(
       winnowFingerprints(newDocs, k, w)
         .withColumn("doc_id", col("doc_id").cast("long")))
-    val fpsPath = new org.apache.hadoop.fs.Path(s"$dir/fps")
+    val fpsPath = new org.apache.hadoop.fs.Path(
+      DirSwap.resolve(spark, s"$dir/fps"))
     val indexBytes = fpsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(fpsPath).getLength
     // tombstone anti-join BEFORE the df count: a forgotten doc's
     // fingerprints must neither pair nor inflate the df cap
     val fpsRead = Tombstones.minus(spark, dir,
-      spark.read.schema(WinnowFpsSchema).parquet(s"$dir/fps"))
+      spark.read.schema(WinnowFpsSchema).parquet(fpsPath.toString))
     val pruned =
       // NO fanout here, unlike nearDupsAgainstIndex: this lookup's
       // post-scan work is hash joins and counts (no per-row DP), so the
@@ -1645,8 +1718,9 @@ object Dedup {
     * forgotten docs' spans stop counting everywhere at once. */
   private def spanCountRows(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val base = spark.read.schema(SpanIndexSchema).parquet(s"$dir/spans")
-    ForgetLedger.contributions(spark, s"$dir/spans", SpanIndexSchema)
+    val spans = DirSwap.resolve(spark, s"$dir/spans")
+    val base = spark.read.schema(SpanIndexSchema).parquet(spans)
+    ForgetLedger.contributions(spark, spans, SpanIndexSchema)
       .fold(base)(c => base.unionByName(
         c.withColumn("c", -col("c"))
           .select(SpanIndexSchema.fieldNames.toSeq.map(col): _*)))
@@ -1666,7 +1740,8 @@ object Dedup {
     val meta = readSpanMeta(spark, dir)
     if (meta.nFrequent >= 0)
       writeSpanMeta(spark, dir, meta.copy(nFrequent = -1L))
-    val fresh = ForgetLedger.fresh(spark, s"$dir/spans",
+    val spans = DirSwap.resolve(spark, s"$dir/spans")
+    val fresh = ForgetLedger.fresh(spark, spans,
       victimDocs.select("doc_id")).cache()
     val freshDocs = victimDocs
       .withColumn("doc_id", col("doc_id").cast("long"))
@@ -1674,7 +1749,7 @@ object Dedup {
     val contrib = spanCounts(withSpansOf(freshDocs, meta.w))
       .withColumn("bkt", pmod(col("h"), lit(meta.spanBuckets.toLong)))
       .select(SpanIndexSchema.fieldNames.toSeq.map(col): _*)
-    ForgetLedger.commit(s"$dir/spans", fresh, contrib)
+    ForgetLedger.commit(spans, fresh, contrib)
     fresh.unpersist()
     ()
   }
@@ -1706,6 +1781,7 @@ object Dedup {
     // lands in exactly one task, so the write emits one file per bucket
     // instead of (tasks × buckets) fragments — the pruned lookup's cost
     // is footer-opens, and this keeps it at one per touched bucket
+    DirSwap.reset(docs.sparkSession, s"$dir/spans")
     spanCounts(withSpansOf(docs, w))
       .withColumn("bkt", pmod(col("h"), lit(spanBuckets.toLong)))
       .repartition(col("bkt"))
@@ -1743,7 +1819,8 @@ object Dedup {
     spanCounts(withSpansOf(newDocs, meta.w))
       .withColumn("bkt", pmod(col("h"), lit(meta.spanBuckets.toLong)))
       .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/spans")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(DirSwap.resolve(spark, s"$dir/spans"))
   }
 
   /** Compact a span index in place: re-aggregate the per-batch partial
@@ -1820,7 +1897,8 @@ object Dedup {
     // `smallIndexBytes` a full read is cheaper than the job that would
     // prune it. The delta frame is cached only when the prune consumes
     // it a second time.
-    val spansPath = new org.apache.hadoop.fs.Path(s"$dir/spans")
+    val spansPath = new org.apache.hadoop.fs.Path(
+      DirSwap.resolve(spark, s"$dir/spans"))
     val indexBytes = spansPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(spansPath).getLength
     val spansRead = spanCountRows(spark, dir)
@@ -1976,6 +2054,7 @@ object Dedup {
       gramBuckets: Int = 256): Unit = {
     require(minLen > 1 && gramBuckets > 0,
       s"minLen must be > 1 and gramBuckets positive, got $minLen/$gramBuckets")
+    DirSwap.reset(docs.sparkSession, s"$dir/grams")
     substrGramsOf(substrToksOf(docs), minLen)
       .groupBy(col("gh").as("h")).agg(count(lit(1)).as("c"))
       .withColumn("bkt", pmod(col("h"), lit(gramBuckets.toLong)))
@@ -1994,7 +2073,8 @@ object Dedup {
       .groupBy(col("gh").as("h")).agg(count(lit(1)).as("c"))
       .withColumn("bkt", pmod(col("h"), lit(meta.gramBuckets.toLong)))
       .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/grams")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(DirSwap.resolve(spark, s"$dir/grams"))
   }
 
   /** The gram count rows with any [[ForgetLedger]] contributions
@@ -2002,8 +2082,9 @@ object Dedup {
     * rewrite share. */
   private def gramCountRows(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
-    val base = spark.read.schema(GramIndexSchema).parquet(s"$dir/grams")
-    ForgetLedger.contributions(spark, s"$dir/grams", GramIndexSchema)
+    val grams = DirSwap.resolve(spark, s"$dir/grams")
+    val base = spark.read.schema(GramIndexSchema).parquet(grams)
+    ForgetLedger.contributions(spark, grams, GramIndexSchema)
       .fold(base)(c => base.unionByName(
         c.withColumn("c", -col("c"))
           .select(GramIndexSchema.fieldNames.toSeq.map(col): _*)))
@@ -2019,7 +2100,8 @@ object Dedup {
   def forgetFromSubstringIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, victimDocs: DataFrame): Unit = {
     val meta = readGramMeta(spark, dir)
-    val fresh = ForgetLedger.fresh(spark, s"$dir/grams",
+    val gramsDir = DirSwap.resolve(spark, s"$dir/grams")
+    val fresh = ForgetLedger.fresh(spark, gramsDir,
       victimDocs.select("doc_id")).cache()
     val freshDocs = victimDocs
       .withColumn("doc_id", col("doc_id").cast("long"))
@@ -2028,7 +2110,7 @@ object Dedup {
       .groupBy(col("gh").as("h")).agg(count(lit(1)).as("c"))
       .withColumn("bkt", pmod(col("h"), lit(meta.gramBuckets.toLong)))
       .select(GramIndexSchema.fieldNames.toSeq.map(col): _*)
-    ForgetLedger.commit(s"$dir/grams", fresh, contrib)
+    ForgetLedger.commit(gramsDir, fresh, contrib)
     fresh.unpersist()
     ()
   }
@@ -2071,7 +2153,8 @@ object Dedup {
     val meta = readGramMeta(spark, dir)
     val toks = PipelineCaches.track(substrToksOf(delta))
     val grams = PipelineCaches.track(substrGramsOf(toks, meta.minLen))
-    val gramsPath = new org.apache.hadoop.fs.Path(s"$dir/grams")
+    val gramsPath = new org.apache.hadoop.fs.Path(
+      DirSwap.resolve(spark, s"$dir/grams"))
     val indexBytes = gramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getContentSummary(gramsPath).getLength
     val gramsRead = gramCountRows(spark, dir)

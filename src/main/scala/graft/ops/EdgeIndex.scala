@@ -35,15 +35,18 @@ object EdgeIndex {
     StructField("src", LongType), StructField("dst", LongType),
     StructField("w", LongType)))
 
-  def writeEdgeIndex(events: DataFrame, dir: String): Unit =
+  def writeEdgeIndex(events: DataFrame, dir: String): Unit = {
+    DirSwap.reset(events.sparkSession, s"$dir/edges")
     EventAnalytics.transitionEdges(events)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/edges")
+  }
 
   /** Fold a USER-COMPLETE event batch in — one additive partial-file
     * append. */
   def appendToEdgeIndex(newEvents: DataFrame, dir: String): Unit =
     EventAnalytics.transitionEdges(newEvents)
-      .coalesce(1).write.mode("append").parquet(s"$dir/edges")
+      .coalesce(1).write.mode("append")
+      .parquet(DirSwap.resolve(newEvents.sparkSession, s"$dir/edges"))
 
   /** Right-to-be-forgotten for a USER — the GDPR delete-my-activity
     * case (victims here are users, not documents): the users' own
@@ -57,12 +60,13 @@ object EdgeIndex {
     * one swap bakes the corrections and retires the ledger. */
   def forgetFromEdgeIndex(spark: SparkSession, dir: String,
       victimEvents: DataFrame): Unit = {
-    val fresh = ForgetLedger.fresh(spark, s"$dir/edges",
+    val edges = DirSwap.resolve(spark, s"$dir/edges")
+    val fresh = ForgetLedger.fresh(spark, edges,
       victimEvents.select(col("user_id").cast("long").as("doc_id"))).cache()
     val freshEvents = victimEvents.join(
       broadcast(fresh.select(col("doc_id").as("user_id"))),
       Seq("user_id"), "left_semi")
-    ForgetLedger.commit(s"$dir/edges",
+    ForgetLedger.commit(edges,
       fresh, EventAnalytics.transitionEdges(freshEvents)
         .select(EdgeSchema.fieldNames.toSeq.map(col): _*))
     fresh.unpersist()
@@ -82,8 +86,9 @@ object EdgeIndex {
     * contributions netted — edges held only by forgotten users
     * vanish). */
   def edgesFromIndex(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.schema(EdgeSchema).parquet(s"$dir/edges")
-    ForgetLedger.contributions(spark, s"$dir/edges", EdgeSchema)
+    val edges = DirSwap.resolve(spark, s"$dir/edges")
+    val base = spark.read.schema(EdgeSchema).parquet(edges)
+    ForgetLedger.contributions(spark, edges, EdgeSchema)
       .fold(base)(c => base.unionByName(
         c.withColumn("w", -col("w"))
           .select(EdgeSchema.fieldNames.toSeq.map(col): _*)))

@@ -41,9 +41,10 @@ object EntityIndex {
   def writeEntityIndex(docs: DataFrame, dir: String,
       buckets: Int = HashBuckets): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    // from-scratch build: drop any leftover tombstones — they must not
-    // re-forget docs the new corpus contains (round-13 bug class)
-    Tombstones.clear(docs.sparkSession, dir)
+    // from-scratch build: drop any leftover tombstones (round-13 bug
+    // class) and stale committed generations
+    Tombstones.reset(docs.sparkSession, dir)
+    DirSwap.reset(docs.sparkSession, s"$dir/rows")
     partials(docs, buckets)
       .repartition(col("bkt"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/rows")
@@ -60,7 +61,8 @@ object EntityIndex {
     val buckets = readBuckets(newDocs.sparkSession, dir)
     partials(newDocs, buckets)
       .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/rows")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(DirSwap.resolve(newDocs.sparkSession, s"$dir/rows"))
   }
 
   /** Collapse per-batch files to one per bucket; also the PURGE when
@@ -69,7 +71,8 @@ object EntityIndex {
   def compactEntityIndex(spark: SparkSession, dir: String): Unit = {
     DirSwap(spark, s"$dir/rows") { out =>
       Tombstones.minus(spark, dir,
-        spark.read.schema(RowsSchema).parquet(s"$dir/rows"))
+        spark.read.schema(RowsSchema)
+          .parquet(DirSwap.resolve(spark, s"$dir/rows")))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
@@ -86,8 +89,8 @@ object EntityIndex {
     * [[TextOps.entitiesQ]] over everything folded in (minus any
     * forgotten docs). */
   def inventoryFromIndex(spark: SparkSession, dir: String): DataFrame =
-    Tombstones.minus(spark,
-      dir, spark.read.schema(RowsSchema).parquet(s"$dir/rows"))
+    Tombstones.minus(spark, dir, spark.read.schema(RowsSchema)
+      .parquet(DirSwap.resolve(spark, s"$dir/rows")))
       .groupBy(col("kind"), col("entity"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_occ")).as("n_occurrences"))
 
@@ -102,7 +105,8 @@ object EntityIndex {
         org.apache.spark.sql.Encoders.STRING)
       .select(pmod(abs(hash(col("value"))), lit(buckets)).cast("int"))
       .head().getInt(0)
-    val base = spark.read.schema(RowsSchema).parquet(s"$dir/rows")
+    val base = spark.read.schema(RowsSchema)
+      .parquet(DirSwap.resolve(spark, s"$dir/rows"))
       .filter(col("bkt") === bkt && col("entity") === entity)
     val filtered = kind.fold(base)(k => base.filter(col("kind") === k))
     Tombstones.minus(spark, dir, filtered)

@@ -92,14 +92,52 @@ object ForgetAudit {
     // (isLedger, footer-counts future) per parquet file
     val pending = scala.collection.mutable.ArrayBuffer
       .empty[(Boolean, java.util.concurrent.Future[(Long, Long)])]
+    // One walk, two passes over the collected statuses: generation-
+    // committed tables (DirSwap v17) keep the PREVIOUS generation on
+    // disk as the concurrent-reader grace window, and uncommitted next
+    // gens may exist mid-compaction — only the newest COMMITTED
+    // generation of each table is live debt-wise. Pass 1 collects the
+    // statuses and, from the _GEN_OK markers, each table's current
+    // generation; pass 2 tallies, skipping files under any other
+    // generation (including the plain gen-0 dir once a committed
+    // generation exists).
+    val GenDir = ".*__gen(\\d+)$".r
+    val statuses = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.LocatedFileStatus]
+    val current = scala.collection.mutable.Map.empty[String, Int]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
+      statuses += st
+      if (st.getPath.getName == "_GEN_OK")
+        st.getPath.getParent.toString match {
+          case GenDir(k) =>
+            val base = st.getPath.getParent.toString
+              .stripSuffix("__gen" + k)
+            if (current.getOrElse(base, -1) < k.toInt)
+              current(base) = k.toInt
+          case _ =>
+        }
+    }
+    def stale(pathStr: String): Boolean = current.exists { case (base, cur) =>
+      // plain dir = generation 0: retired the moment any committed
+      // generation exists
+      pathStr.startsWith(base + "/") ||
+      // a sibling generation dir other than the current one
+      (pathStr.startsWith(base + "__gen") && {
+        val rest = pathStr.drop(base.length + "__gen".length)
+        val k = rest.takeWhile(_.isDigit)
+        k.nonEmpty && rest.drop(k.length).headOption.contains('/') &&
+          k.toInt != cur
+      })
+    }
+    statuses.foreach { st =>
       val p = st.getPath
       val s = p.toString
-      val inTombstones = s.contains("/deletes/")
+      val inTombstones = s.matches(".*/deletes(__gen\\d+)?/.*")
       val inLedger = s.contains("/_deletes/")
-      if (p.getName.endsWith(".parquet") || inTombstones || inLedger) {
+      if (p.getName != "_GEN_OK" && !stale(s) &&
+          (p.getName.endsWith(".parquet") || inTombstones || inLedger)) {
         if (inTombstones || inLedger) {
           ledgerBytes += st.getLen
           if (p.getName.endsWith(".parquet"))

@@ -65,6 +65,7 @@ object KmvIndex {
   def writeKmvIndex(docs: DataFrame, dir: String, k: Int = 256,
       sliceCol: String = "source"): Unit = {
     require(k > 1, s"k must be > 1, got $k")
+    DirSwap.reset(docs.sparkSession, s"$dir/sketch")
     sketchRows(docs, sliceCol, k)
       .repartition(col("slice"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("slice").parquet(s"$dir/sketch")
@@ -86,7 +87,8 @@ object KmvIndex {
       sliceCol: String = "source"): Unit =
     sketchRows(newDocs, sliceCol, readK(newDocs.sparkSession, dir))
       .repartition(col("slice"))
-      .write.mode("append").partitionBy("slice").parquet(s"$dir/sketch")
+      .write.mode("append").partitionBy("slice")
+      .parquet(DirSwap.resolve(newDocs.sparkSession, s"$dir/sketch"))
 
   /** Collapse accumulated per-batch sketch rows back to ≤ k per slice
     * (the merged bottom-k IS the compacted state) — one [[DirSwap]]. */
@@ -104,7 +106,8 @@ object KmvIndex {
     * out per slice. */
   private def mergedSigs(spark: SparkSession, dir: String): DataFrame = {
     val k = readK(spark, dir)
-    spark.read.schema(SketchSchema).parquet(s"$dir/sketch")
+    spark.read.schema(SketchSchema)
+      .parquet(DirSwap.resolve(spark, s"$dir/sketch"))
       .groupBy(col("slice"))
       .agg(slice(array_sort(array_distinct(collect_list(col("th")))), 1, k)
         .as("sig"))

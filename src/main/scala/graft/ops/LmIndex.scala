@@ -41,13 +41,16 @@ object LmIndex {
       .select(col("gid"), col("ra"), col("rb"), col("n"), col("bkt"))
 
   def writeLmIndex(docs: DataFrame, dir: String,
-      trainLang: String = "en"): Unit =
+      trainLang: String = "en"): Unit = {
     // static-overwrite wipes the whole counts dir — any leftover
     // forget ledger (which lives inside it) dies with it, so a
-    // from-scratch build cannot inherit stale corrections (r13 class)
+    // from-scratch build cannot inherit stale corrections (r13 class);
+    // the generation reset drops stale committed compaction gens too
+    DirSwap.reset(docs.sparkSession, s"$dir/counts")
     partials(docs, trainLang)
       .repartition(col("bkt"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/counts")
+  }
 
   /** Right-to-be-forgotten on an ADDITIVE-count index via the shared
     * [[ForgetLedger]] (one in-dir append: registry rows for
@@ -64,12 +67,13 @@ object LmIndex {
     * swap. */
   def forgetFromLmIndex(spark: SparkSession, dir: String,
       victimDocs: DataFrame, trainLang: String = "en"): Unit = {
-    val fresh = ForgetLedger.fresh(spark, s"$dir/counts",
+    val counts = DirSwap.resolve(spark, s"$dir/counts")
+    val fresh = ForgetLedger.fresh(spark, counts,
       victimDocs.select("doc_id")).cache()
     val freshDocs = victimDocs
       .withColumn("doc_id", col("doc_id").cast("long"))
       .join(broadcast(fresh), Seq("doc_id"), "left_semi")
-    ForgetLedger.commit(s"$dir/counts", fresh, partials(freshDocs, trainLang))
+    ForgetLedger.commit(counts, fresh, partials(freshDocs, trainLang))
     fresh.unpersist()
     ()
   }
@@ -79,8 +83,9 @@ object LmIndex {
     * alive only in forgotten docs must leave the vocabulary, or V
     * would overcount). Steady state (no ledger) adds no job. */
   private def foldCounts(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.schema(CountsSchema).parquet(s"$dir/counts")
-    val all = ForgetLedger.contributions(spark, s"$dir/counts", CountsSchema)
+    val counts = DirSwap.resolve(spark, s"$dir/counts")
+    val base = spark.read.schema(CountsSchema).parquet(counts)
+    val all = ForgetLedger.contributions(spark, counts, CountsSchema)
       .fold(base)(c => base.unionByName(
         c.withColumn("n", -col("n"))
           .select(CountsSchema.fieldNames.toSeq.map(col): _*)))
@@ -96,7 +101,8 @@ object LmIndex {
       trainLang: String = "en"): Unit =
     partials(newDocs, trainLang)
       .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/counts")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(DirSwap.resolve(newDocs.sparkSession, s"$dir/counts"))
 
   /** Collapse per-batch partials to one file per bucket ([[DirSwap]]);
     * when a forget ledger exists this is also the PURGE — the rewrite

@@ -228,8 +228,10 @@ object MultiModal {
   def writeImageIndex(payloads: DataFrame, dir: String,
       bandBuckets: Int = 256): Unit = {
     require(bandBuckets > 0, s"bandBuckets must be positive, got $bandBuckets")
-    // from-scratch build: drop leftover tombstones (round-13 bug class)
-    Tombstones.clear(payloads.sparkSession, dir)
+    // from-scratch build: drop leftover tombstones (round-13 bug
+    // class) and stale committed generations
+    Tombstones.reset(payloads.sparkSession, dir)
+    DirSwap.reset(payloads.sparkSession, s"$dir/bands")
     dHashBands(payloads)
       .withColumn("doc_id", col("doc_id").cast("long"))
       .withColumn("bkt", pmod(col("bandval"), lit(bandBuckets.toLong)))
@@ -247,7 +249,8 @@ object MultiModal {
       .withColumn("doc_id", col("doc_id").cast("long"))
       .withColumn("bkt", pmod(col("bandval"), lit(bandBuckets.toLong)))
       .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/bands")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(DirSwap.resolve(payloads.sparkSession, s"$dir/bands"))
   }
 
   /** Right-to-be-forgotten request on the image index (the shared
@@ -266,7 +269,8 @@ object MultiModal {
       dir: String): Unit = {
     DirSwap(spark, s"$dir/bands") { out =>
       Tombstones.minus(spark, dir,
-        spark.read.schema(ImageBandsSchema).parquet(s"$dir/bands"))
+        spark.read.schema(ImageBandsSchema)
+          .parquet(DirSwap.resolve(spark, s"$dir/bands")))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
@@ -294,7 +298,8 @@ object MultiModal {
       .select(pmod(col("bandval"), lit(meta.bandBuckets.toLong)).as("bkt"))
       .distinct().collect().map(_.getLong(0))
     val idx = Tombstones.minus(spark, dir,
-        spark.read.schema(ImageBandsSchema).parquet(s"$dir/bands")
+        spark.read.schema(ImageBandsSchema)
+          .parquet(DirSwap.resolve(spark, s"$dir/bands"))
           .filter(col("bkt").isin(touched.toSeq: _*)))
       .select(col("band"), col("bandval"),
         col("doc_id").as("doc_a"), col("fp").as("fp_a"))
@@ -530,8 +535,10 @@ object MultiModal {
   def writeAudioIndex(docs: DataFrame, dir: String,
       fpBuckets: Int = 256): Unit = {
     require(fpBuckets > 0, s"fpBuckets must be positive, got $fpBuckets")
-    // from-scratch build: drop leftover tombstones (round-13 bug class)
-    Tombstones.clear(docs.sparkSession, dir)
+    // from-scratch build: drop leftover tombstones (round-13 bug
+    // class) and stale committed generations
+    Tombstones.reset(docs.sparkSession, dir)
+    DirSwap.reset(docs.sparkSession, s"$dir/fps")
     audioFps(docs)
       .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
       .repartition(col("bkt"))
@@ -547,7 +554,8 @@ object MultiModal {
     audioFps(docs)
       .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
       .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/fps")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(DirSwap.resolve(docs.sparkSession, s"$dir/fps"))
   }
 
   /** Right-to-be-forgotten request on the audio index (the shared
@@ -565,7 +573,8 @@ object MultiModal {
       dir: String): Unit = {
     DirSwap(spark, s"$dir/fps") { out =>
       Tombstones.minus(spark, dir,
-        spark.read.schema(AudioFpsSchema).parquet(s"$dir/fps"))
+        spark.read.schema(AudioFpsSchema)
+          .parquet(DirSwap.resolve(spark, s"$dir/fps")))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
@@ -599,7 +608,8 @@ object MultiModal {
     // tombstone anti-join BEFORE the df count: a forgotten doc's
     // fingerprints must neither pair nor inflate the df cap
     val idx = PipelineCaches.track(Tombstones.minus(spark, dir,
-      spark.read.schema(AudioFpsSchema).parquet(s"$dir/fps")
+      spark.read.schema(AudioFpsSchema)
+        .parquet(DirSwap.resolve(spark, s"$dir/fps"))
         .filter(col("bkt").isin(touched.toSeq: _*)))
       .select(col("doc_id"), col("fp")))
     // exact df per candidate fp from the pruned buckets (see Scaladoc)

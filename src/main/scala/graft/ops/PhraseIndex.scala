@@ -114,8 +114,10 @@ object PhraseIndex {
 
   def writePhraseIndex(docs: DataFrame, dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    // from-scratch build: drop leftover tombstones (round-13 bug class)
-    Tombstones.clear(docs.sparkSession, dir)
+    // from-scratch build: drop leftover tombstones (round-13 bug
+    // class) and stale committed generations
+    Tombstones.reset(docs.sparkSession, dir)
+    DirSwap.reset(docs.sparkSession, s"$dir/postings")
     partials(docs, buckets).repartition(col("bkt"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/postings")
     docs.sparkSession.createDataFrame(
@@ -134,7 +136,8 @@ object PhraseIndex {
   def appendToPhraseIndex(newDocs: DataFrame, dir: String): Unit = {
     val buckets = readBuckets(newDocs.sparkSession, dir)
     partials(newDocs, buckets).repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(DirSwap.resolve(newDocs.sparkSession, s"$dir/postings"))
   }
 
   /** Right-to-be-forgotten request (the shared [[Tombstones]]
@@ -151,7 +154,8 @@ object PhraseIndex {
   def compactPhraseIndex(spark: SparkSession, dir: String): Unit = {
     DirSwap(spark, s"$dir/postings") { out =>
       Tombstones.minus(spark, dir,
-        spark.read.schema(PostingsSchema).parquet(s"$dir/postings"))
+        spark.read.schema(PostingsSchema)
+          .parquet(DirSwap.resolve(spark, s"$dir/postings")))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
@@ -169,7 +173,7 @@ object PhraseIndex {
     val bkts = TextIndex.termBuckets(spark, terms, buckets)
     val matched = Tombstones.minus(spark, dir,
       spark.read.schema(PostingsSchema)
-        .parquet(s"$dir/postings")
+        .parquet(DirSwap.resolve(spark, s"$dir/postings"))
         .filter(col("bkt").isInCollection(bkts) &&
           col("token").isInCollection(terms)))
     matchPhrases(matched, phrases)

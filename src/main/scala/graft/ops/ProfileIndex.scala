@@ -56,15 +56,25 @@ object ProfileIndex {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  // Sketch rows live under `<dir>/sketch` (v17 — the swapped table
+  // must be a SUBDIR of the artifact dir so its generation siblings
+  // stay inside it: BuildOnce's stale-artifact wipe removes them, and
+  // the artifact root keeps its _GRAFT_BUILT marker across
+  // compactions).
+  private def sketchLive(dir: String) = s"${dir.stripSuffix("/")}/sketch"
+
   /** Append one batch's sketch rows to the index at `dir`. Pure append:
     * no read-modify-write, so concurrent batch writers never conflict
     * and a replayed batch is the only way to double-count (the caller's
     * idempotence story, same as the other persisted indexes). */
   def appendProfileSketches(li: DataFrame, dir: String, nShards: Int = 8): Unit =
-    sketchFrame(li, nShards).write.mode("append").parquet(dir)
+    sketchFrame(li, nShards).write.mode("append")
+      .parquet(DirSwap.resolve(li.sparkSession, sketchLive(dir)))
 
-  def writeProfileSketches(li: DataFrame, dir: String, nShards: Int = 8): Unit =
-    sketchFrame(li, nShards).write.mode("overwrite").parquet(dir)
+  def writeProfileSketches(li: DataFrame, dir: String, nShards: Int = 8): Unit = {
+    DirSwap.reset(li.sparkSession, sketchLive(dir))
+    sketchFrame(li, nShards).write.mode("overwrite").parquet(sketchLive(dir))
+  }
 
   /** Compact the accumulated per-append file-sets back to one row per
     * shard — the maintenance half of the ingestion loop, mirroring
@@ -75,7 +85,7 @@ object ProfileIndex {
     * merge per shard, rewrite via a temp dir + atomic move (the index
     * stays readable if compaction dies mid-write). */
   def compactProfileSketches(spark: SparkSession, dir: String): Unit = {
-    val idx = spark.read.parquet(dir)
+    val idx = spark.read.parquet(DirSwap.resolve(spark, sketchLive(dir)))
     val aggs =
       Seq(sum(col("n_rows")).as("n_rows")) ++
         (NumCols ++ StrCols).flatMap { n =>
@@ -85,7 +95,7 @@ object ProfileIndex {
             max(col(s"max_$n")).as(s"max_$n"))
         }
     val merged = idx.groupBy(col("shard")).agg(aggs.head, aggs.tail: _*)
-    DirSwap(spark, dir.stripSuffix("/")) { out =>
+    DirSwap(spark, sketchLive(dir)) { out =>
       merged.coalesce(1).write.parquet(out)
     }
   }
@@ -96,7 +106,7 @@ object ProfileIndex {
     * whole read is metadata-scale — appends × shards rows in, one
     * single-row aggregate, no data-row scan anywhere. */
   def profileFromSketches(spark: SparkSession, dir: String): DataFrame = {
-    val idx = spark.read.parquet(dir)
+    val idx = spark.read.parquet(DirSwap.resolve(spark, sketchLive(dir)))
     val aggs =
       Seq(sum(col("n_rows")).as("n_rows")) ++
         (NumCols ++ StrCols).flatMap { n =>

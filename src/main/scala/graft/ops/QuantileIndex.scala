@@ -57,20 +57,23 @@ object QuantileIndex {
         max(col("v")).as("hi"))
   }
 
-  def writeQuantileIndex(lineitem: DataFrame, dir: String): Unit =
+  def writeQuantileIndex(lineitem: DataFrame, dir: String): Unit = {
+    DirSwap.reset(lineitem.sparkSession, s"$dir/hist")
     partials(lineitem)
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/hist")
+  }
 
   /** Fold newly ingested rows in — one additive partial-file append. */
   def appendToQuantileIndex(newRows: DataFrame, dir: String): Unit =
-    partials(newRows)
-      .coalesce(1).write.mode("append").parquet(s"$dir/hist")
+    partials(newRows).coalesce(1).write.mode("append")
+      .parquet(DirSwap.resolve(newRows.sparkSession, s"$dir/hist"))
 
   /** Collapse per-batch partials ([[DirSwap]]): counts sum, bounds
     * min/max. */
   def compactQuantileIndex(spark: SparkSession, dir: String): Unit =
     DirSwap(spark, s"$dir/hist") { out =>
-      spark.read.schema(HistSchema).parquet(s"$dir/hist")
+      spark.read.schema(HistSchema)
+        .parquet(DirSwap.resolve(spark, s"$dir/hist"))
         .groupBy(col("column_name"), col("bucket"))
         .agg(sum(col("c")).as("c"), min(col("lo")).as("lo"),
           max(col("hi")).as("hi"))
@@ -80,7 +83,8 @@ object QuantileIndex {
   /** The quantile enclosure report from the folded histogram:
     * (column_name, p, n_rows, v_lo, v_hi). */
   def quantilesFromIndex(spark: SparkSession, dir: String): DataFrame = {
-    val hist = spark.read.schema(HistSchema).parquet(s"$dir/hist")
+    val hist = spark.read.schema(HistSchema)
+      .parquet(DirSwap.resolve(spark, s"$dir/hist"))
       .groupBy(col("column_name"), col("bucket"))
       .agg(sum(col("c")).as("c"), min(col("lo")).as("lo"),
         max(col("hi")).as("hi"))

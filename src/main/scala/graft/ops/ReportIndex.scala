@@ -84,6 +84,8 @@ object ReportIndex {
     // per-write (round-15 ADVICE): a session running under DYNAMIC
     // partitionOverwriteMode would otherwise only replace the bkt
     // partitions present in this batch and leave the ledger alive.
+    // The generation reset drops stale committed compaction gens.
+    DirSwap.reset(docs.sparkSession, s"$dir/data")
     partials(docs, hashBuckets)
       .repartition(col("bkt"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/data")
@@ -104,7 +106,8 @@ object ReportIndex {
   def appendToReportIndex(newDocs: DataFrame, dir: String): Unit =
     partials(newDocs, readBuckets(newDocs.sparkSession, dir))
       .repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/data")
+      .write.mode("append").partitionBy("bkt")
+      .parquet(DirSwap.resolve(newDocs.sparkSession, s"$dir/data"))
 
   /** Right-to-be-forgotten on the data card via the shared in-dir
     * [[ForgetLedger]] (one parquet append: registry rows for
@@ -120,13 +123,14 @@ object ReportIndex {
     * ledger — single commit point at the append, crash-atomic. */
   def forgetFromReportIndex(spark: SparkSession, dir: String,
       victimDocs: DataFrame): Unit = {
-    val fresh = ForgetLedger.fresh(spark, s"$dir/data",
+    val data = DirSwap.resolve(spark, s"$dir/data")
+    val fresh = ForgetLedger.fresh(spark, data,
       victimDocs.select("doc_id")).cache()
     val freshDocs = victimDocs
       .withColumn("doc_id", col("doc_id").cast("long"))
       .join(broadcast(fresh), Seq("doc_id"), "left_semi")
       .drop("doc_id")
-    ForgetLedger.commit(s"$dir/data", fresh,
+    ForgetLedger.commit(data, fresh,
       partials(freshDocs, readBuckets(spark, dir)))
     fresh.unpersist()
     ()
@@ -138,8 +142,9 @@ object ReportIndex {
     * stop counting as a distinct text). Steady state (no ledger) adds
     * no job. */
   private def foldData(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.schema(DataSchema).parquet(s"$dir/data")
-    val all = ForgetLedger.contributions(spark, s"$dir/data", DataSchema)
+    val data = DirSwap.resolve(spark, s"$dir/data")
+    val base = spark.read.schema(DataSchema).parquet(data)
+    val all = ForgetLedger.contributions(spark, data, DataSchema)
       .fold(base)(corr => base.unionByName(corr
         .withColumn("n_docs", -col("n_docs"))
         .withColumn("total_chars", -col("total_chars"))

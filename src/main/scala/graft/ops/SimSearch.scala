@@ -514,21 +514,26 @@ object SimSearch {
       idxDir: String, embeddings: DataFrame, evalMod: Int = 50,
       threshold: Double = 0.3, nProbeCells: Int = 4): DataFrame = {
     val centroids = spark.read.parquet(s"$idxDir/centroids")
-    val probeCells = normed(embeddings).filter(col("vec_id") % evalMod === 0)
-      .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
-      .crossJoin(broadcast(centroids))
-      .select(col("eval_id"), col("ev"), col("en"), col("cell"),
-        (ndot(col("ev"), col("cv")) / (col("en") * col("cn"))).as("cell_sim"))
-      .withColumn("cr", row_number().over(
-        Window.partitionBy(col("eval_id"))
-          .orderBy(col("cell_sim").desc, col("cell").asc)))
-      .filter(col("cr") <= nProbeCells)
-      .select(col("eval_id"), col("ev"), col("en"), col("cell"))
+    // cached: the probe table feeds an EAGER driver collect (the
+    // probed-cell id list below, evaluated during DataFrame
+    // construction) AND the broadcast join — without the cache the
+    // eval×centroid window ran twice (round-16 ADVICE)
+    val probeCells = PipelineCaches.track(
+      normed(embeddings).filter(col("vec_id") % evalMod === 0)
+        .select(col("vec_id").as("eval_id"), col("v").as("ev"), col("nrm").as("en"))
+        .crossJoin(broadcast(centroids))
+        .select(col("eval_id"), col("ev"), col("en"), col("cell"),
+          (ndot(col("ev"), col("cv")) / (col("en") * col("cn"))).as("cell_sim"))
+        .withColumn("cr", row_number().over(
+          Window.partitionBy(col("eval_id"))
+            .orderBy(col("cell_sim").desc, col("cell").asc)))
+        .filter(col("cr") <= nProbeCells)
+        .select(col("eval_id"), col("ev"), col("en"), col("cell")))
     // ≤ nCells distinct probed cells — the metadata-sized collect the
     // ivfTopKFromIndex partition-pruned read already uses
     val cells = probeCells.select("cell").distinct().collect().map(_.getLong(0))
     val idx = Tombstones.minus(spark, idxDir,
-      spark.read.parquet(s"$idxDir/cells")
+      spark.read.parquet(DirSwap.resolve(spark, s"$idxDir/cells"))
         .filter(col("cell").isin(cells: _*)), "vec_id")
     deconTail(idx.join(broadcast(probeCells), Seq("cell")), threshold)
   }
@@ -540,7 +545,11 @@ object SimSearch {
   def deconEmbedIncrQ(spark: org.apache.spark.sql.SparkSession,
       dir: String, evalMod: Int = 50, nCells: Int = 16): DataFrame = {
     val emb = graft.sources.Tables.embeddings(spark, dir)
-    val idxDir = BuildOnce.tempDirFor("graft_decon_ivf_idx", dir)
+    // parameters fold into the artifact path: a later call with a
+    // different (evalMod, nCells) must build its own index, not
+    // silently reuse one built under the old ones (round-16 ADVICE)
+    val idxDir = BuildOnce.tempDirFor(
+      s"graft_decon_ivf_idx_${evalMod}_$nCells", dir)
     BuildOnce(spark, idxDir, Seq(dir))(
       writeIvfIndexWith(emb.filter(col("vec_id") % evalMod =!= 0),
         sampledCentroids(emb, nCells, 1), idxDir))
@@ -832,8 +841,10 @@ object SimSearch {
     * trained inverted file, serve probes off the pruned partitions. */
   def writeIvfIndexWith(embeddings: DataFrame, centroids: DataFrame,
       dir: String): Unit = {
-    // from-scratch build: drop leftover tombstones (round-13 bug class)
-    Tombstones.clear(embeddings.sparkSession, dir)
+    // from-scratch build: drop leftover tombstones (round-13 bug
+    // class) and stale committed generations
+    Tombstones.reset(embeddings.sparkSession, dir)
+    DirSwap.reset(embeddings.sparkSession, s"$dir/cells")
     centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     assignCells(normed(embeddings), centroids)
       .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("cell").parquet(s"$dir/cells")
@@ -864,7 +875,8 @@ object SimSearch {
       embeddings: DataFrame, dir: String): Unit = {
     val centroids = spark.read.parquet(s"$dir/centroids")
     assignCells(normed(embeddings), centroids)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+      .write.mode("append").partitionBy("cell")
+      .parquet(DirSwap.resolve(spark, s"$dir/cells"))
   }
 
   /** Compact a persisted IVF index's cell partitions back to one file
@@ -875,7 +887,8 @@ object SimSearch {
     * rename. */
   def compactIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
     DirSwap(spark, s"$dir/cells") { out =>
-      Tombstones.minus(spark, dir, spark.read.parquet(s"$dir/cells"), "vec_id")
+      Tombstones.minus(spark, dir,
+        spark.read.parquet(DirSwap.resolve(spark, s"$dir/cells")), "vec_id")
         .repartition(col("cell"))
         .write.partitionBy("cell").parquet(out)
     }
@@ -960,7 +973,7 @@ object SimSearch {
       .select(col("probe_id"), col("pv"), col("pn"), col("cell"))
     val cells = probeCells.select("cell").distinct().collect().map(_.getLong(0))
     val idx = Tombstones.minus(spark, dir,
-      spark.read.parquet(s"$dir/cells")
+      spark.read.parquet(DirSwap.resolve(spark, s"$dir/cells"))
         .filter(col("cell").isin(cells: _*)), "vec_id")
     val sims = idx.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))

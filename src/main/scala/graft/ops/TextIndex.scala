@@ -62,6 +62,13 @@ object TextIndex {
 
   val DefaultTerms: Seq[String] = Seq("data", "query", "engine", "fast")
 
+  // Current committed generation of each swapped table (the DirSwap
+  // reader/appender contract — see BuildOnce.scala).
+  private def postingsDir(spark: SparkSession, dir: String): String =
+    DirSwap.resolve(spark, s"$dir/postings")
+  private def statsDir(spark: SparkSession, dir: String): String =
+    DirSwap.resolve(spark, s"$dir/stats")
+
   /** (postings, stats) partials for one batch. The (doc, token) tf
     * aggregate and the per-doc length window share the doc-derived
     * shuffle; the stats fold reads the cached postings frame. Caller
@@ -83,11 +90,12 @@ object TextIndex {
 
   def writeTextIndex(docs: DataFrame, dir: String, buckets: Int = 64): Unit = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    // A from-scratch build must not inherit a leftover tombstone table:
-    // the data overwrite below resets postings/stats, and stale
-    // tombstones would silently re-forget (and re-correct) docs the new
-    // corpus legitimately contains — round 13's one red query.
-    Tombstones.clear(docs.sparkSession, dir)
+    // A from-scratch build must not inherit a leftover tombstone table
+    // (round 13's one red query) NOR be shadowed by a stale committed
+    // generation of a prior life's compactions: reset both.
+    Tombstones.reset(docs.sparkSession, dir)
+    DirSwap.reset(docs.sparkSession, s"$dir/postings")
+    DirSwap.reset(docs.sparkSession, s"$dir/stats")
     val (postings, stats, done) = partials(docs, buckets)
     postings.repartition(col("bkt"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/postings")
@@ -150,7 +158,7 @@ object TextIndex {
       victims: DataFrame): Unit = {
     val fresh = Tombstones.fresh(spark, dir, victims).cache()
     val victimDl = spark.read.schema(PostingsSchema)
-      .parquet(s"$dir/postings")
+      .parquet(postingsDir(spark, dir))
       .join(broadcast(fresh), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
     Tombstones.append(dir, fresh.join(victimDl, Seq("doc_id"), "left"))
@@ -165,20 +173,15 @@ object TextIndex {
     * victims that never had postings). Steady state (no deletes dir)
     * is one FS existence check, no extra job. */
   private def statsScalar(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.schema(StatsSchema).parquet(s"$dir/stats")
+    val base = spark.read.schema(StatsSchema).parquet(statsDir(spark, dir))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
-    val p = new org.apache.hadoop.fs.Path(s"$dir/deletes")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val net =
-      if (!fs.exists(p)) base
-      else {
-        val corr = spark.read.schema(DeletesSchema).parquet(p.toString)
-          .agg(count(col("dl")).as("d_docs"),
-            coalesce(sum(col("dl")), lit(0L)).as("d_dl"))
-        base.crossJoin(broadcast(corr))
-          .select((col("n_docs") - col("d_docs")).as("n_docs"),
-            (col("total_dl") - col("d_dl")).as("total_dl"))
-      }
+    val net = Tombstones.readWith(spark, dir, DeletesSchema).fold(base) { del =>
+      val corr = del.agg(count(col("dl")).as("d_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("d_dl"))
+      base.crossJoin(broadcast(corr))
+        .select((col("n_docs") - col("d_docs")).as("n_docs"),
+          (col("total_dl") - col("d_dl")).as("total_dl"))
+    }
     net.select(col("n_docs"),
       (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
   }
@@ -201,9 +204,10 @@ object TextIndex {
   def appendToTextIndex(newDocs: DataFrame, dir: String): Unit = {
     val buckets = readBuckets(newDocs.sparkSession, dir)
     val (postings, stats, done) = partials(newDocs, buckets)
+    val spark = newDocs.sparkSession
     postings.repartition(col("bkt"))
-      .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
-    stats.coalesce(1).write.mode("append").parquet(s"$dir/stats")
+      .write.mode("append").partitionBy("bkt").parquet(postingsDir(spark, dir))
+    stats.coalesce(1).write.mode("append").parquet(statsDir(spark, dir))
     done()
   }
 
@@ -227,12 +231,12 @@ object TextIndex {
   def compactTextIndex(spark: SparkSession, dir: String): Unit = {
     DirSwap(spark, s"$dir/postings") { out =>
       minusTombstones(spark, dir,
-        spark.read.schema(PostingsSchema).parquet(s"$dir/postings"))
+        spark.read.schema(PostingsSchema).parquet(postingsDir(spark, dir)))
         .repartition(col("bkt"))
         .write.partitionBy("bkt").parquet(out)
     }
     DirSwap(spark, s"$dir/stats") { out =>
-      spark.read.schema(PostingsSchema).parquet(s"$dir/postings")
+      spark.read.schema(PostingsSchema).parquet(postingsDir(spark, dir))
         .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
         .agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl")), lit(0L)).as("total_dl"))
@@ -255,7 +259,7 @@ object TextIndex {
     val bkts = termBuckets(spark, terms, buckets)
     val matched = minusTombstones(spark, dir,
       spark.read.schema(PostingsSchema)
-        .parquet(s"$dir/postings")
+        .parquet(postingsDir(spark, dir))
         .filter(col("bkt").isInCollection(bkts) &&
           col("token").isInCollection(terms)))
     val dfx = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
@@ -293,7 +297,7 @@ object TextIndex {
     val bkts = termBuckets(spark, terms, buckets)
     val matched = minusTombstones(spark, dir,
       spark.read.schema(PostingsSchema)
-        .parquet(s"$dir/postings")
+        .parquet(postingsDir(spark, dir))
         .filter(col("bkt").isInCollection(bkts) &&
           col("token").isInCollection(terms)))
     val pos = matched.filter(col("token").isInCollection(mustD))

@@ -22,18 +22,40 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    tombstoned rows, then [[clear]]s the table — physical erasure
   *    rides the rewrite the maintenance loop already pays.
   */
-private[ops] object Tombstones {
+private[graft] object Tombstones {
 
   private val Schema = StructType(Seq(StructField("doc_id", LongType)))
 
-  private def path(dir: String) = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+  /** The table's CURRENT physical dir (the newest committed generation
+    * — [[clear]] retires by committing an EMPTY generation, so the
+    * delete of a table a reader pinned never happens on the clear
+    * path either). */
+  private def resolved(spark: SparkSession, dir: String): String =
+    DirSwap.resolve(spark, s"$dir/deletes")
 
-  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p = path(dir)
+  /** Some(path) iff the current generation holds ≥ 1 data file — an
+    * absent dir AND a cleared (empty-generation) table both read as
+    * "no tombstones", keeping the steady-state plans free of the
+    * anti-join. One listing, no Spark job. */
+  private def dataPath(spark: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(resolved(spark, dir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.schema(Schema).parquet(p.toString))
-    else None
+    val has =
+      try fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      } catch { case _: java.io.FileNotFoundException => false }
+    if (has) Some(p.toString) else None
   }
+
+  def read(spark: SparkSession, dir: String): Option[DataFrame] =
+    readWith(spark, dir, Schema)
+
+  /** Same resolution with a caller schema — for tables whose tombstone
+    * rows carry index-specific correction columns (TextIndex's dl). */
+  def readWith(spark: SparkSession, dir: String,
+      schema: StructType): Option[DataFrame] =
+    dataPath(spark, dir).map(p => spark.read.schema(schema).parquet(p))
 
   /** `rows` minus the tombstoned docs (anti-join on `key`, default
     * `doc_id` — the IVF index keys on `vec_id`); `rows` unchanged when
@@ -65,7 +87,7 @@ private[ops] object Tombstones {
   private[ops] var crashBeforeAppend: Option[String => Unit] = None
 
   def append(dir: String, freshVictims: DataFrame): Unit =
-    appendRaw(s"$dir/deletes", freshVictims)
+    appendRaw(resolved(freshVictims.sparkSession, dir), freshVictims)
 
   /** Append to an EXPLICIT ledger path — the aggregate-count indexes
     * keep their forget ledger inside the data dir so one compaction
@@ -76,11 +98,32 @@ private[ops] object Tombstones {
     ()
   }
 
+  /** Retire the table. Two cases:
+    *  - the table was never created (no plain dir, no generations) —
+    *    pure no-op, the fresh-build path stays one FS check;
+    *  - it exists (even already-empty) — commit an EMPTY generation
+    *    through [[DirSwap]]: readers pinned on the old rows keep their
+    *    files for one more compaction cycle, fresh readers resolve to
+    *    the empty generation and take the no-tombstones plan. A plain
+    *    delete here would reopen exactly the FileNotFound window the
+    *    generation swap closes. */
   def clear(spark: SparkSession, dir: String): Unit = {
-    val p = path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
+    val live = s"$dir/deletes"
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolvedP = new org.apache.hadoop.fs.Path(DirSwap.resolve(spark, live))
+    if (fs.exists(resolvedP))
+      DirSwap(spark, live) { out =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(out)); ()
+      }
   }
+
+  /** Fresh-build reset ([[DirSwap.reset]] semantics): physically drop
+    * the table AND every generation — write*Index calls this before an
+    * overwrite build so a rebuilt index can never inherit (or be
+    * shadowed by) a prior life's tombstones. */
+  def reset(spark: SparkSession, dir: String): Unit =
+    DirSwap.reset(spark, s"$dir/deletes")
 }
 
 /** In-dir forget ledger for the ADDITIVE-count indexes (LM bigrams,
@@ -98,7 +141,7 @@ private[ops] object Tombstones {
   * listing, and a from-scratch overwrite build wipes it with the dir.
   * Contract (shared with [[LmIndex.forgetFromLmIndex]]): victims must
   * be docs previously ingested into THIS index with the same text. */
-private[ops] object ForgetLedger {
+private[graft] object ForgetLedger {
 
   def path(dataDir: String): String = s"$dataDir/_deletes"
 

@@ -15,4 +15,10 @@ trait SparkSuite extends AnyFunSuite {
     .getOrCreate()
 
   val sf = "/root/testdata/sf0.001"
+
+  /** The CURRENT physical dir of a generation-swapped index table
+    * (graft.ops.DirSwap) — file-layout assertions must look at the
+    * committed generation a reader resolves, not the raw live path. */
+  def physicalDir(path: String): java.io.File =
+    new java.io.File(graft.ops.DirSwap.resolve(spark, path))
 }

@@ -57,7 +57,7 @@ class CmsIndexSpec extends SparkSuite {
     CmsIndex.appendToCmsIndex(docs(61L to 80L), dir)
     val before = CmsIndex.sketchFromIndex(spark, dir)
       .collect().map(_.toString).sorted.toSeq
-    def nFiles = new java.io.File(s"$dir/sketch").listFiles()
+    def nFiles = physicalDir(s"$dir/sketch").listFiles()
       .count(f => f.getName.endsWith(".parquet"))
     val filesBefore = nFiles
     CmsIndex.compactCmsIndex(spark, dir)
@@ -74,7 +74,7 @@ class CmsIndexSpec extends SparkSuite {
     CmsIndex.writeCmsIndex(docs(1L to 500L), dir)
     CmsIndex.appendToCmsIndex(docs(501L to 1000L), dir)
     CmsIndex.compactCmsIndex(spark, dir)
-    val n = spark.read.parquet(s"$dir/sketch").count()
+    val n = spark.read.parquet(physicalDir(s"$dir/sketch").getPath).count()
     assert(n <= CmsIndex.Depth.toLong * CmsIndex.Width,
       s"sketch grew past the grid bound: $n rows")
   }

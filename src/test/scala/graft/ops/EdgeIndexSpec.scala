@@ -36,7 +36,7 @@ class EdgeIndexSpec extends SparkSuite {
     EdgeIndex.appendToEdgeIndex(events.filter(col("user_id") % 2 =!= 0), dir)
     val before = EdgeIndex.edgesFromIndex(spark, dir)
       .collect().map(_.toString).sorted.toSeq
-    def nFiles = new java.io.File(s"$dir/edges").listFiles()
+    def nFiles = physicalDir(s"$dir/edges").listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(nFiles > 1)
     EdgeIndex.compactEdgeIndex(spark, dir)
@@ -91,7 +91,7 @@ class EdgeIndexSpec extends SparkSuite {
     assert(reads(live) == want, "re-forget must be a no-op")
     EdgeIndex.compactEdgeIndex(spark, live)
     assert(reads(live) == want, "the purge must not move a score")
-    assert(!new java.io.File(s"$live/edges/_deletes").exists(),
+    assert(!new java.io.File(physicalDir(s"$live/edges"), "_deletes").exists(),
       "the compaction swap must retire the ledger")
     val liveEdges = EdgeIndex.edgesFromIndex(spark, live)
       .collect().map(_.toString).sorted.toSeq

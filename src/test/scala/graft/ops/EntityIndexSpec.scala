@@ -29,7 +29,7 @@ class EntityIndexSpec extends SparkSuite {
     assert(inv() == want && want.nonEmpty)
     EntityIndex.compactEntityIndex(spark, dir)
     assert(inv() == want, "compaction must not change the inventory")
-    val bktDirs = new java.io.File(s"$dir/rows").listFiles()
+    val bktDirs = physicalDir(s"$dir/rows").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
     assert(bktDirs.nonEmpty)
     bktDirs.foreach { bd =>
@@ -93,8 +93,8 @@ class EntityIndexSpec extends SparkSuite {
     // purge both; physical erasure
     EntityIndex.compactEntityIndex(spark, entDir)
     TextIndex.compactTextIndex(spark, txtDir)
-    assert(!new java.io.File(s"$entDir/deletes").exists())
-    assert(spark.read.parquet(s"$entDir/rows")
+    assert(Tombstones.read(spark, entDir).isEmpty)
+    assert(spark.read.parquet(physicalDir(s"$entDir/rows").getPath)
       .filter(col("doc_id").isInCollection(holderIds)).count() == 0L)
     assert(TextIndex.bm25FromIndex(spark, txtDir)
       .collect().map(_.toString).sorted.toSeq == want)

@@ -258,7 +258,7 @@ class FaultInjectionSpec extends SparkSuite {
       Seq("alpha", "token7", "v1"))) == want,
       "lingering tombstones over purged data must read identically")
     TextIndex.compactTextIndex(spark, dir)
-    assert(!new java.io.File(s"$dir/deletes").exists(),
+    assert(Tombstones.read(spark, dir).isEmpty,
       "the retry compaction retires the lingering tombstones")
     assert(rows(TextIndex.bm25FromIndex(spark, dir,
       Seq("alpha", "token7", "v1"))) == want)
@@ -292,6 +292,95 @@ class FaultInjectionSpec extends SparkSuite {
       "the retried request must land exactly once (no double correction)")
   }
 
+  test("concurrent reader vs compaction (BM25): a reader that resolved and " +
+    "listed the pre-compaction generation completes on it consistently; " +
+    "the next generation retires it only one full cycle later") {
+    // The round-16 VERDICT's one correctness-at-scale hole: under the
+    // old delete+rename swap, a reader that listed files pre-swap and
+    // fetched post-delete hit FileNotFound mid-query. The generation
+    // swap closes it: spark.read.parquet resolves AND lists the
+    // physical generation at DataFrame construction, so building the
+    // frame here and collecting it only AFTER the compaction is
+    // exactly the listed-pre-swap / fetched-post-swap interleaving,
+    // made deterministic.
+    val dir = tmp("fi_reader_text")
+    TextIndex.writeTextIndex(docsDF(1L to 30L), dir)
+    TextIndex.appendToTextIndex(docsDF(31L to 40L), dir)
+    val terms = Seq("alpha", "token7", "v1")
+    val before = rows(TextIndex.bm25FromIndex(spark, dir, terms))
+    val pinned1 = TextIndex.bm25FromIndex(spark, dir, terms) // pins gen 0
+    TextIndex.compactTextIndex(spark, dir)                   // commits gen 1
+    assert(rows(pinned1) == before,
+      "reader pinned on the pre-compaction generation must complete on it")
+    val pinned2 = TextIndex.bm25FromIndex(spark, dir, terms) // pins gen 1
+    TextIndex.compactTextIndex(spark, dir)                   // commits gen 2, retires gen 0
+    assert(rows(pinned2) == before,
+      "one full compaction cycle of grace: a reader pinned on gen N " +
+        "survives the commit of gen N+1")
+    assert(rows(TextIndex.bm25FromIndex(spark, dir, terms)) == before,
+      "fresh readers resolve the newest committed generation")
+  }
+
+  test("concurrent reader vs compaction (LM ledger family): pinned read " +
+    "completes across a purge compaction; fresh reads see the purged store") {
+    val dir = tmp("fi_reader_lm")
+    val d = docsDF(1L to 30L).withColumn("lang", lit("en"))
+    LmIndex.writeLmIndex(d, dir)
+    LmIndex.appendToLmIndex(docsDF(31L to 40L).withColumn("lang", lit("en")), dir)
+    LmIndex.forgetFromLmIndex(spark, dir,
+      docsDF(Seq(5L, 10L)).withColumn("lang", lit("en")))
+    val probe = docsDF(Seq(900L)).withColumn("lang", lit("en"))
+    val before = rows(LmIndex.scoreFromIndex(spark, dir, probe))
+    val pinned = LmIndex.scoreFromIndex(spark, dir, probe) // pins gen 0 + its in-dir ledger
+    LmIndex.compactLmIndex(spark, dir) // purge: bakes corrections, commits gen 1
+    assert(rows(pinned) == before,
+      "a reader pinned on the pre-purge generation reads counts AND " +
+        "ledger from ONE generation — netted exactly as before")
+    assert(rows(LmIndex.scoreFromIndex(spark, dir, probe)) == before,
+      "the purged generation must answer identically (erasure is " +
+        "invisible to readers)")
+  }
+
+  test("concurrent reader vs compaction (latch): a scan BLOCKED mid-read " +
+    "while the compaction commits the next generation still completes " +
+    "on the generation it listed") {
+    val dir = tmp("fi_reader_latch")
+    TextIndex.writeTextIndex(docsDF(1L to 30L), dir)
+    TextIndex.appendToTextIndex(docsDF(31L to 40L), dir)
+    val postings = graft.ops.DirSwap.resolve(spark, s"$dir/postings")
+    val want = spark.read.parquet(postings).count()
+    FiGate.open = false
+    val gate = org.apache.spark.sql.functions.udf { (_: Long) =>
+      while (!FiGate.open) Thread.sleep(5)
+      true
+    }
+    // files LISTED here (spark.read.parquet builds the file index
+    // eagerly), BEFORE the compaction; coalesce(1) keeps the scan to
+    // ONE task so the concurrent compaction's jobs still get slots
+    // (local[4] would otherwise starve and the drill would deadlock)
+    val df = spark.read.parquet(postings).coalesce(1)
+      .filter(gate(col("doc_id")))
+    val fut = scala.concurrent.Future {
+      df.count()
+    }(scala.concurrent.ExecutionContext.global)
+    // barrier: wait until the scan task is RUNNING (spinning on the
+    // gate) so the compaction is genuinely mid-read
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.sparkContext.statusTracker.getActiveStageIds.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(10)
+    assert(spark.sparkContext.statusTracker.getActiveStageIds.nonEmpty,
+      "scan task never started")
+    // compact while the read is in flight, then release the gate: the
+    // blocked task fetches files listed BEFORE the swap — the exact
+    // window the old delete+rename broke
+    TextIndex.compactTextIndex(spark, dir)
+    FiGate.open = true
+    val got = scala.concurrent.Await.result(fut,
+      scala.concurrent.duration.Duration(120, "s"))
+    assert(got == want,
+      "mid-read compaction must not disturb the in-flight scan")
+  }
+
   test("span append crash ordering: stale meta marker + old data reads correctly") {
     // appendToSpanIndex marks n_frequent stale BEFORE moving data; a
     // crash between the two writes leaves (stale meta, old data).
@@ -308,4 +397,10 @@ class FaultInjectionSpec extends SparkSuite {
     Dedup.compactSpanIndex(spark, dir)
     assert(rows(Dedup.spanDedupAgainstIndex(spark, delta, dir)) == fresh)
   }
+}
+
+/** Volatile gate for the latch drill — a plain object so the udf
+  * closure references the module statically (local mode, one JVM). */
+private object FiGate {
+  @volatile var open = false
 }

@@ -124,7 +124,7 @@ class ImageDedupSpec extends SparkSuite {
     assert(viaAppend ==
       pairsIdx(MultiModal.imageNearDupsAgainstIndex(spark, dp, rebuiltDir)))
     def parquetFiles(d: String) =
-      new java.io.File(s"$d/bands").listFiles((f: java.io.File) => f.isDirectory)
+      physicalDir(s"$d/bands").listFiles((f: java.io.File) => f.isDirectory)
         .flatMap(_.listFiles((f: java.io.File) => f.getName.endsWith(".parquet"))).length
     val before = parquetFiles(incrDir)
     MultiModal.compactImageIndex(spark, incrDir)

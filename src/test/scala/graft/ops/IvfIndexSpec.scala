@@ -58,11 +58,11 @@ class IvfIndexSpec extends SparkSuite {
     def dataFiles(dir: String) = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$dir/cells")).filter(_.getName.endsWith(".parquet"))
+      walk(physicalDir(s"$dir/cells")).filter(_.getName.endsWith(".parquet"))
     }
     val filesBefore = dataFiles(split).length
     SimSearch.compactIvfIndex(spark, split)
-    val cellDirs = new java.io.File(s"$split/cells").listFiles()
+    val cellDirs = physicalDir(s"$split/cells").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     cellDirs.foreach { d =>
       val n = d.listFiles().count(_.getName.endsWith(".parquet"))
@@ -75,7 +75,7 @@ class IvfIndexSpec extends SparkSuite {
   test("index layout: one directory per cell, centroids persisted") {
     val dir = Files.createTempDirectory("graft_ivf2").toString
     SimSearch.writeIvfIndex(embDf, dir, nCells = 8)
-    val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+    val cellDirs = physicalDir(s"$dir/cells").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty && cellDirs.length <= 8,
       s"expected ≤8 cell partitions, got ${cellDirs.length}")

@@ -57,7 +57,7 @@ class KmvIndexSpec extends SparkSuite {
     KmvIndex.compactKmvIndex(spark, dir)
     assert(rows(KmvIndex.overlapFromIndex(spark, dir)) == before,
       "compaction must preserve every readout")
-    val perSlice = spark.read.parquet(s"$dir/sketch")
+    val perSlice = spark.read.parquet(physicalDir(s"$dir/sketch").getPath)
       .groupBy(col("slice")).agg(count(lit(1)).as("n"))
       .collect().map(_.getLong(1))
     assert(perSlice.nonEmpty && perSlice.forall(_ <= 64L),
@@ -120,7 +120,7 @@ class KmvIndexSpec extends SparkSuite {
         col("token"), lit(0), lit(13)).as("th"))
       .distinct().as[Long].collect().toSet
     def stored(dir: String): Set[(String, Long)] =
-      spark.read.parquet(s"$dir/sketch")
+      spark.read.parquet(physicalDir(s"$dir/sketch").getPath)
         .select(col("slice"), col("th")).as[(String, Long)].collect().toSet
 
     val dir = tmp()

@@ -35,7 +35,7 @@ class LmIndexSpec extends SparkSuite {
     LmIndex.appendToLmIndex(docs.filter(col("doc_id") % 2 =!= 0), dir)
     val before = LmIndex.modelFromIndex(spark, dir)
       .collect().map(_.toString).sorted.toSeq
-    def filesPerBucket = new java.io.File(s"$dir/counts").listFiles()
+    def filesPerBucket = physicalDir(s"$dir/counts").listFiles()
       .filter(_.getName.startsWith("bkt=")).map(
         _.listFiles().count(_.getName.endsWith(".parquet"))).max
     assert(filesPerBucket > 1)

@@ -74,7 +74,7 @@ class NearDupIndexSpec extends SparkSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val dir = java.nio.file.Files.createTempDirectory("neardup_idx2").toString
     Dedup.writeNearDupIndex(docs, dir, bandBuckets = 32)
-    val bktDirs = new java.io.File(s"$dir/bands").listFiles()
+    val bktDirs = physicalDir(s"$dir/bands").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
     assert(bktDirs.length > 4 && bktDirs.length <= 32,
       s"corpus bands should spread over many buckets, got ${bktDirs.length}")
@@ -112,7 +112,7 @@ class NearDupIndexSpec extends SparkSuite {
     def parquetFiles(sub: String): Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-      walk(new java.io.File(s"$dir/$sub")).count(_.getName.endsWith(".parquet"))
+      walk(physicalDir(s"$dir/$sub")).count(_.getName.endsWith(".parquet"))
     }
     val probe = docs.limit(40)
       .select((col("doc_id") + 900000L).as("doc_id"), col("text"))
@@ -130,7 +130,7 @@ class NearDupIndexSpec extends SparkSuite {
     assert(filesAfter < filesBefore,
       s"compaction must reduce file count ($filesBefore -> $filesAfter)")
     // one file per surviving bkt partition, toksets to one small file
-    val bktDirs = new java.io.File(s"$dir/bands").listFiles()
+    val bktDirs = physicalDir(s"$dir/bands").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
     assert(bktDirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1),
       "each bkt partition must hold exactly one file after compaction")
@@ -213,10 +213,10 @@ class NearDupIndexSpec extends SparkSuite {
     // purge: physical erasure from BOTH tables, tombstones cleared,
     // reads unchanged
     Dedup.compactNearDupIndex(spark, dir)
-    assert(!new java.io.File(s"$dir/deletes").exists())
-    assert(spark.read.parquet(s"$dir/bands")
+    assert(Tombstones.read(spark, dir).isEmpty)
+    assert(spark.read.parquet(physicalDir(s"$dir/bands").getPath)
       .filter(col("doc_id") % 7 === 0).count() == 0L)
-    assert(spark.read.parquet(s"$dir/toksets")
+    assert(spark.read.parquet(physicalDir(s"$dir/toksets").getPath)
       .filter(col("doc_id") % 7 === 0).count() == 0L)
     assert(pairs() == want, "post-purge read must be indistinguishable")
   }

@@ -53,7 +53,7 @@ class PhraseIndexSpec extends SparkSuite {
     val dir = tmp("phr_cmp")
     PhraseIndex.writePhraseIndex(docs.filter(col("doc_id") % 2 === 0), dir)
     PhraseIndex.appendToPhraseIndex(docs.filter(col("doc_id") % 2 =!= 0), dir)
-    def filesPerBucket = new java.io.File(s"$dir/postings").listFiles()
+    def filesPerBucket = physicalDir(s"$dir/postings").listFiles()
       .filter(_.getName.startsWith("bkt=")).map(
         _.listFiles().count(_.getName.endsWith(".parquet"))).max
     assert(filesPerBucket > 1)

@@ -90,9 +90,10 @@ class ProfileIndexSpec extends SparkSuite {
     def snap() = ProfileIndex.profileFromSketches(spark, idx)
       .collect().map(r => r.toSeq.toList).sortBy(_.head.toString).toSeq
     val before = snap()
-    assert(spark.read.parquet(idx).count() == 12)
+    assert(spark.read.parquet(physicalDir(s"$idx/sketch").getPath).count() == 12)
     ProfileIndex.compactProfileSketches(spark, idx)
-    assert(spark.read.parquet(idx).count() == 4, "one row per shard after compaction")
+    assert(spark.read.parquet(physicalDir(s"$idx/sketch").getPath).count() == 4,
+      "one row per shard after compaction")
     // DataSketches HLL union is lossless at one lgK: the compacted
     // profile is IDENTICAL, estimates included
     assert(snap() == before)
@@ -162,7 +163,7 @@ class ProfileIndexSpec extends SparkSuite {
     val idx = tmp()
     ProfileIndex.writeProfileSketches(li, idx, nShards = 4)
     ProfileIndex.appendProfileSketches(li.limit(100), idx, nShards = 4)
-    val rows = spark.read.parquet(idx).count()
+    val rows = spark.read.parquet(physicalDir(s"$idx/sketch").getPath).count()
     assert(rows == 8, s"expected 2 appends × 4 shards, got $rows")
     val plan = ProfileIndex.profileFromSketches(spark, idx)
       .queryExecution.executedPlan.toString

@@ -36,7 +36,7 @@ class QuantileIndexSpec extends SparkSuite {
       QuantileIndex.appendToQuantileIndex(li.filter(col("l_orderkey") % 4 === i), dir))
     val before = QuantileIndex.quantilesFromIndex(spark, dir)
       .collect().map(_.toString).sorted.toSeq
-    def nFiles = new java.io.File(s"$dir/hist").listFiles()
+    def nFiles = physicalDir(s"$dir/hist").listFiles()
       .count(_.getName.endsWith(".parquet"))
     val filesBefore = nFiles
     QuantileIndex.compactQuantileIndex(spark, dir)

@@ -46,7 +46,7 @@ class ReportIndexSpec extends SparkSuite {
     ReportIndex.compactReportIndex(spark, dir)
     assert(reportOf(ReportIndex.reportFromIndex(spark, dir)) == before)
     // one data file per touched bucket after compaction
-    val bktDirs = new java.io.File(dir + "/data").listFiles()
+    val bktDirs = physicalDir(dir + "/data").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
     assert(bktDirs.nonEmpty)
     bktDirs.foreach { b =>
@@ -104,7 +104,7 @@ class ReportIndexSpec extends SparkSuite {
 
     // purge: one compaction bakes corrections in and retires the ledger
     ReportIndex.compactReportIndex(spark, dir)
-    assert(!new java.io.File(s"$dir/data/_deletes").exists(),
+    assert(!new java.io.File(physicalDir(s"$dir/data"), "_deletes").exists(),
       "compaction must retire the forget ledger")
     assert(reportOf(ReportIndex.reportFromIndex(spark, dir)) == want,
       "the purged card must read identically")

@@ -85,7 +85,7 @@ class SpanDedupSpec extends SparkSuite {
       "build must record |{boiler}| = 1 frequent span")
     // the repartition-on-bkt write contract: one file per bucket, so a
     // pruned lookup pays one footer-open per touched bucket
-    new java.io.File(s"$dir/spans").listFiles()
+    physicalDir(s"$dir/spans").listFiles()
       .filter(_.getName.startsWith("bkt=")).foreach { p =>
         val n = p.listFiles().count(_.getName.endsWith(".parquet"))
         assert(n == 1, s"expected one file in ${p.getName}, got $n")

@@ -115,7 +115,7 @@ class SubstringDedupSpec extends SparkSuite {
     val viaRebuild = cleanMap(Dedup.substringDedupAgainstIndex(spark, delta, rebuiltDir))
     assert(viaAppend == viaRebuild)
     def parquetFiles(d: String) =
-      new java.io.File(s"$d/grams").listFiles((f: java.io.File) => f.isDirectory)
+      physicalDir(s"$d/grams").listFiles((f: java.io.File) => f.isDirectory)
         .flatMap(_.listFiles((f: java.io.File) => f.getName.endsWith(".parquet"))).length
     val before = parquetFiles(incrDir)
     Dedup.compactSubstringIndex(spark, incrDir)

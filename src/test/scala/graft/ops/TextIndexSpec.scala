@@ -44,7 +44,7 @@ class TextIndexSpec extends SparkSuite {
     TextIndex.compactTextIndex(spark, d2)
     assert(rows(TextIndex.bm25FromIndex(spark, d2)) == batch,
       "compaction must not change a single score")
-    val bktDirs = new java.io.File(s"$d2/postings").listFiles()
+    val bktDirs = physicalDir(s"$d2/postings").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
     assert(bktDirs.nonEmpty)
     bktDirs.foreach { bd =>
@@ -109,13 +109,13 @@ class TextIndexSpec extends SparkSuite {
     TextIndex.compactTextIndex(spark, dir)
     assert(rows(TextIndex.bm25FromIndex(spark, dir)) == want,
       "post-purge read must be indistinguishable")
-    assert(!new java.io.File(s"$dir/deletes").exists(),
+    assert(Tombstones.read(spark, dir).isEmpty,
       "purge must clear the tombstone table")
-    val residue = spark.read.parquet(s"$dir/postings")
+    val residue = spark.read.parquet(physicalDir(s"$dir/postings").getPath)
       .filter(col("doc_id") % 7 === 0).count()
     assert(residue == 0L, "purge must physically erase the victims' rows")
     // stats collapsed to one exact row: N == survivor docs with tokens
-    val st = spark.read.parquet(s"$dir/stats").collect()
+    val st = spark.read.parquet(physicalDir(s"$dir/stats").getPath).collect()
     assert(st.length == 1)
     val expectedN = survivors
       .select(col("doc_id"), split(lower(trim(col("text"))), "\\s+").as("tk"))

@@ -28,6 +28,12 @@ case class IngestDoc(doc_id: Long, text: String)
   * IvfIndexSpec / ProfileIndexSpec; this spec pins their COMPOSITION —
   * the steady-state loop a deployment actually runs. */
 class IngestionMaintenanceSpec extends SparkSuite {
+
+  /** The CURRENT committed generation of a swapped index table
+    * (DirSwap v17): residue and ledger checks must look there — the
+    * raw live path may be the retired grace generation after a
+    * compaction. */
+  private def phys(p: String): String = graft.ops.DirSwap.resolve(spark, p)
   import spark.implicits._
 
   private def tmp(pfx: String): String =
@@ -337,12 +343,19 @@ class IngestionMaintenanceSpec extends SparkSuite {
       .cache()
     centroids.count()
 
+    // ledgerCleared: tombstone-family stores clear by committing an
+    // EMPTY deletes generation (the dir EXISTS but holds no data rows —
+    // DirSwap v17 never deletes a table a reader may have pinned), so
+    // the cleared predicate is Tombstones.read.isEmpty; the in-dir
+    // ForgetLedger families' ledger dies with the retired generation,
+    // so absence of the _deletes dir in the CURRENT generation is right
     case class Drill(name: String,
         build: (DataFrame, String) => Unit,
         forget: String => Unit,
         read: String => DataFrame,
         residue: String => Long,
-        ledger: String => String = d => s"$d/deletes")
+        ledgerCleared: String => Boolean =
+          d => graft.ops.Tombstones.read(spark, d).isEmpty)
     val drills = Seq(
       Drill("phrase",
         (d, dir) => PhraseIndex.writePhraseIndex(d, dir),
@@ -350,34 +363,34 @@ class IngestionMaintenanceSpec extends SparkSuite {
           victims.toDF("doc_id")),
         dir => PhraseIndex.phrasesFromIndex(spark, dir,
           Seq("alpha beta gamma", "common tail", "beta alpha")),
-        dir => spark.read.parquet(s"$dir/postings")
+        dir => spark.read.parquet(phys(s"$dir/postings"))
           .filter(col("doc_id").isin(victims: _*)).count()),
       Drill("winnow",
         (d, dir) => Dedup.writeWinnowIndex(d, dir),
         dir => Dedup.forgetFromWinnowIndex(spark, dir, victims.toDF("doc_id")),
         dir => Dedup.winnowAgainstIndex(spark, probes, dir, minShared = 1),
-        dir => spark.read.parquet(s"$dir/fps")
+        dir => spark.read.parquet(phys(s"$dir/fps"))
           .filter(col("doc_id").isin(victims: _*)).count()),
       Drill("image",
         (d, dir) => MultiModal.writeImageIndex(MultiModal.withPayload(d), dir),
         dir => MultiModal.forgetFromImageIndex(spark, dir, victims.toDF("doc_id")),
         dir => MultiModal.imageNearDupsAgainstIndex(spark,
           MultiModal.withPayload(probes), dir),
-        dir => spark.read.parquet(s"$dir/bands")
+        dir => spark.read.parquet(phys(s"$dir/bands"))
           .filter(col("doc_id").isin(victims: _*)).count()),
       Drill("audio",
         (d, dir) => MultiModal.writeAudioIndex(d, dir),
         dir => MultiModal.forgetFromAudioIndex(spark, dir, victims.toDF("doc_id")),
         dir => MultiModal.audioNearDupsAgainstIndex(spark, probes, dir,
           minShared = 1),
-        dir => spark.read.parquet(s"$dir/fps")
+        dir => spark.read.parquet(phys(s"$dir/fps"))
           .filter(col("doc_id").isin(victims: _*)).count()),
       Drill("ivf",
         (d, dir) => SimSearch.writeIvfIndexWith(embOf(d), centroids, dir),
         dir => SimSearch.forgetFromIvfIndex(spark, dir, victims.toDF("vec_id")),
         dir => SimSearch.ivfTopKFromIndex(spark, dir,
           embOf(probes).select(col("vec_id").as("probe_id"), col("embedding"))),
-        dir => spark.read.parquet(s"$dir/cells")
+        dir => spark.read.parquet(phys(s"$dir/cells"))
           .filter(col("vec_id").isin(victims: _*)).count()),
       Drill("lm",
         (d, dir) => LmIndex.writeLmIndex(repOf(d), dir),
@@ -385,9 +398,9 @@ class IngestionMaintenanceSpec extends SparkSuite {
         dir => LmIndex.scoreFromIndex(spark, dir, repOf(probes)),
         // token3/token7 exist ONLY in the victims: after purge their
         // unigram rows must be physically gone from the counts
-        dir => spark.read.parquet(s"$dir/counts")
+        dir => spark.read.parquet(phys(s"$dir/counts"))
           .filter(col("ra").isin(victims.map(v => s"token$v"): _*)).count(),
-        dir => s"$dir/counts/_deletes"),
+        dir => !new java.io.File(phys(s"$dir/counts") + "/_deletes").exists()),
       // the SAME store through its drift reader: the victims' tokens
       // leave the baseline distribution, so the JS against a fixed
       // probe shard must move to the survivor-rebuild value exactly
@@ -395,9 +408,9 @@ class IngestionMaintenanceSpec extends SparkSuite {
         (d, dir) => LmIndex.writeLmIndex(repOf(d), dir),
         dir => LmIndex.forgetFromLmIndex(spark, dir, repOf(docsDF(victims))),
         dir => LmIndex.driftFromIndex(spark, dir, repOf(probes)),
-        dir => spark.read.parquet(s"$dir/counts")
+        dir => spark.read.parquet(phys(s"$dir/counts"))
           .filter(col("ra").isin(victims.map(v => s"token$v"): _*)).count(),
-        dir => s"$dir/counts/_deletes"))
+        dir => !new java.io.File(phys(s"$dir/counts") + "/_deletes").exists()))
 
     drills.foreach { dr =>
       val live = tmp(s"fgall_${dr.name}")
@@ -441,7 +454,7 @@ class IngestionMaintenanceSpec extends SparkSuite {
       val got = dr.read(live).collect().map(_.toString).sorted.toSeq
       PipelineCaches.release(spark)
       assert(got == want, s"${dr.name}: purge changed the read")
-      assert(!new java.io.File(dr.ledger(live)).exists(),
+      assert(dr.ledgerCleared(live),
         s"${dr.name}: purge must clear the forget ledger")
       assert(dr.residue(live) == 0L,
         s"${dr.name}: victim-derived rows survived the purge")
@@ -479,28 +492,28 @@ class IngestionMaintenanceSpec extends SparkSuite {
         (d, dir) => Dedup.writeSpanIndex(d, dir, w = 4),
         dir => Dedup.forgetFromSpanIndex(spark, dir, victimDocs),
         dir => Dedup.spanDedupAgainstIndex(spark, probes, dir, cap = 29),
-        dir => spark.read.parquet(s"$dir/spans")
+        dir => spark.read.parquet(phys(s"$dir/spans"))
           .groupBy(col("h")).agg(sum(col("c")).as("c")),
         dir => Dedup.compactSpanIndex(spark, dir),
-        dir => s"$dir/spans/_deletes"),
+        dir => phys(s"$dir/spans") + "/_deletes"),
       CDrill("gram",
         (d, dir) => Dedup.writeSubstringIndex(d, dir, minLen = 4),
         dir => Dedup.forgetFromSubstringIndex(spark, dir, victimDocs),
         dir => Dedup.substringDedupAgainstIndex(spark, probes, dir),
-        dir => spark.read.parquet(s"$dir/grams")
+        dir => spark.read.parquet(phys(s"$dir/grams"))
           .groupBy(col("h")).agg(sum(col("c")).as("c")),
         dir => Dedup.compactSubstringIndex(spark, dir),
-        dir => s"$dir/grams/_deletes"),
+        dir => phys(s"$dir/grams") + "/_deletes"),
       CDrill("cms",
         (d, dir) => CmsIndex.writeCmsIndex(d, dir),
         dir => CmsIndex.forgetFromCmsIndex(spark, dir, victimDocs),
         dir => CmsIndex.estimatesFromIndex(spark, dir,
           Seq("alpha", "token3", "token7", "v1")),
-        dir => spark.read.parquet(s"$dir/sketch")
+        dir => spark.read.parquet(phys(s"$dir/sketch"))
           .groupBy(col("d"), col("bucket")).agg(sum(col("c")).as("c"))
           .filter(col("c") =!= 0),
         dir => CmsIndex.compactCmsIndex(spark, dir),
-        dir => s"$dir/sketch/_deletes"))
+        dir => phys(s"$dir/sketch") + "/_deletes"))
 
     drills.foreach { dr =>
       val live = tmp(s"fgc_${dr.name}")
@@ -713,9 +726,9 @@ class IngestionMaintenanceSpec extends SparkSuite {
     q.stop()
     assert(batchNo == 2)
     // purge ran: no tombstone table, no victim rows anywhere
-    assert(!new java.io.File(s"$txtDir/deletes").exists())
-    assert(!new java.io.File(s"$nearDir/deletes").exists())
-    assert(spark.read.parquet(s"$nearDir/bands")
+    assert(graft.ops.Tombstones.read(spark, txtDir).isEmpty)
+    assert(graft.ops.Tombstones.read(spark, nearDir).isEmpty)
+    assert(spark.read.parquet(phys(s"$nearDir/bands"))
       .filter(col("doc_id").isin(forgotten.toSeq: _*)).count() == 0L)
     assertVictimFree(seedIds ++ (101L to 104L) ++ (201L to 204L),
       "after batch 2 + purge")
