@@ -334,6 +334,30 @@ object ScaleSmoke {
         graft.ops.PipelineCaches.release(spark)
         spark.sharedState.cacheManager.clearCache()
       }
+      // CONTROL (round 17): the same index-backed decon with the eval
+      // suite PINNED at its k=16 size (evalMod scales with k) — the
+      // deployment shape, where eval suites are fixed while the corpus
+      // grows. Separates corpus-scan growth from the fixture's
+      // eval-growth term (evals ×4 → candidate pairs ×16 in probed
+      // cells — the r16 run-the-control discipline).
+      if (!only.exists(!_.contains("decon_incr_ctl"))) {
+        val evalMod = 50 * math.max(1, k / 16)
+        val deconEmb = docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => (pmod(col("doc_id") * 29 + i * 11, lit(83)).cast("double")
+              / 41.5 - 1.0).cast("float")).as("embedding"))
+        val ctlDir = java.nio.file.Files
+          .createTempDirectory(s"smoke_deconctl_$k").toString
+        graft.ops.SimSearch.writeIvfIndexWith(
+          deconEmb.filter(col("vec_id") % evalMod =!= 0),
+          graft.ops.SimSearch.sampledCentroids(deconEmb, 16, 1), ctlDir)
+        graft.ops.PipelineCaches.release(spark)
+        spark.sharedState.cacheManager.clearCache()
+        run("decon_incr_ctl", graft.ops.SimSearch.deconEmbedFromIndexQ(
+          spark, ctlDir, deconEmb, evalMod))
+        graft.ops.PipelineCaches.release(spark)
+        spark.sharedState.cacheManager.clearCache()
+      }
       // nano k-means: 3 assignment scans (grow ~k) + (cell, dim)-keyed
       // mean aggregates bounded by nCells·dim — wall clock must track
       // the corpus scan, never the model

@@ -68,14 +68,45 @@ object Dedup {
   val VerifyAuto = "auto"
   val VerifyAutoBytes: Long = 64L << 20
 
-  /** `tok` is the (doc_id, token) stream of the corpus under verify —
-    * NOTE: resolving Auto runs one eager count() job at DataFrame-
-    * construction time (materializing the pipeline's own token cache). */
-  private def resolveVerifyMode(tok: DataFrame, mode: String,
+  /** Every leaf of the plan is a file scan — the one case where the
+    * planner's sizeInBytes is REAL bytes (on-disk file size), not a
+    * per-row guess over generated/union frames. */
+  private def fileBackedOnly(docs: DataFrame): Boolean =
+    docs.queryExecution.optimizedPlan.collectLeaves().forall {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      case _ => false
+    }
+
+  /** `docs` is the corpus frame, `tok` its (doc_id, token) stream.
+    * Resolution order, cheapest sound evidence first:
+    *  1. a planner estimate already OVER the gate proves the corpus
+    *     big (stats only ever under-estimate the failure direction) —
+    *     bucketed, no job;
+    *  2. a FILE-BACKED corpus whose on-disk bytes × 20 sit under the
+    *     gate proves the dictionary small — broadcast, no job. The 20
+    *     is the sound compound bound: tokens ≤ (chars+1)/2 so the
+    *     8-byte-hash dictionary is ≤ 4× the text bytes, and parquet
+    *     stats are COMPRESSED sizes (text compresses ≲ 5×);
+    *  3. otherwise MEASURE: one count() of the token stream at
+    *     DataFrame-construction time (eager; it is the first
+    *     materialization of the pipeline's own cached token frame, so
+    *     the pass is not extra work — round-16 VERDICT #2: plan stats
+    *     under generated frames sailed a 5.9 GiB-spill broadcast
+    *     dictionary under the 64 MB gate, and a wrong broadcast at
+    *     scale is an executor OOM, so the undecided middle must be
+    *     measured, never guessed). */
+  private def resolveVerifyMode(docs: DataFrame, tok: DataFrame, mode: String,
       autoBytes: Long = VerifyAutoBytes): String =
     if (mode != VerifyAuto) mode
-    else if (tok.count() * 8L > autoBytes) VerifyBucketed
-    else VerifyBroadcast
+    else {
+      val est = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est > autoBytes) VerifyBucketed
+      else if (fileBackedOnly(docs) && est * 20 <= autoBytes) VerifyBroadcast
+      else if (tok.count() * 8L > autoBytes) VerifyBucketed
+      else VerifyBroadcast
+    }
 
   /** TEST SEAM (DedupVerifyModeSpec): the mode [[nearDupPairs]] would
     * auto-dispatch for `docs` — lets the spec pin the dispatch on
@@ -84,24 +115,25 @@ object Dedup {
     * unit-test-sized. */
   private[ops] def verifyModeFor(docs: DataFrame,
       autoBytes: Long = VerifyAutoBytes): String =
-    resolveVerifyMode(tokens(spread(docs)), VerifyAuto, autoBytes)
+    resolveVerifyMode(docs, tokens(spread(docs)), VerifyAuto, autoBytes)
 
   /** Sort-merge width for the bucketed verify, derived from corpus
     * stats instead of the session's fixed shuffle-partition count
     * (round-16 VERDICT #3: at 64× the fixed 32 partitions left the SMJ
     * sorting ~520 MB per task — 16.6 GiB shuffle write, 32 GiB spill).
-    * Calibration from that measured profile: the verify shuffle
-    * amplifies the per-doc set dictionary ~150× (each surviving pair
-    * carries two sets), so granting one partition per 512 KiB of
-    * dictionary bound keeps per-task sort sets ≈ 75 MB — inside
-    * executor execution memory, spill ≈ 0. Never below the cluster's
-    * parallelism, capped at 4096 (the fan-out a 100 TB exchange
-    * tolerates). The count() runs on the pipeline's own cached token
-    * frame — first materialization, not an extra pass. */
+    * Calibration from the measured 64× profile: the verify shuffle
+    * amplifies the per-doc set dictionary ~180× (each surviving pair
+    * carries two sets), so granting one partition per 256 KiB of
+    * dictionary bound keeps per-task sort sets ≈ 45–65 MB — inside a
+    * task's execution-memory share even at full slot occupancy. Never
+    * below the cluster's parallelism, capped at 4096 (the fan-out a
+    * 100 TB exchange tolerates). The count() runs on the pipeline's
+    * own cached token frame — first materialization, not an extra
+    * pass. */
   private def smjVerifyParts(tok: DataFrame): Int = {
     val dictBytes = tok.count() * 8L
     val base = tok.sparkSession.sparkContext.defaultParallelism
-    math.min(4096L, math.max(base.toLong, dictBytes / (512L << 10))).toInt
+    math.min(4096L, math.max(base.toLong, dictBytes / (256L << 10))).toInt
   }
 
   private def attachSet(cand: DataFrame, sets: DataFrame, side: String,
@@ -314,7 +346,7 @@ object Dedup {
       verifyMode: String = VerifyAuto,
       dedupPairs: Boolean = true): DataFrame = {
     val tok = PipelineCaches.track(tokens(spread(docs)))
-    val mode = resolveVerifyMode(tok, verifyMode)
+    val mode = resolveVerifyMode(docs, tok, verifyMode)
     // SMJ width from corpus stats; the candidate distinct below gets
     // the same width (its hash aggregate spills on the session default
     // at 64× too). None in broadcast mode — no behavior change there.
