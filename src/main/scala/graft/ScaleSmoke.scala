@@ -195,6 +195,20 @@ object ScaleSmoke {
       })
       graft.ops.PipelineCaches.release(spark)
       spark.sharedState.cacheManager.clearCache()
+      // unigram train (round 17): ONE corpus shuffle to the word-count
+      // table, then 2 Viterbi+prune rounds whose aggregates are
+      // bounded by the ~k-growing vocab — wall clock must track the
+      // corpus scan, with the rounds a vocab-scale tail
+      run("unigram", {
+        val words = graft.ops.Bpe.wordCounts(docs).cache()
+        val vocab =
+          try graft.ops.Unigram.train(words)
+          finally { words.unpersist(); () }
+        import spark.implicits._
+        vocab.toDF("piece", "utility")
+      })
+      graft.ops.PipelineCaches.release(spark)
+      spark.sharedState.cacheManager.clearCache()
       // corpus report: one scan + one hash-key shuffle + per-source agg
       run("corpus_report", graft.ops.TextOps.corpusReportQ(
         docs.withColumn("source", (col("doc_id") % 20).cast("string"))

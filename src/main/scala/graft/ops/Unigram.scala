@@ -84,12 +84,19 @@ object Unigram {
     val seedU = words
       .select(col("n"), explode(substrCandidates("word")).as("piece"))
       .groupBy(col("piece")).agg(sum(col("n")).as("u"))
-    val chars0 = seedU.filter(length(col("piece")) === 1)
-      .orderBy(col("piece")) // charset: every corpus code point
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val multi0 = seedU.filter(length(col("piece")) > 1)
-      .orderBy(col("u").desc, col("piece").asc).limit(seedMulti)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // model-sized collects ride PlanPin (the driver-fused-query guard):
+    // the charset is the seed aggregate's single-char slice (keyed
+    // partial+final aggregate — vocab-bounded by construction), the
+    // multi-char seed a global top-k cut
+    val chars0 = PlanPin.boundedCollect(
+      seedU.filter(length(col("piece")) === 1).orderBy(col("piece")),
+      PlanPin.KeyedAggCut, "unigram seed charset")
+      .map(r => (r.getString(0), r.getLong(1)))
+    val multi0 = PlanPin.boundedCollect(
+      seedU.filter(length(col("piece")) > 1)
+        .orderBy(col("u").desc, col("piece").asc).limit(seedMulti),
+      PlanPin.TopKCut, "unigram seed multi-char vocab")
+      .map(r => (r.getString(0), r.getLong(1)))
     val charset = chars0.map(_._1)
     var vocab: Seq[(String, Long)] = (chars0 ++ multi0).toSeq
     for (keep <- keeps) {
@@ -98,11 +105,15 @@ object Unigram {
       val u = words
         .select(col("n"), explode(segmented("word", vocab)).as("piece"))
         .groupBy(col("piece")).agg(sum(col("n")).as("u"))
-      val multi = u.filter(length(col("piece")) > 1)
-        .orderBy(col("u").desc, col("piece").asc).limit(keep)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val charU = u.filter(length(col("piece")) === 1)
-        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val multi = PlanPin.boundedCollect(
+        u.filter(length(col("piece")) > 1)
+          .orderBy(col("u").desc, col("piece").asc).limit(keep),
+        PlanPin.TopKCut, "unigram prune round")
+        .map(r => (r.getString(0), r.getLong(1)))
+      val charU = PlanPin.boundedCollect(
+        u.filter(length(col("piece")) === 1),
+        PlanPin.KeyedAggCut, "unigram round char utilities")
+        .map(r => (r.getString(0), r.getLong(1))).toMap
       // chars never leave (the lossless floor); unused chars carry 0
       val chars = charset.map(c => (c, charU.getOrElse(c, 0L)))
       vocab = (chars ++ multi).toSeq
