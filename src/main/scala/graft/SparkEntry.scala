@@ -197,6 +197,10 @@ object SparkEntry {
     "q_unigram_train" -> ((s, d) => graft.ops.Unigram.unigramTrainQ(s, d)),
     // the apply side: vocab words segmented under the pruned pieces
     "q_unigram_encode" -> ((s, d) => graft.ops.Unigram.unigramEncodeQ(s, d)),
+    // the steady-state form: model trained + persisted once, the
+    // corpus encoded off the frozen (piece, utility) table — no
+    // training-corpus access on the encode path
+    "q_unigram_encode_incr" -> ((s, d) => graft.ops.Unigram.unigramEncodeIncrQ(s, d)),
     // end-to-end export: train BPE -> encode corpus -> pack encoded
     // stream into 512-token sequences (per-shard summary)
     "q_tokenize_pack" -> ((s, d) => graft.ops.Bpe.tokenizePackQ(s, d)),
@@ -2333,6 +2337,16 @@ object SparkEntry {
     "q_unigram_train" -> unigramOracleSql(
       s"SELECT piece, u AS utility, CAST(length(piece) AS BIGINT) AS n_chars FROM v$UnigramRounds"),
     "q_unigram_encode" -> {
+      val sFinal = UnigramRounds + 1
+      unigramOracleSql(
+        s"""SELECT word, n, CAST(len(sg) AS BIGINT) AS n_piece,
+          |array_to_string(sg, ' ') AS pieces FROM s$sFinal""".stripMargin,
+        encodeTail = true)
+    },
+    // persisted-model encode ≡ batch train-and-encode (deterministic
+    // train) — the SAME oracle text, the q_corpus_report_incr
+    // shared-oracle convention
+    "q_unigram_encode_incr" -> {
       val sFinal = UnigramRounds + 1
       unigramOracleSql(
         s"""SELECT word, n, CAST(len(sg) AS BIGINT) AS n_piece,

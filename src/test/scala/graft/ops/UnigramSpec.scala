@@ -125,6 +125,27 @@ class UnigramSpec extends SparkSuite {
     }
   }
 
+  test("persisted model: encode off the frozen vocab equals the batch " +
+    "train-and-encode row for row, and the model round-trips parquet " +
+    "exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram_model").toString
+    val docs = graft.sources.Tables.documents(spark, sf)
+    Unigram.writeUnigramModel(docs, dir)
+    val words = PipelineCaches.track(Bpe.wordCounts(docs))
+    val trained = Unigram.train(words)
+    PipelineCaches.release(spark)
+    assert(Unigram.readUnigramModel(spark, dir) == trained,
+      "the reloaded (piece, utility) model must round-trip bit-exactly")
+    val batch = Unigram.unigramEncodeQ(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    PipelineCaches.release(spark)
+    val incr = Unigram.encodeFromModel(spark, dir, docs).collect()
+      .map(_.toString).sorted.toSeq
+    PipelineCaches.release(spark)
+    assert(incr == batch,
+      "frozen-model encode must equal the batch train-and-encode")
+  }
+
   test("OOV robustness: a word with characters the corpus never saw " +
     "still segments losslessly (single-char fallback)") {
     graft.functions.UnigramSegment.register(spark)
