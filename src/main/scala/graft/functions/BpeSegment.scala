@@ -109,35 +109,39 @@ object BpeSegmentEval {
 object BpeSegment {
   val FnName = "bpe_segment"
 
-  private val RuleSep = '\u001e' // record separator between rules
-  private val PairSep = '\u001f' // unit separator between a and b
-
-  /** Encode a rule list for the SQL literal argument.
-    *
-    * The separators are control characters a whitespace-tokenized corpus
-    * word can still contain (Java's \s does NOT match U+001E/U+001F), so
-    * a hostile corpus could smuggle them into a merge symbol and corrupt
-    * the encoded rule list — fail loudly at encode time instead of
-    * mis-splitting at decode. */
-  def encodeRules(rules: Seq[(String, String)]): String = {
-    rules.foreach { case (a, b) =>
-      require(!a.exists(c => c == RuleSep || c == PairSep) &&
-          !b.exists(c => c == RuleSep || c == PairSep),
-        s"$FnName: merge symbol contains reserved separator U+001E/U+001F")
-    }
+  /** Encode a rule list for the SQL literal argument — LENGTH-PREFIXED
+    * (round-17 ADVICE): each symbol is stored as `<len>:<chars>` and
+    * read back by code-unit count, so NO character is reserved. The
+    * former control-character separator scheme (U+001E/U+001F) had to
+    * abort on corpus words containing those characters — which Java's
+    * `\s` does not match, so whitespace tokenization lets them through
+    * into merge symbols — an engine-vs-oracle divergence (crash vs.
+    * result) reachable from plain corpus bytes. */
+  def encodeRules(rules: Seq[(String, String)]): String =
     Base64.getEncoder.encodeToString(
-      rules.map { case (a, b) => s"$a$PairSep$b" }.mkString(RuleSep.toString)
-        .getBytes(UTF_8))
-  }
+      rules.map { case (a, b) => s"${a.length}:$a${b.length}:$b" }
+        .mkString.getBytes(UTF_8))
 
   private def decodeRules(b64: String): Seq[(String, String)] =
     if (b64.isEmpty) Seq.empty
-    else new String(Base64.getDecoder.decode(b64), UTF_8)
-      .split(RuleSep).toSeq.map { r =>
-        val i = r.indexOf(PairSep.toInt)
-        require(i >= 0, s"$FnName: malformed rule entry '$r'")
-        (r.substring(0, i), r.substring(i + 1))
+    else {
+      val s = new String(Base64.getDecoder.decode(b64), UTF_8)
+      val out = Seq.newBuilder[(String, String)]
+      var i = 0
+      def field(): String = {
+        val c = s.indexOf(':', i)
+        require(c > i, s"$FnName: malformed rule encoding at offset $i")
+        val len = s.substring(i, c).toInt
+        i = c + 1 + len
+        require(i <= s.length, s"$FnName: truncated rule encoding")
+        s.substring(c + 1, i)
       }
+      while (i < s.length) {
+        val a = field(); val b = field()
+        out += ((a, b))
+      }
+      out.result()
+    }
 
   /** (identifier, info, builder) for SparkSessionExtensions.injectFunction
     * (cluster deployment; see [[graft.GraftExtensions]]). */

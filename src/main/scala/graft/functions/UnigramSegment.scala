@@ -142,31 +142,38 @@ object UnigramSegmentEval {
 object UnigramSegment {
   val FnName = "unigram_segment"
 
-  private val EntrySep = '\u001e' // record separator between entries
-  private val FieldSep = '\u001f' // unit separator between piece and utility
-
   /** Encode (piece, utility) vocab for the SQL literal argument — the
-    * [[BpeSegment.encodeRules]] convention (control-character
-    * separators a whitespace-tokenized corpus word cannot smuggle in;
-    * fail loudly if one does). */
-  def encodeVocab(vocab: Seq[(String, Long)]): String = {
-    vocab.foreach { case (piece, _) =>
-      require(!piece.exists(c => c == EntrySep || c == FieldSep),
-        s"$FnName: piece contains reserved separator U+001E/U+001F")
-    }
+    * [[BpeSegment.encodeRules]] LENGTH-PREFIXED convention (round-17
+    * ADVICE): each entry is `<len>:<piece><utility>;`, the piece read
+    * back by code-unit count, so no character is reserved and a corpus
+    * word containing U+001E/U+001F (which `\s+` tokenization lets
+    * through) trains/encodes like any other instead of aborting while
+    * the oracle completes. */
+  def encodeVocab(vocab: Seq[(String, Long)]): String =
     Base64.getEncoder.encodeToString(
-      vocab.map { case (piece, u) => s"$piece$FieldSep$u" }
-        .mkString(EntrySep.toString).getBytes(UTF_8))
-  }
+      vocab.map { case (piece, u) => s"${piece.length}:$piece$u;" }
+        .mkString.getBytes(UTF_8))
 
   private def decodeVocab(b64: String): Array[(String, Long)] =
     if (b64.isEmpty) Array.empty
-    else new String(Base64.getDecoder.decode(b64), UTF_8)
-      .split(EntrySep).map { e =>
-        val i = e.lastIndexOf(FieldSep.toInt)
-        require(i >= 0, s"$FnName: malformed vocab entry '$e'")
-        (e.substring(0, i), e.substring(i + 1).toLong)
+    else {
+      val s = new String(Base64.getDecoder.decode(b64), UTF_8)
+      val out = Array.newBuilder[(String, Long)]
+      var i = 0
+      while (i < s.length) {
+        val c = s.indexOf(':', i)
+        require(c > i, s"$FnName: malformed vocab encoding at offset $i")
+        val len = s.substring(i, c).toInt
+        val pieceEnd = c + 1 + len
+        require(pieceEnd <= s.length, s"$FnName: truncated vocab encoding")
+        val semi = s.indexOf(';', pieceEnd)
+        require(semi >= pieceEnd, s"$FnName: unterminated vocab entry")
+        out += ((s.substring(c + 1, pieceEnd),
+          s.substring(pieceEnd, semi).toLong))
+        i = semi + 1
       }
+      out.result()
+    }
 
   def descriptor: (org.apache.spark.sql.catalyst.FunctionIdentifier,
       org.apache.spark.sql.catalyst.expressions.ExpressionInfo,

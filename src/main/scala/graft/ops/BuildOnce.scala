@@ -180,9 +180,16 @@ private[graft] object BuildOnce {
   * what this buys is safe CONCURRENT READERS against that one writer.
   * Cross-table consistency (e.g. BM25's postings + stats + tombstone
   * dirs) is per-dir: a reader resolving multiple dirs mid-compaction
-  * can pair adjacent generations, which every compaction keeps
-  * answer-consistent (purged data + lingering tombstones is a no-op
-  * anti-join; the FaultInjectionSpec forget-window leg pins it). */
+  * can pair adjacent generations. That pairing is answer-consistent in
+  * ONE direction only — purged data + lingering tombstones is a no-op
+  * anti-join (the FaultInjectionSpec forget-window leg pins it) — so
+  * readers must resolve the TOMBSTONE table before the data dir
+  * (round-17 ADVICE): [[graft.ops.Tombstones.minus]] enforces the
+  * order with a by-name rows argument, and then any interleaving is
+  * safe (old deletes net old data; a compaction landing between the
+  * two resolutions yields stale deletes over purged data — the no-op
+  * direction). The REVERSE order could pair old un-purged data with a
+  * freshly-cleared deletes generation and resurface forgotten docs. */
 private[graft] object DirSwap {
   /** TEST-ONLY failpoint (FaultInjectionSpec): when set, invoked after
     * `write(tmp)` returns and BEFORE the generation commit (marker

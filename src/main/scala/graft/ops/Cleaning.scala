@@ -277,7 +277,8 @@ object Cleaning {
     // near-dup stage: refine docs that PASSED lang/quality/repetition/
     // exact-dup (reason keep or contaminated — contamination is checked
     // after near-dup in the first-fail order)
-    val victims = Dedup.nearDupPairs(corpus).select(col("doc_b").as("doc_id")).distinct()
+    val victims = Dedup.nearDupPairs(corpus)
+      .select(col("doc_b").as("doc_id")).distinct()
     val staged = PipelineCaches.track(verdicts
       .join(victims.withColumn("is_nd", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chars"),

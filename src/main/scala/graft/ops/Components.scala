@@ -336,12 +336,12 @@ object Components {
     BuildOnce(spark, idxDir, Seq(dir))(Dedup.writeNearDupIndex(corpus, idxDir))
     val labDir = BuildOnce.tempDirFor("graft_cluster_labels", dir)
     BuildOnce(spark, labDir, Seq(dir))(
-      connectedComponents(Dedup.nearDupPairs(corpus, dedupPairs = false))
+      connectedComponents(Dedup.nearDupPairs(corpus))
         .write.mode("overwrite").parquet(labDir))
     val labels = spark.read.parquet(labDir)
     val cross = Dedup.nearDupsAgainstIndex(spark, delta, idxDir)
       .select("doc_a", "doc_b")
-    val internal = Dedup.nearDupPairs(delta, dedupPairs = false)
+    val internal = Dedup.nearDupPairs(delta)
       .select("doc_a", "doc_b")
     mergeClusters(labels, cross.unionByName(internal))
   }
@@ -353,12 +353,10 @@ object Components {
     * components with a recursive min-label CTE, so the label for every
     * document is hash-checked, not just counted. */
   def dupClustersQ(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    // dedupPairs=false: the contraction dedups pairs for free, so the
-    // pipeline skips its surviving-pair exchange (7.8 M rows at sf0.1 —
-    // the clustering's single biggest avoidable stage)
+    // the pair pipeline is pair-distinct with no result exchange since
+    // the round-18 min-agreeing-band dedup — nothing to skip here
     connectedComponents(
-      Dedup.nearDupPairs(graft.sources.Tables.documents(spark, dir),
-        dedupPairs = false))
+      Dedup.nearDupPairs(graft.sources.Tables.documents(spark, dir)))
 
   /** Quality-aware canonical selection — "keep the BEST document per
     * duplicate cluster", the keep/drop decision that actually ships in a

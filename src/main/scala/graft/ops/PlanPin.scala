@@ -138,4 +138,22 @@ object PlanPin {
     assertBounded(df, shape, what)
     df.collect()
   }
+
+  /** Bounded MODEL reload (round-17 VERDICT #4: no bare `.collect()` in
+    * ops) — for collects of engine-written model artifacts (the frozen
+    * unigram vocab): the PLAN cannot prove a row bound (a plain file
+    * scan of the model dir), so the bound is the WRITER's contract
+    * (≤ charset + keep rows). Enforce it with a limit-probe collect
+    * that fails loudly instead of pulling an unexpectedly corpus-sized
+    * file through the driver — the same fail-don't-guess posture as
+    * [[assertBounded]], applied at the row count instead of the plan
+    * shape. */
+  def boundedModelCollect(df: DataFrame, maxRows: Int,
+      what: String): Array[Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"PlanPin: $what holds more than the contract's $maxRows rows — " +
+        "refusing an unbounded driver collect of a model artifact")
+    rows
+  }
 }

@@ -112,8 +112,11 @@ object TextIndex {
   private def readBuckets(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/meta").head().getInt(0)
 
+  // by-name pass-through: Tombstones.minus resolves the deletes table
+  // BEFORE the rows argument's own DirSwap.resolve runs (round-17
+  // ADVICE ordering — see Tombstones.minus)
   private def minusTombstones(spark: SparkSession, dir: String,
-      rows: DataFrame): DataFrame = Tombstones.minus(spark, dir, rows)
+      rows: => DataFrame): DataFrame = Tombstones.minus(spark, dir, rows)
 
   /** Right-to-be-forgotten propagation (q_forget): make the index
     * answer every future read as if `victims` were never ingested —
@@ -173,9 +176,13 @@ object TextIndex {
     * victims that never had postings). Steady state (no deletes dir)
     * is one FS existence check, no extra job. */
   private def statsScalar(spark: SparkSession, dir: String): DataFrame = {
+    // deletes resolve FIRST, the stats generation second (round-17
+    // ADVICE ordering): stats-first could pair an old un-corrected
+    // stats row with a freshly-cleared deletes table mid-compaction
+    val delOpt = Tombstones.readWith(spark, dir, DeletesSchema)
     val base = spark.read.schema(StatsSchema).parquet(statsDir(spark, dir))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_dl")).as("total_dl"))
-    val net = Tombstones.readWith(spark, dir, DeletesSchema).fold(base) { del =>
+    val net = delOpt.fold(base) { del =>
       val corr = del.agg(count(col("dl")).as("d_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("d_dl"))
       base.crossJoin(broadcast(corr))

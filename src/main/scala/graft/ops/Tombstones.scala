@@ -60,12 +60,25 @@ private[graft] object Tombstones {
   /** `rows` minus the tombstoned docs (anti-join on `key`, default
     * `doc_id` — the IVF index keys on `vec_id`); `rows` unchanged when
     * no tombstone table exists. The on-disk column is always `doc_id`
-    * (the normalized victim id), whatever the index calls its key. */
-  def minus(spark: SparkSession, dir: String, rows: DataFrame,
-      key: String = "doc_id"): DataFrame =
-    read(spark, dir).fold(rows)(del =>
-      rows.join(broadcast(del.withColumnRenamed("doc_id", key)),
+    * (the normalized victim id), whatever the index calls its key.
+    *
+    * `rows` is BY-NAME and evaluated only after the tombstone table has
+    * resolved (round-17 ADVICE): a reader that resolves its DATA
+    * generation first can pair the old un-purged data with a
+    * freshly-cleared deletes generation if a compaction commits in the
+    * gap — forgotten docs resurface. Deletes-first makes every
+    * interleaving answer-consistent: old deletes net old data, and
+    * stale deletes over purged data anti-join to a no-op. Callers must
+    * therefore resolve their data dir INSIDE the `rows` argument (or
+    * after this call), never before it. */
+  def minus(spark: SparkSession, dir: String, rows: => DataFrame,
+      key: String = "doc_id"): DataFrame = {
+    val del = read(spark, dir)
+    val r = rows
+    del.fold(r)(d =>
+      r.join(broadcast(d.withColumnRenamed("doc_id", key)),
         Seq(key), "left_anti"))
+  }
 
   /** The victim ids NOT already tombstoned — distinct, normalized to
     * long. Callers derive any index-specific correction (negative
@@ -111,8 +124,14 @@ private[graft] object Tombstones {
     val live = s"$dir/deletes"
     val fs = new org.apache.hadoop.fs.Path(live)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val resolvedP = new org.apache.hadoop.fs.Path(DirSwap.resolve(spark, live))
-    if (fs.exists(resolvedP))
+    // gate on the table HOLDING DATA, not on the dir existing
+    // (round-17 ADVICE): after the first clear the resolved dir is the
+    // committed empty generation, so an exists() gate would commit one
+    // more empty generation per compaction cycle forever — unbounded
+    // generation numbers and a list+mkdirs+marker+retire of pure FS
+    // churn per cycle. An absent AND an already-cleared table both
+    // read as "no tombstones" — nothing to retire.
+    if (dataPath(spark, dir).isDefined)
       DirSwap(spark, live) { out =>
         fs.mkdirs(new org.apache.hadoop.fs.Path(out)); ()
       }

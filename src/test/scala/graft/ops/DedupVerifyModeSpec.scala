@@ -90,4 +90,28 @@ class DedupVerifyModeSpec extends SparkSuite {
         "corpus to the bucketed (SMJ) verify")
     PipelineCaches.release(spark)
   }
+
+  test("no metadata fast path for dup-heavy parquet (round-17 VERDICT " +
+    "#1): a tiny-on-disk dictionary-encoded corpus whose real token " +
+    "mass exceeds the gate dispatches to the bucketed (measured) " +
+    "verify — on-disk bytes and footer sizes are both post-encoding " +
+    "and must not argue a broadcast") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dup_heavy").toString
+    val line = (1 to 200).map(i => s"tok$i").mkString(" ")
+    (1L to 2000L).map(i => (i, line)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val gate = 1L << 20
+    val onDisk = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(onDisk * 20 <= gate,
+      "fixture premise: tiny on disk — the retired x20 fast path would " +
+        s"have broadcast (onDisk=$onDisk)")
+    val dictBound = Dedup.tokens(docs).count() * 8L
+    assert(dictBound > gate,
+      s"fixture premise: real dictionary past the gate ($dictBound)")
+    assert(Dedup.verifyModeFor(docs, gate) == Dedup.VerifyBucketed,
+      "dup-heavy tiny-on-disk corpus must dispatch to the measured SMJ verify")
+    PipelineCaches.release(spark)
+  }
 }

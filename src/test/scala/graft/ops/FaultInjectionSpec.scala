@@ -397,10 +397,48 @@ class FaultInjectionSpec extends SparkSuite {
     Dedup.compactSpanIndex(spark, dir)
     assert(rows(Dedup.spanDedupAgainstIndex(spark, delta, dir)) == fresh)
   }
+  test("Tombstones.minus resolves the DELETES table before the data " +
+    "dir (round-17 ADVICE): a tombstone appended while the by-name " +
+    "rows argument evaluates is not yet visible — the deletes snapshot " +
+    "precedes the data resolve, so a compaction committing in the gap " +
+    "can only produce the consistent (old-deletes/any-data) pairing") {
+    val dir = tmp("ts_order")
+    Seq(1L, 2L, 3L).toDF("doc_id").write.parquet(s"$dir/rows")
+    Tombstones.append(dir, Tombstones.fresh(spark, dir, Seq(1L).toDF("doc_id")))
+    val out = Tombstones.minus(spark, dir, {
+      // lands between the deletes snapshot and the data read — the
+      // mid-read forget must NOT leak into this read's anti-join
+      Tombstones.append(dir,
+        Tombstones.fresh(spark, dir, Seq(2L).toDF("doc_id")))
+      spark.read.parquet(s"$dir/rows")
+    })
+    assert(out.collect().map(_.getLong(0)).toSet == Set(2L, 3L),
+      "victim 1 (snapshotted) excluded; victim 2 (mid-read) not yet")
+  }
+
+  test("Tombstones.clear is a no-op on an absent AND on an already-" +
+    "cleared table (round-17 ADVICE: a steady maintenance loop must " +
+    "not grow generation numbers or churn the FS per cycle)") {
+    val dir = tmp("ts_clear")
+    Tombstones.clear(spark, dir) // never created: nothing appears
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/deletes")))
+    assert(DirSwap.resolve(spark, s"$dir/deletes") == s"$dir/deletes")
+    Tombstones.append(dir, Tombstones.fresh(spark, dir, Seq(9L).toDF("doc_id")))
+    Tombstones.clear(spark, dir)
+    val gen1 = DirSwap.resolve(spark, s"$dir/deletes")
+    assert(gen1 != s"$dir/deletes", "first clear commits an empty generation")
+    Tombstones.clear(spark, dir)
+    Tombstones.clear(spark, dir)
+    assert(DirSwap.resolve(spark, s"$dir/deletes") == gen1,
+      "repeat clears of an empty table must commit nothing")
+  }
 }
 
 /** Volatile gate for the latch drill — a plain object so the udf
   * closure references the module statically (local mode, one JVM). */
 private object FiGate {
   @volatile var open = false
+
 }

@@ -161,4 +161,23 @@ class UnigramSpec extends SparkSuite {
       assert(r.getSeq[String](1).mkString == r.getString(0))
     }
   }
+
+  test("separator-class control chars (U+001E/U+001F) in corpus words " +
+    "train and encode losslessly instead of aborting (round-17 ADVICE: " +
+    "the vocab literal is length-prefixed, no reserved characters)") {
+    graft.functions.UnigramSegment.register(spark)
+    val weird = "ab\u001ecd\u001fef"
+    val docs = Seq((1L, s"$weird plain words here"),
+      (2L, s"$weird plain tokens again")).toDF("doc_id", "text")
+    val words = PipelineCaches.track(Bpe.wordCounts(docs))
+    val vocab = Unigram.train(words, seedMulti = 16, keeps = Seq(8))
+    PipelineCaches.release(spark)
+    val b64 = graft.functions.UnigramSegment.encodeVocab(vocab)
+    val out = Seq(weird).toDF("word")
+      .select(expr(
+        s"${graft.functions.UnigramSegment.FnName}(word, '$b64')").as("sg"))
+      .collect()
+    assert(out.head.getSeq[String](0).mkString == weird,
+      "lossless segmentation over separator-class characters")
+  }
 }
