@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{BpeSegment, ChromaFp, DHash60, DotProductDouble, Md5Bits, SortedLongIntersectCount, WinnowMins}
+import graft.functions.{BpeSegment, ChromaFp, DHash60, DotProductDouble, Md5Bits, MinHashSig, SortedLongIntersectCount, WinnowMins}
 
 /** Session-extension entry point: the standard way a cluster deploys
   * this library's custom Catalyst surface without code changes —
@@ -29,5 +29,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DHash60.descriptor)
     ext.injectFunction(ChromaFp.descriptor)
     ext.injectFunction(BpeSegment.descriptor)
+    ext.injectFunction(MinHashSig.descriptor)
   }
 }

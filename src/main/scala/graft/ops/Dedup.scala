@@ -215,12 +215,32 @@ object Dedup {
       .filter(col(measure) >= threshold)
   }
 
-  /** Distinct (doc_id, token) pairs: lowercase, whitespace-split. */
-  def tokens(docs: DataFrame): DataFrame =
+  /** Per-document DISTINCT token arrays, computed IN-ROW: lowercase,
+    * whitespace-split, empties dropped, `array_distinct`. Documents with
+    * zero surviving tokens are filtered out (they produced no rows in
+    * the exploded form either).
+    *
+    * Round-18 (guide §2.4 — remove shuffles outright): "distinct
+    * (doc_id, token)" IS per-document token dedup, and a document's
+    * tokens already live in its row — so the global `distinct()` the
+    * old [[tokens]] paid (a full exchange + two HashAggregates over the
+    * exploded token-string stream, corpus-scale bytes at 100 TB) buys
+    * nothing a per-row `array_distinct` doesn't. Every signature /
+    * dictionary consumer now derives from this frame with ZERO
+    * doc-keyed exchanges (see [[signatures]] / [[tokSetsOf]]). */
+  private[ops] def tokArrays(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-        explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
-      .filter(col("token") =!= "")
-      .distinct()
+        array_distinct(filter(split(lower(trim(col("text"))), "\\s+"),
+          t => t =!= "")).as("toks"))
+      .filter(size(col("toks")) > 0)
+
+  /** Distinct (doc_id, token) pairs: lowercase, whitespace-split —
+    * the exploded view of [[tokArrays]] (map-side; the per-doc dedup is
+    * in-row, no exchange). */
+  def tokens(docs: DataFrame): DataFrame = explodeToks(tokArrays(docs))
+
+  private def explodeToks(tokArr: DataFrame): DataFrame =
+    tokArr.select(col("doc_id"), explode(col("toks")).as("token"))
 
   /** Exact dedup on whitespace-normalized lowercase text: keep min doc_id
     * per normalized text, report group size. One shuffle on the norm key;
@@ -289,28 +309,28 @@ object Dedup {
   }
 
   /** Per-document MinHash signature: NumHashes columns h0..h7, as LONGs
-    * (15 hex chars of an md5 — 60 bits, sign-safe). Longs matter for the
-    * plan: min(long) aggregates in the Tungsten hash map (HashAggregate)
-    * while min(string) falls back to sort-based aggregation.
-    *
-    * One md5 yields 128 independent bits — enough for TWO 60-bit lanes
-    * (hex chars [1,15] and [17,31]) — so the 8 signature lanes cost 4
-    * md5 calls per (doc, token) row, not 8 (md5 dominates the signature
-    * stage: each call allocates a MessageDigest and hashes the full
-    * string). The md5 strings are materialized in a projection BEFORE
-    * the per-lane slicing so each is computed once (referencing the md5
-    * expression from both lanes would recompute it — same trap as the
-    * simhash bit-sums). Both halves are mirrored in the oracle SQL. */
-  def signatures(tok: DataFrame): DataFrame = {
-    val nMd5 = NumHashes / 2
-    val withMd5 = tok.select(col("doc_id") +: (0 until nMd5).map(i =>
-      md5(concat(lit(s"$i:"), col("token"))).as(s"m$i")): _*)
-    val withLanes = withMd5.select(col("doc_id") +: (0 until NumHashes).map { i =>
-      val off = if (i % 2 == 0) 1 else 17
-      conv(substring(col(s"m${i / 2}"), off, 15), 16, 10).cast("long").as(s"h$i")
-    }: _*)
-    val aggs = (0 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i"))
-    withLanes.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    * (15 hex chars of an md5 — 60 bits, sign-safe), computed IN-ROW
+    * from the [[tokArrays]] frame by the native
+    * [[graft.functions.MinHashSig]] expression — one digest per lane
+    * PAIR per token (an md5's 128 bits feed two 60-bit lanes), no hex
+    * encode/parse, no explode, and — the round-18 point — NO doc-keyed
+    * exchange: the old exploded spelling paid an Exchange + two
+    * HashAggregates to fold minima the document's own row already
+    * bounds (guide §2.4). Bit-identical to
+    * `min(conv(substring(md5(concat(i, ':', token)), 1|17, 15), 16,
+    * 10)::long)` over the distinct token set (MinHashSigProps pins it),
+    * so the oracle SQL keeps its portable md5-hex arithmetic. The
+    * signature array is materialized in its own projection before the
+    * per-lane getItems (CollapseProject refuses to duplicate the
+    * non-cheap call, so the digests run once per doc). */
+  def signatures(tokArr: DataFrame): DataFrame = {
+    graft.functions.MinHashSig.register(tokArr.sparkSession)
+    tokArr
+      .select(col("doc_id"),
+        call_function(graft.functions.MinHashSig.FnName,
+          col("toks"), lit(NumHashes)).as("__sig"))
+      .select(col("doc_id") +: (0 until NumHashes).map(i =>
+        col("__sig").getItem(i).as(s"h$i")): _*)
   }
 
   /** (doc_id, band, b0, b1) LSH band rows from a signature frame — ONE
@@ -366,14 +386,23 @@ object Dedup {
     call_function(graft.functions.Md5Bits.FnName, c, lit(0), lit(nNibbles))
   }
 
-  /** Per-doc sorted 60-bit token-hash arrays — the verify dictionary.
+  /** Per-doc sorted 60-bit token-hash arrays — the verify dictionary —
+    * computed IN-ROW from the [[tokArrays]] frame: hash each distinct
+    * token with the native [[graft.functions.Md5Bits]] (one digest, no
+    * hex round-trip), `array_distinct` the 60-bit values (the 2^-60
+    * collision dedup `collect_set` performed), `sort_array`. Replaces
+    * the old explode → groupBy → collect_set shape, whose exchange
+    * carried the whole hashed dictionary (guide §2.4); the result is
+    * the identical sorted set.
     * private[ops]: NearDupIndexSpec pins the deployment shape where
     * this frame is registered doc_id-bucketed (see [[writeNearDupIndex]]). */
-  private[ops] def tokSetsOf(tok: DataFrame): DataFrame = tok
-    .select(col("doc_id"),
-      md5Prefix(col("token"), tok.sparkSession, 15).as("th"))
-    .groupBy(col("doc_id"))
-    .agg(sort_array(collect_set(col("th"))).as("toks"))
+  private[ops] def tokSetsOf(tokArr: DataFrame): DataFrame = {
+    graft.functions.Md5Bits.register(tokArr.sparkSession)
+    tokArr.select(col("doc_id"),
+      sort_array(array_distinct(transform(col("toks"), t =>
+        call_function(graft.functions.Md5Bits.FnName,
+          t, lit(0), lit(15))))).as("toks"))
+  }
 
   /** MinHash + LSH near-duplicate pairs, verified with exact Jaccard.
     * Pipeline: tokens → 8-hash signature → 4 LSH bands ([[bandsOf]]) →
@@ -383,13 +412,18 @@ object Dedup {
     * graft.Explain). */
   def nearDupPairs(docs: DataFrame, threshold: Double = 0.5,
       verifyMode: String = VerifyAuto): DataFrame = {
-    val tok = PipelineCaches.track(tokens(spread(docs)))
+    // the CACHED frame is the per-doc token-array form (round-18): the
+    // dispatch gate's count, the signature projection and the verify
+    // dictionary all derive from it map-side — zero doc-keyed exchanges
+    // anywhere before the band join
+    val tokArr = PipelineCaches.track(tokArrays(spread(docs)))
+    val tok = explodeToks(tokArr)
     val mode = resolveVerifyMode(docs, tok, verifyMode)
     // SMJ width from corpus stats. None in broadcast mode — no
     // behavior change there.
     val parts =
       if (mode == VerifyBucketed) Some(smjVerifyParts(tok)) else None
-    val sig = PipelineCaches.track(signatures(tok))
+    val sig = PipelineCaches.track(signatures(tokArr))
     val bands = bandsWithPrev(sig)
 
     val left = bands.select(col("band"), col("b0"), col("b1"),
@@ -427,7 +461,7 @@ object Dedup {
     // At larger corpora where the dictionary outgrows a broadcast the
     // default VerifyAuto dispatches to the bucketed sort-merge mode
     // (the measured crossover in resolveVerifyMode's scaladoc).
-    jaccardVerify(cand, tokSetsOf(tok), "toks", threshold, mode,
+    jaccardVerify(cand, tokSetsOf(tokArr), "toks", threshold, mode,
       parts = parts)
   }
 
@@ -468,7 +502,7 @@ object Dedup {
     Tombstones.reset(docs.sparkSession, dir)
     DirSwap.reset(docs.sparkSession, s"$dir/bands")
     DirSwap.reset(docs.sparkSession, s"$dir/toksets")
-    val tok = tokens(spread(docs)).cache()
+    val tokArr = tokArrays(spread(docs)).cache()
     try {
       // doc_id normalized to long so the fixed reader schema holds for
       // any integral id column
@@ -477,12 +511,12 @@ object Dedup {
       // bulk build should land in the one-file-per-bucket layout
       // compaction produces (same lesson as writeWinnowIndex, measured
       // ~3x on the winnow lookup's read path)
-      bandsOf(signatures(tok))
+      bandsOf(signatures(tokArr))
         .withColumn("doc_id", col("doc_id").cast("long"))
         .withColumn("bkt", pmod(col("b0"), lit(bandBuckets.toLong)))
         .repartition(col("bkt"))
         .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/bands")
-      tokSetsOf(tok)
+      tokSetsOf(tokArr)
         .withColumn("doc_id", col("doc_id").cast("long"))
         .write.mode("overwrite").parquet(s"$dir/toksets")
       docs.sparkSession.range(1)
@@ -492,7 +526,7 @@ object Dedup {
       // depend on the filesystem stamp moving (symmetry with
       // writeSpanMeta) — drop the memo explicitly
       bandMeta.invalidate(docs.sparkSession)(_ == dir)
-    } finally tok.unpersist()
+    } finally tokArr.unpersist()
   }
 
   /** Fold newly ingested documents INTO a persisted index — the write
@@ -518,17 +552,17 @@ object Dedup {
   def appendToNearDupIndex(newDocs: DataFrame, dir: String): Unit = {
     val spark = newDocs.sparkSession
     val bandBuckets = readBandBuckets(spark, dir)
-    val tok = tokens(spread(newDocs)).cache()
+    val tokArr = tokArrays(spread(newDocs)).cache()
     try {
-      bandsOf(signatures(tok))
+      bandsOf(signatures(tokArr))
         .withColumn("doc_id", col("doc_id").cast("long"))
         .withColumn("bkt", pmod(col("b0"), lit(bandBuckets.toLong)))
         .write.mode("append").partitionBy("bkt")
         .parquet(DirSwap.resolve(spark, s"$dir/bands"))
-      tokSetsOf(tok)
+      tokSetsOf(tokArr)
         .withColumn("doc_id", col("doc_id").cast("long"))
         .write.mode("append").parquet(DirSwap.resolve(spark, s"$dir/toksets"))
-    } finally tok.unpersist()
+    } finally tokArr.unpersist()
   }
 
   /** Compact a persisted near-dup index in place — the maintenance half
@@ -620,12 +654,12 @@ object Dedup {
     // tracked caches (caller releases via PipelineCaches.release after
     // each consuming action — the documented lifetime contract, so the
     // per-micro-batch streaming path does NOT accumulate blocks): the
-    // delta's tokens feed three evaluations (the touched-bucket
+    // delta's token arrays feed three evaluations (the touched-bucket
     // round-trip, the band broadcast, the verify dictionary), and the
-    // token distinct + signature aggregate are the delta's whole
+    // in-row tokenize + signature digests are the delta's whole
     // compute — uncached they ran three times end-to-end.
-    val tok = PipelineCaches.track(tokens(spread(newDocs)))
-    val newBands = PipelineCaches.track(bandsOf(signatures(tok))
+    val tokArr = PipelineCaches.track(tokArrays(spread(newDocs)))
+    val newBands = PipelineCaches.track(bandsOf(signatures(tokArr))
       .withColumnRenamed("doc_id", "doc_a"))
     val bandBuckets = readBandBuckets(spark, dir)
     // the touched-bucket prune costs one extra delta-sized Spark job, so
@@ -668,7 +702,7 @@ object Dedup {
       .filter(col("doc_a") =!= col("doc_id"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
     val verified = candRaw
-      .join(broadcast(tokSetsOf(tok).select(col("doc_id").as("doc_a"),
+      .join(broadcast(tokSetsOf(tokArr).select(col("doc_id").as("doc_a"),
         col("toks").as("set_a"))), "doc_a")
       .join(spark.read.schema(TokSetsSchema)
         .parquet(DirSwap.resolve(spark, s"$dir/toksets"))
@@ -765,8 +799,8 @@ object Dedup {
     * sf dir) and the unicode contract is pinned spec-side instead. */
   def fuzzyMatch(probes: DataFrame, corpus: DataFrame,
       simThreshold: Double = 0.8, capChars: Int = 127): DataFrame = {
-    val corpusBands = bandsOf(signatures(tokens(spread(corpus))))
-    val probeBands = bandsOf(signatures(tokens(probes)))
+    val corpusBands = bandsOf(signatures(tokArrays(spread(corpus))))
+    val probeBands = bandsOf(signatures(tokArrays(probes)))
       .withColumnRenamed("doc_id", "probe_id")
     val cand = corpusBands.join(broadcast(probeBands), Seq("band", "b0", "b1"))
       .filter(col("probe_id") =!= col("doc_id"))
@@ -788,7 +822,7 @@ object Dedup {
   def fuzzyMatchAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       probes: DataFrame, dir: String, corpusTexts: DataFrame,
       simThreshold: Double = 0.8, capChars: Int = 127): DataFrame = {
-    val probeBands = PipelineCaches.track(bandsOf(signatures(tokens(probes)))
+    val probeBands = PipelineCaches.track(bandsOf(signatures(tokArrays(probes)))
       .withColumnRenamed("doc_id", "probe_id"))
     val bandBuckets = readBandBuckets(spark, dir)
     val touched = probeBands
@@ -938,7 +972,7 @@ object Dedup {
     * this reuses — same plans, same cache entries). */
   def minhashEstQ(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = nearDupPairs(docs, threshold)
-    val sig = PipelineCaches.track(signatures(tokens(spread(docs))))
+    val sig = PipelineCaches.track(signatures(tokArrays(spread(docs))))
     val sa = sig.select(col("doc_id").as("doc_a") +:
       (0 until NumHashes).map(i => col(s"h$i").as(s"a$i")): _*)
     val sb = sig.select(col("doc_id").as("doc_b") +:

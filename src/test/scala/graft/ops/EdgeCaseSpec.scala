@@ -16,7 +16,7 @@ class EdgeCaseSpec extends SparkSuite {
   test("empty and whitespace-only docs: no tokens, no signature, no pairs") {
     val d = docs((1L, ""), (2L, "   "), (3L, "\t\n"), (4L, "real words here"))
     assert(Dedup.tokens(d).filter(col("doc_id") =!= 4).isEmpty)
-    assert(Dedup.signatures(Dedup.tokens(d)).count() == 1)
+    assert(Dedup.signatures(Dedup.tokArrays(d)).count() == 1)
     assert(Dedup.nearDupPairs(d).isEmpty)
     assert(Dedup.simhashPairs(d).isEmpty)
   }

@@ -23,7 +23,7 @@ class LlmOpsSpec extends SparkSuite {
       (1L, "the quick brown fox"),
       (2L, "the  QUICK brown   fox"), // same tokens after normalization
       (3L, "something else entirely")).toDF("doc_id", "text")
-    val sig = Dedup.signatures(Dedup.tokens(docs)).collect()
+    val sig = Dedup.signatures(Dedup.tokArrays(docs)).collect()
       .map(r => r.getLong(0) -> (1 until 9).map(r.getLong).mkString(",")).toMap
     assert(sig(1L) == sig(2L))
     assert(sig(1L) != sig(3L))

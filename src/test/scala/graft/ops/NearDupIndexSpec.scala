@@ -158,7 +158,7 @@ class NearDupIndexSpec extends SparkSuite {
     s.conf.set("spark.sql.adaptive.enabled", "false") // plain plan for subtree asserts
     s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // SMJ: the mode where the exchange matters
     val docs = s.read.parquet(s"$sf/documents.parquet")
-    val tokSets = Dedup.tokSetsOf(Dedup.tokens(docs))
+    val tokSets = Dedup.tokSetsOf(Dedup.tokArrays(docs))
       .withColumn("doc_id", col("doc_id").cast("long"))
     graft.sources.Bucketing.writeBucketed(tokSets, "bkt_toksets", "doc_id", 4)
     try {
