@@ -336,7 +336,7 @@ object Dedup {
   /** (doc_id, band, b0, b1) LSH band rows from a signature frame — ONE
     * explode projection (a per-band select-union would re-run the whole
     * signature aggregate once per band). */
-  private def bandsOf(sig: DataFrame): DataFrame = {
+  private[ops] def bandsOf(sig: DataFrame): DataFrame = {
     val nBands = NumHashes / BandSize
     val bandArr = array((0 until nBands).map { b =>
       struct(lit(b).as("band"), col(s"h${BandSize * b}").as("b0"),
@@ -787,13 +787,15 @@ object Dedup {
     * corpus by doc_id to make that join exchange-free on the corpus
     * side, as with the verify dictionaries).
     *
-    * The verify is threshold-CAPPED: `levenshtein(a, b, capChars)`
-    * early-exits at O(len·cap) instead of the full O(len²) DP. A capped
-    * `-1` (distance > cap) is an exact REJECT whenever
-    * `maxLen ≤ cap/(1−simThreshold)` (the pair could not reach the
-    * similarity bar anyway); only longer texts fall back to one full
-    * DP, so per-pair cost is bounded on the short-text common path and
-    * correct on the tail. Engine semantics are code-point edits
+    * The verify is threshold-CAPPED with a PER-PAIR budget cap
+    * (round-18): stage 1 runs `levenshtein(a, b, min(budget, capChars))`
+    * where budget = ceil(maxLen·(1−t)) + 1 is the largest distance the
+    * similarity filter could still accept, so a capped miss is an EXACT
+    * reject whenever the cap already reached the pair's budget; only a
+    * stage-1 miss on a pair whose budget exceeds capChars escalates —
+    * to a budget-banded DP (O(len·budget)), never the full O(len²).
+    * Per-pair cost is bounded by O(len·min(capChars, budget)) on the
+    * common path. Engine semantics are code-point edits
     * (Spark's levenshtein); DuckDB's is BYTE-based, so the oracle
     * agrees on ASCII corpora (the fixture is pure ASCII — verified per
     * sf dir) and the unicode contract is pinned spec-side instead. */
@@ -868,52 +870,51 @@ object Dedup {
       .join(norm(corpus, "match_id", "text_b"), "match_id")
       .filter(abs(length(col("text_a")) - length(col("text_b")))
         <= (lit(1.0) - simThreshold) * maxLen)
-    // ADAPTIVE cap: the banded DP costs O(len·cap), so pay a cap sized to
-    // the pair — each bucket's cap stays ≥ (1−t)·maxLen, which keeps a
-    // capped miss (-1) an EXACT reject inside its bucket (the true
-    // distance exceeds the edit budget). Kept pairs always have distance
-    // within the bucket cap, so reported edit_dist is exact. Measured at
-    // sf0.1: cap 32 is 6.5× cheaper than cap 127 per pair; bucketing cuts
-    // the verify ~2× on a mixed-length corpus. Beyond certainLen the
-    // largest cap can no longer arbitrate and one full DP decides.
-    val certainLen = math.floor(capChars / (1.0 - simThreshold + 1e-12)).toLong
-    def bucketCap(cap: Int): Long =
-      math.floor(cap / (1.0 - simThreshold + 1e-12)).toLong
-    val caps = Seq(capChars / 4, capChars / 2, capChars).filter(_ > 0).distinct
-    // each bucket's capped DP is spelled ONCE — pmod maps the capped miss
-    // sentinel to cap+1 in the same evaluation (pmod(-1, cap+2) = cap+1;
-    // pmod(d, cap+2) = d for d ∈ [0, cap]), where a predicate-and-value
-    // spelling would pay the O(len·cap) DP twice per pair under
-    // interpreted/fallback evaluation (subexpression elimination only
-    // saves codegen paths). A cap+1 stand-in stays exact within its
-    // bucket: the true distance exceeds the cap ≥ the pair's edit
-    // budget, so the similarity filter rejects the pair; the one
-    // undecidable case — a largest-cap miss beyond certainLen — is
-    // arbitrated by the full-DP fallback projected below.
-    val lvBucketed = caps.init.foldRight(
-      pmod(levenshtein(col("text_a"), col("text_b"), caps.last),
-        lit(caps.last + 2))) { (cap, rest) =>
-      when(maxLen <= bucketCap(cap),
-        pmod(levenshtein(col("text_a"), col("text_b"), cap), lit(cap + 2)))
-        .otherwise(rest)
-    }
+    // PER-PAIR BUDGET cap (round-18; replaces the r17 static cap
+    // buckets): the banded DP costs O(len·cap) and scales ~quadratically
+    // in the cap (measured on the 238 k-pair sf0.1 verify set: cap 31 →
+    // 0.19 s, cap 63 → 1.3 s, cap 127 → 4.9 s), so the cheapest ALWAYS-
+    // DECIDING cap is the pair's own edit budget — the largest distance
+    // that could still pass the final double-arithmetic similarity
+    // filter. __budget = ceil(maxLen·(1−t)) + 1 over-approximates that
+    // budget by ≥ 1 (the +1 absorbs the double multiply's rounding, so
+    // under-capping — the only unsound direction — cannot happen):
+    //  - a hit (d ≤ cap) is the exact distance, so the filter decides
+    //    the pair exactly;
+    //  - a miss maps (via pmod: pmod(-1, c+2) = c+1) to cap+1 > budget,
+    //    whose similarity is strictly below the threshold — an exact
+    //    reject, with NO full-DP arbitration case left (the r17 shape
+    //    needed one because its static caps could sit BELOW a long
+    //    pair's budget; a per-pair cap never does).
+    // The threshold argument is per-row (Levenshtein's threshold is a
+    // full expression child, not a foldable; parity of survivors vs the
+    // uncapped DP is measured diff=0 at sf0.1 and the oracle gate holds
+    // type-for-type). capChars bounds the COMMON-PATH cost exactly as
+    // before: stage 1 runs at min(budget, capChars), so a long
+    // near-verbatim pair (dist ≤ capChars ≪ budget) never pays the
+    // budget-wide band; only a stage-1 miss whose budget exceeds
+    // capChars escalates — to a budget-banded DP, strictly cheaper than
+    // the full O(len²) fallback it replaces. Unreachable at the fixture
+    // (budget ≤ 117 < 127 for every pair), pinned reachable in
+    // DedupSpec's long-text leg.
+    val budget = (ceil(maxLen * (lit(1.0) - simThreshold)) + lit(1)).cast("int")
     // equality fast path: exact normalized duplicates are the COMMON
     // case on the corpora this lookup exists for, and a string equality
     // is a codegen memcmp vs an O(len·cap) DP
-    val lv = when(col("text_a") === col("text_b"), lit(0)).otherwise(lvBucketed)
-    // materialize the capped result in its own projection (the aliases
-    // below cannot re-inline it: CollapseProject refuses to duplicate
-    // non-cheap expressions), then settle the largest-cap miss beyond
-    // certainLen with a single full DP — the only case the caps cannot
-    // decide (smaller buckets only fire under their own bucketCap, so
-    // caps.last+1 uniquely identifies a largest-cap miss)
     val scored = attached
+      .withColumn("__budget", budget)
+      .withColumn("__cap1", least(col("__budget"), lit(capChars)))
       .select(col("probe_id"), col("match_id"), col("text_a"), col("text_b"),
-        lv.cast("long").as("lv_capped"), maxLen.cast("long").as("max_len"))
+        col("__budget"), col("__cap1"),
+        when(col("text_a") === col("text_b"), lit(0))
+          .otherwise(pmod(expr("levenshtein(text_a, text_b, __cap1)"),
+            col("__cap1") + 2)).cast("long").as("lv1"),
+        maxLen.cast("long").as("max_len"))
       .select(col("probe_id"), col("match_id"),
-        when(col("lv_capped") === caps.last + 1 && col("max_len") > certainLen,
-          levenshtein(col("text_a"), col("text_b")).cast("long"))
-          .otherwise(col("lv_capped")).as("edit_dist"),
+        when(col("lv1") === col("__cap1") + 1 && col("__budget") > col("__cap1"),
+          pmod(expr("levenshtein(text_a, text_b, __budget)"),
+            col("__budget") + 2).cast("long"))
+          .otherwise(col("lv1")).as("edit_dist"),
         col("max_len"))
       .select(col("probe_id"), col("match_id"), col("edit_dist"),
         when(col("max_len") === 0, lit(1.0))

@@ -104,6 +104,16 @@ class PropertySpec extends SparkSuite {
         s"cap=$cap must report exact distances for every kept pair: ${bad.collect().toSeq}")
       assert(got.count() > 0, "mutated twins must be found")
     }
+    // the SURVIVOR SET is cap-invariant too (a capped miss is an exact
+    // reject, never a lost pair): a tiny stage-1 cap — where every
+    // non-identical pair escalates to the budget-banded stage 2 — must
+    // yield the identical (probe, match, dist) set as an effectively
+    // uncapped run
+    val tiny = Dedup.fuzzyMatch(docs, docs, simThreshold = 0.6, capChars = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wide = Dedup.fuzzyMatch(docs, docs, simThreshold = 0.6, capChars = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tiny == wide, "survivor set must be identical at every capChars")
   }
 
   test("law: sequence packing is per-shard independent (other shards never move)") {
