@@ -42,8 +42,12 @@ private[graft] object BuildOnce {
     * new engine version then treats every old /tmp artifact as foreign
     * and rebuilds from scratch instead of misreading it. v17:
     * generation-committed compaction swaps ([[DirSwap]]) + the profile
-    * index moved from the artifact root to a `sketch` subdir. */
-  private[graft] val FormatVersion = "graft-idx-v17"
+    * index moved from the artifact root to a `sketch` subdir. v18:
+    * corpus-derived bucket counts for the bands/fps/spans/grams
+    * layouts (the ÷64 rule) — same schema, different partition-dir
+    * fan-out, so pre-v18 artifacts must rebuild rather than carry the
+    * 256-dir layout's per-lookup listing cost forward. */
+  private[graft] val FormatVersion = "graft-idx-v18"
 
   /** @param srcDirs the BUILD INPUTS — the source data dirs the build
     *   body reads. Their content summary (per-dir recursive file count,

@@ -493,9 +493,26 @@ object Dedup {
   private val TokSetsSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id LONG, toks ARRAY<LONG>")
 
+  /** Build-time bucket count for the partitioned index layouts — the
+    * image-index ÷64 rule (round-12 lesson: per-dir listing/footer cost
+    * floors tiny corpora, fine pruning pays at scale) made the DEFAULT
+    * for every text index: clamp(|docs| / 64, 32, 65536). The lower
+    * clamp is 32, not 64, because partition discovery of ≤ 32 dirs
+    * stays a driver-side listing while > 32 dirs launches a
+    * one-task-per-dir Spark job (spark.sql.sources.
+    * parallelPartitionDiscovery.threshold) on EVERY lookup
+    * construction — measured 0.45–0.6 s per incremental query at the
+    * 256-dir default, the single largest line in their job trace. The
+    * chosen count is recorded in each index's meta, so readers always
+    * derive the writer's bucket function; passing an explicit positive
+    * count overrides (the spec seam). */
+  private def derivedBuckets(docs: DataFrame): Int =
+    math.max(32L, math.min(65536L, docs.count() / 64)).toInt
+
   def writeNearDupIndex(docs: DataFrame, dir: String,
-      bandBuckets: Int = 256): Unit = {
-    require(bandBuckets > 0, s"bandBuckets must be positive, got $bandBuckets")
+      bandBuckets: Int = 0): Unit = {
+    require(bandBuckets >= 0, s"bandBuckets must be >= 0 (0 = derive), got $bandBuckets")
+    val nBuckets = if (bandBuckets > 0) bandBuckets else derivedBuckets(docs)
     // from-scratch build: a leftover tombstone table must not survive
     // the data overwrite (the round-13 TextIndex rebuild bug class),
     // nor may a stale committed generation shadow the fresh write
@@ -513,14 +530,14 @@ object Dedup {
       // ~3x on the winnow lookup's read path)
       bandsOf(signatures(tokArr))
         .withColumn("doc_id", col("doc_id").cast("long"))
-        .withColumn("bkt", pmod(col("b0"), lit(bandBuckets.toLong)))
+        .withColumn("bkt", pmod(col("b0"), lit(nBuckets.toLong)))
         .repartition(col("bkt"))
         .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/bands")
       tokSetsOf(tokArr)
         .withColumn("doc_id", col("doc_id").cast("long"))
         .write.mode("overwrite").parquet(s"$dir/toksets")
       docs.sparkSession.range(1)
-        .select(lit(bandBuckets).as("band_buckets"))
+        .select(lit(nBuckets).as("band_buckets"))
         .write.mode("overwrite").parquet(s"$dir/meta")
       // same-session rewrite with a different bandBuckets must not
       // depend on the filesystem stamp moving (symmetry with
@@ -1063,8 +1080,9 @@ object Dedup {
       .withColumn("bkt", pmod(col("fp"), lit(fpBuckets.toLong)))
 
   def writeWinnowIndex(docs: DataFrame, dir: String,
-      k: Int = 4, w: Int = 5, fpBuckets: Int = 256): Unit = {
-    require(fpBuckets > 0, s"fpBuckets must be positive, got $fpBuckets")
+      k: Int = 4, w: Int = 5, fpBuckets: Int = 0): Unit = {
+    require(fpBuckets >= 0, s"fpBuckets must be >= 0 (0 = derive), got $fpBuckets")
+    val nBuckets = if (fpBuckets > 0) fpBuckets else derivedBuckets(docs)
     // from-scratch build: drop leftover tombstones (round-13 bug
     // class) and stale committed generations
     Tombstones.reset(docs.sparkSession, dir)
@@ -1073,11 +1091,11 @@ object Dedup {
     // map task writes a file into every bucket dir (tasks × buckets tiny
     // files — measured ~3x on the whole lookup), with it the bulk build
     // lands in the one-file-per-bucket layout compaction would produce
-    bucketedWinnowFps(docs, k, w, fpBuckets)
+    bucketedWinnowFps(docs, k, w, nBuckets)
       .repartition(col("bkt"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/fps")
     docs.sparkSession.range(1)
-      .select(lit(fpBuckets).as("fp_buckets"), lit(k).as("k"), lit(w).as("w"))
+      .select(lit(nBuckets).as("fp_buckets"), lit(k).as("k"), lit(w).as("w"))
       .write.mode("overwrite").parquet(s"$dir/meta")
     // same-session rewrite must not depend on the filesystem stamp
     // moving (the writeNearDupIndex/writeSpanMeta discipline)
@@ -1886,21 +1904,22 @@ object Dedup {
     * also makes [[appendToSpanIndex]] a pure file append per
     * micro-batch, no read-modify-write. */
   def writeSpanIndex(docs: DataFrame, dir: String, w: Int = 16,
-      spanBuckets: Int = 256, freqCap: Long = 2): Unit = {
-    require(w > 0 && spanBuckets > 0 && freqCap > 0,
-      s"w, spanBuckets and freqCap must be positive, got w=$w spanBuckets=$spanBuckets freqCap=$freqCap")
+      spanBuckets: Int = 0, freqCap: Long = 2): Unit = {
+    require(w > 0 && spanBuckets >= 0 && freqCap > 0,
+      s"w and freqCap must be positive, spanBuckets >= 0 (0 = derive), got w=$w spanBuckets=$spanBuckets freqCap=$freqCap")
+    val nBuckets = if (spanBuckets > 0) spanBuckets else derivedBuckets(docs)
     // repartition on bkt BEFORE the partitioned write: every bucket
     // lands in exactly one task, so the write emits one file per bucket
     // instead of (tasks × buckets) fragments — the pruned lookup's cost
     // is footer-opens, and this keeps it at one per touched bucket
     DirSwap.reset(docs.sparkSession, s"$dir/spans")
     spanCounts(withSpansOf(docs, w))
-      .withColumn("bkt", pmod(col("h"), lit(spanBuckets.toLong)))
+      .withColumn("bkt", pmod(col("h"), lit(nBuckets.toLong)))
       .repartition(col("bkt"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/spans")
     val spark = docs.sparkSession
     writeSpanMeta(spark, dir,
-      SpanMeta(w, spanBuckets, freqCap, countFrequent(spark, dir, freqCap)))
+      SpanMeta(w, nBuckets, freqCap, countFrequent(spark, dir, freqCap)))
   }
 
   /** Fold newly ingested documents into a persisted span index — counts
@@ -2163,16 +2182,17 @@ object Dedup {
     * ADDITIVE — appends land per-batch partial counts and readers
     * re-aggregate sum(c), exactly the span index's merge discipline. */
   def writeSubstringIndex(docs: DataFrame, dir: String, minLen: Int = 8,
-      gramBuckets: Int = 256): Unit = {
-    require(minLen > 1 && gramBuckets > 0,
-      s"minLen must be > 1 and gramBuckets positive, got $minLen/$gramBuckets")
+      gramBuckets: Int = 0): Unit = {
+    require(minLen > 1 && gramBuckets >= 0,
+      s"minLen must be > 1 and gramBuckets >= 0 (0 = derive), got $minLen/$gramBuckets")
+    val nBuckets = if (gramBuckets > 0) gramBuckets else derivedBuckets(docs)
     DirSwap.reset(docs.sparkSession, s"$dir/grams")
     substrGramsOf(substrToksOf(docs), minLen)
       .groupBy(col("gh").as("h")).agg(count(lit(1)).as("c"))
-      .withColumn("bkt", pmod(col("h"), lit(gramBuckets.toLong)))
+      .withColumn("bkt", pmod(col("h"), lit(nBuckets.toLong)))
       .repartition(col("bkt"))
       .write.mode("overwrite").option("partitionOverwriteMode", "static").partitionBy("bkt").parquet(s"$dir/grams")
-    writeGramMeta(docs.sparkSession, dir, GramMeta(minLen, gramBuckets))
+    writeGramMeta(docs.sparkSession, dir, GramMeta(minLen, nBuckets))
   }
 
   /** Fold newly ingested documents into a persisted gram index — counts
